@@ -1,0 +1,22 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import graft.functions.{CosineSimilarity, HammingBits}
+
+/** Registers graft's native expressions as SQL functions so both the
+  * Column API and `spark.sql("... graft_cosine(a,b) ...")` can use them.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("graft_cosine"),
+      new ExpressionInfo(classOf[CosineSimilarity].getName, "graft_cosine"),
+      (children: Seq[Expression]) => CosineSimilarity(children(0), children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_hamming"),
+      new ExpressionInfo(classOf[HammingBits].getName, "graft_hamming"),
+      (children: Seq[Expression]) => HammingBits(children(0), children(1))))
+  }
+}

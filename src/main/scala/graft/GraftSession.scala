@@ -1,0 +1,32 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Session factory with the configuration we want on a real cluster.
+  *
+  * Everything here is sizing-neutral: AQE handles post-shuffle partition
+  * coalescing and skew joins at any scale, and the static shuffle partition
+  * count is only the pre-AQE ceiling (32 for local[32]; on a 1000-executor
+  * cluster this would be set to ~2-3x total cores by the submitter).
+  */
+object GraftSession {
+  def builder(cpus: Int = 32): SparkSession.Builder =
+    SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft")
+      .config("spark.sql.shuffle.partitions", cpus.toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // dims (region/nation/supplier at any SF) stay broadcastable
+      .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
+      .withExtensions(new GraftExtensions)
+
+  def get(cpus: Int = 32): SparkSession = {
+    val s = builder(cpus).getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}
