@@ -1,0 +1,12 @@
+package graft
+
+/** Central inventory of every engine capability (SURVEY §2). Each subsystem
+  * contributes a Seq[QueryDef]; SparkEntry projects this into the driver's
+  * contract maps.
+  */
+object Registry {
+  def all: Seq[QueryDef] =
+    operators.Relational.defs
+
+  def byName: Map[String, QueryDef] = all.map(d => d.name -> d).toMap
+}

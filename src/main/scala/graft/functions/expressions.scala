@@ -1,6 +1,7 @@
 package graft.functions
 
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
@@ -13,9 +14,21 @@ import org.apache.spark.sql.types._
   * Math in double for stable results across platforms.
   */
 case class CosineSimilarity(left: Expression, right: Expression)
-    extends BinaryExpression with ExpectsInputTypes {
+    extends BinaryExpression {
 
-  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType), ArrayType(FloatType))
+  // `ExpectsInputTypes`/`AbstractDataType` are private[sql] in the shipped
+  // Spark 4.1.2 jars, so input validation goes through the public
+  // checkInputDataTypes() hook instead.
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(dt: DataType): Boolean = dt match {
+      case ArrayType(FloatType, _) => true
+      case _                       => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two array<float> arguments, got " +
+        s"${left.dataType.catalogString} and ${right.dataType.catalogString}")
+  }
   override def dataType: DataType = DoubleType
   override def prettyName: String = "graft_cosine"
 
@@ -60,9 +73,14 @@ case class CosineSimilarity(left: Expression, right: Expression)
   * pair in generated Java, no UDF overhead.
   */
 case class HammingBits(left: Expression, right: Expression)
-    extends BinaryExpression with ExpectsInputTypes {
+    extends BinaryExpression {
 
-  override def inputTypes: Seq[AbstractDataType] = Seq(LongType, LongType)
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == LongType && right.dataType == LongType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two bigint arguments, got " +
+        s"${left.dataType.catalogString} and ${right.dataType.catalogString}")
   override def dataType: DataType = IntegerType
   override def prettyName: String = "graft_hamming"
 

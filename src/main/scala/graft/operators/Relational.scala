@@ -1,0 +1,161 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import graft.functions.{Portable => P, PortableSql => PS}
+import org.apache.spark.sql.functions._
+
+/** TPC-H-grade relational core (SURVEY §2e) — the benchmark backbone.
+  *
+  * Scale notes (SURVEY §5): filters/projections sit directly on the parquet
+  * scan (pushdown + pruning); aggregates are partial (map-side combine);
+  * dimension tables (region/nation/customer/supplier) stay under the 64 MiB
+  * broadcast threshold at any SF so the multi-way joins are broadcast-hash,
+  * not shuffle; the one unavoidable big shuffle (orders⋈lineitem) is keyed
+  * on the join key and AQE coalesces/skew-splits it at runtime.
+  */
+object Relational {
+
+  /** TPC-H Q1-shaped pricing summary (aggregate over filtered lineitem). */
+  val q1 = QueryDef(
+    "q1_pricing_summary",
+    s"""SELECT l_returnflag, l_linestatus,
+       |  ${PS.dsum("l_quantity")} AS sum_qty,
+       |  ${PS.dsum("l_extendedprice")} AS sum_base_price,
+       |  ${PS.dsum("l_extendedprice * (1 - l_discount)", 4)} AS sum_disc_price,
+       |  ${PS.dsum("l_extendedprice * (1 - l_discount) * (1 + l_tax)", 6)} AS sum_charge,
+       |  ${PS.davg("l_quantity")} AS avg_qty,
+       |  ${PS.davg("l_extendedprice")} AS avg_price,
+       |  ${PS.davg("l_discount", 4)} AS avg_disc,
+       |  COUNT(*) AS count_order
+       |FROM lineitem
+       |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+       |GROUP BY l_returnflag, l_linestatus
+       |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    Tables.lineitem(s, dir)
+      .filter($"l_shipdate" <= lit("1998-09-02").cast("timestamp"))
+      .groupBy($"l_returnflag", $"l_linestatus")
+      .agg(
+        P.dsum($"l_quantity").as("sum_qty"),
+        P.dsum($"l_extendedprice").as("sum_base_price"),
+        P.dsum($"l_extendedprice" * (lit(1) - $"l_discount"), 4).as("sum_disc_price"),
+        P.dsum($"l_extendedprice" * (lit(1) - $"l_discount") * (lit(1) + $"l_tax"), 6).as("sum_charge"),
+        P.davg($"l_quantity").as("avg_qty"),
+        P.davg($"l_extendedprice").as("avg_price"),
+        P.davg($"l_discount", 4).as("avg_disc"),
+        P.cnt.as("count_order"))
+      .orderBy($"l_returnflag", $"l_linestatus")
+  }
+
+  /** TPC-H Q3-shaped: top-10 unshipped-revenue orders for one segment. */
+  val q3 = QueryDef(
+    "q3_top_orders",
+    s"""SELECT l_orderkey,
+       |  ${PS.dsum("l_extendedprice * (1 - l_discount)", 4)} AS revenue,
+       |  CAST(o_orderdate AS DATE) AS orderdate, o_orderpriority
+       |FROM customer
+       |JOIN orders ON c_custkey = o_custkey
+       |JOIN lineitem ON l_orderkey = o_orderkey
+       |WHERE c_mktsegment = 'BUILDING'
+       |  AND o_orderdate < TIMESTAMP '1998-01-01'
+       |  AND l_shipdate > TIMESTAMP '1998-01-01'
+       |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+       |ORDER BY revenue DESC, l_orderkey
+       |LIMIT 10""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val c = Tables.customer(s, dir).filter($"c_mktsegment" === "BUILDING")
+    val o = Tables.orders(s, dir).filter($"o_orderdate" < lit("1998-01-01").cast("timestamp"))
+    val l = Tables.lineitem(s, dir).filter($"l_shipdate" > lit("1998-01-01").cast("timestamp"))
+    // customer is a dim — broadcast it; orders⋈lineitem is the real shuffle.
+    o.join(broadcast(c), $"c_custkey" === $"o_custkey")
+      .join(l, $"l_orderkey" === $"o_orderkey")
+      .groupBy($"l_orderkey", $"o_orderdate", $"o_orderpriority")
+      .agg(P.dsum($"l_extendedprice" * (lit(1) - $"l_discount"), 4).as("revenue"))
+      .select($"l_orderkey", $"revenue", $"o_orderdate".cast("date").as("orderdate"), $"o_orderpriority")
+      .orderBy($"revenue".desc, $"l_orderkey")
+      .limit(10)
+  }
+
+  /** TPC-H Q5-shaped: local-supplier revenue per nation for one region+year. */
+  val q5 = QueryDef(
+    "q5_region_revenue",
+    s"""SELECT n_name,
+       |  ${PS.dsum("l_extendedprice * (1 - l_discount)", 4)} AS revenue
+       |FROM region
+       |JOIN nation ON n_regionkey = r_regionkey
+       |JOIN customer ON c_nationkey = n_nationkey
+       |JOIN orders ON o_custkey = c_custkey
+       |JOIN lineitem ON l_orderkey = o_orderkey
+       |JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+       |WHERE r_name = 'ASIA'
+       |  AND o_orderdate >= TIMESTAMP '1997-01-01'
+       |  AND o_orderdate < TIMESTAMP '1999-01-01'
+       |GROUP BY n_name
+       |ORDER BY revenue DESC, n_name""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val r = Tables.region(s, dir).filter($"r_name" === "ASIA")
+    val n = Tables.nation(s, dir)
+    val c = Tables.customer(s, dir)
+    val o = Tables.orders(s, dir)
+      .filter($"o_orderdate" >= lit("1997-01-01").cast("timestamp") &&
+        $"o_orderdate" < lit("1999-01-01").cast("timestamp"))
+    val l = Tables.lineitem(s, dir)
+    val sup = Tables.supplier(s, dir)
+    // dims broadcast; the fact-fact join (orders⋈lineitem) shuffles once on
+    // the order key and every later join is against a broadcast side.
+    o.join(broadcast(c.join(broadcast(n.join(broadcast(r), $"n_regionkey" === $"r_regionkey")),
+        $"c_nationkey" === $"n_nationkey")), $"o_custkey" === $"c_custkey")
+      .join(l, $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(sup), $"l_suppkey" === $"s_suppkey" && $"s_nationkey" === $"c_nationkey")
+      .groupBy($"n_name")
+      .agg(P.dsum($"l_extendedprice" * (lit(1) - $"l_discount"), 4).as("revenue"))
+      .orderBy($"revenue".desc, $"n_name")
+  }
+
+  /** Per-customer order ranking (window function), top-3 per customer. */
+  val qWindowRank = QueryDef(
+    "q_window_rank",
+    """SELECT o_custkey, o_orderkey, o_totalprice, rnk FROM (
+      |  SELECT o_custkey, o_orderkey, o_totalprice,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey
+      |      ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rnk
+      |  FROM orders) t
+      |WHERE rnk <= 3
+      |ORDER BY o_custkey, rnk""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"o_custkey").orderBy($"o_totalprice".desc, $"o_orderkey")
+    Tables.orders(s, dir)
+      .select($"o_custkey", $"o_orderkey", $"o_totalprice",
+        row_number().over(w).cast("long").as("rnk"))
+      .filter($"rnk" <= 3)
+      .orderBy($"o_custkey", $"rnk")
+  }
+
+  /** Multi-level rollup aggregate (returnflag × linestatus). */
+  val qRollup = QueryDef(
+    "q_rollup",
+    s"""SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+       |  COALESCE(l_linestatus, 'ALL') AS linestatus,
+       |  ${PS.dsum("l_quantity")} AS sum_qty,
+       |  ${PS.dsum("l_extendedprice")} AS sum_price,
+       |  COUNT(*) AS n
+       |FROM lineitem
+       |GROUP BY ROLLUP(l_returnflag, l_linestatus)
+       |ORDER BY returnflag, linestatus""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    Tables.lineitem(s, dir)
+      .rollup($"l_returnflag", $"l_linestatus")
+      .agg(
+        P.dsum($"l_quantity").as("sum_qty"),
+        P.dsum($"l_extendedprice").as("sum_price"),
+        P.cnt.as("n"))
+      .select(
+        coalesce($"l_returnflag", lit("ALL")).as("returnflag"),
+        coalesce($"l_linestatus", lit("ALL")).as("linestatus"),
+        $"sum_qty", $"sum_price", $"n")
+      .orderBy($"returnflag", $"linestatus")
+  }
+
+  val defs: Seq[QueryDef] = Seq(q1, q3, q5, qWindowRank, qRollup)
+}
