@@ -22,6 +22,9 @@ object GraftSession {
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       // dims (region/nation/supplier at any SF) stay broadcastable
       .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
+      // events.parquet stores TIMESTAMP(NANOS), which Spark's vectorized
+      // reader rejects; read as long and convert in Tables.events.
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .withExtensions(new GraftExtensions)
 
   def get(cpus: Int = 32): SparkSession = {

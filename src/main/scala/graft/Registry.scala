@@ -6,7 +6,9 @@ package graft
   */
 object Registry {
   def all: Seq[QueryDef] =
-    operators.Relational.defs
+    operators.Relational.defs ++
+      operators.Etl.defs ++
+      operators.Analytics.defs
 
   def byName: Map[String, QueryDef] = all.map(d => d.name -> d).toMap
 }

@@ -21,7 +21,16 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
-  def events(s: SparkSession, d: String): DataFrame = load(s, d, "events")
+  /** events.ts is parquet TIMESTAMP(NANOS): read as long nanos (see
+    * GraftSession's nanosAsLong) and truncate to a micros timestamp —
+    * the same truncation DuckDB applies casting TIMESTAMP_NS → TIMESTAMP,
+    * so oracle SQL over `CAST(ts AS TIMESTAMP)` sees identical instants.
+    */
+  def events(s: SparkSession, d: String): DataFrame = {
+    val raw = load(s, d, "events")
+    raw.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+      org.apache.spark.sql.functions.expr("ts div 1000")))
+  }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 }

@@ -53,6 +53,13 @@ object PortableSql {
   def davg(e: String, scale: Int = 2): String =
     s"(CAST(SUM(CAST(($e) AS DECIMAL(18,$scale))) AS DOUBLE) / COUNT(*))"
 
+  /** CTE exposing events with ts truncated to a micros TIMESTAMP — the
+    * DuckDB-side twin of [[graft.Tables.events]]'s nanos→micros read. Use
+    * as `WITH $evCte SELECT ... FROM ev`.
+    */
+  val evCte: String =
+    "ev AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value, props FROM events)"
+
   /** DuckDB twin of [[Portable.hexToLong]] (1-based pos, width hex chars). */
   def hexToLong(e: String, pos: Int, width: Int): String =
     (0 until width).map { i =>

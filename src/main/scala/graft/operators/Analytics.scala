@@ -1,0 +1,160 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import graft.functions.{Portable => P, PortableSql => PS}
+import org.apache.spark.sql.functions._
+
+/** Dashboard analytics (SURVEY §2b) — the reference's primary user surface
+  * (reference: dashboard/dashboard.py:256-287,823-1085).
+  *
+  * Scale notes: every query here is a single hash aggregation over a
+  * filtered scan with low-cardinality group keys (days / groups / buckets /
+  * users) — partial aggregation shrinks the shuffle to the key cardinality,
+  * so these scale linearly with input at any SF. Quantiles use exact
+  * `percentile` at oracle SF; at 100 TB the documented switch is
+  * `percentile_approx` (same plan shape, bounded-memory sketch).
+  */
+object Analytics {
+
+  /** Events per day + daily value (posts-per-day timeline). */
+  val timeline = QueryDef(
+    "an_timeline",
+    s"""WITH ${PS.evCte}
+       |SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n,
+       |  ${PS.dsum("value")} AS sum_value
+       |FROM ev GROUP BY 1 ORDER BY day""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    Tables.events(s, dir)
+      .groupBy($"ts".cast("date").as("day"))
+      .agg(P.cnt.as("n"), P.dsum($"value").as("sum_value"))
+      .orderBy($"day")
+  }
+
+  /** Top-8 sources by document count (top-subreddits analog). */
+  val topGroups = QueryDef(
+    "an_top_groups",
+    """SELECT source, COUNT(*) AS n FROM documents
+      |GROUP BY source ORDER BY n DESC, source LIMIT 8""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    Tables.documents(s, dir)
+      .groupBy($"source").agg(P.cnt.as("n"))
+      .orderBy($"n".desc, $"source").limit(8)
+  }
+
+  /** Day-of-week activity histogram (1=Sunday..7, Spark convention). */
+  val dowActivity = QueryDef(
+    "an_dow_activity",
+    s"""WITH ${PS.evCte}
+       |SELECT CAST(dayofweek(ts) + 1 AS BIGINT) AS dow, COUNT(*) AS n,
+       |  ${PS.dsum("value")} AS sum_value
+       |FROM ev GROUP BY 1 ORDER BY dow""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    Tables.events(s, dir)
+      .groupBy(dayofweek($"ts").cast("long").as("dow"))
+      .agg(P.cnt.as("n"), P.dsum($"value").as("sum_value"))
+      .orderBy($"dow")
+  }
+
+  /** Value-bucket distribution (reference score categories >100/50/10/<10). */
+  val valueBuckets = QueryDef(
+    "an_value_buckets",
+    s"""WITH ${PS.evCte}
+       |SELECT CASE WHEN value > 100 THEN 'viral'
+       |  WHEN value > 50 THEN 'popular'
+       |  WHEN value > 10 THEN 'average' ELSE 'low' END AS bucket,
+       |  COUNT(*) AS n, ${PS.dsum("value")} AS sum_value
+       |FROM ev GROUP BY 1 ORDER BY bucket""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    Tables.events(s, dir)
+      .groupBy(
+        when($"value" > 100, "viral")
+          .when($"value" > 50, "popular")
+          .when($"value" > 10, "average")
+          .otherwise("low").as("bucket"))
+      .agg(P.cnt.as("n"), P.dsum($"value").as("sum_value"))
+      .orderBy($"bucket")
+  }
+
+  /** Exact p25/p50/p75/p90 of value per event_type (quantile insights). */
+  val quantiles = QueryDef(
+    "an_quantiles",
+    s"""WITH ${PS.evCte}
+       |SELECT event_type,
+       |  round(quantile_cont(value, 0.25), 6) AS p25,
+      |  round(quantile_cont(value, 0.50), 6) AS p50,
+      |  round(quantile_cont(value, 0.75), 6) AS p75,
+      |  round(quantile_cont(value, 0.90), 6) AS p90
+      |FROM ev GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    Tables.events(s, dir)
+      .groupBy($"event_type")
+      .agg(expr("percentile(value, array(0.25D, 0.5D, 0.75D, 0.9D))").as("ps"))
+      .select($"event_type",
+        round($"ps".getItem(0), 6).as("p25"),
+        round($"ps".getItem(1), 6).as("p50"),
+        round($"ps".getItem(2), 6).as("p75"),
+        round($"ps".getItem(3), 6).as("p90"))
+      .orderBy($"event_type")
+  }
+
+  private val Keywords = Seq("spark", "join", "merge", "stream", "vector")
+
+  /** Total occurrence count per keyword over documents.text (country
+    * keyword mentions, dashboard.py:1049-1057). Single pass: one scan
+    * computes all keyword counters, then unpivots — no per-keyword rescan.
+    */
+  val keywordMentions = QueryDef(
+    "an_keyword_mentions",
+    Keywords.map { k =>
+      s"""SELECT '$k' AS keyword, CAST(SUM((length(text) - length(replace(text, '$k', ''))) // ${k.length}) AS BIGINT) AS mentions FROM documents"""
+    }.mkString("", " UNION ALL ", " ORDER BY keyword")) { (s, dir) =>
+    val aggs = Keywords.map { k =>
+      sum(((length(col("text")) - length(expr(s"replace(text, '$k', '')"))) / k.length)
+        .cast("long")).as(s"m_$k")
+    }
+    val wide = Tables.documents(s, dir).agg(aggs.head, aggs.tail: _*)
+    val stackArgs = Keywords.map(k => s"'$k', m_$k").mkString(", ")
+    wide.selectExpr(s"stack(${Keywords.size}, $stackArgs) as (keyword, mentions)")
+      .orderBy("keyword")
+  }
+
+  /** Filter + sort + top-N explorer (posts page). */
+  val explorer = QueryDef(
+    "an_explorer",
+    """SELECT doc_id, source, lang, n_chars FROM documents
+      |WHERE lang = 'en' AND n_chars > 200
+      |ORDER BY n_chars DESC, doc_id LIMIT 20""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    Tables.documents(s, dir)
+      .filter($"lang" === "en" && $"n_chars" > 200)
+      .select($"doc_id", $"source", $"lang", $"n_chars")
+      .orderBy($"n_chars".desc, $"doc_id").limit(20)
+  }
+
+  /** Per-user activity stats (network_analysis.py:256-292 analog). */
+  val userActivity = QueryDef(
+    "an_user_activity",
+    s"""WITH ${PS.evCte}
+       |SELECT user_id, COUNT(*) AS n_events,
+       |  CAST(COUNT(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS n_purchases,
+       |  CAST(COUNT(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS n_views,
+       |  ${PS.dsum("value")} AS total_value,
+       |  ${PS.davg("value")} AS avg_value,
+       |  CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_active_days
+       |FROM ev GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    Tables.events(s, dir)
+      .groupBy($"user_id")
+      .agg(
+        P.cnt.as("n_events"),
+        sum(when($"event_type" === "purchase", 1L).otherwise(0L)).as("n_purchases"),
+        sum(when($"event_type" === "view", 1L).otherwise(0L)).as("n_views"),
+        P.dsum($"value").as("total_value"),
+        P.davg($"value").as("avg_value"),
+        countDistinct($"ts".cast("date")).as("n_active_days"))
+      .orderBy($"user_id")
+  }
+
+  val defs: Seq[QueryDef] = Seq(timeline, topGroups, dowActivity, valueBuckets,
+    quantiles, keywordMentions, explorer, userActivity)
+}

@@ -1,0 +1,123 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import graft.functions.{TextFns, Portable => P, PortableSql => PS}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** ETL / text-enrichment operators (SURVEY §2a).
+  *
+  * Reference semantics: clean_text + derived columns
+  * (reference: spark-processor/spark_streaming.py:61-118), the filtered
+  * variant (spark-streaming-pyspark/spark_streaming.py:85-94), ingest dedup
+  * (consumer/kafka_consumer.py:94-123), JSON prop extraction, and 30-min-gap
+  * sessionization.
+  *
+  * Scale notes: clean/enrich are pure narrow maps (whole-stage codegen, no
+  * shuffle — linear at 100 TB). Dedup is one hash aggregation on the content
+  * hash (map-side partials shrink the shuffle to ~one row per distinct hash).
+  * Sessionize shuffles once on user_id; state per user is a single window
+  * pass (sort within partition), the standard distributed sessionization.
+  */
+object Etl {
+
+  /** DuckDB twin of TextFns.cleanText (regexp_replace needs the 'g' flag). */
+  private val cleanSql =
+    """trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      |  lower(text), 'http\S+|www\S+|https\S+', '', 'g'),
+      |  '@\w+', '', 'g'), '#(\w+)', '\1', 'g'),
+      |  '[^\w\s]', ' ', 'g'), '\s+', ' ', 'g'))""".stripMargin
+
+  private def enriched(df: org.apache.spark.sql.DataFrame) = {
+    val clean = TextFns.cleanText(col("text"))
+    df.select(
+      col("doc_id"), col("source"), col("lang"),
+      clean.as("clean_text"),
+      length(clean).cast("long").as("text_length"),
+      size(split(clean, " ")).cast("long").as("word_count"),
+      (length(clean) > 5).as("has_text"))
+  }
+
+  private val enrichedSql =
+    s"""SELECT doc_id, source, lang, $cleanSql AS clean_text,
+       |  length($cleanSql) AS text_length,
+       |  CAST(len(string_split($cleanSql, ' ')) AS BIGINT) AS word_count,
+       |  length($cleanSql) > 5 AS has_text
+       |FROM documents""".stripMargin
+
+  /** clean_text chain + text_length/word_count/has_text on documents. */
+  val cleanText = QueryDef(
+    "etl_clean_text",
+    s"SELECT * FROM ($enrichedSql) t ORDER BY doc_id") { (s, dir) =>
+    enriched(Tables.documents(s, dir)).orderBy("doc_id")
+  }
+
+  /** Streaming-ETL-in-batch-form: enrich then keep only substantial docs. */
+  val filterEnrich = QueryDef(
+    "etl_filter_enrich",
+    s"SELECT * FROM ($enrichedSql) t WHERE text_length > 20 ORDER BY doc_id") { (s, dir) =>
+    enriched(Tables.documents(s, dir)).filter(col("text_length") > 20).orderBy("doc_id")
+  }
+
+  /** First-wins dedup by content hash (ingest unique-index semantics). */
+  val dedupIngest = QueryDef(
+    "etl_dedup_ingest",
+    """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,
+      |  COUNT(*) AS n_copies
+      |FROM documents GROUP BY 1 ORDER BY content_hash""".stripMargin) { (s, dir) =>
+    Tables.documents(s, dir)
+      .groupBy(md5(col("text")).as("content_hash"))
+      .agg(min(col("doc_id")).as("keep_id"), P.cnt.as("n_copies"))
+      .orderBy("content_hash")
+  }
+
+  /** JSON property extraction from events.props (from_json, not regex). */
+  val parseJson = QueryDef(
+    "etl_parse_json",
+    s"""WITH ${PS.evCte}
+      |SELECT event_id, CAST(json_extract_string(props, '$$.k') AS BIGINT) AS k,
+      |  value FROM ev ORDER BY event_id""".stripMargin) { (s, dir) =>
+    Tables.events(s, dir)
+      .select(col("event_id"),
+        from_json(col("props"), StructType(Seq(StructField("k", LongType))))
+          .getField("k").as("k"),
+        col("value"))
+      .orderBy("event_id")
+  }
+
+  /** 30-min-gap sessionization of events: one row per session per user. */
+  val sessionize = QueryDef(
+    "etl_sessionize",
+    s"""WITH ${PS.evCte}, marked AS (
+      |  SELECT user_id, event_id, ts, value,
+      |    CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+      |      OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+      |  FROM ev
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |), numbered AS (
+      |  SELECT *, SUM(new_session) OVER (PARTITION BY user_id
+      |    ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_idx
+      |  FROM marked)
+      |SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+      |  min(ts) AS session_start, max(ts) AS session_end,
+      |  COUNT(*) AS n_events, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
+      |FROM numbered GROUP BY user_id, session_idx
+      |ORDER BY user_id, session_idx""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val marked = Tables.events(s, dir).select($"user_id", $"event_id", $"ts", $"value",
+      when(unix_micros($"ts") - lag(unix_micros($"ts"), 1).over(w) > 1800000000L
+        || lag($"ts", 1).over(w).isNull, 1).otherwise(0).as("new_session"))
+    marked
+      .withColumn("session_idx",
+        sum($"new_session").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast("long"))
+      .groupBy($"user_id", $"session_idx")
+      .agg(min($"ts").as("session_start"), max($"ts").as("session_end"),
+        P.cnt.as("n_events"), P.dsum($"value").as("session_value"))
+      .orderBy($"user_id", $"session_idx")
+  }
+
+  val defs: Seq[QueryDef] = Seq(cleanText, filterEnrich, dedupIngest, parseJson, sessionize)
+}

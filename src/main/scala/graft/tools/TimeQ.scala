@@ -1,0 +1,18 @@
+package graft.tools
+import graft._
+/** Dev-only: time each registered query twice (cold vs warm) at a given SF. */
+object TimeQ {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
+    val spark = GraftSession.get(8)
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      val times = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        fn(spark, sfDir).count()
+        (System.nanoTime() - t0) / 1e9
+      }
+      println(f"TIMEQ $name%-24s cold=${times(0)}%7.2f warm=${times(1)}%7.2f")
+    }
+    spark.stop()
+  }
+}
