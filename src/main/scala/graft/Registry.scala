@@ -8,7 +8,8 @@ object Registry {
   def all: Seq[QueryDef] =
     operators.Relational.defs ++
       operators.Etl.defs ++
-      operators.Analytics.defs
+      operators.Analytics.defs ++
+      operators.GraphOps.defs
 
   def byName: Map[String, QueryDef] = all.map(d => d.name -> d).toMap
 }

@@ -1,0 +1,267 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import graft.functions.{Portable => P}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Graph / network suite (SURVEY §2c) on customer↔supplier interaction
+  * edges built through orders⋈lineitem — the Spark-first re-expression of
+  * the reference's NetworkX social graph
+  * (reference: network-analysis/network_analysis.py:42-292).
+  *
+  * Scale notes (SURVEY §5): edges are built by pre-aggregating lineitem on
+  * (orderkey, suppkey) BEFORE the join so the shuffle moves the reduced
+  * set; PageRank/label-propagation iterate keyed-by-node shuffle joins with
+  * per-iteration persist + an unpersist of the previous state so lineage
+  * stays bounded (at 100 TB swap persist for reliable checkpointing every
+  * ~5 iterations; for components use large-star/small-star to cut rounds on
+  * high-diameter graphs — this bipartite graph has diameter ~4).
+  */
+object GraphOps {
+
+  /** Excluded node ids — the reference drops [deleted]/AutoModerator
+    * (network_analysis.py:60-63); we drop known bot-account keys.
+    */
+  val ExcludedCustomers: Seq[Long] = Seq(1L, 2L)
+  val ExcludedSuppliers: Seq[Long] = Seq(1L)
+
+  // PageRank constants as literal text so Spark and the DuckDB oracle use
+  // bit-identical doubles (never derive 0.15 as 1-0.85: fp differs).
+  private val Damping = 0.85
+  private val Rest = 0.15
+  private val PrIters = 10
+
+  // ---------------------------------------------------------------- library
+
+  /** Weighted customer↔supplier edges; weight = number of line items. */
+  def edges(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val l = Tables.lineitem(s, dir)
+      .filter(!$"l_suppkey".isin(ExcludedSuppliers: _*))
+      .groupBy($"l_orderkey", $"l_suppkey").agg(count(lit(1)).as("w"))
+    val o = Tables.orders(s, dir)
+      .filter(!$"o_custkey".isin(ExcludedCustomers: _*))
+      .select($"o_orderkey", $"o_custkey")
+    l.join(o, $"l_orderkey" === $"o_orderkey")
+      .groupBy(
+        concat(lit("c"), $"o_custkey".cast("string")).as("src"),
+        concat(lit("s"), $"l_suppkey".cast("string")).as("dst"))
+      .agg(sum($"w").as("weight"))
+  }
+
+  /** Both directions of the undirected graph: (node, nb, weight). */
+  def undirected(e: DataFrame): DataFrame = {
+    val s = e.sparkSession
+    import s.implicits._
+    e.select($"src".as("node"), $"dst".as("nb"), $"weight")
+      .union(e.select($"dst".as("node"), $"src".as("nb"), $"weight"))
+  }
+
+  /** Degree + weighted degree per node. */
+  def degrees(und: DataFrame): DataFrame = {
+    val s = und.sparkSession
+    import s.implicits._
+    und.groupBy($"node")
+      .agg(count(lit(1)).as("degree"), sum($"weight").as("wdegree"))
+  }
+
+  /** Weighted PageRank, `iters` fixed iterations, damping 0.85 — the
+    * NetworkX-equivalent formulation (network_analysis.py:123-178): every
+    * node in the undirected graph has out-edges, so there is no dangling
+    * mass and pr_{t+1}(v) = (1-d)/N + d·Σ_{u→v} pr_t(u)·w(u,v)/wdeg(u).
+    */
+  def pagerank(und: DataFrame, iters: Int = PrIters): DataFrame = {
+    val s = und.sparkSession
+    import s.implicits._
+    val u = und.persist()
+    val nodes = u.select($"node").distinct().persist()
+    val n = nodes.count()
+    val wdeg = u.groupBy($"node").agg(sum($"weight").as("wd"))
+    val norm = u.join(wdeg, "node")
+      .select($"node".as("src"), $"nb".as("dst"), ($"weight" / $"wd").as("p"))
+      .persist()
+    norm.count()
+    var ranks = nodes.select($"node", (lit(1.0) / n).as("r")).persist()
+    for (_ <- 1 to iters) {
+      val contribs = norm.join(ranks.withColumnRenamed("node", "src0"), $"src" === $"src0")
+        .groupBy($"dst").agg(sum($"r" * $"p").as("contrib"))
+      val next = nodes.join(contribs, $"node" === $"dst", "left")
+        .select($"node",
+          (lit(Rest) / n + lit(Damping) * coalesce($"contrib", lit(0.0))).as("r"))
+        .persist()
+      next.count()
+      ranks.unpersist()
+      ranks = next
+    }
+    ranks
+  }
+
+  /** Connected components via iterative min-label propagation; converges in
+    * O(diameter) rounds, bounded by maxIters.
+    */
+  def components(und: DataFrame, maxIters: Int = 20): DataFrame = {
+    val s = und.sparkSession
+    import s.implicits._
+    val u = und.persist()
+    var lbls = u.select($"node").distinct().select($"node", $"node".as("lbl")).persist()
+    lbls.count()
+    var changed = 1L
+    var i = 0
+    while (changed > 0 && i < maxIters) {
+      val nbLbls = u.join(lbls.withColumnRenamed("node", "nb0"), $"nb" === $"nb0")
+        .select($"node", $"lbl")
+      val next = nbLbls.union(lbls).groupBy($"node").agg(min($"lbl").as("lbl")).persist()
+      next.count()
+      changed = next.join(lbls.withColumnRenamed("lbl", "old"), "node")
+        .filter($"lbl" =!= $"old").count()
+      lbls.unpersist()
+      lbls = next
+      i += 1
+    }
+    lbls.withColumnRenamed("lbl", "comp")
+  }
+
+  // ------------------------------------------------------------ oracle SQL
+
+  private val eSql =
+    s"""e AS (SELECT 'c' || o_custkey AS src, 's' || l_suppkey AS dst, COUNT(*) AS weight
+       |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+       |  WHERE o_custkey NOT IN (${ExcludedCustomers.mkString(", ")})
+       |    AND l_suppkey NOT IN (${ExcludedSuppliers.mkString(", ")})
+       |  GROUP BY 1, 2)""".stripMargin
+
+  private val undSql =
+    """und AS (SELECT src AS node, dst AS nb, weight FROM e
+      |  UNION ALL SELECT dst, src, weight FROM e)""".stripMargin
+
+  private val degSql =
+    """deg AS (SELECT node, COUNT(*) AS degree, CAST(SUM(weight) AS BIGINT) AS wdegree
+      |  FROM und GROUP BY node)""".stripMargin
+
+  /** pr0..prN CTE chain — the 10 unrolled PageRank iterations. */
+  private def prChain(iters: Int): String = {
+    val base =
+      """nodes AS (SELECT DISTINCT node FROM und),
+        |nn AS (SELECT COUNT(*) AS c FROM nodes),
+        |wdeg AS (SELECT node, SUM(weight) AS wd FROM und GROUP BY node),
+        |norm AS (SELECT u.node AS src, u.nb AS dst, u.weight / w.wd AS p
+        |  FROM und u JOIN wdeg w ON u.node = w.node),
+        |pr0 AS (SELECT node, CAST(1.0 AS DOUBLE) / (SELECT c FROM nn) AS r FROM nodes)""".stripMargin
+    val steps = (1 to iters).map { i =>
+      s"""pr$i AS (SELECT n.node,
+         |  CAST($Rest AS DOUBLE) / (SELECT c FROM nn)
+         |    + CAST($Damping AS DOUBLE) * COALESCE(s.contrib, CAST(0.0 AS DOUBLE)) AS r
+         |  FROM nodes n LEFT JOIN (
+         |    SELECT norm.dst AS node, SUM(pr${i - 1}.r * norm.p) AS contrib
+         |    FROM norm JOIN pr${i - 1} ON norm.src = pr${i - 1}.node
+         |    GROUP BY norm.dst) s ON n.node = s.node)""".stripMargin
+    }
+    (base +: steps).mkString(",\n")
+  }
+
+  private val ccSql =
+    """nodes2 AS (SELECT DISTINCT node FROM und),
+      |cc AS (SELECT node, node AS lbl FROM nodes2
+      |  UNION
+      |  SELECT u.nb, c.lbl FROM cc c JOIN und u ON c.node = u.node),
+      |comp AS (SELECT node, MIN(lbl) AS comp FROM cc GROUP BY node)""".stripMargin
+
+  // --------------------------------------------------------------- queries
+
+  val grEdges = QueryDef(
+    "gr_edges",
+    s"""WITH $eSql
+       |SELECT src, dst, CAST(weight AS BIGINT) AS weight FROM e
+       |ORDER BY src, dst""".stripMargin) { (s, dir) =>
+    edges(s, dir).orderBy("src", "dst")
+  }
+
+  val grDegree = QueryDef(
+    "gr_degree",
+    s"""WITH $eSql, $undSql, $degSql
+       |SELECT node, degree, wdegree FROM deg ORDER BY node""".stripMargin) { (s, dir) =>
+    degrees(undirected(edges(s, dir))).orderBy("node")
+  }
+
+  val grPagerank = QueryDef(
+    "gr_pagerank",
+    s"""WITH $eSql, $undSql,
+       |${prChain(PrIters)}
+       |SELECT node, round(r, 8) AS pagerank FROM pr$PrIters ORDER BY node""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    pagerank(undirected(edges(s, dir)))
+      .select($"node", round($"r", 8).as("pagerank"))
+      .orderBy($"node")
+  }
+
+  val grComponents = QueryDef(
+    "gr_components",
+    s"""WITH RECURSIVE $eSql, $undSql, $ccSql
+       |SELECT node, comp FROM comp ORDER BY node""".stripMargin) { (s, dir) =>
+    components(undirected(edges(s, dir))).orderBy("node")
+  }
+
+  /** Min-max-normalized composite influencer score, top 20
+    * (network_analysis.py:214-254; weights re-normalized over the three
+    * scalable metrics: degree .3, weighted degree .3, pagerank .4).
+    */
+  val grInfluencers = QueryDef(
+    "gr_influencers",
+    s"""WITH $eSql, $undSql, $degSql,
+       |${prChain(PrIters)},
+       |met AS (SELECT d.node, CAST(d.degree AS DOUBLE) AS dg,
+       |    CAST(d.wdegree AS DOUBLE) AS wd, p.r AS pr
+       |  FROM deg d JOIN pr$PrIters p ON d.node = p.node),
+       |st AS (SELECT min(dg) AS mind, max(dg) AS maxd, min(wd) AS minw,
+       |    max(wd) AS maxw, min(pr) AS minp, max(pr) AS maxp FROM met)
+       |SELECT node, round(
+       |    CAST(0.3 AS DOUBLE) * (CASE WHEN maxd = mind THEN CAST(0.0 AS DOUBLE) ELSE (dg - mind) / (maxd - mind) END)
+       |  + CAST(0.3 AS DOUBLE) * (CASE WHEN maxw = minw THEN CAST(0.0 AS DOUBLE) ELSE (wd - minw) / (maxw - minw) END)
+       |  + CAST(0.4 AS DOUBLE) * (CASE WHEN maxp = minp THEN CAST(0.0 AS DOUBLE) ELSE (pr - minp) / (maxp - minp) END), 8) AS score
+       |FROM met, st
+       |ORDER BY score DESC, node LIMIT 20""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val und = undirected(edges(s, dir)).persist()
+    val met = degrees(und)
+      .join(pagerank(und), "node")
+      .select($"node", $"degree".cast("double").as("dg"),
+        $"wdegree".cast("double").as("wd"), $"r".as("pr"))
+    val st = met.agg(
+      min($"dg").as("mind"), max($"dg").as("maxd"),
+      min($"wd").as("minw"), max($"wd").as("maxw"),
+      min($"pr").as("minp"), max($"pr").as("maxp"))
+    def mm(x: org.apache.spark.sql.Column, lo: org.apache.spark.sql.Column, hi: org.apache.spark.sql.Column) =
+      when(hi === lo, lit(0.0)).otherwise((x - lo) / (hi - lo))
+    met.crossJoin(broadcast(st))
+      .select($"node", round(
+        lit(0.3) * mm($"dg", $"mind", $"maxd")
+          + lit(0.3) * mm($"wd", $"minw", $"maxw")
+          + lit(0.4) * mm($"pr", $"minp", $"maxp"), 8).as("score"))
+      .orderBy($"score".desc, $"node").limit(20)
+  }
+
+  /** Per-component member count / total degree / mean degree / weight. */
+  val grCommunityStats = QueryDef(
+    "gr_community_stats",
+    s"""WITH RECURSIVE $eSql, $undSql, $degSql, $ccSql
+       |SELECT comp, COUNT(*) AS n_members,
+       |  CAST(SUM(degree) AS BIGINT) AS total_degree,
+       |  round(CAST(SUM(degree) AS DOUBLE) / COUNT(*), 6) AS avg_degree,
+       |  CAST(SUM(wdegree) AS BIGINT) AS total_wdegree
+       |FROM comp JOIN deg USING (node)
+       |GROUP BY comp ORDER BY comp""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val und = undirected(edges(s, dir)).persist()
+    components(und).join(degrees(und), "node")
+      .groupBy($"comp")
+      .agg(P.cnt.as("n_members"),
+        sum($"degree").as("total_degree"),
+        round(sum($"degree").cast("double") / count(lit(1)), 6).as("avg_degree"),
+        sum($"wdegree").as("total_wdegree"))
+      .orderBy($"comp")
+  }
+
+  val defs: Seq[QueryDef] = Seq(grEdges, grDegree, grPagerank, grComponents,
+    grInfluencers, grCommunityStats)
+}
