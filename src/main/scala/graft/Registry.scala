@@ -9,7 +9,13 @@ object Registry {
     operators.Relational.defs ++
       operators.Etl.defs ++
       operators.Analytics.defs ++
-      operators.GraphOps.defs
+      operators.GraphOps.defs ++
+      operators.Sentiment.defs ++
+      operators.TextAnalysis.defs ++
+      operators.Dedup.defs ++
+      operators.Similarity.defs ++
+      operators.Multimodal.defs ++
+      operators.StreamingQueries.defs
 
   def byName: Map[String, QueryDef] = all.map(d => d.name -> d).toMap
 }

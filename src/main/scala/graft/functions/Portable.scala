@@ -31,6 +31,18 @@ object Portable {
   /** count(*) as long (DuckDB COUNT is BIGINT already). */
   def cnt: Column = count(lit(1))
 
+  /** Portable round-half-up: floor(x·10^d + 0.5)/10^d. Spark's round()
+    * (BigDecimal HALF_UP over the shortest decimal representation) and
+    * DuckDB's round() (scaled multiply) disagree on values whose decimal
+    * expansion terminates in an exact 5 at the rounded digit; this
+    * formulation is the same IEEE multiply/add/floor/divide on both
+    * engines, so results are bit-identical.
+    */
+  def prnd(c: Column, digits: Int): Column = {
+    val f = math.pow(10, digits)
+    floor(c * f + lit(0.5)) / f
+  }
+
   /** Parse `width` hex chars of `c` starting at 1-based `pos` into a long.
     * Pure Column arithmetic (codegen'd); identical semantics in DuckDB via
     * [[PortableSql.hexToLong]]. Used for md5-derived integers (simhash,
@@ -52,6 +64,10 @@ object PortableSql {
 
   def davg(e: String, scale: Int = 2): String =
     s"(CAST(SUM(CAST(($e) AS DECIMAL(18,$scale))) AS DOUBLE) / COUNT(*))"
+
+  /** DuckDB twin of [[Portable.prnd]]. */
+  def prnd(e: String, digits: Int): String =
+    s"(floor(($e) * 1e$digits + 0.5) / 1e$digits)"
 
   /** CTE exposing events with ts truncated to a micros TIMESTAMP — the
     * DuckDB-side twin of [[graft.Tables.events]]'s nanos→micros read. Use

@@ -1,0 +1,62 @@
+package graft.ml
+
+import graft.functions.TextFns
+import org.apache.spark.ml.{Pipeline, PipelineModel}
+import org.apache.spark.ml.classification.LogisticRegression
+import org.apache.spark.ml.evaluation.MulticlassClassificationEvaluator
+import org.apache.spark.ml.feature._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** MLlib sentiment pipeline (SURVEY §2d ML): the Spark-native counterpart
+  * of the reference's Tokenizer → StopWordsRemover → CountVectorizer(2000,
+  * minDF=2) → IDF → classifier stack with an 80/20 split at seed 42
+  * (reference: spark-ml-sentiment/spark_ml_sentiment.py:180-296). Labels
+  * come from the lexicon scorer (the reference trains against its VADER
+  * labels the same way).
+  *
+  * Scale notes: every stage is a distributed MLlib transformer —
+  * CountVectorizer/IDF fit with a single pass + treeAggregate; logistic
+  * regression trains with L-BFGS over partitioned gradients. Nothing
+  * collects the corpus to the driver.
+  */
+object SentimentPipeline {
+
+  val VocabSize = 2000
+  val Seed = 42L
+
+  /** Attach the 3-class lexicon label (0=neg, 1=neu, 2=pos) used as the
+    * training target.
+    */
+  def labeled(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val toks = split($"text", " ")
+    val raw = (TextFns.countTokensIn(toks, TextFns.PosWords).cast("double") -
+      TextFns.countTokensIn(toks, TextFns.NegWords)) / size(toks)
+    docs.select($"doc_id", $"text",
+      when(raw > 0.05, 2.0).when(raw < -0.05, 0.0).otherwise(1.0).as("label"))
+  }
+
+  def pipeline(): Pipeline = {
+    val tok = new Tokenizer().setInputCol("text").setOutputCol("words")
+    val stop = new StopWordsRemover().setInputCol("words").setOutputCol("filtered")
+      .setStopWords(TextFns.StopWords.toArray)
+    val cv = new CountVectorizer().setInputCol("filtered").setOutputCol("tf")
+      .setVocabSize(VocabSize).setMinDF(2)
+    val idf = new IDF().setInputCol("tf").setOutputCol("features")
+    val lr = new LogisticRegression().setMaxIter(50).setRegParam(0.01)
+    new Pipeline().setStages(Array(tok, stop, cv, idf, lr))
+  }
+
+  /** Train on an 80/20 split (seed 42); returns (model, test accuracy). */
+  def trainEval(docs: DataFrame): (PipelineModel, Double) = {
+    val data = labeled(docs)
+    val Array(train, test) = data.randomSplit(Array(0.8, 0.2), Seed)
+    val model = pipeline().fit(train)
+    val acc = new MulticlassClassificationEvaluator()
+      .setMetricName("accuracy")
+      .evaluate(model.transform(test))
+    (model, acc)
+  }
+}

@@ -80,20 +80,20 @@ object Analytics {
     "an_quantiles",
     s"""WITH ${PS.evCte}
        |SELECT event_type,
-       |  round(quantile_cont(value, 0.25), 6) AS p25,
-      |  round(quantile_cont(value, 0.50), 6) AS p50,
-      |  round(quantile_cont(value, 0.75), 6) AS p75,
-      |  round(quantile_cont(value, 0.90), 6) AS p90
+       |  ${PS.prnd("quantile_cont(value, 0.25)", 6)} AS p25,
+      |  ${PS.prnd("quantile_cont(value, 0.50)", 6)} AS p50,
+      |  ${PS.prnd("quantile_cont(value, 0.75)", 6)} AS p75,
+      |  ${PS.prnd("quantile_cont(value, 0.90)", 6)} AS p90
       |FROM ev GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, dir) =>
     import s.implicits._
     Tables.events(s, dir)
       .groupBy($"event_type")
       .agg(expr("percentile(value, array(0.25D, 0.5D, 0.75D, 0.9D))").as("ps"))
       .select($"event_type",
-        round($"ps".getItem(0), 6).as("p25"),
-        round($"ps".getItem(1), 6).as("p50"),
-        round($"ps".getItem(2), 6).as("p75"),
-        round($"ps".getItem(3), 6).as("p90"))
+        P.prnd($"ps".getItem(0), 6).as("p25"),
+        P.prnd($"ps".getItem(1), 6).as("p50"),
+        P.prnd($"ps".getItem(2), 6).as("p75"),
+        P.prnd($"ps".getItem(3), 6).as("p90"))
       .orderBy($"event_type")
   }
 

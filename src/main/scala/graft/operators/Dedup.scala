@@ -1,0 +1,245 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import graft.functions.{Portable => P, PortableSql => PS}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication suite for LLM-data pipelines (SURVEY §2f) on `documents`.
+  *
+  * Scale design (SURVEY §5, the 100 TB gate): signatures (minhash /
+  * simhash / SRP) are narrow maps or single keyed aggregations; candidate
+  * generation is always a bucket equi-join on (band, key) — NEVER the
+  * quadratic all-pairs product — and the exact verify (Jaccard / cosine /
+  * Hamming) runs only on candidate pairs. Skew guard at scale: near-
+  * identical spam inflates one bucket; cap bucket size or salt the band
+  * key (documented switch, not needed at oracle SF).
+  */
+object Dedup {
+
+  val NumHashes = 16
+  val NumBands = 4
+  val RowsPerBand = NumHashes / NumBands
+  val ShingleK = 5
+  val JaccardThreshold = 0.5
+  val HammingMax = 3
+  val CosineThreshold = 0.4
+
+  // ----------------------------------------------------------- exact dedup
+
+  /** Kept (first-wins) document per distinct content hash. */
+  val exact = QueryDef(
+    "dd_exact",
+    """WITH w AS (SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,
+      |    COUNT(*) AS n_copies FROM documents GROUP BY 1)
+      |SELECT d.doc_id, w.content_hash, w.n_copies, d.source, d.lang
+      |FROM w JOIN documents d ON d.doc_id = w.keep_id
+      |ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val w = Tables.documents(s, dir)
+      .groupBy(md5($"text").as("content_hash"))
+      .agg(min($"doc_id").as("keep_id"), P.cnt.as("n_copies"))
+    // fresh scan relation avoids the ambiguous-self-join trap
+    val k = Tables.documents(s, dir)
+    w.join(k, w("keep_id") === k("doc_id"))
+      .select(k("doc_id"), $"content_hash", $"n_copies", k("source"), k("lang"))
+      .orderBy("doc_id")
+  }
+
+  // ---------------------------------------------------------- minhash LSH
+
+  /** Spark-side LSH band rows (doc_id, band, bkey): 5-shingles → 16
+    * md5-minhashes → 4 bands of 4. All array ops — no shuffle until the
+    * band groupBy.
+    */
+  def minhashBands(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = split($"text", " ")
+    val shingles = transform(
+      sequence(lit(1), size(w) - (ShingleK - 1)),
+      i => concat_ws(" ", (0 until ShingleK).map(o => element_at(w, i + o)): _*))
+    val withSh = Tables.documents(s, dir)
+      .filter(size(split($"text", " ")) >= ShingleK)
+      .select($"doc_id", shingles.as("sh"))
+    val mh = (0 until NumHashes).map { j =>
+      array_min(transform($"sh", x => md5(concat(lit(s"$j:"), x)))).as(s"mh$j")
+    }
+    val keys = (0 until NumBands).map { b =>
+      struct(lit(b).as("band"),
+        md5(concat_ws(",", (0 until RowsPerBand).map(r => col(s"mh${b * RowsPerBand + r}")): _*)).as("bkey"))
+    }
+    withSh.select($"doc_id" +: mh: _*)
+      .select($"doc_id", explode(array(keys: _*)).as("bk"))
+      .select($"doc_id", $"bk.band".as("band"), $"bk.bkey".as("bkey"))
+  }
+
+  /** Candidate pairs (doc_a < doc_b) sharing any LSH band bucket. */
+  def lshCandidates(bands: DataFrame): DataFrame = {
+    val a = bands.select(col("doc_id").as("doc_a"), col("band"), col("bkey"))
+    val b = bands.select(col("doc_id").as("doc_b"), col("band"), col("bkey"))
+    a.join(b, Seq("band", "bkey"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+  }
+
+  /** Shared oracle CTE chain exposing lsh_cand(doc_a, doc_b). */
+  private val lshSql =
+    s"""toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+       |  WHERE len(string_split(text, ' ')) >= $ShingleK),
+       |shingled AS (SELECT doc_id,
+       |    list_transform(generate_series(1, len(w) - ${ShingleK - 1}),
+       |      i -> ${(0 until ShingleK).map(o => s"w[i + $o]").mkString(" || ' ' || ")}) AS sh
+       |  FROM toks),
+       |mh AS (SELECT doc_id, j,
+       |    list_aggregate(list_transform(sh, s -> md5(j || ':' || s)), 'min') AS mhv
+       |  FROM shingled, generate_series(0, ${NumHashes - 1}) t(j)),
+       |bands AS (SELECT doc_id, j // $RowsPerBand AS band,
+       |    md5(string_agg(mhv, ',' ORDER BY j)) AS bkey
+       |  FROM mh GROUP BY doc_id, j // $RowsPerBand),
+       |lsh_cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
+       |    AND a.doc_id < b.doc_id)""".stripMargin
+
+  /** MinHash-LSH candidate pairs. */
+  val minhashLsh = QueryDef(
+    "dd_minhash_lsh",
+    s"""WITH $lshSql
+       |SELECT doc_a, doc_b FROM lsh_cand ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
+    lshCandidates(minhashBands(s, dir)).orderBy("doc_a", "doc_b")
+  }
+
+  /** Exact 3-gram Jaccard verification on LSH candidates only. */
+  val ngramJaccard = QueryDef(
+    "dd_ngram_jaccard",
+    s"""WITH $lshSql,
+       |g3 AS (SELECT DISTINCT doc_id,
+       |    unnest(list_transform(generate_series(1, len(w) - 2),
+       |      i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2])) AS s
+       |  FROM toks),
+       |sz AS (SELECT doc_id, COUNT(*) AS n FROM g3 GROUP BY doc_id),
+       |inter AS (SELECT c.doc_a, c.doc_b, COUNT(*) AS ni
+       |  FROM lsh_cand c
+       |  JOIN g3 ga ON ga.doc_id = c.doc_a
+       |  JOIN g3 gb ON gb.doc_id = c.doc_b AND gb.s = ga.s
+       |  GROUP BY c.doc_a, c.doc_b)
+       |SELECT i.doc_a, i.doc_b,
+       |  ${PS.prnd("ni / (sa.n + sb.n - ni)", 6)} AS jaccard
+       |FROM inter i
+       |JOIN sz sa ON sa.doc_id = i.doc_a
+       |JOIN sz sb ON sb.doc_id = i.doc_b
+       |WHERE ni / (sa.n + sb.n - ni) >= $JaccardThreshold
+       |ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val w = split($"text", " ")
+    val sh3 = transform(
+      sequence(lit(1), size(w) - 2),
+      i => concat_ws(" ", element_at(w, i), element_at(w, i + 1), element_at(w, i + 2)))
+    val g3 = Tables.documents(s, dir)
+      .filter(size(split($"text", " ")) >= ShingleK)
+      .select($"doc_id", explode(array_distinct(sh3)).as("s"))
+      .persist()
+    val sz = g3.groupBy($"doc_id").agg(P.cnt.as("n"))
+    val cand = lshCandidates(minhashBands(s, dir))
+    val inter = cand
+      .join(g3.select($"doc_id".as("doc_a"), $"s"), "doc_a")
+      .join(g3.select($"doc_id".as("doc_b"), $"s"), Seq("doc_b", "s"))
+      .groupBy($"doc_a", $"doc_b").agg(P.cnt.as("ni"))
+    inter
+      .join(sz.select($"doc_id".as("doc_a"), $"n".as("na")), "doc_a")
+      .join(sz.select($"doc_id".as("doc_b"), $"n".as("nb")), "doc_b")
+      .withColumn("jaccard_raw", $"ni" / ($"na" + $"nb" - $"ni"))
+      .filter($"jaccard_raw" >= JaccardThreshold)
+      .select($"doc_a", $"doc_b", P.prnd($"jaccard_raw", 6).as("jaccard"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  // -------------------------------------------------------------- simhash
+
+  /** 32-bit SimHash near-dup pairs with Hamming ≤ 3, candidates pruned by
+    * the 4-byte pigeonhole (≤3 flipped bits leave ≥1 of 4 bytes intact).
+    */
+  val simhash = QueryDef(
+    "dd_simhash", {
+      val h = PS.hexToLong("md5(w)", 1, 8)
+      val votes = (0 until 32).map(k =>
+        s"SUM(CASE WHEN (h >> $k) & 1 = 1 THEN 1 ELSE -1 END) AS v$k").mkString(",\n    ")
+      val simv = (0 until 32).map(k =>
+        s"(CASE WHEN v$k > 0 THEN CAST(1 AS BIGINT) << $k ELSE 0 END)").mkString(" + ")
+      s"""WITH tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+         |th AS (SELECT doc_id, $h AS h FROM tk),
+         |votes AS (SELECT doc_id,
+         |    $votes
+         |  FROM th GROUP BY doc_id),
+         |sim AS (SELECT doc_id, $simv AS s FROM votes),
+         |sb AS (SELECT doc_id, s, b, (s >> CAST(b * 8 AS INT)) & 255 AS byte
+         |  FROM sim, generate_series(0, 3) t(b)),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, a.s AS sa, b.doc_id AS doc_b, b.s AS sb2
+         |  FROM sb a JOIN sb b ON a.b = b.b AND a.byte = b.byte AND a.doc_id < b.doc_id)
+         |SELECT doc_a, doc_b, CAST(bit_count(xor(sa, sb2)) AS INTEGER) AS hamming
+         |FROM cand WHERE bit_count(xor(sa, sb2)) <= $HammingMax
+         |ORDER BY doc_a, doc_b""".stripMargin
+    }) { (s, dir) =>
+    import s.implicits._
+    val th = Tables.documents(s, dir)
+      .select($"doc_id", explode(split($"text", " ")).as("w"))
+      .select($"doc_id", P.hexToLong(md5($"w"), 1, 8).as("h"))
+    val voteCols = (0 until 32).map(k =>
+      sum(when((shiftright($"h", k).bitwiseAND(1)) === 1, 1).otherwise(-1)).as(s"v$k"))
+    val votes = th.groupBy($"doc_id").agg(voteCols.head, voteCols.tail: _*)
+    val simExpr = (0 until 32)
+      .map(k => when(col(s"v$k") > 0, lit(1L << k)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    val sim = votes.select($"doc_id", simExpr.as("s"))
+    val bands = sim.select($"doc_id", $"s",
+      explode(array((0 until 4).map(b =>
+        struct(lit(b).as("b"), shiftright($"s", b * 8).bitwiseAND(255).as("byte"))): _*)).as("bb"))
+      .select($"doc_id", $"s", $"bb.b".as("b"), $"bb.byte".as("byte"))
+    val a = bands.select($"doc_id".as("doc_a"), $"s".as("sa"), $"b", $"byte")
+    val bnd = bands.select($"doc_id".as("doc_b"), $"s".as("sb2"), $"b", $"byte")
+    a.join(bnd, Seq("b", "byte"))
+      .filter($"doc_a" < $"doc_b")
+      .select($"doc_a", $"sa", $"doc_b", $"sb2").distinct()
+      .select($"doc_a", $"doc_b", expr("graft_hamming(sa, sb2)").as("hamming"))
+      .filter($"hamming" <= HammingMax)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  // ------------------------------------------------------ embedding dedup
+
+  /** Embedding-cosine near-dup pairs via SRP-LSH buckets (16 planes, 4
+    * bands of 4) with exact cosine verify on candidates only.
+    */
+  val embedding = QueryDef(
+    "dd_embedding",
+    s"""WITH ${Srp.bandKeysSql(16, 4)},
+       |cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+       |  FROM srp_bk a JOIN srp_bk b ON a.band = b.band AND a.bkey = b.bkey
+       |    AND a.vec_id < b.vec_id),
+       |scored AS (SELECT c.vec_a, c.vec_b,
+       |    list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+       |      CAST(eb.embedding AS DOUBLE[])) AS cos
+       |  FROM cand c
+       |  JOIN embeddings ea ON ea.vec_id = c.vec_a
+       |  JOIN embeddings eb ON eb.vec_id = c.vec_b)
+       |SELECT vec_a, vec_b, ${PS.prnd("cos", 6)} AS cosine
+       |FROM scored WHERE cos >= $CosineThreshold
+       |ORDER BY vec_a, vec_b""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val emb = Tables.embeddings(s, dir)
+    val bk = Srp.bandKeys(emb, 16, 4)
+    val a = bk.select($"vec_id".as("vec_a"), $"band", $"bkey")
+    val b = bk.select($"vec_id".as("vec_b"), $"band", $"bkey")
+    val cand = a.join(b, Seq("band", "bkey"))
+      .filter($"vec_a" < $"vec_b")
+      .select("vec_a", "vec_b").distinct()
+    cand
+      .join(emb.select($"vec_id".as("vec_a"), $"embedding".as("ea")), "vec_a")
+      .join(emb.select($"vec_id".as("vec_b"), $"embedding".as("eb")), "vec_b")
+      .select($"vec_a", $"vec_b", expr("graft_cosine(ea, eb)").as("cos"))
+      .filter($"cos" >= CosineThreshold)
+      .select($"vec_a", $"vec_b", P.prnd($"cos", 6).as("cosine"))
+      .orderBy("vec_a", "vec_b")
+  }
+
+  val defs: Seq[QueryDef] = Seq(exact, minhashLsh, ngramJaccard, simhash, embedding)
+}

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{QueryDef, Tables}
-import graft.functions.{Portable => P}
+import graft.functions.{Portable => P, PortableSql => PS}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -188,10 +188,10 @@ object GraphOps {
     "gr_pagerank",
     s"""WITH $eSql, $undSql,
        |${prChain(PrIters)}
-       |SELECT node, round(r, 8) AS pagerank FROM pr$PrIters ORDER BY node""".stripMargin) { (s, dir) =>
+       |SELECT node, ${PS.prnd("r", 8)} AS pagerank FROM pr$PrIters ORDER BY node""".stripMargin) { (s, dir) =>
     import s.implicits._
     pagerank(undirected(edges(s, dir)))
-      .select($"node", round($"r", 8).as("pagerank"))
+      .select($"node", P.prnd($"r", 8).as("pagerank"))
       .orderBy($"node")
   }
 
@@ -215,10 +215,10 @@ object GraphOps {
        |  FROM deg d JOIN pr$PrIters p ON d.node = p.node),
        |st AS (SELECT min(dg) AS mind, max(dg) AS maxd, min(wd) AS minw,
        |    max(wd) AS maxw, min(pr) AS minp, max(pr) AS maxp FROM met)
-       |SELECT node, round(
+       |SELECT node, floor((
        |    CAST(0.3 AS DOUBLE) * (CASE WHEN maxd = mind THEN CAST(0.0 AS DOUBLE) ELSE (dg - mind) / (maxd - mind) END)
        |  + CAST(0.3 AS DOUBLE) * (CASE WHEN maxw = minw THEN CAST(0.0 AS DOUBLE) ELSE (wd - minw) / (maxw - minw) END)
-       |  + CAST(0.4 AS DOUBLE) * (CASE WHEN maxp = minp THEN CAST(0.0 AS DOUBLE) ELSE (pr - minp) / (maxp - minp) END), 8) AS score
+       |  + CAST(0.4 AS DOUBLE) * (CASE WHEN maxp = minp THEN CAST(0.0 AS DOUBLE) ELSE (pr - minp) / (maxp - minp) END)) * 1e8 + 0.5) / 1e8 AS score
        |FROM met, st
        |ORDER BY score DESC, node LIMIT 20""".stripMargin) { (s, dir) =>
     import s.implicits._
@@ -234,7 +234,7 @@ object GraphOps {
     def mm(x: org.apache.spark.sql.Column, lo: org.apache.spark.sql.Column, hi: org.apache.spark.sql.Column) =
       when(hi === lo, lit(0.0)).otherwise((x - lo) / (hi - lo))
     met.crossJoin(broadcast(st))
-      .select($"node", round(
+      .select($"node", P.prnd(
         lit(0.3) * mm($"dg", $"mind", $"maxd")
           + lit(0.3) * mm($"wd", $"minw", $"maxw")
           + lit(0.4) * mm($"pr", $"minp", $"maxp"), 8).as("score"))
@@ -247,7 +247,7 @@ object GraphOps {
     s"""WITH RECURSIVE $eSql, $undSql, $degSql, $ccSql
        |SELECT comp, COUNT(*) AS n_members,
        |  CAST(SUM(degree) AS BIGINT) AS total_degree,
-       |  round(CAST(SUM(degree) AS DOUBLE) / COUNT(*), 6) AS avg_degree,
+       |  ${PS.prnd("CAST(SUM(degree) AS DOUBLE) / COUNT(*)", 6)} AS avg_degree,
        |  CAST(SUM(wdegree) AS BIGINT) AS total_wdegree
        |FROM comp JOIN deg USING (node)
        |GROUP BY comp ORDER BY comp""".stripMargin) { (s, dir) =>
@@ -257,7 +257,7 @@ object GraphOps {
       .groupBy($"comp")
       .agg(P.cnt.as("n_members"),
         sum($"degree").as("total_degree"),
-        round(sum($"degree").cast("double") / count(lit(1)), 6).as("avg_degree"),
+        P.prnd(sum($"degree").cast("double") / count(lit(1)), 6).as("avg_degree"),
         sum($"wdegree").as("total_wdegree"))
       .orderBy($"comp")
   }

@@ -1,0 +1,38 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.functions._
+
+/** Multimodal plumbing (SURVEY §2i): media payloads ride as opaque binary
+  * columns with typed metadata extracted relationally. The decode step
+  * itself lives in [[graft.multimodal.MediaPipeline]] (stubbed, spec-
+  * tested); this query is the oracled metadata-extraction surface.
+  *
+  * Scale notes: pure narrow map — binary payloads never leave their
+  * partition, metadata extraction is codegen'd; at 100 TB the payload
+  * column stays columnar-compressed and is pruned away by any query not
+  * touching it.
+  */
+object Multimodal {
+
+  /** Binary payload + typed metadata (octet length, magic byte, checksum). */
+  val binaryMeta = QueryDef(
+    "mm_binary_meta",
+    """SELECT doc_id, encode(text) AS payload,
+      |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+      |  substr(hex(encode(text)), 1, 2) AS magic_hex,
+      |  md5(text) AS checksum
+      |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val payload = $"text".cast("binary")
+    Tables.documents(s, dir).select(
+      $"doc_id",
+      payload.as("payload"),
+      length(payload).cast("long").as("n_bytes"),
+      substring(hex(payload), 1, 2).as("magic_hex"),
+      md5($"text").as("checksum"))
+      .orderBy($"doc_id")
+  }
+
+  val defs: Seq[QueryDef] = Seq(binaryMeta)
+}

@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Relational core + ETL + analytics: row-level sanity at sf0.001 and
+  * plan-shape assertions (broadcast dims, no cartesian products,
+  * pushdown-friendly scans).
+  */
+class CoreOperatorsSpec extends GraftSuite {
+
+  test("q1 aggregates every (returnflag, linestatus) pair") {
+    val rows = run("q1_pricing_summary").collect()
+    assert(rows.length === 6)
+    val counts = rows.map(_.getAs[Long]("count_order")).sum
+    val total = Tables.lineitem(spark, sfDir)
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp")).count()
+    assert(counts === total)
+  }
+
+  test("q3 returns at most 10 orders sorted by revenue") {
+    val rows = run("q3_top_orders").collect()
+    assert(rows.length <= 10 && rows.nonEmpty)
+    val revs = rows.map(_.getAs[Double]("revenue"))
+    assert(revs.sameElements(revs.sorted(Ordering[Double].reverse)))
+  }
+
+  test("q3 and q5 broadcast their dimension sides and never go cartesian") {
+    for (q <- Seq("q3_top_orders", "q5_region_revenue")) {
+      val plan = planOf(run(q))
+      assert(plan.contains("BroadcastHashJoin"), s"$q should broadcast dims")
+      assert(!plan.contains("CartesianProduct"), s"$q must not be cartesian")
+    }
+  }
+
+  test("q1 scan prunes columns (no full-width lineitem read)") {
+    val plan = planOf(run("q1_pricing_summary"))
+    assert(!plan.contains("l_partkey"), "unused column must be pruned from the scan")
+  }
+
+  test("window rank keeps at most 3 orders per customer, rank starts at 1") {
+    val df = run("q_window_rank")
+    val perCust = df.groupBy("o_custkey").count().agg(max("count")).head().getLong(0)
+    assert(perCust <= 3)
+    assert(df.agg(min("rnk")).head().getLong(0) === 1)
+  }
+
+  test("etl_clean_text strips urls, mentions and hashtags") {
+    import spark.implicits._
+    val df = Seq("Check https://x.io @user #Spark NOW!").toDF("text")
+    val cleaned = df.select(functions.TextFns.cleanText($"text").as("c")).head().getString(0)
+    assert(cleaned === "check spark now")
+  }
+
+  test("etl_sessionize splits on >30min gaps") {
+    import spark.implicits._
+    val sessions = run("etl_sessionize")
+    val ev = Tables.events(spark, sfDir)
+    assert(sessions.agg(sum("n_events")).head().getLong(0) === ev.count())
+    // session bounds are consistent
+    assert(sessions.filter($"session_end" < $"session_start").count() === 0)
+  }
+
+  test("analytics aggregations cover all events") {
+    val ev = Tables.events(spark, sfDir).count()
+    assert(run("an_timeline").agg(sum("n")).head().getLong(0) === ev)
+    assert(run("an_dow_activity").agg(sum("n")).head().getLong(0) === ev)
+    assert(run("an_value_buckets").agg(sum("n")).head().getLong(0) === ev)
+  }
+}

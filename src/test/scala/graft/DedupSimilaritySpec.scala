@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+class DedupSimilaritySpec extends GraftSuite {
+
+  test("exact dedup keeps one row per distinct content hash") {
+    val d = Tables.documents(spark, sfDir)
+    val kept = run("dd_exact")
+    assert(kept.count() === d.select(md5(col("text"))).distinct().count())
+  }
+
+  test("minhash LSH finds the planted near-duplicates without a cartesian join") {
+    val cand = run("dd_minhash_lsh")
+    assert(cand.count() > 0, "planted near-dups must produce candidates")
+    assert(!planOf(cand).contains("CartesianProduct"))
+  }
+
+  test("ngram jaccard verifies candidates above threshold only") {
+    val rows = run("dd_ngram_jaccard").collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[Double]("jaccard") >= operators.Dedup.JaccardThreshold))
+  }
+
+  test("simhash near-dup pairs are within the Hamming budget") {
+    val rows = run("dd_simhash").collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[Int]("hamming") <= operators.Dedup.HammingMax))
+  }
+
+  test("brute-force top-k matches a locally computed argmax for query 0") {
+    val vecs = Tables.embeddings(spark, sfDir)
+      .collect().map(r => r.getAs[Long]("vec_id") ->
+        r.getAs[scala.collection.Seq[Float]]("embedding").map(_.toDouble).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+      d / math.sqrt(na * nb)
+    }
+    val q0 = vecs(0L)
+    val expected = vecs.filter(_._1 != 0L)
+      .map { case (id, v) => id -> cos(q0, v) }
+      .toSeq.sortBy { case (id, c) => (-BigDecimal(c).setScale(6, BigDecimal.RoundingMode.HALF_UP), id) }
+      .head._1
+    val got = run("sim_bruteforce_topk")
+      .filter(col("q_id") === 0 && col("rank") === 1).head().getAs[Long]("vec_id")
+    assert(got === expected)
+  }
+
+  test("brute-force returns exactly k rows per query") {
+    val df = run("sim_bruteforce_topk")
+    assert(df.count() === operators.Similarity.NumQueries * operators.Similarity.TopK)
+  }
+
+  test("lsh top-k candidates all share the query's bucket") {
+    val bk = operators.Srp.bandKeys(Tables.embeddings(spark, sfDir),
+      operators.Similarity.LshPlanes, operators.Similarity.LshPlanes)
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("bkey")).toMap
+    val rows = run("sim_lsh_topk").collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => bk(r.getAs[Long]("vec_id")) === bk(r.getAs[Long]("q_id"))))
+  }
+
+  test("pair stats: one row per label, mean cosine in [-1,1]") {
+    val rows = run("sim_pair_stats").collect()
+    assert(rows.length === Tables.embeddings(spark, sfDir).select("label").distinct().count())
+    assert(rows.forall { r =>
+      val c = r.getAs[Double]("mean_cos"); c >= -1.0 && c <= 1.0
+    })
+  }
+}

@@ -1,0 +1,33 @@
+package graft
+
+import graft.ml.SentimentPipeline
+import graft.multimodal.MediaPipeline
+import org.apache.spark.sql.functions._
+
+class MlMultimodalSpec extends GraftSuite {
+
+  test("sentiment pipeline trains and beats random 3-class accuracy") {
+    val (model, acc) = SentimentPipeline.trainEval(Tables.documents(spark, sfDir))
+    assert(acc > 0.45, s"accuracy was $acc")
+    assert(model.stages.length === 5)
+  }
+
+  test("media pipeline decodes every payload with deterministic fake dims") {
+    val docs = Tables.documents(spark, sfDir)
+    val decoded = MediaPipeline.decode(MediaPipeline.withPayload(docs))
+    val rows = decoded.collect()
+    assert(rows.length === docs.count())
+    assert(rows.forall(m => m.width >= 16 && m.width < 80 && m.height >= 16 && m.height < 80))
+    // payload bytes = utf-8 text bytes
+    val n = docs.select(length(col("text"))).agg(sum("length(text)")).head().getLong(0)
+    assert(rows.map(_.n_bytes).sum === n)
+  }
+
+  test("mm_binary_meta round-trips payload bytes") {
+    val rows = run("mm_binary_meta").collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall { r =>
+      r.getAs[Array[Byte]]("payload").length === r.getAs[Long]("n_bytes")
+    })
+  }
+}

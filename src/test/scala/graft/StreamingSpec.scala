@@ -1,0 +1,72 @@
+package graft
+
+import graft.streaming.{EventStream, SessionEvent, SessionStream}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+class StreamingSpec extends GraftSuite {
+
+  test("batch sessionization matches the oracled etl_sessionize query") {
+    import spark.implicits._
+    val ev = Tables.events(spark, sfDir)
+      .select($"user_id", $"event_id", $"ts", $"value")
+      .as[SessionEvent]
+    val got = SessionStream.sessionizeBatch(ev)
+      .select($"user_id", $"session_idx", $"start_micros", $"n_events")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val want = run("etl_sessionize")
+      .select($"user_id", $"session_idx", unix_micros($"session_start"), $"n_events")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got === want)
+  }
+
+  test("streaming window agg over a MemoryStream equals the batch twin") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val input = mem.toDF().toDF("ts", "event_type", "value")
+    val q = EventStream.windowAgg(input)
+      .writeStream.format("memory").queryName("win_agg_test")
+      .outputMode("complete").start()
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 10:15:00")
+    val t1 = java.sql.Timestamp.valueOf("2024-01-01 10:45:00")
+    val t2 = java.sql.Timestamp.valueOf("2024-01-01 11:05:00")
+    mem.addData((t0, "view", 1.0), (t1, "view", 2.0), (t2, "click", 4.0))
+    q.processAllAvailable()
+    val rows = spark.table("win_agg_test").collect()
+    q.stop()
+    assert(rows.length === 2)
+    val byKey = rows.map(r => (r.getAs[java.sql.Timestamp]("window_start").toString,
+      r.getAs[String]("event_type")) -> (r.getAs[Long]("n"), r.getAs[Double]("sum_value"))).toMap
+    assert(byKey(("2024-01-01 10:00:00.0", "view")) === ((2L, 3.0)))
+    assert(byKey(("2024-01-01 11:00:00.0", "click")) === ((1L, 4.0)))
+  }
+
+  test("streaming sessionization emits closed sessions as watermark advances") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, Long, Long, Double)]
+    val ev = mem.toDF().toDF("ts", "user_id", "event_id", "value")
+      .withWatermark("ts", "0 seconds")
+      .select($"user_id", $"event_id", $"ts", $"value")
+      .as[SessionEvent]
+    val q = SessionStream.sessionizeStream(ev)
+      .writeStream.format("memory").queryName("sess_test")
+      .outputMode("append").start()
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // session 1: two events 10 min apart; then a 2h silence; session 2
+    mem.addData((ts("2024-01-01 08:00:00"), 7L, 1L, 1.0),
+      (ts("2024-01-01 08:10:00"), 7L, 2L, 2.0))
+    q.processAllAvailable()
+    mem.addData((ts("2024-01-01 10:30:00"), 7L, 3L, 3.0))
+    q.processAllAvailable()
+    // advance watermark far enough to time the open session out
+    mem.addData((ts("2024-01-01 13:00:00"), 8L, 4L, 0.5))
+    q.processAllAvailable()
+    val rows = spark.table("sess_test").collect()
+    q.stop()
+    val u7 = rows.filter(_.getAs[Long]("user_id") == 7L)
+      .map(r => (r.getAs[Long]("session_idx"), r.getAs[Long]("n_events"))).toSet
+    assert(u7.contains((1L, 2L)), s"first session should close with 2 events, got ${u7.mkString(",")}")
+  }
+}

@@ -17,7 +17,10 @@ TABLES = ["region", "nation", "customer", "supplier", "part",
 
 
 def canon(df: pd.DataFrame) -> pd.DataFrame:
-    df = df[sorted(df.columns)]
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].map(lambda v: isinstance(v, (bytes, bytearray))).any():
+            df[c] = df[c].map(lambda v: bytes(v).hex() if isinstance(v, (bytes, bytearray)) else v)
     if len(df):
         df = df.sort_values(by=list(df.columns), ignore_index=True)
     return df
