@@ -19,6 +19,9 @@ object Bench {
     // query doesn't pay one-time session setup.
     try SparkEntry.queries.get("q1_pricing_summary").foreach(_(spark, sfDir).count()) catch { case _: Throwable => () }
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      // each query stands alone: drop caches the previous query persisted
+      // so storage-pool eviction doesn't poison later timings
+      spark.catalog.clearCache()
       val t0 = System.nanoTime()
       try {
         fn(spark, sfDir).count()

