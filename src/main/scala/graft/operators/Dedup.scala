@@ -74,7 +74,10 @@ object Dedup {
   }
 
   /** Candidate pairs (doc_a < doc_b) sharing any LSH band bucket. */
-  def lshCandidates(bands: DataFrame): DataFrame = {
+  def lshCandidates(bands0: DataFrame): DataFrame = {
+    // both sides of the self-join read the band rows — persist so the
+    // minhash signature computation runs once
+    val bands = bands0.persist()
     val a = bands.select(col("doc_id").as("doc_a"), col("band"), col("bkey"))
     val b = bands.select(col("doc_id").as("doc_b"), col("band"), col("bkey"))
     a.join(b, Seq("band", "bkey"))
@@ -194,6 +197,7 @@ object Dedup {
       explode(array((0 until 4).map(b =>
         struct(lit(b).as("b"), shiftright($"s", b * 8).bitwiseAND(255).as("byte"))): _*)).as("bb"))
       .select($"doc_id", $"s", $"bb.b".as("b"), $"bb.byte".as("byte"))
+      .persist()
     val a = bands.select($"doc_id".as("doc_a"), $"s".as("sa"), $"b", $"byte")
     val bnd = bands.select($"doc_id".as("doc_b"), $"s".as("sb2"), $"b", $"byte")
     a.join(bnd, Seq("b", "byte"))
@@ -226,7 +230,7 @@ object Dedup {
        |ORDER BY vec_a, vec_b""".stripMargin) { (s, dir) =>
     import s.implicits._
     val emb = Tables.embeddings(s, dir)
-    val bk = Srp.bandKeys(emb, 16, 4)
+    val bk = Srp.bandKeys(emb, 16, 4).persist()
     val a = bk.select($"vec_id".as("vec_a"), $"band", $"bkey")
     val b = bk.select($"vec_id".as("vec_b"), $"band", $"bkey")
     val cand = a.join(b, Seq("band", "bkey"))

@@ -54,8 +54,11 @@ object GraphOps {
   def undirected(e: DataFrame): DataFrame = {
     val s = e.sparkSession
     import s.implicits._
-    e.select($"src".as("node"), $"dst".as("nb"), $"weight")
-      .union(e.select($"dst".as("node"), $"src".as("nb"), $"weight"))
+    // the union references e twice — persist so the orders⋈lineitem edge
+    // build runs once, not once per direction
+    val ec = e.persist()
+    ec.select($"src".as("node"), $"dst".as("nb"), $"weight")
+      .union(ec.select($"dst".as("node"), $"src".as("nb"), $"weight"))
   }
 
   /** Degree + weighted degree per node. */

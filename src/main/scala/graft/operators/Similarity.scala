@@ -73,7 +73,7 @@ object Similarity {
        |ORDER BY q_id, rank""".stripMargin) { (s, dir) =>
     import s.implicits._
     val emb = Tables.embeddings(s, dir)
-    val bk = Srp.bandKeys(emb, LshPlanes, LshPlanes).select($"vec_id", $"bkey")
+    val bk = Srp.bandKeys(emb, LshPlanes, LshPlanes).select($"vec_id", $"bkey").persist()
     val q = bk.filter($"vec_id" < NumQueries).select($"vec_id".as("q_id"), $"bkey")
     val cand = q.join(bk, "bkey").filter($"vec_id" =!= $"q_id")
       .select($"q_id", $"vec_id")
@@ -123,6 +123,7 @@ object Similarity {
     val cn = emb.groupBy($"label").agg(P.cnt.as("n"))
     val cent = expl.groupBy($"label", $"j")
       .agg((sum($"x".cast(DecimalType(18, 9))).cast("double") / count(lit(1))).as("c"))
+      .persist()
     val parts = expl.join(cent, Seq("label", "j"))
       .groupBy($"vec_id", $"label")
       .agg(sum(($"x" * $"c").cast(DecimalType(18, 12))).cast("double").as("dot"),

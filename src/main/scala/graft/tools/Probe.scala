@@ -61,3 +61,34 @@ object PrProbe {
     spark.stop()
   }
 }
+/** Dev-only: plan-smell audit across every registered query. */
+object PlanAudit {
+  def main(args: Array[String]): Unit = {
+    val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
+    val spark = graft.GraftSession.get(8)
+    graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      try {
+        val df = fn(spark, dir)
+        val plan = df.queryExecution.executedPlan.toString
+        val smells = Seq(
+          "CartesianProduct" -> plan.contains("CartesianProduct"),
+          "SortMergeJoin" -> plan.contains("SortMergeJoin"),
+          "noPushedFilters" -> (plan.contains("PushedFilters: []") && plan.contains("Filter")),
+          "BroadcastNestedLoop" -> plan.contains("BroadcastNestedLoopJoin")
+        ).collect { case (s, true) => s }
+        val nEx = "Exchange".r.findAllIn(plan).length
+        println(f"AUDIT $name%-22s exchanges=$nEx%2d ${if (smells.isEmpty) "ok" else smells.mkString(",")}")
+      } catch { case e: Throwable => println(s"AUDIT $name ERROR ${e.getMessage.take(80)}") }
+    }
+    spark.stop()
+  }
+}
+object PlanDump {
+  def main(args: Array[String]): Unit = {
+    val spark = graft.GraftSession.get(8)
+    val df = graft.SparkEntry.queries(args(0))(spark, "/root/testdata/sf0.001")
+    val p = df.queryExecution.executedPlan.toString
+    p.split("\n").filter(l => l.contains("Join") || l.contains("Exchange") || l.contains("Scan") || l.contains("Cartesian")).foreach(l => println("PLANLINE " + l.take(200)))
+    spark.stop()
+  }
+}
