@@ -2,7 +2,7 @@ package graft.ml
 
 import graft.functions.TextFns
 import org.apache.spark.ml.{Pipeline, PipelineModel}
-import org.apache.spark.ml.classification.LogisticRegression
+import org.apache.spark.ml.classification.{LogisticRegression, NaiveBayes, RandomForestClassifier}
 import org.apache.spark.ml.evaluation.MulticlassClassificationEvaluator
 import org.apache.spark.ml.feature._
 import org.apache.spark.sql.DataFrame
@@ -38,25 +38,39 @@ object SentimentPipeline {
       when(raw > 0.05, 2.0).when(raw < -0.05, 0.0).otherwise(1.0).as("label"))
   }
 
-  def pipeline(): Pipeline = {
+  /** Pipeline with the reference's three classifier choices: "lr"
+    * (logistic regression), "rf" (random forest), "nb" (naive Bayes)
+    * — spark_ml_sentiment.py:180-296 trains and compares all three.
+    */
+  def pipeline(classifier: String = "lr"): Pipeline = {
     val tok = new Tokenizer().setInputCol("text").setOutputCol("words")
     val stop = new StopWordsRemover().setInputCol("words").setOutputCol("filtered")
       .setStopWords(TextFns.StopWords.toArray)
     val cv = new CountVectorizer().setInputCol("filtered").setOutputCol("tf")
       .setVocabSize(VocabSize).setMinDF(2)
     val idf = new IDF().setInputCol("tf").setOutputCol("features")
-    val lr = new LogisticRegression().setMaxIter(50).setRegParam(0.01)
-    new Pipeline().setStages(Array(tok, stop, cv, idf, lr))
+    val clf = classifier match {
+      case "lr" => new LogisticRegression().setMaxIter(50).setRegParam(0.01)
+      case "rf" => new RandomForestClassifier().setNumTrees(50).setSeed(Seed)
+      case "nb" => new NaiveBayes()
+      case other => throw new IllegalArgumentException(s"unknown classifier: $other")
+    }
+    new Pipeline().setStages(Array(tok, stop, cv, idf, clf))
   }
 
   /** Train on an 80/20 split (seed 42); returns (model, test accuracy). */
-  def trainEval(docs: DataFrame): (PipelineModel, Double) = {
+  def trainEval(docs: DataFrame, classifier: String = "lr"): (PipelineModel, Double) = {
     val data = labeled(docs)
     val Array(train, test) = data.randomSplit(Array(0.8, 0.2), Seed)
-    val model = pipeline().fit(train)
+    val model = pipeline(classifier).fit(train)
     val acc = new MulticlassClassificationEvaluator()
       .setMetricName("accuracy")
       .evaluate(model.transform(test))
     (model, acc)
   }
+
+  /** Train/eval all three reference classifiers, best first. */
+  def compareClassifiers(docs: DataFrame): Seq[(String, Double)] =
+    Seq("lr", "rf", "nb").map { c => c -> trainEval(docs, c)._2 }
+      .sortBy(-_._2)
 }

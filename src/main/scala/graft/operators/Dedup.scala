@@ -30,7 +30,7 @@ object Dedup {
   /** Kept (first-wins) document per distinct content hash. */
   val exact = QueryDef(
     "dd_exact",
-    """WITH w AS (SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,
+    """WITH w AS MATERIALIZED (SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,
       |    COUNT(*) AS n_copies FROM documents GROUP BY 1)
       |SELECT d.doc_id, w.content_hash, w.n_copies, d.source, d.lang
       |FROM w JOIN documents d ON d.doc_id = w.keep_id
@@ -87,19 +87,19 @@ object Dedup {
 
   /** Shared oracle CTE chain exposing lsh_cand(doc_a, doc_b). */
   private val lshSql =
-    s"""toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    s"""toks AS MATERIALIZED (SELECT doc_id, string_split(text, ' ') AS w FROM documents
        |  WHERE len(string_split(text, ' ')) >= $ShingleK),
-       |shingled AS (SELECT doc_id,
+       |shingled AS MATERIALIZED (SELECT doc_id,
        |    list_transform(generate_series(1, len(w) - ${ShingleK - 1}),
        |      i -> ${(0 until ShingleK).map(o => s"w[i + $o]").mkString(" || ' ' || ")}) AS sh
        |  FROM toks),
-       |mh AS (SELECT doc_id, j,
+       |mh AS MATERIALIZED (SELECT doc_id, j,
        |    list_aggregate(list_transform(sh, s -> md5(j || ':' || s)), 'min') AS mhv
        |  FROM shingled, generate_series(0, ${NumHashes - 1}) t(j)),
-       |bands AS (SELECT doc_id, j // $RowsPerBand AS band,
+       |bands AS MATERIALIZED (SELECT doc_id, j // $RowsPerBand AS band,
        |    md5(string_agg(mhv, ',' ORDER BY j)) AS bkey
        |  FROM mh GROUP BY doc_id, j // $RowsPerBand),
-       |lsh_cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |lsh_cand AS MATERIALIZED (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |  FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
        |    AND a.doc_id < b.doc_id)""".stripMargin
 
@@ -115,12 +115,12 @@ object Dedup {
   val ngramJaccard = QueryDef(
     "dd_ngram_jaccard",
     s"""WITH $lshSql,
-       |g3 AS (SELECT DISTINCT doc_id,
+       |g3 AS MATERIALIZED (SELECT DISTINCT doc_id,
        |    unnest(list_transform(generate_series(1, len(w) - 2),
        |      i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2])) AS s
        |  FROM toks),
-       |sz AS (SELECT doc_id, COUNT(*) AS n FROM g3 GROUP BY doc_id),
-       |inter AS (SELECT c.doc_a, c.doc_b, COUNT(*) AS ni
+       |sz AS MATERIALIZED (SELECT doc_id, COUNT(*) AS n FROM g3 GROUP BY doc_id),
+       |inter AS MATERIALIZED (SELECT c.doc_a, c.doc_b, COUNT(*) AS ni
        |  FROM lsh_cand c
        |  JOIN g3 ga ON ga.doc_id = c.doc_a
        |  JOIN g3 gb ON gb.doc_id = c.doc_b AND gb.s = ga.s
@@ -168,15 +168,15 @@ object Dedup {
         s"SUM(CASE WHEN (h >> $k) & 1 = 1 THEN 1 ELSE -1 END) AS v$k").mkString(",\n    ")
       val simv = (0 until 32).map(k =>
         s"(CASE WHEN v$k > 0 THEN CAST(1 AS BIGINT) << $k ELSE 0 END)").mkString(" + ")
-      s"""WITH tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
-         |th AS (SELECT doc_id, $h AS h FROM tk),
-         |votes AS (SELECT doc_id,
+      s"""WITH tk AS MATERIALIZED (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+         |th AS MATERIALIZED (SELECT doc_id, $h AS h FROM tk),
+         |votes AS MATERIALIZED (SELECT doc_id,
          |    $votes
          |  FROM th GROUP BY doc_id),
-         |sim AS (SELECT doc_id, $simv AS s FROM votes),
-         |sb AS (SELECT doc_id, s, b, (s >> CAST(b * 8 AS INT)) & 255 AS byte
+         |sim AS MATERIALIZED (SELECT doc_id, $simv AS s FROM votes),
+         |sb AS MATERIALIZED (SELECT doc_id, s, b, (s >> CAST(b * 8 AS INT)) & 255 AS byte
          |  FROM sim, generate_series(0, 3) t(b)),
-         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, a.s AS sa, b.doc_id AS doc_b, b.s AS sb2
+         |cand AS MATERIALIZED (SELECT DISTINCT a.doc_id AS doc_a, a.s AS sa, b.doc_id AS doc_b, b.s AS sb2
          |  FROM sb a JOIN sb b ON a.b = b.b AND a.byte = b.byte AND a.doc_id < b.doc_id)
          |SELECT doc_a, doc_b, CAST(bit_count(xor(sa, sb2)) AS INTEGER) AS hamming
          |FROM cand WHERE bit_count(xor(sa, sb2)) <= $HammingMax
@@ -216,10 +216,10 @@ object Dedup {
   val embedding = QueryDef(
     "dd_embedding",
     s"""WITH ${Srp.bandKeysSql(16, 4)},
-       |cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+       |cand AS MATERIALIZED (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
        |  FROM srp_bk a JOIN srp_bk b ON a.band = b.band AND a.bkey = b.bkey
        |    AND a.vec_id < b.vec_id),
-       |scored AS (SELECT c.vec_a, c.vec_b,
+       |scored AS MATERIALIZED (SELECT c.vec_a, c.vec_b,
        |    list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
        |      CAST(eb.embedding AS DOUBLE[])) AS cos
        |  FROM cand c

@@ -89,13 +89,13 @@ object Etl {
   /** 30-min-gap sessionization of events: one row per session per user. */
   val sessionize = QueryDef(
     "etl_sessionize",
-    s"""WITH ${PS.evCte}, marked AS (
+    s"""WITH ${PS.evCte}, marked AS MATERIALIZED (
       |  SELECT user_id, event_id, ts, value,
       |    CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
       |      OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
       |  FROM ev
       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-      |), numbered AS (
+      |), numbered AS MATERIALIZED (
       |  SELECT *, SUM(new_session) OVER (PARTITION BY user_id
       |    ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_idx
       |  FROM marked)

@@ -112,6 +112,34 @@ object GraphOps {
     ranks
   }
 
+  /** Weighted eigenvector centrality via (A+I) power iteration with L2
+    * normalization (the +I term keeps bipartite graphs from oscillating,
+    * mirroring NetworkX's formulation; network_analysis.py:123-178).
+    * The global L2 norm runs through an exact decimal sum so each
+    * iteration's scale factor is bit-identical to the oracle's.
+    */
+  def eigenvector(und: DataFrame, iters: Int = PrIters): DataFrame = {
+    val s = und.sparkSession
+    import s.implicits._
+    import org.apache.spark.sql.types.DecimalType
+    val u = und.persist()
+    val nodes = u.select($"node").distinct().persist()
+    val n = nodes.count()
+    var x = nodes.select($"node", (lit(1.0) / n).as("x")).localCheckpoint(true)
+    for (_ <- 1 to iters) {
+      val contribs = u.join(broadcast(x.withColumnRenamed("node", "nb0")), $"nb" === $"nb0")
+        .groupBy($"node").agg(sum($"weight" * $"x").as("c"))
+      val raw = contribs.join(broadcast(x), "node")
+        .select($"node", ($"x" + $"c").as("x"))
+      val nrm = raw.agg(
+        sqrt(sum(($"x" * $"x").cast(DecimalType(38, 20))).cast("double")).as("nr"))
+      x = raw.crossJoin(broadcast(nrm))
+        .select($"node", ($"x" / $"nr").as("x"))
+        .localCheckpoint(true)
+    }
+    x
+  }
+
   /** Connected components via iterative min-label propagation; converges in
     * O(diameter) rounds, bounded by maxIters.
     */
@@ -142,31 +170,31 @@ object GraphOps {
   // ------------------------------------------------------------ oracle SQL
 
   private val eSql =
-    s"""e AS (SELECT 'c' || o_custkey AS src, 's' || l_suppkey AS dst, COUNT(*) AS weight
+    s"""e AS MATERIALIZED (SELECT 'c' || o_custkey AS src, 's' || l_suppkey AS dst, COUNT(*) AS weight
        |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
        |  WHERE o_custkey NOT IN (${ExcludedCustomers.mkString(", ")})
        |    AND l_suppkey NOT IN (${ExcludedSuppliers.mkString(", ")})
        |  GROUP BY 1, 2)""".stripMargin
 
   private val undSql =
-    """und AS (SELECT src AS node, dst AS nb, weight FROM e
+    """und AS MATERIALIZED (SELECT src AS node, dst AS nb, weight FROM e
       |  UNION ALL SELECT dst, src, weight FROM e)""".stripMargin
 
   private val degSql =
-    """deg AS (SELECT node, COUNT(*) AS degree, CAST(SUM(weight) AS BIGINT) AS wdegree
+    """deg AS MATERIALIZED (SELECT node, COUNT(*) AS degree, CAST(SUM(weight) AS BIGINT) AS wdegree
       |  FROM und GROUP BY node)""".stripMargin
 
   /** pr0..prN CTE chain — the 10 unrolled PageRank iterations. */
   private def prChain(iters: Int): String = {
     val base =
-      """nodes AS (SELECT DISTINCT node FROM und),
-        |nn AS (SELECT COUNT(*) AS c FROM nodes),
-        |wdeg AS (SELECT node, SUM(weight) AS wd FROM und GROUP BY node),
-        |norm AS (SELECT u.node AS src, u.nb AS dst, u.weight / w.wd AS p
+      """nodes AS MATERIALIZED (SELECT DISTINCT node FROM und),
+        |nn AS MATERIALIZED (SELECT COUNT(*) AS c FROM nodes),
+        |wdeg AS MATERIALIZED (SELECT node, SUM(weight) AS wd FROM und GROUP BY node),
+        |norm AS MATERIALIZED (SELECT u.node AS src, u.nb AS dst, u.weight / w.wd AS p
         |  FROM und u JOIN wdeg w ON u.node = w.node),
-        |pr0 AS (SELECT node, CAST(1.0 AS DOUBLE) / (SELECT c FROM nn) AS r FROM nodes)""".stripMargin
+        |pr0 AS MATERIALIZED (SELECT node, CAST(1.0 AS DOUBLE) / (SELECT c FROM nn) AS r FROM nodes)""".stripMargin
     val steps = (1 to iters).map { i =>
-      s"""pr$i AS (SELECT n.node,
+      s"""pr$i AS MATERIALIZED (SELECT n.node,
          |  CAST($Rest AS DOUBLE) / (SELECT c FROM nn)
          |    + CAST($Damping AS DOUBLE) * COALESCE(s.contrib, CAST(0.0 AS DOUBLE)) AS r
          |  FROM nodes n LEFT JOIN (
@@ -177,12 +205,29 @@ object GraphOps {
     (base +: steps).mkString(",\n")
   }
 
+  /** ev0..evN CTE chain — unrolled (A+I) power iterations with L2 norm. */
+  private def evChain(iters: Int): String = {
+    val base =
+      """evnodes AS MATERIALIZED (SELECT DISTINCT node FROM und),
+        |evnn AS MATERIALIZED (SELECT COUNT(*) AS c FROM evnodes),
+        |ev0 AS MATERIALIZED (SELECT node, CAST(1.0 AS DOUBLE) / (SELECT c FROM evnn) AS x FROM evnodes)""".stripMargin
+    val steps = (1 to iters).map { i =>
+      s"""raw$i AS MATERIALIZED (SELECT p.node, p.x + s.c AS x FROM ev${i - 1} p JOIN (
+         |    SELECT u.node, SUM(u.weight * q.x) AS c
+         |    FROM und u JOIN ev${i - 1} q ON u.nb = q.node GROUP BY u.node) s
+         |  ON p.node = s.node),
+         |ev$i AS MATERIALIZED (SELECT node, x / (SELECT sqrt(CAST(SUM(CAST(x * x AS DECIMAL(38,20))) AS DOUBLE)) FROM raw$i) AS x
+         |  FROM raw$i)""".stripMargin
+    }
+    (base +: steps).mkString(",\n")
+  }
+
   private val ccSql =
-    """nodes2 AS (SELECT DISTINCT node FROM und),
+    """nodes2 AS MATERIALIZED (SELECT DISTINCT node FROM und),
       |cc AS (SELECT node, node AS lbl FROM nodes2
       |  UNION
       |  SELECT u.nb, c.lbl FROM cc c JOIN und u ON c.node = u.node),
-      |comp AS (SELECT node, MIN(lbl) AS comp FROM cc GROUP BY node)""".stripMargin
+      |comp AS MATERIALIZED (SELECT node, MIN(lbl) AS comp FROM cc GROUP BY node)""".stripMargin
 
   // --------------------------------------------------------------- queries
 
@@ -212,6 +257,17 @@ object GraphOps {
       .orderBy($"node")
   }
 
+  val grEigenvector = QueryDef(
+    "gr_eigenvector",
+    s"""WITH $eSql, $undSql,
+       |${evChain(PrIters)}
+       |SELECT node, ${PS.prnd("x", 8)} AS eigenvector FROM ev$PrIters ORDER BY node""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    eigenvector(undirected(edges(s, dir)))
+      .select($"node", P.prnd($"x", 8).as("eigenvector"))
+      .orderBy($"node")
+  }
+
   val grComponents = QueryDef(
     "gr_components",
     s"""WITH RECURSIVE $eSql, $undSql, $ccSql
@@ -227,10 +283,10 @@ object GraphOps {
     "gr_influencers",
     s"""WITH $eSql, $undSql, $degSql,
        |${prChain(PrIters)},
-       |met AS (SELECT d.node, CAST(d.degree AS DOUBLE) AS dg,
+       |met AS MATERIALIZED (SELECT d.node, CAST(d.degree AS DOUBLE) AS dg,
        |    CAST(d.wdegree AS DOUBLE) AS wd, p.r AS pr
        |  FROM deg d JOIN pr$PrIters p ON d.node = p.node),
-       |st AS (SELECT min(dg) AS mind, max(dg) AS maxd, min(wd) AS minw,
+       |st AS MATERIALIZED (SELECT min(dg) AS mind, max(dg) AS maxd, min(wd) AS minw,
        |    max(wd) AS maxw, min(pr) AS minp, max(pr) AS maxp FROM met)
        |SELECT node, floor((
        |    CAST(0.3 AS DOUBLE) * (CASE WHEN maxd = mind THEN CAST(0.0 AS DOUBLE) ELSE (dg - mind) / (maxd - mind) END)
@@ -279,6 +335,6 @@ object GraphOps {
       .orderBy($"comp")
   }
 
-  val defs: Seq[QueryDef] = Seq(grEdges, grDegree, grPagerank, grComponents,
-    grInfluencers, grCommunityStats)
+  val defs: Seq[QueryDef] = Seq(grEdges, grDegree, grPagerank, grEigenvector,
+    grComponents, grInfluencers, grCommunityStats)
 }

@@ -40,13 +40,13 @@ object Sentiment {
   }
 
   private def labeledSql(pos: Seq[String], neg: Seq[String], alias: String): String =
-    s"""$alias AS (
+    s"""$alias AS MATERIALIZED (
        |  SELECT doc_id,
        |    CAST(len(list_filter(string_split(text, ' '), x -> x IN (${inList(pos)}))) AS BIGINT) AS pos_n,
        |    CAST(len(list_filter(string_split(text, ' '), x -> x IN (${inList(neg)}))) AS BIGINT) AS neg_n,
        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS wc
        |  FROM documents),
-       |${alias}l AS (
+       |${alias}l AS MATERIALIZED (
        |  SELECT doc_id, pos_n, neg_n, wc, (pos_n - neg_n) / wc AS raw,
        |    CASE WHEN (pos_n - neg_n) / wc > 0.05 THEN 'positive'
        |         WHEN (pos_n - neg_n) / wc < -0.05 THEN 'negative'

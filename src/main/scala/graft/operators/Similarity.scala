@@ -27,12 +27,12 @@ object Similarity {
   /** Exact cosine top-k per query vector (query set: vec_id < 10). */
   val bruteforce = QueryDef(
     "sim_bruteforce_topk",
-    s"""WITH q AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings
+    s"""WITH q AS MATERIALIZED (SELECT vec_id AS q_id, embedding AS qe FROM embeddings
        |    WHERE vec_id < $NumQueries),
-       |sc AS (SELECT q_id, vec_id,
+       |sc AS MATERIALIZED (SELECT q_id, vec_id,
        |    list_cosine_similarity(CAST(qe AS DOUBLE[]), CAST(embedding AS DOUBLE[])) AS cos
        |  FROM q, embeddings WHERE vec_id <> q_id),
-       |rk AS (SELECT q_id, vec_id, ${PS.prnd("cos", 6)} AS cosine,
+       |rk AS MATERIALIZED (SELECT q_id, vec_id, ${PS.prnd("cos", 6)} AS cosine,
        |    CAST(row_number() OVER (PARTITION BY q_id
        |      ORDER BY ${PS.prnd("cos", 6)} DESC, vec_id) AS BIGINT) AS rank
        |  FROM sc)
@@ -56,16 +56,16 @@ object Similarity {
   val lshTopk = QueryDef(
     "sim_lsh_topk",
     s"""WITH ${Srp.bandKeysSql(LshPlanes, LshPlanes)},
-       |q AS (SELECT vec_id AS q_id, bkey FROM srp_bk WHERE vec_id < $NumQueries),
+       |q AS MATERIALIZED (SELECT vec_id AS q_id, bkey FROM srp_bk WHERE vec_id < $NumQueries),
        |cand AS (SELECT q.q_id, b.vec_id FROM q JOIN srp_bk b ON b.bkey = q.bkey
        |  WHERE b.vec_id <> q.q_id),
-       |sc AS (SELECT c.q_id, c.vec_id,
+       |sc AS MATERIALIZED (SELECT c.q_id, c.vec_id,
        |    list_cosine_similarity(CAST(qe.embedding AS DOUBLE[]),
        |      CAST(ce.embedding AS DOUBLE[])) AS cos
        |  FROM cand c
        |  JOIN embeddings qe ON qe.vec_id = c.q_id
        |  JOIN embeddings ce ON ce.vec_id = c.vec_id),
-       |rk AS (SELECT q_id, vec_id, ${PS.prnd("cos", 6)} AS cosine,
+       |rk AS MATERIALIZED (SELECT q_id, vec_id, ${PS.prnd("cos", 6)} AS cosine,
        |    CAST(row_number() OVER (PARTITION BY q_id
        |      ORDER BY ${PS.prnd("cos", 6)} DESC, vec_id) AS BIGINT) AS rank
        |  FROM sc)
@@ -94,20 +94,20 @@ object Similarity {
     */
   val pairStats = QueryDef(
     "sim_pair_stats",
-    s"""WITH expl AS (SELECT vec_id, label, generate_subscripts(embedding, 1) AS j,
+    s"""WITH expl AS MATERIALIZED (SELECT vec_id, label, generate_subscripts(embedding, 1) AS j,
       |    CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings),
-      |cn AS (SELECT label, COUNT(*) AS n FROM embeddings GROUP BY label),
-      |cent AS (SELECT label, j,
+      |cn AS MATERIALIZED (SELECT label, COUNT(*) AS n FROM embeddings GROUP BY label),
+      |cent AS MATERIALIZED (SELECT label, j,
       |    CAST(SUM(CAST(x AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*) AS c
       |  FROM expl GROUP BY label, j),
-      |parts AS (SELECT e.vec_id, e.label,
+      |parts AS MATERIALIZED (SELECT e.vec_id, e.label,
       |    CAST(SUM(CAST(e.x * c.c AS DECIMAL(18,12))) AS DOUBLE) AS dot,
       |    CAST(SUM(CAST(e.x * e.x AS DECIMAL(18,12))) AS DOUBLE) AS nx
       |  FROM expl e JOIN cent c ON c.label = e.label AND c.j = e.j
       |  GROUP BY e.vec_id, e.label),
-      |cnorm AS (SELECT label, CAST(SUM(CAST(c * c AS DECIMAL(18,12))) AS DOUBLE) AS ny
+      |cnorm AS MATERIALIZED (SELECT label, CAST(SUM(CAST(c * c AS DECIMAL(18,12))) AS DOUBLE) AS ny
       |  FROM cent GROUP BY label),
-      |cosv AS (SELECT p.label, p.vec_id, p.dot / sqrt(p.nx * cn2.ny) AS cos
+      |cosv AS MATERIALIZED (SELECT p.label, p.vec_id, p.dot / sqrt(p.nx * cn2.ny) AS cos
       |  FROM parts p JOIN cnorm cn2 USING (label))
       |SELECT v.label, cn.n AS n_vectors,
       |  ${PS.prnd("sqrt(cn2.ny)", 6)} AS centroid_norm,

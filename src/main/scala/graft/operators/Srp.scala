@@ -52,15 +52,15 @@ object Srp {
     */
   def bandKeysSql(nPlanes: Int, bandSize: Int): String = {
     val sign = PS.hexToLong("md5(p || ',' || j)", 1, 1)
-    s"""srp_expl AS (SELECT vec_id, generate_subscripts(embedding, 1) AS j,
+    s"""srp_expl AS MATERIALIZED (SELECT vec_id, generate_subscripts(embedding, 1) AS j,
        |    unnest(embedding) AS x FROM embeddings),
-       |srp_pl AS (SELECT p, j,
+       |srp_pl AS MATERIALIZED (SELECT p, j,
        |    CASE WHEN $sign % 2 = 0 THEN 1 ELSE -1 END AS sign
        |  FROM generate_series(0, ${nPlanes - 1}) tp(p), generate_series(1, $Dim) tj(j)),
-       |srp_dots AS (SELECT vec_id, p,
+       |srp_dots AS MATERIALIZED (SELECT vec_id, p,
        |    SUM(CAST(CAST(x AS DOUBLE) AS DECIMAL(18,9)) * sign) AS dot
        |  FROM srp_expl JOIN srp_pl USING (j) GROUP BY vec_id, p),
-       |srp_bk AS (SELECT vec_id, p // $bandSize AS band,
+       |srp_bk AS MATERIALIZED (SELECT vec_id, p // $bandSize AS band,
        |    SUM(CASE WHEN dot > 0 THEN CAST(1 AS BIGINT) << CAST(p % $bandSize AS INT) ELSE 0 END) AS bkey
        |  FROM srp_dots GROUP BY vec_id, p // $bandSize)""".stripMargin
   }

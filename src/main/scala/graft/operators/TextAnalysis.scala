@@ -28,8 +28,8 @@ object TextAnalysis {
            |  CAST(len(list_filter(string_split(text, ' '), x -> x IN (${inList(ws)}))) AS BIGINT) AS cnt
            |FROM documents""".stripMargin
       }.mkString("(\n(", ") UNION ALL (", ")\n)")
-      s"""WITH scored AS $unions,
-         |ranked AS (SELECT doc_id, lang, cand, cnt,
+      s"""WITH scored AS MATERIALIZED $unions,
+         |ranked AS MATERIALIZED (SELECT doc_id, lang, cand, cnt,
          |  row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, cand) AS rn
          |  FROM scored)
          |SELECT doc_id, cand AS pred_lang, cnt AS marker_hits, lang,
@@ -56,7 +56,7 @@ object TextAnalysis {
   /** Quality score: length saturation, stopword ratio, mean word length. */
   val quality = QueryDef(
     "tx_quality",
-    s"""WITH f AS (SELECT doc_id,
+    s"""WITH f AS MATERIALIZED (SELECT doc_id,
        |    CAST(length(text) AS BIGINT) AS n_chars,
        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS wc,
        |    CAST(len(list_filter(string_split(text, ' '), x -> x IN (${inList(TextFns.StopWords)}))) AS BIGINT) AS stops
@@ -107,7 +107,7 @@ object TextAnalysis {
   /** Whole-doc md5 + min-3-shingle winnowing-style fingerprint. */
   val fingerprint = QueryDef(
     "tx_fingerprint",
-    """WITH t AS (SELECT doc_id, md5(text) AS doc_md5, string_split(text, ' ') AS w FROM documents)
+    """WITH t AS MATERIALIZED (SELECT doc_id, md5(text) AS doc_md5, string_split(text, ' ') AS w FROM documents)
       |SELECT doc_id, doc_md5,
       |  CASE WHEN len(w) >= 3 THEN
       |    list_aggregate(list_transform(generate_series(1, len(w) - 2),

@@ -16,6 +16,14 @@ class GraphSpec extends GraftSuite {
     assert(math.abs(total - 1.0) < 1e-4, s"pagerank sum was $total")
   }
 
+  test("eigenvector centrality is L2-normalized and positive") {
+    val rows = run("gr_eigenvector").collect()
+    assert(rows.nonEmpty)
+    val sumSq = rows.map(r => math.pow(r.getAs[Double]("eigenvector"), 2)).sum
+    assert(math.abs(sumSq - 1.0) < 1e-4, s"L2 norm^2 was $sumSq")
+    assert(rows.forall(_.getAs[Double]("eigenvector") > 0))
+  }
+
   test("every node gets a component and labels are canonical members") {
     val comp = run("gr_components")
     val nodes = operators.GraphOps.undirected(operators.GraphOps.edges(spark, sfDir))

@@ -12,6 +12,12 @@ class MlMultimodalSpec extends GraftSuite {
     assert(model.stages.length === 5)
   }
 
+  test("all three reference classifiers train (lr, rf, nb)") {
+    val ranked = SentimentPipeline.compareClassifiers(Tables.documents(spark, sfDir))
+    assert(ranked.map(_._1).toSet === Set("lr", "rf", "nb"))
+    assert(ranked.forall { case (_, a) => a >= 0.0 && a <= 1.0 })
+  }
+
   test("media pipeline decodes every payload with deterministic fake dims") {
     val docs = Tables.documents(spark, sfDir)
     val decoded = MediaPipeline.decode(MediaPipeline.withPayload(docs))
