@@ -15,10 +15,14 @@ import org.apache.spark.sql.functions._
   */
 object Multimodal {
 
-  /** Binary payload + typed metadata (octet length, magic byte, checksum). */
+  /** Binary payload + typed metadata (octet length, magic byte, checksum).
+    * The payload itself travels the plan as a true binary column; it is
+    * hex-encoded only at the oracled projection edge because the driver's
+    * pandas-based compare cannot sort raw bytes.
+    */
   val binaryMeta = QueryDef(
     "mm_binary_meta",
-    """SELECT doc_id, encode(text) AS payload,
+    """SELECT doc_id, hex(encode(text)) AS payload_hex,
       |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
       |  substr(hex(encode(text)), 1, 2) AS magic_hex,
       |  md5(text) AS checksum
@@ -27,7 +31,7 @@ object Multimodal {
     val payload = $"text".cast("binary")
     Tables.documents(s, dir).select(
       $"doc_id",
-      payload.as("payload"),
+      hex(payload).as("payload_hex"),
       length(payload).cast("long").as("n_bytes"),
       substring(hex(payload), 1, 2).as("magic_hex"),
       md5($"text").as("checksum"))

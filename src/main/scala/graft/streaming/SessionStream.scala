@@ -57,7 +57,10 @@ object SessionStream {
         out += SessionRow(userId, acc.idx, acc.start, acc.end, acc.n, acc.value)
         acc = SessionAcc(acc.idx + 1, t, t, 1L, e.value)
       } else {
-        acc = acc.copy(end = t, n = acc.n + 1, value = acc.value + e.value)
+        // A late but watermark-admissible event can have t < acc.end (state
+        // from a prior micro-batch): never regress the session bounds.
+        acc = acc.copy(start = math.min(acc.start, t), end = math.max(acc.end, t),
+          n = acc.n + 1, value = acc.value + e.value)
       }
     }
     if (flushOpen) {

@@ -29,11 +29,13 @@ class MlMultimodalSpec extends GraftSuite {
     assert(rows.map(_.n_bytes).sum === n)
   }
 
-  test("mm_binary_meta round-trips payload bytes") {
+  test("mm_binary_meta round-trips payload bytes as hex") {
     val rows = run("mm_binary_meta").collect()
     assert(rows.nonEmpty)
     assert(rows.forall { r =>
-      r.getAs[Array[Byte]]("payload").length === r.getAs[Long]("n_bytes")
+      val hexed = r.getAs[String]("payload_hex")
+      hexed.length === 2 * r.getAs[Long]("n_bytes") &&
+        (hexed.isEmpty || hexed.take(2) === r.getAs[String]("magic_hex"))
     })
   }
 }

@@ -69,4 +69,34 @@ class StreamingSpec extends GraftSuite {
       .map(r => (r.getAs[Long]("session_idx"), r.getAs[Long]("n_events"))).toSet
     assert(u7.contains((1L, 2L)), s"first session should close with 2 events, got ${u7.mkString(",")}")
   }
+
+  test("late admissible event never regresses open-session bounds") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, Long, Long, Double)]
+    val ev = mem.toDF().toDF("ts", "user_id", "event_id", "value")
+      .withWatermark("ts", "1 hour")
+      .select($"user_id", $"event_id", $"ts", $"value")
+      .as[SessionEvent]
+    val q = SessionStream.sessionizeStream(ev)
+      .writeStream.format("memory").queryName("sess_late_test")
+      .outputMode("append").start()
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    def micros(s: String) = ts(s).getTime * 1000L
+    mem.addData((ts("2024-01-01 08:00:00"), 7L, 1L, 1.0),
+      (ts("2024-01-01 08:20:00"), 7L, 2L, 2.0))
+    q.processAllAvailable()
+    // late (t < open session end 08:20) but inside the 1h watermark window
+    mem.addData((ts("2024-01-01 08:10:00"), 7L, 3L, 3.0))
+    q.processAllAvailable()
+    // push the watermark past end + gap so the session times out and emits
+    mem.addData((ts("2024-01-01 12:00:00"), 9L, 4L, 0.5))
+    q.processAllAvailable()
+    val rows = spark.table("sess_late_test").collect()
+    q.stop()
+    val u7 = rows.filter(_.getAs[Long]("user_id") == 7L)
+      .map(r => (r.getAs[Long]("n_events"), r.getAs[Long]("start_micros"), r.getAs[Long]("end_micros")))
+    assert(u7.toSeq === Seq((3L, micros("2024-01-01 08:00:00"), micros("2024-01-01 08:20:00"))),
+      s"late event must fold without regressing end, got ${u7.mkString(",")}")
+  }
 }

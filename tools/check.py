@@ -17,10 +17,11 @@ TABLES = ["region", "nation", "customer", "supplier", "part",
 
 
 def canon(df: pd.DataFrame) -> pd.DataFrame:
+    # NOTE: no bytes->hex coercion here. The driver's gate sorts raw values
+    # and crashes on binary columns ("unhashable type: bytearray"), so this
+    # replica must fail the same way — queries must hex-encode binary
+    # columns themselves on BOTH sides.
     df = df[sorted(df.columns)].copy()
-    for c in df.columns:
-        if df[c].map(lambda v: isinstance(v, (bytes, bytearray))).any():
-            df[c] = df[c].map(lambda v: bytes(v).hex() if isinstance(v, (bytes, bytearray)) else v)
     if len(df):
         df = df.sort_values(by=list(df.columns), ignore_index=True)
     return df
