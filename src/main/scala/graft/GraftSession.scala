@@ -22,6 +22,11 @@ object GraftSession {
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       // dims (region/nation/supplier at any SF) stay broadcastable
       .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
+      // let AQE size the partitioning of cached relations too — the graph
+      // iteration caches repartition-by-key relations and wants them
+      // size-coalesced (a few partitions at bench SF, thousands at 100 TB),
+      // not frozen at the static shuffle-partition count.
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       // events.parquet stores TIMESTAMP(NANOS), which Spark's vectorized
       // reader rejects; read as long and convert in Tables.events.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

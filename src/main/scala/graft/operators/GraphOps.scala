@@ -81,8 +81,13 @@ object GraphOps {
     val nodes = u.select($"node").distinct().persist()
     val n = nodes.count()
     val wdeg = u.groupBy($"node").agg(sum($"weight").as("wd"))
+    // repartition-by-col is an AQE-coalescible shuffle: the cached
+    // iteration relation gets size-based partitions (a couple at bench SF,
+    // thousands at 100 TB) instead of inheriting the union's many tiny
+    // ones — per-iteration task-launch overhead is the local bottleneck.
     val norm = u.join(wdeg, "node")
       .select($"node".as("src"), $"nb".as("dst"), ($"weight" / $"wd").as("p"))
+      .repartition($"src")
       .persist()
     norm.count()
     // Eager localCheckpoint after every round: persist alone leaves the
@@ -122,20 +127,27 @@ object GraphOps {
     val s = und.sparkSession
     import s.implicits._
     import org.apache.spark.sql.types.DecimalType
-    val u = und.persist()
+    // size-based partitioning for the per-iteration join relation (see
+    // pagerank) — the iteration joins on `nb`.
+    val u = und.repartition($"nb").persist()
     val nodes = u.select($"node").distinct().persist()
     val n = nodes.count()
     var x = nodes.select($"node", (lit(1.0) / n).as("x")).localCheckpoint(true)
     for (_ <- 1 to iters) {
       val contribs = u.join(broadcast(x.withColumnRenamed("node", "nb0")), $"nb" === $"nb0")
         .groupBy($"node").agg(sum($"weight" * $"x").as("c"))
+      // checkpoint raw BEFORE the norm: otherwise the |E|-sized join above
+      // runs twice per iteration (once under the norm aggregate, once
+      // under the next checkpoint).
       val raw = contribs.join(broadcast(x), "node")
         .select($"node", ($"x" + $"c").as("x"))
-      val nrm = raw.agg(
-        sqrt(sum(($"x" * $"x").cast(DecimalType(38, 20))).cast("double")).as("nr"))
-      x = raw.crossJoin(broadcast(nrm))
-        .select($"node", ($"x" / $"nr").as("x"))
         .localCheckpoint(true)
+      // the L2 norm is a scalar — computing it on the driver and folding
+      // it back as a literal is the same double arithmetic as the oracle's
+      // scalar subquery (decimal-exact sum, one sqrt).
+      val nr = raw.agg(
+        sqrt(sum(($"x" * $"x").cast(DecimalType(38, 20))).cast("double"))).head().getDouble(0)
+      x = raw.select($"node", ($"x" / lit(nr)).as("x"))
     }
     x
   }
@@ -146,7 +158,8 @@ object GraphOps {
   def components(und: DataFrame, maxIters: Int = 20): DataFrame = {
     val s = und.sparkSession
     import s.implicits._
-    val u = und.persist()
+    // size-based partitioning for the per-round join relation (see pagerank)
+    val u = und.repartition($"nb").persist()
     // eager localCheckpoint per round truncates lineage (see pagerank)
     var lbls = u.select($"node").distinct()
       .select($"node", $"node".as("lbl")).localCheckpoint(true)

@@ -30,7 +30,10 @@ object Probe {
     spark.stop()
   }
 }
-/** Dev-only: per-iteration pagerank timing at a given SF. */
+/** Dev-only: per-iteration pagerank timing at a given SF, mirroring the
+  * production algorithm (broadcast state + repartitioned cached norm +
+  * eager localCheckpoint) with per-phase prints.
+  */
 object PrProbe {
   def main(args: Array[String]): Unit = {
     val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
@@ -44,19 +47,20 @@ object PrProbe {
     println(f"PRPROBE setup+nodes ${(System.nanoTime()-t0)/1e9}%6.2f n=$n")
     val t1 = System.nanoTime()
     val wdeg = u.groupBy($"node").agg(sum($"weight").as("wd"))
-    val norm = u.join(wdeg, "node").select($"node".as("src"), $"nb".as("dst"), ($"weight"/$"wd").as("p")).persist()
-    println(f"PRPROBE norm ${norm.count()} rows ${(System.nanoTime()-t1)/1e9}%6.2f")
-    var ranks = nodes.select($"node", (lit(1.0)/n).as("r")).persist()
-    ranks.count()
+    val norm = u.join(wdeg, "node").select($"node".as("src"), $"nb".as("dst"), ($"weight"/$"wd").as("p"))
+      .repartition($"src").persist()
+    println(f"PRPROBE norm ${norm.count()} rows parts=${norm.rdd.getNumPartitions} ${(System.nanoTime()-t1)/1e9}%6.2f")
+    var ranks = nodes.select($"node", (lit(1.0)/n).as("r")).localCheckpoint(true)
+    if (args.length > 1 && args(1) == "noaqe") spark.conf.set("spark.sql.adaptive.enabled", "false")
     for (i <- 1 to 10) {
       val t = System.nanoTime()
       val contribs = norm.join(broadcast(ranks.withColumnRenamed("node", "src0")), $"src" === $"src0")
         .groupBy($"dst").agg(sum($"r" * $"p").as("contrib"))
-      val next = contribs.select($"dst".as("node"), (lit(0.15)/n + lit(0.85)*$"contrib").as("r")).persist()
-      next.count()
-      ranks.unpersist()
-      ranks = next
-      println(f"PRPROBE iter$i ${(System.nanoTime()-t)/1e9}%6.2f")
+      val next = contribs.select($"dst".as("node"), (lit(0.15)/n + lit(0.85)*$"contrib").as("r"))
+      val tPlan = System.nanoTime()
+      val ck = next.localCheckpoint(true)
+      ranks = ck
+      println(f"PRPROBE iter$i total=${(System.nanoTime()-t)/1e9}%6.2f ckpt=${(System.nanoTime()-tPlan)/1e9}%6.2f")
     }
     spark.stop()
   }

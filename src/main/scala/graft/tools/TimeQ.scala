@@ -4,9 +4,13 @@ import graft._
 object TimeQ {
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
-    val spark = GraftSession.get(8)
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    val only = if (args.length > 1) args(1).split(",").toSet else Set.empty[String]
+    val spark = GraftSession.get(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt)
+    SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.isEmpty || only.exists(n.contains) }
+      .foreach { case (name, fn) =>
       val times = (1 to 2).map { _ =>
+        spark.catalog.clearCache()
         val t0 = System.nanoTime()
         fn(spark, sfDir).count()
         (System.nanoTime() - t0) / 1e9
