@@ -25,6 +25,24 @@ object Dedup {
   val HammingMax = 3
   val CosineThreshold = 0.4
 
+  /** Skew guard: max members kept per LSH (band, bkey) bucket. One
+    * spam-heavy bucket otherwise turns the per-bucket self-join quadratic
+    * at 100 TB. Members are kept in deterministic doc_id order and the cap
+    * is applied identically in the oracle SQL, so results stay engine-
+    * portable even when a bucket IS truncated.
+    */
+  val MaxBucket = 100
+
+  // MinHash via one md5 per shingle + 16 affine derivations: the shingle
+  // is hashed ONCE to a 32-bit int h, then h_j = (a_j*h + b_j) mod p with
+  // literal constants (p = 2^31-1; a_j < 2^24 keeps a_j*h < 2^63 so the
+  // arithmetic never overflows a BIGINT in either engine). The previous
+  // formulation (16 distinct md5 calls per shingle inside non-codegen
+  // higher-order functions) was 86% of the round-3 bench.
+  val MinhashP = 2147483647L
+  def minhashA(j: Int): Long = 1000003L * j + 12345L
+  def minhashB(j: Int): Long = 999979L * j + 67891L
+
   // ----------------------------------------------------------- exact dedup
 
   /** Kept (first-wins) document per distinct content hash. */
@@ -48,9 +66,12 @@ object Dedup {
 
   // ---------------------------------------------------------- minhash LSH
 
-  /** Spark-side LSH band rows (doc_id, band, bkey): 5-shingles → 16
-    * md5-minhashes → 4 bands of 4. All array ops — no shuffle until the
-    * band groupBy.
+  /** Spark-side LSH band rows (doc_id, band, bkey): 5-shingles exploded →
+    * one md5 per shingle → 16 affine minhash mins in a single hash
+    * aggregation → 4 bands of 4. The explode+groupBy shape is fully
+    * whole-stage-codegen'd (no higher-order functions in the hot path) and
+    * map-side partial aggregation shrinks the shuffle to one 16-column row
+    * per document — the shape that survives 100 TB.
     */
   def minhashBands(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -58,26 +79,38 @@ object Dedup {
     val shingles = transform(
       sequence(lit(1), size(w) - (ShingleK - 1)),
       i => concat_ws(" ", (0 until ShingleK).map(o => element_at(w, i + o)): _*))
-    val withSh = Tables.documents(s, dir)
+    val shH = Tables.documents(s, dir)
       .filter(size(split($"text", " ")) >= ShingleK)
-      .select($"doc_id", shingles.as("sh"))
-    val mh = (0 until NumHashes).map { j =>
-      array_min(transform($"sh", x => md5(concat(lit(s"$j:"), x)))).as(s"mh$j")
+      .select($"doc_id", explode(shingles).as("sgl"))
+      .select($"doc_id", P.hexToLong(md5($"sgl"), 1, 8).as("h"))
+    val mhAggs = (0 until NumHashes).map { j =>
+      min((lit(minhashA(j)) * $"h" + lit(minhashB(j))) % MinhashP).as(s"mh$j")
     }
+    val mh = shH.groupBy($"doc_id").agg(mhAggs.head, mhAggs.tail: _*)
     val keys = (0 until NumBands).map { b =>
       struct(lit(b).as("band"),
-        md5(concat_ws(",", (0 until RowsPerBand).map(r => col(s"mh${b * RowsPerBand + r}")): _*)).as("bkey"))
+        concat_ws(",", (0 until RowsPerBand).map(r =>
+          col(s"mh${b * RowsPerBand + r}").cast("string")): _*).as("bkey"))
     }
-    withSh.select($"doc_id" +: mh: _*)
-      .select($"doc_id", explode(array(keys: _*)).as("bk"))
+    mh.select($"doc_id", explode(array(keys: _*)).as("bk"))
       .select($"doc_id", $"bk.band".as("band"), $"bk.bkey".as("bkey"))
   }
 
-  /** Candidate pairs (doc_a < doc_b) sharing any LSH band bucket. */
-  def lshCandidates(bands0: DataFrame): DataFrame = {
-    // both sides of the self-join read the band rows — persist so the
-    // minhash signature computation runs once
-    val bands = bands0.persist()
+  /** Candidate pairs (doc_a < doc_b) sharing any LSH band bucket, with the
+    * [[MaxBucket]] skew cap applied per bucket in doc_id order.
+    */
+  def lshCandidates(bands0: DataFrame, maxBucket: Int = MaxBucket): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byBucket = Window.partitionBy(col("band"), col("bkey")).orderBy(col("doc_id"))
+    // Both sides of the self-join read the band rows: the eager local
+    // checkpoint materializes the signature computation once, and its
+    // blocks are reference-cleaned once the plan is GC'd — unlike
+    // persist(), which pins storage until an explicit unpersist() that a
+    // composing library caller has no handle to issue.
+    val bands = bands0
+      .withColumn("rn", row_number().over(byBucket))
+      .filter(col("rn") <= maxBucket).drop("rn")
+      .localCheckpoint(true)
     val a = bands.select(col("doc_id").as("doc_a"), col("band"), col("bkey"))
     val b = bands.select(col("doc_id").as("doc_b"), col("band"), col("bkey"))
     a.join(b, Seq("band", "bkey"))
@@ -85,23 +118,37 @@ object Dedup {
       .select("doc_a", "doc_b").distinct()
   }
 
-  /** Shared oracle CTE chain exposing lsh_cand(doc_a, doc_b). */
-  private val lshSql =
+  /** Shared oracle CTE chain exposing lsh_cand(doc_a, doc_b) — the exact
+    * SQL twin of [[minhashBands]] + [[lshCandidates]], bucket cap included.
+    */
+  private val lshSql = {
+    val mhMins = (0 until NumHashes).map(j =>
+      s"MIN((${minhashA(j)} * h + ${minhashB(j)}) % $MinhashP) AS mh$j").mkString(",\n    ")
+    val bandSelects = (0 until NumBands).map { b =>
+      val key = (0 until RowsPerBand).map(r => s"CAST(mh${b * RowsPerBand + r} AS VARCHAR)")
+        .mkString(" || ',' || ")
+      s"SELECT doc_id, $b AS band, $key AS bkey FROM mh"
+    }.mkString("\n  UNION ALL ")
     s"""toks AS MATERIALIZED (SELECT doc_id, string_split(text, ' ') AS w FROM documents
        |  WHERE len(string_split(text, ' ')) >= $ShingleK),
        |shingled AS MATERIALIZED (SELECT doc_id,
-       |    list_transform(generate_series(1, len(w) - ${ShingleK - 1}),
-       |      i -> ${(0 until ShingleK).map(o => s"w[i + $o]").mkString(" || ' ' || ")}) AS sh
+       |    unnest(list_transform(generate_series(1, len(w) - ${ShingleK - 1}),
+       |      i -> ${(0 until ShingleK).map(o => s"w[i + $o]").mkString(" || ' ' || ")})) AS s
        |  FROM toks),
-       |mh AS MATERIALIZED (SELECT doc_id, j,
-       |    list_aggregate(list_transform(sh, s -> md5(j || ':' || s)), 'min') AS mhv
-       |  FROM shingled, generate_series(0, ${NumHashes - 1}) t(j)),
-       |bands AS MATERIALIZED (SELECT doc_id, j // $RowsPerBand AS band,
-       |    md5(string_agg(mhv, ',' ORDER BY j)) AS bkey
-       |  FROM mh GROUP BY doc_id, j // $RowsPerBand),
+       |shh AS MATERIALIZED (SELECT doc_id, ${PS.hexToLong("md5(s)", 1, 8)} AS h FROM shingled),
+       |mh AS MATERIALIZED (SELECT doc_id,
+       |    $mhMins
+       |  FROM shh GROUP BY doc_id),
+       |bands AS MATERIALIZED (
+       |  $bandSelects),
+       |capped AS MATERIALIZED (SELECT doc_id, band, bkey FROM (
+       |    SELECT doc_id, band, bkey,
+       |      row_number() OVER (PARTITION BY band, bkey ORDER BY doc_id) AS rn
+       |    FROM bands) t WHERE rn <= $MaxBucket),
        |lsh_cand AS MATERIALIZED (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-       |  FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
+       |  FROM capped a JOIN capped b ON a.band = b.band AND a.bkey = b.bkey
        |    AND a.doc_id < b.doc_id)""".stripMargin
+  }
 
   /** MinHash-LSH candidate pairs. */
   val minhashLsh = QueryDef(
@@ -137,10 +184,13 @@ object Dedup {
     val sh3 = transform(
       sequence(lit(1), size(w) - 2),
       i => concat_ws(" ", element_at(w, i), element_at(w, i + 1), element_at(w, i + 2)))
+    // read by the size agg and twice by the intersection join — eager
+    // localCheckpoint materializes once and self-cleans (no unpersist
+    // needed from a composing caller)
     val g3 = Tables.documents(s, dir)
       .filter(size(split($"text", " ")) >= ShingleK)
       .select($"doc_id", explode(array_distinct(sh3)).as("s"))
-      .persist()
+      .localCheckpoint(true)
     val sz = g3.groupBy($"doc_id").agg(P.cnt.as("n"))
     val cand = lshCandidates(minhashBands(s, dir))
     val inter = cand
@@ -197,7 +247,7 @@ object Dedup {
       explode(array((0 until 4).map(b =>
         struct(lit(b).as("b"), shiftright($"s", b * 8).bitwiseAND(255).as("byte"))): _*)).as("bb"))
       .select($"doc_id", $"s", $"bb.b".as("b"), $"bb.byte".as("byte"))
-      .persist()
+      .localCheckpoint(true)
     val a = bands.select($"doc_id".as("doc_a"), $"s".as("sa"), $"b", $"byte")
     val bnd = bands.select($"doc_id".as("doc_b"), $"s".as("sb2"), $"b", $"byte")
     a.join(bnd, Seq("b", "byte"))
@@ -230,7 +280,7 @@ object Dedup {
        |ORDER BY vec_a, vec_b""".stripMargin) { (s, dir) =>
     import s.implicits._
     val emb = Tables.embeddings(s, dir)
-    val bk = Srp.bandKeys(emb, 16, 4).persist()
+    val bk = Srp.bandKeys(emb, 16, 4).localCheckpoint(true)
     val a = bk.select($"vec_id".as("vec_a"), $"band", $"bkey")
     val b = bk.select($"vec_id".as("vec_b"), $"band", $"bkey")
     val cand = a.join(b, Seq("band", "bkey"))

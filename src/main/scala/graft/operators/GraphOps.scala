@@ -54,9 +54,12 @@ object GraphOps {
   def undirected(e: DataFrame): DataFrame = {
     val s = e.sparkSession
     import s.implicits._
-    // the union references e twice — persist so the orders⋈lineitem edge
-    // build runs once, not once per direction
-    val ec = e.persist()
+    // the union references e twice — eager localCheckpoint so the
+    // orders⋈lineitem edge build runs once, not once per direction; the
+    // checkpoint blocks are reference-cleaned when the plan is GC'd, so a
+    // composing caller never leaks storage (persist() would need an
+    // unpersist handle we can't give them)
+    val ec = e.localCheckpoint(true)
     ec.select($"src".as("node"), $"dst".as("nb"), $"weight")
       .union(ec.select($"dst".as("node"), $"src".as("nb"), $"weight"))
   }
@@ -77,19 +80,19 @@ object GraphOps {
   def pagerank(und: DataFrame, iters: Int = PrIters): DataFrame = {
     val s = und.sparkSession
     import s.implicits._
-    val u = und.persist()
-    val nodes = u.select($"node").distinct().persist()
+    val u = und.localCheckpoint(true)
+    val nodes = u.select($"node").distinct().localCheckpoint(true)
     val n = nodes.count()
     val wdeg = u.groupBy($"node").agg(sum($"weight").as("wd"))
-    // repartition-by-col is an AQE-coalescible shuffle: the cached
+    // repartition-by-col is an AQE-coalescible shuffle: the materialized
     // iteration relation gets size-based partitions (a couple at bench SF,
     // thousands at 100 TB) instead of inheriting the union's many tiny
     // ones — per-iteration task-launch overhead is the local bottleneck.
+    // localCheckpoint (not persist) so the blocks self-clean on GC.
     val norm = u.join(wdeg, "node")
       .select($"node".as("src"), $"nb".as("dst"), ($"weight" / $"wd").as("p"))
       .repartition($"src")
-      .persist()
-    norm.count()
+      .localCheckpoint(true)
     // Eager localCheckpoint after every round: persist alone leaves the
     // analyzed plan growing one join+agg deeper per iteration, and
     // Catalyst re-analysis comes to dominate (measured 1.5s → 12s per
@@ -129,8 +132,8 @@ object GraphOps {
     import org.apache.spark.sql.types.DecimalType
     // size-based partitioning for the per-iteration join relation (see
     // pagerank) — the iteration joins on `nb`.
-    val u = und.repartition($"nb").persist()
-    val nodes = u.select($"node").distinct().persist()
+    val u = und.repartition($"nb").localCheckpoint(true)
+    val nodes = u.select($"node").distinct().localCheckpoint(true)
     val n = nodes.count()
     var x = nodes.select($"node", (lit(1.0) / n).as("x")).localCheckpoint(true)
     for (_ <- 1 to iters) {
@@ -159,7 +162,7 @@ object GraphOps {
     val s = und.sparkSession
     import s.implicits._
     // size-based partitioning for the per-round join relation (see pagerank)
-    val u = und.repartition($"nb").persist()
+    val u = und.repartition($"nb").localCheckpoint(true)
     // eager localCheckpoint per round truncates lineage (see pagerank)
     var lbls = u.select($"node").distinct()
       .select($"node", $"node".as("lbl")).localCheckpoint(true)
@@ -308,7 +311,9 @@ object GraphOps {
        |FROM met, st
        |ORDER BY score DESC, node LIMIT 20""".stripMargin) { (s, dir) =>
     import s.implicits._
-    val und = undirected(edges(s, dir)).persist()
+    // undirected() checkpoints the edge build internally; the union on top
+    // is cheap to recompute, so no extra pin here
+    val und = undirected(edges(s, dir))
     val met = degrees(und)
       .join(pagerank(und), "node")
       .select($"node", $"degree".cast("double").as("dg"),
@@ -338,7 +343,7 @@ object GraphOps {
        |FROM comp JOIN deg USING (node)
        |GROUP BY comp ORDER BY comp""".stripMargin) { (s, dir) =>
     import s.implicits._
-    val und = undirected(edges(s, dir)).persist()
+    val und = undirected(edges(s, dir))
     components(und).join(degrees(und), "node")
       .groupBy($"comp")
       .agg(P.cnt.as("n_members"),

@@ -73,7 +73,11 @@ object Similarity {
        |ORDER BY q_id, rank""".stripMargin) { (s, dir) =>
     import s.implicits._
     val emb = Tables.embeddings(s, dir)
-    val bk = Srp.bandKeys(emb, LshPlanes, LshPlanes).select($"vec_id", $"bkey").persist()
+    // eager localCheckpoint: materialized once for the q/candidate reads,
+    // blocks self-clean on GC (persist() would leak without an unpersist
+    // handle for composing callers)
+    val bk = Srp.bandKeys(emb, LshPlanes, LshPlanes).select($"vec_id", $"bkey")
+      .localCheckpoint(true)
     val q = bk.filter($"vec_id" < NumQueries).select($"vec_id".as("q_id"), $"bkey")
     val cand = q.join(bk, "bkey").filter($"vec_id" =!= $"q_id")
       .select($"q_id", $"vec_id")
@@ -119,11 +123,11 @@ object Similarity {
     val emb = Tables.embeddings(s, dir)
     val expl = emb.select($"vec_id", $"label", posexplode($"embedding").as(Seq("j0", "x0")))
       .select($"vec_id", $"label", ($"j0" + 1).as("j"), $"x0".cast("double").as("x"))
-      .persist()
+      .localCheckpoint(true)
     val cn = emb.groupBy($"label").agg(P.cnt.as("n"))
     val cent = expl.groupBy($"label", $"j")
       .agg((sum($"x".cast(DecimalType(18, 9))).cast("double") / count(lit(1))).as("c"))
-      .persist()
+      .localCheckpoint(true)
     val parts = expl.join(cent, Seq("label", "j"))
       .groupBy($"vec_id", $"label")
       .agg(sum(($"x" * $"c").cast(DecimalType(18, 12))).cast("double").as("dot"),

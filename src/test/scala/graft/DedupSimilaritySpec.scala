@@ -16,6 +16,22 @@ class DedupSimilaritySpec extends GraftSuite {
     assert(!planOf(cand).contains("CartesianProduct"))
   }
 
+  test("lsh bucket cap truncates a synthetic hot bucket deterministically") {
+    import spark.implicits._
+    val n = 150
+    val cap = operators.Dedup.MaxBucket
+    assert(n > cap, "synthetic bucket must exceed the cap")
+    // one giant bucket (all docs share band 0 / key "hot") + a 2-doc bucket
+    val hot = (1 to n).map(i => (i.toLong, 0, "hot")) ++
+      Seq((1000L, 1, "cold"), (1001L, 1, "cold"))
+    val bands = hot.toDF("doc_id", "band", "bkey")
+    val pairs = operators.Dedup.lshCandidates(bands).count()
+    // capped: C(cap,2) pairs from the hot bucket (lowest doc_ids kept), +1 cold pair
+    assert(pairs === cap.toLong * (cap - 1) / 2 + 1)
+    val uncapped = operators.Dedup.lshCandidates(bands, maxBucket = n).count()
+    assert(uncapped === n.toLong * (n - 1) / 2 + 1)
+  }
+
   test("ngram jaccard verifies candidates above threshold only") {
     val rows = run("dd_ngram_jaccard").collect()
     assert(rows.nonEmpty)
