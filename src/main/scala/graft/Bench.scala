@@ -1,24 +1,58 @@
 package graft
 
-import java.util.concurrent.atomic.AtomicBoolean
+import java.util.concurrent.atomic.{AtomicBoolean, AtomicInteger}
 
 /** Benchmark main: times every registered query at SPARK_GRAFT_SF_DIR,
   * emits ONE JSON line {"metric":...,"queries":{name:sec},...}. Failures
   * are reported explicitly under "errors" (never as a fake fast timing).
   *
   * The host shows intermittent 10-20x CPU throttling, so this main is
-  * built to ALWAYS get a JSON line out before any external `timeout`
-  * kills it:
+  * built to ALWAYS get a complete JSON line out before any external
+  * `timeout` kills it:
+  *   - queries run cheapest-first (previous round's timings, estimates for
+  *     new queries), so a slow tail can never starve the cheap majority;
+  *   - each query runs under a watchdog capped at budget/8 — one
+  *     pathological query can no longer eat every other query's budget
+  *     (round 3 lost 30 timings that way);
   *   - a wall-clock budget (SPARK_GRAFT_BENCH_BUDGET_SEC, default 900s)
   *     caps total work: the optional second sample runs only while under
   *     half the budget, and remaining queries are skipped (reported under
   *     "skipped") once the budget is spent;
-  *   - each query runs under a job group with a watchdog that cancels
-  *     its Spark jobs if it alone would blow the remaining budget;
-  *   - a JVM shutdown hook prints the partial JSON if the process gets
-  *     SIGTERM'd anyway (external `timeout` sends TERM, hooks run).
+  *   - all result collections are mutated under a lock and emit() copies
+  *     under the same lock, so the SIGTERM shutdown hook can never race a
+  *     mid-update mutation into a lost JSON line;
+  *   - each sample gets a unique job group, so a stale watchdog from
+  *     sample 1 can never cancel sample 2's jobs.
+  *
+  * After the Spark pass, if budget remains, the same query set's oracle
+  * SQL is timed in DuckDB (via the driver-side python3+duckdb toolchain,
+  * skipped silently if absent) and reported under "oracle" — the
+  * denominator for the "within 2x of the reference at the same SF" bar.
   */
 object Bench {
+
+  /** Previous-round cost (sec at sf0.1, BENCH_r03 + TimeQ this round);
+    * generous estimates for queries that have never been timed. Only the
+    * ORDER matters — cheapest first guarantees full sweeps.
+    */
+  val priorCost: Map[String, Double] = Map(
+    "an_value_buckets" -> 0.3, "an_explorer" -> 0.3, "an_top_groups" -> 0.4,
+    "an_user_activity" -> 0.4, "an_timeline" -> 0.4, "an_quantiles" -> 0.5,
+    "an_keyword_mentions" -> 0.5, "dd_exact" -> 0.5, "an_dow_activity" -> 0.7,
+    "q1_pricing_summary" -> 0.5, "q3_top_orders" -> 0.7, "q5_region_revenue" -> 0.8,
+    "q_rollup" -> 0.7, "q_window_rank" -> 1.0,
+    "sent_lexicon" -> 0.8, "sent_distribution" -> 0.8, "sent_agreement" -> 1.0,
+    "tx_lang_id" -> 0.8, "tx_quality" -> 0.8, "tx_token_count" -> 0.6,
+    "tx_fingerprint" -> 0.8, "mm_binary_meta" -> 0.8,
+    "etl_clean_text" -> 1.0, "etl_filter_enrich" -> 1.0, "etl_dedup_ingest" -> 0.6,
+    "etl_parse_json" -> 1.0, "etl_sessionize" -> 1.5, "st_window_agg" -> 1.2,
+    "dd_simhash" -> 1.5, "dd_embedding" -> 4.0, "dd_minhash_lsh" -> 6.0,
+    "dd_ngram_jaccard" -> 9.0,
+    "sim_pair_stats" -> 2.0, "sim_lsh_topk" -> 2.5, "sim_bruteforce_topk" -> 3.0,
+    "gr_edges" -> 2.0, "gr_degree" -> 2.5, "gr_degree_directed" -> 2.5,
+    "gr_components" -> 8.0, "gr_pagerank" -> 9.0, "gr_eigenvector" -> 9.0,
+    "gr_influencers" -> 10.0, "gr_communities" -> 9.0, "gr_community_stats" -> 10.0)
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
@@ -31,17 +65,25 @@ object Bench {
       case c if c < ' ' => " "
       case c => c.toString
     }
+    // all four collections are guarded by `lock`: the SIGTERM shutdown
+    // hook snapshots them while the main thread may still be mutating
+    val lock = new Object
     val timings = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    val oracleT = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val skipped = scala.collection.mutable.ArrayBuffer.empty[String]
     val printed = new AtomicBoolean(false)
 
     def emit(partial: Boolean): Unit = if (printed.compareAndSet(false, true)) {
-      val qs = timings.map { case (k, v) => "\"" + esc(k) + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
-      val es = errors.map { case (k, v) => "\"" + esc(k) + "\":\"" + esc(v) + "\"" }.mkString("{", ",", "}")
-      val sk = skipped.map("\"" + esc(_) + "\"").mkString("[", ",", "]")
-      val total = timings.values.sum
-      println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"skipped":$sk,"partial":$partial,"sf":"${esc(sfDir)}"}""")
+      val (ts, os, es, sk) = lock.synchronized {
+        (timings.toSeq, oracleT.toSeq, errors.toSeq, skipped.toSeq)
+      }
+      val qs = ts.map { case (k, v) => "\"" + esc(k) + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
+      val or = os.map { case (k, v) => "\"" + esc(k) + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
+      val er = es.map { case (k, v) => "\"" + esc(k) + "\":\"" + esc(v) + "\"" }.mkString("{", ",", "}")
+      val skj = sk.map("\"" + esc(_) + "\"").mkString("[", ",", "]")
+      val total = ts.map(_._2).sum
+      println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"oracle":$or,"errors":$er,"skipped":$skj,"partial":$partial,"sf":"${esc(sfDir)}"}""")
       System.out.flush()
     }
     // Backstop: external `timeout` sends SIGTERM; the JVM runs shutdown
@@ -51,17 +93,25 @@ object Bench {
     val bench0 = System.nanoTime()
     def elapsed: Double = (System.nanoTime() - bench0) / 1e9
     def remaining: Double = budgetSec - elapsed
+    // cap any single query at 1/8 of the whole budget: a pathological
+    // query costs one slot, not the rest of the sweep
+    def perQueryCap: Double = math.min(remaining, budgetSec / 8)
 
-    // Run one evaluation under a cancellable job group: if the query alone
-    // would exhaust the remaining budget, its jobs get cancelled and the
-    // query is reported as an error instead of hanging the whole bench.
+    val sampleSeq = new AtomicInteger(0)
+    // Run one evaluation under a cancellable, per-sample-unique job group:
+    // if the query alone would exhaust its cap, its jobs get cancelled and
+    // the query is reported as an error instead of hanging the whole bench.
     def runOne(name: String, fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame,
         limitSec: Double): Option[Double] = {
       spark.catalog.clearCache()
-      sc.setJobGroup(name, name, interruptOnCancel = true)
+      val group = s"$name#${sampleSeq.incrementAndGet()}"
+      val done = new AtomicBoolean(false)
+      sc.setJobGroup(group, name, interruptOnCancel = true)
       val watchdog = new Thread(() => {
-        try { Thread.sleep((limitSec * 1000).toLong.max(1L)); sc.cancelJobGroup(name) }
-        catch { case _: InterruptedException => () }
+        try {
+          Thread.sleep((limitSec * 1000).toLong.max(1L))
+          if (!done.get()) sc.cancelJobGroup(group)
+        } catch { case _: InterruptedException => () }
       })
       watchdog.setDaemon(true)
       watchdog.start()
@@ -71,9 +121,12 @@ object Bench {
         Some((System.nanoTime() - t0) / 1e9)
       } catch {
         case e: Throwable =>
-          errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
+          lock.synchronized {
+            errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
+          }
           None
       } finally {
+        done.set(true)
         watchdog.interrupt()
         sc.clearJobGroup()
       }
@@ -84,23 +137,104 @@ object Bench {
     // query doesn't pay one-time session setup.
     try SparkEntry.queries.get("q1_pricing_summary").foreach(_(spark, sfDir).count()) catch { case _: Throwable => () }
 
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    val ordered = SparkEntry.queries.toSeq
+      .sortBy { case (name, _) => (priorCost.getOrElse(name, 5.0), name) }
+    ordered.foreach { case (name, fn) =>
       if (remaining <= 0) {
-        skipped += name
+        lock.synchronized { skipped += name }
       } else {
-        val first = runOne(name, fn, remaining)
+        val first = runOne(name, fn, perQueryCap)
         // second sample only while comfortably inside the budget: under
         // throttling one pass is all we can afford, and a JSON line with
         // single-run timings beats no line at all.
         val runs = first.toSeq ++ (if (first.isDefined && elapsed < budgetSec / 2)
-          runOne(name, fn, remaining) else None)
-        if (runs.nonEmpty) {
+          runOne(name, fn, perQueryCap) else None)
+        if (runs.nonEmpty) lock.synchronized {
           timings(name) = runs.min
-          errors.remove(name) // a successful sample supersedes a cancelled one
+          // a successful sample supersedes its own watchdog cancellation,
+          // but a genuine intermittent failure stays visible
+          if (errors.get(name).exists(_.contains("SPARK_JOB_CANCELLED"))) errors.remove(name)
         }
       }
     }
-    emit(partial = skipped.nonEmpty)
+
+    // Oracle denominator: time each query's DuckDB oracle SQL at the same
+    // SF through the driver-side python3+duckdb toolchain. Measurement
+    // only — skipped silently when the toolchain is absent, never consumes
+    // more than half the remaining budget, and partial results stream in
+    // line-by-line so a deadline kill keeps what finished.
+    try timeOracle(sfDir, math.min(remaining - 10, 300.0), ordered.map(_._1)) {
+      (name, sec) => lock.synchronized { oracleT(name) = sec }
+    } catch { case _: Throwable => () }
+
+    emit(partial = lock.synchronized(skipped.nonEmpty))
     spark.stop()
+  }
+
+  /** Write oracle SQL + an interpreter script to temp files, stream
+    * `name\tseconds` lines back until EOF or deadline.
+    */
+  private def timeOracle(sfDir: String, budgetSec: Double, order: Seq[String])(
+      report: (String, Double) => Unit): Unit = {
+    if (budgetSec < 5) return
+    val oracle = SparkEntry.oracleSql
+    val items = order.flatMap(n => oracle.get(n).map(n -> _))
+    if (items.isEmpty) return
+    def jq(s: String): String = "\"" + s.flatMap {
+      case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+      case '\r' => "\\r"; case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    val sqlJson = items.map { case (k, v) => s"[${jq(k)},${jq(v)}]" }.mkString("[", ",", "]")
+    val sqlFile = java.io.File.createTempFile("graft_oracle_", ".json")
+    val pyFile = java.io.File.createTempFile("graft_oracle_", ".py")
+    sqlFile.deleteOnExit(); pyFile.deleteOnExit()
+    java.nio.file.Files.writeString(sqlFile.toPath, sqlJson)
+    java.nio.file.Files.writeString(pyFile.toPath,
+      """import sys, json, time
+        |import duckdb
+        |sf, path, deadline = sys.argv[1], sys.argv[2], float(sys.argv[3])
+        |con = duckdb.connect()
+        |for t in ["region", "nation", "customer", "supplier", "part",
+        |          "orders", "lineitem", "events", "documents", "embeddings"]:
+        |    con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
+        |start = time.time()
+        |for name, sql in json.load(open(path)):
+        |    if time.time() - start > deadline:
+        |        break
+        |    t0 = time.time()
+        |    try:
+        |        con.execute(sql).fetchall()
+        |        print(f"{name}\t{time.time() - t0:.3f}", flush=True)
+        |    except Exception:
+        |        print(f"{name}\tERR", flush=True)
+        |""".stripMargin)
+    val pb = new ProcessBuilder("python3", pyFile.getAbsolutePath,
+      sfDir, sqlFile.getAbsolutePath, budgetSec.toLong.toString)
+    pb.redirectErrorStream(false)
+    val proc = pb.start()
+    val killer = new Thread(() => {
+      try { Thread.sleep((budgetSec * 1000).toLong + 5000); proc.destroyForcibly() }
+      catch { case _: InterruptedException => () }
+    })
+    killer.setDaemon(true)
+    killer.start()
+    val rd = new java.io.BufferedReader(new java.io.InputStreamReader(proc.getInputStream))
+    try {
+      var line = rd.readLine()
+      while (line != null) {
+        line.split('\t') match {
+          case Array(n, s) if s != "ERR" =>
+            try report(n, s.toDouble) catch { case _: NumberFormatException => () }
+          case _ => ()
+        }
+        line = rd.readLine()
+      }
+    } finally {
+      killer.interrupt()
+      proc.destroyForcibly()
+      rd.close()
+    }
   }
 }

@@ -26,7 +26,12 @@ object SentimentPipeline {
   val Seed = 42L
 
   /** Attach the 3-class lexicon label (0=neg, 1=neu, 2=pos) used as the
-    * training target.
+    * training target, plus the numeric side-features the assembler
+    * combines with TF-IDF (the analog of the reference's score /
+    * num_comments / emoji_score columns,
+    * spark-ml-sentiment/spark_ml_sentiment.py:241-249). `lex_score` is
+    * shifted into [0,1] so NaiveBayes (which requires nonnegative
+    * features) keeps training.
     */
   def labeled(docs: DataFrame): DataFrame = {
     val s = docs.sparkSession
@@ -35,7 +40,9 @@ object SentimentPipeline {
     val raw = (TextFns.countTokensIn(toks, TextFns.PosWords).cast("double") -
       TextFns.countTokensIn(toks, TextFns.NegWords)) / size(toks)
     docs.select($"doc_id", $"text",
-      when(raw > 0.05, 2.0).when(raw < -0.05, 0.0).otherwise(1.0).as("label"))
+      when(raw > 0.05, 2.0).when(raw < -0.05, 0.0).otherwise(1.0).as("label"),
+      (coalesce(raw, lit(0.0)) + 1.0) / 2.0 as "lex_score",
+      size(toks).cast("double").as("n_tokens"))
   }
 
   /** Pipeline with the reference's three classifier choices: "lr"
@@ -48,14 +55,20 @@ object SentimentPipeline {
       .setStopWords(TextFns.StopWords.toArray)
     val cv = new CountVectorizer().setInputCol("filtered").setOutputCol("tf")
       .setVocabSize(VocabSize).setMinDF(2)
-    val idf = new IDF().setInputCol("tf").setOutputCol("features")
+    val idf = new IDF().setInputCol("tf").setOutputCol("tfidf")
+    // text features + the numeric side-features from labeled() — the
+    // VectorAssembler stage the reference applies before its classifiers
+    // (spark_ml_sentiment.py:241-249)
+    val asm = new VectorAssembler()
+      .setInputCols(Array("tfidf", "lex_score", "n_tokens"))
+      .setOutputCol("features")
     val clf = classifier match {
       case "lr" => new LogisticRegression().setMaxIter(50).setRegParam(0.01)
       case "rf" => new RandomForestClassifier().setNumTrees(50).setSeed(Seed)
       case "nb" => new NaiveBayes()
       case other => throw new IllegalArgumentException(s"unknown classifier: $other")
     }
-    new Pipeline().setStages(Array(tok, stop, cv, idf, clf))
+    new Pipeline().setStages(Array(tok, stop, cv, idf, asm, clf))
   }
 
   /** Train on an 80/20 split (seed 42); returns (model, test accuracy). */

@@ -36,14 +36,19 @@ object Etl {
       clean.as("clean_text"),
       length(clean).cast("long").as("text_length"),
       size(split(clean, " ")).cast("long").as("word_count"),
-      (length(clean) > 5).as("has_text"))
+      (length(clean) > 5).as("has_text"),
+      // engagement-style composite of the document's two raw size signals
+      // — the analog of the reference's engagement_score = score +
+      // num_comments (spark-processor/spark_streaming.py:89)
+      (col("n_chars") + size(split(clean, " ")).cast("long")).as("engagement_score"))
   }
 
   private val enrichedSql =
     s"""SELECT doc_id, source, lang, $cleanSql AS clean_text,
        |  length($cleanSql) AS text_length,
        |  CAST(len(string_split($cleanSql, ' ')) AS BIGINT) AS word_count,
-       |  length($cleanSql) > 5 AS has_text
+       |  length($cleanSql) > 5 AS has_text,
+       |  n_chars + CAST(len(string_split($cleanSql, ' ')) AS BIGINT) AS engagement_score
        |FROM documents""".stripMargin
 
   /** clean_text chain + text_length/word_count/has_text on documents. */

@@ -32,6 +32,14 @@ object GraphOps {
   private val Rest = 0.15
   private val PrIters = 10
 
+  /** Label-propagation rounds. Fixed (not converged) so the oracle can
+    * unroll the exact same number of synchronous steps. On this dense
+    * diameter-~4 bipartite graph LPA collapses quickly (4 rounds → 2
+    * giant communities); 3 rounds yields a Louvain-like distribution
+    * (30 communities at sf0.01, mixed sizes), the useful dashboard shape.
+    */
+  private val LpIters = 3
+
   // ---------------------------------------------------------------- library
 
   /** Weighted customer↔supplier edges; weight = number of line items. */
@@ -183,6 +191,37 @@ object GraphOps {
     lbls.withColumnRenamed("lbl", "comp")
   }
 
+  /** Synchronous weighted label propagation — the scalable stand-in for
+    * the reference's Louvain community detection
+    * (reference: network-analysis/network_analysis.py:180-212). Every
+    * round, each node adopts the label with the highest summed edge weight
+    * among its neighbors' current labels, ties broken by minimum label —
+    * fully deterministic, so the DuckDB oracle can replay it exactly.
+    * Same iterate-broadcast-checkpoint skeleton as [[pagerank]]: labels
+    * are |V| rows broadcast into the materialized |E| relation, and the
+    * two-level aggregation ((node,label) then node) is map-side partial,
+    * so each round's shuffle carries candidate-label rows, not edges.
+    */
+  def communities(und: DataFrame, iters: Int = LpIters): DataFrame = {
+    val s = und.sparkSession
+    import s.implicits._
+    val u = und.repartition($"nb").localCheckpoint(true)
+    var lbls = u.select($"node").distinct()
+      .select($"node", $"node".as("lbl")).localCheckpoint(true)
+    for (_ <- 1 to iters) {
+      val votes = u
+        .join(broadcast(lbls.select($"node".as("nb0"), $"lbl".as("nlbl"))), $"nb" === $"nb0")
+        .groupBy($"node", $"nlbl").agg(sum($"weight").as("sc"))
+      // min(struct(-score, label)) = the minimum label among the labels of
+      // maximal summed weight — the same row the oracle's MAX/MIN pair picks
+      lbls = votes.groupBy($"node")
+        .agg(min(struct((-$"sc").as("ns"), $"nlbl".as("l"))).as("m"))
+        .select($"node", $"m.l".as("lbl"))
+        .localCheckpoint(true)
+    }
+    lbls.withColumnRenamed("lbl", "community")
+  }
+
   // ------------------------------------------------------------ oracle SQL
 
   private val eSql =
@@ -238,6 +277,23 @@ object GraphOps {
     (base +: steps).mkString(",\n")
   }
 
+  /** lp0..lpN CTE chain — unrolled synchronous label-propagation rounds,
+    * the SQL twin of [[communities]].
+    */
+  private def lpChain(iters: Int): String = {
+    val base =
+      """lpnodes AS MATERIALIZED (SELECT DISTINCT node FROM und),
+        |lp0 AS MATERIALIZED (SELECT node, node AS lbl FROM lpnodes)""".stripMargin
+    val steps = (1 to iters).map { i =>
+      s"""v$i AS MATERIALIZED (SELECT u.node, l.lbl, SUM(u.weight) AS sc
+         |  FROM und u JOIN lp${i - 1} l ON u.nb = l.node GROUP BY u.node, l.lbl),
+         |mx$i AS MATERIALIZED (SELECT node, MAX(sc) AS ms FROM v$i GROUP BY node),
+         |lp$i AS MATERIALIZED (SELECT v.node, MIN(v.lbl) AS lbl
+         |  FROM v$i v JOIN mx$i m ON v.node = m.node AND v.sc = m.ms GROUP BY v.node)""".stripMargin
+    }
+    (base +: steps).mkString(",\n")
+  }
+
   private val ccSql =
     """nodes2 AS MATERIALIZED (SELECT DISTINCT node FROM und),
       |cc AS (SELECT node, node AS lbl FROM nodes2
@@ -260,6 +316,43 @@ object GraphOps {
     s"""WITH $eSql, $undSql, $degSql
        |SELECT node, degree, wdegree FROM deg ORDER BY node""".stripMargin) { (s, dir) =>
     degrees(undirected(edges(s, dir))).orderBy("node")
+  }
+
+  /** Directed in/out-degree: the reference keeps a directed reply graph
+    * next to the undirected one (network_analysis.py:42-121); here the
+    * order direction customer→supplier is the directed edge set, so
+    * customers carry out-degree and suppliers in-degree.
+    */
+  val grDegreeDirected = QueryDef(
+    "gr_degree_directed",
+    s"""WITH $eSql,
+       |outd AS MATERIALIZED (SELECT src AS node, COUNT(*) AS out_degree,
+       |    CAST(SUM(weight) AS BIGINT) AS out_weight FROM e GROUP BY src),
+       |ind AS MATERIALIZED (SELECT dst AS node, COUNT(*) AS in_degree,
+       |    CAST(SUM(weight) AS BIGINT) AS in_weight FROM e GROUP BY dst)
+       |SELECT COALESCE(o.node, i.node) AS node,
+       |  COALESCE(o.out_degree, 0) AS out_degree,
+       |  COALESCE(o.out_weight, 0) AS out_weight,
+       |  COALESCE(i.in_degree, 0) AS in_degree,
+       |  COALESCE(i.in_weight, 0) AS in_weight
+       |FROM outd o FULL JOIN ind i ON o.node = i.node
+       |ORDER BY node""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    // both aggregations scan the edge build — materialize it once
+    val e = edges(s, dir).localCheckpoint(true)
+    val outd = e.groupBy($"src")
+      .agg(P.cnt.as("out_degree"), sum($"weight").as("out_weight"))
+      .withColumnRenamed("src", "node")
+    val ind = e.groupBy($"dst")
+      .agg(P.cnt.as("in_degree"), sum($"weight").as("in_weight"))
+      .withColumnRenamed("dst", "node")
+    outd.join(ind, Seq("node"), "full_outer")
+      .select($"node",
+        coalesce($"out_degree", lit(0L)).as("out_degree"),
+        coalesce($"out_weight", lit(0L)).as("out_weight"),
+        coalesce($"in_degree", lit(0L)).as("in_degree"),
+        coalesce($"in_weight", lit(0L)).as("in_weight"))
+      .orderBy("node")
   }
 
   val grPagerank = QueryDef(
@@ -332,27 +425,42 @@ object GraphOps {
       .orderBy($"score".desc, $"node").limit(20)
   }
 
-  /** Per-component member count / total degree / mean degree / weight. */
+  /** Per-node community label from synchronous label propagation. */
+  val grCommunities = QueryDef(
+    "gr_communities",
+    s"""WITH $eSql, $undSql,
+       |${lpChain(LpIters)}
+       |SELECT node, lbl AS community FROM lp$LpIters ORDER BY node""".stripMargin) { (s, dir) =>
+    communities(undirected(edges(s, dir))).orderBy("node")
+  }
+
+  /** Per-community member count / total degree / mean degree / weight —
+    * aggregated over label-propagation communities (the reference's
+    * community-size table, network_analysis.py:180-212). Previously this
+    * ran over connected components, which is degenerate here: the graph
+    * has exactly one component, so the table had a single all-nodes row.
+    */
   val grCommunityStats = QueryDef(
     "gr_community_stats",
-    s"""WITH RECURSIVE $eSql, $undSql, $degSql, $ccSql
-       |SELECT comp, COUNT(*) AS n_members,
+    s"""WITH $eSql, $undSql, $degSql,
+       |${lpChain(LpIters)}
+       |SELECT lbl AS community, COUNT(*) AS n_members,
        |  CAST(SUM(degree) AS BIGINT) AS total_degree,
        |  ${PS.prnd("CAST(SUM(degree) AS DOUBLE) / COUNT(*)", 6)} AS avg_degree,
        |  CAST(SUM(wdegree) AS BIGINT) AS total_wdegree
-       |FROM comp JOIN deg USING (node)
-       |GROUP BY comp ORDER BY comp""".stripMargin) { (s, dir) =>
+       |FROM lp$LpIters JOIN deg USING (node)
+       |GROUP BY lbl ORDER BY community""".stripMargin) { (s, dir) =>
     import s.implicits._
     val und = undirected(edges(s, dir))
-    components(und).join(degrees(und), "node")
-      .groupBy($"comp")
+    communities(und).join(degrees(und), "node")
+      .groupBy($"community")
       .agg(P.cnt.as("n_members"),
         sum($"degree").as("total_degree"),
         P.prnd(sum($"degree").cast("double") / count(lit(1)), 6).as("avg_degree"),
         sum($"wdegree").as("total_wdegree"))
-      .orderBy($"comp")
+      .orderBy($"community")
   }
 
-  val defs: Seq[QueryDef] = Seq(grEdges, grDegree, grPagerank, grEigenvector,
-    grComponents, grInfluencers, grCommunityStats)
+  val defs: Seq[QueryDef] = Seq(grEdges, grDegree, grDegreeDirected, grPagerank,
+    grEigenvector, grComponents, grInfluencers, grCommunities, grCommunityStats)
 }

@@ -59,6 +59,16 @@ object SessionStream {
       } else {
         // A late but watermark-admissible event can have t < acc.end (state
         // from a prior micro-batch): never regress the session bounds.
+        //
+        // ACCEPTED batch/stream divergence: an admissible straggler with
+        // t < acc.start - GapMicros is folded into the open session
+        // (extending it backwards), whereas batch — which sees all events
+        // sorted — would have emitted it as a separate earlier session and
+        // shifted every later session_idx. Emitting a synthetic one-event
+        // session here could not reproduce those batch indices either (the
+        // open session's idx is already assigned), so we prefer the
+        // no-data-loss merge; a tighter watermark bounds how far back a
+        // straggler can land.
         acc = acc.copy(start = math.min(acc.start, t), end = math.max(acc.end, t),
           n = acc.n + 1, value = acc.value + e.value)
       }

@@ -41,9 +41,27 @@ class GraphSpec extends GraftSuite {
     })
   }
 
-  test("community stats member counts cover all nodes") {
+  test("label propagation yields multiple non-degenerate communities") {
+    val com = run("gr_communities")
+    val n = com.count()
+    val k = com.select("community").distinct().count()
+    assert(k > 1, s"expected >1 community, got $k")
+    assert(k < n, s"labels must have propagated (got $k communities for $n nodes)")
+  }
+
+  test("community stats member counts cover all nodes, multiple communities") {
     val stats = run("gr_community_stats")
     val nodes = run("gr_components").count()
     assert(stats.agg(sum("n_members")).head().getLong(0) === nodes)
+    assert(stats.count() > 1, "community table must not be the degenerate single row")
+  }
+
+  test("directed degrees: out mass equals in mass and covers all edges") {
+    val agg = run("gr_degree_directed")
+      .agg(sum("out_degree"), sum("in_degree"), sum("out_weight"), sum("in_weight")).head()
+    val nEdges = run("gr_edges").count()
+    assert(agg.getLong(0) === nEdges)
+    assert(agg.getLong(1) === nEdges)
+    assert(agg.getLong(2) === agg.getLong(3))
   }
 }

@@ -9,7 +9,14 @@ class MlMultimodalSpec extends GraftSuite {
   test("sentiment pipeline trains and beats random 3-class accuracy") {
     val (model, acc) = SentimentPipeline.trainEval(Tables.documents(spark, sfDir))
     assert(acc > 0.45, s"accuracy was $acc")
-    assert(model.stages.length === 5)
+    assert(model.stages.length === 6)
+    // assembled width = learned vocab + the 2 numeric side-features
+    val vocab = model.stages(2).asInstanceOf[org.apache.spark.ml.feature.CountVectorizerModel]
+      .vocabulary.length
+    val sample = model.transform(
+      SentimentPipeline.labeled(Tables.documents(spark, sfDir)).limit(1))
+      .select("features").head().getAs[org.apache.spark.ml.linalg.Vector]("features")
+    assert(sample.size === vocab + 2)
   }
 
   test("all three reference classifiers train (lr, rf, nb)") {

@@ -42,6 +42,34 @@ class StreamingSpec extends GraftSuite {
     assert(byKey(("2024-01-01 11:00:00.0", "click")) === ((1L, 4.0)))
   }
 
+  test("foreachBatch upsert sink replaces window rows instead of appending") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val input = mem.toDF().toDF("ts", "event_type", "value")
+    val sid = "upsert_spec"
+    streaming.UpsertSink.clear(sid)
+    val q = streaming.UpsertSink.upsertQuery(input, sid, "upsert_test")
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // batch 1: two views in the 10:00 window
+    mem.addData((ts("2024-01-01 10:15:00"), "view", 1.0),
+      (ts("2024-01-01 10:45:00"), "view", 2.0))
+    q.processAllAvailable()
+    val afterFirst = streaming.UpsertSink.snapshot(sid)
+    assert(afterFirst(("2024-01-01 10:00:00.0", "view")) === ((2L, 3.0)))
+    // batch 2: same window key updated + a new window — the updated row
+    // must REPLACE the stored one (upsert), not append a duplicate
+    mem.addData((ts("2024-01-01 10:50:00"), "view", 4.0),
+      (ts("2024-01-01 11:05:00"), "click", 8.0))
+    q.processAllAvailable()
+    q.stop()
+    val fin = streaming.UpsertSink.snapshot(sid)
+    assert(fin(("2024-01-01 10:00:00.0", "view")) === ((3L, 7.0)))
+    assert(fin(("2024-01-01 11:00:00.0", "click")) === ((1L, 8.0)))
+    assert(fin.size === 2, s"exactly one row per window key, got $fin")
+    streaming.UpsertSink.clear(sid)
+  }
+
   test("streaming sessionization emits closed sessions as watermark advances") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
