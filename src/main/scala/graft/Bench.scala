@@ -192,7 +192,7 @@ object Bench {
     sqlFile.deleteOnExit(); pyFile.deleteOnExit()
     java.nio.file.Files.writeString(sqlFile.toPath, sqlJson)
     java.nio.file.Files.writeString(pyFile.toPath,
-      """import sys, json, time
+      """import sys, json, time, threading
         |import duckdb
         |sf, path, deadline = sys.argv[1], sys.argv[2], float(sys.argv[3])
         |con = duckdb.connect()
@@ -200,15 +200,23 @@ object Bench {
         |          "orders", "lineitem", "events", "documents", "embeddings"]:
         |    con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
         |start = time.time()
+        |# per-query interrupt: one pathological oracle query (recursive CTE)
+        |# must cost one slot, not the whole oracle pass
+        |per_q = max(10.0, deadline / 6)
         |for name, sql in json.load(open(path)):
-        |    if time.time() - start > deadline:
+        |    remaining = deadline - (time.time() - start)
+        |    if remaining <= 0:
         |        break
+        |    timer = threading.Timer(min(per_q, remaining), con.interrupt)
+        |    timer.start()
         |    t0 = time.time()
         |    try:
         |        con.execute(sql).fetchall()
         |        print(f"{name}\t{time.time() - t0:.3f}", flush=True)
         |    except Exception:
         |        print(f"{name}\tERR", flush=True)
+        |    finally:
+        |        timer.cancel()
         |""".stripMargin)
     val pb = new ProcessBuilder("python3", pyFile.getAbsolutePath,
       sfDir, sqlFile.getAbsolutePath, budgetSec.toLong.toString)

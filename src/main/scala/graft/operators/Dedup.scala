@@ -75,12 +75,17 @@ object Dedup {
     */
   def minhashBands(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val w = split($"text", " ")
+    // The words array MUST be aliased in its own projection: referenced
+    // inline, the split() expression is textually duplicated into every
+    // element_at inside the (interpreted, no-CSE) lambda — measured 5
+    // regex splits per shingle, 28x the rows' worth of split work.
+    val withW = Tables.documents(s, dir)
+      .select($"doc_id", split($"text", " ").as("w"))
+      .filter(size($"w") >= ShingleK)
     val shingles = transform(
-      sequence(lit(1), size(w) - (ShingleK - 1)),
-      i => concat_ws(" ", (0 until ShingleK).map(o => element_at(w, i + o)): _*))
-    val shH = Tables.documents(s, dir)
-      .filter(size(split($"text", " ")) >= ShingleK)
+      sequence(lit(1), size($"w") - (ShingleK - 1)),
+      i => concat_ws(" ", (0 until ShingleK).map(o => element_at($"w", i + o)): _*))
+    val shH = withW
       .select($"doc_id", explode(shingles).as("sgl"))
       .select($"doc_id", P.hexToLong(md5($"sgl"), 1, 8).as("h"))
     val mhAggs = (0 until NumHashes).map { j =>
@@ -180,15 +185,17 @@ object Dedup {
        |WHERE ni / (sa.n + sb.n - ni) >= $JaccardThreshold
        |ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
     import s.implicits._
-    val w = split($"text", " ")
+    // aliased words array — see minhashBands for why inline split() is 5x
+    val withW = Tables.documents(s, dir)
+      .select($"doc_id", split($"text", " ").as("w"))
+      .filter(size($"w") >= ShingleK)
     val sh3 = transform(
-      sequence(lit(1), size(w) - 2),
-      i => concat_ws(" ", element_at(w, i), element_at(w, i + 1), element_at(w, i + 2)))
+      sequence(lit(1), size($"w") - 2),
+      i => concat_ws(" ", element_at($"w", i), element_at($"w", i + 1), element_at($"w", i + 2)))
     // read by the size agg and twice by the intersection join — eager
     // localCheckpoint materializes once and self-cleans (no unpersist
     // needed from a composing caller)
-    val g3 = Tables.documents(s, dir)
-      .filter(size(split($"text", " ")) >= ShingleK)
+    val g3 = withW
       .select($"doc_id", explode(array_distinct(sh3)).as("s"))
       .localCheckpoint(true)
     val sz = g3.groupBy($"doc_id").agg(P.cnt.as("n"))
