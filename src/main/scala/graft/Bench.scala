@@ -49,9 +49,11 @@ object Bench {
     "dd_simhash" -> 1.5, "dd_embedding" -> 4.0, "dd_minhash_lsh" -> 6.0,
     "dd_ngram_jaccard" -> 9.0,
     "sim_pair_stats" -> 2.0, "sim_lsh_topk" -> 2.5, "sim_bruteforce_topk" -> 3.0,
+    "dd_clusters" -> 3.0, "tx_contamination" -> 1.5, "tx_ngram_stats" -> 0.5,
     "gr_edges" -> 2.0, "gr_degree" -> 2.5, "gr_degree_directed" -> 2.5,
-    "gr_components" -> 8.0, "gr_pagerank" -> 9.0, "gr_eigenvector" -> 9.0,
-    "gr_influencers" -> 10.0, "gr_communities" -> 9.0, "gr_community_stats" -> 10.0)
+    "gr_components" -> 8.0, "gr_closeness" -> 7.0, "gr_pagerank" -> 9.0,
+    "gr_eigenvector" -> 9.0, "gr_influencers" -> 10.0, "gr_communities" -> 9.0,
+    "gr_community_stats" -> 10.0)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

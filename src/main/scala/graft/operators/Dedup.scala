@@ -163,11 +163,12 @@ object Dedup {
     lshCandidates(minhashBands(s, dir)).orderBy("doc_a", "doc_b")
   }
 
-  /** Exact 3-gram Jaccard verification on LSH candidates only. */
-  val ngramJaccard = QueryDef(
-    "dd_ngram_jaccard",
-    s"""WITH $lshSql,
-       |g3 AS MATERIALIZED (SELECT DISTINCT doc_id,
+  /** Oracle CTE chain (appended after [[lshSql]]) exposing
+    * ver(doc_a, doc_b, jac) — LSH candidates that pass the exact 3-gram
+    * Jaccard threshold. Shared by `dd_ngram_jaccard` and `dd_clusters`.
+    */
+  private val verSql =
+    s"""g3 AS MATERIALIZED (SELECT DISTINCT doc_id,
        |    unnest(list_transform(generate_series(1, len(w) - 2),
        |      i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2])) AS s
        |  FROM toks),
@@ -176,14 +177,18 @@ object Dedup {
        |  FROM lsh_cand c
        |  JOIN g3 ga ON ga.doc_id = c.doc_a
        |  JOIN g3 gb ON gb.doc_id = c.doc_b AND gb.s = ga.s
-       |  GROUP BY c.doc_a, c.doc_b)
-       |SELECT i.doc_a, i.doc_b,
-       |  ${PS.prnd("ni / (sa.n + sb.n - ni)", 6)} AS jaccard
-       |FROM inter i
-       |JOIN sz sa ON sa.doc_id = i.doc_a
-       |JOIN sz sb ON sb.doc_id = i.doc_b
-       |WHERE ni / (sa.n + sb.n - ni) >= $JaccardThreshold
-       |ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
+       |  GROUP BY c.doc_a, c.doc_b),
+       |ver AS MATERIALIZED (SELECT i.doc_a, i.doc_b,
+       |    ni / (sa.n + sb.n - ni) AS jac
+       |  FROM inter i
+       |  JOIN sz sa ON sa.doc_id = i.doc_a
+       |  JOIN sz sb ON sb.doc_id = i.doc_b
+       |  WHERE ni / (sa.n + sb.n - ni) >= $JaccardThreshold)""".stripMargin
+
+  /** Spark twin of [[verSql]]: (doc_a, doc_b, jac) pairs that pass the
+    * exact 3-gram Jaccard verify on LSH candidates only.
+    */
+  def jaccardPairs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     // aliased words array — see minhashBands for why inline split() is 5x
     val withW = Tables.documents(s, dir)
@@ -207,10 +212,54 @@ object Dedup {
     inter
       .join(sz.select($"doc_id".as("doc_a"), $"n".as("na")), "doc_a")
       .join(sz.select($"doc_id".as("doc_b"), $"n".as("nb")), "doc_b")
-      .withColumn("jaccard_raw", $"ni" / ($"na" + $"nb" - $"ni"))
-      .filter($"jaccard_raw" >= JaccardThreshold)
-      .select($"doc_a", $"doc_b", P.prnd($"jaccard_raw", 6).as("jaccard"))
+      .withColumn("jac", $"ni" / ($"na" + $"nb" - $"ni"))
+      .filter($"jac" >= JaccardThreshold)
+      .select($"doc_a", $"doc_b", $"jac")
+  }
+
+  /** Exact 3-gram Jaccard verification on LSH candidates only. */
+  val ngramJaccard = QueryDef(
+    "dd_ngram_jaccard",
+    s"""WITH $lshSql,
+       |$verSql
+       |SELECT doc_a, doc_b, ${PS.prnd("jac", 6)} AS jaccard
+       |FROM ver ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    jaccardPairs(s, dir)
+      .select($"doc_a", $"doc_b", P.prnd($"jac", 6).as("jaccard"))
       .orderBy("doc_a", "doc_b")
+  }
+
+  /** Duplicate clusters — the pipeline's actual keep/drop decision.
+    * Connected components over the verified near-dup pair graph
+    * (3-gram Jaccard ≥ threshold on LSH candidates): each clustered
+    * document gets its cluster representative (min doc_id, the kept copy)
+    * and a keep flag. Scale shape: the pair graph is a tiny fraction of
+    * the corpus (only verified dups), and the min-label iteration reuses
+    * [[GraphOps.components]]'s broadcast-loop skeleton, so the cost after
+    * the verify is negligible at any SF.
+    */
+  val clusters = QueryDef(
+    "dd_clusters",
+    s"""WITH RECURSIVE $lshSql,
+       |$verSql,
+       |pund AS MATERIALIZED (SELECT doc_a AS a, doc_b AS b FROM ver
+       |  UNION ALL SELECT doc_b, doc_a FROM ver),
+       |cc AS (SELECT a AS doc_id, a AS lbl FROM pund
+       |  UNION
+       |  SELECT u.b, c.lbl FROM cc c JOIN pund u ON c.doc_id = u.a),
+       |cl AS MATERIALIZED (SELECT doc_id, MIN(lbl) AS cluster FROM cc GROUP BY doc_id)
+       |SELECT doc_id, cluster, doc_id = cluster AS keep
+       |FROM cl ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    // materialize the verify once — the undirected union below reads it twice
+    val p = jaccardPairs(s, dir).select($"doc_a", $"doc_b").localCheckpoint(true)
+    val und = p.select($"doc_a".as("node"), $"doc_b".as("nb"), lit(1L).as("weight"))
+      .union(p.select($"doc_b".as("node"), $"doc_a".as("nb"), lit(1L).as("weight")))
+    GraphOps.components(und)
+      .select($"node".as("doc_id"), $"comp".as("cluster"),
+        ($"node" === $"comp").as("keep"))
+      .orderBy("doc_id")
   }
 
   // -------------------------------------------------------------- simhash
@@ -302,5 +351,5 @@ object Dedup {
       .orderBy("vec_a", "vec_b")
   }
 
-  val defs: Seq[QueryDef] = Seq(exact, minhashLsh, ngramJaccard, simhash, embedding)
+  val defs: Seq[QueryDef] = Seq(exact, minhashLsh, ngramJaccard, clusters, simhash, embedding)
 }

@@ -32,6 +32,13 @@ object GraphOps {
   private val Rest = 0.15
   private val PrIters = 10
 
+  /** Landmark-closeness parameters: K deterministic landmarks (smallest
+    * node ids), fixed BFS rounds (diameter here is ~4; unreached pairs
+    * fall back to rounds+1 so the result stays deterministic at any SF).
+    */
+  private val ClLandmarks = 8
+  private val ClRounds = 6
+
   /** Label-propagation rounds. Fixed (not converged) so the oracle can
     * unroll the exact same number of synchronous steps. On this dense
     * diameter-~4 bipartite graph LPA collapses quickly (4 rounds → 2
@@ -191,6 +198,41 @@ object GraphOps {
     lbls.withColumnRenamed("lbl", "comp")
   }
 
+  /** Landmark-based closeness centrality — the scalable stand-in for the
+    * reference's exact NetworkX closeness (network_analysis.py:123-178),
+    * whose all-pairs BFS cannot survive 100 TB. K landmark sources (the K
+    * smallest node ids — deterministic), synchronous BFS distance
+    * relaxation for a fixed number of rounds, then closeness(v) =
+    * K / Σ_l min(dist(v,l), rounds+1). Published pattern: landmark/pivot
+    * centrality estimation; cost is `rounds` broadcast-join passes over
+    * the edge relation with |V|·K state — the same skeleton as
+    * [[pagerank]]. At 100 TB |V|·K outgrows a broadcast: keep both sides
+    * hash-partitioned on the node key instead (same note as pagerank).
+    */
+  def closeness(und: DataFrame, k: Int = ClLandmarks, rounds: Int = ClRounds): DataFrame = {
+    val s = und.sparkSession
+    import s.implicits._
+    val u = und.repartition($"nb").localCheckpoint(true)
+    val nodes = u.select($"node").distinct().localCheckpoint(true)
+    val lmk = nodes.orderBy($"node").limit(k).select($"node".as("lmk")).localCheckpoint(true)
+    var dist = lmk.select($"lmk".as("node"), $"lmk", lit(0).as("d")).localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      // frontier state is |V|·K rows max — broadcast into the cached edge
+      // relation; min-agg is map-side partial (see pagerank's scale note)
+      val relax = u
+        .join(broadcast(dist.select($"node".as("nb0"), $"lmk", $"d")), $"nb" === $"nb0")
+        .select($"node", $"lmk", ($"d" + 1).as("d"))
+      dist = relax.union(dist.select($"node", $"lmk", $"d"))
+        .groupBy($"node", $"lmk").agg(min($"d").as("d"))
+        .localCheckpoint(true)
+    }
+    nodes.crossJoin(broadcast(lmk))
+      .join(dist, Seq("node", "lmk"), "left")
+      .select($"node", coalesce($"d", lit(rounds + 1)).as("d"))
+      .groupBy($"node")
+      .agg((lit(k).cast("double") / sum($"d").cast("double")).as("c"))
+  }
+
   /** Synchronous weighted label propagation — the scalable stand-in for
     * the reference's Louvain community detection
     * (reference: network-analysis/network_analysis.py:180-212). Every
@@ -273,6 +315,25 @@ object GraphOps {
          |  ON p.node = s.node),
          |ev$i AS MATERIALIZED (SELECT node, x / (SELECT sqrt(CAST(SUM(CAST(x * x AS DECIMAL(38,20))) AS DOUBLE)) FROM raw$i) AS x
          |  FROM raw$i)""".stripMargin
+    }
+    (base +: steps).mkString(",\n")
+  }
+
+  /** cld0..cldN CTE chain — unrolled synchronous BFS relaxation from the
+    * K landmark sources, the SQL twin of [[closeness]].
+    */
+  private def clChain(k: Int, rounds: Int): String = {
+    val base =
+      s"""clnodes AS MATERIALIZED (SELECT DISTINCT node FROM und),
+         |lmk AS MATERIALIZED (SELECT node AS lmk FROM (
+         |  SELECT DISTINCT node FROM und ORDER BY node LIMIT $k)),
+         |cld0 AS MATERIALIZED (SELECT lmk AS node, lmk, 0 AS d FROM lmk)""".stripMargin
+    val steps = (1 to rounds).map { i =>
+      s"""cld$i AS MATERIALIZED (SELECT x.node, x.lmk, MIN(x.d) AS d FROM (
+         |    SELECT node, lmk, d FROM cld${i - 1}
+         |    UNION ALL
+         |    SELECT u.node, p.lmk, p.d + 1 FROM und u JOIN cld${i - 1} p ON u.nb = p.node) x
+         |  GROUP BY x.node, x.lmk)""".stripMargin
     }
     (base +: steps).mkString(",\n")
   }
@@ -425,6 +486,22 @@ object GraphOps {
       .orderBy($"score".desc, $"node").limit(20)
   }
 
+  /** Landmark-closeness query — see [[closeness]]. */
+  val grCloseness = QueryDef(
+    "gr_closeness",
+    s"""WITH $eSql, $undSql,
+       |${clChain(ClLandmarks, ClRounds)}
+       |SELECT n.node,
+       |  ${PS.prnd(s"CAST($ClLandmarks AS DOUBLE) / CAST(SUM(COALESCE(d.d, ${ClRounds + 1})) AS DOUBLE)", 8)} AS closeness
+       |FROM clnodes n CROSS JOIN lmk l
+       |LEFT JOIN cld$ClRounds d ON d.node = n.node AND d.lmk = l.lmk
+       |GROUP BY n.node ORDER BY n.node""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    closeness(undirected(edges(s, dir)))
+      .select($"node", P.prnd($"c", 8).as("closeness"))
+      .orderBy($"node")
+  }
+
   /** Per-node community label from synchronous label propagation. */
   val grCommunities = QueryDef(
     "gr_communities",
@@ -462,5 +539,6 @@ object GraphOps {
   }
 
   val defs: Seq[QueryDef] = Seq(grEdges, grDegree, grDegreeDirected, grPagerank,
-    grEigenvector, grComponents, grInfluencers, grCommunities, grCommunityStats)
+    grEigenvector, grComponents, grCloseness, grInfluencers, grCommunities,
+    grCommunityStats)
 }

@@ -127,5 +127,84 @@ object TextAnalysis {
       .orderBy($"doc_id")
   }
 
-  val defs: Seq[QueryDef] = Seq(langId, quality, tokenCount, fingerprint)
+  /** Contamination-check shingle width and eval-set selector. Real
+    * decontamination joins the training corpus against a small benchmark
+    * table; here the deterministic `doc_id % EvalMod = 0` slice stands in
+    * for the benchmark side.
+    */
+  val ContamK = 5
+  val EvalMod = 20
+  val MinShared = 3
+
+  /** Train/eval-set contamination check: training documents that share ≥
+    * [[MinShared]] distinct [[ContamK]]-gram shingles with any eval-set
+    * document. Scale shape: shingles are a narrow explode on each side;
+    * the join is keyed on the shingle string with the eval side broadcast
+    * — in a real pipeline the eval side is a small benchmark corpus, so
+    * the 100 TB training side streams through a broadcast-hash join with
+    * map-side partial counting.
+    */
+  val contamination = QueryDef(
+    "tx_contamination",
+    s"""WITH toks AS MATERIALIZED (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+       |  WHERE len(string_split(text, ' ')) >= $ContamK),
+       |sh AS MATERIALIZED (SELECT DISTINCT doc_id,
+       |    unnest(list_transform(generate_series(1, len(w) - ${ContamK - 1}),
+       |      i -> ${(0 until ContamK).map(o => s"w[i + $o]").mkString(" || ' ' || ")})) AS s
+       |  FROM toks)
+       |SELECT t.doc_id AS train_doc, e.doc_id AS eval_doc, COUNT(*) AS n_shared
+       |FROM sh t JOIN sh e ON t.s = e.s
+       |WHERE e.doc_id % $EvalMod = 0 AND t.doc_id % $EvalMod <> 0
+       |GROUP BY 1, 2 HAVING COUNT(*) >= $MinShared
+       |ORDER BY train_doc, eval_doc""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    def shingles(d: org.apache.spark.sql.DataFrame) = {
+      // aliased words array — inline split() duplicates the regex work
+      // into every element_at of the (interpreted) lambda
+      val withW = d.select($"doc_id", split($"text", " ").as("w"))
+        .filter(size($"w") >= ContamK)
+      val sh = transform(
+        sequence(lit(1), size($"w") - (ContamK - 1)),
+        i => concat_ws(" ", (0 until ContamK).map(o => element_at($"w", i + o)): _*))
+      withW.select($"doc_id", explode(array_distinct(sh)).as("s"))
+    }
+    // two pruned scans beat one scan + two filters of a checkpoint: the
+    // eval side reads a 1/EvalMod slice and is broadcast
+    val ev = shingles(Tables.documents(s, dir).filter($"doc_id" % EvalMod === 0))
+      .select($"doc_id".as("eval_doc"), $"s")
+    val tr = shingles(Tables.documents(s, dir).filter($"doc_id" % EvalMod =!= 0))
+      .select($"doc_id".as("train_doc"), $"s")
+    tr.join(broadcast(ev), "s")
+      .groupBy($"train_doc", $"eval_doc").agg(P.cnt.as("n_shared"))
+      .filter($"n_shared" >= MinShared)
+      .orderBy("train_doc", "eval_doc")
+  }
+
+  /** Corpus-level top-30 word-bigram frequencies (n-gram stats for
+    * tokenizer/contamination work). Narrow explode + one hash aggregation
+    * with map-side partial counts; top-k via a single ordered limit.
+    */
+  val ngramStats = QueryDef(
+    "tx_ngram_stats",
+    """WITH toks AS MATERIALIZED (SELECT string_split(text, ' ') AS w FROM documents
+      |  WHERE len(string_split(text, ' ')) >= 2),
+      |bg AS MATERIALIZED (SELECT unnest(list_transform(generate_series(1, len(w) - 1),
+      |    i -> w[i] || ' ' || w[i + 1])) AS bigram
+      |  FROM toks)
+      |SELECT bigram, COUNT(*) AS n FROM bg GROUP BY bigram
+      |ORDER BY n DESC, bigram LIMIT 30""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val withW = Tables.documents(s, dir)
+      .select(split($"text", " ").as("w"))
+      .filter(size($"w") >= 2)
+    val bg = transform(
+      sequence(lit(1), size($"w") - 1),
+      i => concat_ws(" ", element_at($"w", i), element_at($"w", i + 1)))
+    withW.select(explode(bg).as("bigram"))
+      .groupBy($"bigram").agg(P.cnt.as("n"))
+      .orderBy($"n".desc, $"bigram").limit(30)
+  }
+
+  val defs: Seq[QueryDef] = Seq(langId, quality, tokenCount, fingerprint,
+    contamination, ngramStats)
 }
