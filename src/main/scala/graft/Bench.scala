@@ -42,6 +42,7 @@ object Bench {
     "q1_pricing_summary" -> 0.5, "q3_top_orders" -> 0.7, "q5_region_revenue" -> 0.8,
     "q_rollup" -> 0.7, "q_window_rank" -> 1.0,
     "sent_lexicon" -> 0.8, "sent_distribution" -> 0.8, "sent_agreement" -> 1.0,
+    "sent_emoji" -> 0.8,
     "tx_lang_id" -> 0.8, "tx_quality" -> 0.8, "tx_token_count" -> 0.6,
     "tx_fingerprint" -> 0.8, "mm_binary_meta" -> 0.8,
     "etl_clean_text" -> 1.0, "etl_filter_enrich" -> 1.0, "etl_dedup_ingest" -> 0.6,
@@ -51,6 +52,7 @@ object Bench {
     "sim_pair_stats" -> 2.0, "sim_lsh_topk" -> 2.5, "sim_bruteforce_topk" -> 3.0,
     "dd_clusters" -> 3.0, "tx_contamination" -> 1.5, "tx_ngram_stats" -> 0.5,
     "gr_edges" -> 2.0, "gr_degree" -> 2.5, "gr_degree_directed" -> 2.5,
+    "gr_degree_buckets" -> 2.5,
     "gr_components" -> 8.0, "gr_closeness" -> 7.0, "gr_pagerank" -> 9.0,
     "gr_eigenvector" -> 9.0, "gr_influencers" -> 10.0, "gr_communities" -> 9.0,
     "gr_community_stats" -> 10.0)
@@ -160,24 +162,56 @@ object Bench {
       }
     }
 
+    // One retry for queries whose only sample was watchdog-cancelled: on a
+    // host with documented 10-20x throttling spikes, a single cancellation
+    // is usually a spike artifact (r4: dd_minhash_lsh cancelled at 112s
+    // while its strict superset dd_ngram_jaccard finished in 4.7s in the
+    // same sweep). A spike must cost one slot, not the timing forever.
+    ordered.foreach { case (name, fn) =>
+      val cancelled = lock.synchronized(
+        !timings.contains(name) && errors.get(name).exists(_.contains("SPARK_JOB_CANCELLED")))
+      if (cancelled && remaining > 0) {
+        runOne(name, fn, perQueryCap).foreach { sec =>
+          lock.synchronized {
+            timings(name) = sec
+            if (errors.get(name).exists(_.contains("SPARK_JOB_CANCELLED"))) errors.remove(name)
+          }
+        }
+      }
+    }
+
     // Oracle denominator: time each query's DuckDB oracle SQL at the same
     // SF through the driver-side python3+duckdb toolchain. Measurement
-    // only — skipped silently when the toolchain is absent, never consumes
-    // more than half the remaining budget, and partial results stream in
-    // line-by-line so a deadline kill keeps what finished.
-    try timeOracle(sfDir, math.min(remaining - 10, 300.0), ordered.map(_._1)) {
-      (name, sec) => lock.synchronized { oracleT(name) = sec }
-    } catch { case _: Throwable => () }
+    // only — skipped silently when the toolchain is absent, and partial
+    // results stream in line-by-line so a deadline kill keeps what
+    // finished. Two slices: the cheap non-graph majority first (so a slow
+    // graph CTE can never starve it), then the iterative-CTE graph suite
+    // with its own budget — r4 ran one slice and lost every gr_* oracle
+    // denominator to the shared deadline. Failures surface as
+    // "oracle:<name>" errors instead of dying silently.
+    val (grOracle, mainOracle) = ordered.map(_._1).partition(_.startsWith("gr_"))
+    def reportOracle(name: String, res: Either[String, Double]): Unit =
+      lock.synchronized {
+        res match {
+          case Right(sec) => oracleT(name) = sec
+          case Left(err) => errors(s"oracle:$name") = err.take(200)
+        }
+      }
+    try timeOracle(sfDir, math.min(remaining - 10, 240.0), 40.0, mainOracle)(reportOracle)
+    catch { case _: Throwable => () }
+    try timeOracle(sfDir, math.min(remaining - 10, 420.0), 120.0, grOracle)(reportOracle)
+    catch { case _: Throwable => () }
 
     emit(partial = lock.synchronized(skipped.nonEmpty))
     spark.stop()
   }
 
   /** Write oracle SQL + an interpreter script to temp files, stream
-    * `name\tseconds` lines back until EOF or deadline.
+    * `name\tseconds` (or `name\tERR\treason`) lines back until EOF or
+    * deadline. perQSec caps any single oracle query via con.interrupt.
     */
-  private def timeOracle(sfDir: String, budgetSec: Double, order: Seq[String])(
-      report: (String, Double) => Unit): Unit = {
+  private def timeOracle(sfDir: String, budgetSec: Double, perQSec: Double, order: Seq[String])(
+      report: (String, Either[String, Double]) => Unit): Unit = {
     if (budgetSec < 5) return
     val oracle = SparkEntry.oracleSql
     val items = order.flatMap(n => oracle.get(n).map(n -> _))
@@ -196,32 +230,33 @@ object Bench {
     java.nio.file.Files.writeString(pyFile.toPath,
       """import sys, json, time, threading
         |import duckdb
-        |sf, path, deadline = sys.argv[1], sys.argv[2], float(sys.argv[3])
+        |sf, path, deadline, per_q = sys.argv[1], sys.argv[2], float(sys.argv[3]), float(sys.argv[4])
         |con = duckdb.connect()
         |for t in ["region", "nation", "customer", "supplier", "part",
         |          "orders", "lineitem", "events", "documents", "embeddings"]:
         |    con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
         |start = time.time()
-        |# per-query interrupt: one pathological oracle query (recursive CTE)
-        |# must cost one slot, not the whole oracle pass
-        |per_q = max(10.0, deadline / 6)
         |for name, sql in json.load(open(path)):
         |    remaining = deadline - (time.time() - start)
         |    if remaining <= 0:
-        |        break
+        |        print(f"{name}\tERR\toracle pass deadline exhausted", flush=True)
+        |        continue
+        |    # per-query interrupt: one pathological oracle query (recursive
+        |    # CTE) must cost one slot, not the whole oracle pass
         |    timer = threading.Timer(min(per_q, remaining), con.interrupt)
         |    timer.start()
         |    t0 = time.time()
         |    try:
         |        con.execute(sql).fetchall()
         |        print(f"{name}\t{time.time() - t0:.3f}", flush=True)
-        |    except Exception:
-        |        print(f"{name}\tERR", flush=True)
+        |    except Exception as e:
+        |        why = str(e).replace(chr(9), ' ').replace(chr(10), ' ')[:160]
+        |        print(f"{name}\tERR\tafter {time.time() - t0:.1f}s: {why}", flush=True)
         |    finally:
         |        timer.cancel()
         |""".stripMargin)
     val pb = new ProcessBuilder("python3", pyFile.getAbsolutePath,
-      sfDir, sqlFile.getAbsolutePath, budgetSec.toLong.toString)
+      sfDir, sqlFile.getAbsolutePath, budgetSec.toLong.toString, perQSec.toString)
     pb.redirectErrorStream(false)
     val proc = pb.start()
     val killer = new Thread(() => {
@@ -236,7 +271,9 @@ object Bench {
       while (line != null) {
         line.split('\t') match {
           case Array(n, s) if s != "ERR" =>
-            try report(n, s.toDouble) catch { case _: NumberFormatException => () }
+            try report(n, Right(s.toDouble)) catch { case _: NumberFormatException => () }
+          case Array(n, _, why) => report(n, Left(why))
+          case Array(n, _) => report(n, Left("oracle query failed"))
           case _ => ()
         }
         line = rd.readLine()

@@ -45,6 +45,16 @@ object TextFns {
   val PosWordsNarrow: Seq[String] = Seq("fast", "spark")
   val NegWordsNarrow: Seq[String] = Seq("slow", "dup")
 
+  /** Emoji stand-ins: the reference counts positive/negative emoji
+    * occurrences and derives emoji_score = pos - neg
+    * (spark-ml-sentiment/spark_ml_sentiment.py:92-101). The synthetic
+    * corpus carries no symbol characters, so two marker-token classes —
+    * disjoint from the sentiment lexicons above — play the emoji role
+    * through the same countTokensIn machinery.
+    */
+  val PosEmoji: Seq[String] = Seq("vector", "window")
+  val NegEmoji: Seq[String] = Seq("scan", "filter")
+
   val StopWords: Seq[String] = Seq("the", "a", "of", "and", "to")
 
   /** Per-language stopword lists for the n-gram language-ID heuristic. */

@@ -39,10 +39,17 @@ object SentimentPipeline {
     val toks = split($"text", " ")
     val raw = (TextFns.countTokensIn(toks, TextFns.PosWords).cast("double") -
       TextFns.countTokensIn(toks, TextFns.NegWords)) / size(toks)
+    // emoji_score over the marker-token emoji classes
+    // (spark_ml_sentiment.py:92-101), normalized by length and shifted by
+    // +1 into [0,2] so NaiveBayes keeps its nonnegative-feature contract
+    // (|pos - neg| ≤ word count, so the per-token rate is in [-1,1]).
+    val emojiRaw = TextFns.countTokensIn(toks, TextFns.PosEmoji).cast("double") -
+      TextFns.countTokensIn(toks, TextFns.NegEmoji)
     docs.select($"doc_id", $"text",
       when(raw > 0.05, 2.0).when(raw < -0.05, 0.0).otherwise(1.0).as("label"),
       (coalesce(raw, lit(0.0)) + 1.0) / 2.0 as "lex_score",
-      size(toks).cast("double").as("n_tokens"))
+      size(toks).cast("double").as("n_tokens"),
+      (coalesce(emojiRaw, lit(0.0)) / size(toks) + 1.0).as("emoji_score"))
   }
 
   /** Pipeline with the reference's three classifier choices: "lr"
@@ -60,7 +67,7 @@ object SentimentPipeline {
     // VectorAssembler stage the reference applies before its classifiers
     // (spark_ml_sentiment.py:241-249)
     val asm = new VectorAssembler()
-      .setInputCols(Array("tfidf", "lex_score", "n_tokens"))
+      .setInputCols(Array("tfidf", "lex_score", "n_tokens", "emoji_score"))
       .setOutputCol("features")
     val clf = classifier match {
       case "lr" => new LogisticRegression().setMaxIter(50).setRegParam(0.01)

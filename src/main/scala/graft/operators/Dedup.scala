@@ -318,12 +318,23 @@ object Dedup {
 
   /** Embedding-cosine near-dup pairs via SRP-LSH buckets (16 planes, 4
     * bands of 4) with exact cosine verify on candidates only.
+    *
+    * The [[MaxBucket]] skew cap applies to the SRP bucket self-join exactly
+    * as it does to the minhash path ([[lshCandidates]]): a 4-plane band has
+    * only 16 key values, so near-dup-rich or low-entropy embedding regions
+    * produce hot buckets whose candidate count is quadratic in bucket size
+    * — the r4 scale-killer. Capped members are kept in vec_id order,
+    * mirrored in the oracle, so truncation stays engine-portable.
     */
   val embedding = QueryDef(
     "dd_embedding",
     s"""WITH ${Srp.bandKeysSql(16, 4)},
+       |srp_capped AS MATERIALIZED (SELECT vec_id, band, bkey FROM (
+       |    SELECT vec_id, band, bkey,
+       |      row_number() OVER (PARTITION BY band, bkey ORDER BY vec_id) AS rn
+       |    FROM srp_bk) t WHERE rn <= $MaxBucket),
        |cand AS MATERIALIZED (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
-       |  FROM srp_bk a JOIN srp_bk b ON a.band = b.band AND a.bkey = b.bkey
+       |  FROM srp_capped a JOIN srp_capped b ON a.band = b.band AND a.bkey = b.bkey
        |    AND a.vec_id < b.vec_id),
        |scored AS MATERIALIZED (SELECT c.vec_a, c.vec_b,
        |    list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
@@ -336,12 +347,10 @@ object Dedup {
        |ORDER BY vec_a, vec_b""".stripMargin) { (s, dir) =>
     import s.implicits._
     val emb = Tables.embeddings(s, dir)
-    val bk = Srp.bandKeys(emb, 16, 4).localCheckpoint(true)
-    val a = bk.select($"vec_id".as("vec_a"), $"band", $"bkey")
-    val b = bk.select($"vec_id".as("vec_b"), $"band", $"bkey")
-    val cand = a.join(b, Seq("band", "bkey"))
-      .filter($"vec_a" < $"vec_b")
-      .select("vec_a", "vec_b").distinct()
+    // lshCandidates applies the MaxBucket cap + localCheckpoint; it keys on
+    // doc_id, so rename through it and back.
+    val cand = lshCandidates(Srp.bandKeys(emb, 16, 4).select($"vec_id".as("doc_id"), $"band", $"bkey"))
+      .select($"doc_a".as("vec_a"), $"doc_b".as("vec_b"))
     cand
       .join(emb.select($"vec_id".as("vec_a"), $"embedding".as("ea")), "vec_a")
       .join(emb.select($"vec_id".as("vec_b"), $"embedding".as("eb")), "vec_b")

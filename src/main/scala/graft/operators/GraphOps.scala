@@ -170,8 +170,21 @@ object GraphOps {
     x
   }
 
+  /** Unchecked min-label rounds before the first convergence count — see
+    * [[components]]. 8 covers twice this graph's ~4 diameter.
+    */
+  val CcUncheckedRounds = 8
+
   /** Connected components via iterative min-label propagation; converges in
     * O(diameter) rounds, bounded by maxIters.
+    *
+    * The first [[CcUncheckedRounds]] rounds run WITHOUT a convergence
+    * check: each check is a driver-blocking count() that serializes an
+    * extra |V|-row job per round, and on this diameter-~4 graph it never
+    * fires before round ~5 anyway (the checks were half of r4's 56.5s
+    * gr_components timing). After the unchecked batch the loop falls back
+    * to check-per-round, so callers on unknown-diameter graphs (e.g.
+    * dd_clusters' near-dup chains) still get the exact fixpoint.
     */
   def components(und: DataFrame, maxIters: Int = 20): DataFrame = {
     val s = und.sparkSession
@@ -181,15 +194,22 @@ object GraphOps {
     // eager localCheckpoint per round truncates lineage (see pagerank)
     var lbls = u.select($"node").distinct()
       .select($"node", $"node".as("lbl")).localCheckpoint(true)
-    var changed = 1L
-    var i = 0
-    while (changed > 0 && i < maxIters) {
-      // labels are |V| rows — broadcast them into the |E|-sized join; the
-      // min-aggregation is partial, so the shuffle carries |V| rows only.
-      val nbLbls = u.join(broadcast(lbls.withColumnRenamed("node", "nb0")), $"nb" === $"nb0")
+    // labels are |V| rows — broadcast them into the |E|-sized join; the
+    // min-aggregation is partial, so the shuffle carries |V| rows only.
+    def step(l: DataFrame): DataFrame = {
+      val nbLbls = u.join(broadcast(l.withColumnRenamed("node", "nb0")), $"nb" === $"nb0")
         .select($"node", $"lbl")
-      val next = nbLbls.union(lbls).groupBy($"node").agg(min($"lbl").as("lbl"))
+      nbLbls.union(l).groupBy($"node").agg(min($"lbl").as("lbl"))
         .localCheckpoint(true)
+    }
+    var i = 0
+    while (i < CcUncheckedRounds && i < maxIters) {
+      lbls = step(lbls)
+      i += 1
+    }
+    var changed = 1L
+    while (changed > 0 && i < maxIters) {
+      val next = step(lbls)
       changed = next.join(broadcast(lbls.withColumnRenamed("lbl", "old")), "node")
         .filter($"lbl" =!= $"old").count()
       lbls = next
@@ -355,12 +375,27 @@ object GraphOps {
     (base +: steps).mkString(",\n")
   }
 
-  private val ccSql =
-    """nodes2 AS MATERIALIZED (SELECT DISTINCT node FROM und),
-      |cc AS (SELECT node, node AS lbl FROM nodes2
-      |  UNION
-      |  SELECT u.nb, c.lbl FROM cc c JOIN und u ON c.node = u.node),
-      |comp AS MATERIALIZED (SELECT node, MIN(lbl) AS comp FROM cc GROUP BY node)""".stripMargin
+  /** cc0..ccN CTE chain — unrolled synchronous min-label rounds, the SQL
+    * twin of [[components]]. Bounded per-round |V|-row state, unlike a
+    * recursive CTE whose UNION accumulates every (node, label) pair ever
+    * seen — quadratic on a connected graph, which is why the r4 oracle
+    * denominator for gr_components never returned at sf0.1. Equals the
+    * fixpoint whenever the graph diameter ≤ rounds (here ~4 ≤ 8).
+    */
+  private def ccChain(rounds: Int): String = {
+    val base =
+      """nodes2 AS MATERIALIZED (SELECT DISTINCT node FROM und),
+        |cc0 AS MATERIALIZED (SELECT node, node AS lbl FROM nodes2)""".stripMargin
+    val steps = (1 to rounds).map { i =>
+      s"""cc$i AS MATERIALIZED (SELECT x.node, MIN(x.lbl) AS lbl FROM (
+         |    SELECT node, lbl FROM cc${i - 1}
+         |    UNION ALL
+         |    SELECT u.node, c.lbl FROM und u JOIN cc${i - 1} c ON u.nb = c.node) x
+         |  GROUP BY x.node)""".stripMargin
+    }
+    val fin = s"comp AS MATERIALIZED (SELECT node, lbl AS comp FROM cc$rounds)"
+    (base +: steps :+ fin).mkString(",\n")
+  }
 
   // --------------------------------------------------------------- queries
 
@@ -416,6 +451,38 @@ object GraphOps {
       .orderBy("node")
   }
 
+  /** Degree-bucket histogram — the dashboard's connection-distribution
+    * panel (reference: dashboard/dashboard.py:905-918: super-connected >10,
+    * well-connected 5-10, connected 2-5, isolated 0-1). One CASE over the
+    * degree aggregate, so the whole query is two partial aggregations —
+    * scan-bound at any SF.
+    */
+  val grDegreeBuckets = QueryDef(
+    "gr_degree_buckets",
+    s"""WITH $eSql, $undSql, $degSql
+       |SELECT CASE WHEN degree > 10 THEN 'super_connected'
+       |    WHEN degree >= 5 THEN 'well_connected'
+       |    WHEN degree >= 2 THEN 'connected'
+       |    ELSE 'isolated' END AS bucket,
+       |  COUNT(*) AS n_nodes,
+       |  CAST(SUM(degree) AS BIGINT) AS total_degree,
+       |  CAST(SUM(wdegree) AS BIGINT) AS total_wdegree
+       |FROM deg GROUP BY 1 ORDER BY bucket""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    degrees(undirected(edges(s, dir)))
+      .select(
+        when($"degree" > 10, "super_connected")
+          .when($"degree" >= 5, "well_connected")
+          .when($"degree" >= 2, "connected")
+          .otherwise("isolated").as("bucket"),
+        $"degree", $"wdegree")
+      .groupBy($"bucket")
+      .agg(P.cnt.as("n_nodes"),
+        sum($"degree").as("total_degree"),
+        sum($"wdegree").as("total_wdegree"))
+      .orderBy($"bucket")
+  }
+
   val grPagerank = QueryDef(
     "gr_pagerank",
     s"""WITH $eSql, $undSql,
@@ -440,7 +507,7 @@ object GraphOps {
 
   val grComponents = QueryDef(
     "gr_components",
-    s"""WITH RECURSIVE $eSql, $undSql, $ccSql
+    s"""WITH $eSql, $undSql, ${ccChain(CcUncheckedRounds)}
        |SELECT node, comp FROM comp ORDER BY node""".stripMargin) { (s, dir) =>
     components(undirected(edges(s, dir))).orderBy("node")
   }
@@ -538,7 +605,7 @@ object GraphOps {
       .orderBy($"community")
   }
 
-  val defs: Seq[QueryDef] = Seq(grEdges, grDegree, grDegreeDirected, grPagerank,
-    grEigenvector, grComponents, grCloseness, grInfluencers, grCommunities,
-    grCommunityStats)
+  val defs: Seq[QueryDef] = Seq(grEdges, grDegree, grDegreeDirected,
+    grDegreeBuckets, grPagerank, grEigenvector, grComponents, grCloseness,
+    grInfluencers, grCommunities, grCommunityStats)
 }

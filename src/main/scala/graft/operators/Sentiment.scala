@@ -101,5 +101,28 @@ object Sentiment {
       .orderBy($"label_full", $"label_narrow")
   }
 
-  val defs: Seq[QueryDef] = Seq(lexicon, distribution, agreement)
+  /** Per-document emoji counts + emoji_score = pos - neg — the reference's
+    * emoji features (spark_ml_sentiment.py:92-101) over the marker-token
+    * emoji classes (see [[TextFns.PosEmoji]]). Pure narrow map, codegen'd.
+    */
+  val emoji = QueryDef(
+    "sent_emoji",
+    s"""WITH em AS MATERIALIZED (SELECT doc_id,
+       |    CAST(len(list_filter(string_split(text, ' '), x -> x IN (${inList(TextFns.PosEmoji)}))) AS BIGINT) AS positive_emojis,
+       |    CAST(len(list_filter(string_split(text, ' '), x -> x IN (${inList(TextFns.NegEmoji)}))) AS BIGINT) AS negative_emojis
+       |  FROM documents)
+       |SELECT doc_id, positive_emojis, negative_emojis,
+       |  positive_emojis - negative_emojis AS emoji_score
+       |FROM em ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val toks = split($"text", " ")
+    Tables.documents(s, dir).select(
+      $"doc_id",
+      nIn(toks, TextFns.PosEmoji).as("positive_emojis"),
+      nIn(toks, TextFns.NegEmoji).as("negative_emojis"))
+      .withColumn("emoji_score", $"positive_emojis" - $"negative_emojis")
+      .orderBy($"doc_id")
+  }
+
+  val defs: Seq[QueryDef] = Seq(lexicon, distribution, agreement, emoji)
 }
