@@ -15,9 +15,11 @@ import java.util.concurrent.atomic.{AtomicBoolean, AtomicInteger}
   *     pathological query can no longer eat every other query's budget
   *     (round 3 lost 30 timings that way);
   *   - a wall-clock budget (SPARK_GRAFT_BENCH_BUDGET_SEC, default 900s)
-  *     caps total work: the optional second sample runs only while under
-  *     half the budget, and remaining queries are skipped (reported under
-  *     "skipped") once the budget is spent;
+  *     caps total work, split 60% Spark pass / 40% oracle pass so the
+  *     Spark sweep can never starve the oracle denominators; the optional
+  *     second sample runs only while under half the Spark slice, and
+  *     remaining queries are skipped (reported under "skipped") once the
+  *     slice is spent;
   *   - all result collections are mutated under a lock and emit() copies
   *     under the same lock, so the SIGTERM shutdown hook can never race a
   *     mid-update mutation into a lost JSON line;
@@ -53,7 +55,8 @@ object Bench {
     "dd_clusters" -> 3.0, "tx_contamination" -> 1.5, "tx_ngram_stats" -> 0.5,
     "gr_edges" -> 2.0, "gr_degree" -> 2.5, "gr_degree_directed" -> 2.5,
     "gr_degree_buckets" -> 2.5,
-    "gr_components" -> 8.0, "gr_closeness" -> 7.0, "gr_pagerank" -> 9.0,
+    "gr_components" -> 8.0, "gr_closeness" -> 7.0, "gr_betweenness_approx" -> 10.0,
+    "gr_pagerank" -> 9.0,
     "gr_eigenvector" -> 9.0, "gr_influencers" -> 10.0, "gr_communities" -> 9.0,
     "gr_community_stats" -> 10.0)
 
@@ -63,6 +66,10 @@ object Bench {
     val budgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "900").toDouble
     val spark = GraftSession.get(cpus)
     val sc = spark.sparkContext
+    // WARN spam (shuffle cleanup, block manager) lands on the [error]
+    // stream after emit() and pushed r5's JSON line out of the driver's
+    // tail window — silence everything below ERROR.
+    sc.setLogLevel("ERROR")
 
     def esc(s: String): String = s.flatMap {
       case '"' => "\\\""; case '\\' => "\\\\"
@@ -77,8 +84,9 @@ object Bench {
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val skipped = scala.collection.mutable.ArrayBuffer.empty[String]
     val printed = new AtomicBoolean(false)
+    val lastJson = new java.util.concurrent.atomic.AtomicReference[String]("")
 
-    def emit(partial: Boolean): Unit = if (printed.compareAndSet(false, true)) {
+    def buildJson(partial: Boolean): String = {
       val (ts, os, es, sk) = lock.synchronized {
         (timings.toSeq, oracleT.toSeq, errors.toSeq, skipped.toSeq)
       }
@@ -87,8 +95,17 @@ object Bench {
       val er = es.map { case (k, v) => "\"" + esc(k) + "\":\"" + esc(v) + "\"" }.mkString("{", ",", "}")
       val skj = sk.map("\"" + esc(_) + "\"").mkString("[", ",", "]")
       val total = ts.map(_._2).sum
-      println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"oracle":$or,"errors":$er,"skipped":$skj,"partial":$partial,"sf":"${esc(sfDir)}"}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"oracle":$or,"errors":$er,"skipped":$skj,"partial":$partial,"sf":"${esc(sfDir)}"}"""
+    }
+    def emit(partial: Boolean): Unit = if (printed.compareAndSet(false, true)) {
+      val line = buildJson(partial)
+      lastJson.set(line)
+      println(line)
       System.out.flush()
+      // committed sidecar: timings survive any stdout-tail truncation
+      try java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("BENCH_SELF.json"), line + "\n")
+      catch { case _: Throwable => () }
     }
     // Backstop: external `timeout` sends SIGTERM; the JVM runs shutdown
     // hooks on TERM, so a partial JSON line still reaches stdout.
@@ -97,9 +114,14 @@ object Bench {
     val bench0 = System.nanoTime()
     def elapsed: Double = (System.nanoTime() - bench0) / 1e9
     def remaining: Double = budgetSec - elapsed
+    // The Spark pass gets a HARD 60% of the budget; the DuckDB oracle pass
+    // keeps a guaranteed ~30% (r5: the Spark sweep had first claim on the
+    // whole budget and both oracle slices returned with zero denominators).
+    val sparkBudgetSec = budgetSec * 0.6
+    def sparkRemaining: Double = sparkBudgetSec - elapsed
     // cap any single query at 1/8 of the whole budget: a pathological
     // query costs one slot, not the rest of the sweep
-    def perQueryCap: Double = math.min(remaining, budgetSec / 8)
+    def perQueryCap: Double = math.min(sparkRemaining, budgetSec / 8)
 
     val sampleSeq = new AtomicInteger(0)
     // Run one evaluation under a cancellable, per-sample-unique job group:
@@ -108,6 +130,12 @@ object Bench {
     def runOne(name: String, fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame,
         limitSec: Double): Option[Double] = {
       spark.catalog.clearCache()
+      // localCheckpoint blocks are freed by the ContextCleaner only after
+      // the owning plan is GC'd; ~90 samples of graph/LSH checkpoints can
+      // otherwise pile up in storage memory and inflate late queries
+      // (gr_closeness was watchdog-cancelled three rounds running while
+      // being seconds-fast in isolation).
+      System.gc()
       val group = s"$name#${sampleSeq.incrementAndGet()}"
       val done = new AtomicBoolean(false)
       sc.setJobGroup(group, name, interruptOnCancel = true)
@@ -144,14 +172,15 @@ object Bench {
     val ordered = SparkEntry.queries.toSeq
       .sortBy { case (name, _) => (priorCost.getOrElse(name, 5.0), name) }
     ordered.foreach { case (name, fn) =>
-      if (remaining <= 0) {
+      if (sparkRemaining <= 0) {
         lock.synchronized { skipped += name }
       } else {
         val first = runOne(name, fn, perQueryCap)
-        // second sample only while comfortably inside the budget: under
-        // throttling one pass is all we can afford, and a JSON line with
-        // single-run timings beats no line at all.
-        val runs = first.toSeq ++ (if (first.isDefined && elapsed < budgetSec / 2)
+        // second sample only while comfortably inside the Spark slice —
+        // and never for the iterative gr_* suite, whose many-job samples
+        // are the first thing to shed when the host throttles.
+        val runs = first.toSeq ++ (if (first.isDefined && elapsed < sparkBudgetSec / 2
+            && !name.startsWith("gr_"))
           runOne(name, fn, perQueryCap) else None)
         if (runs.nonEmpty) lock.synchronized {
           timings(name) = runs.min
@@ -170,7 +199,7 @@ object Bench {
     ordered.foreach { case (name, fn) =>
       val cancelled = lock.synchronized(
         !timings.contains(name) && errors.get(name).exists(_.contains("SPARK_JOB_CANCELLED")))
-      if (cancelled && remaining > 0) {
+      if (cancelled && sparkRemaining > 0) {
         runOne(name, fn, perQueryCap).foreach { sec =>
           lock.synchronized {
             timings(name) = sec
@@ -197,13 +226,20 @@ object Bench {
           case Left(err) => errors(s"oracle:$name") = err.take(200)
         }
       }
-    try timeOracle(sfDir, math.min(remaining - 10, 240.0), 40.0, mainOracle)(reportOracle)
+    // main slice capped so the gr_* slice (iterative CTEs, the expensive
+    // denominators r4/r5 never recorded) keeps a guaranteed share of the
+    // reserved 40%.
+    try timeOracle(sfDir, math.min(remaining - 10, 150.0), 40.0, mainOracle)(reportOracle)
     catch { case _: Throwable => () }
     try timeOracle(sfDir, math.min(remaining - 10, 420.0), 120.0, grOracle)(reportOracle)
     catch { case _: Throwable => () }
 
     emit(partial = lock.synchronized(skipped.nonEmpty))
     spark.stop()
+    // spark.stop() dumps shutdown/cleanup noise on stderr AND stdout; the
+    // driver reads a tail window, so make the JSON line the LAST stdout.
+    println(lastJson.get())
+    System.out.flush()
   }
 
   /** Write oracle SQL + an interpreter script to temp files, stream

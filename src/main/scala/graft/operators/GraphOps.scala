@@ -39,6 +39,12 @@ object GraphOps {
   private val ClLandmarks = 8
   private val ClRounds = 6
 
+  /** Landmark-betweenness parameters: K pivot sources (Brandes & Pich
+    * 2007 sampling), BFS depth bounded at the graph's ~4 diameter.
+    */
+  private val BwLandmarks = 8
+  private val BwRounds = 4
+
   /** Label-propagation rounds. Fixed (not converged) so the oracle can
     * unroll the exact same number of synchronous steps. On this dense
     * diameter-~4 bipartite graph LPA collapses quickly (4 rounds → 2
@@ -49,12 +55,21 @@ object GraphOps {
 
   // ---------------------------------------------------------------- library
 
-  /** Weighted customer↔supplier edges; weight = number of line items. */
+  /** Weighted customer↔supplier edges; weight = number of line items.
+    * One join + ONE hash aggregation: the map-side partial combine on
+    * (custkey, suppkey) shrinks the only shuffle to ~|edges| rows, and
+    * the pruned orders projection broadcasts at bench SF (at 100 TB it
+    * degrades to a shuffle join on orderkey — still the minimal plan).
+    * An earlier version pre-aggregated lineitem on (orderkey, suppkey)
+    * first: an extra full shuffle that neither co-partitions with the
+    * orderkey join nor reduces rows much (~1 lineitem per order-supplier
+    * pair), so it cost every graph query a shuffle for nothing.
+    */
   def edges(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val l = Tables.lineitem(s, dir)
       .filter(!$"l_suppkey".isin(ExcludedSuppliers: _*))
-      .groupBy($"l_orderkey", $"l_suppkey").agg(count(lit(1)).as("w"))
+      .select($"l_orderkey", $"l_suppkey")
     val o = Tables.orders(s, dir)
       .filter(!$"o_custkey".isin(ExcludedCustomers: _*))
       .select($"o_orderkey", $"o_custkey")
@@ -62,7 +77,7 @@ object GraphOps {
       .groupBy(
         concat(lit("c"), $"o_custkey".cast("string")).as("src"),
         concat(lit("s"), $"l_suppkey".cast("string")).as("dst"))
-      .agg(sum($"w").as("weight"))
+      .agg(count(lit(1)).as("weight"))
   }
 
   /** Both directions of the undirected graph: (node, nb, weight). */
@@ -253,6 +268,77 @@ object GraphOps {
       .agg((lit(k).cast("double") / sum($"d").cast("double")).as("c"))
   }
 
+  /** Landmark (pivot-sampled) betweenness — Brandes' dependency
+    * accumulation run from K pivot sources only (published pattern:
+    * Brandes & Pich 2007, "Centrality Estimation in Large Networks"),
+    * the scalable stand-in for the reference's exact NetworkX betweenness
+    * (network_analysis.py:145-148), whose all-pairs shortest paths cannot
+    * survive 100 TB. Two level-synchronous passes over the edge relation:
+    *
+    *  - forward: BFS keeping (distance d, shortest-path count σ) per
+    *    (node, landmark); σ stays exact BIGINT (sums of path counts).
+    *  - backward: walk the shortest-path DAG one level at a time from the
+    *    deepest frontier, accumulating Brandes' dependency
+    *    δ(v) = Σ_{w: successor} (σ_v/σ_w)·(1 + δ(w)).
+    *
+    * Score(v) = Σ_l δ_l(v) / K (the pivot-sample estimator). Both passes
+    * are `rounds` broadcast-join rounds with |V|·K state — the same
+    * skeleton and scale posture as [[closeness]]; at 100 TB keep both
+    * sides hash-partitioned on the node key instead of broadcasting.
+    * δ aggregation routes through decimal casts (Portable.dsum) so the
+    * DuckDB oracle twin hash-matches despite double non-associativity.
+    */
+  def betweenness(und: DataFrame, k: Int = BwLandmarks, rounds: Int = BwRounds): DataFrame = {
+    val s = und.sparkSession
+    import s.implicits._
+    val u = und.repartition($"nb").localCheckpoint(true)
+    val nodes = u.select($"node").distinct().localCheckpoint(true)
+    val lmk = nodes.orderBy($"node").limit(k).select($"node".as("lmk")).localCheckpoint(true)
+    var state = lmk
+      .select($"lmk".as("node"), $"lmk", lit(0).as("d"), lit(1L).as("sig"))
+      .localCheckpoint(true)
+    for (r <- 1 to rounds) {
+      // expand only the previous frontier; σ(v at r) = Σ σ(neighbors at r-1)
+      val cand = u
+        .join(broadcast(state.filter($"d" === r - 1)
+          .select($"node".as("nb0"), $"lmk", $"sig")), $"nb" === $"nb0")
+        .groupBy($"node", $"lmk").agg(sum($"sig").as("sig"))
+      // nodes already visited keep their first (shortest) distance
+      val fresh = cand
+        .join(broadcast(state.select($"node", $"lmk")), Seq("node", "lmk"), "left_anti")
+        .select($"node", $"lmk", lit(r).as("d"), $"sig")
+      state = state.union(fresh).localCheckpoint(true)
+    }
+    // shortest-path DAG: edge (v → w) with dist(w) = dist(v) + 1
+    val sv = state.select($"node".as("v"), $"lmk", $"d".as("dv"), $"sig".as("sv"))
+    val sw = state.select($"node".as("w"), $"lmk".as("lmkw"), $"d".as("dw"), $"sig".as("sw"))
+    val dag = u.join(broadcast(sv), $"node" === $"v")
+      .join(broadcast(sw), $"nb" === $"w" && $"lmk" === $"lmkw" && $"dw" === $"dv" + 1)
+      .select($"lmk", $"v", $"dv", $"sv", $"w", $"sw")
+      .localCheckpoint(true)
+    // deepest level seeds δ = 0; each earlier level is fully determined by
+    // the one above it (DAG edges only cross adjacent levels)
+    var delta = state.filter($"d" === rounds)
+      .select($"node", $"lmk", lit(0.0).as("delta"))
+      .localCheckpoint(true)
+    for (r <- (rounds - 1) to 0 by -1) {
+      val lvl = dag.filter($"dv" === r)
+        .join(broadcast(delta.select($"node".as("w2"), $"lmk".as("lmk2"), $"delta")),
+          $"w" === $"w2" && $"lmk" === $"lmk2", "left")
+        .groupBy($"v", $"lmk")
+        .agg(P.dsum(($"sv".cast("double") / $"sw".cast("double"))
+          * (lit(1.0) + coalesce($"delta", lit(0.0))), 9).as("delta"))
+        .select($"v".as("node"), $"lmk", $"delta")
+      delta = delta.union(lvl).localCheckpoint(true)
+    }
+    // a source never accumulates its own dependency (Brandes: v ≠ s)
+    val bc = delta.filter($"node" =!= $"lmk")
+      .groupBy($"node")
+      .agg((P.dsum($"delta", 9) / lit(k).cast("double")).as("b"))
+    nodes.join(bc, Seq("node"), "left")
+      .select($"node", coalesce($"b", lit(0.0)).as("b"))
+  }
+
   /** Synchronous weighted label propagation — the scalable stand-in for
     * the reference's Louvain community detection
     * (reference: network-analysis/network_analysis.py:180-212). Every
@@ -356,6 +442,51 @@ object GraphOps {
          |  GROUP BY x.node, x.lmk)""".stripMargin
     }
     (base +: steps).mkString(",\n")
+  }
+
+  /** bf0..bfN + dlN..dl0 CTE chain — unrolled forward-BFS (distance +
+    * σ path counts) and backward Brandes dependency levels, the SQL twin
+    * of [[betweenness]].
+    */
+  private def bwChain(k: Int, rounds: Int): String = {
+    val base =
+      s"""bnodes AS MATERIALIZED (SELECT DISTINCT node FROM und),
+         |blmk AS MATERIALIZED (SELECT node AS lmk FROM (
+         |  SELECT DISTINCT node FROM und ORDER BY node LIMIT $k)),
+         |bf0 AS MATERIALIZED (SELECT lmk AS node, lmk, 0 AS d, CAST(1 AS BIGINT) AS sig FROM blmk)""".stripMargin
+    val fwd = (1 to rounds).map { i =>
+      s"""bf${i}c AS MATERIALIZED (SELECT u.node, p.lmk, CAST(SUM(p.sig) AS BIGINT) AS sig
+         |  FROM und u JOIN bf${i - 1} p ON u.nb = p.node AND p.d = ${i - 1}
+         |  GROUP BY u.node, p.lmk),
+         |bf$i AS MATERIALIZED (SELECT node, lmk, d, sig FROM bf${i - 1}
+         |  UNION ALL
+         |  SELECT c.node, c.lmk, $i AS d, c.sig FROM bf${i}c c
+         |  WHERE NOT EXISTS (SELECT 1 FROM bf${i - 1} p
+         |    WHERE p.node = c.node AND p.lmk = c.lmk))""".stripMargin
+    }
+    val dag =
+      s"""bdag AS MATERIALIZED (SELECT v.lmk, v.node AS v, v.d AS dv, v.sig AS sv,
+         |    w.node AS w, w.sig AS sw
+         |  FROM und u
+         |  JOIN bf$rounds v ON u.node = v.node
+         |  JOIN bf$rounds w ON u.nb = w.node AND w.lmk = v.lmk AND w.d = v.d + 1)""".stripMargin
+    val bwdBase =
+      s"""dl$rounds AS MATERIALIZED (SELECT node, lmk, CAST(0.0 AS DOUBLE) AS delta
+         |  FROM bf$rounds WHERE d = $rounds)""".stripMargin
+    val bwd = ((rounds - 1) to 0 by -1).map { r =>
+      s"""dl$r AS MATERIALIZED (SELECT g.v AS node, g.lmk,
+         |  ${PS.dsum("(CAST(g.sv AS DOUBLE) / CAST(g.sw AS DOUBLE)) * (CAST(1.0 AS DOUBLE) + COALESCE(d2.delta, CAST(0.0 AS DOUBLE)))", 9)} AS delta
+         |  FROM bdag g LEFT JOIN dl${r + 1} d2 ON g.w = d2.node AND g.lmk = d2.lmk
+         |  WHERE g.dv = $r
+         |  GROUP BY g.v, g.lmk)""".stripMargin
+    }
+    val unionDl = (0 to rounds).map(r => s"SELECT node, lmk, delta FROM dl$r").mkString(" UNION ALL ")
+    val fin =
+      s"""bdeltas AS MATERIALIZED (SELECT node, lmk, delta FROM ($unionDl) WHERE node <> lmk),
+         |bbc AS MATERIALIZED (SELECT node,
+         |  ${PS.dsum("delta", 9)} / CAST($k AS DOUBLE) AS b
+         |  FROM bdeltas GROUP BY node)""".stripMargin
+    ((base +: fwd) ++ Seq(dag, bwdBase) ++ bwd :+ fin).mkString(",\n")
   }
 
   /** lp0..lpN CTE chain — unrolled synchronous label-propagation rounds,
@@ -569,6 +700,20 @@ object GraphOps {
       .orderBy($"node")
   }
 
+  /** Landmark-betweenness query — see [[betweenness]]. */
+  val grBetweenness = QueryDef(
+    "gr_betweenness_approx",
+    s"""WITH $eSql, $undSql,
+       |${bwChain(BwLandmarks, BwRounds)}
+       |SELECT n.node, ${PS.prnd("COALESCE(b.b, CAST(0.0 AS DOUBLE))", 6)} AS betweenness
+       |FROM bnodes n LEFT JOIN bbc b ON n.node = b.node
+       |ORDER BY n.node""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    betweenness(undirected(edges(s, dir)))
+      .select($"node", P.prnd($"b", 6).as("betweenness"))
+      .orderBy($"node")
+  }
+
   /** Per-node community label from synchronous label propagation. */
   val grCommunities = QueryDef(
     "gr_communities",
@@ -607,5 +752,5 @@ object GraphOps {
 
   val defs: Seq[QueryDef] = Seq(grEdges, grDegree, grDegreeDirected,
     grDegreeBuckets, grPagerank, grEigenvector, grComponents, grCloseness,
-    grInfluencers, grCommunities, grCommunityStats)
+    grBetweenness, grInfluencers, grCommunities, grCommunityStats)
 }

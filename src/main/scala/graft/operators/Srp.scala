@@ -1,7 +1,7 @@
 package graft.operators
 
-import graft.functions.{Portable => P, PortableSql => PS}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.functions.{PortableSql => PS}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -14,37 +14,57 @@ import org.apache.spark.sql.types.DecimalType
   * through an exact decimal sum so the sign (bucket bit) is deterministic
   * across engines regardless of summation order.
   *
-  * Scale notes: the plane table is tiny (planes × dims) and broadcast;
-  * signatures are one exploded join + two keyed aggregations, all partial
-  * — at 100 TB the bucket join prunes the candidate space to matching
-  * buckets instead of the quadratic all-pairs space.
+  * Scale notes: the ±1 signs are plan-time constants, so signatures are a
+  * pure narrow projection (no plane join, no shuffle) — at 100 TB the
+  * bucket join then prunes the candidate space to matching buckets
+  * instead of the quadratic all-pairs space.
   */
 object Srp {
 
   val Dim = 64
 
-  /** ±1 plane table: (p, j∈1..Dim, sign). */
-  def planes(s: SparkSession, nPlanes: Int): DataFrame = {
-    import s.implicits._
-    s.range(nPlanes).toDF("p").crossJoin(s.range(1, Dim + 1).toDF("j"))
-      .select($"p", $"j",
-        when(P.hexToLong(md5(concat($"p".cast("string"), lit(","), $"j".cast("string"))), 1, 1) % 2 === 0, 1)
-          .otherwise(-1).as("sign"))
+  /** JVM-side twin of the md5-parity sign (same md5 of "p,j", same
+    * first-hex-char parity as [[planes]] / the SQL derivation) — computed
+    * once at plan-build time so signatures need no plane-table join.
+    */
+  private def signOf(p: Int, j: Int): Int = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$p,$j".getBytes("UTF-8"))
+    if (((d(0) >> 4) & 0xf) % 2 == 0) 1 else -1
   }
 
-  /** Per-vector band keys: (vec_id, band, bkey). nPlanes/bandSize bands. */
+  /** Per-vector band keys: (vec_id, band, bkey). nPlanes/bandSize bands.
+    *
+    * dot_p = Σ_j x_j·sign(p,j) with exact decimal terms. Decimal addition
+    * is associative (no fp rounding), so the sum equals the oracle's in
+    * ANY order — which lets a narrow in-row array aggregate replace the
+    * earlier posexplode→plane-join→re-aggregate pipeline (N·planes·dims
+    * intermediate rows and two shuffles → zero shuffles, pure codegen'd
+    * projection that scales embarrassingly at 100 TB).
+    */
   def bandKeys(emb: DataFrame, nPlanes: Int, bandSize: Int): DataFrame = {
     val s = emb.sparkSession
     import s.implicits._
-    val expl = emb.select($"vec_id", posexplode($"embedding").as(Seq("j0", "x")))
-      .select($"vec_id", ($"j0" + 1).as("j"), $"x")
-    val dots = expl.join(broadcast(planes(s, nPlanes)), "j")
-      .groupBy($"vec_id", $"p")
-      .agg(sum($"x".cast("double").cast(DecimalType(18, 9)) * $"sign").as("dot"))
-    dots.groupBy($"vec_id", expr(s"p div $bandSize").as("band"))
-      .agg(sum(when($"dot" > 0,
-        expr(s"shiftleft(CAST(1 AS BIGINT), CAST(p % $bandSize AS INT))"))
-        .otherwise(lit(0L))).as("bkey"))
+    def dot(p: Int): Column = {
+      val sgn = typedlit((1 to Dim).map(j => signOf(p, j)))
+      // (18,9)·(1,0) terms + (28,9) accumulator keep every intermediate
+      // under DECIMAL(38): the fold's add yields (29,9) — scale intact —
+      // and the cast back to (28,9) is exact for any |dot| < 1e19
+      aggregate(
+        zip_with($"embedding", sgn,
+          (x, sg) => x.cast("double").cast(DecimalType(18, 9)) * sg.cast(DecimalType(1, 0))),
+        lit(java.math.BigDecimal.ZERO).cast(DecimalType(28, 9)),
+        (acc, v) => (acc + v).cast(DecimalType(28, 9)))
+    }
+    val dots = (0 until nPlanes).map(dot)
+    val bands = (0 until nPlanes / bandSize).map { b =>
+      val bkey = (0 until bandSize).map { i =>
+        when(dots(b * bandSize + i) > 0, lit(1L << i)).otherwise(lit(0L))
+      }.reduce(_ + _)
+      struct(lit(b).cast("long").as("band"), bkey.as("bkey"))
+    }
+    emb.select($"vec_id", explode(array(bands: _*)).as("bb"))
+      .select($"vec_id", $"bb.band".as("band"), $"bb.bkey".as("bkey"))
   }
 
   /** DuckDB twin of [[planes]] + [[bandKeys]] as CTE text; exposes

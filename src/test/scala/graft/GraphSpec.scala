@@ -24,6 +24,16 @@ class GraphSpec extends GraftSuite {
     assert(rows.forall(_.getAs[Double]("eigenvector") > 0))
   }
 
+  test("landmark betweenness: nonnegative, hub-discriminating, all nodes") {
+    val rows = run("gr_betweenness_approx").collect()
+    val nodes = operators.GraphOps.undirected(operators.GraphOps.edges(spark, sfDir))
+      .select("node").distinct().count()
+    assert(rows.length === nodes)
+    assert(rows.forall(_.getAs[Double]("betweenness") >= 0.0))
+    // a path-sampled centrality that can't tell nodes apart is broken
+    assert(rows.map(_.getAs[Double]("betweenness")).distinct.length > 10)
+  }
+
   test("every node gets a component and labels are canonical members") {
     val comp = run("gr_components")
     val nodes = operators.GraphOps.undirected(operators.GraphOps.edges(spark, sfDir))

@@ -10,13 +10,14 @@ class MlMultimodalSpec extends GraftSuite {
     val (model, acc) = SentimentPipeline.trainEval(Tables.documents(spark, sfDir))
     assert(acc > 0.45, s"accuracy was $acc")
     assert(model.stages.length === 6)
-    // assembled width = learned vocab + the 2 numeric side-features
+    // assembled width = learned vocab + the 3 numeric side-features
+    // (lex_score, n_tokens, emoji_score)
     val vocab = model.stages(2).asInstanceOf[org.apache.spark.ml.feature.CountVectorizerModel]
       .vocabulary.length
     val sample = model.transform(
       SentimentPipeline.labeled(Tables.documents(spark, sfDir)).limit(1))
       .select("features").head().getAs[org.apache.spark.ml.linalg.Vector]("features")
-    assert(sample.size === vocab + 2)
+    assert(sample.size === vocab + 3)
   }
 
   test("all three reference classifiers train (lr, rf, nb)") {
