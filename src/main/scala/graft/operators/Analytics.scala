@@ -155,6 +155,32 @@ object Analytics {
       .orderBy($"user_id")
   }
 
+  /** 7-day rolling active users per day (the dashboard's DAU/WAU panel).
+    * Scale shape: the day dimension is bounded by the time horizon (tiny —
+    * broadcast into a range join), while per-(day, user) actives come from
+    * one partial pre-aggregation of the event stream; COUNT(DISTINCT)
+    * then groups by day only. Never a window-over-raw-events plan, whose
+    * per-row distinct state would not survive 100 TB.
+    */
+  val rollingActive = QueryDef(
+    "an_rolling_active",
+    s"""WITH ${PS.evCte},
+       |daily AS MATERIALIZED (SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM ev),
+       |days AS MATERIALIZED (SELECT DISTINCT d FROM daily)
+       |SELECT a.d AS day, CAST(COUNT(DISTINCT b.user_id) AS BIGINT) AS active_7d
+       |FROM days a JOIN daily b ON b.d >= a.d - 6 AND b.d <= a.d
+       |GROUP BY a.d ORDER BY day""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val daily = Tables.events(s, dir)
+      .select($"ts".cast("date").as("d"), $"user_id").distinct()
+    val days = daily.select($"d".as("day")).distinct()
+    broadcast(days)
+      .join(daily, $"d" >= date_sub($"day", 6) && $"d" <= $"day")
+      .groupBy($"day")
+      .agg(countDistinct($"user_id").as("active_7d"))
+      .orderBy($"day")
+  }
+
   val defs: Seq[QueryDef] = Seq(timeline, topGroups, dowActivity, valueBuckets,
-    quantiles, keywordMentions, explorer, userActivity)
+    quantiles, keywordMentions, explorer, userActivity, rollingActive)
 }

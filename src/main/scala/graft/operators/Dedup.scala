@@ -256,7 +256,11 @@ object Dedup {
     val p = jaccardPairs(s, dir).select($"doc_a", $"doc_b").localCheckpoint(true)
     val und = p.select($"doc_a".as("node"), $"doc_b".as("nb"), lit(1L).as("weight"))
       .union(p.select($"doc_b".as("node"), $"doc_a".as("nb"), lit(1L).as("weight")))
-    GraphOps.components(und)
+    // near-dup clusters are small cliques/chains (diameter ~1-2): two
+    // unchecked rounds then check-per-round converges in ~3 rounds total
+    // instead of paying the full 8-round unchecked batch sized for the
+    // social graph's diameter
+    GraphOps.components(und, uncheckedRounds = 2)
       .select($"node".as("doc_id"), $"comp".as("cluster"),
         ($"node" === $"comp").as("keep"))
       .orderBy("doc_id")

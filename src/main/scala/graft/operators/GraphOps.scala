@@ -201,7 +201,8 @@ object GraphOps {
     * to check-per-round, so callers on unknown-diameter graphs (e.g.
     * dd_clusters' near-dup chains) still get the exact fixpoint.
     */
-  def components(und: DataFrame, maxIters: Int = 20): DataFrame = {
+  def components(und: DataFrame, maxIters: Int = 20,
+      uncheckedRounds: Int = CcUncheckedRounds): DataFrame = {
     val s = und.sparkSession
     import s.implicits._
     // size-based partitioning for the per-round join relation (see pagerank)
@@ -218,7 +219,7 @@ object GraphOps {
         .localCheckpoint(true)
     }
     var i = 0
-    while (i < CcUncheckedRounds && i < maxIters) {
+    while (i < uncheckedRounds && i < maxIters) {
       lbls = step(lbls)
       i += 1
     }

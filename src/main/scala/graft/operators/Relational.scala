@@ -132,6 +132,60 @@ object Relational {
       .orderBy($"o_custkey", $"rnk")
   }
 
+  /** As-of join — for each purchase event, the latest prior (ts ≤) view
+    * event of the same user, with the gap in microseconds. Spark has no
+    * native ASOF JOIN; the scalable re-expression is the union-marker +
+    * running `last(ignoreNulls)` window: ONE shuffle on the join key and a
+    * per-partition sort, versus a per-row point lookup (driver loop) or an
+    * exploding range join. Ties at the same timestamp: the view sorts
+    * before the purchase (inclusive as-of) and the max view event_id wins
+    * — both deterministic, mirrored in the oracle's window ORDER BY.
+    * At 100 TB this is the standard time-series enrichment shape: state is
+    * one running value per partition, and AQE splits skewed users.
+    */
+  val qAsofJoin = QueryDef(
+    "q_asof_join",
+    s"""WITH ${PS.evCte},
+       |u AS MATERIALIZED (
+       |  SELECT user_id, ts AS t, 1 AS is_view, event_id AS v_id,
+       |    CAST(NULL AS BIGINT) AS p_id FROM ev WHERE event_type = 'view'
+       |  UNION ALL
+       |  SELECT user_id, ts, 0, CAST(NULL AS BIGINT), event_id
+       |  FROM ev WHERE event_type = 'purchase'),
+       |m AS MATERIALIZED (
+       |  SELECT user_id, t, is_view, p_id,
+       |    last_value(v_id IGNORE NULLS) OVER w AS asof_view_id,
+       |    last_value(CASE WHEN is_view = 1 THEN t END IGNORE NULLS) OVER w AS asof_view_ts
+       |  FROM u
+       |  WINDOW w AS (PARTITION BY user_id
+       |    ORDER BY t, is_view DESC, COALESCE(v_id, p_id)
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+       |SELECT p_id AS event_id, user_id, t AS ts, asof_view_id, asof_view_ts,
+       |  epoch_us(t) - epoch_us(asof_view_ts) AS gap_us
+       |FROM m WHERE is_view = 0 ORDER BY event_id""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(s, dir).select($"event_id", $"user_id", $"ts", $"event_type")
+    val v = ev.filter($"event_type" === "view")
+      .select($"user_id", $"ts".as("t"), lit(1).as("is_view"),
+        $"event_id".as("v_id"), lit(null).cast("long").as("p_id"))
+    val p = ev.filter($"event_type" === "purchase")
+      .select($"user_id", $"ts".as("t"), lit(0).as("is_view"),
+        lit(null).cast("long").as("v_id"), $"event_id".as("p_id"))
+    val w = Window.partitionBy($"user_id")
+      .orderBy($"t", $"is_view".desc, coalesce($"v_id", $"p_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    v.union(p)
+      .select($"user_id", $"t", $"is_view", $"p_id",
+        last($"v_id", ignoreNulls = true).over(w).as("asof_view_id"),
+        last(when($"is_view" === 1, $"t"), ignoreNulls = true).over(w).as("asof_view_ts"))
+      .filter($"is_view" === 0)
+      .select($"p_id".as("event_id"), $"user_id", $"t".as("ts"),
+        $"asof_view_id", $"asof_view_ts",
+        (unix_micros($"t") - unix_micros($"asof_view_ts")).as("gap_us"))
+      .orderBy("event_id")
+  }
+
   /** Multi-level rollup aggregate (returnflag × linestatus). */
   val qRollup = QueryDef(
     "q_rollup",
@@ -157,5 +211,5 @@ object Relational {
       .orderBy($"returnflag", $"linestatus")
   }
 
-  val defs: Seq[QueryDef] = Seq(q1, q3, q5, qWindowRank, qRollup)
+  val defs: Seq[QueryDef] = Seq(q1, q3, q5, qWindowRank, qAsofJoin, qRollup)
 }

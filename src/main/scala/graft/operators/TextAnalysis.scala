@@ -205,6 +205,50 @@ object TextAnalysis {
       .orderBy($"n".desc, $"bigram").limit(30)
   }
 
+  /** Top-3 key terms per document by tf×idf-ratio — keyword extraction,
+    * the per-doc topic signal a training-data pipeline tags documents
+    * with. The idf factor is the UNLOGGED ratio (N+1)/(df+1) scaled to an
+    * integer score `tf·(N+1)·10^6 div (df+1)`: integer-exact, so ranking
+    * and hashes are engine-portable with no float-log edge cases.
+    * Scale shape: explode → two partial aggregations (tf, df) → one
+    * broadcast-sized df join (vocab ≪ corpus) → per-doc top-k window.
+    */
+  val keyterms = QueryDef(
+    "tx_keyterms",
+    s"""WITH tf AS MATERIALIZED (
+       |  SELECT doc_id, w AS term, CAST(COUNT(*) AS BIGINT) AS tf FROM (
+       |    SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents) t
+       |  WHERE NOT w IN (${inList(TextFns.StopWords)})
+       |  GROUP BY doc_id, w),
+       |df AS MATERIALIZED (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term),
+       |nd AS MATERIALIZED (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+       |scored AS MATERIALIZED (SELECT t.doc_id, t.term,
+       |    (t.tf * ((SELECT n FROM nd) + 1) * 1000000) // (d.df + 1) AS score
+       |  FROM tf t JOIN df d USING (term))
+       |SELECT doc_id, term, score, rank FROM (
+       |  SELECT doc_id, term, score,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+       |      ORDER BY score DESC, term) AS BIGINT) AS rank
+       |  FROM scored) r
+       |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val tf = Tables.documents(s, dir)
+      .select($"doc_id", explode(split($"text", " ")).as("term"))
+      .filter(!$"term".isin(TextFns.StopWords: _*))
+      .groupBy($"doc_id", $"term").agg(P.cnt.as("tf"))
+    val df = tf.groupBy($"term").agg(P.cnt.as("df"))
+    val n = Tables.documents(s, dir).count()
+    val w = Window.partitionBy($"doc_id").orderBy($"score".desc, $"term")
+    tf.join(broadcast(df), "term")
+      .select($"doc_id", $"term",
+        expr(s"(tf * ${n + 1} * 1000000) div (df + 1)").as("score"))
+      .select($"doc_id", $"term", $"score",
+        row_number().over(w).cast("long").as("rank"))
+      .filter($"rank" <= 3)
+      .orderBy($"doc_id", $"rank")
+  }
+
   val defs: Seq[QueryDef] = Seq(langId, quality, tokenCount, fingerprint,
-    contamination, ngramStats)
+    contamination, ngramStats, keyterms)
 }

@@ -66,4 +66,47 @@ class CoreOperatorsSpec extends GraftSuite {
     assert(run("an_dow_activity").agg(sum("n")).head().getLong(0) === ev)
     assert(run("an_value_buckets").agg(sum("n")).head().getLong(0) === ev)
   }
+
+  test("as-of join matches a brute-force latest-prior-view lookup") {
+    import spark.implicits._
+    // micros, not getTime millis — the event timestamps carry µs precision
+    def us(t: java.sql.Timestamp): Long = t.getTime * 1000 + (t.getNanos / 1000) % 1000
+    val ev = Tables.events(spark, sfDir)
+      .select($"event_id", $"user_id", $"ts", $"event_type").collect()
+      .map(r => (r.getLong(0), r.getLong(1), us(r.getTimestamp(2)), r.getString(3)))
+    val views = ev.filter(_._4 == "view").groupBy(_._2)
+    val rows = run("q_asof_join").collect()
+    assert(rows.length === ev.count(_._4 == "purchase"))
+    rows.foreach { r =>
+      val (uid, t) = (r.getAs[Long]("user_id"), us(r.getAs[java.sql.Timestamp]("ts")))
+      val want = views.getOrElse(uid, Array.empty).filter(_._3 <= t)
+        .sortBy(v => (v._3, v._1)).lastOption
+      val got = Option(r.getAs[java.lang.Long]("asof_view_id")).map(_.longValue)
+      assert(got === want.map(_._1), s"user $uid at $t")
+    }
+  }
+
+  test("keyterms: at most 3 ranked non-stopword terms per doc, scores descending") {
+    import spark.implicits._
+    val rows = run("tx_keyterms").collect()
+    assert(rows.nonEmpty)
+    val byDoc = rows.groupBy(_.getAs[Long]("doc_id"))
+    assert(byDoc.values.forall(_.length <= 3))
+    byDoc.values.foreach { rs =>
+      val sorted = rs.sortBy(_.getAs[Long]("rank"))
+      val scores = sorted.map(_.getAs[Long]("score"))
+      assert(scores.sameElements(scores.sorted(Ordering[Long].reverse)))
+    }
+    assert(rows.forall(r => !functions.TextFns.StopWords.contains(r.getAs[String]("term"))))
+  }
+
+  test("rolling 7-day actives dominate single-day actives") {
+    import spark.implicits._
+    val daily = Tables.events(spark, sfDir)
+      .select($"ts".cast("date").as("day"), $"user_id").distinct()
+      .groupBy($"day").agg(countDistinct($"user_id").as("d1"))
+    val rolled = run("an_rolling_active").join(daily, "day")
+    assert(rolled.count() > 0)
+    assert(rolled.filter($"active_7d" < $"d1").count() === 0)
+  }
 }
