@@ -54,6 +54,7 @@ object Bench {
     "sim_pair_stats" -> 2.0, "sim_lsh_topk" -> 2.5, "sim_bruteforce_topk" -> 3.0,
     "dd_clusters" -> 3.0, "tx_contamination" -> 1.5, "tx_ngram_stats" -> 0.5,
     "tx_keyterms" -> 1.0, "q_asof_join" -> 1.0, "an_rolling_active" -> 0.7,
+    "etl_stratified_sample" -> 0.5, "tx_repetition" -> 0.8,
     "gr_edges" -> 2.0, "gr_degree" -> 2.5, "gr_degree_directed" -> 2.5,
     "gr_degree_buckets" -> 2.5,
     "gr_components" -> 8.0, "gr_closeness" -> 7.0, "gr_betweenness_approx" -> 10.0,

@@ -124,5 +124,29 @@ object Etl {
       .orderBy($"user_id", $"session_idx")
   }
 
-  val defs: Seq[QueryDef] = Seq(cleanText, filterEnrich, dedupIngest, parseJson, sessionize)
+  /** Deterministic stratified sampling — the reproducible data-mixing op
+    * of a training pipeline (downsample the dominant language, keep more
+    * of the rare ones). The sample decision is a pure function of the
+    * row key (md5 bucket), so it is stable across runs, engines,
+    * partitionings and SFs — never `rand()`, which is none of those.
+    * Scale shape: narrow map + filter on the scan, zero shuffles.
+    */
+  val stratifiedSample = QueryDef(
+    "etl_stratified_sample",
+    s"""WITH h AS MATERIALIZED (SELECT doc_id, lang, source,
+       |    ${PS.hexToLong("md5(CAST(doc_id AS VARCHAR))", 1, 8)} % 100 AS bucket
+       |  FROM documents)
+       |SELECT doc_id, lang, source, bucket FROM h
+       |WHERE bucket < (CASE WHEN lang = 'en' THEN 20 ELSE 60 END)
+       |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select($"doc_id", $"lang", $"source",
+        (P.hexToLong(md5($"doc_id".cast("string")), 1, 8) % 100).as("bucket"))
+      .filter($"bucket" < when($"lang" === "en", 20).otherwise(60))
+      .orderBy("doc_id")
+  }
+
+  val defs: Seq[QueryDef] = Seq(cleanText, filterEnrich, dedupIngest, parseJson,
+    sessionize, stratifiedSample)
 }

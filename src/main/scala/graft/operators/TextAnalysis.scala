@@ -249,6 +249,37 @@ object TextAnalysis {
       .orderBy($"doc_id", $"rank")
   }
 
+  /** Within-document repetition ratio — the boilerplate/degenerate-text
+    * quality signal (CCNet-style): 1 − distinct-3-grams / total-3-grams.
+    * High ratio = repeated boilerplate or looping generations, the stuff a
+    * training pipeline drops. Narrow map over the scan, no shuffle.
+    */
+  val repetition = QueryDef(
+    "tx_repetition",
+    s"""WITH t AS MATERIALIZED (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |g AS MATERIALIZED (SELECT doc_id,
+       |    CAST(len(w) - 2 AS BIGINT) AS n3,
+       |    CAST(len(list_distinct(list_transform(generate_series(1, len(w) - 2),
+       |      i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2]))) AS BIGINT) AS d3
+       |  FROM t WHERE len(w) >= 3)
+       |SELECT doc_id, n3, d3,
+       |  ${PS.prnd("1 - CAST(d3 AS DOUBLE) / CAST(n3 AS DOUBLE)", 6)} AS rep_ratio
+       |FROM g ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val withW = Tables.documents(s, dir)
+      .select($"doc_id", split($"text", " ").as("w"))
+      .filter(size($"w") >= 3)
+    val sh3 = transform(
+      sequence(lit(1), size($"w") - 2),
+      i => concat_ws(" ", element_at($"w", i), element_at($"w", i + 1), element_at($"w", i + 2)))
+    withW.select($"doc_id",
+        (size($"w") - 2).cast("long").as("n3"),
+        size(array_distinct(sh3)).cast("long").as("d3"))
+      .select($"doc_id", $"n3", $"d3",
+        P.prnd(lit(1) - $"d3".cast("double") / $"n3".cast("double"), 6).as("rep_ratio"))
+      .orderBy("doc_id")
+  }
+
   val defs: Seq[QueryDef] = Seq(langId, quality, tokenCount, fingerprint,
-    contamination, ngramStats, keyterms)
+    contamination, ngramStats, keyterms, repetition)
 }

@@ -96,3 +96,39 @@ object PlanDump {
     spark.stop()
   }
 }
+/** Dev-only: pagerank with checkpoint every K rounds instead of every
+  * round — measures whether fusing iterations cuts the per-round job
+  * latency floor without letting Catalyst re-analysis blow up.
+  */
+object PrFuseProbe {
+  def main(args: Array[String]): Unit = {
+    val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
+    val every = if (args.length > 1) args(1).toInt else 2
+    val spark = graft.GraftSession.get(32)
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val t0 = System.nanoTime()
+    val und = graft.operators.GraphOps.undirected(graft.operators.GraphOps.edges(spark, dir))
+    val u = und.localCheckpoint(true)
+    val nodes = u.select($"node").distinct().localCheckpoint(true)
+    val n = nodes.count()
+    val wdeg = u.groupBy($"node").agg(sum($"weight").as("wd"))
+    val norm = u.join(wdeg, "node")
+      .select($"node".as("src"), $"nb".as("dst"), ($"weight"/$"wd").as("p"))
+      .repartition($"src").localCheckpoint(true)
+    println(f"PRFUSE setup ${(System.nanoTime()-t0)/1e9}%6.2f every=$every")
+    var ranks = nodes.select($"node", (lit(1.0)/n).as("r")).localCheckpoint(true)
+    val tAll = System.nanoTime()
+    for (i <- 1 to 10) {
+      val t = System.nanoTime()
+      val contribs = norm.join(broadcast(ranks.withColumnRenamed("node", "src0")), $"src" === $"src0")
+        .groupBy($"dst").agg(sum($"r" * $"p").as("contrib"))
+      val next = contribs.select($"dst".as("node"), (lit(0.15)/n + lit(0.85)*$"contrib").as("r"))
+      ranks = if (i % every == 0 || i == 10) next.localCheckpoint(true) else next
+      println(f"PRFUSE iter$i ${(System.nanoTime()-t)/1e9}%6.2f")
+    }
+    println(f"PRFUSE iterations total ${(System.nanoTime()-tAll)/1e9}%6.2f")
+    println("PRFUSE checksum " + ranks.agg(sum($"r")).head())
+    spark.stop()
+  }
+}

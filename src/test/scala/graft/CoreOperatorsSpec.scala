@@ -100,6 +100,32 @@ class CoreOperatorsSpec extends GraftSuite {
     assert(rows.forall(r => !functions.TextFns.StopWords.contains(r.getAs[String]("term"))))
   }
 
+  test("stratified sample is deterministic and tracks the per-stratum rates") {
+    import spark.implicits._
+    val a = run("etl_stratified_sample").collect()
+    val b = run("etl_stratified_sample").collect()
+    assert(a.map(_.getAs[Long]("doc_id")).toSeq === b.map(_.getAs[Long]("doc_id")).toSeq)
+    val totals = Tables.documents(spark, sfDir).groupBy($"lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val kept = a.groupBy(_.getAs[String]("lang")).view.mapValues(_.length.toDouble).toMap
+    val enRate = kept.getOrElse("en", 0.0) / totals("en")
+    val otherKept = kept.filterNot(_._1 == "en").values.sum
+    val otherTotal = totals.filterNot(_._1 == "en").values.sum
+    assert(enRate > 0.05 && enRate < 0.40, s"en rate $enRate should track 20%")
+    assert(otherKept / otherTotal > 0.40 && otherKept / otherTotal < 0.80,
+      s"non-en rate ${otherKept / otherTotal} should track 60%")
+  }
+
+  test("repetition ratio is in [0,1) and zero only for all-distinct docs") {
+    val rows = run("tx_repetition").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n3, d3, ratio) = (r.getAs[Long]("n3"), r.getAs[Long]("d3"), r.getAs[Double]("rep_ratio"))
+      assert(ratio >= 0.0 && ratio < 1.0)
+      assert((ratio == 0.0) === (n3 == d3))
+    }
+  }
+
   test("rolling 7-day actives dominate single-day actives") {
     import spark.implicits._
     val daily = Tables.events(spark, sfDir)
