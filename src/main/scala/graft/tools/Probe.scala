@@ -132,3 +132,20 @@ object PrFuseProbe {
     spark.stop()
   }
 }
+/** Dev-only: dump full formatted physical plans for the headline queries
+  * (source for the committed PLANS.md evidence artifact).
+  */
+object PlansDoc {
+  def main(args: Array[String]): Unit = {
+    val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
+    val names = Seq("q1_pricing_summary", "q5_region_revenue", "etl_clean_text",
+      "dd_minhash_lsh", "dd_embedding", "sim_bruteforce_topk", "q_asof_join",
+      "gr_edges", "tx_keyterms")
+    val spark = graft.GraftSession.get(8)
+    names.foreach { n =>
+      println(s"===== $n =====")
+      graft.SparkEntry.queries(n)(spark, dir).explain("formatted")
+    }
+    spark.stop()
+  }
+}

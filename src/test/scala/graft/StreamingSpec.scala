@@ -20,6 +20,34 @@ class StreamingSpec extends GraftSuite {
     assert(got === want)
   }
 
+  test("file-source parquet stream matches the oracled batch window agg") {
+    import spark.implicits._
+    // raw on-disk schema (ts is long: nanosAsLong), converted exactly as
+    // Tables.events does — the real file-stream ingest path, not a memory
+    // stub. The file source wants a directory: link the table in.
+    val path = s"$sfDir/events.parquet"
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_src")
+    dir.toFile.deleteOnExit()
+    java.nio.file.Files.createSymbolicLink(
+      dir.resolve("events.parquet"), java.nio.file.Paths.get(path))
+    val raw = spark.readStream
+      .schema(spark.read.parquet(path).schema).parquet(dir.toString)
+    val ev = raw.select(timestamp_micros(expr("ts div 1000")).as("ts"),
+      $"event_type", $"value")
+    val q = EventStream.windowAgg(ev)
+      .writeStream.format("memory").queryName("file_stream_test")
+      .outputMode("complete").start()
+    q.processAllAvailable()
+    val got = spark.table("file_stream_test").collect()
+      .map(r => (r.getAs[java.sql.Timestamp]("window_start"), r.getAs[String]("event_type"),
+        r.getAs[Long]("n"), r.getAs[Double]("sum_value"))).toSet
+    q.stop()
+    val want = run("st_window_agg").collect()
+      .map(r => (r.getAs[java.sql.Timestamp]("window_start"), r.getAs[String]("event_type"),
+        r.getAs[Long]("n"), r.getAs[Double]("sum_value"))).toSet
+    assert(got === want)
+  }
+
   test("streaming window agg over a MemoryStream equals the batch twin") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
