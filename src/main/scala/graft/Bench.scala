@@ -55,6 +55,7 @@ object Bench {
     "dd_clusters" -> 3.0, "tx_contamination" -> 1.5, "tx_ngram_stats" -> 0.5,
     "tx_keyterms" -> 1.0, "q_asof_join" -> 1.0, "an_rolling_active" -> 0.7,
     "etl_stratified_sample" -> 0.5, "tx_repetition" -> 0.8,
+    "etl_corpus_prep" -> 0.8, "tx_corpus_mixture" -> 0.4,
     "gr_edges" -> 2.0, "gr_degree" -> 2.5, "gr_degree_directed" -> 2.5,
     "gr_degree_buckets" -> 2.5,
     "gr_components" -> 8.0, "gr_closeness" -> 7.0, "gr_betweenness_approx" -> 10.0,

@@ -260,7 +260,7 @@ object Dedup {
     // unchecked rounds then check-per-round converges in ~3 rounds total
     // instead of paying the full 8-round unchecked batch sized for the
     // social graph's diameter
-    GraphOps.components(und, uncheckedRounds = 2)
+    GraphOps.components(GraphOps.iterRelation(und), uncheckedRounds = 2)
       .select($"node".as("doc_id"), $"comp".as("cluster"),
         ($"node" === $"comp").as("keep"))
       .orderBy("doc_id")

@@ -147,6 +147,68 @@ object Etl {
       .orderBy("doc_id")
   }
 
+  /** Corpus-prep gate — the composite keep/drop decision a training-data
+    * pipeline runs per document, with the reject reason recorded so each
+    * filter's yield is auditable (the reference runs the same stages as
+    * separate cleaning steps; reference: spark_etl.py:60-118). Stage
+    * precedence: token-length bounds, then exact-duplicate (first-wins on
+    * content hash), then quality threshold (same formula as `tx_quality`).
+    * Shape at 100 TB: one narrow feature map, one content-hash aggregation
+    * (the dd_exact shape), one hash join back — no other shuffle.
+    */
+  val corpusPrep = QueryDef(
+    "etl_corpus_prep",
+    s"""WITH f AS MATERIALIZED (SELECT doc_id, md5(text) AS h,
+       |    CAST(length(text) AS BIGINT) AS n_chars,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS wc,
+       |    CAST(len(list_filter(string_split(text, ' '), x -> x IN (${TextFns.StopWords.map(w => s"'$w'").mkString(", ")}))) AS BIGINT) AS stops
+       |  FROM documents),
+       |k AS MATERIALIZED (SELECT md5(text) AS h, min(doc_id) AS keep_id
+       |  FROM documents GROUP BY 1),
+       |s AS MATERIALIZED (SELECT f.doc_id, f.wc,
+       |    CAST(0.4 AS DOUBLE) * least(n_chars / 400, CAST(1.0 AS DOUBLE))
+       |      + CAST(0.3 AS DOUBLE) * (1 - stops / wc)
+       |      + CAST(0.3 AS DOUBLE) * least(((n_chars - wc + 1) / wc) / 8, CAST(1.0 AS DOUBLE)) AS q,
+       |    f.doc_id <> k.keep_id AS is_dup
+       |  FROM f JOIN k ON f.h = k.h),
+       |v AS MATERIALIZED (SELECT doc_id, wc, q,
+       |    CASE WHEN wc < 16 THEN 'too_short'
+       |      WHEN wc > 94 THEN 'too_long'
+       |      WHEN is_dup THEN 'duplicate'
+       |      WHEN q < CAST(0.63 AS DOUBLE) THEN 'low_quality'
+       |      ELSE 'keep' END AS verdict
+       |  FROM s)
+       |SELECT doc_id, wc, ${PS.prnd("q", 6)} AS quality, verdict,
+       |  verdict = 'keep' AS keep
+       |FROM v ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val toks = split($"text", " ")
+    val f = Tables.documents(s, dir).select(
+      $"doc_id", md5($"text").as("h"),
+      length($"text").cast("long").as("n_chars"),
+      size(toks).cast("long").as("wc"),
+      TextFns.countTokensIn(toks, TextFns.StopWords).cast("long").as("stops"))
+    // fresh scan for the hash aggregate (the dd_exact ambiguous-self-join
+    // guard): k's h must not alias f's h attribute
+    val k = Tables.documents(s, dir)
+      .groupBy(md5($"text").as("h")).agg(min($"doc_id").as("keep_id"))
+    val v = f.join(k, "h").select(
+      $"doc_id", $"wc",
+      (lit(0.4) * least($"n_chars" / lit(400), lit(1.0))
+        + lit(0.3) * (lit(1) - $"stops" / $"wc")
+        + lit(0.3) * least((($"n_chars" - $"wc" + 1) / $"wc") / lit(8), lit(1.0))).as("q"),
+      ($"doc_id" =!= $"keep_id").as("is_dup"))
+      .select($"doc_id", $"wc", $"q",
+        when($"wc" < 16, "too_short")
+          .when($"wc" > 94, "too_long")
+          .when($"is_dup", "duplicate")
+          .when($"q" < lit(0.63), "low_quality")
+          .otherwise("keep").as("verdict"))
+    v.select($"doc_id", $"wc", P.prnd($"q", 6).as("quality"), $"verdict",
+        ($"verdict" === "keep").as("keep"))
+      .orderBy("doc_id")
+  }
+
   val defs: Seq[QueryDef] = Seq(cleanText, filterEnrich, dedupIngest, parseJson,
-    sessionize, stratifiedSample)
+    sessionize, stratifiedSample, corpusPrep)
 }

@@ -80,18 +80,35 @@ object GraphOps {
       .agg(count(lit(1)).as("weight"))
   }
 
-  /** Both directions of the undirected graph: (node, nb, weight). */
+  /** Both directions of the undirected graph: (node, nb, weight) — a LAZY
+    * view. The union duplicates the edge build into both branches; they
+    * run as parallel stages, so a single-pass caller (degree aggregation)
+    * gets its answer without a materialization round-trip. Iterating
+    * callers must wrap it in [[iterRelation]] first.
+    */
   def undirected(e: DataFrame): DataFrame = {
     val s = e.sparkSession
     import s.implicits._
-    // the union references e twice — eager localCheckpoint so the
-    // orders⋈lineitem edge build runs once, not once per direction; the
-    // checkpoint blocks are reference-cleaned when the plan is GC'd, so a
-    // composing caller never leaks storage (persist() would need an
-    // unpersist handle we can't give them)
-    val ec = e.localCheckpoint(true)
-    ec.select($"src".as("node"), $"dst".as("nb"), $"weight")
-      .union(ec.select($"dst".as("node"), $"src".as("nb"), $"weight"))
+    e.select($"src".as("node"), $"dst".as("nb"), $"weight")
+      .union(e.select($"dst".as("node"), $"src".as("nb"), $"weight"))
+  }
+
+  /** Materialized iteration relation: hash-partitioned by `node` — the key
+    * every iterative op AGGREGATES on — then eagerly checkpointed once.
+    * Each round then runs broadcast-join (on `nb`, partitioning-neutral) +
+    * partition-local aggregation on `node`, so no per-round |E| shuffle.
+    * Partitioning by the JOIN key instead (an earlier shape) bought
+    * nothing — the state side is broadcast — and cost every round a
+    * full-width shuffle before its groupBy; measured 1.3s vs 0.48s per
+    * min-label round at sf0.1. The repartition is AQE-coalescible, so the
+    * relation gets size-based partitions (a dozen at bench SF, thousands
+    * at 100 TB). localCheckpoint blocks are reference-cleaned on GC; at
+    * 100 TB swap for reliable checkpoint() (survives executor loss).
+    */
+  def iterRelation(und: DataFrame): DataFrame = {
+    val s = und.sparkSession
+    import s.implicits._
+    und.repartition($"node").localCheckpoint(true)
   }
 
   /** Degree + weighted degree per node. */
@@ -106,22 +123,23 @@ object GraphOps {
     * NetworkX-equivalent formulation (network_analysis.py:123-178): every
     * node in the undirected graph has out-edges, so there is no dangling
     * mass and pr_{t+1}(v) = (1-d)/N + d·Σ_{u→v} pr_t(u)·w(u,v)/wdeg(u).
+    *
+    * `u` must be an [[iterRelation]] (materialized, node-partitioned).
     */
-  def pagerank(und: DataFrame, iters: Int = PrIters): DataFrame = {
-    val s = und.sparkSession
+  def pagerank(u: DataFrame, iters: Int = PrIters): DataFrame = {
+    val s = u.sparkSession
     import s.implicits._
-    val u = und.localCheckpoint(true)
     val nodes = u.select($"node").distinct().localCheckpoint(true)
     val n = nodes.count()
+    // wdeg is |V| rows: broadcast it explicitly — size estimation over a
+    // checkpoint+agg is too conservative to trigger the auto-broadcast,
+    // and the sort-merge fallback shuffles the full |E| relation once per
+    // query (measured 2.2s vs 1.0s for this step at sf0.1). norm inherits
+    // u's node(=src) partitioning through the broadcast join, so no
+    // repartition; one localCheckpoint amortizes it over the iterations.
     val wdeg = u.groupBy($"node").agg(sum($"weight").as("wd"))
-    // repartition-by-col is an AQE-coalescible shuffle: the materialized
-    // iteration relation gets size-based partitions (a couple at bench SF,
-    // thousands at 100 TB) instead of inheriting the union's many tiny
-    // ones — per-iteration task-launch overhead is the local bottleneck.
-    // localCheckpoint (not persist) so the blocks self-clean on GC.
-    val norm = u.join(wdeg, "node")
+    val norm = u.join(broadcast(wdeg), "node")
       .select($"node".as("src"), $"nb".as("dst"), ($"weight" / $"wd").as("p"))
-      .repartition($"src")
       .localCheckpoint(true)
     // Eager localCheckpoint after every round: persist alone leaves the
     // analyzed plan growing one join+agg deeper per iteration, and
@@ -155,14 +173,15 @@ object GraphOps {
     * mirroring NetworkX's formulation; network_analysis.py:123-178).
     * The global L2 norm runs through an exact decimal sum so each
     * iteration's scale factor is bit-identical to the oracle's.
+    *
+    * `u` must be an [[iterRelation]]: the per-round groupBy(node) then
+    * aggregates partition-locally (the broadcast join on `nb` preserves
+    * u's node partitioning), so no round shuffles the |E| relation.
     */
-  def eigenvector(und: DataFrame, iters: Int = PrIters): DataFrame = {
-    val s = und.sparkSession
+  def eigenvector(u: DataFrame, iters: Int = PrIters): DataFrame = {
+    val s = u.sparkSession
     import s.implicits._
     import org.apache.spark.sql.types.DecimalType
-    // size-based partitioning for the per-iteration join relation (see
-    // pagerank) — the iteration joins on `nb`.
-    val u = und.repartition($"nb").localCheckpoint(true)
     val nodes = u.select($"node").distinct().localCheckpoint(true)
     val n = nodes.count()
     var x = nodes.select($"node", (lit(1.0) / n).as("x")).localCheckpoint(true)
@@ -201,12 +220,10 @@ object GraphOps {
     * to check-per-round, so callers on unknown-diameter graphs (e.g.
     * dd_clusters' near-dup chains) still get the exact fixpoint.
     */
-  def components(und: DataFrame, maxIters: Int = 20,
+  def components(u: DataFrame, maxIters: Int = 20,
       uncheckedRounds: Int = CcUncheckedRounds): DataFrame = {
-    val s = und.sparkSession
+    val s = u.sparkSession
     import s.implicits._
-    // size-based partitioning for the per-round join relation (see pagerank)
-    val u = und.repartition($"nb").localCheckpoint(true)
     // eager localCheckpoint per round truncates lineage (see pagerank)
     var lbls = u.select($"node").distinct()
       .select($"node", $"node".as("lbl")).localCheckpoint(true)
@@ -245,10 +262,9 @@ object GraphOps {
     * [[pagerank]]. At 100 TB |V|·K outgrows a broadcast: keep both sides
     * hash-partitioned on the node key instead (same note as pagerank).
     */
-  def closeness(und: DataFrame, k: Int = ClLandmarks, rounds: Int = ClRounds): DataFrame = {
-    val s = und.sparkSession
+  def closeness(u: DataFrame, k: Int = ClLandmarks, rounds: Int = ClRounds): DataFrame = {
+    val s = u.sparkSession
     import s.implicits._
-    val u = und.repartition($"nb").localCheckpoint(true)
     val nodes = u.select($"node").distinct().localCheckpoint(true)
     val lmk = nodes.orderBy($"node").limit(k).select($"node".as("lmk")).localCheckpoint(true)
     var dist = lmk.select($"lmk".as("node"), $"lmk", lit(0).as("d")).localCheckpoint(true)
@@ -289,10 +305,9 @@ object GraphOps {
     * δ aggregation routes through decimal casts (Portable.dsum) so the
     * DuckDB oracle twin hash-matches despite double non-associativity.
     */
-  def betweenness(und: DataFrame, k: Int = BwLandmarks, rounds: Int = BwRounds): DataFrame = {
-    val s = und.sparkSession
+  def betweenness(u: DataFrame, k: Int = BwLandmarks, rounds: Int = BwRounds): DataFrame = {
+    val s = u.sparkSession
     import s.implicits._
-    val u = und.repartition($"nb").localCheckpoint(true)
     val nodes = u.select($"node").distinct().localCheckpoint(true)
     val lmk = nodes.orderBy($"node").limit(k).select($"node".as("lmk")).localCheckpoint(true)
     var state = lmk
@@ -351,10 +366,9 @@ object GraphOps {
     * two-level aggregation ((node,label) then node) is map-side partial,
     * so each round's shuffle carries candidate-label rows, not edges.
     */
-  def communities(und: DataFrame, iters: Int = LpIters): DataFrame = {
-    val s = und.sparkSession
+  def communities(u: DataFrame, iters: Int = LpIters): DataFrame = {
+    val s = u.sparkSession
     import s.implicits._
-    val u = und.repartition($"nb").localCheckpoint(true)
     var lbls = u.select($"node").distinct()
       .select($"node", $"node".as("lbl")).localCheckpoint(true)
     for (_ <- 1 to iters) {
@@ -621,7 +635,7 @@ object GraphOps {
        |${prChain(PrIters)}
        |SELECT node, ${PS.prnd("r", 8)} AS pagerank FROM pr$PrIters ORDER BY node""".stripMargin) { (s, dir) =>
     import s.implicits._
-    pagerank(undirected(edges(s, dir)))
+    pagerank(iterRelation(undirected(edges(s, dir))))
       .select($"node", P.prnd($"r", 8).as("pagerank"))
       .orderBy($"node")
   }
@@ -632,7 +646,7 @@ object GraphOps {
        |${evChain(PrIters)}
        |SELECT node, ${PS.prnd("x", 8)} AS eigenvector FROM ev$PrIters ORDER BY node""".stripMargin) { (s, dir) =>
     import s.implicits._
-    eigenvector(undirected(edges(s, dir)))
+    eigenvector(iterRelation(undirected(edges(s, dir))))
       .select($"node", P.prnd($"x", 8).as("eigenvector"))
       .orderBy($"node")
   }
@@ -641,7 +655,7 @@ object GraphOps {
     "gr_components",
     s"""WITH $eSql, $undSql, ${ccChain(CcUncheckedRounds)}
        |SELECT node, comp FROM comp ORDER BY node""".stripMargin) { (s, dir) =>
-    components(undirected(edges(s, dir))).orderBy("node")
+    components(iterRelation(undirected(edges(s, dir)))).orderBy("node")
   }
 
   /** Min-max-normalized composite influencer score, top 20
@@ -664,11 +678,10 @@ object GraphOps {
        |FROM met, st
        |ORDER BY score DESC, node LIMIT 20""".stripMargin) { (s, dir) =>
     import s.implicits._
-    // undirected() checkpoints the edge build internally; the union on top
-    // is cheap to recompute, so no extra pin here
-    val und = undirected(edges(s, dir))
-    val met = degrees(und)
-      .join(pagerank(und), "node")
+    // one materialization shared by the degree aggregation and pagerank
+    val u = iterRelation(undirected(edges(s, dir)))
+    val met = degrees(u)
+      .join(pagerank(u), "node")
       .select($"node", $"degree".cast("double").as("dg"),
         $"wdegree".cast("double").as("wd"), $"r".as("pr"))
     val st = met.agg(
@@ -696,7 +709,7 @@ object GraphOps {
        |LEFT JOIN cld$ClRounds d ON d.node = n.node AND d.lmk = l.lmk
        |GROUP BY n.node ORDER BY n.node""".stripMargin) { (s, dir) =>
     import s.implicits._
-    closeness(undirected(edges(s, dir)))
+    closeness(iterRelation(undirected(edges(s, dir))))
       .select($"node", P.prnd($"c", 8).as("closeness"))
       .orderBy($"node")
   }
@@ -710,7 +723,7 @@ object GraphOps {
        |FROM bnodes n LEFT JOIN bbc b ON n.node = b.node
        |ORDER BY n.node""".stripMargin) { (s, dir) =>
     import s.implicits._
-    betweenness(undirected(edges(s, dir)))
+    betweenness(iterRelation(undirected(edges(s, dir))))
       .select($"node", P.prnd($"b", 6).as("betweenness"))
       .orderBy($"node")
   }
@@ -721,7 +734,7 @@ object GraphOps {
     s"""WITH $eSql, $undSql,
        |${lpChain(LpIters)}
        |SELECT node, lbl AS community FROM lp$LpIters ORDER BY node""".stripMargin) { (s, dir) =>
-    communities(undirected(edges(s, dir))).orderBy("node")
+    communities(iterRelation(undirected(edges(s, dir)))).orderBy("node")
   }
 
   /** Per-community member count / total degree / mean degree / weight —
@@ -741,8 +754,9 @@ object GraphOps {
        |FROM lp$LpIters JOIN deg USING (node)
        |GROUP BY lbl ORDER BY community""".stripMargin) { (s, dir) =>
     import s.implicits._
-    val und = undirected(edges(s, dir))
-    communities(und).join(degrees(und), "node")
+    // one materialization shared by label propagation and the degree agg
+    val u = iterRelation(undirected(edges(s, dir)))
+    communities(u).join(degrees(u), "node")
       .groupBy($"community")
       .agg(P.cnt.as("n_members"),
         sum($"degree").as("total_degree"),

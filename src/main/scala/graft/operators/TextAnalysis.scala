@@ -280,6 +280,39 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Corpus mixture table — per (source, lang) document/token totals, each
+    * group's share of corpus tokens, and a uniform-target sampling weight
+    * (target = corpus_tokens / n_groups; weight = target / actual, capped
+    * at 3x upsampling) — the domain-mixing input a training run samples
+    * from. Two partial aggregations and a broadcast of one global-stats
+    * row: scan-bound at 100 TB.
+    */
+  val corpusMixture = QueryDef(
+    "tx_corpus_mixture",
+    s"""WITH g AS MATERIALIZED (SELECT source, lang, COUNT(*) AS n_docs,
+       |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens
+       |  FROM documents GROUP BY 1, 2),
+       |t AS MATERIALIZED (SELECT CAST(SUM(total_tokens) AS BIGINT) AS corpus_tokens,
+       |    COUNT(*) AS n_groups FROM g)
+       |SELECT source, lang, n_docs, total_tokens,
+       |  ${PS.prnd("CAST(total_tokens AS DOUBLE) / corpus_tokens", 8)} AS token_share,
+       |  ${PS.prnd("least(CAST(corpus_tokens AS DOUBLE) / (n_groups * total_tokens), CAST(3.0 AS DOUBLE))", 8)} AS sample_weight
+       |FROM g CROSS JOIN t ORDER BY source, lang""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val g = Tables.documents(s, dir)
+      .groupBy($"source", $"lang")
+      .agg(P.cnt.as("n_docs"),
+        sum(size(split($"text", " "))).cast("long").as("total_tokens"))
+    val t = g.agg(sum($"total_tokens").cast("long").as("corpus_tokens"),
+      P.cnt.as("n_groups"))
+    g.crossJoin(broadcast(t))
+      .select($"source", $"lang", $"n_docs", $"total_tokens",
+        P.prnd($"total_tokens".cast("double") / $"corpus_tokens", 8).as("token_share"),
+        P.prnd(least($"corpus_tokens".cast("double") / ($"n_groups" * $"total_tokens"),
+          lit(3.0)), 8).as("sample_weight"))
+      .orderBy("source", "lang")
+  }
+
   val defs: Seq[QueryDef] = Seq(langId, quality, tokenCount, fingerprint,
-    contamination, ngramStats, keyterms, repetition)
+    contamination, ngramStats, keyterms, repetition, corpusMixture)
 }

@@ -149,3 +149,72 @@ object PlansDoc {
     spark.stop()
   }
 }
+/** Dev-only: compare shared graph-prefix shapes (edges→und materialization)
+  * and per-round iteration cost over each, plus the wdeg-join strategy.
+  */
+object UndProbe {
+  def main(args: Array[String]): Unit = {
+    val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
+    val spark = graft.GraftSession.get(32)
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    def t[A](label: String)(f: => A): A = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"UNDPROBE $label%-40s ${(System.nanoTime() - t0) / 1e9}%7.2f s"); r
+    }
+    // warm
+    graft.SparkEntry.queries("q1_pricing_summary")(spark, dir).count()
+
+    def rounds(u: org.apache.spark.sql.DataFrame, n: Int, label: String): Unit = {
+      var lbls = u.select($"node").distinct()
+        .select($"node", $"node".as("lbl")).localCheckpoint(true)
+      t(s"$label: $n rounds") {
+        for (_ <- 1 to n) {
+          val nb = u.join(broadcast(lbls.withColumnRenamed("node", "nb0")), $"nb" === $"nb0")
+            .select($"node", $"lbl")
+          lbls = nb.union(lbls).groupBy($"node").agg(min($"lbl").as("lbl")).localCheckpoint(true)
+        }
+      }
+    }
+
+    // A: current shape
+    val uA = t("A: ed.ckpt + union + repart(nb) + ckpt") {
+      val und = graft.operators.GraphOps.undirected(graft.operators.GraphOps.edges(spark, dir))
+      und.repartition($"nb").localCheckpoint(true)
+    }
+    println("UNDPROBE A parts=" + uA.rdd.getNumPartitions)
+    rounds(uA, 6, "A")
+
+    // B: single ckpt, union branches run twice in parallel
+    val uB = t("B: union(no inner ckpt) + repart(node) + ckpt") {
+      val e = graft.operators.GraphOps.edges(spark, dir)
+      e.select($"src".as("node"), $"dst".as("nb"), $"weight")
+        .union(e.select($"dst".as("node"), $"src".as("nb"), $"weight"))
+        .repartition($"node").localCheckpoint(true)
+    }
+    println("UNDPROBE B parts=" + uB.rdd.getNumPartitions)
+    rounds(uB, 6, "B")
+
+    // C: ed ckpt + union only (no 2nd materialization), iterate over union view
+    val uC = t("C: ed.ckpt + union (no 2nd ckpt)") {
+      graft.operators.GraphOps.undirected(graft.operators.GraphOps.edges(spark, dir))
+    }
+    println("UNDPROBE C parts=" + uC.rdd.getNumPartitions)
+    rounds(uC, 6, "C")
+
+    // wdeg join strategy over shape A
+    t("wdeg agg+join+repart+ckpt (auto)") {
+      val wdeg = uA.groupBy($"node").agg(sum($"weight").as("wd"))
+      uA.join(wdeg, "node")
+        .select($"node".as("src"), $"nb".as("dst"), ($"weight" / $"wd").as("p"))
+        .repartition($"src").localCheckpoint(true)
+    }
+    t("wdeg agg+join+ckpt (explicit bcast, no repart)") {
+      val wdeg = uA.groupBy($"node").agg(sum($"weight").as("wd"))
+      uA.join(broadcast(wdeg), "node")
+        .select($"node".as("src"), $"nb".as("dst"), ($"weight" / $"wd").as("p"))
+        .localCheckpoint(true)
+    }
+    spark.stop()
+  }
+}

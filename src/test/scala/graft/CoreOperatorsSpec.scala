@@ -126,6 +126,33 @@ class CoreOperatorsSpec extends GraftSuite {
     }
   }
 
+  test("corpus prep covers every doc once with consistent verdicts") {
+    import spark.implicits._
+    val rows = run("etl_corpus_prep").collect()
+    assert(rows.length.toLong === Tables.documents(spark, sfDir).count())
+    rows.foreach { r =>
+      val (wc, verdict, keep) =
+        (r.getAs[Long]("wc"), r.getAs[String]("verdict"), r.getAs[Boolean]("keep"))
+      assert(keep === (verdict == "keep"))
+      if (wc < 16) assert(verdict === "too_short")
+      if (wc > 94) assert(verdict === "too_long")
+      if (verdict == "low_quality") assert(r.getAs[Double]("quality") < 0.63)
+    }
+    assert(rows.count(_.getAs[Boolean]("keep")) > 0, "gate must keep something")
+    assert(rows.exists(!_.getAs[Boolean]("keep")), "gate must reject something")
+  }
+
+  test("corpus mixture shares sum to 1 and weights respect the 3x cap") {
+    val rows = run("tx_corpus_mixture").collect()
+    assert(rows.nonEmpty)
+    val shareSum = rows.map(_.getAs[Double]("token_share")).sum
+    assert(math.abs(shareSum - 1.0) < 1e-6, s"token shares summed to $shareSum")
+    rows.foreach { r =>
+      val w = r.getAs[Double]("sample_weight")
+      assert(w > 0.0 && w <= 3.0)
+    }
+  }
+
   test("rolling 7-day actives dominate single-day actives") {
     import spark.implicits._
     val daily = Tables.events(spark, sfDir)
