@@ -179,11 +179,12 @@ object Bench {
         lock.synchronized { skipped += name }
       } else {
         val first = runOne(name, fn, perQueryCap)
-        // second sample only while comfortably inside the Spark slice —
-        // and never for the iterative gr_* suite, whose many-job samples
-        // are the first thing to shed when the host throttles.
-        val runs = first.toSeq ++ (if (first.isDefined && elapsed < sparkBudgetSec / 2
-            && !name.startsWith("gr_"))
+        // second sample only while comfortably inside the Spark slice.
+        // The gr_* suite is included (r5 excluded it when the sweep was
+        // budget-starved): the host's bursty 10-20x throttle spikes hit
+        // the many-job iterative queries hardest, and min-of-2 is the
+        // only defense that smooths them.
+        val runs = first.toSeq ++ (if (first.isDefined && elapsed < sparkBudgetSec / 2)
           runOne(name, fn, perQueryCap) else None)
         if (runs.nonEmpty) lock.synchronized {
           timings(name) = runs.min

@@ -93,17 +93,20 @@ object GraphOps {
       .union(e.select($"dst".as("node"), $"src".as("nb"), $"weight"))
   }
 
-  /** Materialized iteration relation: hash-partitioned by `node` — the key
-    * every iterative op AGGREGATES on — then eagerly checkpointed once.
-    * Each round then runs broadcast-join (on `nb`, partitioning-neutral) +
-    * partition-local aggregation on `node`, so no per-round |E| shuffle.
-    * Partitioning by the JOIN key instead (an earlier shape) bought
-    * nothing — the state side is broadcast — and cost every round a
-    * full-width shuffle before its groupBy; measured 1.3s vs 0.48s per
-    * min-label round at sf0.1. The repartition is AQE-coalescible, so the
-    * relation gets size-based partitions (a dozen at bench SF, thousands
-    * at 100 TB). localCheckpoint blocks are reference-cleaned on GC; at
-    * 100 TB swap for reliable checkpoint() (survives executor loss).
+  /** Materialized iteration relation: hash-partitioned by `node`, the
+    * high-cardinality key, then eagerly checkpointed ONCE (the earlier
+    * shape checkpointed twice: once for the edge build, again after a
+    * repartition by `nb`). Partitioning by `nb` skewed the relation —
+    * half its rows carry the ~1k supplier ids, so a few partitions
+    * straggled through every round's join+sort+aggregate stage; hashing
+    * by `node` (~16k mixed ids at sf0.1) balances them. Measured 1.3s vs
+    * 0.48s per min-label round at sf0.1. Per-round shuffles stay small
+    * either way: the partial aggregate runs before the exchange, so only
+    * per-partition distinct keys move. The repartition is
+    * AQE-coalescible, so the relation gets size-based partitions (a
+    * dozen at bench SF, thousands at 100 TB). localCheckpoint blocks are
+    * reference-cleaned on GC; at 100 TB swap for reliable checkpoint()
+    * (survives executor loss).
     */
   def iterRelation(und: DataFrame): DataFrame = {
     val s = und.sparkSession
@@ -129,15 +132,18 @@ object GraphOps {
   def pagerank(u: DataFrame, iters: Int = PrIters): DataFrame = {
     val s = u.sparkSession
     import s.implicits._
-    val nodes = u.select($"node").distinct().localCheckpoint(true)
-    val n = nodes.count()
+    // one partition-local aggregation doubles as the node list (every
+    // node has an edge in the undirected relation), so the separate
+    // distinct() pass over |E| is gone
+    val wdeg = u.groupBy($"node").agg(sum($"weight").as("wd")).localCheckpoint(true)
+    val nodes = wdeg.select($"node")
+    val n = wdeg.count()
     // wdeg is |V| rows: broadcast it explicitly — size estimation over a
     // checkpoint+agg is too conservative to trigger the auto-broadcast,
     // and the sort-merge fallback shuffles the full |E| relation once per
     // query (measured 2.2s vs 1.0s for this step at sf0.1). norm inherits
     // u's node(=src) partitioning through the broadcast join, so no
     // repartition; one localCheckpoint amortizes it over the iterations.
-    val wdeg = u.groupBy($"node").agg(sum($"weight").as("wd"))
     val norm = u.join(broadcast(wdeg), "node")
       .select($"node".as("src"), $"nb".as("dst"), ($"weight" / $"wd").as("p"))
       .localCheckpoint(true)
@@ -205,9 +211,12 @@ object GraphOps {
   }
 
   /** Unchecked min-label rounds before the first convergence count — see
-    * [[components]]. 8 covers twice this graph's ~4 diameter.
+    * [[components]]. Labels stop changing after round 4 at the bench SFs
+    * (measured by replaying the min-label rounds to fixpoint in DuckDB at
+    * sf0.01 and sf0.1), so 6 keeps a 1.5x margin; the check loop after
+    * the unchecked batch still guarantees the exact fixpoint on any graph.
     */
-  val CcUncheckedRounds = 8
+  val CcUncheckedRounds = 6
 
   /** Connected components via iterative min-label propagation; converges in
     * O(diameter) rounds, bounded by maxIters.
@@ -250,6 +259,33 @@ object GraphOps {
     }
     lbls.withColumnRenamed("lbl", "comp")
   }
+
+  /** Numeric-id undirected multi-edge view for [[components]]: customer
+    * nodes are custkey·2, supplier nodes suppkey·2+1. BIGINT labels keep
+    * every round's partial min inside Spark's HashAggregate; the string
+    * node form ('c…'/'s…') forced a SortAggregate over the full edge
+    * relation per round (min over a string buffer is not
+    * hash-aggregable). Duplicate edges are kept — they cannot change a
+    * min-label fixpoint — which also drops the edge-build aggregation
+    * shuffle. [[ccNumFmt]] restores the public string ids at the end.
+    */
+  def numericUnd(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val l = Tables.lineitem(s, dir)
+      .filter(!$"l_suppkey".isin(ExcludedSuppliers: _*))
+      .select($"l_orderkey", $"l_suppkey")
+    val o = Tables.orders(s, dir)
+      .filter(!$"o_custkey".isin(ExcludedCustomers: _*))
+      .select($"o_orderkey", $"o_custkey")
+    val ed = l.join(o, $"l_orderkey" === $"o_orderkey")
+      .select(($"o_custkey".cast("long") * 2).as("node"),
+        ($"l_suppkey".cast("long") * 2 + 1).as("nb"))
+    ed.union(ed.select($"nb".as("node"), $"node".as("nb")))
+  }
+
+  /** 'c<id>' / 's<id>' string form of a [[numericUnd]] node id. */
+  def ccNumFmt(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    concat(when(c % 2 === 0, "c").otherwise("s"), shiftright(c, 1).cast("string"))
 
   /** Landmark-based closeness centrality — the scalable stand-in for the
     * reference's exact NetworkX closeness (network_analysis.py:123-178),
@@ -521,26 +557,40 @@ object GraphOps {
     (base +: steps).mkString(",\n")
   }
 
-  /** cc0..ccN CTE chain — unrolled synchronous min-label rounds, the SQL
-    * twin of [[components]]. Bounded per-round |V|-row state, unlike a
-    * recursive CTE whose UNION accumulates every (node, label) pair ever
-    * seen — quadratic on a connected graph, which is why the r4 oracle
+  /** Numeric-id edge CTEs — the SQL twin of [[numericUnd]]. */
+  private val ccNumSql =
+    s"""en AS MATERIALIZED (SELECT o_custkey * 2 AS node, l_suppkey * 2 + 1 AS nb
+       |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+       |  WHERE o_custkey NOT IN (${ExcludedCustomers.mkString(", ")})
+       |    AND l_suppkey NOT IN (${ExcludedSuppliers.mkString(", ")})),
+       |undn AS MATERIALIZED (SELECT node, nb FROM en
+       |  UNION ALL SELECT nb, node FROM en)""".stripMargin
+
+  /** SQL twin of [[ccNumFmt]]. */
+  private def ccNumFmtSql(col: String): String =
+    s"((CASE WHEN $col % 2 = 0 THEN 'c' ELSE 's' END) || CAST(($col >> 1) AS VARCHAR))"
+
+  /** cc0..ccN CTE chain — unrolled synchronous min-label rounds over the
+    * numeric-id edge view, the SQL twin of [[components]] on
+    * [[numericUnd]]. Bounded per-round |V|-row state, unlike a recursive
+    * CTE whose UNION accumulates every (node, label) pair ever seen —
+    * quadratic on a connected graph, which is why the r4 oracle
     * denominator for gr_components never returned at sf0.1. Equals the
-    * fixpoint whenever the graph diameter ≤ rounds (here ~4 ≤ 8).
+    * fixpoint whenever labels stop moving within `rounds` (measured:
+    * change stops after round 4 at sf0.1, see [[CcUncheckedRounds]]).
     */
   private def ccChain(rounds: Int): String = {
     val base =
-      """nodes2 AS MATERIALIZED (SELECT DISTINCT node FROM und),
+      """nodes2 AS MATERIALIZED (SELECT DISTINCT node FROM undn),
         |cc0 AS MATERIALIZED (SELECT node, node AS lbl FROM nodes2)""".stripMargin
     val steps = (1 to rounds).map { i =>
       s"""cc$i AS MATERIALIZED (SELECT x.node, MIN(x.lbl) AS lbl FROM (
          |    SELECT node, lbl FROM cc${i - 1}
          |    UNION ALL
-         |    SELECT u.node, c.lbl FROM und u JOIN cc${i - 1} c ON u.nb = c.node) x
+         |    SELECT u.node, c.lbl FROM undn u JOIN cc${i - 1} c ON u.nb = c.node) x
          |  GROUP BY x.node)""".stripMargin
     }
-    val fin = s"comp AS MATERIALIZED (SELECT node, lbl AS comp FROM cc$rounds)"
-    (base +: steps :+ fin).mkString(",\n")
+    (base +: steps).mkString(",\n")
   }
 
   // --------------------------------------------------------------- queries
@@ -653,9 +703,13 @@ object GraphOps {
 
   val grComponents = QueryDef(
     "gr_components",
-    s"""WITH $eSql, $undSql, ${ccChain(CcUncheckedRounds)}
-       |SELECT node, comp FROM comp ORDER BY node""".stripMargin) { (s, dir) =>
-    components(iterRelation(undirected(edges(s, dir)))).orderBy("node")
+    s"""WITH $ccNumSql, ${ccChain(CcUncheckedRounds)}
+       |SELECT ${ccNumFmtSql("node")} AS node, ${ccNumFmtSql("lbl")} AS comp
+       |FROM cc$CcUncheckedRounds ORDER BY node""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    components(iterRelation(numericUnd(s, dir)))
+      .select(ccNumFmt($"node").as("node"), ccNumFmt($"comp").as("comp"))
+      .orderBy("node")
   }
 
   /** Min-max-normalized composite influencer score, top 20

@@ -146,6 +146,22 @@ object PlansDoc {
       println(s"===== $n =====")
       graft.SparkEntry.queries(n)(spark, dir).explain("formatted")
     }
+    // one min-label iteration round over the node-partitioned numeric
+    // iteration relation — the per-round shape the iterative graph ops
+    // share (numeric labels keep the partial aggregate hash-based)
+    locally {
+      import spark.implicits._
+      import org.apache.spark.sql.functions._
+      val g = graft.operators.GraphOps
+      val u = g.iterRelation(g.numericUnd(spark, dir))
+      val lbls = u.select($"node").distinct()
+        .select($"node", $"node".as("lbl")).localCheckpoint(true)
+      val round = u.join(broadcast(lbls.withColumnRenamed("node", "nb0")), $"nb" === $"nb0")
+        .select($"node", $"lbl")
+        .union(lbls).groupBy($"node").agg(min($"lbl").as("lbl"))
+      println("===== graph_iteration_round =====")
+      round.explain("formatted")
+    }
     spark.stop()
   }
 }
