@@ -80,6 +80,29 @@ object GraphOps {
       .agg(count(lit(1)).as("weight"))
   }
 
+  /** Weighted edges on NUMERIC node ids (customer custkey·2, supplier
+    * suppkey·2+1) — the internal relation every graph computation now
+    * runs on. 8-byte keys hash, compare, sort and shuffle several times
+    * cheaper than the public 'c…'/'s…' strings, and they keep every
+    * aggregate hash-based (string min/max buffers force SortAggregate).
+    * [[fmtNode]] restores the public string ids in each query's final
+    * projection, so outputs are unchanged in shape.
+    */
+  def edgesNum(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val l = Tables.lineitem(s, dir)
+      .filter(!$"l_suppkey".isin(ExcludedSuppliers: _*))
+      .select($"l_orderkey", $"l_suppkey")
+    val o = Tables.orders(s, dir)
+      .filter(!$"o_custkey".isin(ExcludedCustomers: _*))
+      .select($"o_orderkey", $"o_custkey")
+    l.join(o, $"l_orderkey" === $"o_orderkey")
+      .groupBy(
+        ($"o_custkey".cast("long") * 2).as("src"),
+        ($"l_suppkey".cast("long") * 2 + 1).as("dst"))
+      .agg(count(lit(1)).as("weight"))
+  }
+
   /** Both directions of the undirected graph: (node, nb, weight) — a LAZY
     * view. The union duplicates the edge build into both branches; they
     * run as parallel stages, so a single-pass caller (degree aggregation)
@@ -267,7 +290,7 @@ object GraphOps {
     * relation per round (min over a string buffer is not
     * hash-aggregable). Duplicate edges are kept — they cannot change a
     * min-label fixpoint — which also drops the edge-build aggregation
-    * shuffle. [[ccNumFmt]] restores the public string ids at the end.
+    * shuffle. [[fmtNode]] restores the public string ids at the end.
     */
   def numericUnd(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -284,7 +307,7 @@ object GraphOps {
   }
 
   /** 'c<id>' / 's<id>' string form of a [[numericUnd]] node id. */
-  def ccNumFmt(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+  def fmtNode(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     concat(when(c % 2 === 0, "c").otherwise("s"), shiftright(c, 1).cast("string"))
 
   /** Landmark-based closeness centrality — the scalable stand-in for the
@@ -378,8 +401,15 @@ object GraphOps {
         .join(broadcast(delta.select($"node".as("w2"), $"lmk".as("lmk2"), $"delta")),
           $"w" === $"w2" && $"lmk" === $"lmk2", "left")
         .groupBy($"v", $"lmk")
-        .agg(P.dsum(($"sv".cast("double") / $"sw".cast("double"))
-          * (lit(1.0) + coalesce($"delta", lit(0.0))), 9).as("delta"))
+        // the per-edge term is pre-rounded with the portable prnd before
+        // the exact decimal sum: casting a RAW double to decimal(·,9)
+        // rounds by shortest-decimal-repr in Spark but by binary value in
+        // DuckDB, and a term whose repr ends in an exact 5 at digit 9
+        // diverges by 1e-9 (observed once in ~1600 rows); after prnd the
+        // value sits ~0.5e-9 away from any decimal tie, so both engines
+        // cast to the same decimal.
+        .agg(P.dsum(P.prnd(($"sv".cast("double") / $"sw".cast("double"))
+          * (lit(1.0) + coalesce($"delta", lit(0.0))), 9), 9).as("delta"))
         .select($"v".as("node"), $"lmk", $"delta")
       delta = delta.union(lvl).localCheckpoint(true)
     }
@@ -425,6 +455,19 @@ object GraphOps {
 
   private val eSql =
     s"""e AS MATERIALIZED (SELECT 'c' || o_custkey AS src, 's' || l_suppkey AS dst, COUNT(*) AS weight
+       |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+       |  WHERE o_custkey NOT IN (${ExcludedCustomers.mkString(", ")})
+       |    AND l_suppkey NOT IN (${ExcludedSuppliers.mkString(", ")})
+       |  GROUP BY 1, 2)""".stripMargin
+
+  /** Numeric-id twin of [[eSql]] under the SAME CTE name `e`, so the
+    * unrolled chains (which reference `und` built from `e`) run on
+    * BIGINT node ids unchanged — the SQL twin of [[edgesNum]]. Queries
+    * using it format node columns with [[fmtNodeSql]] in their final
+    * projection.
+    */
+  private val eNumSql =
+    s"""e AS MATERIALIZED (SELECT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst, COUNT(*) AS weight
        |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
        |  WHERE o_custkey NOT IN (${ExcludedCustomers.mkString(", ")})
        |    AND l_suppkey NOT IN (${ExcludedSuppliers.mkString(", ")})
@@ -526,7 +569,7 @@ object GraphOps {
          |  FROM bf$rounds WHERE d = $rounds)""".stripMargin
     val bwd = ((rounds - 1) to 0 by -1).map { r =>
       s"""dl$r AS MATERIALIZED (SELECT g.v AS node, g.lmk,
-         |  ${PS.dsum("(CAST(g.sv AS DOUBLE) / CAST(g.sw AS DOUBLE)) * (CAST(1.0 AS DOUBLE) + COALESCE(d2.delta, CAST(0.0 AS DOUBLE)))", 9)} AS delta
+         |  ${PS.dsum(PS.prnd("(CAST(g.sv AS DOUBLE) / CAST(g.sw AS DOUBLE)) * (CAST(1.0 AS DOUBLE) + COALESCE(d2.delta, CAST(0.0 AS DOUBLE)))", 9), 9)} AS delta
          |  FROM bdag g LEFT JOIN dl${r + 1} d2 ON g.w = d2.node AND g.lmk = d2.lmk
          |  WHERE g.dv = $r
          |  GROUP BY g.v, g.lmk)""".stripMargin
@@ -566,8 +609,8 @@ object GraphOps {
        |undn AS MATERIALIZED (SELECT node, nb FROM en
        |  UNION ALL SELECT nb, node FROM en)""".stripMargin
 
-  /** SQL twin of [[ccNumFmt]]. */
-  private def ccNumFmtSql(col: String): String =
+  /** SQL twin of [[fmtNode]]. */
+  private def fmtNodeSql(col: String): String =
     s"((CASE WHEN $col % 2 = 0 THEN 'c' ELSE 's' END) || CAST(($col >> 1) AS VARCHAR))"
 
   /** cc0..ccN CTE chain — unrolled synchronous min-label rounds over the
@@ -605,9 +648,13 @@ object GraphOps {
 
   val grDegree = QueryDef(
     "gr_degree",
-    s"""WITH $eSql, $undSql, $degSql
-       |SELECT node, degree, wdegree FROM deg ORDER BY node""".stripMargin) { (s, dir) =>
-    degrees(undirected(edges(s, dir))).orderBy("node")
+    s"""WITH $eNumSql, $undSql, $degSql
+       |SELECT ${fmtNodeSql("node")} AS node, degree, wdegree
+       |FROM deg ORDER BY node""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    degrees(undirected(edgesNum(s, dir)))
+      .select(fmtNode($"node").as("node"), $"degree", $"wdegree")
+      .orderBy("node")
   }
 
   /** Directed in/out-degree: the reference keeps a directed reply graph
@@ -617,12 +664,12 @@ object GraphOps {
     */
   val grDegreeDirected = QueryDef(
     "gr_degree_directed",
-    s"""WITH $eSql,
+    s"""WITH $eNumSql,
        |outd AS MATERIALIZED (SELECT src AS node, COUNT(*) AS out_degree,
        |    CAST(SUM(weight) AS BIGINT) AS out_weight FROM e GROUP BY src),
        |ind AS MATERIALIZED (SELECT dst AS node, COUNT(*) AS in_degree,
        |    CAST(SUM(weight) AS BIGINT) AS in_weight FROM e GROUP BY dst)
-       |SELECT COALESCE(o.node, i.node) AS node,
+       |SELECT ${fmtNodeSql("COALESCE(o.node, i.node)")} AS node,
        |  COALESCE(o.out_degree, 0) AS out_degree,
        |  COALESCE(o.out_weight, 0) AS out_weight,
        |  COALESCE(i.in_degree, 0) AS in_degree,
@@ -631,7 +678,7 @@ object GraphOps {
        |ORDER BY node""".stripMargin) { (s, dir) =>
     import s.implicits._
     // both aggregations scan the edge build — materialize it once
-    val e = edges(s, dir).localCheckpoint(true)
+    val e = edgesNum(s, dir).localCheckpoint(true)
     val outd = e.groupBy($"src")
       .agg(P.cnt.as("out_degree"), sum($"weight").as("out_weight"))
       .withColumnRenamed("src", "node")
@@ -639,7 +686,7 @@ object GraphOps {
       .agg(P.cnt.as("in_degree"), sum($"weight").as("in_weight"))
       .withColumnRenamed("dst", "node")
     outd.join(ind, Seq("node"), "full_outer")
-      .select($"node",
+      .select(fmtNode($"node").as("node"),
         coalesce($"out_degree", lit(0L)).as("out_degree"),
         coalesce($"out_weight", lit(0L)).as("out_weight"),
         coalesce($"in_degree", lit(0L)).as("in_degree"),
@@ -655,7 +702,7 @@ object GraphOps {
     */
   val grDegreeBuckets = QueryDef(
     "gr_degree_buckets",
-    s"""WITH $eSql, $undSql, $degSql
+    s"""WITH $eNumSql, $undSql, $degSql
        |SELECT CASE WHEN degree > 10 THEN 'super_connected'
        |    WHEN degree >= 5 THEN 'well_connected'
        |    WHEN degree >= 2 THEN 'connected'
@@ -665,7 +712,7 @@ object GraphOps {
        |  CAST(SUM(wdegree) AS BIGINT) AS total_wdegree
        |FROM deg GROUP BY 1 ORDER BY bucket""".stripMargin) { (s, dir) =>
     import s.implicits._
-    degrees(undirected(edges(s, dir)))
+    degrees(undirected(edgesNum(s, dir)))
       .select(
         when($"degree" > 10, "super_connected")
           .when($"degree" >= 5, "well_connected")
@@ -681,34 +728,36 @@ object GraphOps {
 
   val grPagerank = QueryDef(
     "gr_pagerank",
-    s"""WITH $eSql, $undSql,
+    s"""WITH $eNumSql, $undSql,
        |${prChain(PrIters)}
-       |SELECT node, ${PS.prnd("r", 8)} AS pagerank FROM pr$PrIters ORDER BY node""".stripMargin) { (s, dir) =>
+       |SELECT ${fmtNodeSql("node")} AS node, ${PS.prnd("r", 8)} AS pagerank
+       |FROM pr$PrIters ORDER BY node""".stripMargin) { (s, dir) =>
     import s.implicits._
-    pagerank(iterRelation(undirected(edges(s, dir))))
-      .select($"node", P.prnd($"r", 8).as("pagerank"))
+    pagerank(iterRelation(undirected(edgesNum(s, dir))))
+      .select(fmtNode($"node").as("node"), P.prnd($"r", 8).as("pagerank"))
       .orderBy($"node")
   }
 
   val grEigenvector = QueryDef(
     "gr_eigenvector",
-    s"""WITH $eSql, $undSql,
+    s"""WITH $eNumSql, $undSql,
        |${evChain(PrIters)}
-       |SELECT node, ${PS.prnd("x", 8)} AS eigenvector FROM ev$PrIters ORDER BY node""".stripMargin) { (s, dir) =>
+       |SELECT ${fmtNodeSql("node")} AS node, ${PS.prnd("x", 8)} AS eigenvector
+       |FROM ev$PrIters ORDER BY node""".stripMargin) { (s, dir) =>
     import s.implicits._
-    eigenvector(iterRelation(undirected(edges(s, dir))))
-      .select($"node", P.prnd($"x", 8).as("eigenvector"))
+    eigenvector(iterRelation(undirected(edgesNum(s, dir))))
+      .select(fmtNode($"node").as("node"), P.prnd($"x", 8).as("eigenvector"))
       .orderBy($"node")
   }
 
   val grComponents = QueryDef(
     "gr_components",
     s"""WITH $ccNumSql, ${ccChain(CcUncheckedRounds)}
-       |SELECT ${ccNumFmtSql("node")} AS node, ${ccNumFmtSql("lbl")} AS comp
+       |SELECT ${fmtNodeSql("node")} AS node, ${fmtNodeSql("lbl")} AS comp
        |FROM cc$CcUncheckedRounds ORDER BY node""".stripMargin) { (s, dir) =>
     import s.implicits._
     components(iterRelation(numericUnd(s, dir)))
-      .select(ccNumFmt($"node").as("node"), ccNumFmt($"comp").as("comp"))
+      .select(fmtNode($"node").as("node"), fmtNode($"comp").as("comp"))
       .orderBy("node")
   }
 
@@ -718,14 +767,14 @@ object GraphOps {
     */
   val grInfluencers = QueryDef(
     "gr_influencers",
-    s"""WITH $eSql, $undSql, $degSql,
+    s"""WITH $eNumSql, $undSql, $degSql,
        |${prChain(PrIters)},
        |met AS MATERIALIZED (SELECT d.node, CAST(d.degree AS DOUBLE) AS dg,
        |    CAST(d.wdegree AS DOUBLE) AS wd, p.r AS pr
        |  FROM deg d JOIN pr$PrIters p ON d.node = p.node),
        |st AS MATERIALIZED (SELECT min(dg) AS mind, max(dg) AS maxd, min(wd) AS minw,
        |    max(wd) AS maxw, min(pr) AS minp, max(pr) AS maxp FROM met)
-       |SELECT node, floor((
+       |SELECT ${fmtNodeSql("node")} AS node, floor((
        |    CAST(0.3 AS DOUBLE) * (CASE WHEN maxd = mind THEN CAST(0.0 AS DOUBLE) ELSE (dg - mind) / (maxd - mind) END)
        |  + CAST(0.3 AS DOUBLE) * (CASE WHEN maxw = minw THEN CAST(0.0 AS DOUBLE) ELSE (wd - minw) / (maxw - minw) END)
        |  + CAST(0.4 AS DOUBLE) * (CASE WHEN maxp = minp THEN CAST(0.0 AS DOUBLE) ELSE (pr - minp) / (maxp - minp) END)) * 1e8 + 0.5) / 1e8 AS score
@@ -733,7 +782,7 @@ object GraphOps {
        |ORDER BY score DESC, node LIMIT 20""".stripMargin) { (s, dir) =>
     import s.implicits._
     // one materialization shared by the degree aggregation and pagerank
-    val u = iterRelation(undirected(edges(s, dir)))
+    val u = iterRelation(undirected(edgesNum(s, dir)))
     val met = degrees(u)
       .join(pagerank(u), "node")
       .select($"node", $"degree".cast("double").as("dg"),
@@ -745,7 +794,7 @@ object GraphOps {
     def mm(x: org.apache.spark.sql.Column, lo: org.apache.spark.sql.Column, hi: org.apache.spark.sql.Column) =
       when(hi === lo, lit(0.0)).otherwise((x - lo) / (hi - lo))
     met.crossJoin(broadcast(st))
-      .select($"node", P.prnd(
+      .select(fmtNode($"node").as("node"), P.prnd(
         lit(0.3) * mm($"dg", $"mind", $"maxd")
           + lit(0.3) * mm($"wd", $"minw", $"maxw")
           + lit(0.4) * mm($"pr", $"minp", $"maxp"), 8).as("score"))
@@ -755,40 +804,44 @@ object GraphOps {
   /** Landmark-closeness query — see [[closeness]]. */
   val grCloseness = QueryDef(
     "gr_closeness",
-    s"""WITH $eSql, $undSql,
+    s"""WITH $eNumSql, $undSql,
        |${clChain(ClLandmarks, ClRounds)}
-       |SELECT n.node,
+       |SELECT ${fmtNodeSql("n.node")} AS node,
        |  ${PS.prnd(s"CAST($ClLandmarks AS DOUBLE) / CAST(SUM(COALESCE(d.d, ${ClRounds + 1})) AS DOUBLE)", 8)} AS closeness
        |FROM clnodes n CROSS JOIN lmk l
        |LEFT JOIN cld$ClRounds d ON d.node = n.node AND d.lmk = l.lmk
-       |GROUP BY n.node ORDER BY n.node""".stripMargin) { (s, dir) =>
+       |GROUP BY n.node ORDER BY node""".stripMargin) { (s, dir) =>
     import s.implicits._
-    closeness(iterRelation(undirected(edges(s, dir))))
-      .select($"node", P.prnd($"c", 8).as("closeness"))
+    closeness(iterRelation(undirected(edgesNum(s, dir))))
+      .select(fmtNode($"node").as("node"), P.prnd($"c", 8).as("closeness"))
       .orderBy($"node")
   }
 
   /** Landmark-betweenness query — see [[betweenness]]. */
   val grBetweenness = QueryDef(
     "gr_betweenness_approx",
-    s"""WITH $eSql, $undSql,
+    s"""WITH $eNumSql, $undSql,
        |${bwChain(BwLandmarks, BwRounds)}
-       |SELECT n.node, ${PS.prnd("COALESCE(b.b, CAST(0.0 AS DOUBLE))", 6)} AS betweenness
+       |SELECT ${fmtNodeSql("n.node")} AS node, ${PS.prnd("COALESCE(b.b, CAST(0.0 AS DOUBLE))", 6)} AS betweenness
        |FROM bnodes n LEFT JOIN bbc b ON n.node = b.node
-       |ORDER BY n.node""".stripMargin) { (s, dir) =>
+       |ORDER BY node""".stripMargin) { (s, dir) =>
     import s.implicits._
-    betweenness(iterRelation(undirected(edges(s, dir))))
-      .select($"node", P.prnd($"b", 6).as("betweenness"))
+    betweenness(iterRelation(undirected(edgesNum(s, dir))))
+      .select(fmtNode($"node").as("node"), P.prnd($"b", 6).as("betweenness"))
       .orderBy($"node")
   }
 
   /** Per-node community label from synchronous label propagation. */
   val grCommunities = QueryDef(
     "gr_communities",
-    s"""WITH $eSql, $undSql,
+    s"""WITH $eNumSql, $undSql,
        |${lpChain(LpIters)}
-       |SELECT node, lbl AS community FROM lp$LpIters ORDER BY node""".stripMargin) { (s, dir) =>
-    communities(iterRelation(undirected(edges(s, dir)))).orderBy("node")
+       |SELECT ${fmtNodeSql("node")} AS node, ${fmtNodeSql("lbl")} AS community
+       |FROM lp$LpIters ORDER BY node""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    communities(iterRelation(undirected(edgesNum(s, dir))))
+      .select(fmtNode($"node").as("node"), fmtNode($"community").as("community"))
+      .orderBy("node")
   }
 
   /** Per-community member count / total degree / mean degree / weight —
@@ -799,9 +852,9 @@ object GraphOps {
     */
   val grCommunityStats = QueryDef(
     "gr_community_stats",
-    s"""WITH $eSql, $undSql, $degSql,
+    s"""WITH $eNumSql, $undSql, $degSql,
        |${lpChain(LpIters)}
-       |SELECT lbl AS community, COUNT(*) AS n_members,
+       |SELECT ${fmtNodeSql("lbl")} AS community, COUNT(*) AS n_members,
        |  CAST(SUM(degree) AS BIGINT) AS total_degree,
        |  ${PS.prnd("CAST(SUM(degree) AS DOUBLE) / COUNT(*)", 6)} AS avg_degree,
        |  CAST(SUM(wdegree) AS BIGINT) AS total_wdegree
@@ -809,13 +862,15 @@ object GraphOps {
        |GROUP BY lbl ORDER BY community""".stripMargin) { (s, dir) =>
     import s.implicits._
     // one materialization shared by label propagation and the degree agg
-    val u = iterRelation(undirected(edges(s, dir)))
+    val u = iterRelation(undirected(edgesNum(s, dir)))
     communities(u).join(degrees(u), "node")
       .groupBy($"community")
       .agg(P.cnt.as("n_members"),
         sum($"degree").as("total_degree"),
         P.prnd(sum($"degree").cast("double") / count(lit(1)), 6).as("avg_degree"),
         sum($"wdegree").as("total_wdegree"))
+      .select(fmtNode($"community").as("community"), $"n_members",
+        $"total_degree", $"avg_degree", $"total_wdegree")
       .orderBy($"community")
   }
 
