@@ -33,7 +33,7 @@ import java.util.concurrent.atomic.{AtomicBoolean, AtomicInteger}
   */
 object Bench {
 
-  /** Previous-round cost (sec at sf0.1, BENCH_r03 + TimeQ this round);
+  /** Previous-round cost (sec at sf0.1, round-6 BENCH_SELF + TimeQ);
     * generous estimates for queries that have never been timed. Only the
     * ORDER matters — cheapest first guarantees full sweeps.
     */
@@ -49,19 +49,20 @@ object Bench {
     "tx_fingerprint" -> 0.8, "mm_binary_meta" -> 0.8,
     "etl_clean_text" -> 1.0, "etl_filter_enrich" -> 1.0, "etl_dedup_ingest" -> 0.6,
     "etl_parse_json" -> 1.0, "etl_sessionize" -> 1.5, "st_window_agg" -> 1.2,
-    "dd_simhash" -> 1.5, "dd_embedding" -> 4.0, "dd_minhash_lsh" -> 6.0,
-    "dd_ngram_jaccard" -> 9.0,
-    "sim_pair_stats" -> 2.0, "sim_lsh_topk" -> 2.5, "sim_bruteforce_topk" -> 3.0,
-    "dd_clusters" -> 3.0, "tx_contamination" -> 1.5, "tx_ngram_stats" -> 0.5,
+    "st_enrich_agg" -> 1.2,
+    "dd_simhash" -> 1.5, "dd_embedding" -> 1.9, "dd_minhash_lsh" -> 1.4,
+    "dd_ngram_jaccard" -> 1.8,
+    "sim_pair_stats" -> 0.8, "sim_lsh_topk" -> 1.0, "sim_bruteforce_topk" -> 0.5,
+    "dd_clusters" -> 2.7, "tx_contamination" -> 0.8, "tx_ngram_stats" -> 0.5,
     "tx_keyterms" -> 1.0, "q_asof_join" -> 1.0, "an_rolling_active" -> 0.7,
     "etl_stratified_sample" -> 0.5, "tx_repetition" -> 0.8,
     "etl_corpus_prep" -> 0.8, "tx_corpus_mixture" -> 0.4,
-    "gr_edges" -> 2.0, "gr_degree" -> 2.5, "gr_degree_directed" -> 2.5,
-    "gr_degree_buckets" -> 2.5,
-    "gr_components" -> 8.0, "gr_closeness" -> 7.0, "gr_betweenness_approx" -> 10.0,
-    "gr_pagerank" -> 9.0,
-    "gr_eigenvector" -> 9.0, "gr_influencers" -> 10.0, "gr_communities" -> 9.0,
-    "gr_community_stats" -> 10.0)
+    "gr_edges" -> 1.5, "gr_degree" -> 1.4, "gr_degree_directed" -> 1.4,
+    "gr_degree_buckets" -> 1.3,
+    "gr_components" -> 2.2, "gr_closeness" -> 4.8, "gr_betweenness_approx" -> 9.0,
+    "gr_pagerank" -> 4.5,
+    "gr_eigenvector" -> 3.9, "gr_influencers" -> 4.5, "gr_communities" -> 3.0,
+    "gr_community_stats" -> 3.1)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

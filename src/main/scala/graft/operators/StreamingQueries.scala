@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.{QueryDef, Tables}
 import graft.functions.{PortableSql => PS}
-import graft.streaming.EventStream
+import graft.streaming.{EnrichStream, EventStream}
 
 /** Batch twins of the streaming pipelines (SURVEY §2j). `st_window_agg`
   * runs [[EventStream.windowAgg]] — the exact code the streaming job runs
@@ -22,5 +22,24 @@ object StreamingQueries {
       .orderBy("window_start", "event_type")
   }
 
-  val defs: Seq[QueryDef] = Seq(windowAgg)
+  /** Batch twin of [[EnrichStream.enrichAgg]]: events enriched with the
+    * customer market segment, hourly per-segment windows.
+    */
+  val enrichAgg = QueryDef(
+    "st_enrich_agg",
+    s"""WITH ${PS.evCte}
+       |SELECT date_trunc('hour', ev.ts) AS window_start,
+       |  c.c_mktsegment AS segment,
+       |  COUNT(*) AS n, ${PS.dsum("ev.value")} AS sum_value
+       |FROM ev JOIN customer c ON ev.user_id = c.c_custkey
+       |GROUP BY 1, 2
+       |ORDER BY window_start, segment""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val dim = Tables.customer(s, dir)
+      .select($"c_custkey".as("cust_id"), $"c_mktsegment".as("segment"))
+    EnrichStream.enrichAgg(Tables.events(s, dir), dim)
+      .orderBy("window_start", "segment")
+  }
+
+  val defs: Seq[QueryDef] = Seq(windowAgg, enrichAgg)
 }

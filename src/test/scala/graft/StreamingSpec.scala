@@ -70,6 +70,31 @@ class StreamingSpec extends GraftSuite {
     assert(byKey(("2024-01-01 11:00:00.0", "click")) === ((1L, 4.0)))
   }
 
+  test("stream-static enrichment join over a MemoryStream matches the batch semantics") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, Long, Double)]
+    val input = mem.toDF().toDF("ts", "user_id", "value")
+    val dim = Seq((1L, "BUILDING"), (2L, "MACHINERY")).toDF("cust_id", "segment")
+    val q = streaming.EnrichStream.enrichAgg(input, dim)
+      .writeStream.format("memory").queryName("enrich_agg_test")
+      .outputMode("complete").start()
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // user 3 has no dimension row and must be dropped by the inner join
+    mem.addData((ts("2024-01-01 10:15:00"), 1L, 1.0),
+      (ts("2024-01-01 10:45:00"), 1L, 2.0),
+      (ts("2024-01-01 10:50:00"), 2L, 8.0),
+      (ts("2024-01-01 10:55:00"), 3L, 99.0))
+    q.processAllAvailable()
+    val rows = spark.table("enrich_agg_test").collect()
+    q.stop()
+    val byKey = rows.map(r => (r.getAs[java.sql.Timestamp]("window_start").toString,
+      r.getAs[String]("segment")) -> (r.getAs[Long]("n"), r.getAs[Double]("sum_value"))).toMap
+    assert(byKey.size === 2)
+    assert(byKey(("2024-01-01 10:00:00.0", "BUILDING")) === ((2L, 3.0)))
+    assert(byKey(("2024-01-01 10:00:00.0", "MACHINERY")) === ((1L, 8.0)))
+  }
+
   test("foreachBatch upsert sink replaces window rows instead of appending") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
