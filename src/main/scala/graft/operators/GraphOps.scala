@@ -392,13 +392,17 @@ object GraphOps {
       .select($"lmk", $"v", $"dv", $"sv", $"w", $"sw")
       .localCheckpoint(true)
     // deepest level seeds δ = 0; each earlier level is fully determined by
-    // the one above it (DAG edges only cross adjacent levels)
-    var delta = state.filter($"d" === rounds)
+    // the one above it (DAG edges only cross adjacent levels), so each
+    // round joins ONLY the previous level and the levels are unioned once
+    // at the end — accumulating into one relation re-checkpointed the
+    // whole union every level for nothing
+    var prev = state.filter($"d" === rounds)
       .select($"node", $"lmk", lit(0.0).as("delta"))
       .localCheckpoint(true)
+    val levels = scala.collection.mutable.ArrayBuffer(prev)
     for (r <- (rounds - 1) to 0 by -1) {
       val lvl = dag.filter($"dv" === r)
-        .join(broadcast(delta.select($"node".as("w2"), $"lmk".as("lmk2"), $"delta")),
+        .join(broadcast(prev.select($"node".as("w2"), $"lmk".as("lmk2"), $"delta")),
           $"w" === $"w2" && $"lmk" === $"lmk2", "left")
         .groupBy($"v", $"lmk")
         // the per-edge term is pre-rounded with the portable prnd before
@@ -411,8 +415,11 @@ object GraphOps {
         .agg(P.dsum(P.prnd(($"sv".cast("double") / $"sw".cast("double"))
           * (lit(1.0) + coalesce($"delta", lit(0.0))), 9), 9).as("delta"))
         .select($"v".as("node"), $"lmk", $"delta")
-      delta = delta.union(lvl).localCheckpoint(true)
+        .localCheckpoint(true)
+      levels += lvl
+      prev = lvl
     }
+    val delta = levels.reduce(_ union _)
     // a source never accumulates its own dependency (Brandes: v ≠ s)
     val bc = delta.filter($"node" =!= $"lmk")
       .groupBy($"node")
