@@ -180,13 +180,18 @@ object Bench {
         lock.synchronized { skipped += name }
       } else {
         val first = runOne(name, fn, perQueryCap)
-        // second sample only while comfortably inside the Spark slice.
+        // extra samples only while comfortably inside the Spark slice.
         // The gr_* suite is included (r5 excluded it when the sweep was
         // budget-starved): the host's bursty 10-20x throttle spikes hit
-        // the many-job iterative queries hardest, and min-of-2 is the
-        // only defense that smooths them.
-        val runs = first.toSeq ++ (if (first.isDefined && elapsed < sparkBudgetSec / 2)
-          runOne(name, fn, perQueryCap) else None)
+        // the many-job iterative queries hardest, and min-of-N is the
+        // only defense that smooths them — a third sample is taken for
+        // queries over 1s, where a single spike costs whole seconds.
+        val second = if (first.isDefined && elapsed < sparkBudgetSec / 2)
+          runOne(name, fn, perQueryCap) else None
+        val third = if (second.isDefined && (first.toSeq ++ second).min > 1.0
+            && elapsed < sparkBudgetSec / 2)
+          runOne(name, fn, perQueryCap) else None
+        val runs = first.toSeq ++ second ++ third
         if (runs.nonEmpty) lock.synchronized {
           timings(name) = runs.min
           // a successful sample supersedes its own watchdog cancellation,

@@ -223,12 +223,13 @@ object GraphOps {
       val raw = contribs.join(broadcast(x), "node")
         .select($"node", ($"x" + $"c").as("x"))
         .localCheckpoint(true)
-      // the L2 norm is a scalar — computing it on the driver and folding
-      // it back as a literal is the same double arithmetic as the oracle's
-      // scalar subquery (decimal-exact sum, one sqrt).
+      // the L2 norm is a scalar 1-row aggregate cross-joined back in (the
+      // oracle's scalar subquery, same decimal-exact sum + one sqrt +
+      // one double division) — folding it into the plan instead of a
+      // driver-side head() saves one blocking job per iteration.
       val nr = raw.agg(
-        sqrt(sum(($"x" * $"x").cast(DecimalType(38, 20))).cast("double"))).head().getDouble(0)
-      x = raw.select($"node", ($"x" / lit(nr)).as("x"))
+        sqrt(sum(($"x" * $"x").cast(DecimalType(38, 20))).cast("double")).as("nr"))
+      x = raw.crossJoin(broadcast(nr)).select($"node", ($"x" / $"nr").as("x"))
     }
     x
   }
