@@ -17,24 +17,26 @@ object MhProbe {
     (1 to 2).foreach { round =>
       println(s"MHPROBE -- round $round")
       spark.catalog.clearCache()
-      val w = split($"text", " ")
+      // ALIASED words array, matching the production minhashBands shape —
+      // the earlier inline-`w` formulation duplicated split() into every
+      // element_at of the shingle lambda and measured 5-8x the real cost,
+      // which misled one round of profiling.
+      def withW = Tables.documents(spark, dir)
+        .select($"doc_id", split($"text", " ").as("w"))
+        .filter(size($"w") >= 5)
       val shingles = transform(
-        sequence(lit(1), size(w) - 4),
-        i => concat_ws(" ", (0 until 5).map(o => element_at(w, i + o)): _*))
-      t("read+filter count")(Tables.documents(spark, dir)
-        .filter(size(split($"text", " ")) >= 5).count())
-      t("explode shingles count")(Tables.documents(spark, dir)
-        .filter(size(split($"text", " ")) >= 5)
+        sequence(lit(1), size($"w") - 4),
+        i => concat_ws(" ", (0 until 5).map(o => element_at($"w", i + o)): _*))
+      t("read+filter count")(withW.count())
+      t("explode shingles count")(withW
         .select($"doc_id", explode(shingles).as("sgl")).count())
-      t("+md5+hexToLong agg")(Tables.documents(spark, dir)
-        .filter(size(split($"text", " ")) >= 5)
+      t("+md5+hexToLong agg")(withW
         .select($"doc_id", explode(shingles).as("sgl"))
         .select($"doc_id", P.hexToLong(md5($"sgl"), 1, 8).as("h"))
         .agg(sum($"h")).collect())
       t("16-min groupBy")(
         {
-          val shH = Tables.documents(spark, dir)
-            .filter(size(split($"text", " ")) >= 5)
+          val shH = withW
             .select($"doc_id", explode(shingles).as("sgl"))
             .select($"doc_id", P.hexToLong(md5($"sgl"), 1, 8).as("h"))
           val mhAggs = (0 until 16).map { j =>
