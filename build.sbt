@@ -11,6 +11,14 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver tails stdout of `sbt runMain graft.Bench` and parses the
+// LAST line as the bench JSON. StdoutOutput pipes the forked JVM's
+// streams through unprefixed (stderr noise stays on stderr instead of
+// being logged to stdout), and showSuccess := false drops the
+// "[success] Total time ..." footer that otherwise trails the JSON.
+run / outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -238,10 +238,13 @@ object Bench {
       }
     // main slice capped so the gr_* slice (iterative CTEs, the expensive
     // denominators r4/r5 never recorded) keeps a guaranteed share of the
-    // reserved 40%.
-    try timeOracle(sfDir, math.min(remaining - 10, 150.0), 40.0, mainOracle)(reportOracle)
+    // reserved 40%. The gr_* slice takes min-of-2 samples: the host's
+    // 10-20x throttle windows swung identical gr oracle SQL 25.9→50.9s
+    // across r6 sweeps, and min-of-2 is the same smoothing the Spark pass
+    // already applies.
+    try timeOracle(sfDir, math.min(remaining - 10, 150.0), 40.0, mainOracle, reps = 1)(reportOracle)
     catch { case _: Throwable => () }
-    try timeOracle(sfDir, math.min(remaining - 10, 420.0), 120.0, grOracle)(reportOracle)
+    try timeOracle(sfDir, math.min(remaining - 10, 420.0), 120.0, grOracle, reps = 2)(reportOracle)
     catch { case _: Throwable => () }
 
     emit(partial = lock.synchronized(skipped.nonEmpty))
@@ -256,7 +259,8 @@ object Bench {
     * `name\tseconds` (or `name\tERR\treason`) lines back until EOF or
     * deadline. perQSec caps any single oracle query via con.interrupt.
     */
-  private def timeOracle(sfDir: String, budgetSec: Double, perQSec: Double, order: Seq[String])(
+  private def timeOracle(sfDir: String, budgetSec: Double, perQSec: Double, order: Seq[String],
+      reps: Int = 1)(
       report: (String, Either[String, Double]) => Unit): Unit = {
     if (budgetSec < 5) return
     val oracle = SparkEntry.oracleSql
@@ -276,33 +280,44 @@ object Bench {
     java.nio.file.Files.writeString(pyFile.toPath,
       """import sys, json, time, threading
         |import duckdb
-        |sf, path, deadline, per_q = sys.argv[1], sys.argv[2], float(sys.argv[3]), float(sys.argv[4])
+        |sf, path, deadline, per_q, reps = (sys.argv[1], sys.argv[2],
+        |    float(sys.argv[3]), float(sys.argv[4]), int(sys.argv[5]))
         |con = duckdb.connect()
         |for t in ["region", "nation", "customer", "supplier", "part",
         |          "orders", "lineitem", "events", "documents", "embeddings"]:
         |    con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
         |start = time.time()
         |for name, sql in json.load(open(path)):
-        |    remaining = deadline - (time.time() - start)
-        |    if remaining <= 0:
-        |        print(f"{name}\tERR\toracle pass deadline exhausted", flush=True)
-        |        continue
-        |    # per-query interrupt: one pathological oracle query (recursive
-        |    # CTE) must cost one slot, not the whole oracle pass
-        |    timer = threading.Timer(min(per_q, remaining), con.interrupt)
-        |    timer.start()
-        |    t0 = time.time()
-        |    try:
-        |        con.execute(sql).fetchall()
-        |        print(f"{name}\t{time.time() - t0:.3f}", flush=True)
-        |    except Exception as e:
-        |        why = str(e).replace(chr(9), ' ').replace(chr(10), ' ')[:160]
-        |        print(f"{name}\tERR\tafter {time.time() - t0:.1f}s: {why}", flush=True)
-        |    finally:
-        |        timer.cancel()
+        |    best = None
+        |    err = None
+        |    for r in range(reps):
+        |        remaining = deadline - (time.time() - start)
+        |        if remaining <= 0:
+        |            if best is None and err is None:
+        |                err = "oracle pass deadline exhausted"
+        |            break
+        |        # per-query interrupt: one pathological oracle query (recursive
+        |        # CTE) must cost one slot, not the whole oracle pass
+        |        timer = threading.Timer(min(per_q, remaining), con.interrupt)
+        |        timer.start()
+        |        t0 = time.time()
+        |        try:
+        |            con.execute(sql).fetchall()
+        |            dt = time.time() - t0
+        |            best = dt if best is None else min(best, dt)
+        |        except Exception as e:
+        |            why = str(e).replace(chr(9), ' ').replace(chr(10), ' ')[:160]
+        |            err = f"after {time.time() - t0:.1f}s: {why}"
+        |        finally:
+        |            timer.cancel()
+        |    if best is not None:
+        |        print(f"{name}\t{best:.3f}", flush=True)
+        |    else:
+        |        print(f"{name}\tERR\t{err or 'oracle query failed'}", flush=True)
         |""".stripMargin)
     val pb = new ProcessBuilder("python3", pyFile.getAbsolutePath,
-      sfDir, sqlFile.getAbsolutePath, budgetSec.toLong.toString, perQSec.toString)
+      sfDir, sqlFile.getAbsolutePath, budgetSec.toLong.toString, perQSec.toString,
+      reps.toString)
     pb.redirectErrorStream(false)
     val proc = pb.start()
     val killer = new Thread(() => {

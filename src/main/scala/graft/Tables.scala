@@ -11,8 +11,23 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  // Memoized per (session, dir): file listing + parquet footer/schema
+  // read happen ONCE per table per session instead of once per query —
+  // a bench sweep touches each table dozens of times, and the repeated
+  // InMemoryFileIndex + schema inference was ~50-100ms per query of pure
+  // fixed cost. Keyed on the session so a stopped session's plans are
+  // never reused; a catalog would provide exactly this reuse on a
+  // cluster.
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val base = cache.computeIfAbsent((spark, dir, name),
+      _ => spark.read.parquet(s"$dir/$name.parquet"))
+    // re-alias per call: fresh exprIds, so two loads of the same table
+    // self-join exactly like two fresh reads did before memoization
+    base.toDF(base.columns.toIndexedSeq: _*)
+  }
 
   def region(s: SparkSession, d: String): DataFrame = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame = load(s, d, "nation")

@@ -75,6 +75,34 @@ object Analytics {
       .orderBy($"bucket")
   }
 
+  /** Per-user engagement-count histogram — the dashboard's second bucket
+    * panel (comment-count buckets rendered next to the score buckets,
+    * reference: dashboard/dashboard.py:823-918): users bucketed by how
+    * many events they produced. Two partial aggregations (per-user count,
+    * then a CASE-bucket rollup over |users| rows) — scan-bound at any SF.
+    */
+  val commentBuckets = QueryDef(
+    "an_comment_buckets",
+    s"""WITH ${PS.evCte},
+       |uc AS MATERIALIZED (SELECT user_id, COUNT(*) AS n_events FROM ev GROUP BY user_id)
+       |SELECT CASE WHEN n_events > 100 THEN 'power'
+       |  WHEN n_events > 50 THEN 'heavy'
+       |  WHEN n_events > 10 THEN 'regular' ELSE 'casual' END AS bucket,
+       |  COUNT(*) AS n_users,
+       |  CAST(SUM(n_events) AS BIGINT) AS total_events
+       |FROM uc GROUP BY 1 ORDER BY bucket""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    Tables.events(s, dir)
+      .groupBy($"user_id").agg(P.cnt.as("n_events"))
+      .groupBy(
+        when($"n_events" > 100, "power")
+          .when($"n_events" > 50, "heavy")
+          .when($"n_events" > 10, "regular")
+          .otherwise("casual").as("bucket"))
+      .agg(P.cnt.as("n_users"), sum($"n_events").as("total_events"))
+      .orderBy($"bucket")
+  }
+
   /** Exact p25/p50/p75/p90 of value per event_type (quantile insights). */
   val quantiles = QueryDef(
     "an_quantiles",
@@ -182,5 +210,6 @@ object Analytics {
   }
 
   val defs: Seq[QueryDef] = Seq(timeline, topGroups, dowActivity, valueBuckets,
-    quantiles, keywordMentions, explorer, userActivity, rollingActive)
+    commentBuckets, quantiles, keywordMentions, explorer, userActivity,
+    rollingActive)
 }

@@ -107,15 +107,17 @@ object Dedup {
   def lshCandidates(bands0: DataFrame, maxBucket: Int = MaxBucket): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val byBucket = Window.partitionBy(col("band"), col("bkey")).orderBy(col("doc_id"))
-    // Both sides of the self-join read the band rows: the eager local
-    // checkpoint materializes the signature computation once, and its
-    // blocks are reference-cleaned once the plan is GC'd — unlike
-    // persist(), which pins storage until an explicit unpersist() that a
-    // composing library caller has no handle to issue.
+    // Both sides of the self-join read the band rows: the localCheckpoint
+    // materializes the signature computation once, and its blocks are
+    // reference-cleaned once the plan is GC'd — unlike persist(), which
+    // pins storage until an explicit unpersist() that a composing library
+    // caller has no handle to issue. Lazy: the first scan in the join job
+    // computes the blocks (per-partition block locks serialize the two
+    // sides), so no separate materialization barrier.
     val bands = bands0
       .withColumn("rn", row_number().over(byBucket))
       .filter(col("rn") <= maxBucket).drop("rn")
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     val a = bands.select(col("doc_id").as("doc_a"), col("band"), col("bkey"))
     val b = bands.select(col("doc_id").as("doc_b"), col("band"), col("bkey"))
     a.join(b, Seq("band", "bkey"))
@@ -197,12 +199,12 @@ object Dedup {
     val sh3 = transform(
       sequence(lit(1), size($"w") - 2),
       i => concat_ws(" ", element_at($"w", i), element_at($"w", i + 1), element_at($"w", i + 2)))
-    // read by the size agg and twice by the intersection join — eager
-    // localCheckpoint materializes once and self-cleans (no unpersist
-    // needed from a composing caller)
+    // read by the size agg and twice by the intersection join — the lazy
+    // localCheckpoint materializes once under the first reader and
+    // self-cleans (no unpersist needed from a composing caller)
     val g3 = withW
       .select($"doc_id", explode(array_distinct(sh3)).as("s"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     val sz = g3.groupBy($"doc_id").agg(P.cnt.as("n"))
     val cand = lshCandidates(minhashBands(s, dir))
     val inter = cand
@@ -253,7 +255,7 @@ object Dedup {
        |FROM cl ORDER BY doc_id""".stripMargin) { (s, dir) =>
     import s.implicits._
     // materialize the verify once — the undirected union below reads it twice
-    val p = jaccardPairs(s, dir).select($"doc_a", $"doc_b").localCheckpoint(true)
+    val p = jaccardPairs(s, dir).select($"doc_a", $"doc_b").localCheckpoint(false)
     val und = p.select($"doc_a".as("node"), $"doc_b".as("nb"), lit(1L).as("weight"))
       .union(p.select($"doc_b".as("node"), $"doc_a".as("nb"), lit(1L).as("weight")))
     // near-dup clusters are small cliques/chains (diameter ~1-2): two
@@ -268,15 +270,29 @@ object Dedup {
 
   // -------------------------------------------------------------- simhash
 
-  /** 32-bit SimHash near-dup pairs with Hamming ≤ 3, candidates pruned by
-    * the 4-byte pigeonhole (≤3 flipped bits leave ≥1 of 4 bytes intact).
+  /** SimHash signature width and per-band width: 60 bits (15 md5 hex
+    * chars — stays positive in a signed 64-bit value in both engines) in
+    * 4 pigeonhole bands of 15 bits. Hamming ≤ [[HammingMax]] = 3 flipped
+    * bits leave ≥ 1 of the 4 bands intact, and a 15-bit band gives 32,768
+    * key values per band — so the expected bucket size stays ~N/32768 and
+    * the candidate self-join is never quadratic in the corpus (the 8-bit
+    * byte bands of the earlier version had only 256 keys/band: the same
+    * bucket-blowup shape as the r4 embedding bug).
+    */
+  val SimhashBits = 60
+  val SimhashBandBits = 15
+
+  /** 60-bit SimHash near-dup pairs with Hamming ≤ 3, candidates pruned by
+    * the 4-band pigeonhole AND the shared [[MaxBucket]] skew cap
+    * ([[lshCandidates]]) — bounded per-bucket candidate counts even on
+    * near-identical spam clusters.
     */
   val simhash = QueryDef(
     "dd_simhash", {
-      val h = PS.hexToLong("md5(w)", 1, 8)
-      val votes = (0 until 32).map(k =>
+      val h = PS.hexToLong("md5(w)", 1, SimhashBits / 4)
+      val votes = (0 until SimhashBits).map(k =>
         s"SUM(CASE WHEN (h >> $k) & 1 = 1 THEN 1 ELSE -1 END) AS v$k").mkString(",\n    ")
-      val simv = (0 until 32).map(k =>
+      val simv = (0 until SimhashBits).map(k =>
         s"(CASE WHEN v$k > 0 THEN CAST(1 AS BIGINT) << $k ELSE 0 END)").mkString(" + ")
       s"""WITH tk AS MATERIALIZED (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
          |th AS MATERIALIZED (SELECT doc_id, $h AS h FROM tk),
@@ -284,35 +300,44 @@ object Dedup {
          |    $votes
          |  FROM th GROUP BY doc_id),
          |sim AS MATERIALIZED (SELECT doc_id, $simv AS s FROM votes),
-         |sb AS MATERIALIZED (SELECT doc_id, s, b, (s >> CAST(b * 8 AS INT)) & 255 AS byte
+         |sb AS MATERIALIZED (SELECT doc_id, b AS band, (s >> CAST(b * $SimhashBandBits AS INT)) & ${(1 << SimhashBandBits) - 1} AS bkey
          |  FROM sim, generate_series(0, 3) t(b)),
-         |cand AS MATERIALIZED (SELECT DISTINCT a.doc_id AS doc_a, a.s AS sa, b.doc_id AS doc_b, b.s AS sb2
-         |  FROM sb a JOIN sb b ON a.b = b.b AND a.byte = b.byte AND a.doc_id < b.doc_id)
-         |SELECT doc_a, doc_b, CAST(bit_count(xor(sa, sb2)) AS INTEGER) AS hamming
-         |FROM cand WHERE bit_count(xor(sa, sb2)) <= $HammingMax
+         |scap AS MATERIALIZED (SELECT doc_id, band, bkey FROM (
+         |    SELECT doc_id, band, bkey,
+         |      row_number() OVER (PARTITION BY band, bkey ORDER BY doc_id) AS rn
+         |    FROM sb) t WHERE rn <= $MaxBucket),
+         |cand AS MATERIALIZED (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM scap a JOIN scap b ON a.band = b.band AND a.bkey = b.bkey
+         |    AND a.doc_id < b.doc_id)
+         |SELECT c.doc_a, c.doc_b, CAST(bit_count(xor(sa.s, sb2.s)) AS INTEGER) AS hamming
+         |FROM cand c
+         |JOIN sim sa ON sa.doc_id = c.doc_a
+         |JOIN sim sb2 ON sb2.doc_id = c.doc_b
+         |WHERE bit_count(xor(sa.s, sb2.s)) <= $HammingMax
          |ORDER BY doc_a, doc_b""".stripMargin
     }) { (s, dir) =>
     import s.implicits._
     val th = Tables.documents(s, dir)
       .select($"doc_id", explode(split($"text", " ")).as("w"))
-      .select($"doc_id", P.hexToLong(md5($"w"), 1, 8).as("h"))
-    val voteCols = (0 until 32).map(k =>
+      .select($"doc_id", P.hexToLong(md5($"w"), 1, SimhashBits / 4).as("h"))
+    val voteCols = (0 until SimhashBits).map(k =>
       sum(when((shiftright($"h", k).bitwiseAND(1)) === 1, 1).otherwise(-1)).as(s"v$k"))
     val votes = th.groupBy($"doc_id").agg(voteCols.head, voteCols.tail: _*)
-    val simExpr = (0 until 32)
+    val simExpr = (0 until SimhashBits)
       .map(k => when(col(s"v$k") > 0, lit(1L << k)).otherwise(lit(0L)))
       .reduce(_ + _)
-    val sim = votes.select($"doc_id", simExpr.as("s"))
-    val bands = sim.select($"doc_id", $"s",
+    // read by the band explode and twice by the signature join back —
+    // one lazy materialization
+    val sim = votes.select($"doc_id", simExpr.as("s")).localCheckpoint(false)
+    val bands = sim.select($"doc_id",
       explode(array((0 until 4).map(b =>
-        struct(lit(b).as("b"), shiftright($"s", b * 8).bitwiseAND(255).as("byte"))): _*)).as("bb"))
-      .select($"doc_id", $"s", $"bb.b".as("b"), $"bb.byte".as("byte"))
-      .localCheckpoint(true)
-    val a = bands.select($"doc_id".as("doc_a"), $"s".as("sa"), $"b", $"byte")
-    val bnd = bands.select($"doc_id".as("doc_b"), $"s".as("sb2"), $"b", $"byte")
-    a.join(bnd, Seq("b", "byte"))
-      .filter($"doc_a" < $"doc_b")
-      .select($"doc_a", $"sa", $"doc_b", $"sb2").distinct()
+        struct(lit(b).as("band"),
+          shiftright($"s", b * SimhashBandBits)
+            .bitwiseAND((1 << SimhashBandBits) - 1).as("bkey"))): _*)).as("bb"))
+      .select($"doc_id", $"bb.band".as("band"), $"bb.bkey".as("bkey"))
+    lshCandidates(bands)
+      .join(sim.select($"doc_id".as("doc_a"), $"s".as("sa")), "doc_a")
+      .join(sim.select($"doc_id".as("doc_b"), $"s".as("sb2")), "doc_b")
       .select($"doc_a", $"doc_b", expr("graft_hamming(sa, sb2)").as("hamming"))
       .filter($"hamming" <= HammingMax)
       .orderBy("doc_a", "doc_b")

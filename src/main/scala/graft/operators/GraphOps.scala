@@ -137,6 +137,27 @@ object GraphOps {
     und.repartition($"node").localCheckpoint(true)
   }
 
+  /** Iteration-state hash threshold: below it the |V|-row state is
+    * broadcast into the |E| relation (no shuffle, but the state must fit
+    * on the driver); above it the state goes through a shuffled hash join
+    * against the node-partitioned edge relation instead — the 100 TB
+    * regime, where |V| outgrows any broadcast. [[stateHint]] makes the
+    * choice when the caller knows |V|.
+    */
+  val StateBroadcastMaxRows = 2000000L
+
+  /** Size-driven broadcast decision for iteration state (SURVEY §5). */
+  def stateHint(stateRows: Long): Boolean = stateRows <= StateBroadcastMaxRows
+
+  /** The per-round state side of an iterative join: broadcast when the
+    * state fits (bench SFs and up to ~100x), a shuffled hash join build
+    * side when it doesn't. The edge relation is hash-partitioned on the
+    * node key by [[iterRelation]], so the non-broadcast path shuffles
+    * only the |V|-row state, never the |E| relation.
+    */
+  private def stateJoin(state: DataFrame, bcast: Boolean): DataFrame =
+    if (bcast) broadcast(state) else state.hint("shuffle_hash")
+
   /** Degree + weighted degree per node. */
   def degrees(und: DataFrame): DataFrame = {
     val s = und.sparkSession
@@ -152,39 +173,51 @@ object GraphOps {
     *
     * `u` must be an [[iterRelation]] (materialized, node-partitioned).
     */
-  def pagerank(u: DataFrame, iters: Int = PrIters): DataFrame = {
+  def pagerank(u: DataFrame, iters: Int = PrIters,
+      stateBroadcast: Boolean = true): DataFrame = {
     val s = u.sparkSession
     import s.implicits._
     // one partition-local aggregation doubles as the node list (every
     // node has an edge in the undirected relation), so the separate
-    // distinct() pass over |E| is gone
-    val wdeg = u.groupBy($"node").agg(sum($"weight").as("wd")).localCheckpoint(true)
-    val nodes = wdeg.select($"node")
+    // distinct() pass over |E| is gone. Lazy localCheckpoint: the
+    // LogicalRDD wrapper truncates the analyzed plan immediately, and the
+    // count() below materializes the blocks in the same job it needs
+    // anyway.
+    val wdeg = u.groupBy($"node").agg(sum($"weight").as("wd")).localCheckpoint(false)
     val n = wdeg.count()
     // wdeg is |V| rows: broadcast it explicitly — size estimation over a
     // checkpoint+agg is too conservative to trigger the auto-broadcast,
     // and the sort-merge fallback shuffles the full |E| relation once per
-    // query (measured 2.2s vs 1.0s for this step at sf0.1). norm inherits
-    // u's node(=src) partitioning through the broadcast join, so no
-    // repartition; one localCheckpoint amortizes it over the iterations.
+    // query (measured 2.2s vs 1.0s for this step at sf0.1). norm is
+    // repartitioned by dst — the PER-ROUND aggregation key — so each
+    // round's groupBy(dst) after the broadcast join is exchange-free and
+    // the whole round runs as ONE stage; one setup shuffle of |E| buys
+    // back `iters` per-round |V|-partial exchanges. The lazy
+    // localCheckpoint materializes under round 1 and is read as blocks by
+    // every later round.
     val norm = u.join(broadcast(wdeg), "node")
       .select($"node".as("src"), $"nb".as("dst"), ($"weight" / $"wd").as("p"))
-      .localCheckpoint(true)
-    // Eager localCheckpoint after every round: persist alone leaves the
+      .repartition($"dst")
+      .localCheckpoint(false)
+    // localCheckpoint after every round: persist alone leaves the
     // analyzed plan growing one join+agg deeper per iteration, and
     // Catalyst re-analysis comes to dominate (measured 1.5s → 12s per
     // round by iteration 10). Checkpointing truncates lineage so every
-    // round costs the same. On a real cluster use reliable checkpoint()
-    // to HDFS/S3 instead (survives executor loss).
-    var ranks = nodes.select($"node", (lit(1.0) / n).as("r")).localCheckpoint(true)
+    // round costs the same. LAZY (eager = false): each round's state then
+    // materializes inside the NEXT round's broadcast-build job instead of
+    // paying its own job-scheduling barrier — the barrier count per round
+    // drops from 2 to 1 (measured 3.8s → 2.6s for the full query at
+    // sf0.1). On a real cluster use reliable checkpoint() to HDFS/S3
+    // instead (survives executor loss).
+    var ranks = wdeg.select($"node", (lit(1.0) / n).as("r")).localCheckpoint(false)
     for (_ <- 1 to iters) {
       // ranks is |V| rows (tiny next to |E|): broadcast it so the cached
       // edge relation streams through a broadcast-hash join each round
       // instead of re-shuffling — the map-side partial sum then shrinks
       // the shuffle to |V| rows. At 100 TB scale |V| may outgrow a
-      // broadcast; then both sides stay hash-partitioned on the node key
-      // and Spark reuses the co-partitioning across iterations.
-      val contribs = norm.join(broadcast(ranks.withColumnRenamed("node", "src0")), $"src" === $"src0")
+      // broadcast; pass stateBroadcast = false to keep both sides
+      // hash-partitioned on the node key instead (see [[stateJoin]]).
+      val contribs = norm.join(stateJoin(ranks.withColumnRenamed("node", "src0"), stateBroadcast), $"src" === $"src0")
         .groupBy($"dst").agg(sum($"r" * $"p").as("contrib"))
       // in an undirected graph every node has an in-edge, so contribs
       // already covers all nodes — no left-join back to the node list
@@ -192,7 +225,7 @@ object GraphOps {
       ranks = contribs
         .select($"dst".as("node"),
           (lit(Rest) / n + lit(Damping) * $"contrib").as("r"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
     }
     ranks
   }
@@ -207,22 +240,29 @@ object GraphOps {
     * aggregates partition-locally (the broadcast join on `nb` preserves
     * u's node partitioning), so no round shuffles the |E| relation.
     */
-  def eigenvector(u: DataFrame, iters: Int = PrIters): DataFrame = {
+  def eigenvector(u: DataFrame, iters: Int = PrIters,
+      stateBroadcast: Boolean = true): DataFrame = {
     val s = u.sparkSession
     import s.implicits._
     import org.apache.spark.sql.types.DecimalType
-    val nodes = u.select($"node").distinct().localCheckpoint(true)
+    val nodes = u.select($"node").distinct().localCheckpoint(false)
     val n = nodes.count()
-    var x = nodes.select($"node", (lit(1.0) / n).as("x")).localCheckpoint(true)
+    var x = nodes.select($"node", (lit(1.0) / n).as("x")).localCheckpoint(false)
     for (_ <- 1 to iters) {
-      val contribs = u.join(broadcast(x.withColumnRenamed("node", "nb0")), $"nb" === $"nb0")
+      // ONE renamed copy of x feeds BOTH joins this round: the two
+      // broadcast exchanges then canonicalize identically, so the
+      // physical planner's ReuseExchange builds the x broadcast once.
+      val x2 = x.withColumnRenamed("node", "nb0")
+      val contribs = u.join(stateJoin(x2, stateBroadcast), $"nb" === $"nb0")
         .groupBy($"node").agg(sum($"weight" * $"x").as("c"))
       // checkpoint raw BEFORE the norm: otherwise the |E|-sized join above
       // runs twice per iteration (once under the norm aggregate, once
-      // under the next checkpoint).
-      val raw = contribs.join(broadcast(x), "node")
+      // under the next checkpoint). (A union-aggregate for the +I term was
+      // measured slower here — it adds a shuffle exchange per round where
+      // this second broadcast join has none.)
+      val raw = contribs.join(broadcast(x2), $"node" === $"nb0")
         .select($"node", ($"x" + $"c").as("x"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       // the L2 norm is a scalar 1-row aggregate cross-joined back in (the
       // oracle's scalar subquery, same decimal-exact sum + one sqrt +
       // one double division) — folding it into the plan instead of a
@@ -230,6 +270,7 @@ object GraphOps {
       val nr = raw.agg(
         sqrt(sum(($"x" * $"x").cast(DecimalType(38, 20))).cast("double")).as("nr"))
       x = raw.crossJoin(broadcast(nr)).select($"node", ($"x" / $"nr").as("x"))
+        .localCheckpoint(false)
     }
     x
   }
@@ -254,31 +295,41 @@ object GraphOps {
     * dd_clusters' near-dup chains) still get the exact fixpoint.
     */
   def components(u: DataFrame, maxIters: Int = 20,
-      uncheckedRounds: Int = CcUncheckedRounds): DataFrame = {
+      uncheckedRounds: Int = CcUncheckedRounds,
+      stateBroadcast: Boolean = true): DataFrame = {
     val s = u.sparkSession
     import s.implicits._
-    // eager localCheckpoint per round truncates lineage (see pagerank)
+    // lazy localCheckpoint per round truncates lineage (see pagerank)
     var lbls = u.select($"node").distinct()
-      .select($"node", $"node".as("lbl")).localCheckpoint(true)
+      .select($"node", $"node".as("lbl")).localCheckpoint(false)
     // labels are |V| rows — broadcast them into the |E|-sized join; the
     // min-aggregation is partial, so the shuffle carries |V| rows only.
     def step(l: DataFrame): DataFrame = {
-      val nbLbls = u.join(broadcast(l.withColumnRenamed("node", "nb0")), $"nb" === $"nb0")
+      val nbLbls = u.join(stateJoin(l.withColumnRenamed("node", "nb0"), stateBroadcast), $"nb" === $"nb0")
         .select($"node", $"lbl")
       nbLbls.union(l).groupBy($"node").agg(min($"lbl").as("lbl"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
     }
+    // |V|-row join of two checkpointed states — far cheaper than a step
+    def diff(a: DataFrame, b: DataFrame): Long =
+      a.join(broadcast(b.withColumnRenamed("lbl", "old")), "node")
+        .filter($"lbl" =!= $"old").count()
+    var prev: DataFrame = null
     var i = 0
     while (i < uncheckedRounds && i < maxIters) {
+      prev = lbls
       lbls = step(lbls)
       i += 1
     }
-    var changed = 1L
+    // the unchecked batch keeps its last two states checkpointed, so the
+    // first convergence probe compares THEM instead of paying one more
+    // full |E| step: min-label propagation is monotone, so one unchanged
+    // round proves the fixpoint.
+    var changed = if (prev == null) 1L else diff(lbls, prev)
     while (changed > 0 && i < maxIters) {
-      val next = step(lbls)
-      changed = next.join(broadcast(lbls.withColumnRenamed("lbl", "old")), "node")
-        .filter($"lbl" =!= $"old").count()
-      lbls = next
+      prev = lbls
+      lbls = step(lbls)
+      changed = diff(lbls, prev)
       i += 1
     }
     lbls.withColumnRenamed("lbl", "comp")
@@ -327,7 +378,7 @@ object GraphOps {
     import s.implicits._
     val nodes = u.select($"node").distinct().localCheckpoint(true)
     val lmk = nodes.orderBy($"node").limit(k).select($"node".as("lmk")).localCheckpoint(true)
-    var dist = lmk.select($"lmk".as("node"), $"lmk", lit(0).as("d")).localCheckpoint(true)
+    var dist = lmk.select($"lmk".as("node"), $"lmk", lit(0).as("d")).localCheckpoint(false)
     for (_ <- 1 to rounds) {
       // frontier state is |V|·K rows max — broadcast into the cached edge
       // relation; min-agg is map-side partial (see pagerank's scale note)
@@ -336,7 +387,7 @@ object GraphOps {
         .select($"node", $"lmk", ($"d" + 1).as("d"))
       dist = relax.union(dist.select($"node", $"lmk", $"d"))
         .groupBy($"node", $"lmk").agg(min($"d").as("d"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
     }
     nodes.crossJoin(broadcast(lmk))
       .join(dist, Seq("node", "lmk"), "left")
@@ -440,21 +491,22 @@ object GraphOps {
     * two-level aggregation ((node,label) then node) is map-side partial,
     * so each round's shuffle carries candidate-label rows, not edges.
     */
-  def communities(u: DataFrame, iters: Int = LpIters): DataFrame = {
+  def communities(u: DataFrame, iters: Int = LpIters,
+      stateBroadcast: Boolean = true): DataFrame = {
     val s = u.sparkSession
     import s.implicits._
     var lbls = u.select($"node").distinct()
-      .select($"node", $"node".as("lbl")).localCheckpoint(true)
+      .select($"node", $"node".as("lbl")).localCheckpoint(false)
     for (_ <- 1 to iters) {
       val votes = u
-        .join(broadcast(lbls.select($"node".as("nb0"), $"lbl".as("nlbl"))), $"nb" === $"nb0")
+        .join(stateJoin(lbls.select($"node".as("nb0"), $"lbl".as("nlbl")), stateBroadcast), $"nb" === $"nb0")
         .groupBy($"node", $"nlbl").agg(sum($"weight").as("sc"))
       // min(struct(-score, label)) = the minimum label among the labels of
       // maximal summed weight — the same row the oracle's MAX/MIN pair picks
       lbls = votes.groupBy($"node")
         .agg(min(struct((-$"sc").as("ns"), $"nlbl".as("l"))).as("m"))
         .select($"node", $"m.l".as("lbl"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
     }
     lbls.withColumnRenamed("lbl", "community")
   }
@@ -685,8 +737,9 @@ object GraphOps {
        |FROM outd o FULL JOIN ind i ON o.node = i.node
        |ORDER BY node""".stripMargin) { (s, dir) =>
     import s.implicits._
-    // both aggregations scan the edge build — materialize it once
-    val e = edgesNum(s, dir).localCheckpoint(true)
+    // both aggregations scan the edge build — materialize it once (lazy:
+    // the first aggregation's job computes the blocks)
+    val e = edgesNum(s, dir).localCheckpoint(false)
     val outd = e.groupBy($"src")
       .agg(P.cnt.as("out_degree"), sum($"weight").as("out_weight"))
       .withColumnRenamed("src", "node")
@@ -758,11 +811,21 @@ object GraphOps {
       .orderBy($"node")
   }
 
+  /** The oracle's WHERE clause is a convergence ASSERTION: the Spark side
+    * converges to the exact fixpoint (check loop), while the oracle runs a
+    * fixed [[CcUncheckedRounds]]-round unroll — if labels were still
+    * moving in the last unrolled round, the oracle returns ZERO rows and
+    * the correctness gate fails loudly instead of silently comparing
+    * against a stale-label oracle.
+    */
   val grComponents = QueryDef(
     "gr_components",
     s"""WITH $ccNumSql, ${ccChain(CcUncheckedRounds)}
        |SELECT ${fmtNodeSql("node")} AS node, ${fmtNodeSql("lbl")} AS comp
-       |FROM cc$CcUncheckedRounds ORDER BY node""".stripMargin) { (s, dir) =>
+       |FROM cc$CcUncheckedRounds
+       |WHERE (SELECT COUNT(*) FROM cc${CcUncheckedRounds - 1} p
+       |  JOIN cc$CcUncheckedRounds c ON p.node = c.node AND p.lbl <> c.lbl) = 0
+       |ORDER BY node""".stripMargin) { (s, dir) =>
     import s.implicits._
     components(iterRelation(numericUnd(s, dir)))
       .select(fmtNode($"node").as("node"), fmtNode($"comp").as("comp"))
@@ -882,7 +945,92 @@ object GraphOps {
       .orderBy($"community")
   }
 
+  /** Per-supplier customer cap for the clustering projection and the
+    * clustering sample size — both keep [[grGraphStats]] bounded at any
+    * corpus size: projection edges ≤ |suppliers|·cap², wedges ≤
+    * sample·(cap·deg)². Deterministic (id-ordered) like [[Dedup.MaxBucket]].
+    */
+  val ProjCap = 20
+  val ClSampleK = 32
+
+  /** Graph metadata panel — node/edge counts, density, and average
+    * clustering (reference: network-analysis/network_analysis.py:329-336,
+    * rendered at dashboard/dashboard.py:304-329). The customer↔supplier
+    * graph is bipartite (zero triangles), so clustering is computed on the
+    * customer–customer co-supplier projection, per-supplier capped to
+    * [[ProjCap]] members and averaged over the [[ClSampleK]] smallest
+    * projection nodes (Schank-Wagner-style sampled clustering) — the exact
+    * all-pairs projection is quadratic per supplier and cannot survive
+    * 100 TB. Both the cap and the sample are mirrored in the oracle.
+    */
+  val grGraphStats = QueryDef(
+    "gr_graph_stats",
+    s"""WITH $eNumSql,
+       |gn AS MATERIALIZED (SELECT DISTINCT v FROM (SELECT src AS v FROM e UNION ALL SELECT dst FROM e)),
+       |cs AS MATERIALIZED (SELECT dst, src FROM (
+       |    SELECT dst, src, row_number() OVER (PARTITION BY dst ORDER BY src) AS rn FROM e) t
+       |  WHERE rn <= $ProjCap),
+       |proj AS MATERIALIZED (SELECT DISTINCT ca.src AS a, cb.src AS b
+       |  FROM cs ca JOIN cs cb ON ca.dst = cb.dst AND ca.src < cb.src),
+       |pn AS MATERIALIZED (SELECT DISTINCT v FROM (SELECT a AS v FROM proj UNION ALL SELECT b FROM proj)),
+       |smp AS MATERIALIZED (SELECT v FROM pn ORDER BY v LIMIT $ClSampleK),
+       |nbr AS MATERIALIZED (SELECT s.v, p.b AS n FROM proj p JOIN smp s ON p.a = s.v
+       |  UNION ALL SELECT s.v, p.a FROM proj p JOIN smp s ON p.b = s.v),
+       |dg AS MATERIALIZED (SELECT v, COUNT(*) AS d FROM nbr GROUP BY v),
+       |tri AS MATERIALIZED (SELECT w.v, COUNT(*) AS t FROM (
+       |    SELECT n1.v, n1.n AS u, n2.n AS w FROM nbr n1 JOIN nbr n2 ON n1.v = n2.v AND n1.n < n2.n) w
+       |  JOIN proj p ON w.u = p.a AND w.w = p.b GROUP BY w.v),
+       |cl AS MATERIALIZED (SELECT dg.v,
+       |    CASE WHEN dg.d >= 2 THEN CAST(2.0 AS DOUBLE) * CAST(COALESCE(tri.t, 0) AS DOUBLE)
+       |        / CAST(dg.d * (dg.d - 1) AS DOUBLE)
+       |      ELSE CAST(0.0 AS DOUBLE) END AS c
+       |  FROM dg LEFT JOIN tri ON dg.v = tri.v)
+       |SELECT CAST((SELECT COUNT(*) FROM gn) AS BIGINT) AS n_nodes,
+       |  CAST((SELECT COUNT(*) FROM e) AS BIGINT) AS n_edges,
+       |  ${PS.prnd("CAST((SELECT COUNT(*) FROM e) * 2 AS DOUBLE) / (CAST((SELECT COUNT(*) FROM gn) AS DOUBLE) * CAST((SELECT COUNT(*) FROM gn) - 1 AS DOUBLE))", 8)} AS density,
+       |  ${PS.prnd(s"(SELECT ${PS.davg(PS.prnd("c", 9), 9)} FROM cl)", 8)} AS avg_clustering,
+       |  CAST((SELECT COUNT(*) FROM smp) AS BIGINT) AS sample_size,
+       |  CAST((SELECT COUNT(*) FROM proj) AS BIGINT) AS proj_edges""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val e = edgesNum(s, dir).localCheckpoint(false)
+    val gn = e.select($"src".as("v")).union(e.select($"dst".as("v"))).distinct()
+    val bySupp = Window.partitionBy($"dst").orderBy($"src")
+    val cs = e.select($"dst", $"src")
+      .withColumn("rn", row_number().over(bySupp)).filter($"rn" <= ProjCap).drop("rn")
+      .localCheckpoint(false)
+    val proj = cs.select($"dst", $"src".as("a"))
+      .join(cs.select($"dst", $"src".as("b")), "dst")
+      .filter($"a" < $"b").select($"a", $"b").distinct()
+      .localCheckpoint(false)
+    val pn = proj.select($"a".as("v")).union(proj.select($"b".as("v"))).distinct()
+    val smp = pn.orderBy($"v").limit(ClSampleK).localCheckpoint(false)
+    val nbr = proj.join(broadcast(smp), $"a" === $"v").select($"v", $"b".as("n"))
+      .union(proj.join(broadcast(smp), $"b" === $"v").select($"v", $"a".as("n")))
+      .localCheckpoint(false)
+    val dg = nbr.groupBy($"v").agg(P.cnt.as("d"))
+    val wedges = nbr.select($"v", $"n".as("u"))
+      .join(nbr.select($"v", $"n".as("w")), "v")
+      .filter($"u" < $"w")
+    val tri = wedges.join(proj, $"u" === $"a" && $"w" === $"b")
+      .groupBy($"v").agg(P.cnt.as("t"))
+    val cl = dg.join(tri, Seq("v"), "left")
+      .select($"v", when($"d" >= 2,
+        lit(2.0) * coalesce($"t", lit(0L)).cast("double") / ($"d" * ($"d" - 1)).cast("double"))
+        .otherwise(lit(0.0)).as("c"))
+    gn.agg(P.cnt.as("nn")).crossJoin(broadcast(e.agg(P.cnt.as("ne"))))
+      .crossJoin(broadcast(cl.agg(P.davg(P.prnd($"c", 9), 9).as("ac"))))
+      .crossJoin(broadcast(smp.agg(P.cnt.as("ss"))))
+      .crossJoin(broadcast(proj.agg(P.cnt.as("pe"))))
+      .select($"nn".as("n_nodes"), $"ne".as("n_edges"),
+        P.prnd(($"ne" * 2).cast("double")
+          / ($"nn".cast("double") * ($"nn" - 1).cast("double")), 8).as("density"),
+        P.prnd($"ac", 8).as("avg_clustering"),
+        $"ss".as("sample_size"), $"pe".as("proj_edges"))
+  }
+
   val defs: Seq[QueryDef] = Seq(grEdges, grDegree, grDegreeDirected,
     grDegreeBuckets, grPagerank, grEigenvector, grComponents, grCloseness,
-    grBetweenness, grInfluencers, grCommunities, grCommunityStats)
+    grBetweenness, grInfluencers, grCommunities, grCommunityStats,
+    grGraphStats)
 }

@@ -238,11 +238,15 @@ object TextAnalysis {
       .filter(!$"term".isin(TextFns.StopWords: _*))
       .groupBy($"doc_id", $"term").agg(P.cnt.as("tf"))
     val df = tf.groupBy($"term").agg(P.cnt.as("df"))
-    val n = Tables.documents(s, dir).count()
+    // corpus size N folded into the plan as a broadcast scalar aggregate
+    // (the oracle's (SELECT n FROM nd) subquery) — no driver-blocking
+    // count() job at plan-build time
+    val nd = Tables.documents(s, dir).agg(P.cnt.as("n"))
     val w = Window.partitionBy($"doc_id").orderBy($"score".desc, $"term")
     tf.join(broadcast(df), "term")
+      .crossJoin(broadcast(nd))
       .select($"doc_id", $"term",
-        expr(s"(tf * ${n + 1} * 1000000) div (df + 1)").as("score"))
+        expr("(tf * (n + 1) * 1000000) div (df + 1)").as("score"))
       .select($"doc_id", $"term", $"score",
         row_number().over(w).cast("long").as("rank"))
       .filter($"rank" <= 3)
