@@ -185,6 +185,10 @@ object GraphOps {
     // anyway.
     val wdeg = u.groupBy($"node").agg(sum($"weight").as("wd")).localCheckpoint(false)
     val n = wdeg.count()
+    // size-driven: even when the caller leaves the default, a |V| beyond
+    // the broadcast threshold routes iteration state through the shuffled
+    // hash join instead of a driver-sized broadcast
+    val bcast = stateBroadcast && stateHint(n)
     // wdeg is |V| rows: broadcast it explicitly — size estimation over a
     // checkpoint+agg is too conservative to trigger the auto-broadcast,
     // and the sort-merge fallback shuffles the full |E| relation once per
@@ -217,7 +221,7 @@ object GraphOps {
       // the shuffle to |V| rows. At 100 TB scale |V| may outgrow a
       // broadcast; pass stateBroadcast = false to keep both sides
       // hash-partitioned on the node key instead (see [[stateJoin]]).
-      val contribs = norm.join(stateJoin(ranks.withColumnRenamed("node", "src0"), stateBroadcast), $"src" === $"src0")
+      val contribs = norm.join(stateJoin(ranks.withColumnRenamed("node", "src0"), bcast), $"src" === $"src0")
         .groupBy($"dst").agg(sum($"r" * $"p").as("contrib"))
       // in an undirected graph every node has an in-edge, so contribs
       // already covers all nodes — no left-join back to the node list
@@ -247,20 +251,21 @@ object GraphOps {
     import org.apache.spark.sql.types.DecimalType
     val nodes = u.select($"node").distinct().localCheckpoint(false)
     val n = nodes.count()
+    val bcast = stateBroadcast && stateHint(n) // see pagerank
     var x = nodes.select($"node", (lit(1.0) / n).as("x")).localCheckpoint(false)
     for (_ <- 1 to iters) {
       // ONE renamed copy of x feeds BOTH joins this round: the two
       // broadcast exchanges then canonicalize identically, so the
       // physical planner's ReuseExchange builds the x broadcast once.
       val x2 = x.withColumnRenamed("node", "nb0")
-      val contribs = u.join(stateJoin(x2, stateBroadcast), $"nb" === $"nb0")
+      val contribs = u.join(stateJoin(x2, bcast), $"nb" === $"nb0")
         .groupBy($"node").agg(sum($"weight" * $"x").as("c"))
       // checkpoint raw BEFORE the norm: otherwise the |E|-sized join above
       // runs twice per iteration (once under the norm aggregate, once
       // under the next checkpoint). (A union-aggregate for the +I term was
       // measured slower here — it adds a shuffle exchange per round where
       // this second broadcast join has none.)
-      val raw = contribs.join(broadcast(x2), $"node" === $"nb0")
+      val raw = contribs.join(stateJoin(x2, bcast), $"node" === $"nb0")
         .select($"node", ($"x" + $"c").as("x"))
         .localCheckpoint(false)
       // the L2 norm is a scalar 1-row aggregate cross-joined back in (the

@@ -74,4 +74,43 @@ class GraphSpec extends GraftSuite {
     assert(agg.getLong(1) === nEdges)
     assert(agg.getLong(2) === agg.getLong(3))
   }
+
+  test("non-broadcast iteration state matches the broadcast path") {
+    import operators.GraphOps
+    // the 100 TB regime: |V| outgrows a broadcast and iteration state goes
+    // through a shuffled hash join against the node-partitioned edge
+    // relation. Exact-arithmetic states (min-label, integer votes) must
+    // match bitwise; double-valued states only up to shuffle-merge fp
+    // reordering.
+    val u = GraphOps.iterRelation(GraphOps.undirected(GraphOps.edgesNum(spark, sfDir)))
+    def byNode(df: org.apache.spark.sql.DataFrame, v: String): Map[Long, Double] =
+      df.collect().map(r => r.getAs[Long]("node") -> r.getAs[Double](v)).toMap
+    def close(a: Map[Long, Double], b: Map[Long, Double]): Unit = {
+      assert(a.keySet === b.keySet)
+      val worst = a.map { case (k, v) => math.abs(v - b(k)) }.max
+      assert(worst < 1e-9, s"max path divergence $worst")
+    }
+    close(byNode(GraphOps.pagerank(u, iters = 3, stateBroadcast = false), "r"),
+      byNode(GraphOps.pagerank(u, iters = 3, stateBroadcast = true), "r"))
+    close(byNode(GraphOps.eigenvector(u, iters = 2, stateBroadcast = false), "x"),
+      byNode(GraphOps.eigenvector(u, iters = 2, stateBroadcast = true), "x"))
+    def rows(df: org.apache.spark.sql.DataFrame) = df.orderBy("node").collect().toSeq
+    assert(rows(GraphOps.components(u, uncheckedRounds = 2, stateBroadcast = false)) ===
+      rows(GraphOps.components(u, uncheckedRounds = 2, stateBroadcast = true)))
+    assert(rows(GraphOps.communities(u, iters = 2, stateBroadcast = false)) ===
+      rows(GraphOps.communities(u, iters = 2, stateBroadcast = true)))
+  }
+
+  test("graph stats: density in (0,1], clustering in [0,1], bounded sample") {
+    val r = run("gr_graph_stats").head()
+    assert(r.getAs[Long]("n_nodes") > 0)
+    assert(r.getAs[Long]("n_edges") > 0)
+    val d = r.getAs[Double]("density")
+    assert(d > 0.0 && d <= 1.0, s"density $d")
+    val c = r.getAs[Double]("avg_clustering")
+    assert(c >= 0.0 && c <= 1.0, s"avg_clustering $c")
+    assert(r.getAs[Long]("sample_size") <= GraphOps_ClSampleK)
+    assert(r.getAs[Long]("proj_edges") > 0)
+  }
+  private def GraphOps_ClSampleK = operators.GraphOps.ClSampleK.toLong
 }
