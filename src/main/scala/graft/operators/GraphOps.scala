@@ -193,12 +193,12 @@ object GraphOps {
     // checkpoint+agg is too conservative to trigger the auto-broadcast,
     // and the sort-merge fallback shuffles the full |E| relation once per
     // query (measured 2.2s vs 1.0s for this step at sf0.1). norm is
-    // repartitioned by dst — the PER-ROUND aggregation key — so each
-    // round's groupBy(dst) after the broadcast join is exchange-free and
-    // the whole round runs as ONE stage; one setup shuffle of |E| buys
-    // back `iters` per-round |V|-partial exchanges. The lazy
-    // localCheckpoint materializes under round 1 and is read as blocks by
-    // every later round.
+    // repartitioned by dst — the PER-ROUND aggregation key — which
+    // balances the materialized blocks every round streams through (an
+    // AQE checkpoint reports UnknownPartitioning, so this cannot remove
+    // the per-round exchange; that exchange carries only the |V|-row
+    // partial aggregates). The lazy localCheckpoint materializes under
+    // round 1 and is read as blocks by every later round.
     val norm = u.join(broadcast(wdeg), "node")
       .select($"node".as("src"), $"nb".as("dst"), ($"weight" / $"wd").as("p"))
       .repartition($"dst")

@@ -139,8 +139,9 @@ object PlansDoc {
   def main(args: Array[String]): Unit = {
     val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
     val names = Seq("q1_pricing_summary", "q5_region_revenue", "etl_clean_text",
-      "dd_minhash_lsh", "dd_embedding", "sim_bruteforce_topk", "q_asof_join",
-      "gr_edges", "tx_keyterms")
+      "dd_minhash_lsh", "dd_embedding", "dd_simhash", "sim_bruteforce_topk",
+      "q_asof_join", "gr_edges", "gr_graph_stats", "an_comment_buckets",
+      "tx_keyterms")
     val spark = graft.GraftSession.get(8)
     names.foreach { n =>
       println(s"===== $n =====")
@@ -161,6 +162,19 @@ object PlansDoc {
         .union(lbls).groupBy($"node").agg(min($"lbl").as("lbl"))
       println("===== graph_iteration_round =====")
       round.explain("formatted")
+      // one pagerank round over the dst-partitioned norm relation — the
+      // aggregation must be exchange-free (no Exchange between the
+      // broadcast join and the HashAggregate pair)
+      val wdeg = u.groupBy($"node").agg(sum(lit(1L)).as("wd")).localCheckpoint(true)
+      val norm = u.join(broadcast(wdeg), "node")
+        .select($"node".as("src"), $"nb".as("dst"), (lit(1.0) / $"wd").as("p"))
+        .repartition($"dst").localCheckpoint(true)
+      val ranks = wdeg.select($"node", lit(1.0).as("r")).localCheckpoint(true)
+      val prRound = norm
+        .join(broadcast(ranks.withColumnRenamed("node", "src0")), $"src" === $"src0")
+        .groupBy($"dst").agg(sum($"r" * $"p").as("contrib"))
+      println("===== pagerank_round =====")
+      prRound.explain("formatted")
     }
     spark.stop()
   }
