@@ -214,7 +214,7 @@ object GraphOps {
     // sf0.1). On a real cluster use reliable checkpoint() to HDFS/S3
     // instead (survives executor loss).
     var ranks = wdeg.select($"node", (lit(1.0) / n).as("r")).localCheckpoint(false)
-    for (_ <- 1 to iters) {
+    for (i <- 1 to iters) {
       // ranks is |V| rows (tiny next to |E|): broadcast it so the cached
       // edge relation streams through a broadcast-hash join each round
       // instead of re-shuffling — the map-side partial sum then shrinks
@@ -226,10 +226,13 @@ object GraphOps {
       // in an undirected graph every node has an in-edge, so contribs
       // already covers all nodes — no left-join back to the node list
       // (the oracle's LEFT JOIN produces the same rows).
-      ranks = contribs
+      val next = contribs
         .select($"dst".as("node"),
           (lit(Rest) / n + lit(Damping) * $"contrib").as("r"))
-        .localCheckpoint(false)
+      // ranks is consumed exactly ONCE per round (the state broadcast), so
+      // checkpointing every 2nd round halves the materializations without
+      // any recomputation; analysis depth stays bounded at two rounds.
+      ranks = if (i % 2 == 0 || i == iters) next.localCheckpoint(false) else next
     }
     ranks
   }
@@ -274,8 +277,11 @@ object GraphOps {
       // driver-side head() saves one blocking job per iteration.
       val nr = raw.agg(
         sqrt(sum(($"x" * $"x").cast(DecimalType(38, 20))).cast("double")).as("nr"))
+      // x stays UNcheckpointed: raw is materialized blocks, and the next
+      // round consumes x through ONE reused broadcast, so the crossJoin
+      // re-evaluates exactly once per round — a |V|-row scan, cheaper
+      // than another materialization barrier.
       x = raw.crossJoin(broadcast(nr)).select($"node", ($"x" / $"nr").as("x"))
-        .localCheckpoint(false)
     }
     x
   }
