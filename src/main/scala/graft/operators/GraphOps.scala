@@ -184,10 +184,12 @@ object GraphOps {
     // count() below materializes the blocks in the same job it needs
     // anyway.
     val wdeg = u.groupBy($"node").agg(sum($"weight").as("wd")).localCheckpoint(false)
+    // the ONE deliberate driver action: it materializes wdeg's blocks (a
+    // job the first broadcast would pay anyway), and the scalar N it
+    // returns feeds both the per-round literals and the size-driven
+    // broadcast decision below — folding it into the plan as a scalar
+    // aggregate would instead re-broadcast a 1-row relation every round.
     val n = wdeg.count()
-    // size-driven: even when the caller leaves the default, a |V| beyond
-    // the broadcast threshold routes iteration state through the shuffled
-    // hash join instead of a driver-sized broadcast
     val bcast = stateBroadcast && stateHint(n)
     // wdeg is |V| rows: broadcast it explicitly — size estimation over a
     // checkpoint+agg is too conservative to trigger the auto-broadcast,
