@@ -6,34 +6,24 @@ import java.util.concurrent.atomic.{AtomicBoolean, AtomicInteger}
   * emits ONE JSON line {"metric":...,"queries":{name:sec},...}. Failures
   * are reported explicitly under "errors" (never as a fake fast timing).
   *
-  * The host shows intermittent 10-20x CPU throttling, so this main is
-  * built to ALWAYS get a complete JSON line out before any external
-  * `timeout` kills it:
-  *   - queries run cheapest-first (previous round's timings, estimates for
-  *     new queries), so a slow tail can never starve the cheap majority;
-  *   - each query runs under a watchdog capped at budget/8 — one
-  *     pathological query can no longer eat every other query's budget
-  *     (round 3 lost 30 timings that way);
-  *   - a wall-clock budget (SPARK_GRAFT_BENCH_BUDGET_SEC, default 900s)
-  *     caps total work, split 60% Spark pass / 40% oracle pass so the
-  *     Spark sweep can never starve the oracle denominators; the optional
-  *     second sample runs only while under half the Spark slice, and
-  *     remaining queries are skipped (reported under "skipped") once the
-  *     slice is spent;
-  *   - all result collections are mutated under a lock and emit() copies
-  *     under the same lock, so the SIGTERM shutdown hook can never race a
-  *     mid-update mutation into a lost JSON line;
-  *   - each sample gets a unique job group, so a stale watchdog from
-  *     sample 1 can never cancel sample 2's jobs.
+  * The host shows intermittent 10-20x CPU throttling in multi-minute
+  * windows. Two consequences shape this main:
   *
-  * After the Spark pass, if budget remains, the same query set's oracle
-  * SQL is timed in DuckDB (via the driver-side python3+duckdb toolchain,
-  * skipped silently if absent) and reported under "oracle" — the
-  * denominator for the "within 2x of the reference at the same SF" bar.
+  *  1. It must ALWAYS get a complete JSON line out before any external
+  *     `timeout` kills it: queries run cheapest-first, each sample runs
+  *     under a watchdog capped at budget/8, collections mutate under a
+  *     lock so the SIGTERM shutdown hook snapshots a consistent line, and
+  *     a committed BENCH_SELF.json sidecar survives stdout truncation.
+  *  2. Spark and DuckDB-oracle samples for the SAME query are taken
+  *     back-to-back (one long-lived DuckDB worker, interleaved with the
+  *     Spark sweep) so both sides of every ratio land in the same
+  *     throttle window. r6's gate swung 1.9x-2.6x on identical code
+  *     purely from the two passes running minutes apart; pairing makes
+  *     the per-query ratio window-invariant.
   */
 object Bench {
 
-  /** Previous-round cost (sec at sf0.1, round-6 BENCH_SELF + TimeQ);
+  /** Previous-round cost (sec at sf0.1, round-7 BENCH_SELF + TimeQ);
     * generous estimates for queries that have never been timed. Only the
     * ORDER matters — cheapest first guarantees full sweeps.
     */
@@ -52,19 +42,19 @@ object Bench {
     "etl_clean_text" -> 1.0, "etl_filter_enrich" -> 1.0, "etl_dedup_ingest" -> 0.6,
     "etl_parse_json" -> 1.0, "etl_sessionize" -> 1.5, "st_window_agg" -> 1.2,
     "st_enrich_agg" -> 1.2,
-    "dd_simhash" -> 1.5, "dd_embedding" -> 1.9, "dd_minhash_lsh" -> 1.4,
+    "dd_simhash" -> 1.7, "dd_embedding" -> 1.9, "dd_minhash_lsh" -> 1.4,
     "dd_ngram_jaccard" -> 1.8,
     "sim_pair_stats" -> 0.8, "sim_lsh_topk" -> 1.0, "sim_bruteforce_topk" -> 0.5,
-    "dd_clusters" -> 2.7, "tx_contamination" -> 0.8, "tx_ngram_stats" -> 0.5,
+    "dd_clusters" -> 2.5, "tx_contamination" -> 0.8, "tx_ngram_stats" -> 0.5,
     "tx_keyterms" -> 1.0, "q_asof_join" -> 1.0, "an_rolling_active" -> 0.7,
     "etl_stratified_sample" -> 0.5, "tx_repetition" -> 0.8,
     "etl_corpus_prep" -> 0.8, "tx_corpus_mixture" -> 0.4,
-    "gr_edges" -> 1.5, "gr_degree" -> 1.4, "gr_degree_directed" -> 1.4,
+    "gr_edges" -> 1.5, "gr_degree" -> 1.2, "gr_degree_directed" -> 1.4,
     "gr_degree_buckets" -> 1.3,
-    "gr_components" -> 2.2, "gr_closeness" -> 4.8, "gr_betweenness_approx" -> 9.0,
-    "gr_pagerank" -> 4.5,
-    "gr_eigenvector" -> 3.9, "gr_influencers" -> 4.5, "gr_communities" -> 3.0,
-    "gr_community_stats" -> 3.1)
+    "gr_components" -> 2.0, "gr_closeness" -> 4.0, "gr_betweenness_approx" -> 7.0,
+    "gr_pagerank" -> 3.0,
+    "gr_eigenvector" -> 3.5, "gr_influencers" -> 3.3, "gr_communities" -> 2.8,
+    "gr_community_stats" -> 2.9)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -120,14 +110,9 @@ object Bench {
     val bench0 = System.nanoTime()
     def elapsed: Double = (System.nanoTime() - bench0) / 1e9
     def remaining: Double = budgetSec - elapsed
-    // The Spark pass gets a HARD 60% of the budget; the DuckDB oracle pass
-    // keeps a guaranteed ~30% (r5: the Spark sweep had first claim on the
-    // whole budget and both oracle slices returned with zero denominators).
-    val sparkBudgetSec = budgetSec * 0.6
-    def sparkRemaining: Double = sparkBudgetSec - elapsed
-    // cap any single query at 1/8 of the whole budget: a pathological
-    // query costs one slot, not the rest of the sweep
-    def perQueryCap: Double = math.min(sparkRemaining, budgetSec / 8)
+    // cap any single query's Spark sample at 1/8 of the whole budget: a
+    // pathological query costs one slot, not the rest of the sweep
+    def perQueryCap: Double = math.min(remaining - 15, budgetSec / 8)
 
     val sampleSeq = new AtomicInteger(0)
     // Run one evaluation under a cancellable, per-sample-unique job group:
@@ -177,21 +162,41 @@ object Bench {
 
     val ordered = SparkEntry.queries.toSeq
       .sortBy { case (name, _) => (priorCost.getOrElse(name, 5.0), name) }
+
+    // one long-lived DuckDB worker for paired oracle samples; None when
+    // the driver-side python3+duckdb toolchain is absent (silent skip,
+    // measurement only)
+    val worker = OracleWorker.start(sfDir, SparkEntry.oracleSql.toSeq)
+    def reportOracle(name: String, res: Either[String, Double]): Unit =
+      lock.synchronized {
+        res match {
+          case Right(sec) => oracleT(name) = sec
+          case Left(err) => errors(s"oracle:$name") = err.take(200)
+        }
+      }
+    def timeOraclePaired(name: String): Unit = if (SparkEntry.oracleSql.contains(name)) {
+      // min-of-2 for the multi-second iterative CTEs (a single throttle
+      // spike costs whole seconds there); the sub-second majority gets one
+      // sample — its spike exposure is bounded by its own duration
+      val reps = if (name.startsWith("gr_") || name.startsWith("dd_")) 2 else 1
+      val perRep = math.min(if (name.startsWith("gr_")) 60.0 else 40.0, remaining - 10)
+      if (perRep > 2) worker.foreach(w => reportOracle(name, w.time(name, reps, perRep)))
+    }
+
     ordered.foreach { case (name, fn) =>
-      if (sparkRemaining <= 0) {
+      if (remaining <= 20) {
         lock.synchronized { skipped += name }
       } else {
         val first = runOne(name, fn, perQueryCap)
-        // extra samples only while comfortably inside the Spark slice.
-        // The gr_* suite is included (r5 excluded it when the sweep was
-        // budget-starved): the host's bursty 10-20x throttle spikes hit
-        // the many-job iterative queries hardest, and min-of-N is the
-        // only defense that smooths them — a third sample is taken for
-        // queries over 1s, where a single spike costs whole seconds.
-        val second = if (first.isDefined && elapsed < sparkBudgetSec / 2)
+        // extra samples only while comfortably inside the budget. The
+        // gr_* suite is included: the host's bursty 10-20x throttle
+        // spikes hit the many-job iterative queries hardest, and min-of-N
+        // is the only defense that smooths them — a third sample is taken
+        // for queries over 1s, where a single spike costs whole seconds.
+        val second = if (first.isDefined && elapsed < budgetSec * 0.45)
           runOne(name, fn, perQueryCap) else None
         val third = if (second.isDefined && (first.toSeq ++ second).min > 1.0
-            && elapsed < sparkBudgetSec / 2)
+            && elapsed < budgetSec * 0.45)
           runOne(name, fn, perQueryCap) else None
         val runs = first.toSeq ++ second ++ third
         if (runs.nonEmpty) lock.synchronized {
@@ -200,6 +205,8 @@ object Bench {
           // but a genuine intermittent failure stays visible
           if (errors.get(name).exists(_.contains("SPARK_JOB_CANCELLED"))) errors.remove(name)
         }
+        // PAIRED oracle sample(s): same query, same throttle window
+        timeOraclePaired(name)
       }
     }
 
@@ -211,7 +218,7 @@ object Bench {
     ordered.foreach { case (name, fn) =>
       val cancelled = lock.synchronized(
         !timings.contains(name) && errors.get(name).exists(_.contains("SPARK_JOB_CANCELLED")))
-      if (cancelled && sparkRemaining > 0) {
+      if (cancelled && remaining > 20) {
         runOne(name, fn, perQueryCap).foreach { sec =>
           lock.synchronized {
             timings(name) = sec
@@ -220,34 +227,16 @@ object Bench {
         }
       }
     }
-
-    // Oracle denominator: time each query's DuckDB oracle SQL at the same
-    // SF through the driver-side python3+duckdb toolchain. Measurement
-    // only — skipped silently when the toolchain is absent, and partial
-    // results stream in line-by-line so a deadline kill keeps what
-    // finished. Two slices: the cheap non-graph majority first (so a slow
-    // graph CTE can never starve it), then the iterative-CTE graph suite
-    // with its own budget — r4 ran one slice and lost every gr_* oracle
-    // denominator to the shared deadline. Failures surface as
-    // "oracle:<name>" errors instead of dying silently.
-    val (grOracle, mainOracle) = ordered.map(_._1).partition(_.startsWith("gr_"))
-    def reportOracle(name: String, res: Either[String, Double]): Unit =
-      lock.synchronized {
-        res match {
-          case Right(sec) => oracleT(name) = sec
-          case Left(err) => errors(s"oracle:$name") = err.take(200)
-        }
-      }
-    // main slice capped so the gr_* slice (iterative CTEs, the expensive
-    // denominators r4/r5 never recorded) keeps a guaranteed share of the
-    // reserved 40%. The gr_* slice takes min-of-2 samples: the host's
-    // 10-20x throttle windows swung identical gr oracle SQL 25.9→50.9s
-    // across r6 sweeps, and min-of-2 is the same smoothing the Spark pass
-    // already applies.
-    try timeOracle(sfDir, math.min(remaining - 10, 150.0), 40.0, mainOracle, reps = 1)(reportOracle)
-    catch { case _: Throwable => () }
-    try timeOracle(sfDir, math.min(remaining - 10, 420.0), 120.0, grOracle, reps = 2)(reportOracle)
-    catch { case _: Throwable => () }
+    // catch-up pass: any oracle sample still missing (e.g. its paired
+    // slot hit the budget guard) gets one attempt with what's left
+    ordered.foreach { case (name, _) =>
+      val missing = lock.synchronized(
+        SparkEntry.oracleSql.contains(name) && !oracleT.contains(name) &&
+          !errors.contains(s"oracle:$name"))
+      if (missing && remaining > 15)
+        worker.foreach(w => reportOracle(name, w.time(name, 1, math.min(40.0, remaining - 10))))
+    }
+    worker.foreach(_.close())
 
     emit(partial = lock.synchronized(skipped.nonEmpty))
     spark.stop()
@@ -256,95 +245,136 @@ object Bench {
     println(lastJson.get())
     System.out.flush()
   }
+}
 
-  /** Write oracle SQL + an interpreter script to temp files, stream
-    * `name\tseconds` (or `name\tERR\treason`) lines back until EOF or
-    * deadline. perQSec caps any single oracle query via con.interrupt.
-    */
-  private def timeOracle(sfDir: String, budgetSec: Double, perQSec: Double, order: Seq[String],
-      reps: Int = 1)(
-      report: (String, Either[String, Double]) => Unit): Unit = {
-    if (budgetSec < 5) return
-    val oracle = SparkEntry.oracleSql
-    val items = order.flatMap(n => oracle.get(n).map(n -> _))
-    if (items.isEmpty) return
-    def jq(s: String): String = "\"" + s.flatMap {
-      case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
-      case '\r' => "\\r"; case '\t' => "\\t"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
-    val sqlJson = items.map { case (k, v) => s"[${jq(k)},${jq(v)}]" }.mkString("[", ",", "]")
-    val sqlFile = java.io.File.createTempFile("graft_oracle_", ".json")
-    val pyFile = java.io.File.createTempFile("graft_oracle_", ".py")
-    sqlFile.deleteOnExit(); pyFile.deleteOnExit()
-    java.nio.file.Files.writeString(sqlFile.toPath, sqlJson)
-    java.nio.file.Files.writeString(pyFile.toPath,
-      """import sys, json, time, threading
-        |import duckdb
-        |sf, path, deadline, per_q, reps = (sys.argv[1], sys.argv[2],
-        |    float(sys.argv[3]), float(sys.argv[4]), int(sys.argv[5]))
-        |con = duckdb.connect()
-        |for t in ["region", "nation", "customer", "supplier", "part",
-        |          "orders", "lineitem", "events", "documents", "embeddings"]:
-        |    con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
-        |start = time.time()
-        |for name, sql in json.load(open(path)):
-        |    best = None
-        |    err = None
-        |    for r in range(reps):
-        |        remaining = deadline - (time.time() - start)
-        |        if remaining <= 0:
-        |            if best is None and err is None:
-        |                err = "oracle pass deadline exhausted"
-        |            break
-        |        # per-query interrupt: one pathological oracle query (recursive
-        |        # CTE) must cost one slot, not the whole oracle pass
-        |        timer = threading.Timer(min(per_q, remaining), con.interrupt)
-        |        timer.start()
-        |        t0 = time.time()
-        |        try:
-        |            con.execute(sql).fetchall()
-        |            dt = time.time() - t0
-        |            best = dt if best is None else min(best, dt)
-        |        except Exception as e:
-        |            why = str(e).replace(chr(9), ' ').replace(chr(10), ' ')[:160]
-        |            err = f"after {time.time() - t0:.1f}s: {why}"
-        |        finally:
-        |            timer.cancel()
-        |    if best is not None:
-        |        print(f"{name}\t{best:.3f}", flush=True)
-        |    else:
-        |        print(f"{name}\tERR\t{err or 'oracle query failed'}", flush=True)
-        |""".stripMargin)
-    val pb = new ProcessBuilder("python3", pyFile.getAbsolutePath,
-      sfDir, sqlFile.getAbsolutePath, budgetSec.toLong.toString, perQSec.toString,
-      reps.toString)
-    pb.redirectErrorStream(false)
-    val proc = pb.start()
-    val killer = new Thread(() => {
-      try { Thread.sleep((budgetSec * 1000).toLong + 5000); proc.destroyForcibly() }
-      catch { case _: InterruptedException => () }
-    })
-    killer.setDaemon(true)
-    killer.start()
-    val rd = new java.io.BufferedReader(new java.io.InputStreamReader(proc.getInputStream))
+/** Long-lived DuckDB oracle worker (driver-side python3+duckdb toolchain,
+  * measurement only — absent toolchain means no oracle numbers, never a
+  * bench failure). One process per bench run: views are created once,
+  * then each `time(name)` request runs that query's oracle SQL reps
+  * times with a per-rep `con.interrupt` watchdog and returns the best.
+  * Keeping the worker alive is what lets the Spark sweep interleave
+  * paired oracle samples instead of running a separate pass minutes
+  * later in a different throttle window.
+  */
+private final class OracleWorker(proc: Process,
+    writer: java.io.BufferedWriter, reader: java.io.BufferedReader) {
+  @volatile private var alive = true
+
+  /** Time one query's oracle: Right(best seconds) or Left(reason). */
+  def time(name: String, reps: Int, perRepSec: Double): Either[String, Double] = synchronized {
+    if (!alive) return Left("oracle worker unavailable")
     try {
-      var line = rd.readLine()
-      while (line != null) {
-        line.split('\t') match {
-          case Array(n, s) if s != "ERR" =>
-            try report(n, Right(s.toDouble)) catch { case _: NumberFormatException => () }
-          case Array(n, _, why) => report(n, Left(why))
-          case Array(n, _) => report(n, Left("oracle query failed"))
-          case _ => ()
-        }
-        line = rd.readLine()
+      writer.write(s"$name\t$reps\t$perRepSec\n")
+      writer.flush()
+      // the child's own per-rep interrupt bounds its response time; the
+      // poll deadline is a backstop for a hard-hung child
+      val deadline = System.nanoTime() + ((reps * perRepSec + 20) * 1e9).toLong
+      var line: String = null
+      while (line == null && System.nanoTime() < deadline) {
+        if (reader.ready()) line = reader.readLine()
+        else Thread.sleep(20)
       }
-    } finally {
-      killer.interrupt()
-      proc.destroyForcibly()
-      rd.close()
+      line match {
+        case null =>
+          alive = false
+          proc.destroyForcibly()
+          Left("oracle worker timed out")
+        case l => l.split('\t') match {
+          case Array(_, s) if s != "ERR" => Right(s.toDouble)
+          case Array(_, _, why) => Left(why)
+          case _ => Left("oracle query failed")
+        }
+      }
+    } catch {
+      case e: Throwable =>
+        alive = false
+        proc.destroyForcibly()
+        Left(s"oracle worker died: ${Option(e.getMessage).getOrElse(e.getClass.getName).take(120)}")
     }
+  }
+
+  def close(): Unit = synchronized {
+    try { writer.write("QUIT\n"); writer.flush() } catch { case _: Throwable => () }
+    try proc.destroyForcibly() catch { case _: Throwable => () }
+    alive = false
+  }
+}
+
+private object OracleWorker {
+  def start(sfDir: String, sqls: Seq[(String, String)]): Option[OracleWorker] = {
+    if (sqls.isEmpty) return None
+    try {
+      def jq(s: String): String = "\"" + s.flatMap {
+        case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+        case '\r' => "\\r"; case '\t' => "\\t"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"
+        case c => c.toString
+      } + "\""
+      val sqlJson = sqls.map { case (k, v) => s"[${jq(k)},${jq(v)}]" }.mkString("[", ",", "]")
+      val sqlFile = java.io.File.createTempFile("graft_oracle_", ".json")
+      val pyFile = java.io.File.createTempFile("graft_oracle_", ".py")
+      sqlFile.deleteOnExit(); pyFile.deleteOnExit()
+      java.nio.file.Files.writeString(sqlFile.toPath, sqlJson)
+      java.nio.file.Files.writeString(pyFile.toPath,
+        """import sys, json, time, threading
+          |import duckdb
+          |sf, path = sys.argv[1], sys.argv[2]
+          |con = duckdb.connect()
+          |for t in ["region", "nation", "customer", "supplier", "part",
+          |          "orders", "lineitem", "events", "documents", "embeddings"]:
+          |    con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
+          |sqls = dict(json.load(open(path)))
+          |print("READY", flush=True)
+          |for line in sys.stdin:
+          |    parts = line.rstrip("\n").split("\t")
+          |    if not parts or parts[0] == "QUIT":
+          |        break
+          |    name, reps, per_rep = parts[0], int(parts[1]), float(parts[2])
+          |    sql = sqls.get(name)
+          |    if sql is None:
+          |        print(f"{name}\tERR\tno oracle sql", flush=True)
+          |        continue
+          |    best = None
+          |    err = None
+          |    for r in range(reps):
+          |        # per-rep interrupt: one pathological oracle query must
+          |        # cost one slot, not the whole oracle side of the sweep
+          |        timer = threading.Timer(per_rep, con.interrupt)
+          |        timer.start()
+          |        t0 = time.time()
+          |        try:
+          |            con.execute(sql).fetchall()
+          |            dt = time.time() - t0
+          |            best = dt if best is None else min(best, dt)
+          |        except Exception as e:
+          |            why = str(e).replace(chr(9), ' ').replace(chr(10), ' ')[:160]
+          |            err = f"after {time.time() - t0:.1f}s: {why}"
+          |        finally:
+          |            timer.cancel()
+          |    if best is not None:
+          |        print(f"{name}\t{best:.3f}", flush=True)
+          |    else:
+          |        print(f"{name}\tERR\t{err or 'oracle query failed'}", flush=True)
+          |""".stripMargin)
+      val pb = new ProcessBuilder("python3", pyFile.getAbsolutePath,
+        sfDir, sqlFile.getAbsolutePath)
+      pb.redirectErrorStream(false)
+      val proc = pb.start()
+      val reader = new java.io.BufferedReader(new java.io.InputStreamReader(proc.getInputStream))
+      val writer = new java.io.BufferedWriter(new java.io.OutputStreamWriter(proc.getOutputStream))
+      // wait for READY (view creation) with a hard deadline
+      val deadline = System.nanoTime() + 60L * 1000000000L
+      var ready = false
+      var line: String = null
+      while (!ready && System.nanoTime() < deadline) {
+        if (reader.ready()) {
+          line = reader.readLine()
+          ready = line != null && line.startsWith("READY")
+          if (line == null) throw new RuntimeException("oracle worker closed stdout")
+        } else Thread.sleep(20)
+      }
+      if (!ready) { proc.destroyForcibly(); None }
+      else Some(new OracleWorker(proc, writer, reader))
+    } catch { case _: Throwable => None }
   }
 }

@@ -17,7 +17,12 @@ object GraftSession {
       .config("spark.sql.shuffle.partitions", cpus.toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .config("spark.sql.adaptive.enabled", "true")
+      // default ON (the cluster posture — runtime coalescing and skew
+      // handling are load-bearing at 100 TB); SPARK_GRAFT_AQE=false is a
+      // dev knob for quantifying AQE's per-stage re-planning overhead on
+      // sub-second local work
+      .config("spark.sql.adaptive.enabled",
+        sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       // dims (region/nation/supplier at any SF) stay broadcastable

@@ -277,13 +277,19 @@ object GraphOps {
       // oracle's scalar subquery, same decimal-exact sum + one sqrt +
       // one double division) — folding it into the plan instead of a
       // driver-side head() saves one blocking job per iteration.
-      val nr = raw.agg(
-        sqrt(sum(($"x" * $"x").cast(DecimalType(38, 20))).cast("double")).as("nr"))
+      // the L2 norm as an UNPARTITIONED window aggregate: the |V|-row raw
+      // relation collapses to one partition inside the same job — no
+      // 1-row broadcast build per round (was one more job each round).
+      // The decimal-exact sum is order-independent, so the value is
+      // bit-identical to the oracle's scalar subquery.
+      val all = org.apache.spark.sql.expressions.Window
+        .partitionBy().rowsBetween(Long.MinValue, Long.MaxValue)
+      val nr = sqrt(sum(($"x" * $"x").cast(DecimalType(38, 20))).over(all).cast("double"))
       // x stays UNcheckpointed: raw is materialized blocks, and the next
-      // round consumes x through ONE reused broadcast, so the crossJoin
+      // round consumes x through ONE reused broadcast, so the projection
       // re-evaluates exactly once per round — a |V|-row scan, cheaper
       // than another materialization barrier.
-      x = raw.crossJoin(broadcast(nr)).select($"node", ($"x" / $"nr").as("x"))
+      x = raw.select($"node", ($"x" / nr).as("x"))
     }
     x
   }
@@ -1031,9 +1037,11 @@ object GraphOps {
       .select($"v", when($"d" >= 2,
         lit(2.0) * coalesce($"t", lit(0L)).cast("double") / ($"d" * ($"d" - 1)).cast("double"))
         .otherwise(lit(0.0)).as("c"))
+    // sample_size doubles as the cl row count (one row per sampled node),
+    // so the clustering aggregate carries it — one fewer scalar job
     gn.agg(P.cnt.as("nn")).crossJoin(broadcast(e.agg(P.cnt.as("ne"))))
-      .crossJoin(broadcast(cl.agg(P.davg(P.prnd($"c", 9), 9).as("ac"))))
-      .crossJoin(broadcast(smp.agg(P.cnt.as("ss"))))
+      .crossJoin(broadcast(cl.agg(
+        P.davg(P.prnd($"c", 9), 9).as("ac"), P.cnt.as("ss"))))
       .crossJoin(broadcast(proj.agg(P.cnt.as("pe"))))
       .select($"nn".as("n_nodes"), $"ne".as("n_edges"),
         P.prnd(($"ne" * 2).cast("double")
