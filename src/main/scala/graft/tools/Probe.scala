@@ -232,6 +232,26 @@ object UndProbe {
     println("UNDPROBE C parts=" + uC.rdd.getNumPartitions)
     rounds(uC, 6, "C")
 
+    // D: union + ckpt, NO repartition — partitioning stays file-split
+    // shaped; tests whether the prefix exchange pays for itself
+    val uD = t("D: union + ckpt (no repart)") {
+      val e = graft.operators.GraphOps.edges(spark, dir)
+      e.select($"src".as("node"), $"dst".as("nb"), $"weight")
+        .union(e.select($"dst".as("node"), $"src".as("nb"), $"weight"))
+        .localCheckpoint(true)
+    }
+    println("UNDPROBE D parts=" + uD.rdd.getNumPartitions)
+    rounds(uD, 6, "D")
+
+    // E: lazy-ckpt variants of B and D (the production cadence)
+    val uE = t("E: B-shape lazy ckpt (materialized in round 1)") {
+      val e = graft.operators.GraphOps.edges(spark, dir)
+      e.select($"src".as("node"), $"dst".as("nb"), $"weight")
+        .union(e.select($"dst".as("node"), $"src".as("nb"), $"weight"))
+        .repartition($"node").localCheckpoint(false)
+    }
+    rounds(uE, 6, "E")
+
     // wdeg join strategy over shape A
     t("wdeg agg+join+repart+ckpt (auto)") {
       val wdeg = uA.groupBy($"node").agg(sum($"weight").as("wd"))
