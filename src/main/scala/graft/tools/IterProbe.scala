@@ -20,8 +20,17 @@ object IterProbe {
     val stages = new AtomicInteger(0)
     val tasks = new AtomicInteger(0)
     val shufW = new AtomicLong(0L)
+    val dumpJobs = sys.env.get("ITERPROBE_DUMP_JOBS").contains("1")
     spark.sparkContext.addSparkListener(new SparkListener {
-      override def onJobStart(j: SparkListenerJobStart): Unit = jobs.incrementAndGet()
+      override def onJobStart(j: SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet()
+        if (dumpJobs) {
+          val desc = Option(j.properties)
+            .flatMap(p => Option(p.getProperty("spark.job.description"))).getOrElse("")
+          val site = j.stageInfos.headOption.map(_.name).getOrElse("")
+          println(s"JOB ${j.jobId} stages=${j.stageInfos.size} [$desc] $site")
+        }
+      }
       override def onStageCompleted(s: SparkListenerStageCompleted): Unit = {
         stages.incrementAndGet()
         shufW.addAndGet(s.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
