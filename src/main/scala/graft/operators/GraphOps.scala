@@ -398,15 +398,24 @@ object GraphOps {
     val nodes = u.select($"node").distinct().localCheckpoint(true)
     val lmk = nodes.orderBy($"node").limit(k).select($"node".as("lmk")).localCheckpoint(true)
     var dist = lmk.select($"lmk".as("node"), $"lmk", lit(0).as("d")).localCheckpoint(false)
-    for (_ <- 1 to rounds) {
-      // frontier state is |V|·K rows max — broadcast into the cached edge
-      // relation; min-agg is map-side partial (see pagerank's scale note)
-      val relax = u
-        .join(broadcast(dist.select($"node".as("nb0"), $"lmk", $"d")), $"nb" === $"nb0")
-        .select($"node", $"lmk", ($"d" + 1).as("d"))
-      dist = relax.union(dist.select($"node", $"lmk", $"d"))
-        .groupBy($"node", $"lmk").agg(min($"d").as("d"))
-        .localCheckpoint(false)
+    for (r <- 1 to rounds) {
+      // FRONTIER relaxation (the betweenness forward-pass shape): in an
+      // unweighted BFS a node's min distance is final the round it is
+      // first reached, so only the previous round's frontier needs to
+      // join the edge relation — the earlier full-state relaxation
+      // multiplied every edge row by K landmarks every round (~|E|·K join
+      // rows), where the frontier join touches each (edge, landmark)
+      // pair once across the whole run. Late rounds on a low-diameter
+      // graph have near-empty frontiers and cost nothing. The oracle's
+      // full-relaxation CTE unroll is a semantic twin (identical min
+      // distances), not a plan twin.
+      val fresh = u
+        .join(broadcast(dist.filter($"d" === r - 1).select($"node".as("nb0"), $"lmk")),
+          $"nb" === $"nb0")
+        .select($"node", $"lmk").distinct()
+        .join(broadcast(dist.select($"node", $"lmk")), Seq("node", "lmk"), "left_anti")
+        .select($"node", $"lmk", lit(r).as("d"))
+      dist = dist.union(fresh).localCheckpoint(false)
     }
     nodes.crossJoin(broadcast(lmk))
       .join(dist, Seq("node", "lmk"), "left")
