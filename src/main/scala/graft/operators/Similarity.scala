@@ -21,7 +21,14 @@ object Similarity {
 
   val NumQueries = 10
   val TopK = 5
-  val LshPlanes = 4
+  /** SRP signature width / band count for the ANN path: 16 planes in 4
+    * bands of 4, the same banding dd_embedding uses — candidates share
+    * ANY band. A single 4-plane band was measured at ~7% recall@3 on the
+    * synthetic corpus (sim_recall); 4-band OR-amplification is the
+    * standard fix.
+    */
+  val LshPlanes = 16
+  val LshBandSize = 4
   val LshTopK = 3
 
   /** Exact cosine top-k per query vector (query set: vec_id < 10). */
@@ -52,12 +59,13 @@ object Similarity {
       .orderBy($"q_id", $"rank")
   }
 
-  /** SRP-LSH bucketed ANN top-k: candidates share the 4-plane bucket. */
+  /** SRP-LSH bucketed ANN top-k: candidates share any of the 4 bands. */
   val lshTopk = QueryDef(
     "sim_lsh_topk",
-    s"""WITH ${Srp.bandKeysSql(LshPlanes, LshPlanes)},
-       |q AS MATERIALIZED (SELECT vec_id AS q_id, bkey FROM srp_bk WHERE vec_id < $NumQueries),
-       |cand AS (SELECT q.q_id, b.vec_id FROM q JOIN srp_bk b ON b.bkey = q.bkey
+    s"""WITH ${Srp.bandKeysSql(LshPlanes, LshBandSize)},
+       |q AS MATERIALIZED (SELECT vec_id AS q_id, band, bkey FROM srp_bk WHERE vec_id < $NumQueries),
+       |cand AS (SELECT DISTINCT q.q_id, b.vec_id FROM q
+       |  JOIN srp_bk b ON b.band = q.band AND b.bkey = q.bkey
        |  WHERE b.vec_id <> q.q_id),
        |sc AS MATERIALIZED (SELECT c.q_id, c.vec_id,
        |    list_cosine_similarity(CAST(qe.embedding AS DOUBLE[]),
@@ -76,11 +84,12 @@ object Similarity {
     // eager localCheckpoint: materialized once for the q/candidate reads,
     // blocks self-clean on GC (persist() would leak without an unpersist
     // handle for composing callers)
-    val bk = Srp.bandKeys(emb, LshPlanes, LshPlanes).select($"vec_id", $"bkey")
+    val bk = Srp.bandKeys(emb, LshPlanes, LshBandSize).select($"vec_id", $"band", $"bkey")
       .localCheckpoint(true)
-    val q = bk.filter($"vec_id" < NumQueries).select($"vec_id".as("q_id"), $"bkey")
-    val cand = q.join(bk, "bkey").filter($"vec_id" =!= $"q_id")
-      .select($"q_id", $"vec_id")
+    val q = bk.filter($"vec_id" < NumQueries)
+      .select($"vec_id".as("q_id"), $"band", $"bkey")
+    val cand = q.join(bk, Seq("band", "bkey")).filter($"vec_id" =!= $"q_id")
+      .select($"q_id", $"vec_id").distinct()
     val w = Window.partitionBy($"q_id").orderBy(P.prnd($"cos", 6).desc, $"vec_id")
     cand
       .join(emb.select($"vec_id".as("q_id"), $"embedding".as("qe")), "q_id")
@@ -145,5 +154,80 @@ object Similarity {
       .orderBy($"label")
   }
 
-  val defs: Seq[QueryDef] = Seq(bruteforce, lshTopk, pairStats)
+  /** Recall@k of the SRP-LSH ANN path against the exact brute-force
+    * baseline — the standard evaluation a pipeline runs before trusting
+    * an ANN index for near-dup mining. Per query: |lsh top-k ∩ exact
+    * top-k| / k, with the same deterministic prnd-cosine/vec_id ranking
+    * both ANN queries already use. Scale shape: both rankings are
+    * windowed top-k over candidate sets (the exact side broadcasts the
+    * bounded query set; the LSH side scores bucket-mates only), and the
+    * intersection join carries ≤ queries×k rows.
+    */
+  val recall = QueryDef(
+    "sim_recall",
+    s"""WITH bq AS MATERIALIZED (SELECT vec_id AS q_id, embedding AS qe FROM embeddings
+       |    WHERE vec_id < $NumQueries),
+       |bsc AS MATERIALIZED (SELECT q_id, vec_id,
+       |    list_cosine_similarity(CAST(qe AS DOUBLE[]), CAST(embedding AS DOUBLE[])) AS cos
+       |  FROM bq, embeddings WHERE vec_id <> q_id),
+       |brk AS MATERIALIZED (SELECT q_id, vec_id,
+       |    CAST(row_number() OVER (PARTITION BY q_id
+       |      ORDER BY ${PS.prnd("cos", 6)} DESC, vec_id) AS BIGINT) AS rank
+       |  FROM bsc),
+       |${Srp.bandKeysSql(LshPlanes, LshBandSize)},
+       |lq AS MATERIALIZED (SELECT vec_id AS q_id, band, bkey FROM srp_bk WHERE vec_id < $NumQueries),
+       |lcand AS (SELECT DISTINCT lq.q_id, b.vec_id FROM lq
+       |  JOIN srp_bk b ON b.band = lq.band AND b.bkey = lq.bkey
+       |  WHERE b.vec_id <> lq.q_id),
+       |lsc AS MATERIALIZED (SELECT c.q_id, c.vec_id,
+       |    list_cosine_similarity(CAST(qe.embedding AS DOUBLE[]),
+       |      CAST(ce.embedding AS DOUBLE[])) AS cos
+       |  FROM lcand c
+       |  JOIN embeddings qe ON qe.vec_id = c.q_id
+       |  JOIN embeddings ce ON ce.vec_id = c.vec_id),
+       |lrk AS MATERIALIZED (SELECT q_id, vec_id,
+       |    CAST(row_number() OVER (PARTITION BY q_id
+       |      ORDER BY ${PS.prnd("cos", 6)} DESC, vec_id) AS BIGINT) AS rank
+       |  FROM lsc),
+       |hits AS MATERIALIZED (SELECT b.q_id, COUNT(*) AS n_hits
+       |  FROM brk b JOIN lrk l ON l.q_id = b.q_id AND l.vec_id = b.vec_id
+       |  WHERE b.rank <= $LshTopK AND l.rank <= $LshTopK
+       |  GROUP BY b.q_id)
+       |SELECT q.q_id AS q_id, CAST($LshTopK AS BIGINT) AS k,
+       |  CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+       |  ${PS.prnd(s"CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / $LshTopK", 6)} AS recall
+       |FROM bq q LEFT JOIN hits h ON h.q_id = q.q_id
+       |ORDER BY q.q_id""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val emb = Tables.embeddings(s, dir)
+    val w = Window.partitionBy($"q_id").orderBy(P.prnd($"cos", 6).desc, $"vec_id")
+    val q = emb.filter($"vec_id" < NumQueries)
+      .select($"vec_id".as("q_id"), $"embedding".as("qe"))
+    val brk = emb.crossJoin(broadcast(q))
+      .filter($"vec_id" =!= $"q_id")
+      .select($"q_id", $"vec_id", expr("graft_cosine(qe, embedding)").as("cos"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter($"rank" <= LshTopK).select($"q_id", $"vec_id")
+    val bk = Srp.bandKeys(emb, LshPlanes, LshBandSize).select($"vec_id", $"band", $"bkey")
+      .localCheckpoint(false)
+    val cand = bk.filter($"vec_id" < NumQueries)
+      .select($"vec_id".as("q_id"), $"band", $"bkey")
+      .join(bk, Seq("band", "bkey")).filter($"vec_id" =!= $"q_id")
+      .select($"q_id", $"vec_id").distinct()
+    val lrk = cand
+      .join(emb.select($"vec_id".as("q_id"), $"embedding".as("qe2")), "q_id")
+      .join(emb.select($"vec_id", $"embedding".as("ce")), "vec_id")
+      .select($"q_id", $"vec_id", expr("graft_cosine(qe2, ce)").as("cos"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter($"rank" <= LshTopK).select($"q_id", $"vec_id")
+    val hits = brk.join(lrk, Seq("q_id", "vec_id"))
+      .groupBy($"q_id").agg(P.cnt.as("n_hits"))
+    q.select($"q_id").join(hits, Seq("q_id"), "left")
+      .select($"q_id", lit(LshTopK.toLong).as("k"),
+        coalesce($"n_hits", lit(0L)).as("n_hits"),
+        P.prnd(coalesce($"n_hits", lit(0L)).cast("double") / LshTopK, 6).as("recall"))
+      .orderBy($"q_id")
+  }
+
+  val defs: Seq[QueryDef] = Seq(bruteforce, lshTopk, pairStats, recall)
 }
