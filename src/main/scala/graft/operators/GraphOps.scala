@@ -245,9 +245,11 @@ object GraphOps {
     * The global L2 norm runs through an exact decimal sum so each
     * iteration's scale factor is bit-identical to the oracle's.
     *
-    * `u` must be an [[iterRelation]]: the per-round groupBy(node) then
-    * aggregates partition-locally (the broadcast join on `nb` preserves
-    * u's node partitioning), so no round shuffles the |E| relation.
+    * `u` must be an [[iterRelation]]: each round streams its blocks
+    * through a broadcast join + partial aggregation, so the only per-round
+    * exchange carries |V|-row partials — no round shuffles the |E|
+    * relation. (An AQE checkpoint reports UnknownPartitioning, so the
+    * partial→final exchange itself cannot be elided; see pagerank.)
     */
   def eigenvector(u: DataFrame, iters: Int = PrIters,
       stateBroadcast: Boolean = true): DataFrame = {
