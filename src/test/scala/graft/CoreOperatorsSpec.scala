@@ -65,6 +65,13 @@ class CoreOperatorsSpec extends GraftSuite {
     assert(run("an_timeline").agg(sum("n")).head().getLong(0) === ev)
     assert(run("an_dow_activity").agg(sum("n")).head().getLong(0) === ev)
     assert(run("an_value_buckets").agg(sum("n")).head().getLong(0) === ev)
+    // the engagement histogram partitions USERS and its event totals
+    // partition EVENTS — both must cover everything exactly once
+    val users = Tables.events(spark, sfDir).select("user_id").distinct().count()
+    val cb = run("an_comment_buckets")
+      .agg(sum("n_users"), sum("total_events")).head()
+    assert(cb.getLong(0) === users)
+    assert(cb.getLong(1) === ev)
   }
 
   test("as-of join matches a brute-force latest-prior-view lookup") {
