@@ -383,47 +383,93 @@ object GraphOps {
   def fmtNode(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     concat(when(c % 2 === 0, "c").otherwise("s"), shiftright(c, 1).cast("string"))
 
+  /** Columnar landmark-BFS state: ONE row per node with per-landmark
+    * distance columns d0..d{K-1} (null = unreached) and, when `sigma`,
+    * shortest-path-count columns s0..s{K-1} (exact BIGINT). Pivoting the
+    * K landmarks into columns instead of |V|·K (node, lmk) rows is what
+    * makes the landmark suite cheap: state stays |V| rows for the whole
+    * run (no growing union, no per-round anti-join), every broadcast and
+    * shuffle carries K× fewer rows, and each round is ONE frontier join +
+    * ONE merge join with constant-size plans (the row-based variant's
+    * union-of-levels plans grew every round and their re-analysis came to
+    * dominate the wall time). The landmark ids arrive as literals
+    * (`lmkIds`, a K-row driver seed — same class as pagerank's scalar N
+    * seed), so the per-column masks are codegen'd constants.
+    */
+  private def landmarkBfs(u: DataFrame, nodes: DataFrame, lmkIds: Array[Long],
+      rounds: Int, sigma: Boolean, bcast: Boolean): DataFrame = {
+    val s = u.sparkSession
+    import s.implicits._
+    val ks = lmkIds.indices
+    def d(i: Int) = col(s"d$i")
+    def sg(i: Int) = col(s"s$i")
+    val init = nodes.select($"node" +:
+      (ks.map(i => when($"node" === lmkIds(i), 0).cast("int").as(s"d$i")) ++
+        (if (sigma) ks.map(i => when($"node" === lmkIds(i), 1L).as(s"s$i")) else Nil)): _*)
+    var state = init.localCheckpoint(false)
+    for (r <- 1 to rounds) {
+      // only the previous round's frontier joins the edge relation: a
+      // node's min distance is final the round it is first reached
+      val frontier = state.filter(ks.map(i => d(i) === r - 1).reduce(_ || _))
+        .select($"node".as("nb0") +:
+          (ks.map(i => d(i).as(s"fd$i")) ++
+            (if (sigma) ks.map(i => sg(i).as(s"fs$i")) else Nil)): _*)
+      // per-landmark candidate aggregate over the frontier's neighbors:
+      // σ(v at r) = Σ σ(neighbors at r-1); without sigma just reach
+      val aggs =
+        if (sigma) ks.map(i => sum(when(col(s"fd$i") === r - 1, col(s"fs$i"))).as(s"c$i"))
+        else ks.map(i => max(when(col(s"fd$i") === r - 1, lit(r))).as(s"c$i"))
+      val cand = u.join(stateJoin(frontier, bcast), $"nb" === $"nb0")
+        .groupBy($"node").agg(aggs.head, aggs.tail: _*)
+      // merge: already-reached distances are final; newly reached get d=r
+      state = state.join(stateJoin(cand, bcast), Seq("node"), "left")
+        .select($"node" +:
+          (ks.map(i => coalesce(d(i), when(col(s"c$i").isNotNull, r)).as(s"d$i")) ++
+            (if (sigma) ks.map(i => coalesce(sg(i), col(s"c$i")).as(s"s$i")) else Nil)): _*)
+        .localCheckpoint(false)
+    }
+    state
+  }
+
+  /** The K-smallest-node-id landmark seed: a K-row top-K collect — the
+    * deliberate driver action of the landmark suite (it pins the
+    * per-column landmark masks as codegen literals; K is a constant, so
+    * the collect stays K rows at any data scale).
+    */
+  private def landmarkSeed(nodes: DataFrame, k: Int): Array[Long] = {
+    val s = nodes.sparkSession
+    import s.implicits._
+    nodes.orderBy($"node").limit(k).select($"node").as[Long].collect()
+  }
+
   /** Landmark-based closeness centrality — the scalable stand-in for the
     * reference's exact NetworkX closeness (network_analysis.py:123-178),
     * whose all-pairs BFS cannot survive 100 TB. K landmark sources (the K
     * smallest node ids — deterministic), synchronous BFS distance
-    * relaxation for a fixed number of rounds, then closeness(v) =
-    * K / Σ_l min(dist(v,l), rounds+1). Published pattern: landmark/pivot
-    * centrality estimation; cost is `rounds` broadcast-join passes over
-    * the edge relation with |V|·K state — the same skeleton as
-    * [[pagerank]]. At 100 TB |V|·K outgrows a broadcast: keep both sides
-    * hash-partitioned on the node key instead (same note as pagerank).
+    * relaxation for a fixed number of rounds via [[landmarkBfs]], then
+    * closeness(v) = K / Σ_l min(dist(v,l), rounds+1). Published pattern:
+    * landmark/pivot centrality estimation (Brandes & Pich 2007). State is
+    * |V| rows (distances columnar per landmark); when |V| outgrows a
+    * broadcast the size-driven [[stateJoin]] knob shifts every state join
+    * to a shuffled hash join against the node-partitioned edge relation.
     */
-  def closeness(u: DataFrame, k: Int = ClLandmarks, rounds: Int = ClRounds): DataFrame = {
+  def closeness(u: DataFrame, k: Int = ClLandmarks, rounds: Int = ClRounds,
+      stateBroadcast: Boolean = true): DataFrame = {
     val s = u.sparkSession
     import s.implicits._
     val nodes = u.select($"node").distinct().localCheckpoint(true)
-    val lmk = nodes.orderBy($"node").limit(k).select($"node".as("lmk")).localCheckpoint(true)
-    var dist = lmk.select($"lmk".as("node"), $"lmk", lit(0).as("d")).localCheckpoint(false)
-    for (r <- 1 to rounds) {
-      // FRONTIER relaxation (the betweenness forward-pass shape): in an
-      // unweighted BFS a node's min distance is final the round it is
-      // first reached, so only the previous round's frontier needs to
-      // join the edge relation — the earlier full-state relaxation
-      // multiplied every edge row by K landmarks every round (~|E|·K join
-      // rows), where the frontier join touches each (edge, landmark)
-      // pair once across the whole run. Late rounds on a low-diameter
-      // graph have near-empty frontiers and cost nothing. The oracle's
-      // full-relaxation CTE unroll is a semantic twin (identical min
-      // distances), not a plan twin.
-      val fresh = u
-        .join(broadcast(dist.filter($"d" === r - 1).select($"node".as("nb0"), $"lmk")),
-          $"nb" === $"nb0")
-        .select($"node", $"lmk").distinct()
-        .join(broadcast(dist.select($"node", $"lmk")), Seq("node", "lmk"), "left_anti")
-        .select($"node", $"lmk", lit(r).as("d"))
-      dist = dist.union(fresh).localCheckpoint(false)
-    }
-    nodes.crossJoin(broadcast(lmk))
-      .join(dist, Seq("node", "lmk"), "left")
-      .select($"node", coalesce($"d", lit(rounds + 1)).as("d"))
-      .groupBy($"node")
-      .agg((lit(k).cast("double") / sum($"d").cast("double")).as("c"))
+    val lmkIds = landmarkSeed(nodes, k)
+    val bcast = stateBroadcast && stateHint(nodes.count())
+    val state = landmarkBfs(u, nodes, lmkIds, rounds, sigma = false, bcast)
+    // closeness(v) = K / Σ_i min(dist(v, lmk_i), rounds+1): exact integer
+    // sum over the K distance columns, cast once — identical to the
+    // oracle's SUM(COALESCE(d, rounds+1)) over K rows
+    val tot = lmkIds.indices.map(i => coalesce(col(s"d$i"), lit(rounds + 1)))
+      .reduce(_ + _)
+    // numerator is the CONSTANT k (the oracle's CAST(k AS DOUBLE)), even
+    // if the graph has fewer than k nodes
+    state.select($"node",
+      (lit(k).cast("double") / tot.cast("double")).as("c"))
   }
 
   /** Landmark (pivot-sampled) betweenness — Brandes' dependency
@@ -440,72 +486,82 @@ object GraphOps {
     *    δ(v) = Σ_{w: successor} (σ_v/σ_w)·(1 + δ(w)).
     *
     * Score(v) = Σ_l δ_l(v) / K (the pivot-sample estimator). Both passes
-    * are `rounds` broadcast-join rounds with |V|·K state — the same
-    * skeleton and scale posture as [[closeness]]; at 100 TB keep both
-    * sides hash-partitioned on the node key instead of broadcasting.
+    * run on COLUMNAR per-landmark state (see [[landmarkBfs]]): |V|-row
+    * state, |E|-row DAG, K× fewer rows than a (node, lmk) expansion at
+    * every join and shuffle. The size-driven [[stateJoin]] knob shifts
+    * every state join to a shuffled hash join when |V| outgrows a
+    * broadcast (100 TB posture, same as [[pagerank]]).
     * δ aggregation routes through decimal casts (Portable.dsum) so the
     * DuckDB oracle twin hash-matches despite double non-associativity.
     */
-  def betweenness(u: DataFrame, k: Int = BwLandmarks, rounds: Int = BwRounds): DataFrame = {
+  def betweenness(u: DataFrame, k: Int = BwLandmarks, rounds: Int = BwRounds,
+      stateBroadcast: Boolean = true): DataFrame = {
     val s = u.sparkSession
     import s.implicits._
+    import org.apache.spark.sql.types.DecimalType
     val nodes = u.select($"node").distinct().localCheckpoint(true)
-    val lmk = nodes.orderBy($"node").limit(k).select($"node".as("lmk")).localCheckpoint(true)
-    var state = lmk
-      .select($"lmk".as("node"), $"lmk", lit(0).as("d"), lit(1L).as("sig"))
-      .localCheckpoint(true)
-    for (r <- 1 to rounds) {
-      // expand only the previous frontier; σ(v at r) = Σ σ(neighbors at r-1)
-      val cand = u
-        .join(broadcast(state.filter($"d" === r - 1)
-          .select($"node".as("nb0"), $"lmk", $"sig")), $"nb" === $"nb0")
-        .groupBy($"node", $"lmk").agg(sum($"sig").as("sig"))
-      // nodes already visited keep their first (shortest) distance
-      val fresh = cand
-        .join(broadcast(state.select($"node", $"lmk")), Seq("node", "lmk"), "left_anti")
-        .select($"node", $"lmk", lit(r).as("d"), $"sig")
-      state = state.union(fresh).localCheckpoint(true)
-    }
-    // shortest-path DAG: edge (v → w) with dist(w) = dist(v) + 1
-    val sv = state.select($"node".as("v"), $"lmk", $"d".as("dv"), $"sig".as("sv"))
-    val sw = state.select($"node".as("w"), $"lmk".as("lmkw"), $"d".as("dw"), $"sig".as("sw"))
-    val dag = u.join(broadcast(sv), $"node" === $"v")
-      .join(broadcast(sw), $"nb" === $"w" && $"lmk" === $"lmkw" && $"dw" === $"dv" + 1)
-      .select($"lmk", $"v", $"dv", $"sv", $"w", $"sw")
-      .localCheckpoint(true)
-    // deepest level seeds δ = 0; each earlier level is fully determined by
-    // the one above it (DAG edges only cross adjacent levels), so each
-    // round joins ONLY the previous level and the levels are unioned once
-    // at the end — accumulating into one relation re-checkpointed the
-    // whole union every level for nothing
-    var prev = state.filter($"d" === rounds)
-      .select($"node", $"lmk", lit(0.0).as("delta"))
-      .localCheckpoint(true)
+    val lmkIds = landmarkSeed(nodes, k)
+    val ks = lmkIds.indices
+    val bcast = stateBroadcast && stateHint(nodes.count())
+    // forward: columnar BFS with exact BIGINT σ path counts per landmark
+    val state = landmarkBfs(u, nodes, lmkIds, rounds, sigma = true, bcast)
+    // shortest-path DAG, one row per edge (v → w) that is a DAG edge for
+    // ANY landmark: lv_i = dist(v) when dist(w) = dist(v)+1 under landmark
+    // i (null otherwise), rt_i = σ_v/σ_w for the same mask. K× fewer rows
+    // than the row-based (lmk, v, w) expansion.
+    val reached = state.filter(ks.map(i => col(s"d$i").isNotNull).reduce(_ || _))
+    val sv = reached.select($"node".as("v") +:
+      ks.flatMap(i => Seq(col(s"d$i").as(s"dv$i"), col(s"s$i").as(s"sv$i"))): _*)
+    val sw = reached.select($"node".as("w") +:
+      ks.flatMap(i => Seq(col(s"d$i").as(s"dw$i"), col(s"s$i").as(s"sw$i"))): _*)
+    val dag = u.join(stateJoin(sv, bcast), $"node" === $"v")
+      .join(stateJoin(sw, bcast), $"nb" === $"w")
+      .select($"v" +: $"w" +: ks.flatMap(i => Seq(
+        when(col(s"dw$i") === col(s"dv$i") + 1, col(s"dv$i")).as(s"lv$i"),
+        when(col(s"dw$i") === col(s"dv$i") + 1,
+          col(s"sv$i").cast("double") / col(s"sw$i").cast("double")).as(s"rt$i"))): _*)
+      .filter(ks.map(i => col(s"lv$i").isNotNull).reduce(_ || _))
+      .localCheckpoint(false)
+    // backward: deepest level seeds δ = 0; each earlier level joins ONLY
+    // the level above it (DAG edges cross adjacent levels), with δ per
+    // landmark in columns pd0..pd{K-1} (null = no dependency at this level)
+    var prev = state.filter(ks.map(i => col(s"d$i") === rounds).reduce(_ || _))
+      .select($"node" +: ks.map(i =>
+        when(col(s"d$i") === rounds, lit(0.0)).as(s"pd$i")): _*)
+      .localCheckpoint(false)
     val levels = scala.collection.mutable.ArrayBuffer(prev)
     for (r <- (rounds - 1) to 0 by -1) {
-      val lvl = dag.filter($"dv" === r)
-        .join(broadcast(prev.select($"node".as("w2"), $"lmk".as("lmk2"), $"delta")),
-          $"w" === $"w2" && $"lmk" === $"lmk2", "left")
-        .groupBy($"v", $"lmk")
-        // the per-edge term is pre-rounded with the portable prnd before
-        // the exact decimal sum: casting a RAW double to decimal(·,9)
-        // rounds by shortest-decimal-repr in Spark but by binary value in
-        // DuckDB, and a term whose repr ends in an exact 5 at digit 9
-        // diverges by 1e-9 (observed once in ~1600 rows); after prnd the
-        // value sits ~0.5e-9 away from any decimal tie, so both engines
-        // cast to the same decimal.
-        .agg(P.dsum(P.prnd(($"sv".cast("double") / $"sw".cast("double"))
-          * (lit(1.0) + coalesce($"delta", lit(0.0))), 9), 9).as("delta"))
-        .select($"v".as("node"), $"lmk", $"delta")
-        .localCheckpoint(true)
+      // the per-edge term is pre-rounded with the portable prnd before
+      // the exact decimal sum: casting a RAW double to decimal(·,9)
+      // rounds by shortest-decimal-repr in Spark but by binary value in
+      // DuckDB, and a term whose repr ends in an exact 5 at digit 9
+      // diverges by 1e-9 (observed once in ~1600 rows); after prnd the
+      // value sits ~0.5e-9 away from any decimal tie, so both engines
+      // cast to the same decimal.
+      val aggs = ks.map(i => P.dsum(when(col(s"lv$i") === r,
+        P.prnd(col(s"rt$i") * (lit(1.0) + coalesce(col(s"w_pd$i"), lit(0.0))), 9)), 9)
+        .as(s"pd$i"))
+      val lvl = dag.filter(ks.map(i => col(s"lv$i") === r).reduce(_ || _))
+        .join(stateJoin(prev.select($"node".as("w2") +:
+          ks.map(i => col(s"pd$i").as(s"w_pd$i")): _*), bcast), $"w" === $"w2", "left")
+        .groupBy($"v")
+        .agg(aggs.head, aggs.tail: _*)
+        .withColumnRenamed("v", "node")
+        .localCheckpoint(false)
       levels += lvl
       prev = lvl
     }
     val delta = levels.reduce(_ union _)
-    // a source never accumulates its own dependency (Brandes: v ≠ s)
-    val bc = delta.filter($"node" =!= $"lmk")
-      .groupBy($"node")
-      .agg((P.dsum($"delta", 9) / lit(k).cast("double")).as("b"))
+    // final per-node score: Σ over landmarks and levels of δ, through the
+    // SAME exact decimal(18,9) arithmetic as the row-based multiset sum
+    // (per-column decimal sums added as decimals, ONE final cast to
+    // double), with the Brandes v ≠ source mask applied per column — the
+    // landmark ids are literals, so the masks are codegen'd constants
+    val zero = lit(0).cast(DecimalType(18, 9))
+    val colSums = ks.map(i => coalesce(
+      sum(when($"node" =!= lmkIds(i), col(s"pd$i")).cast(DecimalType(18, 9))), zero))
+    val bc = delta.groupBy($"node")
+      .agg((colSums.reduce(_ + _).cast("double") / lit(k).cast("double")).as("b"))
     nodes.join(bc, Seq("node"), "left")
       .select($"node", coalesce($"b", lit(0.0)).as("b"))
   }

@@ -1,6 +1,6 @@
 package graft.tools
 import graft._
-import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart, SparkListenerStageCompleted, SparkListenerTaskEnd}
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobEnd, SparkListenerJobStart, SparkListenerStageCompleted, SparkListenerTaskEnd}
 import java.util.concurrent.atomic.{AtomicInteger, AtomicLong}
 
 /** Dev-only: min-of-N timing for named registered queries, mirroring
@@ -21,14 +21,18 @@ object IterProbe {
     val tasks = new AtomicInteger(0)
     val shufW = new AtomicLong(0L)
     val dumpJobs = sys.env.get("ITERPROBE_DUMP_JOBS").contains("1")
+    val jobStart = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]()
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onJobStart(j: SparkListenerJobStart): Unit = {
         jobs.incrementAndGet()
         if (dumpJobs) {
-          val desc = Option(j.properties)
-            .flatMap(p => Option(p.getProperty("spark.job.description"))).getOrElse("")
           val site = j.stageInfos.headOption.map(_.name).getOrElse("")
-          println(s"JOB ${j.jobId} stages=${j.stageInfos.size} [$desc] $site")
+          jobStart.put(j.jobId, (System.nanoTime(), s"stages=${j.stageInfos.size} $site"))
+        }
+      }
+      override def onJobEnd(j: SparkListenerJobEnd): Unit = if (dumpJobs) {
+        Option(jobStart.remove(j.jobId)).foreach { case (t0, what) =>
+          println(f"JOB ${j.jobId}%3d ${(System.nanoTime() - t0) / 1e9}%6.3fs $what")
         }
       }
       override def onStageCompleted(s: SparkListenerStageCompleted): Unit = {
