@@ -83,7 +83,13 @@ object Bench {
     val printed = new AtomicBoolean(false)
     val lastJson = new java.util.concurrent.atomic.AtomicReference[String]("")
 
-    def buildJson(partial: Boolean): String = {
+    // `slim` drops the paired-oracle dict: the driver parses the LAST
+    // stdout line through a 2000-char tail window, and the full line
+    // (2986 chars in r7) never fit — six rounds of "parsed": null. The
+    // slim line (~1.6k chars) carries the whole driver contract
+    // (metric/value/unit/queries/sf); the oracle timings stay in the
+    // full first print and the committed BENCH_SELF.json sidecar.
+    def buildJson(partial: Boolean, slim: Boolean = false): String = {
       val (ts, os, es, sk) = lock.synchronized {
         (timings.toSeq, oracleT.toSeq, errors.toSeq, skipped.toSeq)
       }
@@ -92,12 +98,16 @@ object Bench {
       val er = es.map { case (k, v) => "\"" + esc(k) + "\":\"" + esc(v) + "\"" }.mkString("{", ",", "}")
       val skj = sk.map("\"" + esc(_) + "\"").mkString("[", ",", "]")
       val total = ts.map(_._2).sum
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"oracle":$or,"errors":$er,"skipped":$skj,"partial":$partial,"sf":"${esc(sfDir)}"}"""
+      val oracleField = if (slim) "" else s""""oracle":$or,"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,$oracleField"errors":$er,"skipped":$skj,"partial":$partial,"sf":"${esc(sfDir)}"}"""
     }
     def emit(partial: Boolean): Unit = if (printed.compareAndSet(false, true)) {
       val line = buildJson(partial)
-      lastJson.set(line)
+      lastJson.set(buildJson(partial, slim = true))
       println(line)
+      // slim line immediately after, so even the SIGTERM path (shutdown
+      // hook, no post-stop println) ends stdout with a tail-sized line
+      println(lastJson.get())
       System.out.flush()
       // committed sidecar: timings survive any stdout-tail truncation
       try java.nio.file.Files.writeString(
@@ -360,6 +370,10 @@ private object OracleWorker {
       val pb = new ProcessBuilder("python3", pyFile.getAbsolutePath,
         sfDir, sqlFile.getAbsolutePath)
       pb.redirectErrorStream(false)
+      // stderr must be discarded, not left attached: an undrained pipe
+      // fills its buffer if duckdb/python warns enough, blocking the
+      // child and timing out every later paired sample
+      pb.redirectError(ProcessBuilder.Redirect.DISCARD)
       val proc = pb.start()
       val reader = new java.io.BufferedReader(new java.io.InputStreamReader(proc.getInputStream))
       val writer = new java.io.BufferedWriter(new java.io.OutputStreamWriter(proc.getOutputStream))

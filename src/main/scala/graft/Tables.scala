@@ -22,6 +22,11 @@ object Tables {
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    // purge entries of stopped sessions before inserting: a long-lived
+    // JVM cycling sessions (test suites, repeated GraftSession.get) would
+    // otherwise retain every dead session and its analyzed plans forever
+    if (!cache.isEmpty)
+      cache.keySet.removeIf(k => k._1.sparkContext.isStopped)
     val base = cache.computeIfAbsent((spark, dir, name),
       _ => spark.read.parquet(s"$dir/$name.parquet"))
     // re-alias per call: fresh exprIds, so two loads of the same table

@@ -151,9 +151,14 @@ object GraphOps {
 
   /** The per-round state side of an iterative join: broadcast when the
     * state fits (bench SFs and up to ~100x), a shuffled hash join build
-    * side when it doesn't. The edge relation is hash-partitioned on the
-    * node key by [[iterRelation]], so the non-broadcast path shuffles
-    * only the |V|-row state, never the |E| relation.
+    * side when it doesn't. On the non-broadcast path the |E| side is
+    * currently re-exchanged each round as well: an AQE localCheckpoint
+    * reports UnknownPartitioning, so [[iterRelation]]'s node-key
+    * partitioning is not visible to the planner and the shuffled hash
+    * join exchanges both sides. Until a partitioning-preserving
+    * materialization exists (reliable checkpoint() on a cluster keeps the
+    * partitioning), the knob bounds DRIVER memory (no |V|-row broadcast
+    * build), not the per-round shuffle volume.
     */
   private def stateJoin(state: DataFrame, bcast: Boolean): DataFrame =
     if (bcast) broadcast(state) else state.hint("shuffle_hash")
@@ -201,7 +206,7 @@ object GraphOps {
     // the per-round exchange; that exchange carries only the |V|-row
     // partial aggregates). The lazy localCheckpoint materializes under
     // round 1 and is read as blocks by every later round.
-    val norm = u.join(broadcast(wdeg), "node")
+    val norm = u.join(stateJoin(wdeg, bcast), "node")
       .select($"node".as("src"), $"nb".as("dst"), ($"weight" / $"wd").as("p"))
       .repartition($"dst")
       .localCheckpoint(false)
@@ -331,9 +336,11 @@ object GraphOps {
       nbLbls.union(l).groupBy($"node").agg(min($"lbl").as("lbl"))
         .localCheckpoint(false)
     }
-    // |V|-row join of two checkpointed states — far cheaper than a step
+    // |V|-row join of two checkpointed states — far cheaper than a step;
+    // routed through the same size knob as the state joins (at 100 TB a
+    // |V|-row broadcast build would OOM the driver here too)
     def diff(a: DataFrame, b: DataFrame): Long =
-      a.join(broadcast(b.withColumnRenamed("lbl", "old")), "node")
+      a.join(stateJoin(b.withColumnRenamed("lbl", "old"), stateBroadcast), "node")
         .filter($"lbl" =!= $"old").count()
     var prev: DataFrame = null
     var i = 0
@@ -899,18 +906,22 @@ object GraphOps {
 
   /** The oracle's WHERE clause is a convergence ASSERTION: the Spark side
     * converges to the exact fixpoint (check loop), while the oracle runs a
-    * fixed [[CcUncheckedRounds]]-round unroll — if labels were still
-    * moving in the last unrolled round, the oracle returns ZERO rows and
-    * the correctness gate fails loudly instead of silently comparing
-    * against a stale-label oracle.
+    * fixed unroll — if labels were still moving in the last unrolled
+    * round, the oracle returns ZERO rows and the correctness gate fails
+    * loudly instead of silently comparing against a stale-label oracle.
+    * The unroll runs ONE round past [[CcUncheckedRounds]] and compares
+    * the last two: asserting within the unchecked-round count itself
+    * would demand convergence one round EARLIER than the Spark loop needs
+    * (a graph converging exactly in the final unchecked round is correct
+    * on the Spark side but would spuriously zero the old oracle).
     */
   val grComponents = QueryDef(
     "gr_components",
-    s"""WITH $ccNumSql, ${ccChain(CcUncheckedRounds)}
+    s"""WITH $ccNumSql, ${ccChain(CcUncheckedRounds + 1)}
        |SELECT ${fmtNodeSql("node")} AS node, ${fmtNodeSql("lbl")} AS comp
-       |FROM cc$CcUncheckedRounds
-       |WHERE (SELECT COUNT(*) FROM cc${CcUncheckedRounds - 1} p
-       |  JOIN cc$CcUncheckedRounds c ON p.node = c.node AND p.lbl <> c.lbl) = 0
+       |FROM cc${CcUncheckedRounds + 1}
+       |WHERE (SELECT COUNT(*) FROM cc$CcUncheckedRounds p
+       |  JOIN cc${CcUncheckedRounds + 1} c ON p.node = c.node AND p.lbl <> c.lbl) = 0
        |ORDER BY node""".stripMargin) { (s, dir) =>
     import s.implicits._
     components(iterRelation(numericUnd(s, dir)))
@@ -1073,7 +1084,7 @@ object GraphOps {
        |  FROM dg LEFT JOIN tri ON dg.v = tri.v)
        |SELECT CAST((SELECT COUNT(*) FROM gn) AS BIGINT) AS n_nodes,
        |  CAST((SELECT COUNT(*) FROM e) AS BIGINT) AS n_edges,
-       |  ${PS.prnd("CAST((SELECT COUNT(*) FROM e) * 2 AS DOUBLE) / (CAST((SELECT COUNT(*) FROM gn) AS DOUBLE) * CAST((SELECT COUNT(*) FROM gn) - 1 AS DOUBLE))", 8)} AS density,
+       |  ${PS.prnd("CASE WHEN (SELECT COUNT(*) FROM gn) > 1 THEN CAST((SELECT COUNT(*) FROM e) * 2 AS DOUBLE) / (CAST((SELECT COUNT(*) FROM gn) AS DOUBLE) * CAST((SELECT COUNT(*) FROM gn) - 1 AS DOUBLE)) ELSE CAST(0.0 AS DOUBLE) END", 8)} AS density,
        |  ${PS.prnd(s"(SELECT ${PS.davg(PS.prnd("c", 9), 9)} FROM cl)", 8)} AS avg_clustering,
        |  CAST((SELECT COUNT(*) FROM smp) AS BIGINT) AS sample_size,
        |  CAST((SELECT COUNT(*) FROM proj) AS BIGINT) AS proj_edges""".stripMargin) { (s, dir) =>
@@ -1111,8 +1122,12 @@ object GraphOps {
         P.davg(P.prnd($"c", 9), 9).as("ac"), P.cnt.as("ss"))))
       .crossJoin(broadcast(proj.agg(P.cnt.as("pe"))))
       .select($"nn".as("n_nodes"), $"ne".as("n_edges"),
-        P.prnd(($"ne" * 2).cast("double")
-          / ($"nn".cast("double") * ($"nn" - 1).cast("double")), 8).as("density"),
+        // nn > 1 guard: a single-node graph divides by zero — Spark
+        // yields NULL where DuckDB yields Infinity, so both sides pin
+        // the degenerate density to 0.0 (mirrors the clustering CASE)
+        P.prnd(when($"nn" > 1, ($"ne" * 2).cast("double")
+          / ($"nn".cast("double") * ($"nn" - 1).cast("double")))
+          .otherwise(lit(0.0)), 8).as("density"),
         P.prnd($"ac", 8).as("avg_clustering"),
         $"ss".as("sample_size"), $"pe".as("proj_edges"))
   }
