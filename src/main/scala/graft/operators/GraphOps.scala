@@ -117,24 +117,27 @@ object GraphOps {
   }
 
   /** Materialized iteration relation: hash-partitioned by `node`, the
-    * high-cardinality key, then eagerly checkpointed ONCE (the earlier
-    * shape checkpointed twice: once for the edge build, again after a
-    * repartition by `nb`). Partitioning by `nb` skewed the relation —
-    * half its rows carry the ~1k supplier ids, so a few partitions
-    * straggled through every round's join+sort+aggregate stage; hashing
-    * by `node` (~16k mixed ids at sf0.1) balances them. Measured 1.3s vs
-    * 0.48s per min-label round at sf0.1. Per-round shuffles stay small
-    * either way: the partial aggregate runs before the exchange, so only
-    * per-partition distinct keys move. The repartition is
-    * AQE-coalescible, so the relation gets size-based partitions (a
-    * dozen at bench SF, thousands at 100 TB). localCheckpoint blocks are
-    * reference-cleaned on GC; at 100 TB swap for reliable checkpoint()
-    * (survives executor loss).
+    * high-cardinality key, then CACHED (not checkpointed). The cache is
+    * the load-bearing choice: an InMemoryTableScan reports its child's
+    * HashPartitioning(node), so every per-round groupBy over a broadcast
+    * join on this relation plans NO exchange — partial and final
+    * aggregate fuse into the scan stage. (A localCheckpoint here
+    * reported UnknownPartitioning under AQE and every round paid a
+    * |V|-row partial→final exchange: gr_communities measured 3.05s →
+    * 1.93s at sf0.1 from this one change.) Partitioning by `nb` instead
+    * skewed the relation — half its rows carry the ~1k supplier ids;
+    * hashing by `node` (~16k mixed ids at sf0.1) balances partitions.
+    * The relation is built once per query and static across rounds, so
+    * cache lineage never grows (per-round STATE still localCheckpoints —
+    * that is where lineage accumulated). clearCache()/session teardown
+    * frees the blocks; at 100 TB use reliable checkpoint() or a
+    * pre-bucketed table to survive executor loss with the partitioning
+    * still visible to the planner.
     */
   def iterRelation(und: DataFrame): DataFrame = {
     val s = und.sparkSession
     import s.implicits._
-    und.repartition($"node").localCheckpoint(true)
+    und.repartition($"node").persist()
   }
 
   /** Iteration-state hash threshold: below it the |V|-row state is
@@ -200,16 +203,15 @@ object GraphOps {
     // checkpoint+agg is too conservative to trigger the auto-broadcast,
     // and the sort-merge fallback shuffles the full |E| relation once per
     // query (measured 2.2s vs 1.0s for this step at sf0.1). norm is
-    // repartitioned by dst — the PER-ROUND aggregation key — which
-    // balances the materialized blocks every round streams through (an
-    // AQE checkpoint reports UnknownPartitioning, so this cannot remove
-    // the per-round exchange; that exchange carries only the |V|-row
-    // partial aggregates). The lazy localCheckpoint materializes under
-    // round 1 and is read as blocks by every later round.
+    // repartitioned by dst — the PER-ROUND aggregation key — and CACHED:
+    // the cache keeps HashPartitioning(dst) visible, so each round's
+    // contrib aggregation fuses partial+final into the scan stage with
+    // no exchange at all (see iterRelation). The cache materializes
+    // under round 1 and is read as columnar blocks by every later round.
     val norm = u.join(stateJoin(wdeg, bcast), "node")
       .select($"node".as("src"), $"nb".as("dst"), ($"weight" / $"wd").as("p"))
       .repartition($"dst")
-      .localCheckpoint(false)
+      .persist()
     // localCheckpoint after every round: persist alone leaves the
     // analyzed plan growing one join+agg deeper per iteration, and
     // Catalyst re-analysis comes to dominate (measured 1.5s → 12s per
