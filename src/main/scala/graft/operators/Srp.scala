@@ -35,26 +35,34 @@ object Srp {
 
   /** Per-vector band keys: (vec_id, band, bkey). nPlanes/bandSize bands.
     *
-    * dot_p = Σ_j x_j·sign(p,j) with exact decimal terms. Decimal addition
-    * is associative (no fp rounding), so the sum equals the oracle's in
-    * ANY order — which lets a narrow in-row array aggregate replace the
+    * dot_p = Σ_j x_j·sign(p,j), matched to the oracle's exact
+    * DECIMAL(18,9) sum through SCALED LONG arithmetic: the oracle's
+    * decimal term is exactly round-half-away(x·1e9)/1e9, and a float
+    * mantissa (24 bits) times 5^9 (21 bits) fits a double's 53-bit
+    * significand, so x·1e9 and the ±0.5 adjust are computed EXACTLY in
+    * double — the long term equals the decimal term·1e9 bit-for-bit, the
+    * long sum is exact, and sign(Σ long) = sign(Σ decimal). That turns
+    * 16 plane folds of 64 BigDecimal multiply-adds per row (measured
+    * 1.7-1.9s of sim_lsh_topk's 2.3s at sf0.1) into primitive long
+    * codegen. The in-row array aggregate itself already replaced the
     * earlier posexplode→plane-join→re-aggregate pipeline (N·planes·dims
-    * intermediate rows and two shuffles → zero shuffles, pure codegen'd
-    * projection that scales embarrassingly at 100 TB).
+    * intermediate rows and two shuffles → zero shuffles), so signatures
+    * stay a pure narrow projection that scales embarrassingly at 100 TB.
     */
   def bandKeys(emb: DataFrame, nPlanes: Int, bandSize: Int): DataFrame = {
     val s = emb.sparkSession
     import s.implicits._
+    // r_j = round-half-away-from-zero(x_j · 1e9) as an exact long — the
+    // decimal(18,9) value scaled by 1e9 (HALF_UP in BigDecimal rounds
+    // away from zero, hence the explicit signum)
+    val scaled = transform($"embedding", x =>
+      (signum(x).cast("double") * floor(abs(x.cast("double")) * 1e9 + lit(0.5)))
+        .cast("long"))
     def dot(p: Int): Column = {
-      val sgn = typedlit((1 to Dim).map(j => signOf(p, j)))
-      // (18,9)·(1,0) terms + (28,9) accumulator keep every intermediate
-      // under DECIMAL(38): the fold's add yields (29,9) — scale intact —
-      // and the cast back to (28,9) is exact for any |dot| < 1e19
+      val sgn = typedlit((1 to Dim).map(j => signOf(p, j).toLong))
       aggregate(
-        zip_with($"embedding", sgn,
-          (x, sg) => x.cast("double").cast(DecimalType(18, 9)) * sg.cast(DecimalType(1, 0))),
-        lit(java.math.BigDecimal.ZERO).cast(DecimalType(28, 9)),
-        (acc, v) => (acc + v).cast(DecimalType(28, 9)))
+        zip_with($"sc", sgn, (r, sg) => r * sg),
+        lit(0L), (acc, v) => acc + v)
     }
     val dots = (0 until nPlanes).map(dot)
     val bands = (0 until nPlanes / bandSize).map { b =>
@@ -63,7 +71,8 @@ object Srp {
       }.reduce(_ + _)
       struct(lit(b).cast("long").as("band"), bkey.as("bkey"))
     }
-    emb.select($"vec_id", explode(array(bands: _*)).as("bb"))
+    emb.select($"vec_id", scaled.as("sc"))
+      .select($"vec_id", explode(array(bands: _*)).as("bb"))
       .select($"vec_id", $"bb.band".as("band"), $"bb.bkey".as("bkey"))
   }
 
