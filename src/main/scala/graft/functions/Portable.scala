@@ -44,16 +44,15 @@ object Portable {
   }
 
   /** Parse `width` hex chars of `c` starting at 1-based `pos` into a long.
-    * Pure Column arithmetic (codegen'd); identical semantics in DuckDB via
-    * [[PortableSql.hexToLong]]. Used for md5-derived integers (simhash,
-    * LSH planes, bucket ids) so oracle SQL can reproduce them exactly.
+    * ONE codegen'd conv(_, 16, 10) instead of the earlier per-char
+    * instr+substring chain (15 string probes per row on the simhash
+    * path); identical semantics in DuckDB via [[PortableSql.hexToLong]].
+    * Used for md5-derived integers (simhash, LSH planes, bucket ids) so
+    * oracle SQL can reproduce them exactly.
     */
   def hexToLong(c: Column, pos: Int, width: Int): Column = {
     require(width >= 1 && width <= 15, "fits in a positive long")
-    (0 until width).map { i =>
-      (instr(lit("0123456789abcdef"), substring(c, pos + i, 1)) - 1).cast("long") *
-        lit(1L << (4 * (width - 1 - i)))
-    }.reduce(_ + _)
+    conv(substring(c, pos, width), 16, 10).cast("long")
   }
 }
 

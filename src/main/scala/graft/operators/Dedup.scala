@@ -73,15 +73,24 @@ object Dedup {
     * map-side partial aggregation shrinks the shuffle to one 16-column row
     * per document — the shape that survives 100 TB.
     */
-  def minhashBands(s: SparkSession, dir: String): DataFrame = {
+  def minhashBands(s: SparkSession, dir: String): DataFrame =
+    minhashBandsOf(s, tokenized(s, dir))
+
+  /** (doc_id, w) tokenization shared by the minhash and 3-gram paths.
+    * The words array MUST be aliased in its own projection: referenced
+    * inline, the split() expression is textually duplicated into every
+    * element_at inside the (interpreted, no-CSE) lambda — measured 5
+    * regex splits per shingle, 28x the rows' worth of split work.
+    */
+  def tokenized(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    // The words array MUST be aliased in its own projection: referenced
-    // inline, the split() expression is textually duplicated into every
-    // element_at inside the (interpreted, no-CSE) lambda — measured 5
-    // regex splits per shingle, 28x the rows' worth of split work.
-    val withW = Tables.documents(s, dir)
+    Tables.documents(s, dir)
       .select($"doc_id", split($"text", " ").as("w"))
       .filter(size($"w") >= ShingleK)
+  }
+
+  private def minhashBandsOf(s: SparkSession, withW: DataFrame): DataFrame = {
+    import s.implicits._
     val shingles = transform(
       sequence(lit(1), size($"w") - (ShingleK - 1)),
       i => concat_ws(" ", (0 until ShingleK).map(o => element_at($"w", i + o)): _*))
@@ -192,10 +201,10 @@ object Dedup {
     */
   def jaccardPairs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    // aliased words array — see minhashBands for why inline split() is 5x
-    val withW = Tables.documents(s, dir)
-      .select($"doc_id", split($"text", " ").as("w"))
-      .filter(size($"w") >= ShingleK)
+    // ONE tokenization materialization feeds BOTH the minhash-LSH branch
+    // and the 3-gram verify branch (they previously each re-scanned and
+    // re-split the corpus); lazy checkpoint, blocks self-clean on GC
+    val withW = tokenized(s, dir).localCheckpoint(false)
     val sh3 = transform(
       sequence(lit(1), size($"w") - 2),
       i => concat_ws(" ", element_at($"w", i), element_at($"w", i + 1), element_at($"w", i + 2)))
@@ -206,7 +215,7 @@ object Dedup {
       .select($"doc_id", explode(array_distinct(sh3)).as("s"))
       .localCheckpoint(false)
     val sz = g3.groupBy($"doc_id").agg(P.cnt.as("n"))
-    val cand = lshCandidates(minhashBands(s, dir))
+    val cand = lshCandidates(minhashBandsOf(s, withW))
     val inter = cand
       .join(g3.select($"doc_id".as("doc_a"), $"s"), "doc_a")
       .join(g3.select($"doc_id".as("doc_b"), $"s"), Seq("doc_b", "s"))
