@@ -42,20 +42,20 @@ object Bench {
     "etl_clean_text" -> 1.0, "etl_filter_enrich" -> 1.0, "etl_dedup_ingest" -> 0.6,
     "etl_parse_json" -> 1.0, "etl_sessionize" -> 1.5, "st_window_agg" -> 1.2,
     "st_enrich_agg" -> 1.2,
-    "dd_simhash" -> 1.7, "dd_embedding" -> 1.9, "dd_minhash_lsh" -> 1.4,
-    "dd_ngram_jaccard" -> 1.8,
-    "sim_pair_stats" -> 0.8, "sim_lsh_topk" -> 1.0, "sim_bruteforce_topk" -> 0.5,
-    "sim_recall" -> 1.0,
-    "dd_clusters" -> 2.5, "tx_contamination" -> 0.8, "tx_ngram_stats" -> 0.5,
+    "dd_simhash" -> 1.7, "dd_embedding" -> 1.1, "dd_minhash_lsh" -> 1.4,
+    "dd_ngram_jaccard" -> 2.2,
+    "sim_pair_stats" -> 0.8, "sim_lsh_topk" -> 0.7, "sim_bruteforce_topk" -> 0.5,
+    "sim_recall" -> 0.7,
+    "dd_clusters" -> 2.4, "tx_contamination" -> 0.8, "tx_ngram_stats" -> 0.5,
     "tx_keyterms" -> 1.0, "q_asof_join" -> 1.0, "an_rolling_active" -> 0.7,
     "etl_stratified_sample" -> 0.5, "tx_repetition" -> 0.8,
     "etl_corpus_prep" -> 0.8, "tx_corpus_mixture" -> 0.4,
     "gr_edges" -> 1.5, "gr_degree" -> 1.2, "gr_degree_directed" -> 1.4,
     "gr_degree_buckets" -> 1.3,
-    "gr_components" -> 2.0, "gr_closeness" -> 4.0, "gr_betweenness_approx" -> 7.0,
-    "gr_pagerank" -> 3.0,
-    "gr_eigenvector" -> 3.5, "gr_influencers" -> 3.3, "gr_communities" -> 2.8,
-    "gr_community_stats" -> 2.9)
+    "gr_components" -> 1.7, "gr_closeness" -> 2.3, "gr_betweenness_approx" -> 5.0,
+    "gr_pagerank" -> 2.8,
+    "gr_eigenvector" -> 3.2, "gr_influencers" -> 3.0, "gr_communities" -> 2.0,
+    "gr_community_stats" -> 2.0)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -279,6 +279,11 @@ object GraphOps {
       // under the next checkpoint). (A union-aggregate for the +I term was
       // measured slower here — it adds a shuffle exchange per round where
       // this second broadcast join has none.)
+      // checkpoint EVERY round: the pagerank-style skip-alternate-rounds
+      // variant was re-measured after the cache/persist rework at 4.1s vs
+      // 3.3s — the unmaterialized round's global-window norm turns into
+      // extra AQE stages inside the next broadcast build, costing more
+      // than the barrier it saves.
       val raw = contribs.join(stateJoin(x2, bcast), $"node" === $"nb0")
         .select($"node", ($"x" + $"c").as("x"))
         .localCheckpoint(false)
@@ -338,6 +343,20 @@ object GraphOps {
       nbLbls.union(l).groupBy($"node").agg(min($"lbl").as("lbl"))
         .localCheckpoint(false)
     }
+    // checked round: ONE job computes the step AND the convergence probe.
+    // The l branch of the union carries its own label in an `old` column
+    // (each node occurs exactly once there, so max(old) recovers it); the
+    // count() materializes the checkpointed result, and the changed-row
+    // filter rides the same blocks — the separate |V|-row diff join per
+    // checked round (its own job-scheduling barrier) is gone.
+    def stepChecked(l: DataFrame): (DataFrame, Long) = {
+      val nbLbls = u.join(stateJoin(l.withColumnRenamed("node", "nb0"), stateBroadcast), $"nb" === $"nb0")
+        .select($"node", $"lbl", lit(null).cast("long").as("old"))
+      val nw = nbLbls.union(l.select($"node", $"lbl", $"lbl".as("old")))
+        .groupBy($"node").agg(min($"lbl").as("lbl"), max($"old").as("old"))
+        .localCheckpoint(false)
+      (nw.select($"node", $"lbl"), nw.filter($"lbl" =!= $"old").count())
+    }
     // |V|-row join of two checkpointed states — far cheaper than a step;
     // routed through the same size knob as the state joins (at 100 TB a
     // |V|-row broadcast build would OOM the driver here too)
@@ -357,9 +376,9 @@ object GraphOps {
     // round proves the fixpoint.
     var changed = if (prev == null) 1L else diff(lbls, prev)
     while (changed > 0 && i < maxIters) {
-      prev = lbls
-      lbls = step(lbls)
-      changed = diff(lbls, prev)
+      val (nw, ch) = stepChecked(lbls)
+      lbls = nw
+      changed = ch
       i += 1
     }
     lbls.withColumnRenamed("lbl", "comp")
@@ -1117,12 +1136,18 @@ object GraphOps {
       .select($"v", when($"d" >= 2,
         lit(2.0) * coalesce($"t", lit(0L)).cast("double") / ($"d" * ($"d" - 1)).cast("double"))
         .otherwise(lit(0.0)).as("c"))
-    // sample_size doubles as the cl row count (one row per sampled node),
-    // so the clustering aggregate carries it — one fewer scalar job
-    gn.agg(P.cnt.as("nn")).crossJoin(broadcast(e.agg(P.cnt.as("ne"))))
-      .crossJoin(broadcast(cl.agg(
-        P.davg(P.prnd($"c", 9), 9).as("ac"), P.cnt.as("ss"))))
-      .crossJoin(broadcast(proj.agg(P.cnt.as("pe"))))
+    // ALL four scalar aggregates ride ONE union-pivot job (branches run
+    // as parallel stages) instead of four crossJoin(broadcast(1-row))
+    // builds, each of which was its own job-scheduling barrier
+    val scalars = gn.agg(P.cnt.cast("double").as("v")).select(lit("nn").as("k"), $"v")
+      .union(e.agg(P.cnt.cast("double").as("v")).select(lit("ne").as("k"), $"v"))
+      .union(cl.agg(P.davg(P.prnd($"c", 9), 9).as("v")).select(lit("ac").as("k"), $"v"))
+      .union(cl.agg(P.cnt.cast("double").as("v")).select(lit("ss").as("k"), $"v"))
+      .union(proj.agg(P.cnt.cast("double").as("v")).select(lit("pe").as("k"), $"v"))
+    def sc(k: String) = max(when($"k" === k, $"v"))
+    scalars
+      .agg(sc("nn").cast("long").as("nn"), sc("ne").cast("long").as("ne"),
+        sc("ac").as("ac"), sc("ss").cast("long").as("ss"), sc("pe").cast("long").as("pe"))
       .select($"nn".as("n_nodes"), $"ne".as("n_edges"),
         // nn > 1 guard: a single-node graph divides by zero — Spark
         // yields NULL where DuckDB yields Infinity, so both sides pin
