@@ -208,14 +208,21 @@ object Dedup {
     val sh3 = transform(
       sequence(lit(1), size($"w") - 2),
       i => concat_ws(" ", element_at($"w", i), element_at($"w", i + 1), element_at($"w", i + 2)))
-    // read by the size agg and twice by the intersection join — the lazy
-    // localCheckpoint materializes once under the first reader and
-    // self-cleans (no unpersist needed from a composing caller)
+    // candidates FIRST, then 3-grams for candidate docs ONLY: the exact
+    // verify needs gram sets just for documents that appear in some LSH
+    // pair (a tiny fraction of the corpus — the whole point of LSH), so
+    // the full-corpus 3-gram explode (|docs|·|grams| rows, scanned twice
+    // by the intersection join) shrinks to the candidate slice. Same
+    // values — sz and inter are only ever read for candidate docs. This
+    // is also the 100 TB shape: verify cost scales with candidate count,
+    // not corpus size.
+    val cand = lshCandidates(minhashBandsOf(s, withW)).localCheckpoint(false)
+    val inCand = cand.select(explode(array($"doc_a", $"doc_b")).as("doc_id")).distinct()
     val g3 = withW
+      .join(broadcast(inCand), Seq("doc_id"), "left_semi")
       .select($"doc_id", explode(array_distinct(sh3)).as("s"))
       .localCheckpoint(false)
     val sz = g3.groupBy($"doc_id").agg(P.cnt.as("n"))
-    val cand = lshCandidates(minhashBandsOf(s, withW))
     val inter = cand
       .join(g3.select($"doc_id".as("doc_a"), $"s"), "doc_a")
       .join(g3.select($"doc_id".as("doc_b"), $"s"), Seq("doc_b", "s"))
