@@ -485,9 +485,10 @@ object GraphOps {
       stateBroadcast: Boolean = true): DataFrame = {
     val s = u.sparkSession
     import s.implicits._
-    val nodes = u.select($"node").distinct().localCheckpoint(true)
-    val lmkIds = landmarkSeed(nodes, k)
+    // lazy: materializes under the count() (see betweenness)
+    val nodes = u.select($"node").distinct().localCheckpoint(false)
     val bcast = stateBroadcast && stateHint(nodes.count())
+    val lmkIds = landmarkSeed(nodes, k)
     val state = landmarkBfs(u, nodes, lmkIds, rounds, sigma = false, bcast)
     // closeness(v) = K / Σ_i min(dist(v, lmk_i), rounds+1): exact integer
     // sum over the K distance columns, cast once — identical to the
@@ -527,10 +528,12 @@ object GraphOps {
     val s = u.sparkSession
     import s.implicits._
     import org.apache.spark.sql.types.DecimalType
-    val nodes = u.select($"node").distinct().localCheckpoint(true)
+    // lazy: materializes under the count() below; the landmark top-K and
+    // every later reader then ride the blocks
+    val nodes = u.select($"node").distinct().localCheckpoint(false)
+    val bcast = stateBroadcast && stateHint(nodes.count())
     val lmkIds = landmarkSeed(nodes, k)
     val ks = lmkIds.indices
-    val bcast = stateBroadcast && stateHint(nodes.count())
     // forward: columnar BFS with exact BIGINT σ path counts per landmark
     val state = landmarkBfs(u, nodes, lmkIds, rounds, sigma = true, bcast)
     // shortest-path DAG, one row per edge (v → w) that is a DAG edge for
@@ -549,6 +552,11 @@ object GraphOps {
         when(col(s"dw$i") === col(s"dv$i") + 1,
           col(s"sv$i").cast("double") / col(s"sw$i").cast("double")).as(s"rt$i"))): _*)
       .filter(ks.map(i => col(s"lv$i").isNotNull).reduce(_ || _))
+      // plain lazy checkpoint: a repartition($"v").persist() here (to make
+      // the backward level aggregations exchange-free like iterRelation)
+      // was measured WORSE — shuffling the wide 2+2K-column DAG rows cost
+      // 80 MB vs 18 MB total and +0.9s, far more than the four |V|-row
+      // level exchanges it saved
       .localCheckpoint(false)
     // backward: deepest level seeds δ = 0; each earlier level joins ONLY
     // the level above it (DAG edges cross adjacent levels), with δ per
