@@ -35,6 +35,12 @@ object GraftSession {
       // events.parquet stores TIMESTAMP(NANOS), which Spark's vectorized
       // reader rejects; read as long and convert in Tables.events.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // the default 100-entry compiled-class cache thrashes under a
+      // 60+-query sweep (every stage's wholestage class re-Janino-compiles
+      // even on repeat samples); the cache is keyed by source text, and a
+      // long-lived service JVM serving a query library wants the same
+      // headroom
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       .withExtensions(new GraftExtensions)
 
   def get(cpus: Int = 32): SparkSession = {
