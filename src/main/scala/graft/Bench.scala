@@ -45,7 +45,7 @@ object Bench {
     "dd_simhash" -> 1.7, "dd_embedding" -> 1.1, "dd_minhash_lsh" -> 1.4,
     "dd_ngram_jaccard" -> 2.2,
     "sim_pair_stats" -> 0.8, "sim_lsh_topk" -> 0.7, "sim_bruteforce_topk" -> 0.5,
-    "sim_recall" -> 0.7,
+    "sim_recall" -> 0.7, "sim_ivf_topk" -> 0.9,
     "dd_clusters" -> 2.4, "tx_contamination" -> 0.8, "tx_ngram_stats" -> 0.5,
     "tx_keyterms" -> 1.0, "q_asof_join" -> 1.0, "an_rolling_active" -> 0.7,
     "etl_stratified_sample" -> 0.5, "tx_repetition" -> 0.8,

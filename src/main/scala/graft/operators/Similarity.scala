@@ -154,6 +154,90 @@ object Similarity {
       .orderBy($"label")
   }
 
+  /** Cells probed per query on the IVF path: 2 of the ~10 label cells,
+    * so the exact scoring scan touches ~20% of the corpus instead of all
+    * of it — the coarse-quantizer pruning that defines IVF.
+    */
+  val IvfProbes = 2
+
+  /** IVF-probe ANN top-k: the per-label centroids act as the coarse
+    * quantizer (at 100 TB the labels stand in for k-means cell ids and
+    * the corpus is partitioned by cell, so non-probed cells are never
+    * scanned). Per query: rank cells by portable centroid cosine, probe
+    * the [[IvfProbes]] nearest, then exact codegen'd cosine + top-k over
+    * the probed cells' members only. Centroid arithmetic rides the same
+    * exact decimal sums as [[pairStats]], the final ranking the same
+    * prnd-cosine/vec_id ordering as [[bruteforce]] — every step
+    * deterministic and engine-portable.
+    */
+  val ivfTopk = QueryDef(
+    "sim_ivf_topk",
+    s"""WITH expl AS MATERIALIZED (SELECT vec_id, label, generate_subscripts(embedding, 1) AS j,
+       |    CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings),
+       |cent AS MATERIALIZED (SELECT label, j,
+       |    CAST(SUM(CAST(x AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*) AS c
+       |  FROM expl GROUP BY label, j),
+       |cnorm AS MATERIALIZED (SELECT label, CAST(SUM(CAST(c * c AS DECIMAL(18,12))) AS DOUBLE) AS ny
+       |  FROM cent GROUP BY label),
+       |qv AS MATERIALIZED (SELECT vec_id AS q_id, j, x FROM expl WHERE vec_id < $NumQueries),
+       |qn AS MATERIALIZED (SELECT q_id, CAST(SUM(CAST(x * x AS DECIMAL(18,12))) AS DOUBLE) AS nq
+       |  FROM qv GROUP BY q_id),
+       |qc AS MATERIALIZED (SELECT q.q_id, c.label,
+       |    CAST(SUM(CAST(q.x * c.c AS DECIMAL(18,12))) AS DOUBLE) AS dot
+       |  FROM qv q JOIN cent c ON c.j = q.j GROUP BY q.q_id, c.label),
+       |cells AS MATERIALIZED (SELECT q_id, label FROM (
+       |    SELECT qc.q_id, qc.label,
+       |      row_number() OVER (PARTITION BY qc.q_id
+       |        ORDER BY ${PS.prnd("qc.dot / sqrt(qn.nq * cn2.ny)", 6)} DESC, qc.label) AS rn
+       |    FROM qc JOIN qn USING (q_id) JOIN cnorm cn2 ON cn2.label = qc.label) t
+       |  WHERE rn <= $IvfProbes),
+       |cand AS MATERIALIZED (SELECT cl.q_id, e.vec_id,
+       |    list_cosine_similarity(CAST(qe.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])) AS cos
+       |  FROM cells cl
+       |  JOIN embeddings e ON e.label = cl.label AND e.vec_id <> cl.q_id
+       |  JOIN embeddings qe ON qe.vec_id = cl.q_id),
+       |rk AS MATERIALIZED (SELECT q_id, vec_id, ${PS.prnd("cos", 6)} AS cosine,
+       |    CAST(row_number() OVER (PARTITION BY q_id
+       |      ORDER BY ${PS.prnd("cos", 6)} DESC, vec_id) AS BIGINT) AS rank
+       |  FROM cand)
+       |SELECT q_id, vec_id, cosine, rank FROM rk WHERE rank <= $LshTopK
+       |ORDER BY q_id, rank""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val emb = Tables.embeddings(s, dir)
+    val expl = emb.select($"vec_id", $"label", posexplode($"embedding").as(Seq("j0", "x0")))
+      .select($"vec_id", $"label", ($"j0" + 1).as("j"), $"x0".cast("double").as("x"))
+      .localCheckpoint(false)
+    val cent = expl.groupBy($"label", $"j")
+      .agg((sum($"x".cast(DecimalType(18, 9))).cast("double") / count(lit(1))).as("c"))
+      .localCheckpoint(false)
+    val cnorm = cent.groupBy($"label")
+      .agg(sum(($"c" * $"c").cast(DecimalType(18, 12))).cast("double").as("ny"))
+    val qv = expl.filter($"vec_id" < NumQueries).select($"vec_id".as("q_id"), $"j", $"x")
+    val qn = qv.groupBy($"q_id")
+      .agg(sum(($"x" * $"x").cast(DecimalType(18, 12))).cast("double").as("nq"))
+    val qc = qv.join(cent, "j")
+      .groupBy($"q_id", $"label")
+      .agg(sum(($"x" * $"c").cast(DecimalType(18, 12))).cast("double").as("dot"))
+    val wCell = org.apache.spark.sql.expressions.Window.partitionBy($"q_id")
+      .orderBy(P.prnd($"dot" / sqrt($"nq" * $"ny"), 6).desc, $"label")
+    val cells = qc.join(qn, "q_id").join(cnorm, "label")
+      .withColumn("rn", row_number().over(wCell)).filter($"rn" <= IvfProbes)
+      .select($"q_id", $"label")
+    // probed cells only: the corpus streams through ONE broadcast join on
+    // (label) — non-probed cells fall out before any cosine is computed
+    val w = Window.partitionBy($"q_id").orderBy(P.prnd($"cos", 6).desc, $"vec_id")
+    emb.join(broadcast(cells), "label")
+      .filter($"vec_id" =!= $"q_id")
+      .join(broadcast(Tables.embeddings(s, dir)
+        .filter($"vec_id" < NumQueries)
+        .select($"vec_id".as("q_id"), $"embedding".as("qe"))), "q_id")
+      .select($"q_id", $"vec_id", expr("graft_cosine(qe, embedding)").as("cos"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter($"rank" <= LshTopK)
+      .select($"q_id", $"vec_id", P.prnd($"cos", 6).as("cosine"), $"rank")
+      .orderBy($"q_id", $"rank")
+  }
+
   /** Recall@k of the SRP-LSH ANN path against the exact brute-force
     * baseline — the standard evaluation a pipeline runs before trusting
     * an ANN index for near-dup mining. Per query: |lsh top-k ∩ exact
@@ -229,5 +313,5 @@ object Similarity {
       .orderBy($"q_id")
   }
 
-  val defs: Seq[QueryDef] = Seq(bruteforce, lshTopk, pairStats, recall)
+  val defs: Seq[QueryDef] = Seq(bruteforce, lshTopk, pairStats, recall, ivfTopk)
 }

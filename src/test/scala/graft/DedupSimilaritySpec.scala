@@ -91,6 +91,26 @@ class DedupSimilaritySpec extends GraftSuite {
     assert(rows.map(_.getAs[Long]("n_hits")).sum > 0)
   }
 
+  test("ivf top-k scores only members of the query's probed cells") {
+    val rows = run("sim_ivf_topk").collect()
+    assert(rows.nonEmpty)
+    // per query: at most k results, ranks contiguous from 1, cosine sane
+    rows.groupBy(_.getAs[Long]("q_id")).foreach { case (_, rs) =>
+      assert(rs.length <= operators.Similarity.LshTopK)
+      assert(rs.map(_.getAs[Long]("rank")).sorted.toSeq === (1L to rs.length).toSeq)
+    }
+    assert(rows.forall { r =>
+      val c = r.getAs[Double]("cosine"); c >= -1.0 && c <= 1.0
+    })
+    // a result's label must be one of the <= IvfProbes cells of its query
+    // (no vector outside the probed cells may ever be scored)
+    val lbl = Tables.embeddings(spark, sfDir).select("vec_id", "label").collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Number]("label").longValue).toMap
+    val cellsPerQ = rows.groupBy(_.getAs[Long]("q_id"))
+      .view.mapValues(_.map(r => lbl(r.getAs[Long]("vec_id"))).toSet).toMap
+    assert(cellsPerQ.values.forall(_.size <= operators.Similarity.IvfProbes))
+  }
+
   test("pair stats: one row per label, mean cosine in [-1,1]") {
     val rows = run("sim_pair_stats").collect()
     assert(rows.length === Tables.embeddings(spark, sfDir).select("label").distinct().count())
