@@ -49,7 +49,7 @@ object Bench {
     "dd_clusters" -> 2.4, "tx_contamination" -> 0.8, "tx_ngram_stats" -> 0.5,
     "tx_keyterms" -> 1.0, "q_asof_join" -> 1.0, "an_rolling_active" -> 0.7,
     "etl_stratified_sample" -> 0.5, "tx_repetition" -> 0.8,
-    "etl_corpus_prep" -> 0.8, "tx_corpus_mixture" -> 0.4,
+    "etl_corpus_prep" -> 0.8, "tx_corpus_mixture" -> 0.4, "tx_pii_scrub" -> 0.5,
     "gr_edges" -> 1.5, "gr_degree" -> 1.2, "gr_degree_directed" -> 1.4,
     "gr_degree_buckets" -> 1.3,
     "gr_components" -> 1.7, "gr_closeness" -> 2.3, "gr_betweenness_approx" -> 5.0,

@@ -317,6 +317,64 @@ object TextAnalysis {
       .orderBy("source", "lang")
   }
 
+  /** PII patterns shared by the Spark and oracle sides of [[piiScrub]].
+    * Deliberately restricted to constructs whose semantics are identical
+    * in Java regex and DuckDB's RE2 (literal char classes, greedy
+    * quantifiers, no lookaround, no backrefs): emails, http(s) URLs, and
+    * long digit runs (phone/ID-shaped). The `-` sits last in its class
+    * so both engines read it literally.
+    */
+  val EmailPat = """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+"""
+  val UrlPat = """https?://[^ ]+"""
+  val DigitRunPat = """[0-9][0-9 ()+-]{6,}[0-9]"""
+
+  /** PII scrub report — the redaction pass every training-data pipeline
+    * runs before a corpus ships: per source, how many documents carry
+    * PII-shaped spans (emails / URLs / long digit runs), total hits per
+    * class, and how many characters a `<PII>`-token redaction removes.
+    * Pure narrow regexp map (regexp_count + chained regexp_replace, all
+    * codegen'd, no shuffle beyond one partial aggregation) — scan-bound
+    * at 100 TB like the rest of §2h. Counts are exact integers, so no
+    * decimal portability dance is needed.
+    */
+  val piiScrub = QueryDef(
+    "tx_pii_scrub", {
+      def cnt(pat: String) = s"len(regexp_extract_all(text, '$pat'))"
+      s"""WITH d AS MATERIALIZED (SELECT source,
+         |    ${cnt(EmailPat)} AS emails,
+         |    ${cnt(UrlPat)} AS urls,
+         |    ${cnt(DigitRunPat)} AS digit_runs,
+         |    len(text) - len(regexp_replace(regexp_replace(regexp_replace(text,
+         |      '$EmailPat', '<PII>', 'g'), '$UrlPat', '<PII>', 'g'),
+         |      '$DigitRunPat', '<PII>', 'g')) AS removed
+         |  FROM documents)
+         |SELECT source, COUNT(*) AS n_docs,
+         |  CAST(SUM(CASE WHEN emails + urls + digit_runs > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_pii,
+         |  CAST(SUM(emails) AS BIGINT) AS emails,
+         |  CAST(SUM(urls) AS BIGINT) AS urls,
+         |  CAST(SUM(digit_runs) AS BIGINT) AS digit_runs,
+         |  CAST(SUM(removed) AS BIGINT) AS redacted_chars
+         |FROM d GROUP BY source ORDER BY source""".stripMargin
+    }) { (s, dir) =>
+    import s.implicits._
+    def scrub(c: org.apache.spark.sql.Column, pat: String) =
+      regexp_replace(c, pat, "<PII>")
+    val d = Tables.documents(s, dir).select($"source",
+      regexp_count($"text", lit(EmailPat)).as("emails"),
+      regexp_count($"text", lit(UrlPat)).as("urls"),
+      regexp_count($"text", lit(DigitRunPat)).as("digit_runs"),
+      (length($"text") - length(
+        scrub(scrub(scrub($"text", EmailPat), UrlPat), DigitRunPat))).as("removed"))
+    d.groupBy($"source")
+      .agg(P.cnt.as("n_docs"),
+        sum(when($"emails" + $"urls" + $"digit_runs" > 0, 1L).otherwise(0L)).as("docs_with_pii"),
+        sum($"emails").cast("long").as("emails"),
+        sum($"urls").cast("long").as("urls"),
+        sum($"digit_runs").cast("long").as("digit_runs"),
+        sum($"removed").cast("long").as("redacted_chars"))
+      .orderBy($"source")
+  }
+
   val defs: Seq[QueryDef] = Seq(langId, quality, tokenCount, fingerprint,
-    contamination, ngramStats, keyterms, repetition, corpusMixture)
+    contamination, ngramStats, keyterms, repetition, corpusMixture, piiScrub)
 }
