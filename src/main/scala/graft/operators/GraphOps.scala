@@ -335,12 +335,20 @@ object GraphOps {
     // lazy localCheckpoint per round truncates lineage (see pagerank)
     var lbls = u.select($"node").distinct()
       .select($"node", $"node".as("lbl")).localCheckpoint(false)
-    // labels are |V| rows — broadcast them into the |E|-sized join; the
-    // min-aggregation is partial, so the shuffle carries |V| rows only.
+    // min(own ∪ neighbor labels) as neighbor-min + least(own): the
+    // neighbor aggregation is exchange-free over the cached node-
+    // partitioned relation (see iterRelation), and the own label folds in
+    // through the SAME broadcast (one renamed copy feeds both joins, so
+    // ReuseExchange builds it once — the eigenvector x2 shape). The
+    // earlier union-before-aggregate formulation broke the partitioning
+    // and paid a |V|-row exchange every round. Every node has an edge in
+    // the undirected relation, so the neighbor aggregate covers all nodes.
     def step(l: DataFrame): DataFrame = {
-      val nbLbls = u.join(stateJoin(l.withColumnRenamed("node", "nb0"), stateBroadcast), $"nb" === $"nb0")
-        .select($"node", $"lbl")
-      nbLbls.union(l).groupBy($"node").agg(min($"lbl").as("lbl"))
+      val l2 = l.withColumnRenamed("node", "nb0")
+      u.join(stateJoin(l2, stateBroadcast), $"nb" === $"nb0")
+        .groupBy($"node").agg(min($"lbl").as("nl"))
+        .join(stateJoin(l2, stateBroadcast), $"node" === $"nb0")
+        .select($"node", least($"nl", $"lbl").as("lbl"))
         .localCheckpoint(false)
     }
     // checked round: ONE job computes the step AND the convergence probe.
@@ -350,10 +358,11 @@ object GraphOps {
     // filter rides the same blocks — the separate |V|-row diff join per
     // checked round (its own job-scheduling barrier) is gone.
     def stepChecked(l: DataFrame): (DataFrame, Long) = {
-      val nbLbls = u.join(stateJoin(l.withColumnRenamed("node", "nb0"), stateBroadcast), $"nb" === $"nb0")
-        .select($"node", $"lbl", lit(null).cast("long").as("old"))
-      val nw = nbLbls.union(l.select($"node", $"lbl", $"lbl".as("old")))
-        .groupBy($"node").agg(min($"lbl").as("lbl"), max($"old").as("old"))
+      val l2 = l.withColumnRenamed("node", "nb0")
+      val nw = u.join(stateJoin(l2, stateBroadcast), $"nb" === $"nb0")
+        .groupBy($"node").agg(min($"lbl").as("nl"))
+        .join(stateJoin(l2, stateBroadcast), $"node" === $"nb0")
+        .select($"node", least($"nl", $"lbl").as("lbl"), $"lbl".as("old"))
         .localCheckpoint(false)
       (nw.select($"node", $"lbl"), nw.filter($"lbl" =!= $"old").count())
     }

@@ -141,7 +141,7 @@ object PlansDoc {
     val names = Seq("q1_pricing_summary", "q5_region_revenue", "etl_clean_text",
       "dd_minhash_lsh", "dd_embedding", "dd_simhash", "sim_bruteforce_topk",
       "q_asof_join", "gr_edges", "gr_graph_stats", "an_comment_buckets",
-      "tx_keyterms")
+      "tx_keyterms", "sim_ivf_topk", "tx_pii_scrub")
     val spark = graft.GraftSession.get(8)
     names.foreach { n =>
       println(s"===== $n =====")
@@ -157,9 +157,13 @@ object PlansDoc {
       val u = g.iterRelation(g.numericUnd(spark, dir))
       val lbls = u.select($"node").distinct()
         .select($"node", $"node".as("lbl")).localCheckpoint(true)
-      val round = u.join(broadcast(lbls.withColumnRenamed("node", "nb0")), $"nb" === $"nb0")
-        .select($"node", $"lbl")
-        .union(lbls).groupBy($"node").agg(min($"lbl").as("lbl"))
+      // neighbor-min (exchange-free over the cached relation) + least(own)
+      // through the same reused broadcast — the components round shape
+      val l2 = lbls.withColumnRenamed("node", "nb0")
+      val round = u.join(broadcast(l2), $"nb" === $"nb0")
+        .groupBy($"node").agg(min($"lbl").as("nl"))
+        .join(broadcast(l2), $"node" === $"nb0")
+        .select($"node", least($"nl", $"lbl").as("lbl"))
       println("===== graph_iteration_round =====")
       round.explain("formatted")
       // one pagerank round over the dst-partitioned norm relation — the
@@ -168,7 +172,11 @@ object PlansDoc {
       val wdeg = u.groupBy($"node").agg(sum(lit(1L)).as("wd")).localCheckpoint(true)
       val norm = u.join(broadcast(wdeg), "node")
         .select($"node".as("src"), $"nb".as("dst"), (lit(1.0) / $"wd").as("p"))
-        .repartition($"dst").localCheckpoint(true)
+        .repartition($"dst").persist()
+      // materialize the cache first: rounds 2+ plan against the FINALIZED
+      // cached partitioning (AQE can only report it after execution), and
+      // that steady-state round is the shape that matters 9 times out of 10
+      norm.count()
       val ranks = wdeg.select($"node", lit(1.0).as("r")).localCheckpoint(true)
       val prRound = norm
         .join(broadcast(ranks.withColumnRenamed("node", "src0")), $"src" === $"src0")
