@@ -32,6 +32,7 @@ object Bench {
     "gr_graph_stats" -> 1.6,
     "an_explorer" -> 0.3, "an_top_groups" -> 0.4,
     "an_user_activity" -> 0.4, "an_timeline" -> 0.4, "an_quantiles" -> 0.5,
+    "an_retention" -> 0.6,
     "an_keyword_mentions" -> 0.5, "dd_exact" -> 0.5, "an_dow_activity" -> 0.7,
     "q1_pricing_summary" -> 0.5, "q3_top_orders" -> 0.7, "q5_region_revenue" -> 0.8,
     "q_rollup" -> 0.7, "q_window_rank" -> 1.0,

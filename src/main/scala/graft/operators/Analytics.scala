@@ -209,7 +209,52 @@ object Analytics {
       .orderBy($"day")
   }
 
+  /** Weekly cohort retention — users grouped by their FIRST active week,
+    * tracked for 4 weeks of subsequent activity (the engagement panel
+    * next to the dashboard's DAU/WAU view). Two distinct-aggregations and
+    * one broadcast of the per-user cohort week: the (user, week) activity
+    * relation streams once, the cohort join is map-side, and the final
+    * aggregate carries (cohort, offset) cells only — scan-bound at
+    * 100 TB. ISO Monday weeks (date_trunc 'week') and day-difference /
+    * 7 arithmetic are integer-exact in both engines; only the final rate
+    * needs prnd.
+    */
+  val retention = QueryDef(
+    "an_retention",
+    s"""WITH ${PS.evCte},
+       |uw AS MATERIALIZED (SELECT DISTINCT user_id,
+       |    CAST(date_trunc('week', ts) AS DATE) AS w FROM ev),
+       |fw AS MATERIALIZED (SELECT user_id, MIN(w) AS cw FROM uw GROUP BY user_id),
+       |cells AS MATERIALIZED (SELECT f.cw, CAST((u.w - f.cw) / 7 AS BIGINT) AS week_offset,
+       |    COUNT(DISTINCT u.user_id) AS n_active
+       |  FROM uw u JOIN fw f ON u.user_id = f.user_id
+       |  WHERE (u.w - f.cw) / 7 <= 3 GROUP BY 1, 2),
+       |base AS MATERIALIZED (SELECT cw, n_active AS cohort_size FROM cells WHERE week_offset = 0)
+       |SELECT c.cw AS cohort_week, c.week_offset, CAST(c.n_active AS BIGINT) AS n_active,
+       |  ${PS.prnd("CAST(c.n_active AS DOUBLE) / b.cohort_size", 6)} AS retention
+       |FROM cells c JOIN base b ON c.cw = b.cw
+       |ORDER BY cohort_week, week_offset""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val uw = Tables.events(s, dir)
+      .select($"user_id", date_trunc("week", $"ts").cast("date").as("w"))
+      .distinct()
+      .localCheckpoint(false)
+    val fw = uw.groupBy($"user_id").agg(min($"w").as("cw"))
+    val cells = uw.join(broadcast(fw), "user_id")
+      .select($"cw", (datediff($"w", $"cw") / 7).cast("long").as("week_offset"), $"user_id")
+      .filter($"week_offset" <= 3)
+      .groupBy($"cw", $"week_offset")
+      .agg(countDistinct($"user_id").as("n_active"))
+      .localCheckpoint(false)
+    val base = cells.filter($"week_offset" === 0)
+      .select($"cw", $"n_active".as("cohort_size"))
+    cells.join(broadcast(base), "cw")
+      .select($"cw".as("cohort_week"), $"week_offset", $"n_active",
+        P.prnd($"n_active".cast("double") / $"cohort_size", 6).as("retention"))
+      .orderBy($"cohort_week", $"week_offset")
+  }
+
   val defs: Seq[QueryDef] = Seq(timeline, topGroups, dowActivity, valueBuckets,
     commentBuckets, quantiles, keywordMentions, explorer, userActivity,
-    rollingActive)
+    rollingActive, retention)
 }

@@ -1131,11 +1131,15 @@ object GraphOps {
     val e = edgesNum(s, dir).localCheckpoint(false)
     val gn = e.select($"src".as("v")).union(e.select($"dst".as("v"))).distinct()
     val bySupp = Window.partitionBy($"dst").orderBy($"src")
+    // CACHED (not checkpointed): the window's partitionBy(dst) exchange
+    // gives cs HashPartitioning(dst), and keeping it visible makes the
+    // capped projection self-join below exchange-free (see iterRelation);
+    // shuffle_hash skips the SMJ sorts a stats-free relation gets.
     val cs = e.select($"dst", $"src")
       .withColumn("rn", row_number().over(bySupp)).filter($"rn" <= ProjCap).drop("rn")
-      .localCheckpoint(false)
+      .persist()
     val proj = cs.select($"dst", $"src".as("a"))
-      .join(cs.select($"dst", $"src".as("b")), "dst")
+      .join(cs.select($"dst", $"src".as("b")).hint("shuffle_hash"), "dst")
       .filter($"a" < $"b").select($"a", $"b").distinct()
       .localCheckpoint(false)
     val pn = proj.select($"a".as("v")).union(proj.select($"b".as("v"))).distinct()
@@ -1144,12 +1148,16 @@ object GraphOps {
       .union(proj.join(broadcast(smp), $"b" === $"v").select($"v", $"a".as("n")))
       .localCheckpoint(false)
     val dg = nbr.groupBy($"v").agg(P.cnt.as("d"))
+    // nbr and everything derived from it are SAMPLE-BOUNDED (≤ ClSampleK
+    // sampled nodes × the capped projection degree) at any corpus size,
+    // so the wedge/triangle joins broadcast the bounded side and stream
+    // the unbounded proj relation exactly once
     val wedges = nbr.select($"v", $"n".as("u"))
-      .join(nbr.select($"v", $"n".as("w")), "v")
+      .join(broadcast(nbr.select($"v", $"n".as("w"))), "v")
       .filter($"u" < $"w")
-    val tri = wedges.join(proj, $"u" === $"a" && $"w" === $"b")
+    val tri = proj.join(broadcast(wedges), $"u" === $"a" && $"w" === $"b")
       .groupBy($"v").agg(P.cnt.as("t"))
-    val cl = dg.join(tri, Seq("v"), "left")
+    val cl = dg.join(broadcast(tri), Seq("v"), "left")
       .select($"v", when($"d" >= 2,
         lit(2.0) * coalesce($"t", lit(0L)).cast("double") / ($"d" * ($"d" - 1)).cast("double"))
         .otherwise(lit(0.0)).as("c"))

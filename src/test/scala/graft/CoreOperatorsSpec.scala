@@ -171,4 +171,22 @@ class CoreOperatorsSpec extends GraftSuite {
     assert(rolled.count() > 0)
     assert(rolled.filter($"active_7d" < $"d1").count() === 0)
   }
+
+  test("cohort retention: offset-0 is the full cohort, later offsets never exceed it") {
+    val rows = run("an_retention").collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall { r =>
+      val off = r.getAs[Long]("week_offset"); off >= 0L && off <= 3L
+    })
+    val byCohort = rows.groupBy(_.getAs[java.sql.Date]("cohort_week").toString)
+    byCohort.values.foreach { rs =>
+      val base = rs.find(_.getAs[Long]("week_offset") == 0L).get
+      assert(base.getAs[Double]("retention") === 1.0)
+      val size = base.getAs[Long]("n_active")
+      assert(rs.forall(r => r.getAs[Long]("n_active") <= size))
+      assert(rs.forall { r =>
+        val rt = r.getAs[Double]("retention"); rt > 0.0 && rt <= 1.0
+      })
+    }
+  }
 }
