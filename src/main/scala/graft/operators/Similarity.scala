@@ -204,6 +204,11 @@ object Similarity {
        |ORDER BY q_id, rank""".stripMargin) { (s, dir) =>
     import s.implicits._
     val emb = Tables.embeddings(s, dir)
+    // grouped-explode centroid build (the oracle CTE's shape). A 64x
+    // element_at + per-position decimal-sum pivot (no explode) was
+    // re-measured WORSE here (1.5-1.9s vs ~1.0s at sf0.1): the wide
+    // inline decimal casts defeat the hash-agg's codegen win, while the
+    // exploded rows stay narrow and the aggregate is map-side partial.
     val expl = emb.select($"vec_id", $"label", posexplode($"embedding").as(Seq("j0", "x0")))
       .select($"vec_id", $"label", ($"j0" + 1).as("j"), $"x0".cast("double").as("x"))
       .localCheckpoint(false)
