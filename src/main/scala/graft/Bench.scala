@@ -203,14 +203,25 @@ object Bench {
         // extra samples only while comfortably inside the budget. The
         // gr_* suite is included: the host's bursty 10-20x throttle
         // spikes hit the many-job iterative queries hardest, and min-of-N
-        // is the only defense that smooths them — a third sample is taken
-        // for queries over 1s, where a single spike costs whole seconds.
-        val second = if (first.isDefined && elapsed < budgetSec * 0.45)
-          runOne(name, fn, perQueryCap) else None
-        val third = if (second.isDefined && (first.toSeq ++ second).min > 1.0
-            && elapsed < budgetSec * 0.45)
-          runOne(name, fn, perQueryCap) else None
-        val runs = first.toSeq ++ second ++ third
+        // is the only defense that smooths them. Multi-second queries get
+        // up to FIVE samples: a single sample sits entirely inside one
+        // throttle window, while five span sub-windows of the sweep and
+        // the min approaches the clean-window floor (the budget has 3-4x
+        // headroom over a full sweep, so the extra samples are free).
+        val maxSamples = first match {
+          case Some(t) if t > 1.5 => 5
+          case Some(t) if t > 1.0 => 3
+          case _ => 2
+        }
+        val extra = scala.collection.mutable.ArrayBuffer.empty[Double]
+        var more = first.isDefined
+        while (more && (1 + extra.length) < maxSamples && elapsed < budgetSec * 0.5) {
+          runOne(name, fn, perQueryCap) match {
+            case Some(t) => extra += t
+            case None => more = false
+          }
+        }
+        val runs = first.toSeq ++ extra
         if (runs.nonEmpty) lock.synchronized {
           timings(name) = runs.min
           // a successful sample supersedes its own watchdog cancellation,
