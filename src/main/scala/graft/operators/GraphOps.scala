@@ -57,13 +57,17 @@ object GraphOps {
 
   /** Weighted customer↔supplier edges; weight = number of line items.
     * One join + ONE hash aggregation: the map-side partial combine on
-    * (custkey, suppkey) shrinks the only shuffle to ~|edges| rows, and
-    * the pruned orders projection broadcasts at bench SF (at 100 TB it
-    * degrades to a shuffle join on orderkey — still the minimal plan).
-    * An earlier version pre-aggregated lineitem on (orderkey, suppkey)
-    * first: an extra full shuffle that neither co-partitions with the
-    * orderkey join nor reduces rows much (~1 lineitem per order-supplier
-    * pair), so it cost every graph query a shuffle for nothing.
+    * (custkey, suppkey) shrinks the aggregation shuffle to ~|edges| rows.
+    * The orders side carries an EXPLICIT merge hint: orders is a fact
+    * table, so a broadcast is the wrong 100 TB plan regardless — and even
+    * at bench SF the auto-chosen broadcast built its 150k-row relation
+    * single-threaded for 0.5s while the parallel shuffle join runs the
+    * same build in 0.75s total vs 1.33s (EdgeProbe min-of-4; shuffle_hash
+    * measured within noise of merge). An earlier version pre-aggregated
+    * lineitem on (orderkey, suppkey) first: an extra full shuffle that
+    * neither co-partitions with the orderkey join nor reduces rows much
+    * (~1 lineitem per order-supplier pair), so it cost every graph query
+    * a shuffle for nothing.
     */
   def edges(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -73,7 +77,7 @@ object GraphOps {
     val o = Tables.orders(s, dir)
       .filter(!$"o_custkey".isin(ExcludedCustomers: _*))
       .select($"o_orderkey", $"o_custkey")
-    l.join(o, $"l_orderkey" === $"o_orderkey")
+    l.join(o.hint("merge"), $"l_orderkey" === $"o_orderkey")
       .groupBy(
         concat(lit("c"), $"o_custkey".cast("string")).as("src"),
         concat(lit("s"), $"l_suppkey".cast("string")).as("dst"))
@@ -96,7 +100,7 @@ object GraphOps {
     val o = Tables.orders(s, dir)
       .filter(!$"o_custkey".isin(ExcludedCustomers: _*))
       .select($"o_orderkey", $"o_custkey")
-    l.join(o, $"l_orderkey" === $"o_orderkey")
+    l.join(o.hint("merge"), $"l_orderkey" === $"o_orderkey")
       .groupBy(
         ($"o_custkey".cast("long") * 2).as("src"),
         ($"l_suppkey".cast("long") * 2 + 1).as("dst"))
@@ -410,7 +414,7 @@ object GraphOps {
     val o = Tables.orders(s, dir)
       .filter(!$"o_custkey".isin(ExcludedCustomers: _*))
       .select($"o_orderkey", $"o_custkey")
-    val ed = l.join(o, $"l_orderkey" === $"o_orderkey")
+    val ed = l.join(o.hint("merge"), $"l_orderkey" === $"o_orderkey")
       .select(($"o_custkey".cast("long") * 2).as("node"),
         ($"l_suppkey".cast("long") * 2 + 1).as("nb"))
     ed.union(ed.select($"nb".as("node"), $"node".as("nb")))
