@@ -56,7 +56,7 @@ object Bench {
     "gr_components" -> 1.7, "gr_closeness" -> 2.3, "gr_betweenness_approx" -> 5.0,
     "gr_pagerank" -> 2.8,
     "gr_eigenvector" -> 3.2, "gr_influencers" -> 3.0, "gr_communities" -> 2.0,
-    "gr_community_stats" -> 2.0)
+    "gr_community_stats" -> 2.0, "gr_modularity" -> 2.2)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

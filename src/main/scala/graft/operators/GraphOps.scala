@@ -1084,6 +1084,63 @@ object GraphOps {
       .orderBy($"community")
   }
 
+  /** Weighted modularity of the label-propagation partition — the
+    * community-quality signal the reference's Louvain panel reports
+    * (network_analysis.py:194-208: louvain returns the partition that
+    * maximizes exactly this objective; we report Q for the LPA labels).
+    * Q = Σ_c [win_c/2m − (wtot_c/2m)²] with win_c = internal weight of c
+    * counted in both directions, wtot_c = Σ weighted degree over c's
+    * members, 2m = Σ weight over the undirected relation. All three are
+    * EXACT BIGINTs (weights are counts), so the only fp ops are the final
+    * per-community divisions — rounded portably and summed through an
+    * exact decimal, hash-identical across engines. Scale shape: two
+    * broadcast label joins over the cached edge relation + two keyed
+    * aggregations at community cardinality; no new iteration, LPA labels
+    * unchanged.
+    */
+  val grModularity = QueryDef(
+    "gr_modularity",
+    s"""WITH $eNumSql, $undSql, $degSql,
+       |${lpChain(LpIters)},
+       |tw AS MATERIALIZED (SELECT CAST(SUM(weight) AS BIGINT) AS w2 FROM und),
+       |cin AS MATERIALIZED (SELECT ln.lbl AS community, CAST(SUM(u.weight) AS BIGINT) AS win
+       |  FROM und u
+       |  JOIN lp$LpIters ln ON u.node = ln.node
+       |  JOIN lp$LpIters lb ON u.nb = lb.node AND lb.lbl = ln.lbl
+       |  GROUP BY ln.lbl),
+       |ctot AS MATERIALIZED (SELECT l.lbl AS community, CAST(SUM(d.wdegree) AS BIGINT) AS wtot
+       |  FROM lp$LpIters l JOIN deg d USING (node) GROUP BY l.lbl),
+       |qc AS MATERIALIZED (SELECT t.community,
+       |    ${PS.prnd("COALESCE(i.win, 0) / CAST(w.w2 AS DOUBLE) - (t.wtot / CAST(w.w2 AS DOUBLE)) * (t.wtot / CAST(w.w2 AS DOUBLE))", 12)} AS q
+       |  FROM ctot t LEFT JOIN cin i ON i.community = t.community, tw w)
+       |SELECT CAST(COUNT(*) AS BIGINT) AS n_communities,
+       |  ${PS.prnd(PS.dsum("q", 12), 8)} AS modularity
+       |FROM qc""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    // one materialization shared by LPA, the degree agg, and the two
+    // label joins below
+    val u = iterRelation(undirected(edgesNum(s, dir)))
+    val lbl = communities(u).localCheckpoint(false)
+    val tw = u.agg(sum($"weight").as("w2"))
+    // labels are |V| rows (community cardinality ≪ |V|): broadcast both
+    // copies into the cached edge relation — the internal-weight join
+    // streams |E| once with no shuffle, and the per-community aggregate
+    // is map-side partial at community cardinality
+    val cin = u
+      .join(broadcast(lbl.select($"node".as("n1"), $"community".as("c1"))), $"node" === $"n1")
+      .join(broadcast(lbl.select($"node".as("n2"), $"community".as("c2"))),
+        $"nb" === $"n2" && $"c2" === $"c1")
+      .groupBy($"c1".as("community")).agg(sum($"weight").as("win"))
+    val ctot = lbl.join(degrees(u), "node")
+      .groupBy($"community").agg(sum($"wdegree").as("wtot"))
+    ctot.join(cin, Seq("community"), "left")
+      .crossJoin(broadcast(tw))
+      .select(P.prnd(
+        coalesce($"win", lit(0L)) / $"w2".cast("double")
+          - ($"wtot" / $"w2".cast("double")) * ($"wtot" / $"w2".cast("double")), 12).as("q"))
+      .agg(P.cnt.as("n_communities"), P.prnd(P.dsum($"q", 12), 8).as("modularity"))
+  }
+
   /** Per-supplier customer cap for the clustering projection and the
     * clustering sample size — both keep [[grGraphStats]] bounded at any
     * corpus size: projection edges ≤ |suppliers|·cap², wedges ≤
@@ -1191,5 +1248,5 @@ object GraphOps {
   val defs: Seq[QueryDef] = Seq(grEdges, grDegree, grDegreeDirected,
     grDegreeBuckets, grPagerank, grEigenvector, grComponents, grCloseness,
     grBetweenness, grInfluencers, grCommunities, grCommunityStats,
-    grGraphStats)
+    grModularity, grGraphStats)
 }
