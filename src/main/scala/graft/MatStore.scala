@@ -1,0 +1,35 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Session-scoped store of materialized intermediate relations (signature
+  * tables, verified candidate pairs) keyed by (session, logical name).
+  *
+  * A dedup/ANN pipeline at 100 TB computes its signatures ONCE — minhash
+  * bands, SRP band keys, verified near-dup pairs are written as tables and
+  * every downstream consumer (candidate generation, exact verify, cluster
+  * assignment, recall eval) reads the same materialization; recomputing the
+  * full tokenize+hash scan per consumer would multiply the dominant cost of
+  * the whole stage by the consumer count. This store is the single-JVM
+  * twin of that signature table: first consumer builds and lazily
+  * checkpoints the relation, later consumers (dd_ngram_jaccard and
+  * dd_clusters after dd_minhash_lsh; sim_recall after sim_lsh_topk) reuse
+  * the blocks. Keyed on the session so a stopped session's plans are never
+  * reused (same discipline as [[Tables]]); `spark.catalog.clearCache()`
+  * does NOT drop these blocks — they are checkpoint RDDs, freed by the
+  * ContextCleaner when the store entry (and thus the plan) is released.
+  */
+object MatStore {
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]
+
+  /** The memoized relation for `key`, building + lazily checkpointing it
+    * on first use. `build` must be deterministic for the key: the same
+    * (session, key) always denotes the same logical relation.
+    */
+  def of(s: SparkSession, key: String)(build: => DataFrame): DataFrame = {
+    if (!cache.isEmpty)
+      cache.keySet.removeIf(k => k._1.sparkContext.isStopped)
+    cache.computeIfAbsent((s, key), _ => build.localCheckpoint(false))
+  }
+}

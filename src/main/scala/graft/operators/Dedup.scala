@@ -74,7 +74,7 @@ object Dedup {
     * per document — the shape that survives 100 TB.
     */
   def minhashBands(s: SparkSession, dir: String): DataFrame =
-    minhashBandsOf(s, tokenized(s, dir))
+    minhashBandsOf(s, tokenizedM(s, dir))
 
   /** (doc_id, w) tokenization shared by the minhash and 3-gram paths.
     * The words array MUST be aliased in its own projection: referenced
@@ -88,6 +88,21 @@ object Dedup {
       .select($"doc_id", split($"text", " ").as("w"))
       .filter(size($"w") >= ShingleK)
   }
+
+  /** Materialized (doc_id, w) token arrays — the shared corpus scan of the
+    * dd_* family (see [[graft.MatStore]]): minhash signatures, the 3-gram
+    * verify, and cluster assignment all consume the SAME tokenization
+    * instead of re-splitting the corpus per consumer.
+    */
+  def tokenizedM(s: SparkSession, dir: String): DataFrame =
+    graft.MatStore.of(s, s"dd_toks:$dir")(tokenized(s, dir))
+
+  /** Materialized capped LSH candidate pairs — the signature-store output
+    * every minhash consumer (dd_minhash_lsh, the Jaccard verify,
+    * dd_clusters) reads.
+    */
+  def lshCandM(s: SparkSession, dir: String): DataFrame =
+    graft.MatStore.of(s, s"dd_lsh_cand:$dir")(lshCandidates(minhashBands(s, dir)))
 
   private def minhashBandsOf(s: SparkSession, withW: DataFrame): DataFrame = {
     import s.implicits._
@@ -171,7 +186,7 @@ object Dedup {
     "dd_minhash_lsh",
     s"""WITH $lshSql
        |SELECT doc_a, doc_b FROM lsh_cand ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
-    lshCandidates(minhashBands(s, dir)).orderBy("doc_a", "doc_b")
+    lshCandM(s, dir).orderBy("doc_a", "doc_b")
   }
 
   /** Oracle CTE chain (appended after [[lshSql]]) exposing
@@ -199,12 +214,15 @@ object Dedup {
   /** Spark twin of [[verSql]]: (doc_a, doc_b, jac) pairs that pass the
     * exact 3-gram Jaccard verify on LSH candidates only.
     */
-  def jaccardPairs(s: SparkSession, dir: String): DataFrame = {
+  def jaccardPairs(s: SparkSession, dir: String): DataFrame =
+    graft.MatStore.of(s, s"dd_jac_pairs:$dir")(jaccardPairsBuild(s, dir))
+
+  private def jaccardPairsBuild(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    // ONE tokenization materialization feeds BOTH the minhash-LSH branch
-    // and the 3-gram verify branch (they previously each re-scanned and
-    // re-split the corpus); lazy checkpoint, blocks self-clean on GC
-    val withW = tokenized(s, dir).localCheckpoint(false)
+    // the shared signature store feeds BOTH the minhash-LSH branch and the
+    // 3-gram verify branch (see MatStore: one tokenization, one candidate
+    // build for the whole dd_* family)
+    val withW = tokenizedM(s, dir)
     val sh3 = transform(
       sequence(lit(1), size($"w") - 2),
       i => concat_ws(" ", element_at($"w", i), element_at($"w", i + 1), element_at($"w", i + 2)))
@@ -216,7 +234,7 @@ object Dedup {
     // values — sz and inter are only ever read for candidate docs. This
     // is also the 100 TB shape: verify cost scales with candidate count,
     // not corpus size.
-    val cand = lshCandidates(minhashBandsOf(s, withW)).localCheckpoint(false)
+    val cand = lshCandM(s, dir)
     val inCand = cand.select(explode(array($"doc_a", $"doc_b")).as("doc_id")).distinct()
     val g3 = withW
       .join(broadcast(inCand), Seq("doc_id"), "left_semi")
@@ -270,8 +288,9 @@ object Dedup {
        |SELECT doc_id, cluster, doc_id = cluster AS keep
        |FROM cl ORDER BY doc_id""".stripMargin) { (s, dir) =>
     import s.implicits._
-    // materialize the verify once — the undirected union below reads it twice
-    val p = jaccardPairs(s, dir).select($"doc_a", $"doc_b").localCheckpoint(false)
+    // jaccardPairs is already materialized by the signature store — the
+    // undirected union below reads the same blocks twice
+    val p = jaccardPairs(s, dir).select($"doc_a", $"doc_b")
     val und = p.select($"doc_a".as("node"), $"doc_b".as("nb"), lit(1L).as("weight"))
       .union(p.select($"doc_b".as("node"), $"doc_a".as("nb"), lit(1L).as("weight")))
     // near-dup clusters are small cliques/chains (diameter ~1-2): two
@@ -392,9 +411,9 @@ object Dedup {
        |ORDER BY vec_a, vec_b""".stripMargin) { (s, dir) =>
     import s.implicits._
     val emb = Tables.embeddings(s, dir)
-    // lshCandidates applies the MaxBucket cap + localCheckpoint; it keys on
-    // doc_id, so rename through it and back.
-    val cand = lshCandidates(Srp.bandKeys(emb, 16, 4).select($"vec_id".as("doc_id"), $"band", $"bkey"))
+    // shared SRP signature table (MatStore); lshCandidates applies the
+    // MaxBucket cap — it keys on doc_id, so rename through it and back.
+    val cand = lshCandidates(Srp.bandKeysM(s, dir, 16, 4).select($"vec_id".as("doc_id"), $"band", $"bkey"))
       .select($"doc_a".as("vec_a"), $"doc_b".as("vec_b"))
     cand
       .join(emb.select($"vec_id".as("vec_a"), $"embedding".as("ea")), "vec_a")

@@ -81,11 +81,9 @@ object Similarity {
        |ORDER BY q_id, rank""".stripMargin) { (s, dir) =>
     import s.implicits._
     val emb = Tables.embeddings(s, dir)
-    // eager localCheckpoint: materialized once for the q/candidate reads,
-    // blocks self-clean on GC (persist() would leak without an unpersist
-    // handle for composing callers)
-    val bk = Srp.bandKeys(emb, LshPlanes, LshBandSize).select($"vec_id", $"band", $"bkey")
-      .localCheckpoint(true)
+    // shared SRP signature table (MatStore): materialized once, reused by
+    // sim_recall and dd_embedding in the same session
+    val bk = Srp.bandKeysM(s, dir, LshPlanes, LshBandSize)
     val q = bk.filter($"vec_id" < NumQueries)
       .select($"vec_id".as("q_id"), $"band", $"bkey")
     val cand = q.join(bk, Seq("band", "bkey")).filter($"vec_id" =!= $"q_id")
@@ -297,8 +295,7 @@ object Similarity {
       .select($"q_id", $"vec_id", expr("graft_cosine(qe, embedding)").as("cos"))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter($"rank" <= LshTopK).select($"q_id", $"vec_id")
-    val bk = Srp.bandKeys(emb, LshPlanes, LshBandSize).select($"vec_id", $"band", $"bkey")
-      .localCheckpoint(false)
+    val bk = Srp.bandKeysM(s, dir, LshPlanes, LshBandSize)
     val cand = bk.filter($"vec_id" < NumQueries)
       .select($"vec_id".as("q_id"), $"band", $"bkey")
       .join(bk, Seq("band", "bkey")).filter($"vec_id" =!= $"q_id")

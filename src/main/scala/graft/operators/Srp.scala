@@ -76,6 +76,15 @@ object Srp {
       .select($"vec_id", $"bb.band".as("band"), $"bb.bkey".as("bkey"))
   }
 
+  /** Materialized SRP band keys over the corpus `embeddings` table —
+    * the shared signature table (see [[graft.MatStore]]) that
+    * sim_lsh_topk, sim_recall, and dd_embedding all consume instead of
+    * each rebuilding the same projection.
+    */
+  def bandKeysM(s: SparkSession, dir: String, nPlanes: Int, bandSize: Int): DataFrame =
+    graft.MatStore.of(s, s"srp_bk:$nPlanes:$bandSize:$dir")(
+      bandKeys(graft.Tables.embeddings(s, dir), nPlanes, bandSize))
+
   /** DuckDB twin of [[planes]] + [[bandKeys]] as CTE text; exposes
     * `srp_bk(vec_id, band, bkey)`.
     */
