@@ -250,17 +250,35 @@ object GraphOps {
     ranks
   }
 
+  /** Rounds between eigenvector normalize+checkpoint barriers — see
+    * [[eigenvector]]. Gap 2 keeps every |E|-round computed exactly once
+    * (the unmaterialized odd round executes inside the even round's
+    * broadcast build, whose collected result the checkpoint job then
+    * reuses); gap 3+ would recompute interior rounds.
+    */
+  private val EvNormEvery = 2
+
   /** Weighted eigenvector centrality via (A+I) power iteration with L2
     * normalization (the +I term keeps bipartite graphs from oscillating,
     * mirroring NetworkX's formulation; network_analysis.py:123-178).
     * The global L2 norm runs through an exact decimal sum so each
-    * iteration's scale factor is bit-identical to the oracle's.
+    * normalization's scale factor is bit-identical to the oracle's.
     *
     * `u` must be an [[iterRelation]]: each round streams its blocks
     * through a broadcast join + partial aggregation, so the only per-round
     * exchange carries |V|-row partials — no round shuffles the |E|
-    * relation. (An AQE checkpoint reports UnknownPartitioning, so the
-    * partial→final exchange itself cannot be elided; see pagerank.)
+    * relation. Normalization + checkpoint happen every [[EvNormEvery]]-th
+    * round (power iteration is scale-invariant, so WHERE you renormalize
+    * is semantics-free as long as the oracle unrolls identically): the
+    * odd round carries no window stage and no action at all — its joins
+    * execute lazily inside the even round's broadcast-build job — which
+    * halves the per-round job barriers that dominate this query at bench
+    * SF (r8: 2 jobs x ~0.13s scheduling per round; r9 single-DAG shuffle
+    * variant re-measured WORSE, 40 AQE stage-jobs + a re-exchange of the
+    * cached |E| side per round, since AQE runs every shuffle stage as its
+    * own job). Unnormalized magnitudes stay ≤ λ(A+I) ≈ max weighted
+    * degree for one round, so the decimal(38,20) norm terms (18 integer
+    * digits) cannot overflow below λ ≈ 1e9.
     */
   def eigenvector(u: DataFrame, iters: Int = PrIters,
       stateBroadcast: Boolean = true): DataFrame = {
@@ -271,43 +289,39 @@ object GraphOps {
     val n = nodes.count()
     val bcast = stateBroadcast && stateHint(n) // see pagerank
     var x = nodes.select($"node", (lit(1.0) / n).as("x")).localCheckpoint(false)
-    for (_ <- 1 to iters) {
+    for (i <- 1 to iters) {
       // ONE renamed copy of x feeds BOTH joins this round: the two
       // broadcast exchanges then canonicalize identically, so the
       // physical planner's ReuseExchange builds the x broadcast once.
       val x2 = x.withColumnRenamed("node", "nb0")
       val contribs = u.join(stateJoin(x2, bcast), $"nb" === $"nb0")
         .groupBy($"node").agg(sum($"weight" * $"x").as("c"))
-      // checkpoint raw BEFORE the norm: otherwise the |E|-sized join above
-      // runs twice per iteration (once under the norm aggregate, once
-      // under the next checkpoint). (A union-aggregate for the +I term was
-      // measured slower here — it adds a shuffle exchange per round where
-      // this second broadcast join has none.)
-      // checkpoint EVERY round: the pagerank-style skip-alternate-rounds
-      // variant was re-measured after the cache/persist rework at 4.1s vs
-      // 3.3s — the unmaterialized round's global-window norm turns into
-      // extra AQE stages inside the next broadcast build, costing more
-      // than the barrier it saves.
+      // the (A+I) self term rides the SAME broadcast as the neighbor join
+      // (|V|-row probe, ~free); a union/self-loop fold was re-measured
+      // slower — it forces an extra edge-build materialization.
       val raw = contribs.join(stateJoin(x2, bcast), $"node" === $"nb0")
         .select($"node", ($"x" + $"c").as("x"))
-        .localCheckpoint(false)
-      // the L2 norm is a scalar 1-row aggregate cross-joined back in (the
-      // oracle's scalar subquery, same decimal-exact sum + one sqrt +
-      // one double division) — folding it into the plan instead of a
-      // driver-side head() saves one blocking job per iteration.
-      // the L2 norm as an UNPARTITIONED window aggregate: the |V|-row raw
-      // relation collapses to one partition inside the same job — no
-      // 1-row broadcast build per round (was one more job each round).
-      // The decimal-exact sum is order-independent, so the value is
-      // bit-identical to the oracle's scalar subquery.
-      val all = org.apache.spark.sql.expressions.Window
-        .partitionBy().rowsBetween(Long.MinValue, Long.MaxValue)
-      val nr = sqrt(sum(($"x" * $"x").cast(DecimalType(38, 20))).over(all).cast("double"))
-      // x stays UNcheckpointed: raw is materialized blocks, and the next
-      // round consumes x through ONE reused broadcast, so the projection
-      // re-evaluates exactly once per round — a |V|-row scan, cheaper
-      // than another materialization barrier.
-      x = raw.select($"node", ($"x" / nr).as("x"))
+      x = if (i % EvNormEvery == 0 || i == iters) {
+        // checkpoint raw BEFORE the norm: otherwise the |E|-sized join
+        // above runs twice (once under the norm aggregate, once under the
+        // next consumer). The L2 norm is an UNPARTITIONED window
+        // aggregate: the |V|-row raw relation collapses to one partition
+        // inside the same job — no 1-row broadcast build per round. The
+        // decimal-exact sum is order-independent, so the value is
+        // bit-identical to the oracle's scalar subquery.
+        // the checkpoint is LOAD-BEARING: a fully lazy broadcast chain was
+        // re-measured at 1032 jobs / 110s — AQE re-executes the entire
+        // prior chain inside every later broadcast build instead of
+        // reusing it, so each round must leave materialized blocks behind.
+        val rawM = raw.localCheckpoint(false)
+        val all = org.apache.spark.sql.expressions.Window
+          .partitionBy().rowsBetween(Long.MinValue, Long.MaxValue)
+        val nr = sqrt(sum(($"x" * $"x").cast(DecimalType(38, 20))).over(all).cast("double"))
+        // x stays UNcheckpointed: rawM is materialized blocks and the next
+        // round consumes x through ONE reused broadcast, so the projection
+        // re-evaluates once — a |V|-row scan, cheaper than another barrier.
+        rawM.select($"node", ($"x" / nr).as("x"))
+      } else raw
     }
     x
   }
@@ -697,19 +711,27 @@ object GraphOps {
     (base +: steps).mkString(",\n")
   }
 
-  /** ev0..evN CTE chain — unrolled (A+I) power iterations with L2 norm. */
+  /** ev0..evN CTE chain — unrolled (A+I) power iterations, normalized on
+    * exactly the rounds [[eigenvector]] normalizes ([[EvNormEvery]]).
+    */
   private def evChain(iters: Int): String = {
+    def normed(j: Int): Boolean = j == 0 || j % EvNormEvery == 0 || j == iters
+    def st(j: Int): String = if (normed(j)) s"ev$j" else s"raw$j"
     val base =
       """evnodes AS MATERIALIZED (SELECT DISTINCT node FROM und),
         |evnn AS MATERIALIZED (SELECT COUNT(*) AS c FROM evnodes),
         |ev0 AS MATERIALIZED (SELECT node, CAST(1.0 AS DOUBLE) / (SELECT c FROM evnn) AS x FROM evnodes)""".stripMargin
     val steps = (1 to iters).map { i =>
-      s"""raw$i AS MATERIALIZED (SELECT p.node, p.x + s.c AS x FROM ev${i - 1} p JOIN (
-         |    SELECT u.node, SUM(u.weight * q.x) AS c
-         |    FROM und u JOIN ev${i - 1} q ON u.nb = q.node GROUP BY u.node) s
-         |  ON p.node = s.node),
-         |ev$i AS MATERIALIZED (SELECT node, x / (SELECT sqrt(CAST(SUM(CAST(x * x AS DECIMAL(38,20))) AS DOUBLE)) FROM raw$i) AS x
-         |  FROM raw$i)""".stripMargin
+      val raw =
+        s"""raw$i AS MATERIALIZED (SELECT p.node, p.x + s.c AS x FROM ${st(i - 1)} p JOIN (
+           |    SELECT u.node, SUM(u.weight * q.x) AS c
+           |    FROM und u JOIN ${st(i - 1)} q ON u.nb = q.node GROUP BY u.node) s
+           |  ON p.node = s.node)""".stripMargin
+      if (normed(i))
+        raw + s""",
+           |ev$i AS MATERIALIZED (SELECT node, x / (SELECT sqrt(CAST(SUM(CAST(x * x AS DECIMAL(38,20))) AS DOUBLE)) FROM raw$i) AS x
+           |  FROM raw$i)""".stripMargin
+      else raw
     }
     (base +: steps).mkString(",\n")
   }
