@@ -31,7 +31,8 @@ object GraftSession {
       // iteration caches repartition-by-key relations and wants them
       // size-coalesced (a few partitions at bench SF, thousands at 100 TB),
       // not frozen at the static shuffle-partition count.
-      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+        sys.env.getOrElse("SPARK_GRAFT_CACHE_AQE", "true"))
       // events.parquet stores TIMESTAMP(NANOS), which Spark's vectorized
       // reader rejects; read as long and convert in Tables.events.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -207,14 +207,26 @@ object GraphOps {
     // checkpoint+agg is too conservative to trigger the auto-broadcast,
     // and the sort-merge fallback shuffles the full |E| relation once per
     // query (measured 2.2s vs 1.0s for this step at sf0.1). norm is
-    // repartitioned by dst — the PER-ROUND aggregation key — and CACHED:
-    // the cache keeps HashPartitioning(dst) visible, so each round's
-    // contrib aggregation fuses partial+final into the scan stage with
-    // no exchange at all (see iterRelation). The cache materializes
-    // under round 1 and is read as columnar blocks by every later round.
+    // CACHED with its partitioning key chosen by the state regime — the
+    // cache keeps the HashPartitioning visible to the planner (see
+    // iterRelation), and the key decides WHICH per-round exchange is
+    // elided:
+    //  - broadcast state (bench SFs): partition by dst, the PER-ROUND
+    //    AGGREGATION key — the broadcast join preserves it, so each
+    //    round's contrib aggregation fuses partial+final into the scan
+    //    stage with no exchange at all.
+    //  - shuffled state (100 TB, |V| outgrows a broadcast): partition by
+    //    src, the PER-ROUND JOIN key — the shuffled hash join then
+    //    exchanges ONLY the |V|-row state side, and the dst aggregation
+    //    pays a map-side-combined ~|V|-row partial exchange. Keying by
+    //    dst here instead re-exchanged the full |E| relation every round
+    //    (NbProbe: 208.6 MB written over 10 rounds vs 68.7 MB after this
+    //    fix; the broadcast path writes 38.6 MB).
+    // The cache materializes under round 1 and is read as columnar blocks
+    // by every later round.
     val norm = u.join(stateJoin(wdeg, bcast), "node")
       .select($"node".as("src"), $"nb".as("dst"), ($"weight" / $"wd").as("p"))
-      .repartition($"dst")
+      .repartition(if (bcast) $"dst" else $"src")
       .persist()
     // localCheckpoint after every round: persist alone leaves the
     // analyzed plan growing one join+agg deeper per iteration, and
