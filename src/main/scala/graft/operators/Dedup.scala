@@ -25,11 +25,20 @@ object Dedup {
   val HammingMax = 3
   val CosineThreshold = 0.4
 
-  /** Skew guard: max members kept per LSH (band, bkey) bucket. One
+  /** Skew guard: max members per SALTED LSH (band, bkey) sub-bucket. One
     * spam-heavy bucket otherwise turns the per-bucket self-join quadratic
-    * at 100 TB. Members are kept in deterministic doc_id order and the cap
-    * is applied identically in the oracle SQL, so results stay engine-
-    * portable even when a bucket IS truncated.
+    * at 100 TB. r9: oversized buckets are SALTED, not truncated — members
+    * (in deterministic doc_id order) split into chunks of MaxBucket-1,
+    * each chunk sharing the bucket's first member as a representative, so
+    * every member still pairs with the rep (cluster connectivity survives;
+    * the r8 truncation silently DROPPED members past the cap, losing true
+    * dup pairs inside spam buckets). Candidate count per bucket is
+    * ceil(n/(cap-1))·C(cap,2) — LINEAR in bucket size. Salting is applied
+    * identically in the oracle SQL, so results stay engine-portable even
+    * when a bucket IS salted. Cross-chunk non-rep pairs are the one
+    * deliberate loss; they stay reachable through the rep for clustering,
+    * and near-identical spam passes rep-member verification by
+    * construction.
     */
   val MaxBucket = 100
 
@@ -126,11 +135,24 @@ object Dedup {
   }
 
   /** Candidate pairs (doc_a < doc_b) sharing any LSH band bucket, with the
-    * [[MaxBucket]] skew cap applied per bucket in doc_id order.
+    * [[MaxBucket]] salted skew cap applied per bucket in doc_id order:
+    * buckets at or under the cap keep salt 0 (plan-identical to the
+    * uncapped join); oversized buckets chunk their members into salted
+    * sub-buckets of cap-1 with the bucket rep (min doc_id) replicated
+    * into every chunk.
     */
   def lshCandidates(bands0: DataFrame, maxBucket: Int = MaxBucket): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val byBucket = Window.partitionBy(col("band"), col("bkey")).orderBy(col("doc_id"))
+    val whole = Window.partitionBy(col("band"), col("bkey"))
+    // both window specs share one partitioning, so the rank and the
+    // bucket-size count ride a single exchange+sort
+    val chunk = maxBucket - 1
+    val salts =
+      when(col("cnt") <= maxBucket, array(lit(0)))
+        .when(col("rn") === 1,
+          sequence(lit(0), ceil((col("cnt") - 1) / lit(chunk.toDouble)).cast("int") - 1))
+        .otherwise(array(floor((col("rn") - 2) / lit(chunk.toDouble)).cast("int")))
     // Both sides of the self-join read the band rows: the localCheckpoint
     // materializes the signature computation once, and its blocks are
     // reference-cleaned once the plan is GC'd — unlike persist(), which
@@ -140,14 +162,32 @@ object Dedup {
     // sides), so no separate materialization barrier.
     val bands = bands0
       .withColumn("rn", row_number().over(byBucket))
-      .filter(col("rn") <= maxBucket).drop("rn")
+      .withColumn("cnt", count(lit(1)).over(whole))
+      .withColumn("salt", explode(salts))
+      .drop("rn", "cnt")
       .localCheckpoint(false)
-    val a = bands.select(col("doc_id").as("doc_a"), col("band"), col("bkey"))
-    val b = bands.select(col("doc_id").as("doc_b"), col("band"), col("bkey"))
-    a.join(b, Seq("band", "bkey"))
+    val a = bands.select(col("doc_id").as("doc_a"), col("band"), col("bkey"), col("salt"))
+    val b = bands.select(col("doc_id").as("doc_b"), col("band"), col("bkey"), col("salt"))
+    a.join(b, Seq("band", "bkey", "salt"))
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b").distinct()
   }
+
+  /** Oracle CTE text for the salted [[MaxBucket]] cap: exposes
+    * `outName(idCol, band, bkey, salt)` over `src(idCol, band, bkey)` —
+    * the SQL twin of [[lshCandidates]]'s salting stage.
+    */
+  def saltedCapSql(outName: String, src: String, idCol: String,
+      cap: Int = MaxBucket): String =
+    s"""$outName AS MATERIALIZED (SELECT $idCol, band, bkey, unnest(
+       |    CASE WHEN cnt <= $cap THEN [0]
+       |         WHEN rn = 1 THEN range(0, CAST(ceil((cnt - 1) / ${cap - 1}.0) AS INT))
+       |         ELSE [CAST(floor((rn - 2) / ${cap - 1}.0) AS INT)] END) AS salt
+       |  FROM (
+       |    SELECT $idCol, band, bkey,
+       |      row_number() OVER (PARTITION BY band, bkey ORDER BY $idCol) AS rn,
+       |      COUNT(*) OVER (PARTITION BY band, bkey) AS cnt
+       |    FROM $src) t)""".stripMargin
 
   /** Shared oracle CTE chain exposing lsh_cand(doc_a, doc_b) — the exact
     * SQL twin of [[minhashBands]] + [[lshCandidates]], bucket cap included.
@@ -172,13 +212,10 @@ object Dedup {
        |  FROM shh GROUP BY doc_id),
        |bands AS MATERIALIZED (
        |  $bandSelects),
-       |capped AS MATERIALIZED (SELECT doc_id, band, bkey FROM (
-       |    SELECT doc_id, band, bkey,
-       |      row_number() OVER (PARTITION BY band, bkey ORDER BY doc_id) AS rn
-       |    FROM bands) t WHERE rn <= $MaxBucket),
+       |${saltedCapSql("capped", "bands", "doc_id")},
        |lsh_cand AS MATERIALIZED (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |  FROM capped a JOIN capped b ON a.band = b.band AND a.bkey = b.bkey
-       |    AND a.doc_id < b.doc_id)""".stripMargin
+       |    AND a.salt = b.salt AND a.doc_id < b.doc_id)""".stripMargin
   }
 
   /** MinHash-LSH candidate pairs. */
@@ -337,13 +374,10 @@ object Dedup {
          |sim AS MATERIALIZED (SELECT doc_id, $simv AS s FROM votes),
          |sb AS MATERIALIZED (SELECT doc_id, b AS band, (s >> CAST(b * $SimhashBandBits AS INT)) & ${(1 << SimhashBandBits) - 1} AS bkey
          |  FROM sim, generate_series(0, 3) t(b)),
-         |scap AS MATERIALIZED (SELECT doc_id, band, bkey FROM (
-         |    SELECT doc_id, band, bkey,
-         |      row_number() OVER (PARTITION BY band, bkey ORDER BY doc_id) AS rn
-         |    FROM sb) t WHERE rn <= $MaxBucket),
+         |${saltedCapSql("scap", "sb", "doc_id")},
          |cand AS MATERIALIZED (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
          |  FROM scap a JOIN scap b ON a.band = b.band AND a.bkey = b.bkey
-         |    AND a.doc_id < b.doc_id)
+         |    AND a.salt = b.salt AND a.doc_id < b.doc_id)
          |SELECT c.doc_a, c.doc_b, CAST(bit_count(xor(sa.s, sb2.s)) AS INTEGER) AS hamming
          |FROM cand c
          |JOIN sim sa ON sa.doc_id = c.doc_a
@@ -387,19 +421,17 @@ object Dedup {
     * as it does to the minhash path ([[lshCandidates]]): a 4-plane band has
     * only 16 key values, so near-dup-rich or low-entropy embedding regions
     * produce hot buckets whose candidate count is quadratic in bucket size
-    * — the r4 scale-killer. Capped members are kept in vec_id order,
-    * mirrored in the oracle, so truncation stays engine-portable.
+    * — the r4 scale-killer. Oversized buckets salt into rep-linked chunks
+    * in vec_id order (see [[MaxBucket]]), mirrored in the oracle, so the
+    * cap stays engine-portable.
     */
   val embedding = QueryDef(
     "dd_embedding",
     s"""WITH ${Srp.bandKeysSql(16, 4)},
-       |srp_capped AS MATERIALIZED (SELECT vec_id, band, bkey FROM (
-       |    SELECT vec_id, band, bkey,
-       |      row_number() OVER (PARTITION BY band, bkey ORDER BY vec_id) AS rn
-       |    FROM srp_bk) t WHERE rn <= $MaxBucket),
+       |${saltedCapSql("srp_capped", "srp_bk", "vec_id")},
        |cand AS MATERIALIZED (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
        |  FROM srp_capped a JOIN srp_capped b ON a.band = b.band AND a.bkey = b.bkey
-       |    AND a.vec_id < b.vec_id),
+       |    AND a.salt = b.salt AND a.vec_id < b.vec_id),
        |scored AS MATERIALIZED (SELECT c.vec_a, c.vec_b,
        |    list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
        |      CAST(eb.embedding AS DOUBLE[])) AS cos

@@ -16,18 +16,35 @@ class DedupSimilaritySpec extends GraftSuite {
     assert(!planOf(cand).contains("CartesianProduct"))
   }
 
-  test("lsh bucket cap truncates a synthetic hot bucket deterministically") {
+  test("lsh bucket cap salts a synthetic hot bucket: pairs survive past the cap") {
     import spark.implicits._
     val n = 150
     val cap = operators.Dedup.MaxBucket
     assert(n > cap, "synthetic bucket must exceed the cap")
-    // one giant bucket (all docs share band 0 / key "hot") + a 2-doc bucket
+    // one giant near-dup bucket (all docs share band 0 / key "hot") + a
+    // 2-doc control bucket
     val hot = (1 to n).map(i => (i.toLong, 0, "hot")) ++
       Seq((1000L, 1, "cold"), (1001L, 1, "cold"))
     val bands = hot.toDF("doc_id", "band", "bkey")
-    val pairs = operators.Dedup.lshCandidates(bands).count()
-    // capped: C(cap,2) pairs from the hot bucket (lowest doc_ids kept), +1 cold pair
-    assert(pairs === cap.toLong * (cap - 1) / 2 + 1)
+    val pairs = operators.Dedup.lshCandidates(bands)
+    val got = pairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // salted chunks of cap-1 members, the bucket rep (doc 1) in every
+    // chunk: expected pair count is sum over chunks of C(members+1, 2)
+    val chunkSizes = (2 to n).grouped(cap - 1).map(_.size).toSeq
+    val expected = chunkSizes.map(m => (m + 1).toLong * m / 2).sum + 1
+    assert(got.size.toLong === expected)
+    // the r8 truncation dropped every member past rank 100 — now a
+    // deep-rank near-dup pair in the same chunk survives...
+    assert(got.contains((120L, 121L)), "same-chunk deep pair must survive the cap")
+    // ...every member still pairs with the bucket rep (connectivity for
+    // dd_clusters: one component through the rep)...
+    assert((2 to n).forall(i => got.contains((1L, i.toLong))), "rep links every member")
+    // ...and NO member is silently dropped from candidate generation
+    val seen = got.flatMap(p => Seq(p._1, p._2))
+    assert((1 to n).forall(i => seen.contains(i.toLong)))
+    // the per-bucket pair count stays LINEAR in bucket size (the scale
+    // guard the cap exists for): far below the quadratic C(n,2)
+    assert(got.size < n.toLong * (n - 1) / 2)
     val uncapped = operators.Dedup.lshCandidates(bands, maxBucket = n).count()
     assert(uncapped === n.toLong * (n - 1) / 2 + 1)
   }
