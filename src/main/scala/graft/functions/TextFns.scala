@@ -55,6 +55,16 @@ object TextFns {
   val PosEmoji: Seq[String] = Seq("vector", "window")
   val NegEmoji: Seq[String] = Seq("scan", "filter")
 
+  /** VADER-style negator / booster marker tokens (stand-ins over the
+    * synthetic vocabulary, the same device as [[PosEmoji]]): a sentiment
+    * token preceded within 3 tokens by a negator flips polarity at
+    * VADER's N_SCALAR -0.74; a booster in the same window adds VADER's
+    * B_INCR 0.293 intensity (reference:
+    * spark-ml-sentiment/spark_ml_sentiment.py:109-130).
+    */
+  val Negators: Seq[String] = Seq("order", "query")
+  val Boosters: Seq[String] = Seq("hash", "batch")
+
   val StopWords: Seq[String] = Seq("the", "a", "of", "and", "to")
 
   /** Per-language stopword lists for the n-gram language-ID heuristic. */

@@ -5,11 +5,18 @@ import graft.functions.{TextFns, Portable => P, PortableSql => PS}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Lexicon sentiment (SURVEY §2d) — VADER-shaped scoring with ±0.05
-  * 3-class thresholds (reference: spark-ml-sentiment/
+/** Lexicon sentiment (SURVEY §2d) — VADER-style scoring with negation
+  * flips and booster intensities over a 3-token lookback window plus
+  * ±0.05 3-class thresholds (reference: spark-ml-sentiment/
   * spark_ml_sentiment.py:88-145), plus distribution and the two-labeler
   * agreement matrix (full vs narrow lexicon, standing in for the
   * reference's VADER-vs-ML comparison).
+  *
+  * Portability: each token's contribution is one of EIGHT precomputed
+  * integer literals (±1e5 base; ×1.293 boosted; ×-0.74 negated — VADER's
+  * B_INCR / N_SCALAR at a 1e5 integer scale), so the per-document sum is
+  * exact integer arithmetic in both engines and only the final
+  * score = Σ/(wc·1e5) division is floating point — one identical IEEE op.
   *
   * Scale notes: labeling is a pure narrow map over tokens (array functions
   * inside whole-stage codegen, no UDF, no shuffle); distribution/agreement
@@ -23,6 +30,32 @@ object Sentiment {
   private def nIn(toks: Column, words: Seq[String]): Column =
     TextFns.countTokensIn(toks, words).cast("long")
 
+  /** Scaled-integer magnitudes for the 4 (negated, boosted) states:
+    * 1e5 base; boosted = ⌊(1+0.293)·1e5⌋; negated = ·-0.74 exactly.
+    */
+  private val MagBase = 100000L
+  private val MagBoost = 129300L
+  private val MagNeg = -74000L       // -0.74 · 1e5
+  private val MagNegBoost = -95682L  // -0.74 · 1.293e5 (exact)
+
+  /** Σ over token positions of the signed scaled magnitude, as a long
+    * Column — the Spark twin of the `sc` expression in [[labeledSql]].
+    */
+  private def scaledScore(toks: Column, pos: Seq[String], neg: Seq[String]): Column = {
+    val scores = transform(toks, (w, idx) => {
+      // 0-based idx; lookback o tokens exists when idx >= o
+      def back(o: Int) = when(idx >= o, element_at(toks, idx - o + 1)).otherwise(lit(""))
+      val negated = (1 to 3).map(o => back(o).isin(TextFns.Negators: _*)).reduce(_ || _)
+      val boosted = (1 to 3).map(o => back(o).isin(TextFns.Boosters: _*)).reduce(_ || _)
+      val mag = when(negated && boosted, lit(MagNegBoost))
+        .when(negated, lit(MagNeg))
+        .when(boosted, lit(MagBoost))
+        .otherwise(lit(MagBase))
+      when(w.isin(pos: _*), mag).when(w.isin(neg: _*), -mag).otherwise(lit(0L))
+    })
+    aggregate(scores, lit(0L), (acc, v) => acc + v)
+  }
+
   private def labeledDf(s: SparkSession, dir: String,
       pos: Seq[String], neg: Seq[String]): DataFrame = {
     import s.implicits._
@@ -31,27 +64,42 @@ object Sentiment {
       $"doc_id",
       nIn(toks, pos).as("pos_n"),
       nIn(toks, neg).as("neg_n"),
-      size(toks).cast("long").as("wc"))
-      .withColumn("raw", ($"pos_n" - $"neg_n") / $"wc")
+      size(toks).cast("long").as("wc"),
+      scaledScore(toks, pos, neg).as("sc"))
+      .withColumn("raw", $"sc" / ($"wc" * MagBase))
       .withColumn("label",
         when($"raw" > 0.05, "positive")
           .when($"raw" < -0.05, "negative")
           .otherwise("neutral"))
   }
 
-  private def labeledSql(pos: Seq[String], neg: Seq[String], alias: String): String =
-    s"""$alias AS MATERIALIZED (
+  private def labeledSql(pos: Seq[String], neg: Seq[String], alias: String): String = {
+    def window(words: Seq[String]): String =
+      (1 to 3).map(o => s"(i > $o AND w[i - $o] IN (${inList(words)}))").mkString("(", " OR ", ")")
+    val mag =
+      s"""CASE WHEN ${window(TextFns.Negators)} THEN
+         |        CASE WHEN ${window(TextFns.Boosters)} THEN $MagNegBoost ELSE $MagNeg END
+         |      ELSE
+         |        CASE WHEN ${window(TextFns.Boosters)} THEN $MagBoost ELSE $MagBase END END""".stripMargin
+    s"""${alias}w AS MATERIALIZED (
+       |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |$alias AS MATERIALIZED (
        |  SELECT doc_id,
-       |    CAST(len(list_filter(string_split(text, ' '), x -> x IN (${inList(pos)}))) AS BIGINT) AS pos_n,
-       |    CAST(len(list_filter(string_split(text, ' '), x -> x IN (${inList(neg)}))) AS BIGINT) AS neg_n,
-       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS wc
-       |  FROM documents),
+       |    CAST(len(list_filter(w, x -> x IN (${inList(pos)}))) AS BIGINT) AS pos_n,
+       |    CAST(len(list_filter(w, x -> x IN (${inList(neg)}))) AS BIGINT) AS neg_n,
+       |    CAST(len(w) AS BIGINT) AS wc,
+       |    CAST(list_sum(list_transform(generate_series(1, len(w)), i ->
+       |      CASE WHEN w[i] IN (${inList(pos)}) THEN ($mag)
+       |           WHEN w[i] IN (${inList(neg)}) THEN -($mag)
+       |           ELSE 0 END)) AS BIGINT) AS sc
+       |  FROM ${alias}w),
        |${alias}l AS MATERIALIZED (
-       |  SELECT doc_id, pos_n, neg_n, wc, (pos_n - neg_n) / wc AS raw,
-       |    CASE WHEN (pos_n - neg_n) / wc > 0.05 THEN 'positive'
-       |         WHEN (pos_n - neg_n) / wc < -0.05 THEN 'negative'
+       |  SELECT doc_id, pos_n, neg_n, wc, sc / (wc * $MagBase) AS raw,
+       |    CASE WHEN sc / (wc * $MagBase) > 0.05 THEN 'positive'
+       |         WHEN sc / (wc * $MagBase) < -0.05 THEN 'negative'
        |         ELSE 'neutral' END AS label
        |  FROM $alias)""".stripMargin
+  }
 
   /** Per-document lexicon score + 3-class label. */
   val lexicon = QueryDef(
