@@ -41,15 +41,28 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
-  /** events.ts is parquet TIMESTAMP(NANOS): read as long nanos (see
-    * GraftSession's nanosAsLong) and truncate to a micros timestamp —
-    * the same truncation DuckDB applies casting TIMESTAMP_NS → TIMESTAMP,
-    * so oracle SQL over `CAST(ts AS TIMESTAMP)` sees identical instants.
+  /** events.ts normalization, keyed on the on-disk type. Generated data
+    * has shipped both parquet TIMESTAMP(NANOS) — which GraftSession's
+    * nanosAsLong reads as long nanos, truncated here to micros exactly
+    * like DuckDB's TIMESTAMP_NS → TIMESTAMP cast — and plain
+    * timestamp[us], which Spark reads as TIMESTAMP_NTZ and we re-type to
+    * the session (UTC) instant type so every downstream operator sees
+    * one `ts` type regardless of the writer's physical encoding.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     val raw = load(s, d, "events")
-    raw.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-      org.apache.spark.sql.functions.expr("ts div 1000")))
+    raw.withColumn("ts", normalizeTs(raw.schema("ts").dataType))
+  }
+
+  private[graft] def normalizeTs(
+      dt: org.apache.spark.sql.types.DataType): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    dt match {
+      case LongType => timestamp_micros(expr("ts div 1000"))
+      case TimestampNTZType => col("ts").cast(TimestampType)
+      case _ => col("ts")
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")

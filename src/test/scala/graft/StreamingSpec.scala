@@ -32,7 +32,8 @@ class StreamingSpec extends GraftSuite {
       dir.resolve("events.parquet"), java.nio.file.Paths.get(path))
     val raw = spark.readStream
       .schema(spark.read.parquet(path).schema).parquet(dir.toString)
-    val ev = raw.select(timestamp_micros(expr("ts div 1000")).as("ts"),
+    val ev = raw.select(
+      Tables.normalizeTs(spark.read.parquet(path).schema("ts").dataType).as("ts"),
       $"event_type", $"value")
     val q = EventStream.windowAgg(ev)
       .writeStream.format("memory").queryName("file_stream_test")
