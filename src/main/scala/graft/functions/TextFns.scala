@@ -27,9 +27,13 @@ object TextFns {
     * word_count = size(split(text, " ")) (spark_streaming.py:88). */
   def tokens(c: Column): Column = split(c, " ")
 
-  /** Count of tokens that appear in `words` (with multiplicity). */
+  /** Count of tokens that appear in `words` (with multiplicity) — native
+    * [[graft.functions.CountTokensIn]] (registered by GraftExtensions):
+    * the `filter`+`array_contains` higher-order form evaluated every token
+    * through the interpreted lambda path, outside whole-stage codegen.
+    */
   def countTokensIn(toks: Column, words: Seq[String]): Column =
-    size(filter(toks, w => array_contains(array(words.map(lit): _*), w)))
+    call_function("graft_count_in", toks, lit(words.mkString(" ")))
 
   /** Substring occurrence count (dashboard.py:1049-1057 country mentions). */
   def substrCount(text: Column, kw: String): Column =

@@ -1,10 +1,13 @@
 package graft.functions
 
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Native codegen cosine similarity over two array<float> columns.
   *
@@ -92,4 +95,225 @@ case class HammingBits(left: Expression, right: Expression)
 
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
+}
+
+/** Shared plumbing for expressions whose trailing arguments are foldable
+  * space-separated word-list string literals, parsed once into
+  * [[java.util.HashSet]]s of UTF8String for O(1) per-token membership.
+  *
+  * Why this exists: the higher-order-function formulation
+  * (`transform`/`aggregate`/`filter` with per-token `isin` lambdas) runs on
+  * Catalyst's interpreted lambda path — outside whole-stage codegen, one
+  * boxed expression-tree walk per token. At corpus scale that was the
+  * entire cost of the sentiment queries (~25-40× the DuckDB oracle, which
+  * vectorizes the same list ops). A native expression keeps the token loop
+  * in generated Java with hash lookups.
+  */
+trait WordSetArgs { self: Expression =>
+  /** The foldable word-list children, in declaration order. */
+  protected def wordListArgs: Seq[Expression]
+
+  protected def parseSet(e: Expression): java.util.HashSet[UTF8String] = {
+    val s = new java.util.HashSet[UTF8String]()
+    val v = e.eval(InternalRow.empty)
+    if (v != null)
+      v.asInstanceOf[UTF8String].toString.split(" ").filter(_.nonEmpty)
+        .foreach(w => s.add(UTF8String.fromString(w)))
+    s
+  }
+
+  protected def checkWordArgs(tokens: Expression): TypeCheckResult =
+    if (tokens.dataType match {
+      case ArrayType(StringType, _) => true; case _ => false
+    }) {
+      val bad = wordListArgs.filterNot(e => e.foldable && e.dataType == StringType)
+      if (bad.isEmpty) TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        s"$prettyName word-list arguments must be string literals")
+    } else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string> tokens, got ${tokens.dataType.catalogString}")
+}
+
+/** Native codegen VADER-style lexicon score (SURVEY §2d; reference:
+  * spark-ml-sentiment/spark_ml_sentiment.py:109-130).
+  *
+  * For each token that is in the positive/negative lexicon, look back up
+  * to 3 tokens: any negator flips the hit by N_SCALAR=-0.74, any booster
+  * scales it by 1+B_INCR=1.293; contributions are the four precomputed
+  * 1e5-scaled integer magnitudes (see companion), so the per-document sum
+  * is exact integer arithmetic — bit-identical to the DuckDB oracle's CASE
+  * expression over the same constants. Non-lexicon tokens contribute 0, so
+  * the lookback only runs on lexicon hits.
+  *
+  * `graft_lexicon_score(tokens, 'pos…', 'neg…', 'negators…', 'boosters…')`
+  */
+case class LexiconScore(tokens: Expression, posArg: Expression, negArg: Expression,
+    negatorArg: Expression, boosterArg: Expression)
+    extends Expression with WordSetArgs {
+  import LexiconScore._
+
+  override def children: Seq[Expression] =
+    Seq(tokens, posArg, negArg, negatorArg, boosterArg)
+  override def nullable: Boolean = tokens.nullable
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_lexicon_score"
+
+  override protected def wordListArgs: Seq[Expression] =
+    Seq(posArg, negArg, negatorArg, boosterArg)
+  override def checkInputDataTypes(): TypeCheckResult = checkWordArgs(tokens)
+
+  @transient private lazy val posSet = parseSet(posArg)
+  @transient private lazy val negSet = parseSet(negArg)
+  @transient private lazy val negatorSet = parseSet(negatorArg)
+  @transient private lazy val boosterSet = parseSet(boosterArg)
+
+  override def eval(input: InternalRow): Any = {
+    val arr = tokens.eval(input)
+    if (arr == null) return null
+    val a = arr.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    var sum = 0L
+    var i = 0
+    while (i < n) {
+      if (!a.isNullAt(i)) {
+        val w = a.getUTF8String(i)
+        val isPos = posSet.contains(w)
+        val isNeg = !isPos && negSet.contains(w)
+        if (isPos || isNeg) {
+          var negated = false; var boosted = false
+          var o = 1
+          while (o <= 3 && i - o >= 0) {
+            if (!a.isNullAt(i - o)) {
+              val b = a.getUTF8String(i - o)
+              negated = negated || negatorSet.contains(b)
+              boosted = boosted || boosterSet.contains(b)
+            }
+            o += 1
+          }
+          val mag =
+            if (negated) { if (boosted) MagNegBoost else MagNeg }
+            else if (boosted) MagBoost else MagBase
+          sum += (if (isPos) mag else -mag)
+        }
+      }
+      i += 1
+    }
+    sum
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val tokGen = tokens.genCode(ctx)
+    val pos = ctx.addReferenceObj("posSet", posSet)
+    val neg = ctx.addReferenceObj("negSet", negSet)
+    val ngt = ctx.addReferenceObj("negatorSet", negatorSet)
+    val bst = ctx.addReferenceObj("boosterSet", boosterSet)
+    val a = ctx.freshName("arr"); val n = ctx.freshName("n")
+    val i = ctx.freshName("i"); val o = ctx.freshName("o")
+    val w = ctx.freshName("w"); val b = ctx.freshName("bk")
+    val sum = ctx.freshName("sum"); val mag = ctx.freshName("mag")
+    val isPos = ctx.freshName("isPos"); val isNeg = ctx.freshName("isNeg")
+    val negated = ctx.freshName("negated"); val boosted = ctx.freshName("boosted")
+    ev.copy(code = code"""
+      |${tokGen.code}
+      |boolean ${ev.isNull} = ${tokGen.isNull};
+      |long ${ev.value} = 0L;
+      |if (!${ev.isNull}) {
+      |  final ArrayData $a = ${tokGen.value};
+      |  final int $n = $a.numElements();
+      |  long $sum = 0L;
+      |  for (int $i = 0; $i < $n; $i++) {
+      |    if ($a.isNullAt($i)) continue;
+      |    final UTF8String $w = $a.getUTF8String($i);
+      |    final boolean $isPos = $pos.contains($w);
+      |    final boolean $isNeg = !$isPos && $neg.contains($w);
+      |    if (!$isPos && !$isNeg) continue;
+      |    boolean $negated = false; boolean $boosted = false;
+      |    for (int $o = 1; $o <= 3 && $i - $o >= 0; $o++) {
+      |      if ($a.isNullAt($i - $o)) continue;
+      |      final UTF8String $b = $a.getUTF8String($i - $o);
+      |      $negated = $negated || $ngt.contains($b);
+      |      $boosted = $boosted || $bst.contains($b);
+      |    }
+      |    final long $mag = $negated ? ($boosted ? ${MagNegBoost}L : ${MagNeg}L)
+      |                               : ($boosted ? ${MagBoost}L : ${MagBase}L);
+      |    $sum += $isPos ? $mag : -$mag;
+      |  }
+      |  ${ev.value} = $sum;
+      |}
+    """.stripMargin)
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(tokens = newChildren(0), posArg = newChildren(1), negArg = newChildren(2),
+      negatorArg = newChildren(3), boosterArg = newChildren(4))
+}
+
+object LexiconScore {
+  /** 1e5-scaled integer magnitudes for the (negated, boosted) states:
+    * base; boosted = ⌊1.293e5⌋; negated = ·-0.74 exactly (VADER's B_INCR
+    * and N_SCALAR). Shared with the oracle SQL via [[graft.operators.Sentiment]].
+    */
+  val MagBase = 100000L
+  val MagBoost = 129300L
+  val MagNeg = -74000L
+  val MagNegBoost = -95682L
+}
+
+/** Native codegen count of tokens that appear in a literal word set (with
+  * multiplicity) — the codegen'd twin of
+  * `size(filter(toks, w => array_contains(...)))`, which runs interpreted.
+  *
+  * `graft_count_in(tokens, 'w1 w2 …')`
+  */
+case class CountTokensIn(tokens: Expression, wordsArg: Expression)
+    extends BinaryExpression with WordSetArgs {
+
+  override def left: Expression = tokens
+  override def right: Expression = wordsArg
+  override protected def wordListArgs: Seq[Expression] = Seq(wordsArg)
+  override def checkInputDataTypes(): TypeCheckResult = checkWordArgs(tokens)
+  override def nullable: Boolean = tokens.nullable
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "graft_count_in"
+
+  @transient private lazy val wordSet = parseSet(wordsArg)
+
+  override def eval(input: InternalRow): Any = {
+    val arr = tokens.eval(input)
+    if (arr == null) return null
+    val a = arr.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    var c = 0; var i = 0
+    while (i < n) {
+      if (!a.isNullAt(i) && wordSet.contains(a.getUTF8String(i))) c += 1
+      i += 1
+    }
+    c
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val set = ctx.addReferenceObj("wordSet", wordSet)
+    val tokGen = tokens.genCode(ctx)
+    val a = ctx.freshName("arr"); val n = ctx.freshName("n")
+    val i = ctx.freshName("i"); val c = ctx.freshName("c")
+    ev.copy(code = code"""
+      |${tokGen.code}
+      |boolean ${ev.isNull} = ${tokGen.isNull};
+      |int ${ev.value} = 0;
+      |if (!${ev.isNull}) {
+      |  final ArrayData $a = ${tokGen.value};
+      |  final int $n = $a.numElements();
+      |  int $c = 0;
+      |  for (int $i = 0; $i < $n; $i++) {
+      |    if (!$a.isNullAt($i) && $set.contains($a.getUTF8String($i))) $c++;
+      |  }
+      |  ${ev.value} = $c;
+      |}
+    """.stripMargin)
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(tokens = newLeft, wordsArg = newRight)
 }

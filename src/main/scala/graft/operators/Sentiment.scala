@@ -26,35 +26,30 @@ object Sentiment {
 
   private def inList(words: Seq[String]): String = words.map(w => s"'$w'").mkString(", ")
 
-  /** Token count from `words` (with multiplicity), as a long Column. */
+  /** Token count from `words` (with multiplicity), as a long Column —
+    * native [[graft.functions.CountTokensIn]] so the scan stays codegen'd.
+    */
   private def nIn(toks: Column, words: Seq[String]): Column =
-    TextFns.countTokensIn(toks, words).cast("long")
+    call_function("graft_count_in", toks, lit(words.mkString(" "))).cast("long")
 
-  /** Scaled-integer magnitudes for the 4 (negated, boosted) states:
+  /** Scaled-integer magnitudes (see [[graft.functions.LexiconScore]]):
     * 1e5 base; boosted = ⌊(1+0.293)·1e5⌋; negated = ·-0.74 exactly.
     */
-  private val MagBase = 100000L
-  private val MagBoost = 129300L
-  private val MagNeg = -74000L       // -0.74 · 1e5
-  private val MagNegBoost = -95682L  // -0.74 · 1.293e5 (exact)
+  private val MagBase = graft.functions.LexiconScore.MagBase
+  private val MagBoost = graft.functions.LexiconScore.MagBoost
+  private val MagNeg = graft.functions.LexiconScore.MagNeg
+  private val MagNegBoost = graft.functions.LexiconScore.MagNegBoost
 
   /** Σ over token positions of the signed scaled magnitude, as a long
     * Column — the Spark twin of the `sc` expression in [[labeledSql]].
+    * Native codegen expression: the previous `transform`+`aggregate`
+    * higher-order formulation ran every token on the interpreted lambda
+    * path and dominated the sentiment family's runtime (~25-40× oracle).
     */
-  private def scaledScore(toks: Column, pos: Seq[String], neg: Seq[String]): Column = {
-    val scores = transform(toks, (w, idx) => {
-      // 0-based idx; lookback o tokens exists when idx >= o
-      def back(o: Int) = when(idx >= o, element_at(toks, idx - o + 1)).otherwise(lit(""))
-      val negated = (1 to 3).map(o => back(o).isin(TextFns.Negators: _*)).reduce(_ || _)
-      val boosted = (1 to 3).map(o => back(o).isin(TextFns.Boosters: _*)).reduce(_ || _)
-      val mag = when(negated && boosted, lit(MagNegBoost))
-        .when(negated, lit(MagNeg))
-        .when(boosted, lit(MagBoost))
-        .otherwise(lit(MagBase))
-      when(w.isin(pos: _*), mag).when(w.isin(neg: _*), -mag).otherwise(lit(0L))
-    })
-    aggregate(scores, lit(0L), (acc, v) => acc + v)
-  }
+  private def scaledScore(toks: Column, pos: Seq[String], neg: Seq[String]): Column =
+    call_function("graft_lexicon_score", toks,
+      lit(pos.mkString(" ")), lit(neg.mkString(" ")),
+      lit(TextFns.Negators.mkString(" ")), lit(TextFns.Boosters.mkString(" ")))
 
   private def labeledDf(s: SparkSession, dir: String,
       pos: Seq[String], neg: Seq[String]): DataFrame = {
