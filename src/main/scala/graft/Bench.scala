@@ -132,13 +132,6 @@ object Bench {
     // the query is reported as an error instead of hanging the whole bench.
     def runOne(name: String, fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame,
         limitSec: Double): Option[Double] = {
-      spark.catalog.clearCache()
-      // localCheckpoint blocks are freed by the ContextCleaner only after
-      // the owning plan is GC'd; ~90 samples of graph/LSH checkpoints can
-      // otherwise pile up in storage memory and inflate late queries
-      // (gr_closeness was watchdog-cancelled three rounds running while
-      // being seconds-fast in isolation).
-      System.gc()
       val group = s"$name#${sampleSeq.incrementAndGet()}"
       val done = new AtomicBoolean(false)
       sc.setJobGroup(group, name, interruptOnCancel = true)
@@ -172,7 +165,12 @@ object Bench {
     // query doesn't pay one-time session setup.
     try SparkEntry.queries.get("q1_pricing_summary").foreach(_(spark, sfDir).count()) catch { case _: Throwable => () }
 
+    // dev-only subset filter (first arg: comma-separated name substrings);
+    // the driver invokes with no args and always sweeps everything
+    val only: Set[String] =
+      if (args.nonEmpty) args(0).split(",").toSet else Set.empty
     val ordered = SparkEntry.queries.toSeq
+      .filter { case (name, _) => only.isEmpty || only.exists(name.contains) }
       .sortBy { case (name, _) => (priorCost.getOrElse(name, 5.0), name) }
 
     // one long-lived DuckDB worker for paired oracle samples; None when
@@ -199,6 +197,18 @@ object Bench {
       if (remaining <= 20) {
         lock.synchronized { skipped += name }
       } else {
+        // Reclaim between QUERIES, not between samples: a query's internal
+        // per-sample persists otherwise pile up in CacheManager (strong
+        // refs, never freed without unpersist) and localCheckpoint blocks
+        // are freed by the ContextCleaner only after the owning plan is
+        // GC'd — ~90 samples of graph/LSH checkpoints inflated late
+        // queries in r5 (gr_closeness watchdog-cancelled three rounds
+        // running while seconds-fast in isolation). Clearing inside
+        // runOne instead made every sample first-consumer-cold for the
+        // session-shared MatStore relations, so min-of-N measured the
+        // rebuild, not the query.
+        spark.catalog.clearCache()
+        System.gc()
         val first = runOne(name, fn, perQueryCap)
         // extra samples only while comfortably inside the budget. The
         // gr_* suite is included: the host's bursty 10-20x throttle

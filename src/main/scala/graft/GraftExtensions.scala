@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{CosineSimilarity, CountTokensIn, HammingBits, LexiconScore}
+import graft.functions.{CosineSimilarity, CountTokensIn, HammingBits, LexiconScore, SimHashSig}
 
 /** Registers graft's native expressions as SQL functions so both the
   * Column API and `spark.sql("... graft_cosine(a,b) ...")` can use them.
@@ -23,6 +23,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[LexiconScore].getName, "graft_lexicon_score"),
       (children: Seq[Expression]) => LexiconScore(
         children(0), children(1), children(2), children(3), children(4))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_simhash"),
+      new ExpressionInfo(classOf[SimHashSig].getName, "graft_simhash"),
+      (children: Seq[Expression]) => SimHashSig(children(0))))
     ext.injectFunction((
       FunctionIdentifier("graft_count_in"),
       new ExpressionInfo(classOf[CountTokensIn].getName, "graft_count_in"),

@@ -32,4 +32,25 @@ object MatStore {
       cache.keySet.removeIf(k => k._1.sparkContext.isStopped)
     cache.computeIfAbsent((s, key), _ => build.localCheckpoint(false))
   }
+
+  /** Like [[of]] but memoizes `build` AS IS — for builds that carry their
+    * own `persist()` (e.g. [[graft.operators.GraphOps.iterRelation]]'s
+    * repartition+persist, whose cache keeps the HashPartitioning visible
+    * to the planner where a checkpoint's LogicalRDD would not).
+    *
+    * `spark.catalog.clearCache()` (the bench runs it between samples)
+    * UNREGISTERS a persisted plan — persist() is a one-time registration,
+    * so without repair every later consumer would silently re-execute the
+    * raw build per round. The accessor therefore re-persists whenever the
+    * storage level has been reset: the next action re-materializes once
+    * and the relation is cached again.
+    */
+  def memo(s: SparkSession, key: String)(build: => DataFrame): DataFrame = {
+    if (!cache.isEmpty)
+      cache.keySet.removeIf(k => k._1.sparkContext.isStopped)
+    val df = cache.computeIfAbsent((s, key), _ => build)
+    if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+      df.persist()
+    df
+  }
 }

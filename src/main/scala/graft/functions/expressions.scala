@@ -317,3 +317,111 @@ case class CountTokensIn(tokens: Expression, wordsArg: Expression)
       newLeft: Expression, newRight: Expression): Expression =
     copy(tokens = newLeft, wordsArg = newRight)
 }
+
+/** Native 60-bit SimHash signature over a token array (SURVEY §2f).
+  *
+  * Bit-identical to the relational formulation it replaces — per token
+  * h = hexToLong(md5(w), 1, 15) (the digest's first 15 nibbles, matching
+  * DuckDB's strpos-unrolled twin), per bit k a ±1 vote on (h>>k)&1, bit k
+  * of the result set iff the vote sum is positive; a null token votes -1
+  * on every bit exactly like the null-propagated CASE in SQL. Collapsing
+  * explode → md5 → 60-column vote aggregation → bit reassembly into one
+  * per-document map drops the |tokens|-row shuffle and the 60-wide
+  * aggregation entirely — the signature build becomes a narrow codegen'd
+  * projection over the documents scan.
+  */
+case class SimHashSig(tokens: Expression) extends Expression {
+  import SimHashSig._
+
+  override def children: Seq[Expression] = Seq(tokens)
+  override def nullable: Boolean = tokens.nullable
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_simhash"
+
+  override def checkInputDataTypes(): TypeCheckResult = tokens.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string> tokens, got ${dt.catalogString}")
+  }
+
+  override def eval(input: InternalRow): Any = {
+    val arr = tokens.eval(input)
+    if (arr == null) return null
+    val a = arr.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    val votes = new Array[Int](Bits)
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i)) {
+        var k = 0; while (k < Bits) { votes(k) -= 1; k += 1 }
+      } else {
+        val h = tokenHash(a.getUTF8String(i))
+        var k = 0
+        while (k < Bits) {
+          votes(k) += (if (((h >> k) & 1L) == 1L) 1 else -1); k += 1
+        }
+      }
+      i += 1
+    }
+    var sig = 0L
+    var k = 0
+    while (k < Bits) { if (votes(k) > 0) sig |= (1L << k); k += 1 }
+    sig
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val tokGen = tokens.genCode(ctx)
+    val a = ctx.freshName("arr"); val n = ctx.freshName("n")
+    val i = ctx.freshName("i"); val k = ctx.freshName("k")
+    val v = ctx.freshName("votes"); val h = ctx.freshName("h")
+    val sig = ctx.freshName("sig")
+    val helper = SimHashSig.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    ev.copy(code = code"""
+      |${tokGen.code}
+      |boolean ${ev.isNull} = ${tokGen.isNull};
+      |long ${ev.value} = 0L;
+      |if (!${ev.isNull}) {
+      |  final ArrayData $a = ${tokGen.value};
+      |  final int $n = $a.numElements();
+      |  final int[] $v = new int[$Bits];
+      |  for (int $i = 0; $i < $n; $i++) {
+      |    if ($a.isNullAt($i)) {
+      |      for (int $k = 0; $k < $Bits; $k++) $v[$k]--;
+      |    } else {
+      |      final long $h = $helper.tokenHash($a.getUTF8String($i));
+      |      for (int $k = 0; $k < $Bits; $k++)
+      |        $v[$k] += ((($h >> $k) & 1L) == 1L) ? 1 : -1;
+      |    }
+      |  }
+      |  long $sig = 0L;
+      |  for (int $k = 0; $k < $Bits; $k++) if ($v[$k] > 0) $sig |= (1L << $k);
+      |  ${ev.value} = $sig;
+      |}
+    """.stripMargin)
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(tokens = newChildren(0))
+}
+
+object SimHashSig {
+  /** Signature width: 15 md5 nibbles — stays positive in a signed long
+    * on both engines (see operators/Dedup.SimhashBits). */
+  val Bits = 60
+
+  /** hexToLong(md5(w), 1, 15): the digest's first 15 nibbles as a long.
+    * DigestUtils.md5 is what Spark's own `md5` function calls, so the
+    * digest bytes are identical to the relational path's. */
+  def tokenHash(w: UTF8String): Long = {
+    val dig = org.apache.commons.codec.digest.DigestUtils.md5(w.getBytes)
+    var h = 0L
+    var j = 0
+    while (j < 15) {
+      val nib = (dig(j >> 1) >> (if ((j & 1) == 0) 4 else 0)) & 0xF
+      h = (h << 4) | nib
+      j += 1
+    }
+    h
+  }
+}

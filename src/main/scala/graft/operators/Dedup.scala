@@ -386,18 +386,14 @@ object Dedup {
          |ORDER BY doc_a, doc_b""".stripMargin
     }) { (s, dir) =>
     import s.implicits._
-    val th = Tables.documents(s, dir)
-      .select($"doc_id", explode(split($"text", " ")).as("w"))
-      .select($"doc_id", P.hexToLong(md5($"w"), 1, SimhashBits / 4).as("h"))
-    val voteCols = (0 until SimhashBits).map(k =>
-      sum(when((shiftright($"h", k).bitwiseAND(1)) === 1, 1).otherwise(-1)).as(s"v$k"))
-    val votes = th.groupBy($"doc_id").agg(voteCols.head, voteCols.tail: _*)
-    val simExpr = (0 until SimhashBits)
-      .map(k => when(col(s"v$k") > 0, lit(1L << k)).otherwise(lit(0L)))
-      .reduce(_ + _)
-    // read by the band explode and twice by the signature join back —
-    // one lazy materialization
-    val sim = votes.select($"doc_id", simExpr.as("s")).localCheckpoint(false)
+    // native one-pass signature (functions.SimHashSig): same md5-nibble
+    // hash and ±1 vote semantics as the oracle's explode+60-column
+    // aggregation, computed as a narrow codegen'd projection — no
+    // |tokens|-row exchange. Read by the band explode and twice by the
+    // signature join back — one lazy materialization.
+    val sim = Tables.documents(s, dir)
+      .select($"doc_id", call_function("graft_simhash", split($"text", " ")).as("s"))
+      .localCheckpoint(false)
     val bands = sim.select($"doc_id",
       explode(array((0 until 4).map(b =>
         struct(lit(b).as("band"),

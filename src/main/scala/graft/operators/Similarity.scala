@@ -209,10 +209,10 @@ object Similarity {
     // exploded rows stay narrow and the aggregate is map-side partial.
     val expl = emb.select($"vec_id", $"label", posexplode($"embedding").as(Seq("j0", "x0")))
       .select($"vec_id", $"label", ($"j0" + 1).as("j"), $"x0".cast("double").as("x"))
-      .localCheckpoint(false)
+      .persist()
     val cent = expl.groupBy($"label", $"j")
       .agg((sum($"x".cast(DecimalType(18, 9))).cast("double") / count(lit(1))).as("c"))
-      .localCheckpoint(false)
+      .persist()
     val cnorm = cent.groupBy($"label")
       .agg(sum(($"c" * $"c").cast(DecimalType(18, 12))).cast("double").as("ny"))
     val qv = expl.filter($"vec_id" < NumQueries).select($"vec_id".as("q_id"), $"j", $"x")
