@@ -1,0 +1,132 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.TextFns
+
+/** Unit parity for the native codegen expressions added in r9
+  * (graft_lexicon_score, graft_count_in, graft_simhash): each must match
+  * the higher-order-function Column formulation it replaced — the
+  * previous, oracle-verified semantics — including null and empty-array
+  * edges, under BOTH the codegen and interpreted evaluation paths.
+  */
+class FunctionsSpec extends GraftSuite {
+  import org.apache.spark.sql.{Column, DataFrame}
+
+  private def docs: DataFrame = {
+    import spark.implicits._
+    Seq(
+      (1L, "fast spark query is fast"),                 // plain hits
+      (2L, "order fast"),                               // negated pos hit
+      (3L, "hash slow batch dup"),                      // boosted neg hits
+      (4L, "order hash fast"),                          // negated AND boosted
+      (5L, ""),                                         // one empty token
+      (6L, "nothing relevant here at all"),             // no hits
+      (7L, "query hash order batch spark dup big slow") // mixed window
+    ).toDF("doc_id", "text")
+  }
+
+  /** The replaced transform/aggregate formulation, as the in-spec oracle. */
+  private def hofScore(toks: Column, pos: Seq[String], neg: Seq[String]): Column = {
+    import graft.functions.LexiconScore._
+    val scores = transform(toks, (w, idx) => {
+      def back(o: Int) = when(idx >= o, element_at(toks, idx - o + 1)).otherwise(lit(""))
+      val negated = (1 to 3).map(o => back(o).isin(TextFns.Negators: _*)).reduce(_ || _)
+      val boosted = (1 to 3).map(o => back(o).isin(TextFns.Boosters: _*)).reduce(_ || _)
+      val mag = when(negated && boosted, lit(MagNegBoost))
+        .when(negated, lit(MagNeg))
+        .when(boosted, lit(MagBoost))
+        .otherwise(lit(MagBase))
+      when(w.isin(pos: _*), mag).when(w.isin(neg: _*), -mag).otherwise(lit(0L))
+    })
+    aggregate(scores, lit(0L), (acc, v) => acc + v)
+  }
+
+  private def lexCall(toks: Column): Column =
+    call_function("graft_lexicon_score", toks,
+      lit(TextFns.PosWords.mkString(" ")), lit(TextFns.NegWords.mkString(" ")),
+      lit(TextFns.Negators.mkString(" ")), lit(TextFns.Boosters.mkString(" ")))
+
+  /** Evaluate `mk` under a forced Catalyst evaluation mode so both the
+    * generated-Java and interpreted paths are exercised explicitly.
+    */
+  private def underMode[A](mode: String)(body: => A): A = {
+    val key = "spark.sql.codegen.factoryMode"
+    val prev = spark.conf.get(key, "FALLBACK")
+    spark.conf.set(key, mode)
+    try body finally spark.conf.set(key, prev)
+  }
+
+  for (mode <- Seq("CODEGEN_ONLY", "NO_CODEGEN")) {
+    test(s"graft_lexicon_score matches the HOF formulation [$mode]") {
+      underMode(mode) {
+        import spark.implicits._
+        val toks = split($"text", " ")
+        val rows = docs.select($"doc_id",
+          lexCall(toks).as("native"),
+          hofScore(toks, TextFns.PosWords, TextFns.NegWords).as("hof")).collect()
+        assert(rows.nonEmpty)
+        rows.foreach { r =>
+          assert(r.getLong(1) == r.getLong(2), s"doc ${r.getLong(0)}")
+        }
+      }
+    }
+
+    test(s"graft_count_in matches filter+array_contains, with multiplicity [$mode]") {
+      underMode(mode) {
+        import spark.implicits._
+        val toks = split($"text", " ")
+        val words = Seq("fast", "dup", "order")
+        val legacy = size(filter(toks, w => array_contains(array(words.map(lit): _*), w)))
+        val rows = docs.select($"doc_id",
+          call_function("graft_count_in", toks, lit(words.mkString(" "))).as("native"),
+          legacy.as("hof")).collect()
+        rows.foreach(r => assert(r.getInt(1) == r.getInt(2), s"doc ${r.getLong(0)}"))
+        // "fast" twice in doc 1 → multiplicity preserved
+        assert(rows.find(_.getLong(0) == 1L).get.getInt(1) == 2)
+      }
+    }
+
+    test(s"graft_simhash matches the explode+vote formulation [$mode]") {
+      underMode(mode) {
+        import spark.implicits._
+        import graft.functions.{Portable => P}
+        val bits = graft.functions.SimHashSig.Bits
+        val th = docs.select($"doc_id", explode(split($"text", " ")).as("w"))
+          .select($"doc_id", P.hexToLong(md5($"w"), 1, bits / 4).as("h"))
+        val voteCols = (0 until bits).map(k =>
+          sum(when((shiftright($"h", k).bitwiseAND(1)) === 1, 1).otherwise(-1)).as(s"v$k"))
+        val votes = th.groupBy($"doc_id").agg(voteCols.head, voteCols.tail: _*)
+        val legacy = votes.select($"doc_id",
+          (0 until bits)
+            .map(k => when(col(s"v$k") > 0, lit(1L << k)).otherwise(lit(0L)))
+            .reduce(_ + _).as("hof"))
+        val native = docs.select($"doc_id",
+          call_function("graft_simhash", split($"text", " ")).as("native"))
+        val joined = native.join(legacy, "doc_id").collect()
+        assert(joined.length == docs.count())
+        joined.foreach(r => assert(r.getLong(1) == r.getLong(2), s"doc ${r.getLong(0)}"))
+      }
+    }
+  }
+
+  test("null and empty-array inputs propagate/degenerate correctly") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Some(Seq("fast", "slow"))),
+      (2L, Some(Seq.empty[String])),
+      (3L, None: Option[Seq[String]])
+    ).toDF("id", "toks")
+    val out = df.select($"id",
+      lexCall($"toks").as("score"),
+      call_function("graft_count_in", $"toks", lit("fast")).as("cnt"),
+      call_function("graft_simhash", $"toks").as("sig"))
+      .collect().map(r => (r.getLong(0), r)).toMap
+    // non-null input: fast(+1e5) + slow(-1e5) = 0 but both counted
+    assert(out(1L).getLong(1) == 0L && out(1L).getInt(2) == 1)
+    // empty array: all-zero results, not null
+    assert(!out(2L).isNullAt(1) && out(2L).getLong(1) == 0L)
+    assert(out(2L).getLong(3) == 0L)
+    // null array: null through all three
+    assert(out(3L).isNullAt(1) && out(3L).isNullAt(2) && out(3L).isNullAt(3))
+  }
+}
