@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{CosineSimilarity, CountTokensIn, HammingBits, LexiconScore, SimHashSig}
+import graft.functions.{CosineSimilarity, CountTokensIn, HammingBits, LexiconScore, ShingleJoin, SimHashSig}
 
 /** Registers graft's native expressions as SQL functions so both the
   * Column API and `spark.sql("... graft_cosine(a,b) ...")` can use them.
@@ -23,6 +23,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[LexiconScore].getName, "graft_lexicon_score"),
       (children: Seq[Expression]) => LexiconScore(
         children(0), children(1), children(2), children(3), children(4))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_shingles"),
+      new ExpressionInfo(classOf[ShingleJoin].getName, "graft_shingles"),
+      (children: Seq[Expression]) => ShingleJoin(children(0), children(1))))
     ext.injectFunction((
       FunctionIdentifier("graft_simhash"),
       new ExpressionInfo(classOf[SimHashSig].getName, "graft_simhash"),

@@ -27,10 +27,27 @@ object MatStore {
     * on first use. `build` must be deterministic for the key: the same
     * (session, key) always denotes the same logical relation.
     */
-  def of(s: SparkSession, key: String)(build: => DataFrame): DataFrame = {
+  def of(s: SparkSession, key: String)(build: => DataFrame): DataFrame =
+    lookup(s, key)(build.localCheckpoint(false))
+
+  /** get-then-putIfAbsent instead of computeIfAbsent: store builds nest
+    * (lshCandM → tokenizedM, kmAssign → kmCents), and a nested
+    * computeIfAbsent on the same ConcurrentHashMap throws "Recursive
+    * update" whenever the inner insert lands in the bin the outer call
+    * holds. The benign race (two threads building the same lazy plan,
+    * loser discarded un-materialized) costs nothing.
+    */
+  private def lookup(s: SparkSession, key: String)(build: => DataFrame): DataFrame = {
     if (!cache.isEmpty)
       cache.keySet.removeIf(k => k._1.sparkContext.isStopped)
-    cache.computeIfAbsent((s, key), _ => build.localCheckpoint(false))
+    val k = (s, key)
+    val existing = cache.get(k)
+    if (existing != null) existing
+    else {
+      val built = build
+      val prev = cache.putIfAbsent(k, built)
+      if (prev != null) prev else built
+    }
   }
 
   /** Like [[of]] but memoizes `build` AS IS — for builds that carry their
@@ -46,9 +63,7 @@ object MatStore {
     * and the relation is cached again.
     */
   def memo(s: SparkSession, key: String)(build: => DataFrame): DataFrame = {
-    if (!cache.isEmpty)
-      cache.keySet.removeIf(k => k._1.sparkContext.isStopped)
-    val df = cache.computeIfAbsent((s, key), _ => build)
+    val df = lookup(s, key)(build)
     if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
       df.persist()
     df

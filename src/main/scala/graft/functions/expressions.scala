@@ -416,6 +416,81 @@ case class SimHashSig(tokens: Expression) extends Expression {
     copy(tokens = newChildren(0))
 }
 
+/** Native k-token shingle array: `graft_shingles(tokens, k)` returns the
+  * n−k+1 space-joined k-grams of the token array — the codegen'd twin of
+  * `transform(sequence(1, n−k+1), i → concat_ws(" ", element_at…))`,
+  * whose per-shingle lambda ran interpreted (and re-evaluated element_at
+  * k times per position). Null tokens are skipped inside a join exactly
+  * like concat_ws. n < k degenerates to an empty array (callers filter
+  * n ≥ k anyway, matching the oracle CTEs).
+  */
+case class ShingleJoin(tokens: Expression, kArg: Expression)
+    extends BinaryExpression {
+
+  override def left: Expression = tokens
+  override def right: Expression = kArg
+  override def nullable: Boolean = tokens.nullable
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_shingles"
+
+  override def checkInputDataTypes(): TypeCheckResult = tokens.dataType match {
+    case ArrayType(StringType, _) =>
+      if (kArg.foldable && kArg.dataType == IntegerType) TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(s"$prettyName requires a literal int k")
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string> tokens, got ${dt.catalogString}")
+  }
+
+  @transient private lazy val k: Int =
+    kArg.eval(InternalRow.empty).asInstanceOf[Int]
+
+  override def eval(input: InternalRow): Any = {
+    val arr = tokens.eval(input)
+    if (arr == null) return null
+    ShingleJoin.build(arr.asInstanceOf[ArrayData], k)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val tokGen = tokens.genCode(ctx)
+    val helper = ShingleJoin.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    ev.copy(code = code"""
+      |${tokGen.code}
+      |boolean ${ev.isNull} = ${tokGen.isNull};
+      |ArrayData ${ev.value} = null;
+      |if (!${ev.isNull}) {
+      |  ${ev.value} = $helper.build(${tokGen.value}, $k);
+      |}
+    """.stripMargin)
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(tokens = newLeft, kArg = newRight)
+}
+
+object ShingleJoin {
+  private val Sep = UTF8String.fromString(" ")
+
+  def build(a: ArrayData, k: Int): ArrayData = {
+    val n = a.numElements()
+    val m = n - k + 1
+    if (m <= 0) return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](m)
+    var i = 0
+    while (i < m) {
+      val parts = new Array[UTF8String](k)
+      var o = 0
+      while (o < k) {
+        parts(o) = if (a.isNullAt(i + o)) null else a.getUTF8String(i + o)
+        o += 1
+      }
+      out(i) = UTF8String.concatWs(Sep, parts: _*)
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
 object SimHashSig {
   /** Signature width: 15 md5 nibbles — stays positive in a signed long
     * on both engines (see operators/Dedup.SimhashBits). */

@@ -115,11 +115,11 @@ object Dedup {
 
   private def minhashBandsOf(s: SparkSession, withW: DataFrame): DataFrame = {
     import s.implicits._
-    val shingles = transform(
-      sequence(lit(1), size($"w") - (ShingleK - 1)),
-      i => concat_ws(" ", (0 until ShingleK).map(o => element_at($"w", i + o)): _*))
+    // native codegen shingles (functions.ShingleJoin) — the HOF
+    // formulation ran the per-shingle lambda interpreted
     val shH = withW
-      .select($"doc_id", explode(shingles).as("sgl"))
+      .select($"doc_id",
+        explode(call_function("graft_shingles", $"w", lit(ShingleK))).as("sgl"))
       .select($"doc_id", P.hexToLong(md5($"sgl"), 1, 8).as("h"))
     val mhAggs = (0 until NumHashes).map { j =>
       min((lit(minhashA(j)) * $"h" + lit(minhashB(j))) % MinhashP).as(s"mh$j")
@@ -260,9 +260,7 @@ object Dedup {
     // 3-gram verify branch (see MatStore: one tokenization, one candidate
     // build for the whole dd_* family)
     val withW = tokenizedM(s, dir)
-    val sh3 = transform(
-      sequence(lit(1), size($"w") - 2),
-      i => concat_ws(" ", element_at($"w", i), element_at($"w", i + 1), element_at($"w", i + 2)))
+    val sh3 = call_function("graft_shingles", $"w", lit(3))
     // candidates FIRST, then 3-grams for candidate docs ONLY: the exact
     // verify needs gram sets just for documents that appear in some LSH
     // pair (a tiny fraction of the corpus — the whole point of LSH), so

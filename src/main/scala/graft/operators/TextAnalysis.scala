@@ -163,9 +163,7 @@ object TextAnalysis {
       // into every element_at of the (interpreted) lambda
       val withW = d.select($"doc_id", split($"text", " ").as("w"))
         .filter(size($"w") >= ContamK)
-      val sh = transform(
-        sequence(lit(1), size($"w") - (ContamK - 1)),
-        i => concat_ws(" ", (0 until ContamK).map(o => element_at($"w", i + o)): _*))
+      val sh = call_function("graft_shingles", $"w", lit(ContamK))
       withW.select($"doc_id", explode(array_distinct(sh)).as("s"))
     }
     // two pruned scans beat one scan + two filters of a checkpoint: the
@@ -197,9 +195,7 @@ object TextAnalysis {
     val withW = Tables.documents(s, dir)
       .select(split($"text", " ").as("w"))
       .filter(size($"w") >= 2)
-    val bg = transform(
-      sequence(lit(1), size($"w") - 1),
-      i => concat_ws(" ", element_at($"w", i), element_at($"w", i + 1)))
+    val bg = call_function("graft_shingles", $"w", lit(2))
     withW.select(explode(bg).as("bigram"))
       .groupBy($"bigram").agg(P.cnt.as("n"))
       .orderBy($"n".desc, $"bigram").limit(30)
