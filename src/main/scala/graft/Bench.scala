@@ -23,40 +23,79 @@ import java.util.concurrent.atomic.{AtomicBoolean, AtomicInteger}
   */
 object Bench {
 
-  /** Previous-round cost (sec at sf0.1, round-7 BENCH_SELF + TimeQ);
+  /** Previous-round cost (sec at sf0.1, round-9 full sweep);
     * generous estimates for queries that have never been timed. Only the
     * ORDER matters — cheapest first guarantees full sweeps.
     */
   val priorCost: Map[String, Double] = Map(
-    "an_value_buckets" -> 0.3, "an_comment_buckets" -> 0.4,
-    "gr_graph_stats" -> 1.6,
-    "an_explorer" -> 0.3, "an_top_groups" -> 0.4,
-    "an_user_activity" -> 0.4, "an_timeline" -> 0.4, "an_quantiles" -> 0.5,
+    "an_comment_buckets" -> 0.4,
+    "an_dow_activity" -> 0.2,
+    "an_explorer" -> 0.2,
+    "an_keyword_mentions" -> 0.2,
+    "an_quantiles" -> 0.2,
     "an_retention" -> 0.6,
-    "an_keyword_mentions" -> 0.5, "dd_exact" -> 0.5, "an_dow_activity" -> 0.7,
-    "q1_pricing_summary" -> 0.5, "q3_top_orders" -> 0.7, "q5_region_revenue" -> 0.8,
-    "q_rollup" -> 0.7, "q_window_rank" -> 1.0,
-    "sent_lexicon" -> 0.8, "sent_distribution" -> 0.8, "sent_agreement" -> 1.0,
-    "sent_emoji" -> 0.8,
-    "tx_lang_id" -> 0.8, "tx_quality" -> 0.8, "tx_token_count" -> 0.6,
-    "tx_fingerprint" -> 0.8, "mm_binary_meta" -> 0.8,
-    "etl_clean_text" -> 1.0, "etl_filter_enrich" -> 1.0, "etl_dedup_ingest" -> 0.6,
-    "etl_parse_json" -> 1.0, "etl_sessionize" -> 1.5, "st_window_agg" -> 1.2,
-    "st_enrich_agg" -> 1.2,
-    "dd_simhash" -> 1.7, "dd_embedding" -> 1.1, "dd_minhash_lsh" -> 1.4,
-    "dd_ngram_jaccard" -> 2.2,
-    "sim_pair_stats" -> 0.8, "sim_lsh_topk" -> 0.7, "sim_bruteforce_topk" -> 0.5,
-    "sim_recall" -> 0.7, "sim_ivf_topk" -> 0.9,
-    "dd_clusters" -> 2.4, "tx_contamination" -> 0.8, "tx_ngram_stats" -> 0.5,
-    "tx_keyterms" -> 1.0, "q_asof_join" -> 1.0, "an_rolling_active" -> 0.7,
-    "etl_stratified_sample" -> 0.5, "tx_repetition" -> 0.8,
-    "etl_corpus_prep" -> 0.8, "tx_corpus_mixture" -> 0.4, "tx_pii_scrub" -> 0.5,
-    "gr_edges" -> 1.5, "gr_degree" -> 1.2, "gr_degree_directed" -> 1.4,
-    "gr_degree_buckets" -> 1.3,
-    "gr_components" -> 1.7, "gr_closeness" -> 2.3, "gr_betweenness_approx" -> 5.0,
-    "gr_pagerank" -> 2.8,
-    "gr_eigenvector" -> 3.2, "gr_influencers" -> 3.0, "gr_communities" -> 2.0,
-    "gr_community_stats" -> 2.0, "gr_modularity" -> 2.2)
+    "an_rolling_active" -> 0.4,
+    "an_timeline" -> 0.2,
+    "an_top_groups" -> 0.2,
+    "an_user_activity" -> 0.2,
+    "an_value_buckets" -> 0.3,
+    "dd_clusters" -> 0.3,
+    "dd_embedding" -> 0.6,
+    "dd_exact" -> 0.3,
+    "dd_minhash_lsh" -> 0.1,
+    "dd_ngram_jaccard" -> 0.1,
+    "dd_simhash" -> 0.6,
+    "etl_clean_text" -> 0.1,
+    "etl_corpus_prep" -> 0.3,
+    "etl_dedup_ingest" -> 0.2,
+    "etl_filter_enrich" -> 0.2,
+    "etl_parse_json" -> 0.1,
+    "etl_sessionize" -> 0.3,
+    "etl_stratified_sample" -> 0.1,
+    "gr_betweenness_approx" -> 2.6,
+    "gr_closeness" -> 1.3,
+    "gr_communities" -> 0.6,
+    "gr_community_stats" -> 0.7,
+    "gr_components" -> 0.8,
+    "gr_degree" -> 0.2,
+    "gr_degree_buckets" -> 0.3,
+    "gr_degree_directed" -> 0.3,
+    "gr_edges" -> 0.1,
+    "gr_eigenvector" -> 1.5,
+    "gr_graph_stats" -> 0.5,
+    "gr_influencers" -> 1.4,
+    "gr_modularity" -> 0.8,
+    "gr_pagerank" -> 1.3,
+    "mm_binary_meta" -> 0.1,
+    "q1_pricing_summary" -> 0.2,
+    "q3_top_orders" -> 0.7,
+    "q5_region_revenue" -> 0.6,
+    "q_asof_join" -> 0.1,
+    "q_rollup" -> 0.3,
+    "q_window_rank" -> 0.2,
+    "sent_agreement" -> 0.3,
+    "sent_distribution" -> 0.2,
+    "sent_emoji" -> 0.1,
+    "sent_lexicon" -> 0.1,
+    "sim_bruteforce_topk" -> 0.4,
+    "sim_ivf_kmeans_topk" -> 0.3,
+    "sim_ivf_topk" -> 0.5,
+    "sim_kmeans_train" -> 0.1,
+    "sim_lsh_topk" -> 0.3,
+    "sim_pair_stats" -> 0.7,
+    "sim_recall" -> 0.2,
+    "st_enrich_agg" -> 0.2,
+    "st_window_agg" -> 0.2,
+    "tx_contamination" -> 0.4,
+    "tx_corpus_mixture" -> 0.2,
+    "tx_fingerprint" -> 0.1,
+    "tx_keyterms" -> 0.6,
+    "tx_lang_id" -> 0.1,
+    "tx_ngram_stats" -> 0.2,
+    "tx_pii_scrub" -> 0.1,
+    "tx_quality" -> 0.1,
+    "tx_repetition" -> 0.1,
+    "tx_token_count" -> 0.1)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
