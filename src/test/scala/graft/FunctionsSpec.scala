@@ -109,6 +109,62 @@ class FunctionsSpec extends GraftSuite {
     }
   }
 
+  for (mode <- Seq("CODEGEN_ONLY", "NO_CODEGEN")) {
+    test(s"graft_shingles matches the transform formulation [$mode]") {
+      underMode(mode) {
+        import spark.implicits._
+        for (k <- Seq(2, 3, 5)) {
+          val toks = split($"text", " ")
+          val legacy = transform(
+            sequence(lit(1), size(toks) - (k - 1)),
+            i => concat_ws(" ", (0 until k).map(o => element_at(toks, i + o)): _*))
+          val rows = docs.filter(size(toks) >= k).select($"doc_id",
+            call_function("graft_shingles", toks, lit(k)).as("native"),
+            legacy.as("hof")).collect()
+          assert(rows.nonEmpty)
+          rows.foreach { r =>
+            assert(r.getSeq[String](1) == r.getSeq[String](2), s"doc ${r.getLong(0)} k=$k")
+          }
+        }
+      }
+    }
+  }
+
+  test("graft_shingles edge cases: short arrays, null tokens, null array") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Some(Seq("a", "b"))),          // n < k → empty
+      (2L, Some(Seq("a", null, "c"))),    // null token skipped like concat_ws
+      (3L, None: Option[Seq[String]])     // null array → null
+    ).toDF("id", "toks")
+    val out = df.select($"id",
+      call_function("graft_shingles", $"toks", lit(3)).as("sh"))
+      .collect().map(r => (r.getLong(0), r)).toMap
+    assert(out(1L).getSeq[String](1) == Seq.empty)
+    assert(out(2L).getSeq[String](1) == Seq("a c"))
+    assert(out(3L).isNullAt(1))
+  }
+
+  test("Tables.normalizeTs handles both on-disk encodings of events.ts") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    // long nanos (the TIMESTAMP(NANOS)+nanosAsLong read): truncate to micros
+    val nanos = Seq(1700000000123456789L, 42L).toDF("ts")
+    val gotNanos = nanos
+      .select(Tables.normalizeTs(LongType).as("ts"))
+      .collect().map(_.getAs[java.sql.Timestamp](0).toInstant)
+    assert(gotNanos(0) == java.time.Instant.ofEpochSecond(1700000000L, 123456000L))
+    assert(gotNanos(1) == java.time.Instant.EPOCH)
+    // TIMESTAMP_NTZ (plain timestamp[us] read): same instant, session-TZ type
+    val ntz = Seq(java.time.LocalDateTime.of(2023, 11, 14, 22, 13, 20)).toDF("ts")
+    assert(ntz.schema("ts").dataType == TimestampNTZType)
+    val gotNtz = ntz.select(Tables.normalizeTs(TimestampNTZType).as("ts"))
+    assert(gotNtz.schema("ts").dataType == TimestampType)
+    // session TZ is UTC, so the NTZ wall-clock maps to the same instant
+    assert(gotNtz.collect()(0).getAs[java.sql.Timestamp](0).toInstant ==
+      java.time.Instant.ofEpochSecond(1700000000L))
+  }
+
   test("null and empty-array inputs propagate/degenerate correctly") {
     import spark.implicits._
     val df = Seq(
