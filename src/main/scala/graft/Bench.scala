@@ -79,6 +79,7 @@ object Bench {
     "sent_lexicon" -> 0.1,
     "sim_bruteforce_topk" -> 0.4,
     "sim_ivf_kmeans_topk" -> 0.3,
+    "sim_kmeans_recall" -> 0.3,
     "sim_ivf_topk" -> 0.5,
     "sim_kmeans_train" -> 0.1,
     "sim_lsh_topk" -> 0.3,

@@ -481,6 +481,82 @@ object Similarity {
       .orderBy($"q_id", $"rank")
   }
 
+  /** Recall@k of the trained-quantizer ANN path ([[ivfKmeansTopk]])
+    * against the exact brute-force baseline — the IVF twin of
+    * [[recall]]: before serving a trained index, measure what fraction
+    * of the true top-k survives probing only [[IvfProbes]] cells.
+    */
+  val kmRecall = QueryDef(
+    "sim_kmeans_recall",
+    s"""WITH $kmSql,
+       |bq AS MATERIALIZED (SELECT vec_id AS q_id, embedding AS qe FROM embeddings
+       |    WHERE vec_id < $NumQueries),
+       |bsc AS MATERIALIZED (SELECT q_id, vec_id,
+       |    list_cosine_similarity(CAST(qe AS DOUBLE[]), CAST(embedding AS DOUBLE[])) AS cos
+       |  FROM bq, embeddings WHERE vec_id <> q_id),
+       |brk AS MATERIALIZED (SELECT q_id, vec_id,
+       |    CAST(row_number() OVER (PARTITION BY q_id
+       |      ORDER BY ${PS.prnd("cos", 6)} DESC, vec_id) AS BIGINT) AS rank
+       |  FROM bsc),
+       |kqc AS MATERIALIZED (SELECT q_id, cell FROM (
+       |    SELECT q.vec_id AS q_id, ct.cell,
+       |      row_number() OVER (PARTITION BY q.vec_id
+       |        ORDER BY ${PS.prnd("list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), ct.c)", 6)} DESC, ct.cell) AS rn
+       |    FROM embeddings q CROSS JOIN kc$KmIters ct
+       |    WHERE q.vec_id < $NumQueries) t
+       |  WHERE rn <= $IvfProbes),
+       |kcand AS MATERIALIZED (SELECT qc.q_id, a.vec_id,
+       |    list_cosine_similarity(CAST(qe.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])) AS cos
+       |  FROM kqc qc
+       |  JOIN kaf a ON a.cell = qc.cell AND a.vec_id <> qc.q_id
+       |  JOIN embeddings e ON e.vec_id = a.vec_id
+       |  JOIN embeddings qe ON qe.vec_id = qc.q_id),
+       |krk AS MATERIALIZED (SELECT q_id, vec_id,
+       |    CAST(row_number() OVER (PARTITION BY q_id
+       |      ORDER BY ${PS.prnd("cos", 6)} DESC, vec_id) AS BIGINT) AS rank
+       |  FROM kcand),
+       |hits AS MATERIALIZED (SELECT b.q_id, COUNT(*) AS n_hits
+       |  FROM brk b JOIN krk l ON l.q_id = b.q_id AND l.vec_id = b.vec_id
+       |  WHERE b.rank <= $LshTopK AND l.rank <= $LshTopK
+       |  GROUP BY b.q_id)
+       |SELECT q.q_id AS q_id, CAST($LshTopK AS BIGINT) AS k,
+       |  CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+       |  ${PS.prnd(s"CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / $LshTopK", 6)} AS recall
+       |FROM bq q LEFT JOIN hits h ON h.q_id = q.q_id
+       |ORDER BY q.q_id""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val emb = Tables.embeddings(s, dir)
+    val w = Window.partitionBy($"q_id").orderBy(P.prnd($"cos", 6).desc, $"vec_id")
+    val q = emb.filter($"vec_id" < NumQueries)
+      .select($"vec_id".as("q_id"), $"embedding".as("qe"))
+    val brk = emb.crossJoin(broadcast(q))
+      .filter($"vec_id" =!= $"q_id")
+      .select($"q_id", $"vec_id", expr("graft_cosine(qe, embedding)").as("cos"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter($"rank" <= LshTopK).select($"q_id", $"vec_id")
+    val qcells = emb.filter($"vec_id" < NumQueries)
+      .crossJoin(broadcast(kmCents(s, dir)))
+      .select($"vec_id".as("q_id"), $"cell", expr("graft_cosine(embedding, c)").as("cos"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"q_id").orderBy(P.prnd($"cos", 6).desc, $"cell")))
+      .filter($"rn" <= IvfProbes).select($"q_id", $"cell")
+    val krk = kmAssign(s, dir).select($"vec_id", $"cell")
+      .join(broadcast(qcells), "cell")
+      .filter($"vec_id" =!= $"q_id")
+      .join(emb.select($"vec_id", $"embedding"), "vec_id")
+      .join(broadcast(q.select($"q_id", $"qe".as("qe2"))), "q_id")
+      .select($"q_id", $"vec_id", expr("graft_cosine(qe2, embedding)").as("cos"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter($"rank" <= LshTopK).select($"q_id", $"vec_id")
+    val hits = brk.join(krk, Seq("q_id", "vec_id"))
+      .groupBy($"q_id").agg(P.cnt.as("n_hits"))
+    q.select($"q_id").join(hits, Seq("q_id"), "left")
+      .select($"q_id", lit(LshTopK.toLong).as("k"),
+        coalesce($"n_hits", lit(0L)).as("n_hits"),
+        P.prnd(coalesce($"n_hits", lit(0L)).cast("double") / LshTopK, 6).as("recall"))
+      .orderBy($"q_id")
+  }
+
   val defs: Seq[QueryDef] = Seq(bruteforce, lshTopk, pairStats, recall, ivfTopk,
-    kmTrain, ivfKmeansTopk)
+    kmTrain, ivfKmeansTopk, kmRecall)
 }
