@@ -102,6 +102,10 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val budgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "900").toDouble
+    // dev-only subset filter (first arg: comma-separated name substrings);
+    // the driver invokes with no args and always sweeps everything
+    val only: Set[String] =
+      if (args.nonEmpty) args(0).split(",").toSet else Set.empty
     val spark = GraftSession.get(cpus)
     val sc = spark.sparkContext
     // WARN spam (shuffle cleanup, block manager) lands on the [error]
@@ -150,10 +154,13 @@ object Bench {
       // hook, no post-stop println) ends stdout with a tail-sized line
       println(lastJson.get())
       System.out.flush()
-      // committed sidecar: timings survive any stdout-tail truncation
-      try java.nio.file.Files.writeString(
-        java.nio.file.Paths.get("BENCH_SELF.json"), line + "\n")
-      catch { case _: Throwable => () }
+      // committed sidecar: timings survive any stdout-tail truncation.
+      // FULL sweeps only — a dev subset run must not clobber the
+      // committed full-sweep record.
+      if (only.isEmpty)
+        try java.nio.file.Files.writeString(
+          java.nio.file.Paths.get("BENCH_SELF.json"), line + "\n")
+        catch { case _: Throwable => () }
     }
     // Backstop: external `timeout` sends SIGTERM; the JVM runs shutdown
     // hooks on TERM, so a partial JSON line still reaches stdout.
@@ -205,10 +212,6 @@ object Bench {
     // query doesn't pay one-time session setup.
     try SparkEntry.queries.get("q1_pricing_summary").foreach(_(spark, sfDir).count()) catch { case _: Throwable => () }
 
-    // dev-only subset filter (first arg: comma-separated name substrings);
-    // the driver invokes with no args and always sweeps everything
-    val only: Set[String] =
-      if (args.nonEmpty) args(0).split(",").toSet else Set.empty
     val ordered = SparkEntry.queries.toSeq
       .filter { case (name, _) => only.isEmpty || only.exists(name.contains) }
       .sortBy { case (name, _) => (priorCost.getOrElse(name, 5.0), name) }
