@@ -49,6 +49,7 @@ object Bench {
     "etl_corpus_prep" -> 0.3,
     "etl_dedup_ingest" -> 0.2,
     "etl_filter_enrich" -> 0.2,
+    "etl_pack_sequences" -> 0.4,
     "etl_parse_json" -> 0.1,
     "etl_sessionize" -> 0.3,
     "etl_stratified_sample" -> 0.1,

@@ -209,6 +209,56 @@ object Etl {
       .orderBy("doc_id")
   }
 
+  /** Packed-sequence length for [[packSequences]] (tokens per training
+    * window; docs average ~60 tokens, so ~8 docs pack per sequence).
+    */
+  val PackSeqLen = 512L
+
+  /** Sequence packing — the concatenate-and-chunk step that turns a
+    * cleaned corpus into fixed-length training windows (GPT-style: docs
+    * are concatenated in a deterministic order and sliced every
+    * [[PackSeqLen]] tokens; a doc whose span crosses a boundary continues
+    * into the next window). Packing is per SOURCE shard, the way real
+    * pipelines pack per shard/file: the window runs inside each source
+    * partition, never over a global order — at 100 TB each shard packs
+    * independently and in parallel. Everything is exact BIGINT arithmetic
+    * (token offsets via an exclusive running sum, window id via integer
+    * division), so the packing table is engine-portable. Output: one row
+    * per (source, seq_id) with docs starting there, their token mass, and
+    * how many of them cross into the next window.
+    */
+  val packSequences = QueryDef(
+    "etl_pack_sequences",
+    s"""WITH t AS MATERIALIZED (SELECT doc_id, source,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS wc FROM documents),
+       |o AS MATERIALIZED (SELECT doc_id, source, wc,
+       |    CAST(COALESCE(SUM(wc) OVER (PARTITION BY source ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS off
+       |  FROM t),
+       |a AS MATERIALIZED (SELECT source, CAST(off // $PackSeqLen AS BIGINT) AS seq_id, wc,
+       |    ((off + wc - 1) // $PackSeqLen) > (off // $PackSeqLen) AS crossing
+       |  FROM o)
+       |SELECT source, seq_id, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(wc) AS BIGINT) AS n_tokens,
+       |  CAST(SUM(CASE WHEN crossing THEN 1 ELSE 0 END) AS BIGINT) AS n_crossing
+       |FROM a GROUP BY source, seq_id
+       |ORDER BY source, seq_id""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"source").orderBy($"doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val o = Tables.documents(s, dir)
+      .select($"doc_id", $"source", size(split($"text", " ")).cast("long").as("wc"))
+      .withColumn("off", coalesce(sum($"wc").over(w), lit(0L)))
+    o.select($"source",
+        expr(s"off div $PackSeqLen").as("seq_id"), $"wc",
+        (expr(s"(off + wc - 1) div $PackSeqLen") > expr(s"off div $PackSeqLen")).as("crossing"))
+      .groupBy($"source", $"seq_id")
+      .agg(P.cnt.as("n_docs"), sum($"wc").as("n_tokens"),
+        sum(when($"crossing", 1L).otherwise(0L)).as("n_crossing"))
+      .orderBy($"source", $"seq_id")
+  }
+
   val defs: Seq[QueryDef] = Seq(cleanText, filterEnrich, dedupIngest, parseJson,
-    sessionize, stratifiedSample, corpusPrep)
+    sessionize, stratifiedSample, corpusPrep, packSequences)
 }
