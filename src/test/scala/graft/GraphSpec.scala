@@ -4,6 +4,40 @@ import org.apache.spark.sql.functions._
 
 class GraphSpec extends GraftSuite {
 
+  test("steady-state iteration round shuffles no edge data") {
+    // The property the whole iterative-graph design rests on (SURVEY §5,
+    // PLANS.md pagerank_round): with the edge relation cached under its
+    // hash partitioning and |V|-row state broadcast, a round's join +
+    // aggregation must plan NO shuffle exchange — only the state's
+    // BroadcastExchange. A regression here (e.g. a materialization that
+    // hides the partitioning from the planner) re-exchanges |E| rows
+    // every round at any scale.
+    import spark.implicits._
+    import operators.GraphOps
+    val u = GraphOps.sharedUnd(spark, sfDir)
+    val wdeg = u.groupBy($"node").agg(sum($"weight").as("wd")).localCheckpoint(true)
+    val norm = u.join(broadcast(wdeg), "node")
+      .select($"node".as("src"), $"nb".as("dst"), ($"weight" / $"wd").as("p"))
+      .repartition($"dst").persist()
+    norm.count() // finalize the cached partitioning (AQE reports it post-exec)
+    try {
+      val ranks = wdeg.select($"node", lit(1.0).as("r")).localCheckpoint(true)
+      val round = norm
+        .join(broadcast(ranks.withColumnRenamed("node", "src0")), $"src" === $"src0")
+        .groupBy($"dst").agg(sum($"r" * $"p").as("contrib"))
+      round.count()
+      val plan = round.queryExecution.executedPlan.toString
+      // Everything printed below InMemoryTableScan is the cached
+      // relation's ONE-TIME build (whose repartition exchange is the
+      // point); the round itself is the slice above it and must contain
+      // no shuffle exchange.
+      val roundSlice = plan.split("InMemoryTableScan", 2)(0)
+      assert(!roundSlice.contains("Exchange hashpartitioning"),
+        s"steady-state round re-shuffles:\n$roundSlice")
+      assert(roundSlice.contains("BroadcastHashJoin"), "state should broadcast-join")
+    } finally norm.unpersist()
+  }
+
   test("edges exclude the bot-account keys and carry positive weights") {
     val e = run("gr_edges")
     assert(e.count() > 0)
