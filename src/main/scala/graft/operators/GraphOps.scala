@@ -311,9 +311,18 @@ object GraphOps {
     * SF (r8: 2 jobs x ~0.13s scheduling per round; r9 single-DAG shuffle
     * variant re-measured WORSE, 40 AQE stage-jobs + a re-exchange of the
     * cached |E| side per round, since AQE runs every shuffle stage as its
-    * own job). Unnormalized magnitudes stay ≤ λ(A+I) ≈ max weighted
-    * degree for one round, so the decimal(38,20) norm terms (18 integer
-    * digits) cannot overflow below λ ≈ 1e9.
+    * own job). Decimal-overflow bound, gap-2 honest version: the norm
+    * runs after TWO unnormalized rounds, so |x| ≤ (1+λ)² for
+    * λ = max weighted degree and the norm terms x² reach (1+λ)⁴. At
+    * DECIMAL(38,12) — 26 integer digits — that overflows only past
+    * λ ≈ 2.4e6 (scale 20 overflowed at λ ≈ 3.2e4, the spam-hub regime
+    * this repo designs for elsewhere; overflow is a silent null sum on
+    * Spark but a hard error in DuckDB — a parity break, not just a bad
+    * number). Scale 12 keeps ≥7 significant digits on the x² terms at
+    * bench |V|, and both engines round the SAME IEEE doubles to the
+    * SAME decimals, so hashes stay identical. For graphs with hubs
+    * beyond λ ≈ 2.4e6, normalize every round (EvNormEvery = 1 bounds
+    * terms at (1+λ)² → λ ≈ 1.5e13).
     */
   def eigenvector(u: DataFrame, iters: Int = PrIters,
       stateBroadcast: Boolean = true): DataFrame = {
@@ -351,7 +360,7 @@ object GraphOps {
         val rawM = raw.localCheckpoint(false)
         val all = org.apache.spark.sql.expressions.Window
           .partitionBy().rowsBetween(Long.MinValue, Long.MaxValue)
-        val nr = sqrt(sum(($"x" * $"x").cast(DecimalType(38, 20))).over(all).cast("double"))
+        val nr = sqrt(sum(($"x" * $"x").cast(DecimalType(38, 12))).over(all).cast("double"))
         // x stays UNcheckpointed: rawM is materialized blocks and the next
         // round consumes x through ONE reused broadcast, so the projection
         // re-evaluates once — a |V|-row scan, cheaper than another barrier.
@@ -764,7 +773,7 @@ object GraphOps {
            |  ON p.node = s.node)""".stripMargin
       if (normed(i))
         raw + s""",
-           |ev$i AS MATERIALIZED (SELECT node, x / (SELECT sqrt(CAST(SUM(CAST(x * x AS DECIMAL(38,20))) AS DOUBLE)) FROM raw$i) AS x
+           |ev$i AS MATERIALIZED (SELECT node, x / (SELECT sqrt(CAST(SUM(CAST(x * x AS DECIMAL(38,12))) AS DOUBLE)) FROM raw$i) AS x
            |  FROM raw$i)""".stripMargin
       else raw
     }

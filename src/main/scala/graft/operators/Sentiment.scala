@@ -26,11 +26,9 @@ object Sentiment {
 
   private def inList(words: Seq[String]): String = words.map(w => s"'$w'").mkString(", ")
 
-  /** Token count from `words` (with multiplicity), as a long Column —
-    * native [[graft.functions.CountTokensIn]] so the scan stays codegen'd.
-    */
+  /** Token count from `words` (with multiplicity), as a long Column. */
   private def nIn(toks: Column, words: Seq[String]): Column =
-    call_function("graft_count_in", toks, lit(words.mkString(" "))).cast("long")
+    TextFns.countTokensIn(toks, words).cast("long")
 
   /** Scaled-integer magnitudes (see [[graft.functions.LexiconScore]]):
     * 1e5 base; boosted = ⌊(1+0.293)·1e5⌋; negated = ·-0.74 exactly.

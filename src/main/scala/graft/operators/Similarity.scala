@@ -129,13 +129,9 @@ object Similarity {
       |ORDER BY label""".stripMargin) { (s, dir) =>
     import s.implicits._
     val emb = Tables.embeddings(s, dir)
-    val expl = emb.select($"vec_id", $"label", posexplode($"embedding").as(Seq("j0", "x0")))
-      .select($"vec_id", $"label", ($"j0" + 1).as("j"), $"x0".cast("double").as("x"))
-      .localCheckpoint(true)
+    val expl = explM(s, dir)
     val cn = emb.groupBy($"label").agg(P.cnt.as("n"))
-    val cent = expl.groupBy($"label", $"j")
-      .agg((sum($"x".cast(DecimalType(18, 9))).cast("double") / count(lit(1))).as("c"))
-      .localCheckpoint(true)
+    val cent = centM(s, dir)
     val parts = expl.join(cent, Seq("label", "j"))
       .groupBy($"vec_id", $"label")
       .agg(sum(($"x" * $"c").cast(DecimalType(18, 12))).cast("double").as("dot"),
@@ -151,6 +147,31 @@ object Similarity {
         P.prnd(sqrt($"ny"), 6).as("centroid_norm"),
         P.prnd($"mean_raw", 6).as("mean_cos"))
       .orderBy($"label")
+  }
+
+  /** Session-shared exploded embedding coordinates (vec_id, label, j, x)
+    * — the (doc, dim)-grain scan the centroid/norm math runs on, built
+    * once per (session, dir) via [[graft.MatStore]] (checkpoint blocks:
+    * self-cleaning when the store entry is released, unlike a bare
+    * per-call persist(), which leaks a CacheManager entry per
+    * invocation for the session lifetime).
+    */
+  private def explM(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.MatStore.of(s, s"sim_expl:$dir")(
+      Tables.embeddings(s, dir)
+        .select($"vec_id", $"label", posexplode($"embedding").as(Seq("j0", "x0")))
+        .select($"vec_id", $"label", ($"j0" + 1).as("j"), $"x0".cast("double").as("x")))
+  }
+
+  /** Session-shared per-label centroids over [[explM]] — the IVF index
+    * posture: built once, served by every probe query and sample.
+    */
+  private def centM(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.MatStore.of(s, s"sim_cent:$dir")(
+      explM(s, dir).groupBy($"label", $"j")
+        .agg((sum($"x".cast(DecimalType(18, 9))).cast("double") / count(lit(1))).as("c")))
   }
 
   /** Cells probed per query on the IVF path: 2 of the ~10 label cells,
@@ -203,17 +224,14 @@ object Similarity {
        |ORDER BY q_id, rank""".stripMargin) { (s, dir) =>
     import s.implicits._
     val emb = Tables.embeddings(s, dir)
-    // grouped-explode centroid build (the oracle CTE's shape). A 64x
-    // element_at + per-position decimal-sum pivot (no explode) was
-    // re-measured WORSE here (1.5-1.9s vs ~1.0s at sf0.1): the wide
-    // inline decimal casts defeat the hash-agg's codegen win, while the
-    // exploded rows stay narrow and the aggregate is map-side partial.
-    val expl = emb.select($"vec_id", $"label", posexplode($"embedding").as(Seq("j0", "x0")))
-      .select($"vec_id", $"label", ($"j0" + 1).as("j"), $"x0".cast("double").as("x"))
-      .persist()
-    val cent = expl.groupBy($"label", $"j")
-      .agg((sum($"x".cast(DecimalType(18, 9))).cast("double") / count(lit(1))).as("c"))
-      .persist()
+    // grouped-explode centroid build (the oracle CTE's shape), via the
+    // session-shared explM/centM store. A 64x element_at + per-position
+    // decimal-sum pivot (no explode) was re-measured WORSE here
+    // (1.5-1.9s vs ~1.0s at sf0.1): the wide inline decimal casts defeat
+    // the hash-agg's codegen win, while the exploded rows stay narrow
+    // and the aggregate is map-side partial.
+    val expl = explM(s, dir)
+    val cent = centM(s, dir)
     val cnorm = cent.groupBy($"label")
       .agg(sum(($"c" * $"c").cast(DecimalType(18, 12))).cast("double").as("ny"))
     val qv = expl.filter($"vec_id" < NumQueries).select($"vec_id".as("q_id"), $"j", $"x")
@@ -394,9 +412,7 @@ object Similarity {
   private def kmeansFit(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val emb = Tables.embeddings(s, dir)
-    val expl = emb.select($"vec_id", posexplode($"embedding").as(Seq("j0", "x0")))
-      .select($"vec_id", ($"j0" + 1).as("j"), $"x0".cast("double").as("x"))
-      .persist()
+    val expl = explM(s, dir).select($"vec_id", $"j", $"x")
     def update(a: DataFrame): DataFrame =
       expl.join(broadcast(a), "vec_id")
         .groupBy($"cell", $"j")
@@ -409,6 +425,70 @@ object Similarity {
     for (_ <- 1 to KmIters)
       cents = update(kmAssignOver(s, dir, cents, keepCos = false))
     cents
+  }
+
+  /** kqc/kcand/krk CTE text — the trained-quantizer probe pipeline
+    * (rank cells per query, probe [[IvfProbes]], exact cosine + rank over
+    * probed members), shared verbatim by [[ivfKmeansTopk]] and
+    * [[kmRecall]] so both queries measure the SAME ANN path.
+    */
+  private val kmProbeSql: String =
+    s"""kqc AS MATERIALIZED (SELECT q_id, cell FROM (
+       |    SELECT q.vec_id AS q_id, ct.cell,
+       |      row_number() OVER (PARTITION BY q.vec_id
+       |        ORDER BY ${PS.prnd("list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), ct.c)", 6)} DESC, ct.cell) AS rn
+       |    FROM embeddings q CROSS JOIN kc$KmIters ct
+       |    WHERE q.vec_id < $NumQueries) t
+       |  WHERE rn <= $IvfProbes),
+       |kcand AS MATERIALIZED (SELECT qc.q_id, a.vec_id,
+       |    list_cosine_similarity(CAST(qe.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])) AS cos
+       |  FROM kqc qc
+       |  JOIN kaf a ON a.cell = qc.cell AND a.vec_id <> qc.q_id
+       |  JOIN embeddings e ON e.vec_id = a.vec_id
+       |  JOIN embeddings qe ON qe.vec_id = qc.q_id),
+       |krk AS MATERIALIZED (SELECT q_id, vec_id, ${PS.prnd("cos", 6)} AS cosine,
+       |    CAST(row_number() OVER (PARTITION BY q_id
+       |      ORDER BY ${PS.prnd("cos", 6)} DESC, vec_id) AS BIGINT) AS rank
+       |  FROM kcand)""".stripMargin
+
+  /** Spark twin of [[kmProbeSql]]: (q_id, vec_id, cos, rank) over the
+    * probed cells of the session-shared trained model.
+    */
+  private def kmProbeRanked(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables.embeddings(s, dir)
+    val qcells = emb.filter($"vec_id" < NumQueries)
+      .crossJoin(broadcast(kmCents(s, dir)))
+      .select($"vec_id".as("q_id"), $"cell", expr("graft_cosine(embedding, c)").as("cos"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"q_id").orderBy(P.prnd($"cos", 6).desc, $"cell")))
+      .filter($"rn" <= IvfProbes).select($"q_id", $"cell")
+    val w = Window.partitionBy($"q_id").orderBy(P.prnd($"cos", 6).desc, $"vec_id")
+    // probed cells only: members stream through one broadcast join
+    kmAssign(s, dir).select($"vec_id", $"cell")
+      .join(broadcast(qcells), "cell")
+      .filter($"vec_id" =!= $"q_id")
+      .join(emb.select($"vec_id", $"embedding"), "vec_id")
+      .join(broadcast(emb.filter($"vec_id" < NumQueries)
+        .select($"vec_id".as("q_id"), $"embedding".as("qe"))), "q_id")
+      .select($"q_id", $"vec_id", expr("graft_cosine(qe, embedding)").as("cos"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+  }
+
+  /** Exact brute-force (q_id, vec_id) pairs at rank ≤ [[LshTopK]] — the
+    * baseline side both recall gates compare against.
+    */
+  private def bruteTopkPairs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables.embeddings(s, dir)
+    val q = emb.filter($"vec_id" < NumQueries)
+      .select($"vec_id".as("q_id"), $"embedding".as("qe"))
+    val w = Window.partitionBy($"q_id").orderBy(P.prnd($"cos", 6).desc, $"vec_id")
+    emb.crossJoin(broadcast(q))
+      .filter($"vec_id" =!= $"q_id")
+      .select($"q_id", $"vec_id", expr("graft_cosine(qe, embedding)").as("cos"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter($"rank" <= LshTopK).select($"q_id", $"vec_id")
   }
 
   /** Trained-quantizer summary: per final cell, member count and mean
@@ -439,43 +519,11 @@ object Similarity {
   val ivfKmeansTopk = QueryDef(
     "sim_ivf_kmeans_topk",
     s"""WITH $kmSql,
-       |kqc AS MATERIALIZED (SELECT q_id, cell FROM (
-       |    SELECT q.vec_id AS q_id, ct.cell,
-       |      row_number() OVER (PARTITION BY q.vec_id
-       |        ORDER BY ${PS.prnd("list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), ct.c)", 6)} DESC, ct.cell) AS rn
-       |    FROM embeddings q CROSS JOIN kc$KmIters ct
-       |    WHERE q.vec_id < $NumQueries) t
-       |  WHERE rn <= $IvfProbes),
-       |kcand AS MATERIALIZED (SELECT qc.q_id, a.vec_id,
-       |    list_cosine_similarity(CAST(qe.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])) AS cos
-       |  FROM kqc qc
-       |  JOIN kaf a ON a.cell = qc.cell AND a.vec_id <> qc.q_id
-       |  JOIN embeddings e ON e.vec_id = a.vec_id
-       |  JOIN embeddings qe ON qe.vec_id = qc.q_id),
-       |krk AS MATERIALIZED (SELECT q_id, vec_id, ${PS.prnd("cos", 6)} AS cosine,
-       |    CAST(row_number() OVER (PARTITION BY q_id
-       |      ORDER BY ${PS.prnd("cos", 6)} DESC, vec_id) AS BIGINT) AS rank
-       |  FROM kcand)
+       |$kmProbeSql
        |SELECT q_id, vec_id, cosine, rank FROM krk WHERE rank <= $LshTopK
        |ORDER BY q_id, rank""".stripMargin) { (s, dir) =>
     import s.implicits._
-    val emb = Tables.embeddings(s, dir)
-    val qcells = emb.filter($"vec_id" < NumQueries)
-      .crossJoin(broadcast(kmCents(s, dir)))
-      .select($"vec_id".as("q_id"), $"cell", expr("graft_cosine(embedding, c)").as("cos"))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy($"q_id").orderBy(P.prnd($"cos", 6).desc, $"cell")))
-      .filter($"rn" <= IvfProbes).select($"q_id", $"cell")
-    val w = Window.partitionBy($"q_id").orderBy(P.prnd($"cos", 6).desc, $"vec_id")
-    // probed cells only: members stream through one broadcast join
-    kmAssign(s, dir).select($"vec_id", $"cell")
-      .join(broadcast(qcells), "cell")
-      .filter($"vec_id" =!= $"q_id")
-      .join(emb.select($"vec_id", $"embedding"), "vec_id")
-      .join(broadcast(emb.filter($"vec_id" < NumQueries)
-        .select($"vec_id".as("q_id"), $"embedding".as("qe"))), "q_id")
-      .select($"q_id", $"vec_id", expr("graft_cosine(qe, embedding)").as("cos"))
-      .withColumn("rank", row_number().over(w).cast("long"))
+    kmProbeRanked(s, dir)
       .filter($"rank" <= LshTopK)
       .select($"q_id", $"vec_id", P.prnd($"cos", 6).as("cosine"), $"rank")
       .orderBy($"q_id", $"rank")
@@ -498,23 +546,7 @@ object Similarity {
        |    CAST(row_number() OVER (PARTITION BY q_id
        |      ORDER BY ${PS.prnd("cos", 6)} DESC, vec_id) AS BIGINT) AS rank
        |  FROM bsc),
-       |kqc AS MATERIALIZED (SELECT q_id, cell FROM (
-       |    SELECT q.vec_id AS q_id, ct.cell,
-       |      row_number() OVER (PARTITION BY q.vec_id
-       |        ORDER BY ${PS.prnd("list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), ct.c)", 6)} DESC, ct.cell) AS rn
-       |    FROM embeddings q CROSS JOIN kc$KmIters ct
-       |    WHERE q.vec_id < $NumQueries) t
-       |  WHERE rn <= $IvfProbes),
-       |kcand AS MATERIALIZED (SELECT qc.q_id, a.vec_id,
-       |    list_cosine_similarity(CAST(qe.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])) AS cos
-       |  FROM kqc qc
-       |  JOIN kaf a ON a.cell = qc.cell AND a.vec_id <> qc.q_id
-       |  JOIN embeddings e ON e.vec_id = a.vec_id
-       |  JOIN embeddings qe ON qe.vec_id = qc.q_id),
-       |krk AS MATERIALIZED (SELECT q_id, vec_id,
-       |    CAST(row_number() OVER (PARTITION BY q_id
-       |      ORDER BY ${PS.prnd("cos", 6)} DESC, vec_id) AS BIGINT) AS rank
-       |  FROM kcand),
+       |$kmProbeSql,
        |hits AS MATERIALIZED (SELECT b.q_id, COUNT(*) AS n_hits
        |  FROM brk b JOIN krk l ON l.q_id = b.q_id AND l.vec_id = b.vec_id
        |  WHERE b.rank <= $LshTopK AND l.rank <= $LshTopK
@@ -525,32 +557,14 @@ object Similarity {
        |FROM bq q LEFT JOIN hits h ON h.q_id = q.q_id
        |ORDER BY q.q_id""".stripMargin) { (s, dir) =>
     import s.implicits._
-    val emb = Tables.embeddings(s, dir)
-    val w = Window.partitionBy($"q_id").orderBy(P.prnd($"cos", 6).desc, $"vec_id")
-    val q = emb.filter($"vec_id" < NumQueries)
-      .select($"vec_id".as("q_id"), $"embedding".as("qe"))
-    val brk = emb.crossJoin(broadcast(q))
-      .filter($"vec_id" =!= $"q_id")
-      .select($"q_id", $"vec_id", expr("graft_cosine(qe, embedding)").as("cos"))
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter($"rank" <= LshTopK).select($"q_id", $"vec_id")
-    val qcells = emb.filter($"vec_id" < NumQueries)
-      .crossJoin(broadcast(kmCents(s, dir)))
-      .select($"vec_id".as("q_id"), $"cell", expr("graft_cosine(embedding, c)").as("cos"))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy($"q_id").orderBy(P.prnd($"cos", 6).desc, $"cell")))
-      .filter($"rn" <= IvfProbes).select($"q_id", $"cell")
-    val krk = kmAssign(s, dir).select($"vec_id", $"cell")
-      .join(broadcast(qcells), "cell")
-      .filter($"vec_id" =!= $"q_id")
-      .join(emb.select($"vec_id", $"embedding"), "vec_id")
-      .join(broadcast(q.select($"q_id", $"qe".as("qe2"))), "q_id")
-      .select($"q_id", $"vec_id", expr("graft_cosine(qe2, embedding)").as("cos"))
-      .withColumn("rank", row_number().over(w).cast("long"))
+    val brk = bruteTopkPairs(s, dir)
+    val krk = kmProbeRanked(s, dir)
       .filter($"rank" <= LshTopK).select($"q_id", $"vec_id")
     val hits = brk.join(krk, Seq("q_id", "vec_id"))
       .groupBy($"q_id").agg(P.cnt.as("n_hits"))
-    q.select($"q_id").join(hits, Seq("q_id"), "left")
+    Tables.embeddings(s, dir).filter($"vec_id" < NumQueries)
+      .select($"vec_id".as("q_id"))
+      .join(hits, Seq("q_id"), "left")
       .select($"q_id", lit(LshTopK.toLong).as("k"),
         coalesce($"n_hits", lit(0L)).as("n_hits"),
         P.prnd(coalesce($"n_hits", lit(0L)).cast("double") / LshTopK, 6).as("recall"))
