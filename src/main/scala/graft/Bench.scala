@@ -87,6 +87,7 @@ object Bench {
     "sim_pair_stats" -> 0.7,
     "sim_recall" -> 0.2,
     "st_enrich_agg" -> 0.2,
+    "st_funnel_join" -> 0.3,
     "st_window_agg" -> 0.2,
     "tx_contamination" -> 0.4,
     "tx_corpus_mixture" -> 0.2,

@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.{QueryDef, Tables}
 import graft.functions.{PortableSql => PS}
-import graft.streaming.{EnrichStream, EventStream}
+import graft.streaming.{EnrichStream, EventStream, FunnelStream}
 
 /** Batch twins of the streaming pipelines (SURVEY §2j). `st_window_agg`
   * runs [[EventStream.windowAgg]] — the exact code the streaming job runs
@@ -41,5 +41,27 @@ object StreamingQueries {
       .orderBy("window_start", "segment")
   }
 
-  val defs: Seq[QueryDef] = Seq(windowAgg, enrichAgg)
+  /** Batch twin of [[FunnelStream.funnelJoin]]: view→purchase conversion
+    * pairs within one hour per user — the oracle checks the exact
+    * dataflow the watermarked stream-stream join runs.
+    */
+  val funnelJoin = QueryDef(
+    "st_funnel_join",
+    s"""WITH ${PS.evCte}
+       |SELECT a.event_id AS view_id, b.event_id AS purchase_id,
+       |  a.user_id, a.ts AS view_ts, b.ts AS purchase_ts,
+       |  b.value AS purchase_value
+       |FROM ev a JOIN ev b ON b.user_id = a.user_id
+       |  AND a.event_type = 'view' AND b.event_type = 'purchase'
+       |  AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR
+       |ORDER BY view_id, purchase_id""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+    FunnelStream.funnelJoin(
+      ev.filter($"event_type" === "view"),
+      ev.filter($"event_type" === "purchase"))
+      .orderBy("view_id", "purchase_id")
+  }
+
+  val defs: Seq[QueryDef] = Seq(windowAgg, enrichAgg, funnelJoin)
 }

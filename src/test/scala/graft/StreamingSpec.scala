@@ -181,4 +181,50 @@ class StreamingSpec extends GraftSuite {
     assert(u7.toSeq === Seq((3L, micros("2024-01-01 08:00:00"), micros("2024-01-01 08:20:00"))),
       s"late event must fold without regressing end, got ${u7.mkString(",")}")
   }
+
+  test("watermarked stream-stream funnel join matches the oracled batch twin") {
+    import spark.implicits._
+    import graft.streaming.FunnelStream
+    implicit val sq = spark.sqlContext
+    // one memory stream of (event_id, ts, user_id, event_type, value)
+    // rows, split inside funnelStream into the two watermarked sides —
+    // the real stream-stream shape, not two pre-joined frames
+    val mem = MemoryStream[(Long, java.sql.Timestamp, Long, String, Double)]
+    val input = mem.toDF().toDF("event_id", "ts", "user_id", "event_type", "value")
+    val q = FunnelStream.funnelStream(input)
+      .writeStream.format("memory").queryName("funnel_stream_test")
+      .outputMode("append").start()
+    def t(x: String) = java.sql.Timestamp.valueOf(x)
+    mem.addData(
+      (1L, t("2024-01-01 10:00:00"), 7L, "view", 0.0),
+      (2L, t("2024-01-01 10:20:00"), 7L, "purchase", 9.5),   // inside 1h -> pair
+      (3L, t("2024-01-01 10:10:00"), 8L, "view", 0.0),
+      (4L, t("2024-01-01 12:00:00"), 8L, "purchase", 3.0),   // outside 1h -> no pair
+      (5L, t("2024-01-01 10:30:00"), 7L, "purchase", 1.5),   // second pair for view 1
+      (6L, t("2024-01-01 09:50:00"), 7L, "purchase", 2.0))   // before the view -> no pair
+    q.processAllAvailable()
+    // advance both watermarks past every event so all matches are emitted
+    mem.addData((99L, t("2024-01-02 00:00:00"), 1L, "view", 0.0))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("funnel_stream_test").collect()
+      .map(r => (r.getAs[Long]("view_id"), r.getAs[Long]("purchase_id"),
+        r.getAs[Double]("purchase_value"))).toSet
+    assert(got === Set((1L, 2L, 9.5), (1L, 5L, 1.5)), s"got $got")
+  }
+
+  test("funnel stream dataflow on bounded input matches st_funnel_join") {
+    import spark.implicits._
+    import graft.streaming.FunnelStream
+    val ev = Tables.events(spark, sfDir)
+    val got = FunnelStream.funnelJoin(
+        ev.filter($"event_type" === "view"),
+        ev.filter($"event_type" === "purchase"))
+      .select($"view_id", $"purchase_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = run("st_funnel_join")
+      .select($"view_id", $"purchase_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === want && got.nonEmpty)
+  }
 }
