@@ -307,13 +307,9 @@ object Similarity {
     import s.implicits._
     val emb = Tables.embeddings(s, dir)
     val w = Window.partitionBy($"q_id").orderBy(P.prnd($"cos", 6).desc, $"vec_id")
-    val q = emb.filter($"vec_id" < NumQueries)
-      .select($"vec_id".as("q_id"), $"embedding".as("qe"))
-    val brk = emb.crossJoin(broadcast(q))
-      .filter($"vec_id" =!= $"q_id")
-      .select($"q_id", $"vec_id", expr("graft_cosine(qe, embedding)").as("cos"))
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter($"rank" <= LshTopK).select($"q_id", $"vec_id")
+    // SAME baseline the k-means recall gate uses — both recall gates must
+    // compare against one brute-force definition
+    val brk = bruteTopkPairs(s, dir)
     val bk = Srp.bandKeysM(s, dir, LshPlanes, LshBandSize)
     val cand = bk.filter($"vec_id" < NumQueries)
       .select($"vec_id".as("q_id"), $"band", $"bkey")
@@ -327,7 +323,8 @@ object Similarity {
       .filter($"rank" <= LshTopK).select($"q_id", $"vec_id")
     val hits = brk.join(lrk, Seq("q_id", "vec_id"))
       .groupBy($"q_id").agg(P.cnt.as("n_hits"))
-    q.select($"q_id").join(hits, Seq("q_id"), "left")
+    emb.filter($"vec_id" < NumQueries).select($"vec_id".as("q_id"))
+      .join(hits, Seq("q_id"), "left")
       .select($"q_id", lit(LshTopK.toLong).as("k"),
         coalesce($"n_hits", lit(0L)).as("n_hits"),
         P.prnd(coalesce($"n_hits", lit(0L)).cast("double") / LshTopK, 6).as("recall"))

@@ -57,6 +57,11 @@ object StreamingQueries {
        |ORDER BY view_id, purchase_id""".stripMargin) { (s, dir) =>
     import s.implicits._
     val ev = Tables.events(s, dir)
+    // two pushed-filter scans of events, deliberately: the stream-stream
+    // join needs two inputs, the oracle's `FROM ev a JOIN ev b` reads the
+    // relation twice the same way, and each scan's event_type predicate
+    // prunes at the parquet row-group level — a one-scan tag-and-split
+    // would need a materialization barrier to avoid the second read.
     FunnelStream.funnelJoin(
       ev.filter($"event_type" === "view"),
       ev.filter($"event_type" === "purchase"))

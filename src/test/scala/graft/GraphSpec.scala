@@ -25,7 +25,10 @@ class GraphSpec extends GraftSuite {
       val round = norm
         .join(broadcast(ranks.withColumnRenamed("node", "src0")), $"src" === $"src0")
         .groupBy($"dst").agg(sum($"r" * $"p").as("contrib"))
-      round.count()
+      // execute THIS QueryExecution (round.count() would build a separate
+      // one and leave round's AdaptiveSparkPlan un-finalized — the
+      // assertion would then inspect the initial plan, not what ran)
+      round.queryExecution.toRdd.count()
       val plan = round.queryExecution.executedPlan.toString
       // Everything printed below InMemoryTableScan is the cached
       // relation's ONE-TIME build (whose repartition exchange is the

@@ -213,7 +213,7 @@ class StreamingSpec extends GraftSuite {
     assert(got === Set((1L, 2L, 9.5), (1L, 5L, 1.5)), s"got $got")
   }
 
-  test("funnel stream dataflow on bounded input matches st_funnel_join") {
+  test("funnel join matches an independently-written pairing on real data") {
     import spark.implicits._
     import graft.streaming.FunnelStream
     val ev = Tables.events(spark, sfDir)
@@ -222,9 +222,18 @@ class StreamingSpec extends GraftSuite {
         ev.filter($"event_type" === "purchase"))
       .select($"view_id", $"purchase_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
-    val want = run("st_funnel_join")
-      .select($"view_id", $"purchase_id").collect()
-      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // independent formulation (driver-side pairing over collected rows, no
+    // shared dataflow with funnelJoin) — catches wrong bounds/intervals
+    // that a registry round-trip could not, since st_funnel_join IS
+    // funnelJoin
+    val rows = ev.select($"event_id", $"user_id", $"event_type", unix_micros($"ts").as("us"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val views = rows.filter(_._3 == "view")
+    val purch = rows.filter(_._3 == "purchase")
+    val want = (for {
+      v <- views; p <- purch
+      if p._2 == v._2 && p._4 >= v._4 && p._4 <= v._4 + 3600L * 1000000L
+    } yield (v._1, p._1)).toSet
     assert(got === want && got.nonEmpty)
   }
 }
