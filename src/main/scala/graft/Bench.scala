@@ -65,6 +65,7 @@ object Bench {
     "gr_eigenvector" -> 1.5,
     "gr_graph_stats" -> 0.5,
     "gr_influencers" -> 1.4,
+    "gr_louvain" -> 1.2,
     "gr_modularity" -> 0.8,
     "gr_pagerank" -> 1.3,
     "mm_binary_meta" -> 0.1,

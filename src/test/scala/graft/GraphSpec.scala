@@ -41,6 +41,20 @@ class GraphSpec extends GraftSuite {
     } finally norm.unpersist()
   }
 
+  test("louvain sweep improves modularity over the LPA partition") {
+    val lpa = run("gr_modularity").collect()(0)
+    val ref = run("gr_louvain").collect()(0)
+    val qLpa = lpa.getAs[Double]("modularity")
+    val qRef = ref.getAs[Double]("modularity")
+    // the move-down-only constrained sweep must not lower Q, and on this
+    // corpus it strictly raises it; moved nodes and community count stay
+    // within the partition's bounds
+    assert(qRef >= qLpa, s"refined Q $qRef < LPA Q $qLpa")
+    assert(ref.getAs[Long]("n_moved") >= 0L)
+    assert(ref.getAs[Long]("n_communities") <= lpa.getAs[Long]("n_communities"))
+    assert(ref.getAs[Long]("n_communities") > 1L)
+  }
+
   test("edges exclude the bot-account keys and carry positive weights") {
     val e = run("gr_edges")
     assert(e.count() > 0)
