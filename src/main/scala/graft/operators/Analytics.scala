@@ -211,12 +211,18 @@ object Analytics {
 
   /** Weekly cohort retention — users grouped by their FIRST active week,
     * tracked for 4 weeks of subsequent activity (the engagement panel
-    * next to the dashboard's DAU/WAU view). Two distinct-aggregations and
-    * one broadcast of the per-user cohort week: the (user, week) activity
-    * relation streams once, the cohort join is map-side, and the final
-    * aggregate carries (cohort, offset) cells only — scan-bound at
-    * 100 TB. ISO Monday weeks (date_trunc 'week') and day-difference /
-    * 7 arithmetic are integer-exact in both engines; only the final rate
+    * next to the dashboard's DAU/WAU view). ONE wide shuffle total: the
+    * per-user week set is gathered with a map-side-partial `collect_set`
+    * (its size is bounded by the number of weeks in the corpus time
+    * window, not by data volume), the cohort week is `array_min` of that
+    * set, and exploding it back yields (cohort, offset) cells whose
+    * aggregate is a plain `count` — each user's weeks are distinct, and
+    * offset is injective in week for a fixed user, so no distinct
+    * aggregate is needed. Nothing per-user is ever broadcast (a |users|-
+    * row broadcast was the r9 scale defect here); the only broadcast is
+    * `base`, one row per cohort WEEK — calendar-bounded, not data-scaled.
+    * ISO Monday weeks (date_trunc 'week') and day-difference / 7
+    * arithmetic are integer-exact in both engines; only the final rate
     * needs prnd.
     */
   val retention = QueryDef(
@@ -235,17 +241,15 @@ object Analytics {
        |FROM cells c JOIN base b ON c.cw = b.cw
        |ORDER BY cohort_week, week_offset""".stripMargin) { (s, dir) =>
     import s.implicits._
-    val uw = Tables.events(s, dir)
+    val perUser = Tables.events(s, dir)
       .select($"user_id", date_trunc("week", $"ts").cast("date").as("w"))
-      .distinct()
-      .localCheckpoint(false)
-    val fw = uw.groupBy($"user_id").agg(min($"w").as("cw"))
-    val cells = uw.join(broadcast(fw), "user_id")
-      .select($"cw", (datediff($"w", $"cw") / 7).cast("long").as("week_offset"), $"user_id")
+      .groupBy($"user_id").agg(collect_set($"w").as("ws"))
+    val cells = perUser
+      .select(array_min($"ws").as("cw"), explode($"ws").as("w"))
+      .select($"cw", (datediff($"w", $"cw") / 7).cast("long").as("week_offset"))
       .filter($"week_offset" <= 3)
       .groupBy($"cw", $"week_offset")
-      .agg(countDistinct($"user_id").as("n_active"))
-      .localCheckpoint(false)
+      .agg(count(lit(1)).as("n_active"))
     val base = cells.filter($"week_offset" === 0)
       .select($"cw", $"n_active".as("cohort_size"))
     cells.join(broadcast(base), "cw")

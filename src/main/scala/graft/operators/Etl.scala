@@ -214,18 +214,34 @@ object Etl {
     */
   val PackSeqLen = 512L
 
+  /** Docs per offset bucket in [[packSequences]]'s two-level prefix sum
+    * — bounds any single window task at this many rows regardless of
+    * how large a source shard grows. doc_id is a dense BIGINT, so
+    * `doc_id div PackBucketDocs` is a deterministic, order-preserving
+    * bucketing (no sampled range boundaries, no plan-dependent result).
+    */
+  val PackBucketDocs = 4096L
+
   /** Sequence packing — the concatenate-and-chunk step that turns a
     * cleaned corpus into fixed-length training windows (GPT-style: docs
     * are concatenated in a deterministic order and sliced every
     * [[PackSeqLen]] tokens; a doc whose span crosses a boundary continues
     * into the next window). Packing is per SOURCE shard, the way real
-    * pipelines pack per shard/file: the window runs inside each source
-    * partition, never over a global order — at 100 TB each shard packs
-    * independently and in parallel. Everything is exact BIGINT arithmetic
-    * (token offsets via an exclusive running sum, window id via integer
-    * division), so the packing table is engine-portable. Output: one row
-    * per (source, seq_id) with docs starting there, their token mass, and
-    * how many of them cross into the next window.
+    * pipelines pack per shard/file — and the per-source running sum is a
+    * TWO-LEVEL prefix sum, not one window per source: level 1 sums
+    * within (source, doc_id-div-[[PackBucketDocs]]) buckets (each task
+    * bounded at [[PackBucketDocs]] rows, however large the source), and
+    * level 2 runs the same exclusive sum over the per-bucket TOTALS
+    * (rows = docs/[[PackBucketDocs]] per source — the r9 single-reducer-
+    * per-source sort is gone; a 10B-doc source is 2.4M level-2 rows, not
+    * 10B). The compose join is keyed on the level-1 partitioning, so no
+    * extra exchange on the wide side. Everything is exact BIGINT
+    * arithmetic (token offsets via an exclusive running sum, window id
+    * via integer division), so the packing table is engine-portable and
+    * bucketing-invariant — the oracle computes the identical offsets
+    * with one flat window. Output: one row per (source, seq_id) with
+    * docs starting there, their token mass, and how many of them cross
+    * into the next window.
     */
   val packSequences = QueryDef(
     "etl_pack_sequences",
@@ -245,11 +261,21 @@ object Etl {
        |ORDER BY source, seq_id""".stripMargin) { (s, dir) =>
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy($"source").orderBy($"doc_id")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val o = Tables.documents(s, dir)
+    val t = Tables.documents(s, dir)
       .select($"doc_id", $"source", size(split($"text", " ")).cast("long").as("wc"))
-      .withColumn("off", coalesce(sum($"wc").over(w), lit(0L)))
+      .withColumn("bkt", expr(s"doc_id div $PackBucketDocs"))
+    // level 1: exclusive prefix within each bounded (source, bucket)
+    val w1 = Window.partitionBy($"source", $"bkt").orderBy($"doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val inb = t.withColumn("ioff", coalesce(sum($"wc").over(w1), lit(0L)))
+    // level 2: exclusive prefix over per-bucket totals (tiny per source)
+    val w2 = Window.partitionBy($"source").orderBy($"bkt")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val boff = t.groupBy($"source", $"bkt").agg(sum($"wc").as("bw"))
+      .withColumn("boff", coalesce(sum($"bw").over(w2), lit(0L)))
+      .select($"source", $"bkt", $"boff")
+    val o = inb.join(boff, Seq("source", "bkt"))
+      .withColumn("off", $"ioff" + $"boff")
     o.select($"source",
         expr(s"off div $PackSeqLen").as("seq_id"), $"wc",
         (expr(s"(off + wc - 1) div $PackSeqLen") > expr(s"off div $PackSeqLen")).as("crossing"))

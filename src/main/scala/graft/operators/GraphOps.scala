@@ -53,6 +53,22 @@ object GraphOps {
     */
   private val LpIters = 3
 
+  /** Louvain local-move sweep cap. Sweeps iterate until a sweep moves
+    * ZERO nodes or this cap — the reference's `louvain_communities`
+    * runs its move phase to convergence (network_analysis.py:180-212).
+    * The move-down-only constraint (see [[grLouvain]]) makes every
+    * node's label monotonically non-increasing across sweeps, so the
+    * loop provably terminates; a zero-move sweep is a fixed point
+    * (the sweep is a deterministic function of the labels, so once
+    * sweep(l) = l every later sweep returns l too), which is what lets
+    * the Spark loop early-break while the oracle unrolls all
+    * [[LvSweeps]] statically — the trailing no-op sweeps change
+    * nothing on either side. Measured at sf0.01 convergence takes 3
+    * sweeps (2 moving + the zero-move fixed-point check); the cap only
+    * bounds the unrolled SQL.
+    */
+  private val LvSweeps = 6
+
   // ---------------------------------------------------------------- library
 
   /** Weighted customer↔supplier edges; weight = number of line items.
@@ -179,6 +195,16 @@ object GraphOps {
   /** Size-driven broadcast decision for iteration state (SURVEY §5). */
   def stateHint(stateRows: Long): Boolean = stateRows <= StateBroadcastMaxRows
 
+  /** Session kill-switch for state broadcasts — `spark.graft
+    * .stateBroadcast=false` forces every [[stateJoin]] onto the
+    * shuffled-hash path regardless of the size hint. Exists so the
+    * plan-shape spec (ScalePlanSpec) can assert the non-broadcast plans
+    * are real, and so a cluster operator can disable driver-side state
+    * collection wholesale without recompiling.
+    */
+  def stateBroadcastAllowed(s: SparkSession): Boolean =
+    s.conf.get("spark.graft.stateBroadcast", "true").toBoolean
+
   /** The per-round state side of an iterative join: broadcast when the
     * state fits (bench SFs and up to ~100x), a shuffled hash join build
     * side when it doesn't. On the non-broadcast path the |E| side is
@@ -191,7 +217,8 @@ object GraphOps {
     * build), not the per-round shuffle volume.
     */
   private def stateJoin(state: DataFrame, bcast: Boolean): DataFrame =
-    if (bcast) broadcast(state) else state.hint("shuffle_hash")
+    if (bcast && stateBroadcastAllowed(state.sparkSession)) broadcast(state)
+    else state.hint("shuffle_hash")
 
   /** Degree + weighted degree per node. */
   def degrees(und: DataFrame): DataFrame = {
@@ -690,9 +717,13 @@ object GraphOps {
     import s.implicits._
     var lbls = u.select($"node").distinct()
       .select($"node", $"node".as("lbl")).localCheckpoint(false)
+    // same size discipline as [[pagerank]]: the count materializes the
+    // checkpointed seed labels (a job round 1 pays anyway) and |V|
+    // decides broadcast vs shuffled-hash for every round's state join
+    val bcast = stateBroadcast && stateHint(lbls.count())
     for (_ <- 1 to iters) {
       val votes = u
-        .join(stateJoin(lbls.select($"node".as("nb0"), $"lbl".as("nlbl")), stateBroadcast), $"nb" === $"nb0")
+        .join(stateJoin(lbls.select($"node".as("nb0"), $"lbl".as("nlbl")), bcast), $"nb" === $"nb0")
         .groupBy($"node", $"nlbl").agg(sum($"weight").as("sc"))
       // min(struct(-score, label)) = the minimum label among the labels of
       // maximal summed weight — the same row the oracle's MAX/MIN pair picks
@@ -857,6 +888,42 @@ object GraphOps {
          |mx$i AS MATERIALIZED (SELECT node, MAX(sc) AS ms FROM v$i GROUP BY node),
          |lp$i AS MATERIALIZED (SELECT v.node, MIN(v.lbl) AS lbl
          |  FROM v$i v JOIN mx$i m ON v.node = m.node AND v.sc = m.ms GROUP BY v.node)""".stripMargin
+    }
+    (base +: steps).mkString(",\n")
+  }
+
+  /** lv0..lvN CTE chain — unrolled constrained Louvain local-move
+    * sweeps over the LPA labels, the SQL twin of the [[grLouvain]]
+    * loop. Requires `und`, `deg`, `tw` and `lp\$LpIters` CTEs in
+    * scope. Sweep i derives per-community totals (lct), neighbor-
+    * community weights (lcd), the argmax move under the move-down-only
+    * constraint (lmv), the move count (lmvd), and the next label set
+    * (lv i).
+    */
+  private def lvChain(sweeps: Int): String = {
+    val base = s"lv0 AS MATERIALIZED (SELECT node, lbl AS c FROM lp$LpIters)"
+    val steps = (1 to sweeps).map { i =>
+      s"""lct$i AS MATERIALIZED (SELECT l.c AS community, CAST(SUM(d.wdegree) AS BIGINT) AS wtot
+         |  FROM lv${i - 1} l JOIN deg d USING (node) GROUP BY l.c),
+         |lcd$i AS MATERIALIZED (SELECT node, c, CAST(SUM(wnc) AS BIGINT) AS wnc FROM (
+         |    SELECT u.node, lb.c, u.weight AS wnc
+         |    FROM und u JOIN lv${i - 1} lb ON u.nb = lb.node
+         |    UNION ALL SELECT node, c, 0 AS wnc FROM lv${i - 1}) t
+         |  GROUP BY node, c),
+         |lmv$i AS MATERIALIZED (SELECT node, a, CASE WHEN c < a THEN c ELSE a END AS c FROM (
+         |    SELECT cd.node, la.c AS a, cd.c,
+         |      row_number() OVER (PARTITION BY cd.node ORDER BY
+         |        (w.w2 * cd.wnc - d.wdegree *
+         |          (ct.wtot - CASE WHEN cd.c = la.c THEN d.wdegree ELSE 0 END)) DESC,
+         |        CASE WHEN cd.c = la.c THEN 0 ELSE 1 END,
+         |        cd.c) AS rn
+         |    FROM lcd$i cd
+         |    JOIN lv${i - 1} la ON la.node = cd.node
+         |    JOIN lct$i ct ON ct.community = cd.c
+         |    JOIN deg d ON d.node = cd.node, tw w) x
+         |  WHERE rn = 1),
+         |lmvd$i AS MATERIALIZED (SELECT CAST(SUM(CASE WHEN c <> a THEN 1 ELSE 0 END) AS BIGINT) AS n_moved FROM lmv$i),
+         |lv$i AS MATERIALIZED (SELECT node, c FROM lmv$i)""".stripMargin
     }
     (base +: steps).mkString(",\n")
   }
@@ -1160,7 +1227,9 @@ object GraphOps {
     * EXACT BIGINTs (weights are counts), so the only fp ops are the final
     * per-community divisions — rounded portably and summed through an
     * exact decimal, hash-identical across engines. Scale shape: two
-    * broadcast label joins over the cached edge relation + two keyed
+    * size-driven [[stateJoin]] label joins over the cached edge relation
+    * (broadcast at bench SF, shuffled-hash once |V| outgrows
+    * [[StateBroadcastMaxRows]] — the 100 TB regime) + two keyed
     * aggregations at community cardinality; no new iteration, LPA labels
     * unchanged.
     */
@@ -1187,14 +1256,19 @@ object GraphOps {
     // label joins below
     val u = sharedUnd(s, dir)
     val lbl = communities(u).localCheckpoint(false)
+    // ONE deliberate driver action (same discipline as [[pagerank]]): it
+    // materializes the checkpointed labels in a job the first join pays
+    // anyway, and |V| drives the broadcast-vs-shuffled-hash choice for
+    // every label join below — labels are a DATA-SCALING relation, so an
+    // unconditional broadcast would be a driver OOM at 100 TB.
+    val bcast = stateHint(lbl.count())
     val tw = u.agg(sum($"weight").as("w2"))
-    // labels are |V| rows (community cardinality ≪ |V|): broadcast both
-    // copies into the cached edge relation — the internal-weight join
-    // streams |E| once with no shuffle, and the per-community aggregate
-    // is map-side partial at community cardinality
+    // the internal-weight join streams |E| once (no shuffle on the
+    // broadcast path), and the per-community aggregate is map-side
+    // partial at community cardinality
     val cin = u
-      .join(broadcast(lbl.select($"node".as("n1"), $"community".as("c1"))), $"node" === $"n1")
-      .join(broadcast(lbl.select($"node".as("n2"), $"community".as("c2"))),
+      .join(stateJoin(lbl.select($"node".as("n1"), $"community".as("c1")), bcast), $"node" === $"n1")
+      .join(stateJoin(lbl.select($"node".as("n2"), $"community".as("c2")), bcast),
         $"nb" === $"n2" && $"c2" === $"c1")
       .groupBy($"c1".as("community")).agg(sum($"weight").as("win"))
     val ctot = lbl.join(degrees(u), "node")
@@ -1207,115 +1281,131 @@ object GraphOps {
       .agg(P.cnt.as("n_communities"), P.prnd(P.dsum($"q", 12), 8).as("modularity"))
   }
 
-  /** One synchronous Louvain local-move pass over the LPA partition —
+  /** Constrained Louvain local-move sweeps, iterated to convergence —
     * the move phase of the reference's community detection
     * (network_analysis.py:194: louvain greedily maximizes modularity by
-    * such moves). Every node simultaneously evaluates moving to each
-    * NEIGHBORING community c with the standard isolated-node gain
-    * ΔQ(c) ∝ 2m·w(n→c) − deg(n)·wtot'(c) (wtot' removes n from its own
-    * community first) — all EXACT BIGINT terms, so the argmax (ties →
-    * smallest community id) is engine-portable with no float compare.
-    * Output: refined community count, nodes moved, and the refined
-    * partition's modularity Q (same exact-arithmetic formula as
-    * [[grModularity]]).
+    * such moves, repeated until no node moves). Per sweep every node
+    * simultaneously evaluates moving to each NEIGHBORING community c
+    * with the standard isolated-node gain ΔQ(c) ∝ 2m·w(n→c) −
+    * deg(n)·wtot'(c) (wtot' removes n from its own community first) —
+    * all EXACT BIGINT terms, so the argmax (ties → smallest community
+    * id) is engine-portable with no float compare. Synchronous
+    * mass-moves oscillate unconstrained (measured: Q dropped −0.315 →
+    * −0.462 at sf0.01), so each sweep applies the symmetry-breaking
+    * constraint — a node only moves to a community with a SMALLER id
+    * and stays on score ties — which both prevents two communities
+    * swapping into each other AND makes labels monotonically
+    * non-increasing, guaranteeing the sweep loop terminates. Sweeps
+    * repeat until a sweep moves zero nodes or [[LvSweeps]]; the oracle
+    * unrolls all [[LvSweeps]] statically (trailing no-op sweeps are
+    * fixed points — see [[LvSweeps]]). Output: refined community
+    * count, total nodes moved, sweeps that moved ≥1 node, and the
+    * refined partition's modularity Q (same exact-arithmetic formula
+    * as [[grModularity]]). On a corpus with no assortative structure
+    * (this dense quasi-random bipartite graph: every split scores
+    * Q < 0) the converged sweeps legitimately merge everything —
+    * measured at sf0.01: 44 LPA communities at Q = −0.315 → 1
+    * community at Q = 0.0 in 2 moving sweeps, the configuration-model
+    * optimum. Alternating-direction and parity-colored variants were
+    * measured too (tools-level DuckDB sim): alternation oscillates
+    * forever at worse Q, coloring collapses identically — the
+    * down-only rule is the one that both terminates and maximizes Q
+    * here. [[grCommunities]] (LPA) stays the dashboard's segmentation
+    * view.
     *
-    * Scale shape: one broadcast label join over the cached edge relation
-    * (map-side combine to (node, community) cardinality), one windowed
-    * argmax at |candidate| rows, then the modularity aggregations — no
-    * iteration, no |E| shuffle. Synchronous mass-moves are the standard
-    * parallel-Louvain formulation, and unconstrained they oscillate
-    * (measured: symmetric simultaneous moves DROPPED Q from −0.315 to
-    * −0.462 at sf0.01); the sweep therefore applies the usual
-    * symmetry-breaking constraint — a node only moves to a community
-    * with a SMALLER id (one direction per sweep, so two communities can
-    * never swap into each other) and stays on score ties. With the
-    * constraint the single sweep lifted Q from −0.315 to ≈ −1e-5 at
-    * sf0.01. Production systems alternate directions/colors across
-    * sweeps; one constrained sweep is the oracled unit here.
+    * Scale shape per sweep: size-driven [[stateJoin]]s of the |V|-row
+    * label/degree and |C|-row community-total relations into the cached
+    * edge relation (broadcast at bench SF, shuffled-hash when |V|
+    * outgrows [[StateBroadcastMaxRows]] — nothing data-scaling is ever
+    * unconditionally collected to the driver), a map-side-combined
+    * (node, community) candidate aggregation, and an argmax as a hash
+    * aggregate (`min(struct(-score, tie, c))` — no window sort), then
+    * one localCheckpoint + move-count action per sweep (the pagerank
+    * per-round discipline). Only the 1-row total-weight relation is
+    * unconditionally broadcast.
     */
   val grLouvain = QueryDef(
     "gr_louvain",
     s"""WITH $eNumSql, $undSql, $degSql,
        |${lpChain(LpIters)},
        |tw AS MATERIALIZED (SELECT CAST(SUM(weight) AS BIGINT) AS w2 FROM und),
-       |ctot AS MATERIALIZED (SELECT l.lbl AS community, CAST(SUM(d.wdegree) AS BIGINT) AS wtot
-       |  FROM lp$LpIters l JOIN deg d USING (node) GROUP BY l.lbl),
-       |cand AS MATERIALIZED (SELECT node, c, CAST(SUM(wnc) AS BIGINT) AS wnc FROM (
-       |    SELECT u.node, lb.lbl AS c, u.weight AS wnc
-       |    FROM und u JOIN lp$LpIters lb ON u.nb = lb.node
-       |    UNION ALL SELECT node, lbl AS c, 0 AS wnc FROM lp$LpIters) t
-       |  GROUP BY node, c),
-       |mv AS MATERIALIZED (SELECT node, a,
-       |    CASE WHEN c < a THEN c ELSE a END AS c FROM (
-       |    SELECT cd.node, la.lbl AS a, cd.c,
-       |      row_number() OVER (PARTITION BY cd.node ORDER BY
-       |        (w.w2 * cd.wnc - d.wdegree *
-       |          (ct.wtot - CASE WHEN cd.c = la.lbl THEN d.wdegree ELSE 0 END)) DESC,
-       |        CASE WHEN cd.c = la.lbl THEN 0 ELSE 1 END,
-       |        cd.c) AS rn
-       |    FROM cand cd
-       |    JOIN lp$LpIters la ON la.node = cd.node
-       |    JOIN ctot ct ON ct.community = cd.c
-       |    JOIN deg d ON d.node = cd.node, tw w) x
-       |  WHERE rn = 1),
+       |${lvChain(LvSweeps)},
        |cin2 AS MATERIALIZED (SELECT a1.c AS community, CAST(SUM(u.weight) AS BIGINT) AS win
        |  FROM und u
-       |  JOIN mv a1 ON u.node = a1.node
-       |  JOIN mv a2 ON u.nb = a2.node AND a2.c = a1.c
+       |  JOIN lv$LvSweeps a1 ON u.node = a1.node
+       |  JOIN lv$LvSweeps a2 ON u.nb = a2.node AND a2.c = a1.c
        |  GROUP BY a1.c),
        |ctot2 AS MATERIALIZED (SELECT m.c AS community, CAST(SUM(d.wdegree) AS BIGINT) AS wtot
-       |  FROM mv m JOIN deg d USING (node) GROUP BY m.c),
-       |mvd AS MATERIALIZED (SELECT CAST(SUM(CASE WHEN c <> a THEN 1 ELSE 0 END) AS BIGINT) AS n_moved FROM mv),
+       |  FROM lv$LvSweeps m JOIN deg d USING (node) GROUP BY m.c),
        |qc2 AS MATERIALIZED (SELECT t.community,
        |    ${PS.prnd("COALESCE(i.win, 0) / CAST(w.w2 AS DOUBLE) - (t.wtot / CAST(w.w2 AS DOUBLE)) * (t.wtot / CAST(w.w2 AS DOUBLE))", 12)} AS q
        |  FROM ctot2 t LEFT JOIN cin2 i ON i.community = t.community, tw w)
        |SELECT CAST(COUNT(*) AS BIGINT) AS n_communities,
-       |  (SELECT n_moved FROM mvd) AS n_moved,
+       |  CAST(${(1 to LvSweeps).map(i => s"(SELECT n_moved FROM lmvd$i)").mkString(" + ")} AS BIGINT) AS n_moved,
+       |  CAST(${(1 to LvSweeps).map(i => s"(CASE WHEN (SELECT n_moved FROM lmvd$i) > 0 THEN 1 ELSE 0 END)").mkString(" + ")} AS BIGINT) AS n_sweeps,
        |  ${PS.prnd(PS.dsum("q", 12), 8)} AS modularity
        |FROM qc2""".stripMargin) { (s, dir) =>
     import s.implicits._
-    import org.apache.spark.sql.expressions.Window
     val u = sharedUnd(s, dir)
-    val lbl = communities(u).localCheckpoint(false)
     val deg = degrees(u).localCheckpoint(false)
+    // ONE count action: materializes deg (a job the first sweep pays
+    // anyway) and |V| drives every state-join choice below
+    val bcast = stateHint(deg.count())
+    var lbl = communities(u, stateBroadcast = bcast)
     val w2df = u.agg(sum($"weight").as("w2"))
-    val ctot = lbl.join(deg, "node")
-      .groupBy($"community").agg(sum($"wdegree").as("wtot"))
-    val cand = u
-      .join(broadcast(lbl.select($"node".as("nb2"), $"community".as("c"))), $"nb" === $"nb2")
-      .select($"node", $"c", $"weight".as("wnc"))
-      .union(lbl.select($"node", $"community".as("c"), lit(0L).as("wnc")))
-      .groupBy($"node", $"c").agg(sum($"wnc").as("wnc"))
-    val win = Window.partitionBy($"node")
-      .orderBy($"score".desc, when($"c" === $"a", 0).otherwise(1), $"c")
-    val mv = cand
-      .join(broadcast(lbl.select($"node".as("n0"), $"community".as("a"))), $"node" === $"n0")
-      .join(broadcast(ctot.select($"community".as("c"), $"wtot")), "c")
-      .join(broadcast(deg.select($"node".as("n1"), $"wdegree".as("dn"))), $"node" === $"n1")
-      .crossJoin(broadcast(w2df))
-      .select($"node", $"a", $"c",
-        ($"w2" * $"wnc" - $"dn" *
-          ($"wtot" - when($"c" === $"a", $"dn").otherwise(lit(0L)))).as("score"))
-      .withColumn("rn", row_number().over(win)).filter($"rn" === 1)
-      .select($"node", $"a",
-        when($"c" < $"a", $"c").otherwise($"a").as("c"))
-      .localCheckpoint(false)
+    var movedTotal = 0L
+    var sweepsWithMoves = 0L
+    var converged = false
+    var sweep = 0
+    while (sweep < LvSweeps && !converged) {
+      sweep += 1
+      val ctot = lbl.join(deg, "node")
+        .groupBy($"community").agg(sum($"wdegree").as("wtot"))
+      val cand = u
+        .join(stateJoin(lbl.select($"node".as("nb2"), $"community".as("c")), bcast), $"nb" === $"nb2")
+        .select($"node", $"c", $"weight".as("wnc"))
+        .union(lbl.select($"node", $"community".as("c"), lit(0L).as("wnc")))
+        .groupBy($"node", $"c").agg(sum($"wnc").as("wnc"))
+      // argmax as a hash aggregate: min(struct(-score, own-last, c))
+      // picks the same row as the oracle's row_number over (score DESC,
+      // own-first, c) — map-side partials, no per-node sort
+      val mv = cand
+        .join(stateJoin(lbl.select($"node".as("n0"), $"community".as("a")), bcast), $"node" === $"n0")
+        .join(stateJoin(ctot.select($"community".as("c"), $"wtot"), bcast), "c")
+        .join(stateJoin(deg.select($"node".as("n1"), $"wdegree".as("dn")), bcast), $"node" === $"n1")
+        .crossJoin(broadcast(w2df))
+        .select($"node", $"a", $"c",
+          ($"w2" * $"wnc" - $"dn" *
+            ($"wtot" - when($"c" === $"a", $"dn").otherwise(lit(0L)))).as("score"))
+        .groupBy($"node", $"a")
+        .agg(min(struct((-$"score").as("ns"),
+          when($"c" === $"a", 0).otherwise(1).as("t"), $"c".as("l"))).as("m"))
+        .select($"node", $"a",
+          when($"m.l" < $"a", $"m.l").otherwise($"a").as("c"))
+        .localCheckpoint(false)
+      // the one driver action per sweep — materializes the checkpoint
+      // and decides convergence (a fixed point: zero moves ⇒ every
+      // later sweep is identical, matching the oracle's static unroll)
+      val moved = mv.filter($"c" =!= $"a").count()
+      movedTotal += moved
+      if (moved > 0) sweepsWithMoves += 1 else converged = true
+      lbl = mv.select($"node", $"c".as("community"))
+    }
     val cin2 = u
-      .join(broadcast(mv.select($"node".as("m1"), $"c".as("c1"))), $"node" === $"m1")
-      .join(broadcast(mv.select($"node".as("m2"), $"c".as("c2"))),
+      .join(stateJoin(lbl.select($"node".as("m1"), $"community".as("c1")), bcast), $"node" === $"m1")
+      .join(stateJoin(lbl.select($"node".as("m2"), $"community".as("c2")), bcast),
         $"nb" === $"m2" && $"c2" === $"c1")
       .groupBy($"c1".as("community")).agg(sum($"weight").as("win"))
-    val ctot2 = mv.join(deg, "node")
-      .groupBy($"c".as("community")).agg(sum($"wdegree").as("wtot"))
-    val moved = mv.agg(sum(when($"c" =!= $"a", 1L).otherwise(0L)).as("n_moved"))
+    val ctot2 = lbl.join(deg, "node")
+      .groupBy($"community").agg(sum($"wdegree").as("wtot"))
     ctot2.join(cin2, Seq("community"), "left")
       .crossJoin(broadcast(w2df))
       .select(P.prnd(
         coalesce($"win", lit(0L)) / $"w2".cast("double")
           - ($"wtot" / $"w2".cast("double")) * ($"wtot" / $"w2".cast("double")), 12).as("q"))
       .agg(P.cnt.as("n_communities"), P.prnd(P.dsum($"q", 12), 8).as("modularity"))
-      .crossJoin(broadcast(moved))
-      .select($"n_communities", $"n_moved", $"modularity")
+      .select($"n_communities", lit(movedTotal).as("n_moved"),
+        lit(sweepsWithMoves).as("n_sweeps"), $"modularity")
   }
 
   /** Per-supplier customer cap for the clustering projection and the

@@ -66,8 +66,12 @@ object Relational {
     val c = Tables.customer(s, dir).filter($"c_mktsegment" === "BUILDING")
     val o = Tables.orders(s, dir).filter($"o_orderdate" < lit("1998-01-01").cast("timestamp"))
     val l = Tables.lineitem(s, dir).filter($"l_shipdate" > lit("1998-01-01").cast("timestamp"))
-    // customer is a dim — broadcast it; orders⋈lineitem is the real shuffle.
-    o.join(broadcast(c), $"c_custkey" === $"o_custkey")
+    // No forced broadcast of customer: TPC-H customer SCALES with SF
+    // (15B rows at SF100k), so the plan choice is left size-driven —
+    // the static planner/AQE broadcasts it at bench SF where it is
+    // megabytes and shuffle-joins once it outgrows the threshold.
+    // orders⋈lineitem is the real shuffle either way.
+    o.join(c, $"c_custkey" === $"o_custkey")
       .join(l, $"l_orderkey" === $"o_orderkey")
       .groupBy($"l_orderkey", $"o_orderdate", $"o_orderpriority")
       .agg(P.dsum($"l_extendedprice" * (lit(1) - $"l_discount"), 4).as("revenue"))
@@ -101,12 +105,17 @@ object Relational {
         $"o_orderdate" < lit("1999-01-01").cast("timestamp"))
     val l = Tables.lineitem(s, dir)
     val sup = Tables.supplier(s, dir)
-    // dims broadcast; the fact-fact join (orders⋈lineitem) shuffles once on
-    // the order key and every later join is against a broadcast side.
-    o.join(broadcast(c.join(broadcast(n.join(broadcast(r), $"n_regionkey" === $"r_regionkey")),
-        $"c_nationkey" === $"n_nationkey")), $"o_custkey" === $"c_custkey")
+    // Only the genuinely constant-cardinality dims (region ≤ 5 rows,
+    // nation ≤ 25) are force-broadcast. customer and supplier SCALE
+    // with SF, so their joins are left size-driven: AQE broadcasts the
+    // region-filtered customer side and supplier at bench SF (both are
+    // megabytes) and falls back to shuffle joins once they outgrow the
+    // threshold — the 100 TB plan. The fact-fact join (orders⋈lineitem)
+    // shuffles once on the order key either way.
+    o.join(c.join(broadcast(n.join(broadcast(r), $"n_regionkey" === $"r_regionkey")),
+        $"c_nationkey" === $"n_nationkey"), $"o_custkey" === $"c_custkey")
       .join(l, $"l_orderkey" === $"o_orderkey")
-      .join(broadcast(sup), $"l_suppkey" === $"s_suppkey" && $"s_nationkey" === $"c_nationkey")
+      .join(sup, $"l_suppkey" === $"s_suppkey" && $"s_nationkey" === $"c_nationkey")
       .groupBy($"n_name")
       .agg(P.dsum($"l_extendedprice" * (lit(1) - $"l_discount"), 4).as("revenue"))
       .orderBy($"revenue".desc, $"n_name")

@@ -206,8 +206,15 @@ object TextAnalysis {
     * with. The idf factor is the UNLOGGED ratio (N+1)/(df+1) scaled to an
     * integer score `tf·(N+1)·10^6 div (df+1)`: integer-exact, so ranking
     * and hashes are engine-portable with no float-log edge cases.
-    * Scale shape: explode → two partial aggregations (tf, df) → one
-    * broadcast-sized df join (vocab ≪ corpus) → per-doc top-k window.
+    * Scale shape: explode → two partial aggregations (tf, df) → a
+    * SHUFFLED term-keyed df join → per-doc top-k window. The df
+    * (vocabulary) relation grows ~√corpus and then linearly with
+    * typo/id tokens at web scale, so it is never broadcast: both sides
+    * hash-partition on `term` (tf's exchange is shared with the df
+    * aggregation's via ReuseExchange), and the shuffled-hash hint
+    * builds the smaller df side with no sort. AQE may still downgrade
+    * to a runtime broadcast at bench SF — a size-driven choice, not a
+    * hard-coded one.
     */
   val keyterms = QueryDef(
     "tx_keyterms",
@@ -239,7 +246,7 @@ object TextAnalysis {
     // count() job at plan-build time
     val nd = Tables.documents(s, dir).agg(P.cnt.as("n"))
     val w = Window.partitionBy($"doc_id").orderBy($"score".desc, $"term")
-    tf.join(broadcast(df), "term")
+    tf.join(df.hint("shuffle_hash"), "term")
       .crossJoin(broadcast(nd))
       .select($"doc_id", $"term",
         expr("(tf * (n + 1) * 1000000) div (df + 1)").as("score"))

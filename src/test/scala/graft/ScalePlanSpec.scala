@@ -1,0 +1,123 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Plan-shape guards for the 100 TB broadcast discipline (r9 verdict
+  * item 1): no query may hard-code a broadcast of a DATA-SCALING
+  * relation (per-user, per-node, per-term, customer/supplier). With
+  * `spark.graft.stateBroadcast=false` (the non-broadcast knob) and the
+  * auto-broadcast threshold disabled, the static physical plan of each
+  * previously-flagged query must contain broadcast exchanges ONLY for
+  * relations whose cardinality is constant in the data size (1-row
+  * scalar aggregates, per-cohort-week / per-nation rows). The counts
+  * below enumerate exactly those allowed broadcasts per query.
+  *
+  * The static `sparkPlan` (pre-AQE) is asserted deliberately: AQE may
+  * still DOWNGRADE a shuffle join to a runtime broadcast when the
+  * measured size is small — that is the size-driven behavior we want,
+  * not a hard-coded plan — so the guard checks what the planner commits
+  * to before runtime sizes are known.
+  */
+class ScalePlanSpec extends GraftSuite {
+
+  private def nBroadcasts(df: DataFrame): Int =
+    df.queryExecution.sparkPlan.collect { case b: BroadcastExchangeExec => b }.size
+
+  /** Run `body` with the state-broadcast knob off and auto-broadcast
+    * disabled, restoring both afterwards (suites run sequentially in
+    * the forked test JVM, so the shared-session mutation is safe).
+    */
+  private def withKnobOff[T](body: => T): T = {
+    val prevThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.graft.stateBroadcast", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try body
+    finally {
+      spark.conf.set("spark.graft.stateBroadcast", "true")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
+    }
+  }
+
+  test("knob off: no scaling-side BroadcastExchange in the r9-flagged queries") {
+    withKnobOff {
+      // allowed broadcasts are all constant-size: 1-row total-weight /
+      // corpus-count aggregates, the per-cohort-week base, nation⋈region
+      val allowed = Map(
+        "gr_modularity" -> 1, // tw (1 row)
+        "gr_louvain" -> 1, // w2 (1 row; sweeps are pre-executed actions)
+        "an_retention" -> 1, // base (one row per cohort WEEK)
+        "tx_keyterms" -> 1, // nd (1 row)
+        "q3_top_orders" -> 0,
+        "q5_region_revenue" -> 2 // region, nation⋈region (≤ 25 rows)
+      )
+      allowed.foreach { case (name, maxB) =>
+        val df = run(name)
+        val n = nBroadcasts(df)
+        assert(n <= maxB,
+          s"$name: $n BroadcastExchange nodes in the static plan, expected ≤ $maxB " +
+            "— a data-scaling relation is being broadcast unconditionally")
+      }
+    }
+  }
+
+  test("knob off: gr_modularity matches the broadcast-path result") {
+    val on = run("gr_modularity").collect()
+    val off = withKnobOff { run("gr_modularity").collect() }
+    assert(on.toSeq === off.toSeq, "shuffled-hash state path diverged from broadcast path")
+  }
+
+  test("knob off: gr_louvain matches the broadcast-path result") {
+    val on = run("gr_louvain").collect()
+    val off = withKnobOff { run("gr_louvain").collect() }
+    assert(on.toSeq === off.toSeq, "shuffled-hash sweep path diverged from broadcast path")
+  }
+
+  test("etl_pack_sequences: two-level prefix sum matches a flat window on a skewed corpus") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("packspec").toFile.getAbsolutePath
+    // one dominant source (95% of docs) — the shape that killed the r9
+    // single-window plan — plus a few minor shards, word counts varied
+    // so windows fill at different rates and crossings occur
+    val docs = (0 until 3000).map { i =>
+      val src = if (i % 20 == 0) s"minor${i % 5}" else "dominant"
+      val text = Seq.tabulate(1 + i % 13)(j => s"w$j").mkString(" ")
+      (i.toLong, text, "en", src, text.length.toLong)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+
+    val got = operators.Etl.packSequences.run(spark, tmp)
+
+    // reference: the same packing computed with ONE flat window per
+    // source (correct but unscalable) — results must be identical
+    val flat = Window.partitionBy($"source").orderBy($"doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val L = operators.Etl.PackSeqLen
+    val expected = spark.read.parquet(s"$tmp/documents.parquet")
+      .select($"doc_id", $"source", size(split($"text", " ")).cast("long").as("wc"))
+      .withColumn("off", coalesce(sum($"wc").over(flat), lit(0L)))
+      .select($"source", expr(s"off div $L").as("seq_id"), $"wc",
+        (expr(s"(off + wc - 1) div $L") > expr(s"off div $L")).as("crossing"))
+      .groupBy($"source", $"seq_id")
+      .agg(count(lit(1)).as("n_docs"), sum($"wc").as("n_tokens"),
+        sum(when($"crossing", 1L).otherwise(0L)).as("n_crossing"))
+      .orderBy($"source", $"seq_id")
+    assert(got.collect().toSeq === expected.collect().toSeq)
+    // sanity: the packing actually produced multi-window sources and
+    // boundary-crossing docs on this corpus
+    assert(got.filter($"seq_id" > 0).count() > 0)
+    assert(got.agg(sum($"n_crossing")).head.getLong(0) > 0)
+
+    // plan shape: both prefix levels present — the wide window runs per
+    // (source, bkt) bucket, never one task per source
+    val plan = planOf(got)
+    val windowSpecs = "windowspecdefinition\\(([^)]*)\\)".r
+      .findAllMatchIn(plan).map(_.group(1)).toList
+    assert(windowSpecs.exists(_.contains("bkt")),
+      s"level-1 window is not bucketed:\n$plan")
+    assert(windowSpecs.nonEmpty && windowSpecs.size >= 2,
+      s"expected two window levels, got $windowSpecs")
+  }
+}
