@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{CosineSimilarity, CountTokensIn, HammingBits, LexiconScore, ShingleJoin, SimHashSig}
+import graft.functions.{CosineSimilarity, CountTokensIn, HammingBits, LexiconScore, MinMd5, ShingleJoin, SimHashSig}
 
 /** Registers graft's native expressions as SQL functions so both the
   * Column API and `spark.sql("... graft_cosine(a,b) ...")` can use them.
@@ -35,5 +35,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_count_in"),
       new ExpressionInfo(classOf[CountTokensIn].getName, "graft_count_in"),
       (children: Seq[Expression]) => CountTokensIn(children(0), children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_min_md5"),
+      new ExpressionInfo(classOf[MinMd5].getName, "graft_min_md5"),
+      (children: Seq[Expression]) => MinMd5(children(0))))
   }
 }

@@ -46,7 +46,14 @@ object MatStore {
     else {
       val built = build
       val prev = cache.putIfAbsent(k, built)
-      if (prev != null) prev else built
+      if (prev != null) {
+        // losing thread: discard the unused build. Memo-path builds
+        // (iterRelation) persist() during plan CONSTRUCTION, so the
+        // loser has already registered a CacheManager entry that would
+        // otherwise leak until the next clearCache.
+        try built.unpersist(blocking = false) catch { case _: Throwable => () }
+        prev
+      } else built
     }
   }
 

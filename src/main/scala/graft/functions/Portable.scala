@@ -8,25 +8,39 @@ import org.apache.spark.sql.types.DecimalType
   *
   * Floating-point SUM/AVG over a shuffled dataset is order-dependent, so a
   * double aggregate can differ in the last ulp between engines (and between
-  * runs). We route money-style aggregates through an exact decimal cast:
-  * each row is rounded once (deterministically — scale boundaries like .005
-  * are not representable in binary, so both engines round identically), the
-  * sum is exact integer arithmetic, and the final cast back to double is a
-  * single deterministic conversion. This also scales: decimal sums use
-  * partial aggregation exactly like double sums.
+  * runs). We route money-style aggregates through an exact fixed-point
+  * path: each row is scaled and floor-rounded once (`floor(x·10^s + 0.5)`
+  * — the same IEEE multiply/add/floor on both engines, so identical
+  * longs), the sum is exact integer arithmetic, and the final divide back
+  * to double is a single correctly-rounded conversion. This also scales:
+  * the integer sums use partial aggregation exactly like double sums.
+  *
+  * The per-row rounding is deliberately LONG arithmetic, not a
+  * double→decimal cast: `CAST(double AS DECIMAL)` allocates a BigDecimal
+  * per row (Decimal.fromDouble → BigDecimal.valueOf().setScale), which
+  * measured 3.4x slower end-to-end on q1's 8-aggregate pass (1.02s vs
+  * 0.30s at sf0.1 under noop forcing). The row value ×10^s must fit a
+  * long (≤ 9.2e18 — prices at scale 6 are ~1e11, centralities at scale
+  * 12 are ~1e12; all fine); the SUM then runs as decimal(38,0) so the
+  * accumulator never overflows at 100 TB row counts (DuckDB's
+  * SUM(BIGINT) is already HUGEINT).
   *
   * Each Spark helper has a [[PortableSql]] twin that emits the equivalent
   * DuckDB SQL text, used when building `SparkEntry.oracleSql`.
   */
 object Portable {
 
-  /** Exact sum of a double expression via decimal(18,scale), as double. */
-  def dsum(c: Column, scale: Int = 2): Column =
-    sum(c.cast(DecimalType(18, scale))).cast("double")
+  /** Exact sum of a double expression via scaled-long rounding and a
+    * decimal(38,0) accumulator, as double.
+    */
+  def dsum(c: Column, scale: Int = 2): Column = {
+    val f = math.pow(10, scale)
+    sum(floor(c * f + lit(0.5)).cast(DecimalType(38, 0))).cast("double") / f
+  }
 
-  /** Exact mean of a double expression via decimal sum / count, as double. */
+  /** Exact mean of a double expression: [[dsum]] / count. */
   def davg(c: Column, scale: Int = 2): Column =
-    sum(c.cast(DecimalType(18, scale))).cast("double") / count(lit(1))
+    dsum(c, scale) / count(lit(1))
 
   /** count(*) as long (DuckDB COUNT is BIGINT already). */
   def cnt: Column = count(lit(1))
@@ -59,10 +73,10 @@ object Portable {
 /** DuckDB SQL text twins of [[Portable]]. */
 object PortableSql {
   def dsum(e: String, scale: Int = 2): String =
-    s"CAST(SUM(CAST(($e) AS DECIMAL(18,$scale))) AS DOUBLE)"
+    s"(CAST(SUM(CAST(floor(($e) * 1e$scale + 0.5) AS BIGINT)) AS DOUBLE) / 1e$scale)"
 
   def davg(e: String, scale: Int = 2): String =
-    s"(CAST(SUM(CAST(($e) AS DECIMAL(18,$scale))) AS DOUBLE) / COUNT(*))"
+    s"(${dsum(e, scale)} / COUNT(*))"
 
   /** DuckDB twin of [[Portable.prnd]]. */
   def prnd(e: String, digits: Int): String =

@@ -240,11 +240,13 @@ object Similarity {
     val qc = qv.join(cent, "j")
       .groupBy($"q_id", $"label")
       .agg(sum(($"x" * $"c").cast(DecimalType(18, 12))).cast("double").as("dot"))
-    val wCell = org.apache.spark.sql.expressions.Window.partitionBy($"q_id")
-      .orderBy(P.prnd($"dot" / sqrt($"nq" * $"ny"), 6).desc, $"label")
+    // same aggregate top-k as the trained-quantizer path: no window sort
     val cells = qc.join(qn, "q_id").join(cnorm, "label")
-      .withColumn("rn", row_number().over(wCell)).filter($"rn" <= IvfProbes)
-      .select($"q_id", $"label")
+      .groupBy($"q_id")
+      .agg(slice(array_sort(collect_list(struct(
+        (-P.prnd($"dot" / sqrt($"nq" * $"ny"), 6)).as("nc"),
+        $"label".as("l")))), 1, IvfProbes).as("top"))
+      .select($"q_id", explode($"top.l").as("label"))
     // probed cells only: the corpus streams through ONE broadcast join on
     // (label) — non-probed cells fall out before any cosine is computed
     val w = Window.partitionBy($"q_id").orderBy(P.prnd($"cos", 6).desc, $"vec_id")
@@ -387,18 +389,23 @@ object Similarity {
     graft.MatStore.of(s, s"sim_km_af:$dir")(
       kmAssignOver(s, dir, kmCents(s, dir), keepCos = true))
 
-  /** One spherical assignment round: every vector ranked against the K
-    * broadcast centroids by portable-rounded cosine (cell id tiebreak).
+  /** One spherical assignment round: every vector assigned the argmax
+    * of portable-rounded cosine against the K broadcast centroids
+    * (cell id tiebreak). The argmax is a HASH AGGREGATE —
+    * `min(struct(-cos, cell, …))` picks the same row as a row_number
+    * window over (cos DESC, cell) — so the K candidate rows per vector
+    * collapse map-side before the exchange and nothing is sorted; the
+    * oracle keeps the equivalent window formulation.
     */
   private def kmAssignOver(s: SparkSession, dir: String,
       cents: DataFrame, keepCos: Boolean): DataFrame = {
     import s.implicits._
-    val w = Window.partitionBy($"vec_id").orderBy(P.prnd($"cos", 6).desc, $"cell")
-    val ranked = Tables.embeddings(s, dir).crossJoin(broadcast(cents))
+    val best = Tables.embeddings(s, dir).crossJoin(broadcast(cents))
       .select($"vec_id", $"cell", expr("graft_cosine(embedding, c)").as("cos"))
-      .withColumn("rn", row_number().over(w)).filter($"rn" === 1)
-    if (keepCos) ranked.select($"vec_id", $"cell", $"cos")
-    else ranked.select($"vec_id", $"cell")
+      .groupBy($"vec_id")
+      .agg(min(struct((-P.prnd($"cos", 6)).as("nc"), $"cell".as("l"), $"cos".as("cs"))).as("m"))
+    if (keepCos) best.select($"vec_id", $"m.l".as("cell"), $"m.cs".as("cos"))
+    else best.select($"vec_id", $"m.l".as("cell"))
   }
 
   /** [[KmIters]] Lloyd rounds from the deterministic seed; returns the
@@ -454,12 +461,17 @@ object Similarity {
   private def kmProbeRanked(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val emb = Tables.embeddings(s, dir)
+    // top-IvfProbes cells per query as a hash aggregate: collect the K
+    // candidate structs, sort the K-element array, slice — map-side
+    // partials, no window shuffle-sort (same total order as the
+    // oracle's row_number over (cos DESC, cell))
     val qcells = emb.filter($"vec_id" < NumQueries)
       .crossJoin(broadcast(kmCents(s, dir)))
       .select($"vec_id".as("q_id"), $"cell", expr("graft_cosine(embedding, c)").as("cos"))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy($"q_id").orderBy(P.prnd($"cos", 6).desc, $"cell")))
-      .filter($"rn" <= IvfProbes).select($"q_id", $"cell")
+      .groupBy($"q_id")
+      .agg(slice(array_sort(collect_list(struct((-P.prnd($"cos", 6)).as("nc"),
+        $"cell".as("l")))), 1, IvfProbes).as("top"))
+      .select($"q_id", explode($"top.l").as("cell"))
     val w = Window.partitionBy($"q_id").orderBy(P.prnd($"cos", 6).desc, $"vec_id")
     // probed cells only: members stream through one broadcast join
     kmAssign(s, dir).select($"vec_id", $"cell")

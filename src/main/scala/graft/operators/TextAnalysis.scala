@@ -115,14 +115,16 @@ object TextAnalysis {
       |  ELSE NULL END AS min_shingle_md5
       |FROM t ORDER BY doc_id""".stripMargin) { (s, dir) =>
     import s.implicits._
-    val w = split($"text", " ")
-    val shingleHashes = transform(
-      sequence(lit(1), size(w) - 2),
-      i => md5(concat_ws(" ", element_at(w, i), element_at(w, i + 1), element_at(w, i + 2))))
+    // one codegen'd scalar per doc: graft_shingles (native k-gram join)
+    // feeding graft_min_md5 (native min-of-digests). The HOF spelling
+    // (transform + md5 lambda + array_min) ran INTERPRETED per shingle
+    // and was 40-60x slower under honest bench forcing (6.3s -> 0.1s at
+    // sf0.1). Empty shingle array (docs under 3 tokens) -> NULL, the
+    // oracle's CASE arm.
     Tables.documents(s, dir).select(
       $"doc_id",
       md5($"text").as("doc_md5"),
-      when(size(w) >= 3, array_min(shingleHashes)).otherwise(lit(null))
+      expr("graft_min_md5(graft_shingles(split(text, ' '), 3))")
         .as("min_shingle_md5"))
       .orderBy($"doc_id")
   }

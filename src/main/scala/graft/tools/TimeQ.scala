@@ -12,7 +12,9 @@ object TimeQ {
       val times = (1 to 2).map { _ =>
         spark.catalog.clearCache()
         val t0 = System.nanoTime()
-        fn(spark, sfDir).count()
+        // same honest forcing as Bench: noop write materializes every
+        // output column (count() lets Catalyst prune the projections)
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         (System.nanoTime() - t0) / 1e9
       }
       println(f"TIMEQ $name%-24s cold=${times(0)}%7.2f warm=${times(1)}%7.2f")
