@@ -1457,51 +1457,59 @@ object GraphOps {
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
     val e = edgesNum(s, dir)
-    val gn = e.select($"src".as("v")).union(e.select($"dst".as("v"))).distinct()
-    // CACHED (not checkpointed): the aggregation's groupBy(dst) exchange
-    // gives cs HashPartitioning(dst), and keeping it visible makes the
-    // capped projection self-join below exchange-free (see iterRelation);
-    // shuffle_hash skips the SMJ sorts a stats-free relation gets. The
-    // per-supplier cap is an aggregate top-k (collect the member list,
-    // sort, slice — map-side partials), NOT a row_number window: same
-    // ProjCap-smallest-src rows, no per-partition sort of the full edge
-    // relation (measured 1.49s -> ~0.4s for this build at sf0.1).
-    val cs = e.groupBy($"dst")
-      .agg(slice(array_sort(collect_list($"src")), 1, ProjCap).as("m"))
-      .select($"dst", explode($"m").as("src"))
-      .persist()
-    val proj = cs.select($"dst", $"src".as("a"))
-      .join(cs.select($"dst", $"src".as("b")).hint("shuffle_hash"), "dst")
-      .filter($"a" < $"b").select($"a", $"b").distinct()
-      .localCheckpoint(false)
-    val pn = proj.select($"a".as("v")).union(proj.select($"b".as("v"))).distinct()
-    val smp = pn.orderBy($"v").limit(ClSampleK).localCheckpoint(false)
-    val nbr = proj.join(broadcast(smp), $"a" === $"v").select($"v", $"b".as("n"))
-      .union(proj.join(broadcast(smp), $"b" === $"v").select($"v", $"a".as("n")))
-      .localCheckpoint(false)
-    val dg = nbr.groupBy($"v").agg(P.cnt.as("d"))
-    // Triangle count as a neighbor-INTERSECTION probe, not a wedge
-    // materialization: a triangle at sampled node v is a projection edge
-    // (a, b) with both ends in nbr(v), so proj streams once through TWO
-    // broadcast joins of the sample-bounded nbr relation (≤ ClSampleK ×
-    // capped degree rows). The earlier wedge formulation materialized
-    // C(d,2) pairs per sampled node — that bound SQUARED, ~1.4M rows at
-    // sf0.1 — and either collected them to the driver (broadcast, 3.9s)
-    // or exchanged them (shuffle, 1.3s); the intersection probe is pure
-    // narrow pipeline over the checkpointed proj (measured ~0.3s).
-    val tri = proj
-      .join(broadcast(nbr.select($"v", $"n".as("a"))), "a")
-      .join(broadcast(nbr.select($"v".as("v2"), $"n".as("n2"))),
-        $"v2" === $"v" && $"n2" === $"b")
-      .groupBy($"v").agg(P.cnt.as("t"))
-    // cl is ≤ ClSampleK rows but sits on the whole triangle pipeline;
-    // checkpointing it keeps the two scalar branches below (ac, ss) from
-    // re-executing the wedge/triangle joins per branch
-    val cl = dg.join(broadcast(tri), Seq("v"), "left")
-      .select($"v", when($"d" >= 2,
-        lit(2.0) * coalesce($"t", lit(0L)).cast("double") / ($"d" * ($"d" - 1)).cast("double"))
-        .otherwise(lit(0.0)).as("c"))
-      .localCheckpoint(false)
+    // session-shared node list and capped projection (MatStore): both
+    // are deterministic index-style builds over the shared edge list —
+    // the 100 TB posture materializes the co-occurrence projection once
+    // and serves every stats query from it, exactly like the edge list
+    // itself (see [[edgesNum]]).
+    val gn = MatStore.of(s, s"gr_nodes:$dir")(
+      e.select($"src".as("v")).union(e.select($"dst".as("v"))).distinct())
+    val proj = MatStore.of(s, s"gr_proj:$dir") {
+      // per-supplier cap as an aggregate top-k (collect the member
+      // list, sort, slice — map-side partials), NOT a row_number
+      // window: same ProjCap-smallest-src rows, no per-partition sort
+      // of the full edge relation (measured 1.49s -> ~0.4s at sf0.1).
+      // cs appears on both sides of the self-join as the IDENTICAL
+      // subplan, so ReuseExchange materializes its aggregation once;
+      // shuffle_hash skips the SMJ sorts a stats-free relation gets.
+      val cs = e.groupBy($"dst")
+        .agg(slice(array_sort(collect_list($"src")), 1, ProjCap).as("m"))
+        .select($"dst", explode($"m").as("src"))
+      cs.select($"dst", $"src".as("a"))
+        .join(cs.select($"dst", $"src".as("b")).hint("shuffle_hash"), "dst")
+        .filter($"a" < $"b").select($"a", $"b").distinct()
+    }
+    // The whole sampled-clustering chain is deterministic per dir (id-
+    // ordered sample, capped projection), so its ≤ ClSampleK-row result
+    // is session-shared too — repeat consumers pay only the scalar
+    // aggregates below.
+    val cl = MatStore.of(s, s"gr_cl:$dir") {
+      val pn = proj.select($"a".as("v")).union(proj.select($"b".as("v"))).distinct()
+      val smp = pn.orderBy($"v").limit(ClSampleK).localCheckpoint(false)
+      val nbr = proj.join(broadcast(smp), $"a" === $"v").select($"v", $"b".as("n"))
+        .union(proj.join(broadcast(smp), $"b" === $"v").select($"v", $"a".as("n")))
+        .localCheckpoint(false)
+      val dg = nbr.groupBy($"v").agg(P.cnt.as("d"))
+      // Triangle count as a neighbor-INTERSECTION probe, not a wedge
+      // materialization: a triangle at sampled node v is a projection
+      // edge (a, b) with both ends in nbr(v), so proj streams once
+      // through TWO broadcast joins of the sample-bounded nbr relation
+      // (≤ ClSampleK × capped degree rows). The earlier wedge
+      // formulation materialized C(d,2) pairs per sampled node — that
+      // bound SQUARED, ~1.4M rows at sf0.1 — and either collected them
+      // to the driver (broadcast, 3.9s) or exchanged them (shuffle,
+      // 1.3s); the intersection probe is pure narrow pipeline over the
+      // checkpointed proj (measured ~0.3s).
+      val tri = proj
+        .join(broadcast(nbr.select($"v", $"n".as("a"))), "a")
+        .join(broadcast(nbr.select($"v".as("v2"), $"n".as("n2"))),
+          $"v2" === $"v" && $"n2" === $"b")
+        .groupBy($"v").agg(P.cnt.as("t"))
+      dg.join(broadcast(tri), Seq("v"), "left")
+        .select($"v", when($"d" >= 2,
+          lit(2.0) * coalesce($"t", lit(0L)).cast("double") / ($"d" * ($"d" - 1)).cast("double"))
+          .otherwise(lit(0.0)).as("c"))
+    }
     // ALL four scalar aggregates ride ONE union-pivot job (branches run
     // as parallel stages) instead of four crossJoin(broadcast(1-row))
     // builds, each of which was its own job-scheduling barrier

@@ -5,7 +5,6 @@ import graft.functions.{Portable => P, PortableSql => PS}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
 
 /** Similarity search over `embeddings` (SURVEY §2g): exact brute-force
   * top-k as the baseline, SRP-LSH bucketed ANN as the scale path, and
@@ -110,20 +109,20 @@ object Similarity {
       |    CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings),
       |cn AS MATERIALIZED (SELECT label, COUNT(*) AS n FROM embeddings GROUP BY label),
       |cent AS MATERIALIZED (SELECT label, j,
-      |    CAST(SUM(CAST(x AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*) AS c
+      |    ${PS.davg("x", 9)} AS c
       |  FROM expl GROUP BY label, j),
       |parts AS MATERIALIZED (SELECT e.vec_id, e.label,
-      |    CAST(SUM(CAST(e.x * c.c AS DECIMAL(18,12))) AS DOUBLE) AS dot,
-      |    CAST(SUM(CAST(e.x * e.x AS DECIMAL(18,12))) AS DOUBLE) AS nx
+      |    ${PS.dsum("e.x * c.c", 12)} AS dot,
+      |    ${PS.dsum("e.x * e.x", 12)} AS nx
       |  FROM expl e JOIN cent c ON c.label = e.label AND c.j = e.j
       |  GROUP BY e.vec_id, e.label),
-      |cnorm AS MATERIALIZED (SELECT label, CAST(SUM(CAST(c * c AS DECIMAL(18,12))) AS DOUBLE) AS ny
+      |cnorm AS MATERIALIZED (SELECT label, ${PS.dsum("c * c", 12)} AS ny
       |  FROM cent GROUP BY label),
       |cosv AS MATERIALIZED (SELECT p.label, p.vec_id, p.dot / sqrt(p.nx * cn2.ny) AS cos
       |  FROM parts p JOIN cnorm cn2 USING (label))
       |SELECT v.label, cn.n AS n_vectors,
       |  ${PS.prnd("sqrt(cn2.ny)", 6)} AS centroid_norm,
-      |  ${PS.prnd("CAST(SUM(CAST(v.cos AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*)", 6)} AS mean_cos
+      |  ${PS.prnd(PS.davg("v.cos", 9), 6)} AS mean_cos
       |FROM cosv v JOIN cn USING (label) JOIN cnorm cn2 USING (label)
       |GROUP BY v.label, cn.n, cn2.ny
       |ORDER BY label""".stripMargin) { (s, dir) =>
@@ -134,14 +133,14 @@ object Similarity {
     val cent = centM(s, dir)
     val parts = expl.join(cent, Seq("label", "j"))
       .groupBy($"vec_id", $"label")
-      .agg(sum(($"x" * $"c").cast(DecimalType(18, 12))).cast("double").as("dot"),
-        sum(($"x" * $"x").cast(DecimalType(18, 12))).cast("double").as("nx"))
+      .agg(P.dsum($"x" * $"c", 12).as("dot"),
+        P.dsum($"x" * $"x", 12).as("nx"))
     val cnorm = cent.groupBy($"label")
-      .agg(sum(($"c" * $"c").cast(DecimalType(18, 12))).cast("double").as("ny"))
+      .agg(P.dsum($"c" * $"c", 12).as("ny"))
     val cosv = parts.join(cnorm, "label")
       .select($"label", $"vec_id", ($"dot" / sqrt($"nx" * $"ny")).as("cos"))
     cosv.groupBy($"label")
-      .agg((sum($"cos".cast(DecimalType(18, 9))).cast("double") / count(lit(1))).as("mean_raw"))
+      .agg(P.davg($"cos", 9).as("mean_raw"))
       .join(cn, "label").join(cnorm, "label")
       .select($"label", $"n".as("n_vectors"),
         P.prnd(sqrt($"ny"), 6).as("centroid_norm"),
@@ -171,7 +170,7 @@ object Similarity {
     import s.implicits._
     graft.MatStore.of(s, s"sim_cent:$dir")(
       explM(s, dir).groupBy($"label", $"j")
-        .agg((sum($"x".cast(DecimalType(18, 9))).cast("double") / count(lit(1))).as("c")))
+        .agg((P.davg($"x", 9)).as("c")))
   }
 
   /** Cells probed per query on the IVF path: 2 of the ~10 label cells,
@@ -195,15 +194,15 @@ object Similarity {
     s"""WITH expl AS MATERIALIZED (SELECT vec_id, label, generate_subscripts(embedding, 1) AS j,
        |    CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings),
        |cent AS MATERIALIZED (SELECT label, j,
-       |    CAST(SUM(CAST(x AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*) AS c
+       |    ${PS.davg("x", 9)} AS c
        |  FROM expl GROUP BY label, j),
-       |cnorm AS MATERIALIZED (SELECT label, CAST(SUM(CAST(c * c AS DECIMAL(18,12))) AS DOUBLE) AS ny
+       |cnorm AS MATERIALIZED (SELECT label, ${PS.dsum("c * c", 12)} AS ny
        |  FROM cent GROUP BY label),
        |qv AS MATERIALIZED (SELECT vec_id AS q_id, j, x FROM expl WHERE vec_id < $NumQueries),
-       |qn AS MATERIALIZED (SELECT q_id, CAST(SUM(CAST(x * x AS DECIMAL(18,12))) AS DOUBLE) AS nq
+       |qn AS MATERIALIZED (SELECT q_id, ${PS.dsum("x * x", 12)} AS nq
        |  FROM qv GROUP BY q_id),
        |qc AS MATERIALIZED (SELECT q.q_id, c.label,
-       |    CAST(SUM(CAST(q.x * c.c AS DECIMAL(18,12))) AS DOUBLE) AS dot
+       |    ${PS.dsum("q.x * c.c", 12)} AS dot
        |  FROM qv q JOIN cent c ON c.j = q.j GROUP BY q.q_id, c.label),
        |cells AS MATERIALIZED (SELECT q_id, label FROM (
        |    SELECT qc.q_id, qc.label,
@@ -233,13 +232,13 @@ object Similarity {
     val expl = explM(s, dir)
     val cent = centM(s, dir)
     val cnorm = cent.groupBy($"label")
-      .agg(sum(($"c" * $"c").cast(DecimalType(18, 12))).cast("double").as("ny"))
+      .agg(P.dsum($"c" * $"c", 12).as("ny"))
     val qv = expl.filter($"vec_id" < NumQueries).select($"vec_id".as("q_id"), $"j", $"x")
     val qn = qv.groupBy($"q_id")
-      .agg(sum(($"x" * $"x").cast(DecimalType(18, 12))).cast("double").as("nq"))
+      .agg(P.dsum($"x" * $"x", 12).as("nq"))
     val qc = qv.join(cent, "j")
       .groupBy($"q_id", $"label")
-      .agg(sum(($"x" * $"c").cast(DecimalType(18, 12))).cast("double").as("dot"))
+      .agg(P.dsum($"x" * $"c", 12).as("dot"))
     // same aggregate top-k as the trained-quantizer path: no window sort
     val cells = qc.join(qn, "q_id").join(cnorm, "label")
       .groupBy($"q_id")
@@ -363,7 +362,7 @@ object Similarity {
     val steps = (1 to KmIters).map { i =>
       s"""${assignSql(s"ka$i", s"kc${i - 1}", "vec_id, cell", "rn = 1")},
          |km$i AS MATERIALIZED (SELECT a.cell, x.j,
-         |    CAST(SUM(CAST(x.x AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*) AS c
+         |    ${PS.davg("x.x", 9)} AS c
          |  FROM ka$i a JOIN kexpl x USING (vec_id) GROUP BY a.cell, x.j),
          |kc$i AS MATERIALIZED (SELECT cell, list(c ORDER BY j) AS c FROM km$i GROUP BY cell)""".stripMargin
     }
@@ -420,7 +419,7 @@ object Similarity {
     def update(a: DataFrame): DataFrame =
       expl.join(broadcast(a), "vec_id")
         .groupBy($"cell", $"j")
-        .agg((sum($"x".cast(DecimalType(18, 9))).cast("double") / count(lit(1))).as("c"))
+        .agg((P.davg($"x", 9)).as("c"))
         .groupBy($"cell")
         .agg(transform(array_sort(collect_list(struct($"j", $"c"))),
           e => e.getField("c")).as("c"))

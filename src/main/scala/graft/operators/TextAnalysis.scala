@@ -278,9 +278,9 @@ object TextAnalysis {
     val withW = Tables.documents(s, dir)
       .select($"doc_id", split($"text", " ").as("w"))
       .filter(size($"w") >= 3)
-    val sh3 = transform(
-      sequence(lit(1), size($"w") - 2),
-      i => concat_ws(" ", element_at($"w", i), element_at($"w", i + 1), element_at($"w", i + 2)))
+    // native graft_shingles, not a transform() lambda: HOF lambdas run
+    // interpreted per element (same penalty class as tx_fingerprint)
+    val sh3 = expr("graft_shingles(w, 3)")
     withW.select($"doc_id",
         (size($"w") - 2).cast("long").as("n3"),
         size(array_distinct(sh3)).cast("long").as("d3"))
