@@ -130,6 +130,51 @@ class FunctionsSpec extends GraftSuite {
     }
   }
 
+  for (mode <- Seq("CODEGEN_ONLY", "NO_CODEGEN")) {
+    test(s"graft_min_md5 matches the transform+array_min formulation [$mode]") {
+      underMode(mode) {
+        import spark.implicits._
+        val toks = split($"text", " ")
+        val sh = call_function("graft_shingles", toks, lit(3))
+        val legacy = array_min(transform(sh, x => md5(x)))
+        val rows = docs.filter(size(toks) >= 3).select($"doc_id",
+          call_function("graft_min_md5", sh).as("native"),
+          legacy.as("hof")).collect()
+        assert(rows.nonEmpty)
+        rows.foreach { r =>
+          assert(r.getString(1) == r.getString(2), s"doc ${r.getLong(0)}")
+        }
+      }
+    }
+  }
+
+  test("graft_min_md5 edge cases: empty array, null elements, null array") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Some(Seq.empty[String])),     // empty → NULL (the < k-token doc)
+      (2L, Some(Seq("a", null, "b"))),   // null elements skipped
+      (3L, None: Option[Seq[String]])    // null array → NULL
+    ).toDF("id", "toks")
+    val out = df.select($"id", call_function("graft_min_md5", $"toks").as("m"))
+      .collect().map(r => (r.getLong(0), r)).toMap
+    assert(out(1L).isNullAt(1))
+    val expect2 = Seq("a", "b")
+      .map(s => org.apache.commons.codec.digest.DigestUtils.md5Hex(s)).min
+    assert(out(2L).getString(1) == expect2)
+    assert(out(3L).isNullAt(1))
+  }
+
+  test("graft_shingles rejects k < 1 at analysis time") {
+    import spark.implicits._
+    val df = Seq(Tuple1(Seq("a", "b", "c"))).toDF("toks")
+    for (k <- Seq(0, -1)) {
+      val e = intercept[Exception] {
+        df.select(call_function("graft_shingles", $"toks", lit(k))).collect()
+      }
+      assert(e.getMessage.contains("k >= 1"), s"k=$k: ${e.getMessage}")
+    }
+  }
+
   test("graft_shingles edge cases: short arrays, null tokens, null array") {
     import spark.implicits._
     val df = Seq(
