@@ -75,4 +75,22 @@ object MatStore {
       df.persist()
     df
   }
+
+  /** Drop every stored relation for `s`, unpersisting as it goes — the
+    * bench's cold mode (SPARK_GRAFT_BENCH_COLD) calls this between
+    * queries so each query pays its own one-time builds, giving an
+    * apples-to-apples number against an oracle that re-executes those
+    * builds every sample. Checkpoint blocks are freed by the
+    * ContextCleaner once the released plans are GC'd.
+    */
+  def clear(s: SparkSession): Unit = {
+    val it = cache.keySet.iterator()
+    while (it.hasNext) {
+      val k = it.next()
+      if (k._1 eq s) {
+        try cache.get(k).unpersist(blocking = false) catch { case _: Throwable => () }
+        it.remove()
+      }
+    }
+  }
 }

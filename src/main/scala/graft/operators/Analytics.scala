@@ -169,7 +169,7 @@ object Analytics {
        |  ${PS.dsum("value")} AS total_value,
        |  ${PS.davg("value")} AS avg_value,
        |  CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_active_days
-       |FROM ev GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, dir) =>
+       |FROM ev GROUP BY user_id""".stripMargin) { (s, dir) =>
     import s.implicits._
     Tables.events(s, dir)
       .groupBy($"user_id")
@@ -180,7 +180,6 @@ object Analytics {
         P.dsum($"value").as("total_value"),
         P.davg($"value").as("avg_value"),
         countDistinct($"ts".cast("date")).as("n_active_days"))
-      .orderBy($"user_id")
   }
 
   /** 7-day rolling active users per day (the dashboard's DAU/WAU panel).

@@ -60,8 +60,7 @@ object Dedup {
     """WITH w AS MATERIALIZED (SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,
       |    COUNT(*) AS n_copies FROM documents GROUP BY 1)
       |SELECT d.doc_id, w.content_hash, w.n_copies, d.source, d.lang
-      |FROM w JOIN documents d ON d.doc_id = w.keep_id
-      |ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
+      |FROM w JOIN documents d ON d.doc_id = w.keep_id""".stripMargin) { (s, dir) =>
     import s.implicits._
     val w = Tables.documents(s, dir)
       .groupBy(md5($"text").as("content_hash"))
@@ -70,7 +69,6 @@ object Dedup {
     val k = Tables.documents(s, dir)
     w.join(k, w("keep_id") === k("doc_id"))
       .select(k("doc_id"), $"content_hash", $"n_copies", k("source"), k("lang"))
-      .orderBy("doc_id")
   }
 
   // ---------------------------------------------------------- minhash LSH

@@ -51,18 +51,28 @@ object Etl {
        |  n_chars + CAST(len(string_split($cleanSql, ' ')) AS BIGINT) AS engagement_score
        |FROM documents""".stripMargin
 
-  /** clean_text chain + text_length/word_count/has_text on documents. */
+  /** clean_text chain + text_length/word_count/has_text on documents.
+    *
+    * No final ORDER BY — here or on any full-output enrichment query
+    * (both engine sides, symmetrically): an ETL table at 100 TB is an
+    * unordered relation (the reference's streaming sink appends), the
+    * correctness gate canonicalizes row order itself, and a global sort
+    * in Spark costs a structural second execution of the narrow-map
+    * child (the range partitioner's sampling pass — measured 2x on
+    * etl_parse_json with tools/SortProbe). Order stays only where it IS
+    * the semantics (top-k / ranked panels).
+    */
   val cleanText = QueryDef(
     "etl_clean_text",
-    s"SELECT * FROM ($enrichedSql) t ORDER BY doc_id") { (s, dir) =>
-    enriched(Tables.documents(s, dir)).orderBy("doc_id")
+    enrichedSql) { (s, dir) =>
+    enriched(Tables.documents(s, dir))
   }
 
   /** Streaming-ETL-in-batch-form: enrich then keep only substantial docs. */
   val filterEnrich = QueryDef(
     "etl_filter_enrich",
-    s"SELECT * FROM ($enrichedSql) t WHERE text_length > 20 ORDER BY doc_id") { (s, dir) =>
-    enriched(Tables.documents(s, dir)).filter(col("text_length") > 20).orderBy("doc_id")
+    s"SELECT * FROM ($enrichedSql) t WHERE text_length > 20") { (s, dir) =>
+    enriched(Tables.documents(s, dir)).filter(col("text_length") > 20)
   }
 
   /** First-wins dedup by content hash (ingest unique-index semantics). */
@@ -70,11 +80,10 @@ object Etl {
     "etl_dedup_ingest",
     """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,
       |  COUNT(*) AS n_copies
-      |FROM documents GROUP BY 1 ORDER BY content_hash""".stripMargin) { (s, dir) =>
+      |FROM documents GROUP BY 1""".stripMargin) { (s, dir) =>
     Tables.documents(s, dir)
       .groupBy(md5(col("text")).as("content_hash"))
       .agg(min(col("doc_id")).as("keep_id"), P.cnt.as("n_copies"))
-      .orderBy("content_hash")
   }
 
   /** JSON property extraction from events.props (from_json, not regex). */
@@ -82,13 +91,12 @@ object Etl {
     "etl_parse_json",
     s"""WITH ${PS.evCte}
       |SELECT event_id, CAST(json_extract_string(props, '$$.k') AS BIGINT) AS k,
-      |  value FROM ev ORDER BY event_id""".stripMargin) { (s, dir) =>
+      |  value FROM ev""".stripMargin) { (s, dir) =>
     Tables.events(s, dir)
       .select(col("event_id"),
         from_json(col("props"), StructType(Seq(StructField("k", LongType))))
           .getField("k").as("k"),
         col("value"))
-      .orderBy("event_id")
   }
 
   /** 30-min-gap sessionization of events: one row per session per user. */
@@ -107,8 +115,7 @@ object Etl {
       |SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
       |  min(ts) AS session_start, max(ts) AS session_end,
       |  COUNT(*) AS n_events, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
-      |FROM numbered GROUP BY user_id, session_idx
-      |ORDER BY user_id, session_idx""".stripMargin) { (s, dir) =>
+      |FROM numbered GROUP BY user_id, session_idx""".stripMargin) { (s, dir) =>
     import s.implicits._
     val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
     val marked = Tables.events(s, dir).select($"user_id", $"event_id", $"ts", $"value",
@@ -121,7 +128,6 @@ object Etl {
       .groupBy($"user_id", $"session_idx")
       .agg(min($"ts").as("session_start"), max($"ts").as("session_end"),
         P.cnt.as("n_events"), P.dsum($"value").as("session_value"))
-      .orderBy($"user_id", $"session_idx")
   }
 
   /** Deterministic stratified sampling — the reproducible data-mixing op
@@ -137,14 +143,12 @@ object Etl {
        |    ${PS.hexToLong("md5(CAST(doc_id AS VARCHAR))", 1, 8)} % 100 AS bucket
        |  FROM documents)
        |SELECT doc_id, lang, source, bucket FROM h
-       |WHERE bucket < (CASE WHEN lang = 'en' THEN 20 ELSE 60 END)
-       |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+       |WHERE bucket < (CASE WHEN lang = 'en' THEN 20 ELSE 60 END)""".stripMargin) { (s, dir) =>
     import s.implicits._
     Tables.documents(s, dir)
       .select($"doc_id", $"lang", $"source",
         (P.hexToLong(md5($"doc_id".cast("string")), 1, 8) % 100).as("bucket"))
       .filter($"bucket" < when($"lang" === "en", 20).otherwise(60))
-      .orderBy("doc_id")
   }
 
   /** Corpus-prep gate — the composite keep/drop decision a training-data
@@ -180,7 +184,7 @@ object Etl {
        |  FROM s)
        |SELECT doc_id, wc, ${PS.prnd("q", 6)} AS quality, verdict,
        |  verdict = 'keep' AS keep
-       |FROM v ORDER BY doc_id""".stripMargin) { (s, dir) =>
+       |FROM v""".stripMargin) { (s, dir) =>
     import s.implicits._
     val toks = split($"text", " ")
     val f = Tables.documents(s, dir).select(
@@ -206,7 +210,6 @@ object Etl {
           .otherwise("keep").as("verdict"))
     v.select($"doc_id", $"wc", P.prnd($"q", 6).as("quality"), $"verdict",
         ($"verdict" === "keep").as("keep"))
-      .orderBy("doc_id")
   }
 
   /** Packed-sequence length for [[packSequences]] (tokens per training

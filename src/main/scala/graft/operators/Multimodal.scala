@@ -26,7 +26,7 @@ object Multimodal {
       |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
       |  substr(hex(encode(text)), 1, 2) AS magic_hex,
       |  md5(text) AS checksum
-      |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      |FROM documents""".stripMargin) { (s, dir) =>
     import s.implicits._
     val payload = $"text".cast("binary")
     Tables.documents(s, dir).select(
@@ -35,7 +35,6 @@ object Multimodal {
       length(payload).cast("long").as("n_bytes"),
       substring(hex(payload), 1, 2).as("magic_hex"),
       md5($"text").as("checksum"))
-      .orderBy($"doc_id")
   }
 
   val defs: Seq[QueryDef] = Seq(binaryMeta)

@@ -129,8 +129,7 @@ object Relational {
       |    CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey
       |      ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rnk
       |  FROM orders) t
-      |WHERE rnk <= 3
-      |ORDER BY o_custkey, rnk""".stripMargin) { (s, dir) =>
+      |WHERE rnk <= 3""".stripMargin) { (s, dir) =>
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy($"o_custkey").orderBy($"o_totalprice".desc, $"o_orderkey")
@@ -138,7 +137,6 @@ object Relational {
       .select($"o_custkey", $"o_orderkey", $"o_totalprice",
         row_number().over(w).cast("long").as("rnk"))
       .filter($"rnk" <= 3)
-      .orderBy($"o_custkey", $"rnk")
   }
 
   /** As-of join — for each purchase event, the latest prior (ts ≤) view
@@ -171,7 +169,7 @@ object Relational {
        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
        |SELECT p_id AS event_id, user_id, t AS ts, asof_view_id, asof_view_ts,
        |  epoch_us(t) - epoch_us(asof_view_ts) AS gap_us
-       |FROM m WHERE is_view = 0 ORDER BY event_id""".stripMargin) { (s, dir) =>
+       |FROM m WHERE is_view = 0""".stripMargin) { (s, dir) =>
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
     val ev = Tables.events(s, dir).select($"event_id", $"user_id", $"ts", $"event_type")
@@ -192,7 +190,6 @@ object Relational {
       .select($"p_id".as("event_id"), $"user_id", $"t".as("ts"),
         $"asof_view_id", $"asof_view_ts",
         (unix_micros($"t") - unix_micros($"asof_view_ts")).as("gap_us"))
-      .orderBy("event_id")
   }
 
   /** Multi-level rollup aggregate (returnflag × linestatus). */

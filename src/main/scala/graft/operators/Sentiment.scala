@@ -99,11 +99,10 @@ object Sentiment {
     "sent_lexicon",
     s"""WITH ${labeledSql(TextFns.PosWords, TextFns.NegWords, "lx")}
        |SELECT doc_id, pos_n, neg_n, ${PS.prnd("raw", 6)} AS score, label
-       |FROM lxl ORDER BY doc_id""".stripMargin) { (s, dir) =>
+       |FROM lxl""".stripMargin) { (s, dir) =>
     import s.implicits._
     labeledDf(s, dir, TextFns.PosWords, TextFns.NegWords)
       .select($"doc_id", $"pos_n", $"neg_n", P.prnd($"raw", 6).as("score"), $"label")
-      .orderBy($"doc_id")
   }
 
   /** Label distribution with share of corpus. */
@@ -154,7 +153,7 @@ object Sentiment {
        |  FROM documents)
        |SELECT doc_id, positive_emojis, negative_emojis,
        |  positive_emojis - negative_emojis AS emoji_score
-       |FROM em ORDER BY doc_id""".stripMargin) { (s, dir) =>
+       |FROM em""".stripMargin) { (s, dir) =>
     import s.implicits._
     val toks = split($"text", " ")
     Tables.documents(s, dir).select(
@@ -162,7 +161,6 @@ object Sentiment {
       nIn(toks, TextFns.PosEmoji).as("positive_emojis"),
       nIn(toks, TextFns.NegEmoji).as("negative_emojis"))
       .withColumn("emoji_score", $"positive_emojis" - $"negative_emojis")
-      .orderBy($"doc_id")
   }
 
   val defs: Seq[QueryDef] = Seq(lexicon, distribution, agreement, emoji)

@@ -53,8 +53,7 @@ object StreamingQueries {
        |  b.value AS purchase_value
        |FROM ev a JOIN ev b ON b.user_id = a.user_id
        |  AND a.event_type = 'view' AND b.event_type = 'purchase'
-       |  AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR
-       |ORDER BY view_id, purchase_id""".stripMargin) { (s, dir) =>
+       |  AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR""".stripMargin) { (s, dir) =>
     import s.implicits._
     val ev = Tables.events(s, dir)
     // two pushed-filter scans of events, deliberately: the stream-stream
@@ -65,7 +64,6 @@ object StreamingQueries {
     FunnelStream.funnelJoin(
       ev.filter($"event_type" === "view"),
       ev.filter($"event_type" === "purchase"))
-      .orderBy("view_id", "purchase_id")
   }
 
   val defs: Seq[QueryDef] = Seq(windowAgg, enrichAgg, funnelJoin)

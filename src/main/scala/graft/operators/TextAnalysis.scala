@@ -34,7 +34,7 @@ object TextAnalysis {
          |  FROM scored)
          |SELECT doc_id, cand AS pred_lang, cnt AS marker_hits, lang,
          |  cand = lang AS correct
-         |FROM ranked WHERE rn = 1 ORDER BY doc_id""".stripMargin
+         |FROM ranked WHERE rn = 1""".stripMargin
     }) { (s, dir) =>
     import s.implicits._
     val toks = split($"text", " ")
@@ -50,7 +50,6 @@ object TextAnalysis {
       (-best.getField("negCnt")).as("marker_hits"),
       $"lang",
       (best.getField("cand") === $"lang").as("correct"))
-      .orderBy($"doc_id")
   }
 
   /** Quality score: length saturation, stopword ratio, mean word length. */
@@ -68,7 +67,7 @@ object TextAnalysis {
             """CAST(0.4 AS DOUBLE) * least(n_chars / 400, CAST(1.0 AS DOUBLE))
               |    + CAST(0.3 AS DOUBLE) * (1 - stops / wc)
               |    + CAST(0.3 AS DOUBLE) * least(((n_chars - wc + 1) / wc) / 8, CAST(1.0 AS DOUBLE))""".stripMargin, 6)} AS quality
-       |FROM f ORDER BY doc_id""".stripMargin) { (s, dir) =>
+       |FROM f""".stripMargin) { (s, dir) =>
     import s.implicits._
     val toks = split($"text", " ")
     val f = Tables.documents(s, dir).select(
@@ -84,7 +83,6 @@ object TextAnalysis {
         + lit(0.3) * (lit(1) - $"stops" / $"wc")
         + lit(0.3) * least((($"n_chars" - $"wc" + 1) / $"wc") / lit(8), lit(1.0)), 6)
         .as("quality"))
-      .orderBy($"doc_id")
   }
 
   /** Whitespace tokens + regex word tokens + a BPE-ish chars/4 estimate. */
@@ -94,14 +92,13 @@ object TextAnalysis {
       |  CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
       |  CAST(len(regexp_extract_all(text, '\w+')) AS BIGINT) AS word_tokens,
       |  CAST(ceil(CAST(length(text) AS DOUBLE) / 4) AS BIGINT) AS bpe_est
-      |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      |FROM documents""".stripMargin) { (s, dir) =>
     import s.implicits._
     Tables.documents(s, dir).select(
       $"doc_id",
       size(split($"text", " ")).cast("long").as("ws_tokens"),
       size(regexp_extract_all($"text", lit("\\w+"), lit(0))).cast("long").as("word_tokens"),
       ceil(length($"text").cast("double") / lit(4)).cast("long").as("bpe_est"))
-      .orderBy($"doc_id")
   }
 
   /** Whole-doc md5 + min-3-shingle winnowing-style fingerprint. */
@@ -113,7 +110,7 @@ object TextAnalysis {
       |    list_aggregate(list_transform(generate_series(1, len(w) - 2),
       |      i -> md5(w[i] || ' ' || w[i + 1] || ' ' || w[i + 2])), 'min')
       |  ELSE NULL END AS min_shingle_md5
-      |FROM t ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      |FROM t""".stripMargin) { (s, dir) =>
     import s.implicits._
     // one codegen'd scalar per doc: graft_shingles (native k-gram join)
     // feeding graft_min_md5 (native min-of-digests). The HOF spelling
@@ -126,7 +123,6 @@ object TextAnalysis {
       md5($"text").as("doc_md5"),
       expr("graft_min_md5(graft_shingles(split(text, ' '), 3))")
         .as("min_shingle_md5"))
-      .orderBy($"doc_id")
   }
 
   /** Contamination-check shingle width and eval-set selector. Real
@@ -235,7 +231,7 @@ object TextAnalysis {
        |    CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
        |      ORDER BY score DESC, term) AS BIGINT) AS rank
        |  FROM scored) r
-       |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin) { (s, dir) =>
+       |WHERE rank <= 3""".stripMargin) { (s, dir) =>
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
     val tf = Tables.documents(s, dir)
@@ -255,7 +251,6 @@ object TextAnalysis {
       .select($"doc_id", $"term", $"score",
         row_number().over(w).cast("long").as("rank"))
       .filter($"rank" <= 3)
-      .orderBy($"doc_id", $"rank")
   }
 
   /** Within-document repetition ratio — the boilerplate/degenerate-text
@@ -273,7 +268,7 @@ object TextAnalysis {
        |  FROM t WHERE len(w) >= 3)
        |SELECT doc_id, n3, d3,
        |  ${PS.prnd("1 - CAST(d3 AS DOUBLE) / CAST(n3 AS DOUBLE)", 6)} AS rep_ratio
-       |FROM g ORDER BY doc_id""".stripMargin) { (s, dir) =>
+       |FROM g""".stripMargin) { (s, dir) =>
     import s.implicits._
     val withW = Tables.documents(s, dir)
       .select($"doc_id", split($"text", " ").as("w"))
@@ -286,7 +281,6 @@ object TextAnalysis {
         size(array_distinct(sh3)).cast("long").as("d3"))
       .select($"doc_id", $"n3", $"d3",
         P.prnd(lit(1) - $"d3".cast("double") / $"n3".cast("double"), 6).as("rep_ratio"))
-      .orderBy("doc_id")
   }
 
   /** Corpus mixture table — per (source, lang) document/token totals, each
