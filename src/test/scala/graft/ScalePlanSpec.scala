@@ -75,6 +75,37 @@ class ScalePlanSpec extends GraftSuite {
     assert(on.toSeq === off.toSeq, "shuffled-hash sweep path diverged from broadcast path")
   }
 
+  test("full-output queries plan no global sort (no RangePartitioning exchange)") {
+    // A global orderBy plans Exchange(RangePartitioning), whose range
+    // boundaries come from a SAMPLING pass that re-executes the child —
+    // a structural 2x on a narrow-map query (tools/SortProbe). Output
+    // order is non-semantic for full-output enrichment tables (the
+    // correctness gate canonicalizes row order), so these queries must
+    // never pay it. Window-internal per-partition sorts are fine.
+    val fullOutput = Seq(
+      "etl_clean_text", "etl_filter_enrich", "etl_dedup_ingest",
+      "etl_parse_json", "etl_sessionize", "etl_stratified_sample",
+      "etl_corpus_prep", "tx_lang_id", "tx_quality", "tx_token_count",
+      "tx_fingerprint", "tx_keyterms", "tx_repetition", "sent_lexicon",
+      "sent_emoji", "mm_binary_meta", "q_window_rank", "q_asof_join",
+      "an_user_activity", "dd_exact", "st_funnel_join")
+    fullOutput.foreach { name =>
+      val plan = planOf(run(name)).toLowerCase
+      assert(!plan.contains("rangepartitioning"),
+        s"$name: plan contains a RangePartitioning exchange (global sort)")
+    }
+    // the pure narrow maps additionally plan ZERO exchanges — one
+    // whole-stage codegen span over the scan
+    Seq("etl_clean_text", "etl_filter_enrich", "etl_stratified_sample",
+      "tx_lang_id", "tx_quality", "tx_token_count", "tx_fingerprint",
+      "tx_repetition", "sent_lexicon", "sent_emoji", "mm_binary_meta")
+      .foreach { name =>
+        val plan = planOf(run(name)).toLowerCase
+        assert(!plan.contains("exchange"),
+          s"$name: narrow-map query plans an exchange")
+      }
+  }
+
   test("etl_pack_sequences: two-level prefix sum matches a flat window on a skewed corpus") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("packspec").toFile.getAbsolutePath
