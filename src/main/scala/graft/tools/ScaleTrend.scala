@@ -1,0 +1,77 @@
+package graft.tools
+
+import graft._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Dev-only: the 5x scale-trend probe behind SURVEY §5b's table.
+  *
+  * Builds an offset-key replica of an SF directory (every data-scaling
+  * table unioned `factor` times with disjoint key ranges — five
+  * disconnected graph copies, 5x docs/events/embeddings; the constant
+  * dims region/nation are copied as-is), then times a set of heavy
+  * queries on the base and replica dirs with the bench's honest noop
+  * forcing (warm min-of-2). A query whose time grows ~linearly (or
+  * sub-linearly, from fixed overhead amortizing) has no quadratic
+  * candidate blowup, broadcast limit, or per-round edge explosion.
+  *
+  * Usage: runMain graft.tools.ScaleTrend [srcDir] [outDir] [factor]
+  */
+object ScaleTrend {
+  private val KeyOffset = 1000000000L
+
+  /** table -> key columns shifted by copy-index * KeyOffset. */
+  private val offsets: Map[String, Seq[String]] = Map(
+    "customer" -> Seq("c_custkey"),
+    "supplier" -> Seq("s_suppkey"),
+    "part" -> Seq("p_partkey"),
+    "orders" -> Seq("o_orderkey", "o_custkey"),
+    "lineitem" -> Seq("l_orderkey", "l_suppkey", "l_partkey"),
+    "events" -> Seq("event_id", "user_id"),
+    "documents" -> Seq("doc_id"),
+    "embeddings" -> Seq("vec_id"),
+    // constant dims: copied once, never replicated
+    "region" -> Nil,
+    "nation" -> Nil)
+
+  def build(spark: SparkSession, src: String, out: String, factor: Int): Unit = {
+    offsets.foreach { case (t, keys) =>
+      val base = spark.read.parquet(s"$src/$t.parquet")
+      val rep =
+        if (keys.isEmpty) base
+        else (0 until factor).map { i =>
+          keys.foldLeft(base)((df, k) => df.withColumn(k, col(k) + lit(i * KeyOffset)))
+        }.reduce(_ unionByName _)
+      rep.write.mode("overwrite").parquet(s"$out/$t.parquet")
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val src = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val out = if (args.length > 1) args(1) else "/tmp/graft_scale5x"
+    val factor = if (args.length > 2) args(2).toInt else 5
+    val spark = GraftSession.get(32)
+    spark.sparkContext.setLogLevel("ERROR")
+    build(spark, src, out, factor)
+
+    val names = Seq("q1_pricing_summary", "q_rollup", "etl_clean_text",
+      "tx_fingerprint", "sent_agreement", "dd_simhash", "dd_embedding",
+      "sim_bruteforce_topk", "sim_lsh_topk", "tx_contamination",
+      "gr_pagerank", "gr_components", "gr_communities",
+      "gr_betweenness_approx")
+    def time(name: String, dir: String): Double = {
+      val fn = SparkEntry.queries(name)
+      (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        fn(spark, dir).write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }.min
+    }
+    names.foreach { n =>
+      val a = time(n, src)
+      val b = time(n, out)
+      println(f"SCALETREND $n%-24s base=$a%6.2f x$factor=$b%6.2f ratio=${b / a}%5.2f")
+    }
+    spark.stop()
+  }
+}
