@@ -95,6 +95,7 @@ object Bench {
     "tx_fingerprint" -> 0.1,
     "tx_keyterms" -> 0.6,
     "tx_lang_id" -> 0.1,
+    "tx_boilerplate" -> 0.4,
     "tx_ngram_stats" -> 0.2,
     "tx_pii_scrub" -> 0.1,
     "tx_quality" -> 0.1,

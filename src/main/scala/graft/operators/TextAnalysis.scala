@@ -283,6 +283,60 @@ object TextAnalysis {
         P.prnd(lit(1) - $"d3".cast("double") / $"n3".cast("double"), 6).as("rep_ratio"))
   }
 
+  /** Chunk width and cross-doc threshold for [[boilerplate]]: documents
+    * are cut into consecutive non-overlapping [[BoilerChunk]]-token
+    * chunks, and a chunk counts as boilerplate when it appears verbatim
+    * in at least [[BoilerMinDocs]] distinct documents.
+    */
+  val BoilerChunk = 8
+  val BoilerMinDocs = 2
+
+  /** Cross-document boilerplate report — the C4/CCNet-style repeated-
+    * chunk pass a training pipeline runs to strip templated headers,
+    * navigation, and license blocks: per document, how many of its
+    * [[BoilerChunk]]-token chunks appear verbatim in ≥ [[BoilerMinDocs]]
+    * distinct documents, and the share of its chunked tokens such a
+    * removal would drop. Scale shape: chunking is a narrow codegen'd map
+    * (graft_shingles + an every-k position filter — no interpreted HOF),
+    * chunk frequency is two partial aggregations keyed on the chunk
+    * string, and the flag join is SHUFFLED on chunk — the chunk
+    * vocabulary scales with the corpus exactly like tx_keyterms' term
+    * vocabulary, so it is never broadcast.
+    */
+  val boilerplate = QueryDef(
+    "tx_boilerplate",
+    s"""WITH t AS MATERIALIZED (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+       |  WHERE len(string_split(text, ' ')) >= $BoilerChunk),
+       |ch AS MATERIALIZED (SELECT doc_id,
+       |    unnest(list_transform(generate_series(1, len(w) - ${BoilerChunk - 1}, $BoilerChunk),
+       |      i -> ${(0 until BoilerChunk).map(o => s"w[i + $o]").mkString(" || ' ' || ")})) AS chunk
+       |  FROM t),
+       |f AS MATERIALIZED (SELECT chunk, COUNT(DISTINCT doc_id) AS nd FROM ch GROUP BY chunk)
+       |SELECT ch.doc_id, COUNT(*) AS n_chunks,
+       |  CAST(SUM(CASE WHEN f.nd >= $BoilerMinDocs THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler,
+       |  ${PS.prnd(s"SUM(CASE WHEN f.nd >= $BoilerMinDocs THEN 1 ELSE 0 END) / COUNT(*)", 6)} AS boiler_ratio
+       |FROM ch JOIN f USING (chunk)
+       |GROUP BY ch.doc_id""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val withW = Tables.documents(s, dir)
+      .select($"doc_id", split($"text", " ").as("w"))
+      .filter(size($"w") >= BoilerChunk)
+    // graft_shingles emits ALL k-gram starts; keeping every k-th position
+    // (0-based posexplode) yields the non-overlapping chunking — still
+    // one codegen'd scalar per doc, no interpreted lambda
+    val ch = withW
+      .select($"doc_id", posexplode(expr(s"graft_shingles(w, $BoilerChunk)")).as(Seq("p", "chunk")))
+      .filter($"p" % BoilerChunk === 0)
+      .select($"doc_id", $"chunk")
+    val f = ch.distinct().groupBy($"chunk").agg(P.cnt.as("nd"))
+    ch.join(f.hint("shuffle_hash"), "chunk")
+      .groupBy($"doc_id")
+      .agg(P.cnt.as("n_chunks"),
+        sum(when($"nd" >= BoilerMinDocs, 1L).otherwise(0L)).as("n_boiler"))
+      .select($"doc_id", $"n_chunks", $"n_boiler",
+        P.prnd($"n_boiler" / $"n_chunks", 6).as("boiler_ratio"))
+  }
+
   /** Corpus mixture table — per (source, lang) document/token totals, each
     * group's share of corpus tokens, and a uniform-target sampling weight
     * (target = corpus_tokens / n_groups; weight = target / actual, capped
@@ -375,5 +429,6 @@ object TextAnalysis {
   }
 
   val defs: Seq[QueryDef] = Seq(langId, quality, tokenCount, fingerprint,
-    contamination, ngramStats, keyterms, repetition, corpusMixture, piiScrub)
+    contamination, ngramStats, keyterms, repetition, boilerplate,
+    corpusMixture, piiScrub)
 }

@@ -86,9 +86,9 @@ class ScalePlanSpec extends GraftSuite {
       "etl_clean_text", "etl_filter_enrich", "etl_dedup_ingest",
       "etl_parse_json", "etl_sessionize", "etl_stratified_sample",
       "etl_corpus_prep", "tx_lang_id", "tx_quality", "tx_token_count",
-      "tx_fingerprint", "tx_keyterms", "tx_repetition", "sent_lexicon",
-      "sent_emoji", "mm_binary_meta", "q_window_rank", "q_asof_join",
-      "an_user_activity", "dd_exact", "st_funnel_join")
+      "tx_fingerprint", "tx_keyterms", "tx_repetition", "tx_boilerplate",
+      "sent_lexicon", "sent_emoji", "mm_binary_meta", "q_window_rank",
+      "q_asof_join", "an_user_activity", "dd_exact", "st_funnel_join")
     fullOutput.foreach { name =>
       val plan = planOf(run(name)).toLowerCase
       assert(!plan.contains("rangepartitioning"),
