@@ -46,6 +46,7 @@ object Bench {
     "dd_ngram_jaccard" -> 0.1,
     "dd_simhash" -> 0.6,
     "etl_clean_text" -> 0.1,
+    "etl_compact_latest" -> 0.3,
     "etl_corpus_prep" -> 0.3,
     "etl_dedup_ingest" -> 0.2,
     "etl_filter_enrich" -> 0.2,

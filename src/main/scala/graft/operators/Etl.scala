@@ -212,6 +212,37 @@ object Etl {
         ($"verdict" === "keep").as("keep"))
   }
 
+  /** Log-compaction / CDC last-write-wins: one row per key (user_id)
+    * carrying its LATEST event (max ts, ties broken by max event_id) and
+    * the version count — the compaction pass an ingest pipeline runs
+    * over an append log before serving (the batch twin of
+    * [[graft.streaming.UpsertSink]]'s key-wise last-write-wins merge).
+    * Scale shape: ONE hash aggregation — the winner is max of a
+    * (ts, event_id, value) struct (lexicographic, exact: event_id is
+    * unique so value never decides), with map-side partial combine —
+    * never a per-key window sort, whose per-partition ordering pass a
+    * 100 TB log would pay for no reason.
+    */
+  val compactLatest = QueryDef(
+    "etl_compact_latest",
+    s"""WITH ${PS.evCte},
+       |r AS MATERIALIZED (SELECT user_id, ts, event_id, value,
+       |    row_number() OVER (PARTITION BY user_id
+       |      ORDER BY ts DESC, event_id DESC) AS rn,
+       |    COUNT(*) OVER (PARTITION BY user_id) AS n_versions
+       |  FROM ev)
+       |SELECT user_id, ts AS last_ts, event_id AS last_event_id,
+       |  value AS last_value, CAST(n_versions AS BIGINT) AS n_versions
+       |FROM r WHERE rn = 1""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    Tables.events(s, dir)
+      .groupBy($"user_id")
+      .agg(max(struct($"ts", $"event_id", $"value")).as("m"),
+        P.cnt.as("n_versions"))
+      .select($"user_id", $"m.ts".as("last_ts"), $"m.event_id".as("last_event_id"),
+        $"m.value".as("last_value"), $"n_versions")
+  }
+
   /** Packed-sequence length for [[packSequences]] (tokens per training
     * window; docs average ~60 tokens, so ~8 docs pack per sequence).
     */
@@ -289,5 +320,5 @@ object Etl {
   }
 
   val defs: Seq[QueryDef] = Seq(cleanText, filterEnrich, dedupIngest, parseJson,
-    sessionize, stratifiedSample, corpusPrep, packSequences)
+    sessionize, stratifiedSample, corpusPrep, compactLatest, packSequences)
 }

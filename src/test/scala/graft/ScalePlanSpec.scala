@@ -85,7 +85,8 @@ class ScalePlanSpec extends GraftSuite {
     val fullOutput = Seq(
       "etl_clean_text", "etl_filter_enrich", "etl_dedup_ingest",
       "etl_parse_json", "etl_sessionize", "etl_stratified_sample",
-      "etl_corpus_prep", "tx_lang_id", "tx_quality", "tx_token_count",
+      "etl_corpus_prep", "etl_compact_latest",
+      "tx_lang_id", "tx_quality", "tx_token_count",
       "tx_fingerprint", "tx_keyterms", "tx_repetition", "tx_boilerplate",
       "sent_lexicon", "sent_emoji", "mm_binary_meta", "q_window_rank",
       "q_asof_join", "an_user_activity", "dd_exact", "st_funnel_join")
