@@ -189,4 +189,28 @@ class CoreOperatorsSpec extends GraftSuite {
       })
     }
   }
+
+  test("compact_latest: struct-max winner equals the window formulation, one row per key") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val got = run("etl_compact_latest")
+    // one row per user, version counts sum to the log size
+    assert(got.groupBy("user_id").count().filter($"count" > 1).count() === 0)
+    assert(got.agg(sum($"n_versions")).head.getLong(0) ===
+      Tables.events(spark, sfDir).count())
+    // reference: the same winner via the per-key window sort the hash
+    // aggregate replaces — identical rows
+    val w = Window.partitionBy($"user_id").orderBy($"ts".desc, $"event_id".desc)
+    val ref = Tables.events(spark, sfDir)
+      .select($"user_id", $"ts", $"event_id", $"value",
+        row_number().over(w).as("rn"),
+        count(lit(1)).over(Window.partitionBy($"user_id")).as("n_versions"))
+      .filter($"rn" === 1)
+      .select($"user_id", $"ts".as("last_ts"), $"event_id".as("last_event_id"),
+        $"value".as("last_value"), $"n_versions")
+    assert(got.orderBy("user_id").collect().toSeq ===
+      ref.orderBy("user_id").collect().toSeq)
+    // plan shape: a hash aggregate, not a per-key window sort
+    assert(!planOf(got).contains("Window"), "compaction must not plan a window")
+  }
 }

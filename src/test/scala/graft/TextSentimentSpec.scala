@@ -94,4 +94,34 @@ class TextSentimentSpec extends GraftSuite {
     assert(real.map(_.getAs[Long]("n_docs")).sum ===
       Tables.documents(spark, sfDir).count())
   }
+
+  test("boilerplate flags exactly the planted cross-doc chunk") {
+    import spark.implicits._
+    val K = operators.TextAnalysis.BoilerChunk
+    // a shared 8-token header (the planted boilerplate), then distinct
+    // tails long enough for a second, non-shared chunk per doc
+    val header = (1 to K).map(i => s"h$i").mkString(" ")
+    def tail(tag: String) = (1 to K).map(i => s"$tag$i").mkString(" ")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_boiler").toString
+    Seq(
+      (1L, s"$header ${tail("a")}", "en", "s1", 10),
+      (2L, s"$header ${tail("b")}", "en", "s1", 10),
+      (3L, s"${tail("c")} ${tail("d")}", "en", "s2", 10))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val rows = operators.TextAnalysis.boilerplate.run(spark, tmp)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    // docs 1 and 2: header chunk shared (flagged), tail chunk unique
+    for (d <- Seq(1L, 2L)) {
+      assert(rows(d).getAs[Long]("n_chunks") === 2L)
+      assert(rows(d).getAs[Long]("n_boiler") === 1L)
+      assert(rows(d).getAs[Double]("boiler_ratio") === 0.5)
+    }
+    // doc 3: both chunks unique to it
+    assert(rows(3L).getAs[Long]("n_boiler") === 0L)
+    // real corpus: the injected duplicate docs make the report non-trivial
+    val real = run("tx_boilerplate")
+    assert(real.agg(org.apache.spark.sql.functions.sum($"n_boiler"))
+      .head.getLong(0) > 0L)
+  }
 }
