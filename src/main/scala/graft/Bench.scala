@@ -35,6 +35,7 @@ object Bench {
     "an_quantiles" -> 0.2,
     "an_retention" -> 0.6,
     "an_rolling_active" -> 0.4,
+    "an_spike_days" -> 0.25,
     "an_timeline" -> 0.2,
     "an_top_groups" -> 0.2,
     "an_user_activity" -> 0.2,

@@ -208,6 +208,42 @@ object Analytics {
       .orderBy($"day")
   }
 
+  /** Spike/anomaly days — the dashboard's "unusual activity" panel: days
+    * whose event count deviates from the corpus mean by more than 2
+    * population standard deviations. The test is EXACT INTEGER
+    * arithmetic end to end: with D = #days, S = Σcount, Q = Σcount²
+    * (all BIGINT), |c − S/D| > 2σ  ⇔  (c·D − S)² > 4·(Q·D − S²), so no
+    * float stddev (whose Welford-vs-naive accumulation differs between
+    * engines) ever enters the comparison — the flag is bit-portable by
+    * construction. Scale shape: one day aggregation (map-side partial,
+    * calendar-bounded key), one 1-row stats aggregate broadcast back.
+    * HUGEINT note: counts fit int32 at any SF that bounds a day's events
+    * below ~2^31, so the BIGINT products stay within 2^63 headroom; at
+    * larger day volumes the same test runs at decimal(38,0).
+    */
+  val spikeDays = QueryDef(
+    "an_spike_days",
+    s"""WITH ${PS.evCte},
+       |d AS MATERIALIZED (SELECT CAST(ts AS DATE) AS day, COUNT(*) AS c FROM ev GROUP BY 1),
+       |st AS MATERIALIZED (SELECT COUNT(*) AS nd, CAST(SUM(c) AS BIGINT) AS s,
+       |    CAST(SUM(c * c) AS BIGINT) AS q FROM d)
+       |SELECT day, c AS n_events,
+       |  CAST((c * st.nd - st.s) * (c * st.nd - st.s) AS BIGINT) AS dev2_scaled,
+       |  CAST(4 * (st.q * st.nd - st.s * st.s) AS BIGINT) AS thr_scaled,
+       |  (c * st.nd - st.s) * (c * st.nd - st.s) > 4 * (st.q * st.nd - st.s * st.s) AS is_spike
+       |FROM d CROSS JOIN st""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val d = Tables.events(s, dir)
+      .groupBy($"ts".cast("date").as("day")).agg(P.cnt.as("c"))
+    val st = d.agg(P.cnt.as("nd"), sum($"c").as("s"), sum($"c" * $"c").as("q"))
+    val dev = $"c" * $"nd" - $"s"
+    d.crossJoin(broadcast(st))
+      .select($"day", $"c".as("n_events"),
+        (dev * dev).as("dev2_scaled"),
+        (lit(4) * ($"q" * $"nd" - $"s" * $"s")).as("thr_scaled"),
+        (dev * dev > lit(4) * ($"q" * $"nd" - $"s" * $"s")).as("is_spike"))
+  }
+
   /** Weekly cohort retention — users grouped by their FIRST active week,
     * tracked for 4 weeks of subsequent activity (the engagement panel
     * next to the dashboard's DAU/WAU view). ONE wide shuffle total: the
@@ -259,5 +295,5 @@ object Analytics {
 
   val defs: Seq[QueryDef] = Seq(timeline, topGroups, dowActivity, valueBuckets,
     commentBuckets, quantiles, keywordMentions, explorer, userActivity,
-    rollingActive, retention)
+    rollingActive, retention, spikeDays)
 }

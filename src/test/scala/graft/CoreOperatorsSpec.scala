@@ -213,4 +213,28 @@ class CoreOperatorsSpec extends GraftSuite {
     // plan shape: a hash aggregate, not a per-key window sort
     assert(!planOf(got).contains("Window"), "compaction must not plan a window")
   }
+
+  test("spike days: a planted 100x day is flagged, flat days are not") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_spike").toString
+    // 9 flat days of 5 events + one day with 100 — only that day should
+    // clear the exact-integer 2-sigma test
+    val rows = (0 until 9).flatMap { d =>
+      (0 until 5).map(i => (d * 100L + i, java.sql.Timestamp.valueOf(s"2024-01-0${d + 1} 10:00:0$i"),
+        1L, "view", 1.0, """{"k":1}"""))
+    } ++ (0 until 100).map(i =>
+      (9000L + i, java.sql.Timestamp.valueOf(s"2024-01-10 10:0${i % 6}:0${i % 10}"),
+        1L, "view", 1.0, """{"k":1}"""))
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val got = operators.Analytics.spikeDays.run(spark, tmp).collect()
+    assert(got.length === 10)
+    val spikes = got.filter(_.getAs[Boolean]("is_spike"))
+    assert(spikes.map(_.getAs[Long]("n_events")).toSeq === Seq(100L))
+    // exact-integer invariant: the flag IS the dev2 > thr comparison
+    got.foreach { r =>
+      assert(r.getAs[Boolean]("is_spike") ===
+        (r.getAs[Long]("dev2_scaled") > r.getAs[Long]("thr_scaled")))
+    }
+  }
 }
