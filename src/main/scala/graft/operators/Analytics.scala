@@ -293,7 +293,73 @@ object Analytics {
       .orderBy($"cohort_week", $"week_offset")
   }
 
+  /** Ordered conversion funnel view → click → purchase (ClickHouse
+    * windowFunnel-style; the per-pair streaming twin is
+    * `st_funnel_join`): per user, the first view, the first click
+    * STRICTLY AFTER that view, and the first purchase strictly after that
+    * click, summarized to stage counts, conversion rates, and mean
+    * hours-to-advance. ONE exchange total: both per-user "first qualifying
+    * ts" columns are whole-partition window minima over the SAME
+    * partitioning (no orderBy, so WindowExec sorts by user_id only — no
+    * (user, ts) sort), and the closing groupBy(user) reuses that hash
+    * partitioning, so partial and final aggregate fuse with no second
+    * shuffle. The whole-partition running minima equal the oracle's
+    * join-based formulation exactly: the first click after the first view
+    * is the global min over clicks with ts > min(view ts). Time sums are
+    * exact integer micros through a decimal accumulator (a long sum could
+    * overflow at ~3.5M converting users × a 30-day corpus window), cast
+    * to double ONCE, so the means are bit-portable.
+    */
+  val conversion = QueryDef(
+    "an_conversion",
+    s"""WITH ${PS.evCte},
+       |v1 AS MATERIALIZED (SELECT user_id, MIN(ts) AS v1 FROM ev
+       |  WHERE event_type = 'view' GROUP BY user_id),
+       |c1 AS MATERIALIZED (SELECT e.user_id, MIN(e.ts) AS c1 FROM ev e
+       |  JOIN v1 ON e.user_id = v1.user_id
+       |  WHERE e.event_type = 'click' AND e.ts > v1.v1 GROUP BY e.user_id),
+       |p1 AS MATERIALIZED (SELECT e.user_id, MIN(e.ts) AS p1 FROM ev e
+       |  JOIN c1 ON e.user_id = c1.user_id
+       |  WHERE e.event_type = 'purchase' AND e.ts > c1.c1 GROUP BY e.user_id)
+       |SELECT CAST((SELECT COUNT(DISTINCT user_id) FROM ev) AS BIGINT) AS n_users,
+       |  CAST((SELECT COUNT(*) FROM v1) AS BIGINT) AS n_view,
+       |  CAST((SELECT COUNT(*) FROM c1) AS BIGINT) AS n_click,
+       |  CAST((SELECT COUNT(*) FROM p1) AS BIGINT) AS n_purchase,
+       |  ${PS.prnd("CAST((SELECT COUNT(*) FROM c1) AS DOUBLE) / (SELECT COUNT(*) FROM v1)", 6)} AS view_to_click,
+       |  ${PS.prnd("CAST((SELECT COUNT(*) FROM p1) AS DOUBLE) / (SELECT COUNT(*) FROM c1)", 6)} AS click_to_purchase,
+       |  ${PS.prnd("CAST((SELECT COUNT(*) FROM p1) AS DOUBLE) / (SELECT COUNT(*) FROM v1)", 6)} AS overall_conversion,
+       |  ${PS.prnd("CAST((SELECT SUM(epoch_us(c.c1) - epoch_us(v.v1)) FROM c1 c JOIN v1 v USING (user_id)) AS DOUBLE) / (SELECT COUNT(*) FROM c1) / 3.6e9", 6)} AS avg_hours_to_click,
+       |  ${PS.prnd("CAST((SELECT SUM(epoch_us(p.p1) - epoch_us(c.c1)) FROM p1 p JOIN c1 c USING (user_id)) AS DOUBLE) / (SELECT COUNT(*) FROM p1) / 3.6e9", 6)} AS avg_hours_to_purchase
+       |""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy($"user_id")
+    // sv/sc are whole-partition minima (default frame = the entire
+    // partition when there is no orderBy): sv = first view ts, sc = first
+    // click strictly after it; both Window nodes share one partitioning
+    val staged = Tables.events(s, dir)
+      .select($"user_id", $"ts", $"event_type")
+      .withColumn("sv", min(when($"event_type" === "view", $"ts")).over(byUser))
+      .withColumn("qc", when($"event_type" === "click" && $"sv" < $"ts", $"ts"))
+      .withColumn("sc", min($"qc").over(byUser))
+    val per = staged.groupBy($"user_id").agg(
+      min(when($"event_type" === "view", $"ts")).as("v1"),
+      min($"qc").as("c1"),
+      min(when($"event_type" === "purchase" && $"sc" < $"ts", $"ts")).as("p1"))
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    per.agg(
+      P.cnt.as("n_users"),
+      count($"v1").as("n_view"), count($"c1").as("n_click"), count($"p1").as("n_purchase"),
+      P.prnd(count($"c1").cast("double") / count($"v1"), 6).as("view_to_click"),
+      P.prnd(count($"p1").cast("double") / count($"c1"), 6).as("click_to_purchase"),
+      P.prnd(count($"p1").cast("double") / count($"v1"), 6).as("overall_conversion"),
+      P.prnd(sum((unix_micros($"c1") - unix_micros($"v1")).cast(dec)).cast("double")
+        / count($"c1") / lit(3.6e9), 6).as("avg_hours_to_click"),
+      P.prnd(sum((unix_micros($"p1") - unix_micros($"c1")).cast(dec)).cast("double")
+        / count($"p1") / lit(3.6e9), 6).as("avg_hours_to_purchase"))
+  }
+
   val defs: Seq[QueryDef] = Seq(timeline, topGroups, dowActivity, valueBuckets,
     commentBuckets, quantiles, keywordMentions, explorer, userActivity,
-    rollingActive, retention, spikeDays)
+    rollingActive, retention, spikeDays, conversion)
 }

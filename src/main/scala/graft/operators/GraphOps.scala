@@ -1217,6 +1217,43 @@ object GraphOps {
       .orderBy($"community")
   }
 
+  /** Named top-10 community panel — the reference's `name_community`
+    * presentation layer (dashboard/dashboard.py:459-487): the ten largest
+    * communities, each with a size tier (>=25 members large, >=15 medium,
+    * else small — the reference's absolute thresholds) and a display name
+    * built from the community id and tier; engagement is the summed
+    * weighted degree (the total_score analog on this graph). Scale shape:
+    * the same LPA labels + degree aggregation as [[grCommunityStats]]
+    * (community-cardinality shuffle, map-side partials) followed by a
+    * top-10 limit — TakeOrderedAndProject, never a global sort of the
+    * community table.
+    */
+  val grCommunityNames = QueryDef(
+    "gr_community_names",
+    s"""WITH $eNumSql, $undSql, $degSql,
+       |${lpChain(LpIters)},
+       |cstat AS MATERIALIZED (SELECT ${fmtNodeSql("lbl")} AS community,
+       |    COUNT(*) AS n_members, CAST(SUM(wdegree) AS BIGINT) AS engagement
+       |  FROM lp$LpIters JOIN deg USING (node) GROUP BY 1),
+       |tiered AS MATERIALIZED (SELECT community, n_members, engagement,
+       |    CASE WHEN n_members >= 25 THEN 'large'
+       |      WHEN n_members >= 15 THEN 'medium' ELSE 'small' END AS tier
+       |  FROM cstat)
+       |SELECT community, n_members, engagement, tier,
+       |  'Community #' || community || ' (' || tier || ')' AS name
+       |FROM tiered ORDER BY n_members DESC, community LIMIT 10""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val u = sharedUnd(s, dir)
+    val tier = when($"n_members" >= 25, "large")
+      .when($"n_members" >= 15, "medium").otherwise("small")
+    communities(u).join(degrees(u), "node")
+      .groupBy(fmtNode($"community").as("community"))
+      .agg(P.cnt.as("n_members"), sum($"wdegree").as("engagement"))
+      .select($"community", $"n_members", $"engagement", tier.as("tier"),
+        concat(lit("Community #"), $"community", lit(" ("), tier, lit(")")).as("name"))
+      .orderBy($"n_members".desc, $"community").limit(10)
+  }
+
   /** Weighted modularity of the label-propagation partition — the
     * community-quality signal the reference's Louvain panel reports
     * (network_analysis.py:194-208: louvain returns the partition that
@@ -1533,8 +1570,60 @@ object GraphOps {
         $"ss".as("sample_size"), $"pe".as("proj_edges"))
   }
 
+  /** Link prediction by co-supplier Jaccard — for every candidate customer
+    * pair sharing at least one supplier, |suppliers(a) ∩ suppliers(b)| /
+    * |suppliers(a) ∪ suppliers(b)| over the per-supplier-capped membership
+    * sets, top 20 (the "users likely to interact" panel a social-graph
+    * dashboard derives from the same projection the clustering panel uses,
+    * reference network_analysis.py:329-336). Candidates come ONLY from the
+    * [[ProjCap]]-capped per-supplier member lists — the same deterministic
+    * id-ordered cap as [[grGraphStats]], so pair generation is bounded by
+    * |suppliers|·cap² at any corpus size, never the quadratic exact
+    * projection; numerator and denominators both read the capped sets, so
+    * the score is exactly the Jaccard of what was materialized. The capped
+    * membership is MatStore-shared (an index-style build over the shared
+    * edge list), the per-customer set sizes are a data-scaling relation and
+    * are therefore joined WITHOUT a broadcast hint (AQE decides, the
+    * q3/q5 discipline), and the top-20 is TakeOrderedAndProject.
+    */
+  val grLinkPredict = QueryDef(
+    "gr_link_predict",
+    s"""WITH $eNumSql,
+       |cs AS MATERIALIZED (SELECT dst, src FROM (
+       |    SELECT dst, src, row_number() OVER (PARTITION BY dst ORDER BY src) AS rn FROM e) t
+       |  WHERE rn <= $ProjCap),
+       |cd AS MATERIALIZED (SELECT src, COUNT(*) AS d FROM cs GROUP BY src),
+       |pc AS MATERIALIZED (SELECT ca.src AS a, cb.src AS b, COUNT(*) AS common
+       |  FROM cs ca JOIN cs cb ON ca.dst = cb.dst AND ca.src < cb.src GROUP BY 1, 2)
+       |SELECT ${fmtNodeSql("a")} AS node_a, ${fmtNodeSql("b")} AS node_b, common,
+       |  ${PS.prnd("CAST(common AS DOUBLE) / CAST(da.d + db.d - common AS DOUBLE)", 8)} AS jaccard
+       |FROM pc JOIN cd da ON pc.a = da.src JOIN cd db ON pc.b = db.src
+       |ORDER BY jaccard DESC, node_a, node_b LIMIT 20""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val e = edgesNum(s, dir)
+    // capped membership shared across consumers (same aggregate top-k
+    // shape as gr_proj's cs — collect, sort, slice; no per-partition sort
+    // of the full edge relation)
+    val cs = MatStore.of(s, s"gr_cs:$dir") {
+      e.groupBy($"dst")
+        .agg(slice(array_sort(collect_list($"src")), 1, ProjCap).as("m"))
+        .select($"dst", explode($"m").as("src"))
+    }
+    val cd = cs.groupBy($"src").agg(P.cnt.as("d"))
+    val pc = cs.select($"dst", $"src".as("a"))
+      .join(cs.select($"dst", $"src".as("b")).hint("shuffle_hash"), "dst")
+      .filter($"a" < $"b")
+      .groupBy($"a", $"b").agg(P.cnt.as("common"))
+    pc.join(cd.select($"src".as("a"), $"d".as("da")), "a")
+      .join(cd.select($"src".as("b"), $"d".as("db")), "b")
+      .select(fmtNode($"a").as("node_a"), fmtNode($"b").as("node_b"), $"common",
+        P.prnd($"common".cast("double") / ($"da" + $"db" - $"common").cast("double"), 8)
+          .as("jaccard"))
+      .orderBy($"jaccard".desc, $"node_a", $"node_b").limit(20)
+  }
+
   val defs: Seq[QueryDef] = Seq(grEdges, grDegree, grDegreeDirected,
     grDegreeBuckets, grPagerank, grEigenvector, grComponents, grCloseness,
     grBetweenness, grInfluencers, grCommunities, grCommunityStats,
-    grModularity, grLouvain, grGraphStats)
+    grCommunityNames, grModularity, grLouvain, grGraphStats, grLinkPredict)
 }

@@ -237,4 +237,45 @@ class CoreOperatorsSpec extends GraftSuite {
         (r.getAs[Long]("dev2_scaled") > r.getAs[Long]("thr_scaled")))
     }
   }
+
+  test("conversion funnel matches a brute-force per-user replay; one keyed exchange") {
+    import spark.implicits._
+    val df = run("an_conversion")
+    val r = df.collect()(0)
+    // independent reference: replay every user's event sequence in plain
+    // Scala — first view, first click strictly after it, first purchase
+    // strictly after that
+    val evs = Tables.events(spark, sfDir)
+      .select($"user_id", $"ts", $"event_type").collect()
+      .map(x => (x.getLong(0), x.getTimestamp(1).getTime * 1000 +
+        x.getTimestamp(1).getNanos / 1000 % 1000, x.getString(2)))
+      .groupBy(_._1)
+    def firstAfter(es: Iterable[(Long, Long, String)], t: String, after: Long) = {
+      val c = es.filter(e => e._3 == t && e._2 > after)
+      if (c.isEmpty) None else Some(c.map(_._2).min)
+    }
+    var nv = 0L; var nc = 0L; var np = 0L
+    evs.values.foreach { es =>
+      firstAfter(es, "view", Long.MinValue).foreach { v =>
+        nv += 1
+        firstAfter(es, "click", v).foreach { c =>
+          nc += 1
+          firstAfter(es, "purchase", c).foreach(_ => np += 1)
+        }
+      }
+    }
+    assert(r.getAs[Long]("n_users") === evs.size.toLong)
+    assert(r.getAs[Long]("n_view") === nv)
+    assert(r.getAs[Long]("n_click") === nc)
+    assert(r.getAs[Long]("n_purchase") === np)
+    assert(r.getAs[Long]("n_view") >= r.getAs[Long]("n_click"))
+    assert(r.getAs[Long]("n_click") >= r.getAs[Long]("n_purchase"))
+    // plan shape: the two window passes and the per-user aggregate share
+    // ONE hash exchange on user_id; only the closing single-row aggregate
+    // adds its single-partition exchange (executedPlan: collect() above
+    // finalized this QueryExecution's AQE plan)
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    val keyed = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(keyed === 1, s"funnel should shuffle once on user_id, planned $keyed:\n$plan")
+  }
 }

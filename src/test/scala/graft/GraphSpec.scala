@@ -171,4 +171,44 @@ class GraphSpec extends GraftSuite {
     assert(r.getAs[Long]("proj_edges") > 0)
   }
   private def GraphOps_ClSampleK = operators.GraphOps.ClSampleK.toLong
+
+  test("community names: top-10 panel agrees with community stats, tiers honest") {
+    val stats = run("gr_community_stats").collect()
+      .map(r => r.getAs[String]("community") ->
+        (r.getAs[Long]("n_members"), r.getAs[Long]("total_wdegree"))).toMap
+    val rows = run("gr_community_names").collect()
+    assert(rows.length === math.min(10, stats.size))
+    // sizes descend, every row agrees with the stats panel, names carry
+    // the id and the size tier
+    val sizes = rows.map(_.getAs[Long]("n_members")).toSeq
+    assert(sizes === sizes.sortBy(-_))
+    rows.foreach { r =>
+      val (m, eng) = stats(r.getAs[String]("community"))
+      assert(r.getAs[Long]("n_members") === m)
+      assert(r.getAs[Long]("engagement") === eng)
+      val tier = r.getAs[String]("tier")
+      assert(tier === (if (m >= 25) "large" else if (m >= 15) "medium" else "small"))
+      assert(r.getAs[String]("name") ===
+        s"Community #${r.getAs[String]("community")} ($tier)")
+    }
+  }
+
+  test("link prediction: capped-set jaccard invariants and ordering") {
+    val rows = run("gr_link_predict").collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    val js = rows.map(_.getAs[Double]("jaccard")).toSeq
+    assert(js === js.sortBy(-_))
+    val pairs = rows.map(r => (r.getAs[String]("node_a"), r.getAs[String]("node_b")))
+    assert(pairs.distinct.length === pairs.length)
+    rows.foreach { r =>
+      val common = r.getAs[Long]("common")
+      assert(common >= 1L && common <= operators.GraphOps.ProjCap.toLong)
+      val j = r.getAs[Double]("jaccard")
+      assert(j > 0.0 && j <= 1.0, s"jaccard $j")
+      assert(r.getAs[String]("node_a") !== r.getAs[String]("node_b"))
+      // both endpoints are customers: the projection is customer-customer
+      assert(r.getAs[String]("node_a").startsWith("c"))
+      assert(r.getAs[String]("node_b").startsWith("c"))
+    }
+  }
 }
