@@ -359,7 +359,42 @@ object Analytics {
         / count($"p1") / lit(3.6e9), 6).as("avg_hours_to_purchase"))
   }
 
+  /** Session-level engagement panel over the 30-min-gap sessionization
+    * (the dashboard companion to `etl_sessionize`, which ships the raw
+    * per-session frame): session/user counts, mean events per session,
+    * bounce rate (single-event sessions), and mean session duration.
+    * Reuses Etl's shared session chain — one keyed exchange for the
+    * per-user windows + session aggregate, then a single-row summary;
+    * duration micros sum through a decimal accumulator (exact at any
+    * session count), one cast to double, portable-rounded.
+    */
+  val sessionStats = QueryDef(
+    "an_session_stats",
+    s"""WITH ${PS.evCte}, ${Etl.sessionCteSql},
+       |sess AS MATERIALIZED (SELECT user_id, session_idx, min(ts) AS st,
+       |    max(ts) AS en, COUNT(*) AS ne
+       |  FROM numbered GROUP BY user_id, session_idx)
+       |SELECT CAST(COUNT(*) AS BIGINT) AS n_sessions,
+       |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+       |  ${PS.prnd("CAST(SUM(ne) AS DOUBLE) / COUNT(*)", 6)} AS avg_events,
+       |  CAST(MAX(ne) AS BIGINT) AS max_events,
+       |  ${PS.prnd("CAST(SUM(CASE WHEN ne = 1 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)", 6)} AS bounce_rate,
+       |  ${PS.prnd("CAST(SUM(epoch_us(en) - epoch_us(st)) AS DOUBLE) / COUNT(*) / 6e7", 6)} AS avg_duration_min
+       |FROM sess""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    Etl.sessions(s, dir).agg(
+      P.cnt.as("n_sessions"),
+      countDistinct($"user_id").as("n_users"),
+      P.prnd(sum($"n_events").cast("double") / count(lit(1)), 6).as("avg_events"),
+      max($"n_events").as("max_events"),
+      P.prnd(sum(when($"n_events" === 1, 1L).otherwise(0L)).cast("double")
+        / count(lit(1)), 6).as("bounce_rate"),
+      P.prnd(sum((unix_micros($"session_end") - unix_micros($"session_start")).cast(dec))
+        .cast("double") / count(lit(1)) / lit(6e7), 6).as("avg_duration_min"))
+  }
+
   val defs: Seq[QueryDef] = Seq(timeline, topGroups, dowActivity, valueBuckets,
     commentBuckets, quantiles, keywordMentions, explorer, userActivity,
-    rollingActive, retention, spikeDays, conversion)
+    rollingActive, retention, spikeDays, conversion, sessionStats)
 }

@@ -99,10 +99,12 @@ object Etl {
         col("value"))
   }
 
-  /** 30-min-gap sessionization of events: one row per session per user. */
-  val sessionize = QueryDef(
-    "etl_sessionize",
-    s"""WITH ${PS.evCte}, marked AS MATERIALIZED (
+  /** The 30-min-gap session CTE chain (marked → numbered), shared by
+    * [[sessionize]] and Analytics' `an_session_stats`. Use as
+    * `WITH ${PS.evCte}, $sessionCteSql SELECT ... FROM numbered`.
+    */
+  private[operators] val sessionCteSql: String =
+    """marked AS MATERIALIZED (
       |  SELECT user_id, event_id, ts, value,
       |    CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
       |      OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
@@ -111,11 +113,14 @@ object Etl {
       |), numbered AS MATERIALIZED (
       |  SELECT *, SUM(new_session) OVER (PARTITION BY user_id
       |    ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_idx
-      |  FROM marked)
-      |SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
-      |  min(ts) AS session_start, max(ts) AS session_end,
-      |  COUNT(*) AS n_events, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
-      |FROM numbered GROUP BY user_id, session_idx""".stripMargin) { (s, dir) =>
+      |  FROM marked)""".stripMargin
+
+  /** Per-(user, session) frame — the Spark twin of [[sessionCteSql]] plus
+    * the session-level aggregation; shared by [[sessionize]] and
+    * `an_session_stats`.
+    */
+  private[operators] def sessions(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
     import s.implicits._
     val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
     val marked = Tables.events(s, dir).select($"user_id", $"event_id", $"ts", $"value",
@@ -128,6 +133,17 @@ object Etl {
       .groupBy($"user_id", $"session_idx")
       .agg(min($"ts").as("session_start"), max($"ts").as("session_end"),
         P.cnt.as("n_events"), P.dsum($"value").as("session_value"))
+  }
+
+  /** 30-min-gap sessionization of events: one row per session per user. */
+  val sessionize = QueryDef(
+    "etl_sessionize",
+    s"""WITH ${PS.evCte}, $sessionCteSql
+      |SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+      |  min(ts) AS session_start, max(ts) AS session_end,
+      |  COUNT(*) AS n_events, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
+      |FROM numbered GROUP BY user_id, session_idx""".stripMargin) { (s, dir) =>
+    sessions(s, dir)
   }
 
   /** Deterministic stratified sampling — the reproducible data-mixing op

@@ -1,0 +1,92 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Batch sources and sinks for corpus-scale layouts (SURVEY §2l).
+  *
+  * The reference's I/O surface is Kafka in / MongoDB out
+  * (spark-processor/spark_streaming.py:54,125 — covered by
+  * [[graft.streaming.EventSource]] / [[graft.streaming.UpsertSink]]); this
+  * module adds the layouts a 100 TB BATCH corpus actually lives in, where
+  * the write-side decisions are what make the read-side plans cheap:
+  *
+  *  - '''Hive-partitioned parquet''' — directory partitioning on a
+  *    low-cardinality column (lang / source / date) so a filtered read
+  *    prunes whole directories at PLANNING time (`PartitionFilters` in the
+  *    scan, zero I/O for pruned partitions). The knob that turns a
+  *    100 TB scan into a 1 TB one.
+  *  - '''Bucketed tables''' — `bucketBy(key)` + `sortBy` on the write so
+  *    every future join/aggregation ON THAT KEY reads pre-shuffled data:
+  *    two tables bucketed the same way join with NO exchange on either
+  *    side. This is the durable, cluster-grade form of the session-local
+  *    `MatStore` repartition-cache the graph suite uses — the write pays
+  *    the shuffle once, every reader amortizes it.
+  *  - '''Schema-explicit JSONL''' — the batch twin of the Kafka wire
+  *    parse: explicit schema (never inference — a schema-inference pass
+  *    over 100 TB is a full extra scan), PERMISSIVE mode with a corrupt-
+  *    record column so malformed lines are quarantined as data instead of
+  *    failing the job.
+  */
+object CorpusIO {
+
+  /** Write `df` as hive-partitioned parquet under `path`. Rows land in
+    * `<path>/<col>=<value>/...` directories; readers that filter on the
+    * partition columns scan only matching directories.
+    */
+  def writePartitioned(df: DataFrame, path: String, partitionCols: Seq[String]): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .partitionBy(partitionCols: _*)
+      .parquet(path)
+
+  /** Read a hive-partitioned layout back. `basePath` keeps the partition
+    * columns in the schema regardless of which subtree is read.
+    */
+  def readPartitioned(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("basePath", path).parquet(path)
+
+  /** Write `df` as a bucketed, per-bucket-sorted EXTERNAL table (data at
+    * `path`, metadata in the session catalog). Joins and aggregations on
+    * `bucketCol` between tables bucketed with the same count then plan no
+    * exchange — the scan itself reports hash partitioning on the bucket
+    * key. `sortBy` additionally pre-sorts within each bucket so merge
+    * joins skip their sorts.
+    */
+  def writeBucketed(df: DataFrame, table: String, path: String,
+      bucketCol: String, buckets: Int): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .option("path", path)
+      .bucketBy(buckets, bucketCol)
+      .sortBy(bucketCol)
+      .format("parquet")
+      .saveAsTable(table)
+
+  /** JSON-lines source with an EXPLICIT schema and quarantine semantics:
+    * well-formed lines parse to columns, malformed lines surface whole in
+    * `bad_record` (null for good rows) instead of failing the read or
+    * being silently dropped. Schema is caller-provided — never inferred —
+    * so the read is one pass at any corpus size. Implemented as a text
+    * scan + `from_json` (the same narrow per-row parse as
+    * [[graft.streaming.EventSource.parseWire]], which DROPS corrupt
+    * payloads where this QUARANTINES them): the DataFrameReader.json
+    * PERMISSIVE path forbids plans that project only the corrupt-record
+    * column from raw files, and a quarantine sink is exactly that plan.
+    */
+  def readJsonl(spark: SparkSession, path: String, schema: StructType): DataFrame = {
+    val withCorrupt = schema.add("bad_record", "string")
+    spark.read.text(path)
+      .select(from_json(col("value"), withCorrupt,
+        Map("mode" -> "PERMISSIVE", "columnNameOfCorruptRecord" -> "bad_record")).as("j"))
+      .select("j.*")
+  }
+
+  /** Split a quarantined JSONL read into (good, bad) frames: `good` drops
+    * the quarantine column, `bad` keeps only the raw offending lines.
+    */
+  def quarantine(parsed: DataFrame): (DataFrame, DataFrame) = {
+    val good = parsed.filter(col("bad_record").isNull).drop("bad_record")
+    val bad = parsed.filter(col("bad_record").isNotNull).select(col("bad_record"))
+    (good, bad)
+  }
+}

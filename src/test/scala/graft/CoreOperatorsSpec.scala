@@ -278,4 +278,20 @@ class CoreOperatorsSpec extends GraftSuite {
     val keyed = "Exchange hashpartitioning".r.findAllIn(plan).length
     assert(keyed === 1, s"funnel should shuffle once on user_id, planned $keyed:\n$plan")
   }
+
+  test("session stats agree with the sessionize frame they summarize") {
+    import spark.implicits._
+    val sess = run("etl_sessionize").collect()
+    val r = run("an_session_stats").collect()(0)
+    assert(r.getAs[Long]("n_sessions") === sess.length.toLong)
+    assert(r.getAs[Long]("n_users") ===
+      sess.map(_.getAs[Long]("user_id")).distinct.length.toLong)
+    assert(r.getAs[Long]("max_events") === sess.map(_.getAs[Long]("n_events")).max)
+    val bounces = sess.count(_.getAs[Long]("n_events") == 1L)
+    assert(math.abs(r.getAs[Double]("bounce_rate") -
+      bounces.toDouble / sess.length) < 1e-6)
+    val avgEv = sess.map(_.getAs[Long]("n_events")).sum.toDouble / sess.length
+    assert(math.abs(r.getAs[Double]("avg_events") - avgEv) < 1e-6)
+    assert(r.getAs[Double]("avg_duration_min") >= 0.0)
+  }
 }

@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{StructType, StringType, LongType}
+
+class SourcesSpec extends GraftSuite {
+  import sources.CorpusIO
+
+  private def tmp(name: String): String =
+    java.nio.file.Files.createTempDirectory(name).toString
+
+  test("partitioned parquet: filtered reads prune at planning time") {
+    import spark.implicits._
+    val dir = tmp("graft_part")
+    val docs = Tables.documents(spark, sfDir)
+    CorpusIO.writePartitioned(docs, dir, Seq("lang"))
+    val back = CorpusIO.readPartitioned(spark, dir)
+    // round-trip completeness (partition column moves to the directory
+    // names and back into the schema)
+    assert(back.count() === docs.count())
+    assert(back.columns.sorted === docs.columns.sorted)
+    val one = back.filter($"lang" === "en")
+    one.collect()
+    // the lang predicate must be a PartitionFilter on the scan — pruned
+    // directories are never listed into the read, which is the entire
+    // point of the layout at 100 TB
+    val scan = one.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters: [") &&
+      scan.split("PartitionFilters:")(1).takeWhile(_ != ']').contains("lang"),
+      s"lang filter did not prune partitions:\n$scan")
+    assert(one.count() === docs.filter($"lang" === "en").count())
+  }
+
+  test("bucketed tables: same-key join and aggregation plan no exchange") {
+    import spark.implicits._
+    val d1 = tmp("graft_bkt1"); val d2 = tmp("graft_bkt2")
+    val ev = Tables.events(spark, sfDir).select($"user_id", $"value", $"event_type")
+    val users = ev.groupBy($"user_id").agg(count(lit(1)).as("n_events"))
+    try {
+      CorpusIO.writeBucketed(ev, "bkt_events", d1, "user_id", 8)
+      CorpusIO.writeBucketed(users, "bkt_users", d2, "user_id", 8)
+      val e = spark.table("bkt_events")
+      val u = spark.table("bkt_users")
+      // join on the bucket key: both scans report hash partitioning on
+      // user_id, so the join needs no shuffle on either side — the write
+      // paid the exchange once, every reader amortizes it (the durable
+      // form of the MatStore repartition-cache)
+      val joined = e.join(u, "user_id").groupBy($"user_id")
+        .agg(sum($"value").as("v"), first($"n_events").as("n"))
+      joined.collect()
+      val plan = joined.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==")(0)
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed join/agg should not shuffle:\n$plan")
+      // and the result is the same as the unbucketed formulation
+      val expect = ev.join(users, "user_id").groupBy($"user_id")
+        .agg(sum($"value").as("v"), first($"n_events").as("n"))
+      assert(joined.orderBy("user_id").collect().toSeq ===
+        expect.orderBy("user_id").collect().toSeq)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS bkt_events")
+      spark.sql("DROP TABLE IF EXISTS bkt_users")
+    }
+  }
+
+  test("jsonl source: explicit schema, corrupt lines quarantined not dropped") {
+    val dir = tmp("graft_jsonl")
+    val lines = Seq(
+      """{"doc_id": 1, "text": "hello world", "lang": "en"}""",
+      """{"doc_id": 2, "text": "bonjour", "lang": "fr"}""",
+      """{"doc_id": oops not json""",
+      """{"doc_id": 3, "text": null, "lang": "de"}""")
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "part0.jsonl"),
+      String.join("\n", lines: _*).getBytes)
+    val schema = new StructType()
+      .add("doc_id", LongType).add("text", StringType).add("lang", StringType)
+    val parsed = CorpusIO.readJsonl(spark, dir, schema)
+    val (good, bad) = CorpusIO.quarantine(parsed)
+    assert(good.count() === 3)
+    assert(good.columns.toSeq === Seq("doc_id", "text", "lang"))
+    val badLines = bad.collect().map(_.getString(0))
+    assert(badLines.length === 1 && badLines(0).contains("oops"))
+  }
+}
