@@ -578,7 +578,246 @@ object Similarity {
         P.prnd(coalesce($"n_hits", lit(0L)).cast("double") / LshTopK, 6).as("recall"))
       .orderBy($"q_id")
   }
+  // --------------------------------------------------------- product quantization
+
+  /** PQ geometry: [[PqM]] subspaces of [[PqSubDim]] dims (64-dim
+    * embeddings), [[PqCodes]] codes per subspace trained with [[PqIters]]
+    * Lloyd rounds from the deterministic first-[[PqCodes]] seed, ADC
+    * candidates re-ranked exactly at depth [[PqReRank]]. Small fixed
+    * constants for the oracle, like the IVF quantizer: at 100 TB the
+    * codebooks train on a sample (256 codes per subspace = one byte per
+    * subspace per vector) and the SHAPE below is already the scaled one —
+    * the ADC scan reads only the M-byte code words, never raw vectors,
+    * and the exact re-rank touches [[PqReRank]] candidates per query.
+    */
+  val PqM = 8
+  val PqSubDim = 8
+  val PqCodes = 16
+  val PqIters = 2
+  val PqReRank = 50
+
+  /** PQ CTE chain shared by [[pqTopk]] and [[pqRecall]]. Vectors are
+    * L2-NORMALIZED first (cosine = inner product thereafter, so ADC's
+    * additive per-subspace dot decomposition approximates exactly the
+    * quantity the exact path ranks by); codebooks live in COORDINATE form
+    * (m, code, jj, c) and every dot product is an exact scaled-decimal
+    * sum over an exploded join — the [[pairStats]] machinery, no list
+    * functions needed. Assignment is k-means proper: argmin |v−c|² =
+    * argmax (v·c − |c|²/2), code tiebreak. padc = per-candidate ADC
+    * score Σ_m table(q, m, code_m(v)); pcand = ADC top-[[PqReRank]];
+    * prk = EXACT cosine re-rank of those candidates.
+    */
+  private val pqSql: String = {
+    // one assignment round against coordinate codebook `cb`: for every
+    // (vector, subspace), the L2-argmin code
+    def assignSql(name: String, cb: String): String =
+      s"""${name}d AS MATERIALIZED (SELECT p.vec_id, c.m, c.code,
+         |    ${PS.dsum("p.x * c.c", 9)} AS t
+         |  FROM pexpl p JOIN $cb c ON c.m = p.m AND c.jj = p.jj
+         |  GROUP BY p.vec_id, c.m, c.code),
+         |${name}c AS MATERIALIZED (SELECT m, code, ${PS.dsum("c * c", 9)} AS cc
+         |  FROM $cb GROUP BY m, code),
+         |$name AS MATERIALIZED (SELECT vec_id, m, code FROM (
+         |    SELECT d.vec_id, d.m, d.code,
+         |      row_number() OVER (PARTITION BY d.vec_id, d.m
+         |        ORDER BY ${PS.prnd("d.t - n.cc / 2", 9)} DESC, d.code) AS rn
+         |    FROM ${name}d d JOIN ${name}c n ON n.m = d.m AND n.code = d.code) t
+         |  WHERE rn = 1)""".stripMargin
+    val steps = (1 to PqIters).map { i =>
+      s"""${assignSql(s"pa$i", s"pm${i - 1}")},
+         |pm$i AS MATERIALIZED (SELECT a.m, a.code, x.jj, ${PS.davg("x.x", 9)} AS c
+         |  FROM pa$i a JOIN pexpl x ON x.vec_id = a.vec_id AND x.m = a.m
+         |  GROUP BY a.m, a.code, x.jj)""".stripMargin
+    }
+    (Seq(
+      s"""pex AS MATERIALIZED (SELECT vec_id, generate_subscripts(embedding, 1) AS j,
+         |    CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings)""".stripMargin,
+      s"""pnrm AS MATERIALIZED (SELECT vec_id, sqrt(${PS.dsum("x * x", 12)}) AS nrm
+         |  FROM pex GROUP BY vec_id)""".stripMargin,
+      s"""pexpl AS MATERIALIZED (SELECT e.vec_id, (e.j - 1) // $PqSubDim AS m,
+         |    (e.j - 1) % $PqSubDim + 1 AS jj, e.x / n.nrm AS x
+         |  FROM pex e JOIN pnrm n USING (vec_id))""".stripMargin,
+      s"""pm0 AS MATERIALIZED (SELECT m, vec_id AS code, jj, x AS c FROM pexpl
+         |  WHERE vec_id < $PqCodes)""".stripMargin)
+      ++ steps
+      :+ assignSql("paf", s"pm$PqIters")
+      :+ s"""ptab AS MATERIALIZED (SELECT p.vec_id AS q_id, c.m, c.code,
+            |    ${PS.dsum("p.x * c.c", 9)} AS t
+            |  FROM pexpl p JOIN pm$PqIters c ON c.m = p.m AND c.jj = p.jj
+            |  WHERE p.vec_id < $NumQueries
+            |  GROUP BY p.vec_id, c.m, c.code)""".stripMargin
+      :+ s"""padc AS MATERIALIZED (SELECT t.q_id, a.vec_id, ${PS.dsum("t.t", 9)} AS approx
+            |  FROM paf a JOIN ptab t ON t.m = a.m AND t.code = a.code
+            |  WHERE a.vec_id <> t.q_id
+            |  GROUP BY t.q_id, a.vec_id)""".stripMargin
+      :+ s"""pcand AS MATERIALIZED (SELECT q_id, vec_id FROM (
+            |    SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id
+            |      ORDER BY approx DESC, vec_id) AS rn FROM padc) t
+            |  WHERE rn <= $PqReRank)""".stripMargin
+      :+ s"""prk AS MATERIALIZED (SELECT c.q_id, c.vec_id,
+            |    ${PS.prnd("list_cosine_similarity(CAST(qe.embedding AS DOUBLE[]), CAST(ce.embedding AS DOUBLE[]))", 6)} AS cosine,
+            |    CAST(row_number() OVER (PARTITION BY c.q_id
+            |      ORDER BY ${PS.prnd("list_cosine_similarity(CAST(qe.embedding AS DOUBLE[]), CAST(ce.embedding AS DOUBLE[]))", 6)} DESC, c.vec_id) AS BIGINT) AS rank
+            |  FROM pcand c
+            |  JOIN embeddings qe ON qe.vec_id = c.q_id
+            |  JOIN embeddings ce ON ce.vec_id = c.vec_id)""".stripMargin
+      ).mkString(",\n")
+  }
+
+  /** Normalized per-coordinate rows (vec_id, m, jj, x) — session-shared
+    * (training rounds, encoding, and the per-query tables all read it).
+    */
+  private def pqExplM(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.MatStore.of(s, s"sim_pq_expl:$dir") {
+      val pex = Tables.embeddings(s, dir)
+        .select($"vec_id", posexplode($"embedding").as(Seq("j0", "xf")))
+        .select($"vec_id", ($"j0" + 1).as("j"), $"xf".cast("double").as("x"))
+      val pnrm = pex.groupBy($"vec_id").agg(sqrt(P.dsum($"x" * $"x", 12)).as("nrm"))
+      pex.join(pnrm, "vec_id")
+        .select($"vec_id", expr(s"(j - 1) div $PqSubDim").as("m"),
+          expr(s"(j - 1) % $PqSubDim + 1").as("jj"), ($"x" / $"nrm").as("x"))
+    }
+  }
+
+  /** One k-means assignment round against a coordinate codebook: per
+    * (vector, subspace), argmax (v·c − |c|²/2) — the L2 argmin — as a
+    * HASH AGGREGATE over the exploded dot products (min-struct picks the
+    * oracle's row_number row; map-side partials, no per-vector sort).
+    * The codebook is M·[[PqCodes]] coordinate rows — a constant
+    * independent of corpus size, so the broadcast is always safe.
+    */
+  private def pqAssignOver(s: SparkSession, dir: String, cb: DataFrame): DataFrame = {
+    import s.implicits._
+    val cc = cb.groupBy($"m", $"code").agg(P.dsum($"c" * $"c", 9).as("cc"))
+    pqExplM(s, dir).join(broadcast(cb), Seq("m", "jj"))
+      .groupBy($"vec_id", $"m", $"code")
+      .agg(P.dsum($"x" * $"c", 9).as("t"))
+      .join(broadcast(cc), Seq("m", "code"))
+      .groupBy($"vec_id", $"m")
+      .agg(min(struct((-P.prnd($"t" - $"cc" / 2, 9)).as("ns"), $"code".as("l"))).as("b"))
+      .select($"vec_id", $"m", $"b.l".as("code"))
+  }
+
+  /** [[PqIters]] Lloyd rounds from the deterministic seed; returns the
+    * final coordinate codebook (m, code, jj, c). Updates are exact-
+    * decimal per-(m, code, jj) means — identical doubles on both engines.
+    */
+  private def pqCodebook(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.MatStore.of(s, s"sim_pq_cb:$dir") {
+      val expl = pqExplM(s, dir)
+      var cb = expl.filter($"vec_id" < PqCodes)
+        .select($"m", $"vec_id".as("code"), $"jj", $"x".as("c"))
+      for (_ <- 1 to PqIters)
+        cb = expl.join(pqAssignOver(s, dir, cb), Seq("vec_id", "m"))
+          .groupBy($"m", $"code", $"jj")
+          .agg(P.davg($"x", 9).as("c"))
+      cb
+    }
+  }
+
+  /** Final M-byte code word per vector (vec_id, m, code) — the compressed
+    * corpus representation the ADC scan reads; session-shared.
+    */
+  private def pqCodes(s: SparkSession, dir: String): DataFrame =
+    graft.MatStore.of(s, s"sim_pq_codes:$dir")(
+      pqAssignOver(s, dir, pqCodebook(s, dir)))
+
+  /** Exact-cosine re-rank of the per-query ADC top-[[PqReRank]]: the
+    * query's lookup table (M·[[PqCodes]] dots, constant-size) scores
+    * every code word additively, the top candidates are picked with an
+    * aggregate top-k (collect/sort/slice — map-side partials, no window
+    * shuffle-sort over the score stream), and only those [[PqReRank]]
+    * rows ever touch raw vectors again.
+    */
+  private def pqRanked(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables.embeddings(s, dir)
+    val cb = pqCodebook(s, dir)
+    val tab = pqExplM(s, dir).filter($"vec_id" < NumQueries)
+      .select($"vec_id".as("q_id"), $"m", $"jj", $"x")
+      .join(broadcast(cb), Seq("m", "jj"))
+      .groupBy($"q_id", $"m", $"code")
+      .agg(P.dsum($"x" * $"c", 9).as("t"))
+    val cand = pqCodes(s, dir)
+      .join(broadcast(tab), Seq("m", "code"))
+      .filter($"vec_id" =!= $"q_id")
+      .groupBy($"q_id", $"vec_id")
+      .agg(P.dsum($"t", 9).as("approx"))
+      .groupBy($"q_id")
+      .agg(slice(array_sort(collect_list(struct((-$"approx").as("na"),
+        $"vec_id".as("v")))), 1, PqReRank).as("top"))
+      .select($"q_id", explode($"top.v").as("vec_id"))
+    val w = Window.partitionBy($"q_id").orderBy(P.prnd($"cos", 6).desc, $"vec_id")
+    cand
+      .join(broadcast(emb.filter($"vec_id" < NumQueries)
+        .select($"vec_id".as("q_id"), $"embedding".as("qe"))), "q_id")
+      .join(emb.select($"vec_id", $"embedding".as("ce")), "vec_id")
+      .select($"q_id", $"vec_id", expr("graft_cosine(qe, ce)").as("cos"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+  }
+
+  /** Product-quantization ANN top-k with exact re-rank — the
+    * compressed-domain path (IVF-PQ is the standard 100 TB architecture;
+    * compose with [[ivfKmeansTopk]]'s cell pruning to ADC-scan only
+    * probed cells' code words): each corpus vector is M 4-bit codes,
+    * each query builds a constant-size additive lookup table, the scan
+    * scores code words without touching raw vectors, and exact cosine
+    * runs only on the ADC top-[[PqReRank]].
+    */
+  val pqTopk = QueryDef(
+    "sim_pq_topk",
+    s"""WITH $pqSql
+       |SELECT q_id, vec_id, cosine, rank FROM prk WHERE rank <= $LshTopK
+       |ORDER BY q_id, rank""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    pqRanked(s, dir)
+      .filter($"rank" <= LshTopK)
+      .select($"q_id", $"vec_id", P.prnd($"cos", 6).as("cosine"), $"rank")
+      .orderBy($"q_id", $"rank")
+  }
+
+  /** Recall@k of the PQ-ADC+re-rank path against exact brute force — the
+    * eval gate before serving a compressed index, completing the measured
+    * arc SRP-LSH ([[recall]]) → trained IVF ([[kmRecall]]) → PQ.
+    */
+  val pqRecall = QueryDef(
+    "sim_pq_recall",
+    s"""WITH $pqSql,
+       |bq AS MATERIALIZED (SELECT vec_id AS q_id, embedding AS qe FROM embeddings
+       |    WHERE vec_id < $NumQueries),
+       |bsc AS MATERIALIZED (SELECT q_id, vec_id,
+       |    list_cosine_similarity(CAST(qe AS DOUBLE[]), CAST(embedding AS DOUBLE[])) AS cos
+       |  FROM bq, embeddings WHERE vec_id <> q_id),
+       |brk AS MATERIALIZED (SELECT q_id, vec_id,
+       |    CAST(row_number() OVER (PARTITION BY q_id
+       |      ORDER BY ${PS.prnd("cos", 6)} DESC, vec_id) AS BIGINT) AS rank
+       |  FROM bsc),
+       |hits AS MATERIALIZED (SELECT b.q_id, COUNT(*) AS n_hits
+       |  FROM brk b JOIN prk l ON l.q_id = b.q_id AND l.vec_id = b.vec_id
+       |  WHERE b.rank <= $LshTopK AND l.rank <= $LshTopK
+       |  GROUP BY b.q_id)
+       |SELECT q.q_id AS q_id, CAST($LshTopK AS BIGINT) AS k,
+       |  CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+       |  ${PS.prnd(s"CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / $LshTopK", 6)} AS recall
+       |FROM bq q LEFT JOIN hits h ON h.q_id = q.q_id
+       |ORDER BY q.q_id""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val brk = bruteTopkPairs(s, dir)
+    val prk = pqRanked(s, dir)
+      .filter($"rank" <= LshTopK).select($"q_id", $"vec_id")
+    val hits = brk.join(prk, Seq("q_id", "vec_id"))
+      .groupBy($"q_id").agg(P.cnt.as("n_hits"))
+    Tables.embeddings(s, dir).filter($"vec_id" < NumQueries)
+      .select($"vec_id".as("q_id"))
+      .join(hits, Seq("q_id"), "left")
+      .select($"q_id", lit(LshTopK.toLong).as("k"),
+        coalesce($"n_hits", lit(0L)).as("n_hits"),
+        P.prnd(coalesce($"n_hits", lit(0L)).cast("double") / LshTopK, 6).as("recall"))
+      .orderBy($"q_id")
+  }
 
   val defs: Seq[QueryDef] = Seq(bruteforce, lshTopk, pairStats, recall, ivfTopk,
-    kmTrain, ivfKmeansTopk, kmRecall)
+    kmTrain, ivfKmeansTopk, kmRecall, pqTopk, pqRecall)
 }

@@ -58,7 +58,12 @@ object ScaleTrend {
       "tx_fingerprint", "sent_agreement", "dd_simhash", "dd_embedding",
       "sim_bruteforce_topk", "sim_lsh_topk", "tx_contamination",
       "gr_pagerank", "gr_components", "gr_communities",
-      "gr_betweenness_approx")
+      "gr_betweenness_approx",
+      // late-r10 operators with non-trivial scale shapes: the one-exchange
+      // funnel, the capped-projection pair generator, the session chain,
+      // the chunk-frequency shuffle join, and the PQ train+ADC+re-rank path
+      "an_conversion", "gr_link_predict", "an_session_stats",
+      "tx_boilerplate", "sim_pq_topk")
     def time(name: String, dir: String): Double = {
       val fn = SparkEntry.queries(name)
       (1 to 2).map { _ =>

@@ -135,4 +135,42 @@ class DedupSimilaritySpec extends GraftSuite {
       val c = r.getAs[Double]("mean_cos"); c >= -1.0 && c <= 1.0
     })
   }
+
+  test("pq top-k: exact re-ranked cosines, contiguous ranks, per-query order") {
+    import spark.implicits._
+    val rows = run("sim_pq_topk").collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[Long]("q_id")).foreach { case (_, rs) =>
+      assert(rs.length <= operators.Similarity.LshTopK)
+      assert(rs.map(_.getAs[Long]("rank")).sorted.toSeq === (1L to rs.length).toSeq)
+      val byRank = rs.sortBy(_.getAs[Long]("rank")).map(_.getAs[Double]("cosine")).toSeq
+      assert(byRank === byRank.sortBy(-_), "cosine must descend with rank")
+    }
+    // the reported cosines are EXACT (re-rank output): recompute one pair
+    val r0 = rows.minBy(r => (r.getAs[Long]("q_id"), r.getAs[Long]("rank")))
+    val emb = Tables.embeddings(spark, sfDir)
+    val exact = emb.filter($"vec_id" === r0.getAs[Long]("q_id")).select($"embedding".as("qe"))
+      .crossJoin(emb.filter($"vec_id" === r0.getAs[Long]("vec_id")).select($"embedding".as("ce")))
+      .select(graft.functions.Portable.prnd(expr("graft_cosine(qe, ce)"), 6).as("c"))
+      .head().getDouble(0)
+    assert(r0.getAs[Double]("cosine") === exact)
+  }
+
+  test("pq recall beats the SRP-LSH path on this corpus and is well-formed") {
+    val pq = run("sim_pq_recall").collect()
+    assert(pq.length === operators.Similarity.NumQueries)
+    assert(pq.forall { r =>
+      val rc = r.getAs[Double]("recall"); rc >= 0.0 && rc <= 1.0
+    })
+    val meanPq = pq.map(_.getAs[Double]("recall")).sum / pq.length
+    val srp = run("sim_recall").collect()
+    val meanSrp = srp.map(_.getAs[Double]("recall")).sum / srp.length
+    // measured ~0.80 vs ~0.30 at sf0.01 (and 0.77 vs 0.33 at sf0.001):
+    // ADC top-PqReRank + exact re-rank prunes ~95% of the corpus while
+    // keeping most of the true top-k; assert the ordering, not the
+    // level, so regenerated corpora don't flake the suite
+    assert(meanPq >= meanSrp,
+      s"PQ recall $meanPq should not trail SRP recall $meanSrp")
+    assert(meanPq > 0.0)
+  }
 }
