@@ -29,7 +29,9 @@ object Bench {
     */
   val priorCost: Map[String, Double] = Map(
     "an_comment_buckets" -> 0.4,
+    "an_conversion" -> 0.5,
     "an_dow_activity" -> 0.2,
+    "an_session_stats" -> 0.5,
     "an_explorer" -> 0.2,
     "an_keyword_mentions" -> 0.2,
     "an_quantiles" -> 0.2,
@@ -58,6 +60,7 @@ object Bench {
     "gr_betweenness_approx" -> 2.6,
     "gr_closeness" -> 1.3,
     "gr_communities" -> 0.6,
+    "gr_community_names" -> 1.6,
     "gr_community_stats" -> 0.7,
     "gr_components" -> 0.8,
     "gr_degree" -> 0.2,
@@ -67,6 +70,7 @@ object Bench {
     "gr_eigenvector" -> 1.5,
     "gr_graph_stats" -> 0.5,
     "gr_influencers" -> 1.4,
+    "gr_link_predict" -> 0.6,
     "gr_louvain" -> 1.2,
     "gr_modularity" -> 0.8,
     "gr_pagerank" -> 1.3,
@@ -88,6 +92,8 @@ object Bench {
     "sim_kmeans_train" -> 0.1,
     "sim_lsh_topk" -> 0.3,
     "sim_pair_stats" -> 0.7,
+    "sim_pq_recall" -> 1.1,
+    "sim_pq_topk" -> 0.9,
     "sim_recall" -> 0.2,
     "st_enrich_agg" -> 0.2,
     "st_funnel_join" -> 0.3,

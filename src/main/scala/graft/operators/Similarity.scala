@@ -680,20 +680,47 @@ object Similarity {
     }
   }
 
+  /** Normalized per-(vector, subspace) coordinate ARRAYS (vec_id, m,
+    * xs[PqSubDim]) — the row shape every dot product reads. Built once
+    * from [[pqExplM]] and session-shared: collapsing the coordinates
+    * into arrays turns each scaled-decimal dot from an explode + join +
+    * |N|·d·codes-row hash aggregate into ONE codegen'd `graft_sdot`
+    * loop per (vector, subspace, code) row — the PQ hot-path shape.
+    */
+  private def pqSubM(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.MatStore.of(s, s"sim_pq_sub:$dir")(
+      pqExplM(s, dir).groupBy($"vec_id", $"m")
+        .agg(transform(array_sort(collect_list(struct($"jj", $"x"))),
+          e => e.getField("x")).as("xs")))
+  }
+
+  /** Coordinate codebook → broadcast-shaped array codebook (m, code,
+    * cs[PqSubDim], cc = |c|² as the same scaled-decimal sum). A constant
+    * M·[[PqCodes]]-row relation at any corpus size.
+    */
+  private def pqCbArr(cb: DataFrame): DataFrame = {
+    import cb.sparkSession.implicits._
+    cb.groupBy($"m", $"code")
+      .agg(transform(array_sort(collect_list(struct($"jj", $"c"))),
+        e => e.getField("c")).as("cs"))
+      .withColumn("cc", expr("graft_sdot(cs, cs, 9)"))
+  }
+
   /** One k-means assignment round against a coordinate codebook: per
     * (vector, subspace), argmax (v·c − |c|²/2) — the L2 argmin — as a
-    * HASH AGGREGATE over the exploded dot products (min-struct picks the
-    * oracle's row_number row; map-side partials, no per-vector sort).
-    * The codebook is M·[[PqCodes]] coordinate rows — a constant
-    * independent of corpus size, so the broadcast is always safe.
+    * HASH AGGREGATE (min-struct picks the oracle's row_number row;
+    * map-side partials, no per-vector sort). Each dot is one codegen'd
+    * `graft_sdot` over the [[pqSubM]] arrays — bit-identical to the
+    * oracle's exploded dsum, without its |N|·d·codes-row aggregation.
+    * The codebook is M·[[PqCodes]] rows — constant at any corpus size,
+    * so the broadcast is always safe.
     */
   private def pqAssignOver(s: SparkSession, dir: String, cb: DataFrame): DataFrame = {
     import s.implicits._
-    val cc = cb.groupBy($"m", $"code").agg(P.dsum($"c" * $"c", 9).as("cc"))
-    pqExplM(s, dir).join(broadcast(cb), Seq("m", "jj"))
-      .groupBy($"vec_id", $"m", $"code")
-      .agg(P.dsum($"x" * $"c", 9).as("t"))
-      .join(broadcast(cc), Seq("m", "code"))
+    pqSubM(s, dir).join(broadcast(pqCbArr(cb)), Seq("m"))
+      .select($"vec_id", $"m", $"code",
+        expr("graft_sdot(xs, cs, 9)").as("t"), $"cc")
       .groupBy($"vec_id", $"m")
       .agg(min(struct((-P.prnd($"t" - $"cc" / 2, 9)).as("ns"), $"code".as("l"))).as("b"))
       .select($"vec_id", $"m", $"b.l".as("code"))
@@ -724,6 +751,18 @@ object Similarity {
     graft.MatStore.of(s, s"sim_pq_codes:$dir")(
       pqAssignOver(s, dir, pqCodebook(s, dir)))
 
+  /** Per-query additive lookup table (q_id, m, code, t = q·c as the
+    * scaled-decimal dot) over the FINAL codebook — constant
+    * |queries|·M·[[PqCodes]] rows, the broadcast side of the ADC scan.
+    */
+  private def pqQueryTab(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    pqSubM(s, dir).filter($"vec_id" < NumQueries)
+      .select($"vec_id".as("q_id"), $"m", $"xs")
+      .join(broadcast(pqCbArr(pqCodebook(s, dir))), Seq("m"))
+      .select($"q_id", $"m", $"code", expr("graft_sdot(xs, cs, 9)").as("t"))
+  }
+
   /** Exact-cosine re-rank of the per-query ADC top-[[PqReRank]]: the
     * query's lookup table (M·[[PqCodes]] dots, constant-size) scores
     * every code word additively, the top candidates are picked with an
@@ -734,14 +773,8 @@ object Similarity {
   private def pqRanked(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val emb = Tables.embeddings(s, dir)
-    val cb = pqCodebook(s, dir)
-    val tab = pqExplM(s, dir).filter($"vec_id" < NumQueries)
-      .select($"vec_id".as("q_id"), $"m", $"jj", $"x")
-      .join(broadcast(cb), Seq("m", "jj"))
-      .groupBy($"q_id", $"m", $"code")
-      .agg(P.dsum($"x" * $"c", 9).as("t"))
     val cand = pqCodes(s, dir)
-      .join(broadcast(tab), Seq("m", "code"))
+      .join(broadcast(pqQueryTab(s, dir)), Seq("m", "code"))
       .filter($"vec_id" =!= $"q_id")
       .groupBy($"q_id", $"vec_id")
       .agg(P.dsum($"t", 9).as("approx"))

@@ -230,4 +230,45 @@ class FunctionsSpec extends GraftSuite {
     // null array: null through all three
     assert(out(3L).isNullAt(1) && out(3L).isNullAt(2) && out(3L).isNullAt(3))
   }
+
+  test("graft_sdot equals the exploded Portable.dsum formulation exactly") {
+    import spark.implicits._
+    val rng = new scala.util.Random(7)
+    val rows = (1L to 40L).map { i =>
+      (i, Seq.fill(8)(rng.nextDouble() * 2 - 1), Seq.fill(8)(rng.nextDouble() * 2 - 1))
+    }
+    val df = rows.toDF("id", "xs", "cs")
+    val got = df.select($"id", call_function("graft_sdot", $"xs", $"cs", lit(9)).as("d"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // reference: the dsum semantics in plain Scala — per-term scaled
+    // floor-round, exact long sum, one final divide
+    rows.foreach { case (i, xs, cs) =>
+      val acc = xs.zip(cs).map { case (x, c) => math.floor(x * c * 1e9 + 0.5).toLong }.sum
+      assert(got(i) == acc / 1e9, s"row $i")
+    }
+    // and via the engine's own exploded dsum aggregate
+    val expl = df.select($"id", posexplode(arrays_zip($"xs", $"cs")))
+      .select($"id", $"col.xs".as("x"), $"col.cs".as("c"))
+      .groupBy($"id").agg(graft.functions.Portable.dsum($"x" * $"c", 9).as("d"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    rows.foreach { case (i, _, _) => assert(got(i) == expl(i), s"row $i vs dsum") }
+  }
+
+  test("graft_sdot edge cases: float side widening, nulls, scale guard") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Some(Seq(0.5f, -0.25f)), Some(Seq(0.5, 0.5))),
+      (2L, None: Option[Seq[Float]], Some(Seq(1.0, 1.0))),
+      (3L, Some(Seq(1.0f)), None: Option[Seq[Double]])
+    ).toDF("id", "fs", "ds")
+    val out = df.select($"id", call_function("graft_sdot", $"fs", $"ds", lit(9)).as("d"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getDouble(1) == (math.floor(0.5 * 0.5 * 1e9 + 0.5).toLong +
+      math.floor(-0.25 * 0.5 * 1e9 + 0.5).toLong) / 1e9)
+    assert(out(2L).isNullAt(1) && out(3L).isNullAt(1))
+    val e = intercept[Exception] {
+      df.select(call_function("graft_sdot", $"ds", $"ds", lit(-1))).collect()
+    }
+    assert(e.getMessage.contains("scale"), e.getMessage)
+  }
 }
