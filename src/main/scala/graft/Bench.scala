@@ -92,6 +92,7 @@ object Bench {
     "sim_kmeans_train" -> 0.1,
     "sim_lsh_topk" -> 0.3,
     "sim_pair_stats" -> 0.7,
+    "sim_ivfpq_topk" -> 0.8,
     "sim_pq_recall" -> 1.1,
     "sim_pq_topk" -> 0.9,
     "sim_recall" -> 0.2,
@@ -103,6 +104,7 @@ object Bench {
     "tx_fingerprint" -> 0.1,
     "tx_keyterms" -> 0.6,
     "tx_lang_id" -> 0.1,
+    "tx_lm_score" -> 0.5,
     "tx_boilerplate" -> 0.4,
     "tx_ngram_stats" -> 0.2,
     "tx_pii_scrub" -> 0.1,

@@ -435,14 +435,20 @@ object Similarity {
     * probed members), shared verbatim by [[ivfKmeansTopk]] and
     * [[kmRecall]] so both queries measure the SAME ANN path.
     */
-  private val kmProbeSql: String =
+  /** Probed trained cells per query (kqc) — shared by the km probe tail
+    * and the IVF-PQ composition.
+    */
+  private val kqcSql: String =
     s"""kqc AS MATERIALIZED (SELECT q_id, cell FROM (
        |    SELECT q.vec_id AS q_id, ct.cell,
        |      row_number() OVER (PARTITION BY q.vec_id
        |        ORDER BY ${PS.prnd("list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), ct.c)", 6)} DESC, ct.cell) AS rn
        |    FROM embeddings q CROSS JOIN kc$KmIters ct
        |    WHERE q.vec_id < $NumQueries) t
-       |  WHERE rn <= $IvfProbes),
+       |  WHERE rn <= $IvfProbes)""".stripMargin
+
+  private val kmProbeSql: String =
+    s"""$kqcSql,
        |kcand AS MATERIALIZED (SELECT qc.q_id, a.vec_id,
        |    list_cosine_similarity(CAST(qe.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])) AS cos
        |  FROM kqc qc
@@ -457,20 +463,26 @@ object Similarity {
   /** Spark twin of [[kmProbeSql]]: (q_id, vec_id, cos, rank) over the
     * probed cells of the session-shared trained model.
     */
-  private def kmProbeRanked(s: SparkSession, dir: String): DataFrame = {
+  /** Spark twin of [[kqcSql]]: top-[[IvfProbes]] trained cells per query
+    * as a hash aggregate — collect the K candidate structs, sort the
+    * K-element array, slice — map-side partials, no window shuffle-sort
+    * (same total order as the oracle's row_number over (cos DESC, cell)).
+    */
+  private def kmQueryCells(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val emb = Tables.embeddings(s, dir)
-    // top-IvfProbes cells per query as a hash aggregate: collect the K
-    // candidate structs, sort the K-element array, slice — map-side
-    // partials, no window shuffle-sort (same total order as the
-    // oracle's row_number over (cos DESC, cell))
-    val qcells = emb.filter($"vec_id" < NumQueries)
+    Tables.embeddings(s, dir).filter($"vec_id" < NumQueries)
       .crossJoin(broadcast(kmCents(s, dir)))
       .select($"vec_id".as("q_id"), $"cell", expr("graft_cosine(embedding, c)").as("cos"))
       .groupBy($"q_id")
       .agg(slice(array_sort(collect_list(struct((-P.prnd($"cos", 6)).as("nc"),
         $"cell".as("l")))), 1, IvfProbes).as("top"))
       .select($"q_id", explode($"top.l").as("cell"))
+  }
+
+  private def kmProbeRanked(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables.embeddings(s, dir)
+    val qcells = kmQueryCells(s, dir)
     val w = Window.partitionBy($"q_id").orderBy(P.prnd($"cos", 6).desc, $"vec_id")
     // probed cells only: members stream through one broadcast join
     kmAssign(s, dir).select($"vec_id", $"cell")
@@ -607,7 +619,7 @@ object Similarity {
     * score Σ_m table(q, m, code_m(v)); pcand = ADC top-[[PqReRank]];
     * prk = EXACT cosine re-rank of those candidates.
     */
-  private val pqSql: String = {
+  private val pqTrainSql: String = {
     // one assignment round against coordinate codebook `cb`: for every
     // (vector, subspace), the L2-argmin code
     def assignSql(name: String, cb: String): String =
@@ -646,6 +658,15 @@ object Similarity {
             |  FROM pexpl p JOIN pm$PqIters c ON c.m = p.m AND c.jj = p.jj
             |  WHERE p.vec_id < $NumQueries
             |  GROUP BY p.vec_id, c.m, c.code)""".stripMargin
+      ).mkString(",\n")
+  }
+
+  /** Full-corpus ADC scan + exact re-rank tail ([[pqTopk]]/[[pqRecall]]);
+    * [[ivfpqTopk]] swaps this scan for a cell-pruned one over the same
+    * trained artifacts ([[pqTrainSql]]).
+    */
+  private val pqSql: String = {
+    (Seq(pqTrainSql)
       :+ s"""padc AS MATERIALIZED (SELECT t.q_id, a.vec_id, ${PS.dsum("t.t", 9)} AS approx
             |  FROM paf a JOIN ptab t ON t.m = a.m AND t.code = a.code
             |  WHERE a.vec_id <> t.q_id
@@ -851,6 +872,70 @@ object Similarity {
       .orderBy($"q_id")
   }
 
+  /** IVF-PQ ANN top-k — the composition of the two trained indexes and
+    * the standard 100 TB serving architecture (coarse quantizer prunes
+    * cells, product codes score what remains, raw vectors only for the
+    * final re-rank): per query, probe the [[IvfProbes]] nearest trained
+    * k-means cells ([[kmQueryCells]]), ADC-score ONLY those cells'
+    * members from their M-byte code words, then exact-cosine re-rank the
+    * ADC top-[[PqReRank]]. Non-probed cells are never read at all — at
+    * scale that is partition pruning on the cell key — and the ADC scan
+    * reads nprobe/K of the corpus as compressed codes instead of the
+    * full-corpus scan [[pqTopk]] pays. The candidate↔codes join keys two
+    * corpus-scaling relations on vec_id — a shuffle join by design,
+    * never a broadcast.
+    */
+  val ivfpqTopk = QueryDef(
+    "sim_ivfpq_topk",
+    s"""WITH $kmSql,
+       |$pqTrainSql,
+       |$kqcSql,
+       |icand AS MATERIALIZED (SELECT qc.q_id, a.vec_id FROM kqc qc
+       |  JOIN kaf a ON a.cell = qc.cell AND a.vec_id <> qc.q_id),
+       |iadc AS MATERIALIZED (SELECT c.q_id, c.vec_id, ${PS.dsum("t.t", 9)} AS approx
+       |  FROM icand c
+       |  JOIN paf f ON f.vec_id = c.vec_id
+       |  JOIN ptab t ON t.q_id = c.q_id AND t.m = f.m AND t.code = f.code
+       |  GROUP BY c.q_id, c.vec_id),
+       |icnd AS MATERIALIZED (SELECT q_id, vec_id FROM (
+       |    SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id
+       |      ORDER BY approx DESC, vec_id) AS rn FROM iadc) t
+       |  WHERE rn <= $PqReRank),
+       |irk AS MATERIALIZED (SELECT c.q_id, c.vec_id,
+       |    ${PS.prnd("list_cosine_similarity(CAST(qe.embedding AS DOUBLE[]), CAST(ce.embedding AS DOUBLE[]))", 6)} AS cosine,
+       |    CAST(row_number() OVER (PARTITION BY c.q_id
+       |      ORDER BY ${PS.prnd("list_cosine_similarity(CAST(qe.embedding AS DOUBLE[]), CAST(ce.embedding AS DOUBLE[]))", 6)} DESC, c.vec_id) AS BIGINT) AS rank
+       |  FROM icnd c
+       |  JOIN embeddings qe ON qe.vec_id = c.q_id
+       |  JOIN embeddings ce ON ce.vec_id = c.vec_id)
+       |SELECT q_id, vec_id, cosine, rank FROM irk WHERE rank <= $LshTopK
+       |ORDER BY q_id, rank""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val emb = Tables.embeddings(s, dir)
+    val cand = kmAssign(s, dir).select($"vec_id", $"cell")
+      .join(broadcast(kmQueryCells(s, dir)), "cell")
+      .filter($"vec_id" =!= $"q_id")
+      .select($"q_id", $"vec_id")
+    val top = cand.join(pqCodes(s, dir), "vec_id")
+      .join(broadcast(pqQueryTab(s, dir)), Seq("q_id", "m", "code"))
+      .groupBy($"q_id", $"vec_id")
+      .agg(P.dsum($"t", 9).as("approx"))
+      .groupBy($"q_id")
+      .agg(slice(array_sort(collect_list(struct((-$"approx").as("na"),
+        $"vec_id".as("v")))), 1, PqReRank).as("top"))
+      .select($"q_id", explode($"top.v").as("vec_id"))
+    val w = Window.partitionBy($"q_id").orderBy(P.prnd($"cos", 6).desc, $"vec_id")
+    top
+      .join(broadcast(emb.filter($"vec_id" < NumQueries)
+        .select($"vec_id".as("q_id"), $"embedding".as("qe"))), "q_id")
+      .join(emb.select($"vec_id", $"embedding".as("ce")), "vec_id")
+      .select($"q_id", $"vec_id", expr("graft_cosine(qe, ce)").as("cos"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter($"rank" <= LshTopK)
+      .select($"q_id", $"vec_id", P.prnd($"cos", 6).as("cosine"), $"rank")
+      .orderBy($"q_id", $"rank")
+  }
+
   val defs: Seq[QueryDef] = Seq(bruteforce, lshTopk, pairStats, recall, ivfTopk,
-    kmTrain, ivfKmeansTopk, kmRecall, pqTopk, pqRecall)
+    kmTrain, ivfKmeansTopk, kmRecall, pqTopk, pqRecall, ivfpqTopk)
 }

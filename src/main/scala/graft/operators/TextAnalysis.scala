@@ -428,7 +428,68 @@ object TextAnalysis {
       .orderBy($"source")
   }
 
+  /** Statistical language-model quality score — the KenLM-style filter of
+    * web-corpus pipelines (CCNet/RefinedWeb rank documents by LM fluency),
+    * re-expressed with exactly portable arithmetic: an add-one-smoothed
+    * bigram model is "trained" on the corpus itself and every document is
+    * scored by its mean bigram probability
+    * mean((c(w1 w2) + 1) / (c(w1 ·) + V)). Probabilities (not log-probs)
+    * keep every term a ratio of integers — IEEE division then the
+    * dsum/prnd discipline is bit-identical on both engines, where a log
+    * formulation would hang determinism on two libms agreeing.
+    *
+    * Scale shape: counts are hash aggregates with map-side partials; the
+    * two model joins key per-occurrence rows against the bigram/unigram
+    * count relations on the TERM — vocabulary scales with the corpus, so
+    * both are SHUFFLE joins (`shuffle_hash`, the tx_keyterms discipline),
+    * never a broadcast. V is a broadcast scalar aggregate. One final
+    * per-doc aggregation. Nothing here exceeds the cost of the token
+    * scan itself at 100 TB.
+    */
+  val lmScore = QueryDef(
+    "tx_lm_score",
+    s"""WITH lmtok AS MATERIALIZED (SELECT doc_id, string_split(text, ' ') AS w
+       |  FROM documents),
+       |lmv AS MATERIALIZED (SELECT CAST(COUNT(DISTINCT t.tok) AS BIGINT) AS v FROM (
+       |    SELECT unnest(w) AS tok FROM lmtok) t),
+       |lmbg AS MATERIALIZED (SELECT doc_id, split_part(bigram, ' ', 1) AS w1, bigram
+       |  FROM (SELECT doc_id, unnest(list_transform(generate_series(1, len(w) - 1),
+       |      i -> w[i] || ' ' || w[i + 1])) AS bigram
+       |    FROM lmtok WHERE len(w) >= 2) t),
+       |lmcb AS MATERIALIZED (SELECT bigram, CAST(COUNT(*) AS BIGINT) AS cb
+       |  FROM lmbg GROUP BY bigram),
+       |lmcw AS MATERIALIZED (SELECT w1, CAST(COUNT(*) AS BIGINT) AS cw
+       |  FROM lmbg GROUP BY w1),
+       |lmsc AS MATERIALIZED (SELECT b.doc_id,
+       |    ${PS.prnd("CAST(c.cb + 1 AS DOUBLE) / (h.cw + (SELECT v FROM lmv))", 9)} AS p
+       |  FROM lmbg b JOIN lmcb c USING (bigram) JOIN lmcw h USING (w1))
+       |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       |  ${PS.prnd(PS.dsum("p", 9) + " / COUNT(*)", 6)} AS lm_score
+       |FROM lmsc GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val toks = Tables.documents(s, dir).select($"doc_id", split($"text", " ").as("w"))
+    val vocab = toks.select(explode($"w").as("tok"))
+      .agg(countDistinct($"tok").as("v"))
+    val bg = toks.filter(size($"w") >= 2)
+      .select($"doc_id",
+        explode(call_function("graft_shingles", $"w", lit(2))).as("bigram"))
+      // tokens never contain the separator, so the prefix before the
+      // first space IS the first token (oracle: split_part(bigram,' ',1))
+      .withColumn("w1", substring_index($"bigram", " ", 1))
+    val cb = bg.groupBy($"bigram").agg(P.cnt.as("cb"))
+    val cw = bg.groupBy($"w1").agg(P.cnt.as("cw"))
+    bg.join(cb.hint("shuffle_hash"), "bigram")
+      .join(cw.hint("shuffle_hash"), "w1")
+      .crossJoin(broadcast(vocab))
+      .select($"doc_id",
+        P.prnd(($"cb" + 1).cast("double") / ($"cw" + $"v"), 9).as("p"))
+      .groupBy($"doc_id")
+      .agg(P.cnt.as("n_bigrams"),
+        P.prnd(P.dsum($"p", 9) / count(lit(1)), 6).as("lm_score"))
+      .orderBy($"doc_id")
+  }
+
   val defs: Seq[QueryDef] = Seq(langId, quality, tokenCount, fingerprint,
     contamination, ngramStats, keyterms, repetition, boilerplate,
-    corpusMixture, piiScrub)
+    corpusMixture, piiScrub, lmScore)
 }

@@ -173,4 +173,24 @@ class DedupSimilaritySpec extends GraftSuite {
       s"PQ recall $meanPq should not trail SRP recall $meanSrp")
     assert(meanPq > 0.0)
   }
+
+  test("ivfpq top-k: exact cosines, contiguous per-query ranks, bounded k") {
+    val rows = run("sim_ivfpq_topk").collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[Long]("q_id")).foreach { case (_, rs) =>
+      assert(rs.length <= operators.Similarity.LshTopK)
+      assert(rs.map(_.getAs[Long]("rank")).sorted.toSeq === (1L to rs.length).toSeq)
+      val byRank = rs.sortBy(_.getAs[Long]("rank")).map(_.getAs[Double]("cosine")).toSeq
+      assert(byRank === byRank.sortBy(-_), "cosine must descend with rank")
+    }
+    // the IVF-PQ candidate set is a subset of the trained-IVF candidate
+    // set (same probed cells), so wherever both paths return a pair the
+    // exact re-ranked cosine must agree with the trained-IVF exact path
+    val ivf = run("sim_ivf_kmeans_topk").collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id")) -> r.getAs[Double]("cosine")).toMap
+    rows.foreach { r =>
+      val k = (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id"))
+      ivf.get(k).foreach(c => assert(c === r.getAs[Double]("cosine"), s"pair $k"))
+    }
+  }
 }

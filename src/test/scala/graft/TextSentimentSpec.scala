@@ -124,4 +124,35 @@ class TextSentimentSpec extends GraftSuite {
     assert(real.agg(org.apache.spark.sql.functions.sum($"n_boiler"))
       .head.getLong(0) > 0L)
   }
+
+  test("lm score: add-one bigram probabilities verified on a tiny corpus") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_lm").toString
+    // corpus: "a b", "a b", "a c" -> V = 3 (a, b, c)
+    // c(a b)=2, c(a c)=1, c(a .)=3
+    Seq(
+      (1L, "a b", "en", "s1", 3),
+      (2L, "a b", "en", "s1", 3),
+      (3L, "a c", "en", "s1", 3),
+      (4L, "a", "en", "s1", 1)) // single token: no bigrams, absent from output
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val rows = operators.TextAnalysis.lmScore.run(spark, tmp)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(rows.keySet === Set(1L, 2L, 3L))
+    def pr(cb: Long, cw: Long, v: Long): Double =
+      math.floor((cb + 1).toDouble / (cw + v) * 1e9 + 0.5) / 1e9
+    // "a b": p = (2+1)/(3+3) = 0.5; "a c": p = (1+1)/(3+3) = 1/3
+    assert(rows(1L).getAs[Double]("lm_score") === 0.5)
+    assert(rows(2L).getAs[Double]("lm_score") === 0.5)
+    val exp3 = math.floor(pr(1, 3, 3) * 1e6 + 0.5) / 1e6
+    assert(rows(3L).getAs[Double]("lm_score") === exp3)
+    assert(rows(1L).getAs[Long]("n_bigrams") === 1L)
+    // real corpus: scores are valid probabilities, repeated docs score high
+    val real = run("tx_lm_score").collect()
+    assert(real.nonEmpty)
+    assert(real.forall { r =>
+      val p = r.getAs[Double]("lm_score"); p > 0.0 && p <= 1.0
+    })
+  }
 }
