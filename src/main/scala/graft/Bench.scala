@@ -74,6 +74,7 @@ object Bench {
     "gr_louvain" -> 1.2,
     "gr_modularity" -> 0.8,
     "gr_pagerank" -> 1.3,
+    "gr_triangles" -> 0.6,
     "mm_binary_meta" -> 0.1,
     "q1_pricing_summary" -> 0.2,
     "q3_top_orders" -> 0.7,

@@ -1453,6 +1453,29 @@ object GraphOps {
   val ProjCap = 20
   val ClSampleK = 32
 
+  /** Session-shared capped customer–customer co-supplier projection
+    * (a < b, distinct): per-supplier cap as an aggregate top-k (collect
+    * the member list, sort, slice — map-side partials), NOT a row_number
+    * window — same ProjCap-smallest-src rows, no per-partition sort of
+    * the full edge relation (measured 1.49s → ~0.4s at sf0.1). cs
+    * appears on both sides of the self-join as the IDENTICAL subplan,
+    * so ReuseExchange materializes its aggregation once; shuffle_hash
+    * skips the SMJ sorts a stats-free relation gets. Shared by
+    * [[grGraphStats]] and [[grTriangles]].
+    */
+  private def projM(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    MatStore.of(s, s"gr_proj:$dir") {
+      val e = edgesNum(s, dir)
+      val cs = e.groupBy($"dst")
+        .agg(slice(array_sort(collect_list($"src")), 1, ProjCap).as("m"))
+        .select($"dst", explode($"m").as("src"))
+      cs.select($"dst", $"src".as("a"))
+        .join(cs.select($"dst", $"src".as("b")).hint("shuffle_hash"), "dst")
+        .filter($"a" < $"b").select($"a", $"b").distinct()
+    }
+  }
+
   /** Graph metadata panel — node/edge counts, density, and average
     * clustering (reference: network-analysis/network_analysis.py:329-336,
     * rendered at dashboard/dashboard.py:304-329). The customer↔supplier
@@ -1501,21 +1524,7 @@ object GraphOps {
     // itself (see [[edgesNum]]).
     val gn = MatStore.of(s, s"gr_nodes:$dir")(
       e.select($"src".as("v")).union(e.select($"dst".as("v"))).distinct())
-    val proj = MatStore.of(s, s"gr_proj:$dir") {
-      // per-supplier cap as an aggregate top-k (collect the member
-      // list, sort, slice — map-side partials), NOT a row_number
-      // window: same ProjCap-smallest-src rows, no per-partition sort
-      // of the full edge relation (measured 1.49s -> ~0.4s at sf0.1).
-      // cs appears on both sides of the self-join as the IDENTICAL
-      // subplan, so ReuseExchange materializes its aggregation once;
-      // shuffle_hash skips the SMJ sorts a stats-free relation gets.
-      val cs = e.groupBy($"dst")
-        .agg(slice(array_sort(collect_list($"src")), 1, ProjCap).as("m"))
-        .select($"dst", explode($"m").as("src"))
-      cs.select($"dst", $"src".as("a"))
-        .join(cs.select($"dst", $"src".as("b")).hint("shuffle_hash"), "dst")
-        .filter($"a" < $"b").select($"a", $"b").distinct()
-    }
+    val proj = projM(s, dir)
     // The whole sampled-clustering chain is deterministic per dir (id-
     // ordered sample, capped projection), so its ≤ ClSampleK-row result
     // is session-shared too — repeat consumers pay only the scalar
@@ -1622,8 +1631,77 @@ object GraphOps {
       .orderBy($"jaccard".desc, $"node_a", $"node_b").limit(20)
   }
 
+  /** Exact per-node triangle counts + local clustering over the capped
+    * projection, via DEGREE-ORDERED edge orientation (Chiba–Nishizeki /
+    * the standard distributed-triangle formulation): orient every
+    * projection edge from its lower-(degree, id) endpoint to the higher,
+    * enumerate wedges from each node's OUT-neighbors only, and close
+    * each wedge against the oriented edge list. Orientation bounds
+    * out-degree by O(√|E|) on any graph, so wedge generation is
+    * O(|E|^1.5) worst-case instead of Σd² — the hub-node wedge explosion
+    * that kills id-ordered or undirected formulations at 100 TB. Unlike
+    * [[grGraphStats]]'s Schank–Wagner sampled clustering (a corpus-wide
+    * average), this reports the exact top-20 panel. Every join here
+    * keys data-scaling relations (per-node degrees, oriented edges) —
+    * all shuffle joins, nothing broadcast.
+    */
+  val grTriangles = QueryDef(
+    "gr_triangles",
+    s"""WITH $eNumSql,
+       |cs AS MATERIALIZED (SELECT dst, src FROM (
+       |    SELECT dst, src, row_number() OVER (PARTITION BY dst ORDER BY src) AS rn FROM e) t
+       |  WHERE rn <= $ProjCap),
+       |proj AS MATERIALIZED (SELECT DISTINCT ca.src AS a, cb.src AS b
+       |  FROM cs ca JOIN cs cb ON ca.dst = cb.dst AND ca.src < cb.src),
+       |pd AS MATERIALIZED (SELECT v, CAST(COUNT(*) AS BIGINT) AS d FROM (
+       |    SELECT a AS v FROM proj UNION ALL SELECT b FROM proj) t GROUP BY v),
+       |oe AS MATERIALIZED (SELECT
+       |    CASE WHEN da.d < db.d OR (da.d = db.d AND p.a < p.b) THEN p.a ELSE p.b END AS u,
+       |    CASE WHEN da.d < db.d OR (da.d = db.d AND p.a < p.b) THEN p.b ELSE p.a END AS v
+       |  FROM proj p JOIN pd da ON da.v = p.a JOIN pd db ON db.v = p.b),
+       |oer AS MATERIALIZED (SELECT o.u, o.v, pd.d AS dv FROM oe o JOIN pd ON pd.v = o.v),
+       |tr AS MATERIALIZED (SELECT w.u, w.x, w.y FROM (
+       |    SELECT o1.u, o1.v AS x, o2.v AS y FROM oer o1 JOIN oer o2 ON o1.u = o2.u
+       |    WHERE o1.dv < o2.dv OR (o1.dv = o2.dv AND o1.v < o2.v)) w
+       |  JOIN oe e2 ON e2.u = w.x AND e2.v = w.y),
+       |tc AS MATERIALIZED (SELECT v, CAST(COUNT(*) AS BIGINT) AS t FROM (
+       |    SELECT u AS v FROM tr UNION ALL SELECT x FROM tr UNION ALL SELECT y FROM tr) t
+       |  GROUP BY v)
+       |SELECT ${fmtNodeSql("pd.v")} AS node, pd.d AS degree,
+       |  CAST(COALESCE(tc.t, 0) AS BIGINT) AS triangles,
+       |  ${PS.prnd("CASE WHEN pd.d >= 2 THEN CAST(2.0 AS DOUBLE) * CAST(COALESCE(tc.t, 0) AS DOUBLE) / CAST(pd.d * (pd.d - 1) AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END", 8)} AS clustering
+       |FROM pd LEFT JOIN tc ON tc.v = pd.v
+       |ORDER BY triangles DESC, node LIMIT 20""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val proj = projM(s, dir)
+    val pd = proj.select($"a".as("v")).union(proj.select($"b".as("v")))
+      .groupBy($"v").agg(P.cnt.as("d"))
+    val lower = $"da" < $"db" || ($"da" === $"db" && $"a" < $"b")
+    val oe = proj
+      .join(pd.select($"v".as("a"), $"d".as("da")).hint("shuffle_hash"), "a")
+      .join(pd.select($"v".as("b"), $"d".as("db")).hint("shuffle_hash"), "b")
+      .select(when(lower, $"a").otherwise($"b").as("u"),
+        when(lower, $"b").otherwise($"a").as("v"))
+    val oer = oe.join(pd.select($"v", $"d".as("dv")).hint("shuffle_hash"), "v")
+    val tri = oer.select($"u", $"v".as("x"), $"dv".as("dx"))
+      .join(oer.select($"u", $"v".as("y"), $"dv".as("dy")).hint("shuffle_hash"), "u")
+      .filter($"dx" < $"dy" || ($"dx" === $"dy" && $"x" < $"y"))
+      .join(oe.select($"u".as("x"), $"v".as("y")).hint("shuffle_hash"), Seq("x", "y"))
+      .select($"u", $"x", $"y")
+    val tc = tri.select($"u".as("v")).union(tri.select($"x".as("v")))
+      .union(tri.select($"y".as("v")))
+      .groupBy($"v").agg(P.cnt.as("t"))
+    val t = coalesce($"t", lit(0L))
+    pd.join(tc, Seq("v"), "left")
+      .select(fmtNode($"v").as("node"), $"d".as("degree"), t.as("triangles"),
+        P.prnd(when($"d" >= 2, lit(2.0) * t.cast("double")
+          / ($"d" * ($"d" - 1)).cast("double")).otherwise(lit(0.0)), 8).as("clustering"))
+      .orderBy($"triangles".desc, $"node").limit(20)
+  }
+
   val defs: Seq[QueryDef] = Seq(grEdges, grDegree, grDegreeDirected,
     grDegreeBuckets, grPagerank, grEigenvector, grComponents, grCloseness,
     grBetweenness, grInfluencers, grCommunities, grCommunityStats,
-    grCommunityNames, grModularity, grLouvain, grGraphStats, grLinkPredict)
+    grCommunityNames, grModularity, grLouvain, grGraphStats, grLinkPredict,
+    grTriangles)
 }

@@ -211,4 +211,33 @@ class GraphSpec extends GraftSuite {
       assert(r.getAs[String]("node_b").startsWith("c"))
     }
   }
+
+  test("triangles: degree-ordered orientation counts each triangle exactly once") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_tri").toString
+    // customers 10,11,12 share supplier 5 -> projection triangle
+    // (10,11,12); supplier 6 adds edge (10,13). Degrees: 10->3, 11->2,
+    // 12->2, 13->1. (Customers 1,2 / supplier 1 are the excluded ids.)
+    Seq((1L, 10L), (2L, 11L), (3L, 12L), (4L, 10L), (5L, 13L))
+      .toDF("o_orderkey", "o_custkey")
+      .write.mode("overwrite").parquet(s"$tmp/orders.parquet")
+    Seq((1L, 5L), (2L, 5L), (3L, 5L), (4L, 6L), (5L, 6L))
+      .toDF("l_orderkey", "l_suppkey")
+      .write.mode("overwrite").parquet(s"$tmp/lineitem.parquet")
+    val rows = operators.GraphOps.grTriangles.run(spark, tmp)
+      .collect().map(r => r.getAs[String]("node") ->
+        (r.getAs[Long]("degree"), r.getAs[Long]("triangles"), r.getAs[Double]("clustering"))).toMap
+    assert(rows("c10") === ((3L, 1L, math.floor(1.0 / 3.0 * 1e8 + 0.5) / 1e8)))
+    assert(rows("c11") === ((2L, 1L, 1.0)))
+    assert(rows("c12") === ((2L, 1L, 1.0)))
+    assert(rows("c13") === ((1L, 0L, 0.0)))
+    // real corpus: triangles bounded by C(d,2), clustering a valid ratio
+    val real = run("gr_triangles").collect()
+    assert(real.nonEmpty)
+    real.foreach { r =>
+      val d = r.getAs[Long]("degree"); val t = r.getAs[Long]("triangles")
+      assert(t <= d * (d - 1) / 2, s"node ${r.getAs[String]("node")}")
+      val c = r.getAs[Double]("clustering"); assert(c >= 0.0 && c <= 1.0)
+    }
+  }
 }
