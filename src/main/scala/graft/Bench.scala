@@ -33,6 +33,7 @@ object Bench {
     "an_dow_activity" -> 0.2,
     "an_session_stats" -> 0.5,
     "an_explorer" -> 0.2,
+    "an_gini" -> 0.3,
     "an_keyword_mentions" -> 0.2,
     "an_quantiles" -> 0.2,
     "an_retention" -> 0.6,

@@ -394,7 +394,70 @@ object Analytics {
         .cast("double") / count(lit(1)) / lit(6e7), 6).as("avg_duration_min"))
   }
 
+  /** Engagement-inequality panel: EXACT Gini coefficient of per-user
+    * event counts, per event type (the "is activity concentrated in a few
+    * power users" question every community dashboard asks; for a
+    * training-data pipeline the same statistic over per-source doc
+    * counts is the corpus-concentration report).
+    *
+    * The scale trick: Gini needs a rank over all N users, but the
+    * mean-absolute-difference form only needs the VALUE HISTOGRAM —
+    * G = Σ_v n_v·(v·P_v − S_v) / (N·T) with P_v/S_v the
+    * users/event-mass strictly below value v. Per-user counts and the
+    * histogram are plain hash aggregates (map-side partials); the
+    * prefix sums run over DISTINCT COUNT VALUES only — bounded by the
+    * max per-user activity (thousands), not by N (billions) — so the
+    * per-type ordered window touches a constant-size relation at any
+    * corpus size. Every term is an exact integer (decimal accumulator;
+    * DuckDB's SUM(BIGINT) is HUGEINT), one final double division, so
+    * the coefficient is tie-invariant and bit-portable by construction
+    * — no float ranks, no sort of the user relation.
+    */
+  val gini = QueryDef(
+    "an_gini",
+    s"""WITH ${PS.evCte},
+       |ua AS MATERIALIZED (SELECT event_type, user_id, CAST(COUNT(*) AS BIGINT) AS c
+       |  FROM ev GROUP BY 1, 2),
+       |h AS MATERIALIZED (SELECT event_type, c AS v, CAST(COUNT(*) AS BIGINT) AS nv
+       |  FROM ua GROUP BY 1, 2),
+       |p AS MATERIALIZED (SELECT event_type, v, nv,
+       |    COALESCE(SUM(nv) OVER (PARTITION BY event_type ORDER BY v
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pv,
+       |    COALESCE(SUM(nv * v) OVER (PARTITION BY event_type ORDER BY v
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS sv
+       |  FROM h),
+       |g AS MATERIALIZED (SELECT event_type, SUM(nv) AS n, SUM(nv * v) AS t,
+       |    SUM(nv * (v * pv - sv)) AS num
+       |  FROM p GROUP BY event_type)
+       |SELECT event_type, CAST(n AS BIGINT) AS n_users, CAST(t AS BIGINT) AS total_events,
+       |  ${PS.prnd("CAST(num AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(t AS DOUBLE))", 8)} AS gini
+       |FROM g ORDER BY event_type""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    val ua = Tables.events(s, dir)
+      .groupBy($"event_type", $"user_id").agg(P.cnt.as("c"))
+    val h = ua.groupBy($"event_type", $"c".as("v")).agg(P.cnt.as("nv"))
+    val w = Window.partitionBy($"event_type").orderBy($"v")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val p = h.select($"event_type", $"v", $"nv",
+      coalesce(sum($"nv").over(w), lit(0L)).as("pv"),
+      coalesce(sum($"nv" * $"v").over(w), lit(0L)).as("sv"))
+    // decimal(38,0) accumulators: exact at any N where a long sum of
+    // nv·(v·pv − sv) terms could overflow (DuckDB SUM(BIGINT) is
+    // already HUGEINT)
+    p.groupBy($"event_type")
+      .agg(sum($"nv".cast(DecimalType(38, 0))).as("n"),
+        sum(($"nv" * $"v").cast(DecimalType(38, 0))).as("t"),
+        sum(($"nv" * ($"v" * $"pv" - $"sv")).cast(DecimalType(38, 0))).as("num"))
+      .select($"event_type", $"n".cast("long").as("n_users"),
+        $"t".cast("long").as("total_events"),
+        P.prnd($"num".cast("double") / ($"n".cast("double") * $"t".cast("double")), 8)
+          .as("gini"))
+      .orderBy($"event_type")
+  }
+
   val defs: Seq[QueryDef] = Seq(timeline, topGroups, dowActivity, valueBuckets,
     commentBuckets, quantiles, keywordMentions, explorer, userActivity,
-    rollingActive, retention, spikeDays, conversion, sessionStats)
+    rollingActive, retention, spikeDays, conversion, sessionStats, gini)
 }

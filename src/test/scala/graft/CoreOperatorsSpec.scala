@@ -294,4 +294,32 @@ class CoreOperatorsSpec extends GraftSuite {
     assert(math.abs(r.getAs[Double]("avg_events") - avgEv) < 1e-6)
     assert(r.getAs[Double]("avg_duration_min") >= 0.0)
   }
+
+  test("gini: histogram prefix-sum formula matches brute-force pairwise on a known table") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_gini").toString
+    // type "eq": 4 users x 3 events each -> G = 0
+    // type "sk": counts 1,1,2,8 -> G = sum|ci-cj| / (2 N^2 mu)
+    val rows =
+      (1 to 4).flatMap(u => (1 to 3).map(i =>
+        (u * 10L + i, java.sql.Timestamp.valueOf(s"2024-01-01 10:00:0$i"), u.toLong, "eq", 1.0, "{}"))) ++
+      Seq(1 -> 1, 2 -> 1, 3 -> 2, 4 -> 8).flatMap { case (u, c) =>
+        (1 to c).map(i => (1000L + u * 20L + i,
+          java.sql.Timestamp.valueOf(s"2024-01-02 10:00:${10 + i}"), u.toLong, "sk", 1.0, "{}")) }
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val got = operators.Analytics.gini.run(spark, tmp)
+      .collect().map(r => r.getAs[String]("event_type") -> r).toMap
+    assert(got("eq").getAs[Double]("gini") === 0.0)
+    assert(got("eq").getAs[Long]("n_users") === 4L)
+    val cs = Seq(1L, 1L, 2L, 8L)
+    val pair = (for (a <- cs; b <- cs) yield math.abs(a - b)).sum.toDouble
+    val exp = pair / (2.0 * cs.length * cs.length * (cs.sum.toDouble / cs.length))
+    assert(got("sk").getAs[Double]("gini") === math.floor(exp * 1e8 + 0.5) / 1e8)
+    assert(got("sk").getAs[Long]("total_events") === 12L)
+    // real corpus: valid range per type
+    run("an_gini").collect().foreach { r =>
+      val g = r.getAs[Double]("gini"); assert(g >= 0.0 && g < 1.0)
+    }
+  }
 }
