@@ -34,6 +34,7 @@ object Bench {
     "an_session_stats" -> 0.5,
     "an_explorer" -> 0.2,
     "an_gini" -> 0.3,
+    "an_hll_users" -> 0.3,
     "an_keyword_mentions" -> 0.2,
     "an_quantiles" -> 0.2,
     "an_retention" -> 0.6,

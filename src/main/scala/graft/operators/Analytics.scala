@@ -457,7 +457,108 @@ object Analytics {
       .orderBy($"event_type")
   }
 
+  /** Bit-portable HyperLogLog distinct-user sketch per event type, with
+    * the exact count and relative error alongside (the honest eval pair,
+    * like sim_recall): 64 registers from the md5 of the user id — 6 index
+    * bits, ρ = leading-zero rank of the remaining 54 bits computed as
+    * 55 − length(bin(w)) (pure integer/string ops, no log), register
+    * maxes, and the raw HLL harmonic estimate α·m²/Σ2^−M with each
+    * 2^−M built by integer shift + exact power-of-two division. Every
+    * step — md5, integer split, bin length, max, dsum — is identical SQL
+    * semantics on both engines, so the ESTIMATE itself hash-matches:
+    * a sketch whose value is reproducible across engines and runs.
+    *
+    * Why it matters at 100 TB: the sketch side is one narrow scan +
+    * a (|types|·64)-group aggregate with map-side partials — register
+    * maxes merge associatively, so no shuffle of user ids at all. The
+    * exact COUNT(DISTINCT) column is the eval harness (it IS the
+    * expensive dedup shuffle the sketch avoids); production reads only
+    * the estimate.
+    *
+    * Small-range (raw ≤ 2.5m, empty registers remain) uses the standard
+    * linear-counting correction m·ln(m/V) — and because V has only m
+    * possible values, ln arrives as a 64-entry LITERAL TABLE
+    * ([[HllLnCase]]) instead of a runtime log(): the one place the
+    * estimator touches a transcendental is frozen into decimal literals
+    * both engines parse to the identical double, so even the corrected
+    * estimate is bit-portable. (A general log() would hang the result
+    * on two libms agreeing — the same reason tx_lm_score avoids
+    * log-probs.)
+    */
+  /** ln(64/V) for V = 1..64 as 17-significant-digit literals — enough
+    * digits that any correctly-rounding parser (Java's and DuckDB's)
+    * reconstructs the identical IEEE double. References a column `v`.
+    */
+  private val HllLnCase: String = {
+    val branches = (1 to 64)
+      .map(v => f"WHEN $v THEN ${math.log(64.0 / v)}%1.17g")
+    s"(CASE v ${branches.mkString(" ")} ELSE 0.0 END)"
+  }
+
+  /** Raw harmonic HLL estimate over ssum — shared expression TEXT so
+    * Spark (via expr) and DuckDB parse the identical arithmetic.
+    */
+  private val HllRawExpr = "(0.7213 / (1.0 + 1.079 / 64.0)) * 64.0 * 64.0 / ssum"
+
+  /** Corrected estimate: linear counting below 2.5·m when empty
+    * registers remain, raw harmonic estimate otherwise.
+    */
+  private val HllEstExpr =
+    s"(CASE WHEN $HllRawExpr <= 160.0 AND v > 0 THEN 64.0 * $HllLnCase ELSE $HllRawExpr END)"
+
+  val hllUsers = QueryDef(
+    "an_hll_users",
+    s"""WITH ${PS.evCte},
+       |hh AS MATERIALIZED (SELECT event_type,
+       |    ${PS.hexToLong("md5(CAST(user_id AS VARCHAR))", 1, 15)} AS h FROM ev),
+       |mx AS MATERIALIZED (SELECT event_type, h % 64 AS j,
+       |    MAX(CASE WHEN h // 64 = 0 THEN 55 ELSE 55 - length(bin(h // 64)) END) AS mj
+       |  FROM hh GROUP BY 1, 2),
+       |types AS MATERIALIZED (SELECT DISTINCT event_type FROM ev),
+       |filled AS MATERIALIZED (SELECT t.event_type, r.j, COALESCE(m.mj, 0) AS mj
+       |  FROM types t CROSS JOIN range(64) r(j)
+       |  LEFT JOIN mx m ON m.event_type = t.event_type AND m.j = r.j),
+       |s AS MATERIALIZED (SELECT event_type,
+       |    ${PS.dsum("1.0 / CAST(CAST(1 AS BIGINT) << mj AS DOUBLE)", 15)} AS ssum,
+       |    CAST(SUM(CASE WHEN mj = 0 THEN 1 ELSE 0 END) AS BIGINT) AS v
+       |  FROM filled GROUP BY event_type),
+       |ex AS MATERIALIZED (SELECT event_type,
+       |    CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users FROM ev GROUP BY 1)
+       |SELECT s.event_type AS event_type,
+       |  ${PS.prnd(HllEstExpr, 4)} AS est_users,
+       |  ex.exact_users,
+       |  ${PS.prnd(s"abs(${PS.prnd(HllEstExpr, 4)} - ex.exact_users) / ex.exact_users", 6)} AS rel_error
+       |FROM s JOIN ex ON ex.event_type = s.event_type
+       |ORDER BY s.event_type""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+    val w = expr("h div 64")
+    val mx = ev
+      .select($"event_type", P.hexToLong(md5($"user_id".cast("string")), 1, 15).as("h"))
+      .groupBy($"event_type", ($"h" % 64).as("j"))
+      .agg(max(when(w === 0, lit(55)).otherwise(lit(55) - length(bin(w)))).as("mj"))
+    val allreg = ev.select($"event_type").distinct()
+      .select($"event_type", explode(sequence(lit(0), lit(63))).as("j"))
+    val ssum = allreg.join(mx, Seq("event_type", "j"), "left")
+      .select($"event_type", coalesce($"mj", lit(0)).as("mj"))
+      .groupBy($"event_type")
+      .agg(P.dsum(
+        expr("1.0 / CAST(shiftleft(CAST(1 AS BIGINT), CAST(mj AS INT)) AS DOUBLE)"),
+        15).as("ssum"),
+        sum(when($"mj" === 0, 1L).otherwise(0L)).as("v"))
+    val ex = ev.groupBy($"event_type").agg(countDistinct($"user_id").as("exact_users"))
+    // the estimator expression TEXT is shared with the oracle: Spark's
+    // SQL parser and DuckDB's both round the same literals to the same
+    // doubles and apply the same IEEE arithmetic
+    val est = P.prnd(expr(HllEstExpr), 4)
+    ssum.join(ex, "event_type")
+      .select($"event_type", est.as("est_users"), $"exact_users",
+        P.prnd(abs(est - $"exact_users") / $"exact_users", 6).as("rel_error"))
+      .orderBy($"event_type")
+  }
+
   val defs: Seq[QueryDef] = Seq(timeline, topGroups, dowActivity, valueBuckets,
     commentBuckets, quantiles, keywordMentions, explorer, userActivity,
-    rollingActive, retention, spikeDays, conversion, sessionStats, gini)
+    rollingActive, retention, spikeDays, conversion, sessionStats, gini,
+    hllUsers)
 }

@@ -322,4 +322,37 @@ class CoreOperatorsSpec extends GraftSuite {
       val g = r.getAs[Double]("gini"); assert(g >= 0.0 && g < 1.0)
     }
   }
+
+  test("hll sketch: portable estimate lands near planted distinct counts") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_hll").toString
+    // type "big": 400 distinct users, one event each; type "sm": 40 users
+    // seen 3 times each (duplicates must not move the sketch)
+    val rows = (1 to 400).map(u => (u.toLong, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"),
+        u.toLong, "big", 1.0, "{}")) ++
+      (1 to 40).flatMap(u => (1 to 3).map(i => (10000L + u * 10L + i,
+        java.sql.Timestamp.valueOf("2024-01-02 10:00:00"), 900L + u, "sm", 1.0, "{}")))
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val got = operators.Analytics.hllUsers.run(spark, tmp)
+      .collect().map(r => r.getAs[String]("event_type") -> r).toMap
+    assert(got("big").getAs[Long]("exact_users") === 400L)
+    assert(got("sm").getAs[Long]("exact_users") === 40L)
+    // raw HLL at m=64 has stddev ~1.04/sqrt(64) = 13%; 3 sigma bound
+    got.values.foreach { r =>
+      assert(r.getAs[Double]("rel_error") < 0.4,
+        s"${r.getAs[String]("event_type")}: ${r.getAs[Double]("rel_error")}")
+      assert(r.getAs[Double]("est_users") > 0.0)
+    }
+    // duplicates invariance: the same "sm" user set planted once each
+    // under a new type (fresh dir — Spark caches file listings per path)
+    val tmp2 = java.nio.file.Files.createTempDirectory("graft_hll2").toString
+    (rows ++ rows.filter(_._4 == "sm").groupBy(_._3).map(_._2.head)
+      .map(t => (90000L + t._1, t._2, t._3, "sm1", t._5, t._6)).toSeq)
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$tmp2/events.parquet")
+    val got2 = operators.Analytics.hllUsers.run(spark, tmp2)
+      .collect().map(r => r.getAs[String]("event_type") -> r.getAs[Double]("est_users")).toMap
+    assert(got2("sm1") === got2("sm"), "estimate is a pure function of the distinct user set")
+  }
 }
