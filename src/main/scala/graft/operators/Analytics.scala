@@ -557,8 +557,146 @@ object Analytics {
       .orderBy($"event_type")
   }
 
+  /** Count-min sketch depth (independent hash rows) and width (buckets
+    * per row). Width is the precision knob — expected overestimate is
+    * ~N/w per probe — and the synthetic corpus is deliberately the
+    * ADVERSARIAL case: per-user counts are near-uniform, so nobody is a
+    * true heavy hitter and at sf0.1 (N ≈ 100k, counts ≈ 70) the bias
+    * visibly dominates, while at sf0.01 (N ≈ 10k) estimates are nearly
+    * exact. The eval columns document exactly that crossover (the
+    * honest-eval posture of an_hll_users / sim_recall); a production
+    * run sizes w ≈ e/ε for target error ε·N.
+    */
+  private val CmDepth = 4
+  private val CmWidth = 256
+
+  /** The bucket index of user `u` under hash row `r` — md5-salted by the
+    * row id, so the [[CmDepth]] hashes are independent; shared TEXT shape
+    * with the oracle twin below.
+    */
+  private def cmBucket(u: org.apache.spark.sql.Column, r: org.apache.spark.sql.Column) =
+    P.hexToLong(md5(concat(r.cast("string"), lit(":"), u.cast("string"))), 1, 15) % CmWidth
+
+  private def cmBucketSql(u: String, r: String) =
+    s"(${PS.hexToLong(s"md5(CAST($r AS VARCHAR) || ':' || CAST($u AS VARCHAR))", 1, 15)} % $CmWidth)"
+
+  /** Heavy-hitter panel backed by a count-min sketch, with the exact
+    * counts alongside (the honest eval pair, like an_hll_users): every
+    * event increments [[CmDepth]] md5-salted counters, a user's estimate
+    * is the min over its counters, and the guarantee est ≥ exact holds by
+    * construction (counters only ever over-count). The top-20 users by
+    * exact count are the eval probes; production reads only the sketch.
+    *
+    * Why it matters at 100 TB: the sketch side is a narrow map into a
+    * CONSTANT-size aggregate (d·w cells with map-side partials — no
+    * shuffle of user ids, no per-user state), mergeable across days/
+    * streams by cell-wise addition, and any key's frequency is answered
+    * from d cells. The exact side IS the per-user shuffle the sketch
+    * avoids — it exists here as the eval harness. Every count is an
+    * integer and the hashes are md5-derived, so the estimate itself is
+    * bit-portable across engines.
+    */
+  val cmTopk = QueryDef(
+    "an_cm_topk",
+    s"""WITH ${PS.evCte},
+       |hh AS MATERIALIZED (SELECT user_id, r, ${cmBucketSql("user_id", "r")} AS b
+       |  FROM ev CROSS JOIN range($CmDepth) t(r)),
+       |cells AS MATERIALIZED (SELECT r, b, CAST(COUNT(*) AS BIGINT) AS cell
+       |  FROM hh GROUP BY 1, 2),
+       |ex AS MATERIALIZED (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS exact_count
+       |  FROM ev GROUP BY 1),
+       |top AS MATERIALIZED (SELECT user_id, exact_count FROM ex
+       |  ORDER BY exact_count DESC, user_id LIMIT 20),
+       |te AS MATERIALIZED (SELECT t.user_id, t.exact_count, r,
+       |    ${cmBucketSql("t.user_id", "r")} AS b
+       |  FROM top t CROSS JOIN range($CmDepth) t2(r))
+       |SELECT t.user_id, CAST(MIN(c.cell) AS BIGINT) AS est_count, t.exact_count,
+       |  CAST(MIN(c.cell) - t.exact_count AS BIGINT) AS overestimate
+       |FROM te t JOIN cells c ON c.r = t.r AND c.b = t.b
+       |GROUP BY t.user_id, t.exact_count
+       |ORDER BY t.exact_count DESC, t.user_id""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+    // sketch build: a CmDepth-way row expansion into a d·w-cell hash
+    // aggregate — constant output size, map-side partial combine does
+    // almost all the work, nothing keyed by user ever shuffles
+    val cells = ev
+      .select($"user_id", explode(sequence(lit(0), lit(CmDepth - 1))).as("r"))
+      .groupBy($"r", cmBucket($"user_id", $"r").as("b"))
+      .agg(P.cnt.as("cell"))
+    val top = ev.groupBy($"user_id").agg(P.cnt.as("exact_count"))
+      .orderBy($"exact_count".desc, $"user_id").limit(20)
+    // both sides of this join are constant-size (20·d probe rows, d·w
+    // cells) — broadcast is safe at any corpus scale
+    top
+      .select($"user_id", $"exact_count",
+        explode(sequence(lit(0), lit(CmDepth - 1))).as("r"))
+      .withColumn("b", cmBucket($"user_id", $"r"))
+      .join(broadcast(cells), Seq("r", "b"))
+      .groupBy($"user_id", $"exact_count")
+      .agg(min($"cell").as("est_count"))
+      .select($"user_id", $"est_count", $"exact_count",
+        ($"est_count" - $"exact_count").as("overestimate"))
+      .orderBy($"exact_count".desc, $"user_id")
+  }
+
+  /** Activity-trend panel: exact least-squares slope of daily event
+    * counts per event type (the dashboard's "is this community growing"
+    * number). Each (x=day index, y=daily count) term is an integer; the
+    * five sums run through decimal accumulators (HUGEINT in DuckDB), so
+    * the closed-form slope/intercept divide two EXACT integers cast to
+    * double once — identical IEEE arithmetic on both engines, no
+    * regression library, no float accumulation order anywhere.
+    *
+    * Scale shape: one calendar-bounded daily aggregation (map-side
+    * partials; |types|·|days| rows at any corpus size) then a |types|-row
+    * closed-form aggregate. Nothing iterative, nothing driver-side.
+    */
+  val trend = QueryDef(
+    "an_trend",
+    s"""WITH ${PS.evCte},
+       |daily AS MATERIALIZED (SELECT event_type, CAST(ts AS DATE) AS day,
+       |    CAST(COUNT(*) AS BIGINT) AS y FROM ev GROUP BY 1, 2),
+       |xy AS MATERIALIZED (SELECT event_type,
+       |    CAST(datediff('day', DATE '2024-01-01', day) AS BIGINT) AS x, y FROM daily),
+       |ag AS MATERIALIZED (SELECT event_type, CAST(COUNT(*) AS DOUBLE) AS n,
+       |    CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+       |    CAST(SUM(x * y) AS DOUBLE) AS sxy, CAST(SUM(x * x) AS DOUBLE) AS sxx,
+       |    CAST(COUNT(*) AS BIGINT) AS n_days, CAST(SUM(y) AS BIGINT) AS total_events
+       |  FROM xy GROUP BY event_type)
+       |SELECT event_type, n_days, total_events,
+       |  ${PS.prnd("CASE WHEN n * sxx - sx * sx = 0.0 THEN 0.0 ELSE (n * sxy - sx * sy) / (n * sxx - sx * sx) END", 8)} AS slope_per_day,
+       |  ${PS.prnd("CASE WHEN n * sxx - sx * sx = 0.0 THEN sy / n ELSE (sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n END", 8)} AS intercept
+       |FROM ag ORDER BY event_type""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    import org.apache.spark.sql.types.DecimalType
+    val dec = DecimalType(38, 0)
+    val daily = Tables.events(s, dir)
+      .groupBy($"event_type", $"ts".cast("date").as("day"))
+      .agg(P.cnt.as("y"))
+    val xy = daily.select($"event_type",
+      datediff($"day", lit("2024-01-01").cast("date")).cast("long").as("x"), $"y")
+    val ag = xy.groupBy($"event_type").agg(
+      count(lit(1)).cast("double").as("n"),
+      sum($"x".cast(dec)).cast("double").as("sx"),
+      sum($"y".cast(dec)).cast("double").as("sy"),
+      sum(($"x" * $"y").cast(dec)).cast("double").as("sxy"),
+      sum(($"x" * $"x").cast(dec)).cast("double").as("sxx"),
+      count(lit(1)).as("n_days"),
+      sum($"y".cast(dec)).cast("long").as("total_events"))
+    val den = $"n" * $"sxx" - $"sx" * $"sx"
+    val slope = when(den === 0.0, lit(0.0))
+      .otherwise(($"n" * $"sxy" - $"sx" * $"sy") / den)
+    val icept = when(den === 0.0, $"sy" / $"n")
+      .otherwise(($"sy" - (($"n" * $"sxy" - $"sx" * $"sy") / den) * $"sx") / $"n")
+    ag.select($"event_type", $"n_days", $"total_events",
+      P.prnd(slope, 8).as("slope_per_day"),
+      P.prnd(icept, 8).as("intercept"))
+      .orderBy($"event_type")
+  }
+
   val defs: Seq[QueryDef] = Seq(timeline, topGroups, dowActivity, valueBuckets,
     commentBuckets, quantiles, keywordMentions, explorer, userActivity,
     rollingActive, retention, spikeDays, conversion, sessionStats, gini,
-    hllUsers)
+    hllUsers, cmTopk, trend)
 }

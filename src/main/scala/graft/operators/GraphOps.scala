@@ -1699,9 +1699,187 @@ object GraphOps {
       .orderBy($"triangles".desc, $"node").limit(20)
   }
 
+  /** Unrolled k-core peel rounds in the oracle chain. Peeling at the
+    * 75th-percentile degree reaches its fixpoint in 2 rounds on this
+    * quasi-random graph at every generated SF (dense graphs collapse or
+    * stabilize fast; deep cascades need lattice-like structure), so 4
+    * carries a 2x margin; the oracle's fixpoint guard (last two keep
+    * sets equal) makes an insufficient unroll fail loud, never silently
+    * diverge from the Spark loop's true fixpoint.
+    */
+  private val KcRounds = 4
+
+  /** Spark-side peel cap — generous; the loop breaks at the fixpoint
+    * (peeling is monotone: alive sets only shrink, so an unchanged
+    * count IS set equality), the cap only bounds a pathological graph.
+    */
+  private val KcMaxRounds = 12
+
+  /** keep1/kc1..keepN/kcN CTE chain — unrolled k-core peel rounds over
+    * `und` with K from the `kv` CTE, the SQL twin of [[grKcore]]'s loop.
+    */
+  private def kcChain(rounds: Int): String = {
+    val base = "kc0 AS MATERIALIZED (SELECT node, nb FROM und)"
+    val steps = (1 to rounds).map { i =>
+      s"""keep$i AS MATERIALIZED (SELECT node FROM kc${i - 1}
+         |  GROUP BY node HAVING COUNT(*) >= (SELECT k FROM kv)),
+         |kc$i AS MATERIALIZED (SELECT c.node, c.nb FROM kc${i - 1} c
+         |  JOIN keep$i a ON c.node = a.node JOIN keep$i b ON c.nb = b.node)""".stripMargin
+    }
+    (base +: steps).mkString(",\n")
+  }
+
+  /** K-core extraction (the "stable core" community panel — who remains
+    * after fair-weather users are removed): iteratively delete nodes of
+    * degree < K, where K is the 75th-percentile initial degree, until no
+    * node falls below K; report each surviving node's within-core degree.
+    *
+    * K is DATA-DERIVED but engine-portable without floats: the degree
+    * HISTOGRAM (bounded by distinct degree values, not |V| — the an_gini
+    * discipline) gets an ordered prefix sum, and K is the smallest degree
+    * v with 4·cum(v) ≥ 3·N — pure integer arithmetic, identical on both
+    * engines, and the comparison never materializes 3N/4 as a float.
+    *
+    * Scale shape per round: one exchange-free degree aggregation over the
+    * node-partitioned shared relation + two keyed semi-joins of the edge
+    * relation against the |V|-row keep set — routed through the
+    * size-driven [[stateJoin]] knob (at 100 TB the keep set outgrows any
+    * broadcast). Peeling is monotone (alive sets only shrink), so the
+    * convergence probe is a count comparison, and rounds are bounded by
+    * the cascade depth — 2 here; O(peel depth) generally, each round a
+    * constant number of shuffles. The full coreness decomposition (peel
+    * at every k) is deliberately out of scope: this is the single-k
+    * membership query a dashboard asks.
+    */
+  val grKcore = QueryDef(
+    "gr_kcore",
+    s"""WITH $eNumSql, $undSql,
+       |kdeg AS MATERIALIZED (SELECT node, CAST(COUNT(*) AS BIGINT) AS d
+       |  FROM und GROUP BY node),
+       |khist AS MATERIALIZED (SELECT d AS v, CAST(COUNT(*) AS BIGINT) AS nd
+       |  FROM kdeg GROUP BY d),
+       |ktot AS MATERIALIZED (SELECT CAST(SUM(nd) AS BIGINT) AS ntot FROM khist),
+       |kcum AS MATERIALIZED (SELECT v, SUM(nd) OVER (ORDER BY v) AS cum FROM khist),
+       |kv AS MATERIALIZED (SELECT CAST(MIN(v) AS BIGINT) AS k FROM kcum, ktot
+       |  WHERE 4 * cum >= 3 * ntot),
+       |${kcChain(KcRounds)}
+       |SELECT ${fmtNodeSql("node")} AS node, CAST(COUNT(*) AS BIGINT) AS core_degree,
+       |  (SELECT k FROM kv) AS k
+       |FROM kc$KcRounds
+       |WHERE (SELECT COUNT(*) FROM keep${KcRounds - 1}) = (SELECT COUNT(*) FROM keep$KcRounds)
+       |GROUP BY node ORDER BY node""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val und = sharedUnd(s, dir).select($"node", $"nb")
+    // K from the degree histogram: the ordered prefix sum runs over
+    // distinct DEGREE VALUES only (a global window over a bounded
+    // relation — max degree entries, not |V|), then one integer filter
+    val hist = und.groupBy($"node").agg(P.cnt.as("d"))
+      .groupBy($"d".as("v")).agg(P.cnt.as("nd"))
+    val cum = hist.select($"v",
+      sum($"nd").over(Window.orderBy($"v").rowsBetween(Window.unboundedPreceding, 0)).as("cum"))
+    val kdf = broadcast(
+      cum.crossJoin(broadcast(hist.agg(sum($"nd").as("ntot"))))
+        .filter($"cum" * 4 >= $"ntot" * 3)
+        .agg(min($"v").as("k")))
+    var cur = und
+    var alive = -1L
+    var rounds = 0
+    var done = false
+    while (!done && rounds < KcMaxRounds) {
+      // keep set: exchange-free degree aggregation (first round rides the
+      // node-partitioned cache) + the constant 1-row K broadcast
+      val keep = cur.groupBy($"node").agg(P.cnt.as("dd"))
+        .crossJoin(kdf).filter($"dd" >= $"k").select($"node")
+        .localCheckpoint(false)
+      val n = keep.count()
+      if (n == alive) done = true
+      else {
+        alive = n
+        val bcast = stateHint(n)
+        // both endpoint filters against the |V|-scale keep set go through
+        // the size-driven knob — never an unconditional broadcast
+        cur = cur
+          .join(stateJoin(keep.select($"node".as("ka")), bcast), $"node" === $"ka")
+          .join(stateJoin(keep.select($"node".as("kb")), bcast), $"nb" === $"kb")
+          .select($"node", $"nb")
+          .localCheckpoint(false)
+        rounds += 1
+      }
+    }
+    cur.groupBy($"node").agg(P.cnt.as("core_degree"))
+      .crossJoin(kdf)
+      .select(fmtNode($"node").as("node"), $"core_degree", $"k")
+      .orderBy($"node")
+  }
+
+  /** Degree assortativity coefficient — the Pearson correlation of
+    * endpoint degrees over all edge endpoints (Newman's r): do hubs
+    * connect to hubs (r>0, social-network shape) or to leaves (r<0,
+    * hub-and-spoke)? The single number that summarizes the graph's
+    * mixing pattern next to gr_graph_stats' density/clustering panel; a
+    * bipartite customer↔supplier graph is expected disassortative.
+    *
+    * Exactness: the five endpoint sums accumulate INTEGER degree
+    * products through decimal accumulators (HUGEINT in DuckDB), each
+    * cast to double once; the closed-form correlation is then a fixed
+    * sequence of IEEE ops (sqrt is correctly rounded by spec), so the
+    * coefficient is bit-portable — no float accumulation order anywhere.
+    *
+    * Scale shape: one degree aggregation (exchange-free over the shared
+    * node-partitioned relation) + two keyed joins of the |2E| endpoint
+    * list against the |V|-row degree relation — both routed through the
+    * size-driven [[stateJoin]] knob — into a single-row closed-form
+    * aggregate with map-side partials. No window, no sort, nothing
+    * driver-side but the 1-row result.
+    */
+  val grAssortativity = QueryDef(
+    "gr_assortativity",
+    s"""WITH $eNumSql, $undSql, $degSql,
+       |aj AS MATERIALIZED (SELECT da.degree AS du, db.degree AS dv
+       |  FROM und u JOIN deg da ON u.node = da.node JOIN deg db ON u.nb = db.node),
+       |aa AS MATERIALIZED (SELECT CAST(COUNT(*) AS DOUBLE) AS m,
+       |    CAST(SUM(du) AS DOUBLE) AS su, CAST(SUM(dv) AS DOUBLE) AS sv,
+       |    CAST(SUM(du * dv) AS DOUBLE) AS suv,
+       |    CAST(SUM(du * du) AS DOUBLE) AS suu,
+       |    CAST(SUM(dv * dv) AS DOUBLE) AS svv,
+       |    CAST(COUNT(*) AS BIGINT) AS m_ends
+       |  FROM aj),
+       |nn AS MATERIALIZED (SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes FROM deg)
+       |SELECT n_nodes, CAST(m_ends // 2 AS BIGINT) AS m_edges,
+       |  ${PS.prnd("CASE WHEN (m * suu - su * su) * (m * svv - sv * sv) <= 0.0 THEN 0.0 ELSE (m * suv - su * sv) / sqrt((m * suu - su * su) * (m * svv - sv * sv)) END", 8)} AS assortativity
+       |FROM aa, nn""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    import org.apache.spark.sql.types.DecimalType
+    val dec = DecimalType(38, 0)
+    val und = sharedUnd(s, dir)
+    val deg = degrees(und).select($"node", $"degree").localCheckpoint(false)
+    // the one driver action: materializes deg and sizes the state joins
+    val n = deg.count()
+    val bcast = stateHint(n)
+    val aj = und.select($"node", $"nb")
+      .join(stateJoin(deg.select($"node".as("a0"), $"degree".as("du")), bcast), $"node" === $"a0")
+      .join(stateJoin(deg.select($"node".as("b0"), $"degree".as("dv")), bcast), $"nb" === $"b0")
+      .select($"du", $"dv")
+    val aa = aj.agg(
+      count(lit(1)).cast("double").as("m"),
+      sum($"du".cast(dec)).cast("double").as("su"),
+      sum($"dv".cast(dec)).cast("double").as("sv"),
+      sum(($"du" * $"dv").cast(dec)).cast("double").as("suv"),
+      sum(($"du" * $"du").cast(dec)).cast("double").as("suu"),
+      sum(($"dv" * $"dv").cast(dec)).cast("double").as("svv"),
+      count(lit(1)).as("m_ends"))
+    val den = ($"m" * $"suu" - $"su" * $"su") * ($"m" * $"svv" - $"sv" * $"sv")
+    val r = when(den <= 0.0, lit(0.0))
+      .otherwise(($"m" * $"suv" - $"su" * $"sv") / sqrt(den))
+    aa.crossJoin(broadcast(deg.agg(count(lit(1)).as("n_nodes"))))
+      .select($"n_nodes", ($"m_ends".cast("long") / 2).cast("long").as("m_edges"),
+        P.prnd(r, 8).as("assortativity"))
+  }
+
   val defs: Seq[QueryDef] = Seq(grEdges, grDegree, grDegreeDirected,
     grDegreeBuckets, grPagerank, grEigenvector, grComponents, grCloseness,
     grBetweenness, grInfluencers, grCommunities, grCommunityStats,
     grCommunityNames, grModularity, grLouvain, grGraphStats, grLinkPredict,
-    grTriangles)
+    grTriangles, grKcore, grAssortativity)
 }

@@ -355,4 +355,64 @@ class CoreOperatorsSpec extends GraftSuite {
       .collect().map(r => r.getAs[String]("event_type") -> r.getAs[Double]("est_users")).toMap
     assert(got2("sm1") === got2("sm"), "estimate is a pure function of the distinct user set")
   }
+
+  test("count-min sketch: estimates never undercount; a planted heavy hitter is exact-ish") {
+    import spark.implicits._
+    // real corpus: the CMS guarantee est >= exact must hold row-for-row,
+    // and the probe set is the exact top-20 in order
+    val rows = run("an_cm_topk").collect()
+    assert(rows.length > 0 && rows.length <= 20)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("overestimate") >= 0L,
+        s"user ${r.getAs[Long]("user_id")} undercounted")
+      assert(r.getAs[Long]("est_count") ===
+        r.getAs[Long]("exact_count") + r.getAs[Long]("overestimate"))
+    }
+    val exacts = rows.map(_.getAs[Long]("exact_count"))
+    assert(exacts.sameElements(exacts.sortBy(-_)), "probes ordered by exact count")
+    // planted corpus: one user with 1000 events among 10 singleton users —
+    // a TRUE heavy hitter stands far above the sketch's ~N/w bias
+    val tmp = java.nio.file.Files.createTempDirectory("graft_cms").toString
+    ((1 to 1000).map(i => (i.toLong, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"),
+        7L, "click", 1.0, "{}")) ++
+      (1 to 10).map(u => (5000L + u, java.sql.Timestamp.valueOf("2024-01-02 10:00:00"),
+        100L + u, "click", 1.0, "{}")))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val planted = operators.Analytics.cmTopk.run(spark, tmp).collect()
+    val hh = planted.find(_.getAs[Long]("user_id") == 7L).get
+    assert(hh.getAs[Long]("exact_count") === 1000L)
+    // worst case every singleton collides with the hitter in every row
+    assert(hh.getAs[Long]("overestimate") <= 10L)
+  }
+
+  test("trend: closed-form slope matches a brute-force least squares on daily counts") {
+    import spark.implicits._
+    val daily = Registry.byName("an_timeline").run(spark, sfDir)
+    // an_timeline is all types together; recompute per-type daily counts
+    val perType = Tables.events(spark, sfDir)
+      .groupBy($"event_type", $"ts".cast("date").as("day"))
+      .agg(org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)).as("y"))
+      .collect()
+      .groupBy(_.getAs[String]("event_type"))
+    val got = run("an_trend").collect()
+      .map(r => r.getAs[String]("event_type") -> r).toMap
+    assert(got.keySet === perType.keySet)
+    perType.foreach { case (et, rws) =>
+      val origin = java.sql.Date.valueOf("2024-01-01").toLocalDate
+      val xy = rws.map { r =>
+        val x = java.time.temporal.ChronoUnit.DAYS
+          .between(origin, r.getAs[java.sql.Date]("day").toLocalDate).toDouble
+        (x, r.getAs[Long]("y").toDouble)
+      }
+      val n = xy.length.toDouble
+      val sx = xy.map(_._1).sum; val sy = xy.map(_._2).sum
+      val sxy = xy.map(p => p._1 * p._2).sum; val sxx = xy.map(p => p._1 * p._1).sum
+      val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+      assert(math.abs(got(et).getAs[Double]("slope_per_day") - slope) < 1e-6, et)
+      assert(got(et).getAs[Long]("n_days") === xy.length.toLong)
+      assert(got(et).getAs[Long]("total_events") === sy.toLong)
+    }
+    assert(daily.count() > 0)
+  }
 }

@@ -240,4 +240,40 @@ class GraphSpec extends GraftSuite {
       val c = r.getAs[Double]("clustering"); assert(c >= 0.0 && c <= 1.0)
     }
   }
+
+  test("k-core: survivors form a closed k-core with correct within-core degrees") {
+    import spark.implicits._
+    val core = run("gr_kcore").collect()
+    assert(core.nonEmpty, "core must not peel to empty")
+    val k = core.head.getAs[Long]("k")
+    // every survivor meets the bar — the defining k-core property
+    core.foreach(r => assert(r.getAs[Long]("core_degree") >= k,
+      s"node ${r.getAs[String]("node")} below k=$k"))
+    // non-degenerate: some nodes were peeled
+    val allNodes = run("gr_degree").count()
+    assert(core.length < allNodes, "peel must remove someone")
+    // closure check: recompute within-core degrees from the edge list
+    // restricted to survivors — must equal the reported core_degree
+    val members = core.map(_.getAs[String]("node")).toSet
+    val e = run("gr_edges")
+      .filter($"src".isInCollection(members) && $"dst".isInCollection(members))
+    val recomputed = e.select($"src".as("node")).union(e.select($"dst".as("node")))
+      .groupBy($"node").count().collect()
+      .map(r => r.getAs[String]("node") -> r.getAs[Long]("count")).toMap
+    core.foreach { r =>
+      val n = r.getAs[String]("node")
+      assert(recomputed.getOrElse(n, 0L) === r.getAs[Long]("core_degree"), s"node $n")
+    }
+  }
+
+  test("assortativity: valid coefficient, disassortative bipartite graph, honest counts") {
+    val row = run("gr_assortativity").collect().head
+    val r = row.getAs[Double]("assortativity")
+    assert(r >= -1.0 && r <= 1.0)
+    // customers connect only to suppliers (and supplier degree >> customer
+    // degree on this corpus), so endpoint degrees anti-correlate
+    assert(r < 0.0, s"bipartite hub graph should be disassortative, got $r")
+    assert(row.getAs[Long]("n_nodes") === run("gr_degree").count())
+    assert(row.getAs[Long]("m_edges") === run("gr_edges").count())
+  }
 }

@@ -51,7 +51,9 @@ class ScalePlanSpec extends GraftSuite {
         "an_retention" -> 1, // base (one row per cohort WEEK)
         "tx_keyterms" -> 1, // nd (1 row)
         "q3_top_orders" -> 0,
-        "q5_region_revenue" -> 2 // region, nation⋈region (≤ 25 rows)
+        "q5_region_revenue" -> 2, // region, nation⋈region (≤ 25 rows)
+        "gr_kcore" -> 2, // ntot (1 row), K (1 row); keep-set joins size-driven
+        "gr_assortativity" -> 1 // n_nodes (1 row); degree joins size-driven
       )
       allowed.foreach { case (name, maxB) =>
         val df = run(name)
