@@ -695,8 +695,156 @@ object Analytics {
       .orderBy($"event_type")
   }
 
+  /** Peak-concurrency panel: per day, the maximum number of sessions
+    * open at one instant (the "how many users are on RIGHT NOW at the
+    * worst moment" capacity number), over the shared 30-min-gap session
+    * chain ([[Etl.sessions]]). Classic sweep line: each session emits
+    * +1 at its (day-clipped) start and −1 at its end, and the peak is
+    * the maximum of the running sum; intervals are closed, with starts
+    * ordered before ends at the same instant, so zero-duration
+    * (single-event) sessions still count. Sessions crossing midnight
+    * count toward every day they touch (clipped to the day).
+    *
+    * The running sum is NOT one window per day (a single day at 100 TB
+    * has millions of concurrent sessions → one reducer): it is the
+    * exact PREFIX-MAX DECOMPOSITION — level 1 sweeps within (day, hour)
+    * slices, level 2 composes per-slice totals: with o_h the sum of all
+    * deltas before hour h, peak = max_h(o_h + max running sum within h).
+    * Identical to the flat sweep (the oracle runs that one), associative
+    * by construction. The slice width is the task-size knob: hour slices
+    * here; a deployment sizes slices (minute, second, or a third level)
+    * so no task sorts more than its share. All arithmetic is integer
+    * micros — bit-portable.
+    */
+  val concurrency = QueryDef(
+    "an_concurrency",
+    s"""WITH ${PS.evCte}, ${Etl.sessionCteSql},
+       |sess AS MATERIALIZED (SELECT user_id, session_idx, min(ts) AS st, max(ts) AS en
+       |  FROM numbered GROUP BY 1, 2),
+       |sd AS MATERIALIZED (SELECT st, en,
+       |    CAST(unnest(generate_series(CAST(st AS DATE), CAST(en AS DATE),
+       |      INTERVAL 1 DAY)) AS DATE) AS day FROM sess),
+       |cl AS MATERIALIZED (SELECT day,
+       |    greatest(epoch_us(st), epoch_us(CAST(day AS TIMESTAMP))) AS cs,
+       |    least(epoch_us(en), epoch_us(CAST(day + 1 AS TIMESTAMP)) - 1) AS ce
+       |  FROM sd),
+       |deltas AS MATERIALIZED (
+       |  SELECT day, cs AS t, 1 AS delta, 1 AS sm FROM cl
+       |  UNION ALL SELECT day, ce AS t, -1 AS delta, 0 AS sm FROM cl),
+       |sw AS MATERIALIZED (SELECT day, sm,
+       |    SUM(delta) OVER (PARTITION BY day ORDER BY t, delta DESC
+       |      ROWS UNBOUNDED PRECEDING) AS rs
+       |  FROM deltas)
+       |SELECT day, CAST(MAX(rs) AS BIGINT) AS peak_concurrent,
+       |  CAST(SUM(sm) AS BIGINT) AS n_sessions
+       |FROM sw GROUP BY day ORDER BY day""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val se = Etl.sessions(s, dir)
+      .select($"session_start".as("st"), $"session_end".as("en"))
+    val sd = se.select($"st", $"en",
+      explode(sequence($"st".cast("date"), $"en".cast("date"))).as("day"))
+    val cl = sd.select($"day",
+      greatest(unix_micros($"st"), unix_micros($"day".cast("timestamp"))).as("cs"),
+      least(unix_micros($"en"),
+        unix_micros(date_add($"day", 1).cast("timestamp")) - 1).as("ce"))
+    val deltas = cl.select($"day", $"cs".as("t"), lit(1).as("delta"), lit(1L).as("sm"))
+      .unionAll(cl.select($"day", $"ce".as("t"), lit(-1).as("delta"), lit(0L).as("sm")))
+      .withColumn("h", expr("t div 3600000000"))
+    // level 1: running sum + its max within each (day, hour) slice
+    val w1 = Window.partitionBy($"day", $"h").orderBy($"t", $"delta".desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val hb = deltas.withColumn("rs", sum($"delta").over(w1))
+      .groupBy($"day", $"h")
+      .agg(sum($"delta").as("tot"), max($"rs").as("mx"), sum($"sm").as("ns"))
+    // level 2: exclusive prefix of slice totals over the ≤24 hour rows
+    val w2 = Window.partitionBy($"day").orderBy($"h")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    hb.withColumn("off", coalesce(sum($"tot").over(w2), lit(0L)))
+      .groupBy($"day")
+      .agg(max($"off" + $"mx").cast("long").as("peak_concurrent"),
+        sum($"ns").cast("long").as("n_sessions"))
+      .orderBy($"day")
+  }
+
+  /** Histogram bucket width for [[histQuantiles]] — the precision knob:
+    * the estimate is exact to within one bucket (worst case W, typical
+    * W/n_b). events.value spans ~[0, 500], so W=8 gives ~64 buckets.
+    */
+  private val HqWidth = 8.0
+
+  /** Mergeable histogram quantile sketch per event type, with the exact
+    * quantile alongside (the honest eval pair — the third sketch next to
+    * `an_hll_users` (distinct) and `an_cm_topk` (frequency), completing
+    * the streaming-summary trio every monitoring pipeline carries).
+    * Each value lands in a constant-width bucket (b = floor(value/W));
+    * a quantile q is answered from the bucket where the cumulative count
+    * crosses t = q·N by linear interpolation within the bucket:
+    * est = W·b + W·(t − cum_below)/n_b.
+    *
+    * Why it matters at 100 TB: the sketch side is ONE hash aggregation
+    * into |types|·|range/W| cells — map-side partials do nearly all the
+    * work, cells merge by addition (mergeable across days/streams like
+    * the CM cells), and the cumulative pass runs over the constant-size
+    * cell relation, never the data. The exact side (a full per-type
+    * `percentile` sort-buffer) IS the cost the sketch avoids — it exists
+    * here as the eval harness; production reads only the estimate.
+    * Every count is an integer, t = q·N and the interpolation divide two
+    * exact integers cast to double once — bit-portable by construction.
+    */
+  val histQuantiles = QueryDef(
+    "an_hist_quantiles",
+    s"""WITH ${PS.evCte},
+       |h AS MATERIALIZED (SELECT event_type, CAST(floor(value / $HqWidth) AS BIGINT) AS b,
+       |    CAST(COUNT(*) AS BIGINT) AS nb FROM ev GROUP BY 1, 2),
+       |c AS MATERIALIZED (SELECT event_type, b, nb,
+       |    SUM(nb) OVER (PARTITION BY event_type ORDER BY b ROWS UNBOUNDED PRECEDING) AS cum,
+       |    SUM(nb) OVER (PARTITION BY event_type) AS n FROM h),
+       |p AS MATERIALIZED (SELECT event_type, b, nb, cum, cum - nb AS cumprev,
+       |    q, q * CAST(n AS DOUBLE) AS t
+       |  FROM c CROSS JOIN (SELECT CAST(0.5 AS DOUBLE) AS q
+       |    UNION ALL SELECT CAST(0.9 AS DOUBLE)) qs
+       |  WHERE CAST(cum AS DOUBLE) >= q * CAST(n AS DOUBLE)
+       |    AND CAST(cum - nb AS DOUBLE) < q * CAST(n AS DOUBLE)),
+       |ex AS MATERIALIZED (SELECT event_type,
+       |    ${PS.prnd("quantile_cont(value, 0.50)", 6)} AS p50,
+       |    ${PS.prnd("quantile_cont(value, 0.90)", 6)} AS p90 FROM ev GROUP BY 1)
+       |SELECT p.event_type AS event_type, q,
+       |  ${PS.prnd(s"$HqWidth * b + $HqWidth * (t - CAST(cumprev AS DOUBLE)) / CAST(nb AS DOUBLE)", 6)} AS est_value,
+       |  CASE WHEN q = 0.5 THEN p50 ELSE p90 END AS exact_value,
+       |  ${PS.prnd(s"abs(${PS.prnd(s"$HqWidth * b + $HqWidth * (t - CAST(cumprev AS DOUBLE)) / CAST(nb AS DOUBLE)", 6)} - CASE WHEN q = 0.5 THEN p50 ELSE p90 END)", 6)} AS abs_err
+       |FROM p JOIN ex ON ex.event_type = p.event_type
+       |ORDER BY event_type, q""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val h = Tables.events(s, dir)
+      .groupBy($"event_type", floor($"value" / HqWidth).cast("long").as("b"))
+      .agg(P.cnt.as("nb"))
+    val wCum = Window.partitionBy($"event_type").orderBy($"b")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy($"event_type")
+    val c = h.select($"event_type", $"b", $"nb",
+      sum($"nb").over(wCum).as("cum"), sum($"nb").over(wAll).as("n"))
+    val p = c
+      .select($"event_type", $"b", $"nb", $"cum", ($"cum" - $"nb").as("cumprev"),
+        explode(array(lit(0.5), lit(0.9))).as("q"), $"n")
+      .withColumn("t", $"q" * $"n".cast("double"))
+      .filter($"cum".cast("double") >= $"t" && $"cumprev".cast("double") < $"t")
+    val est = P.prnd(lit(HqWidth) * $"b" +
+      lit(HqWidth) * ($"t" - $"cumprev".cast("double")) / $"nb".cast("double"), 6)
+    val ex = Tables.events(s, dir).groupBy($"event_type")
+      .agg(expr("percentile(value, array(0.5D, 0.9D))").as("ps"))
+      .select($"event_type", P.prnd($"ps".getItem(0), 6).as("p50"),
+        P.prnd($"ps".getItem(1), 6).as("p90"))
+    val exact = when($"q" === 0.5, $"p50").otherwise($"p90")
+    p.join(ex, "event_type")
+      .select($"event_type", $"q", est.as("est_value"), exact.as("exact_value"),
+        P.prnd(abs(est - exact), 6).as("abs_err"))
+      .orderBy($"event_type", $"q")
+  }
+
   val defs: Seq[QueryDef] = Seq(timeline, topGroups, dowActivity, valueBuckets,
     commentBuckets, quantiles, keywordMentions, explorer, userActivity,
     rollingActive, retention, spikeDays, conversion, sessionStats, gini,
-    hllUsers, cmTopk, trend)
+    hllUsers, cmTopk, trend, histQuantiles, concurrency)
 }

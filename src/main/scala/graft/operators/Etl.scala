@@ -335,6 +335,57 @@ object Etl {
       .orderBy($"source", $"seq_id")
   }
 
+  /** SCD Type-2 history build — the change-tracked dimension a warehouse
+    * derives from a CDC/event log (the history-keeping sibling of
+    * [[compactLatest]]'s last-write-wins compaction): each user's
+    * purchase events update a derived attribute (the value tier);
+    * consecutive equal values are change-detected away, and each
+    * surviving change becomes a validity interval
+    * [valid_from, valid_to) with a per-key version number and an
+    * is_current flag on the open interval.
+    *
+    * Scale shape: everything is keyed by user_id — ONE hash exchange,
+    * then two window passes over the same partitioning (lag for change
+    * detection, lead/row_number over the filtered changes; Spark plans
+    * a single hashpartitioning exchange and re-sorts the shrunk change
+    * set in place). Per-key state is each user's own history — bounded
+    * by per-entity activity, never by corpus size — which is exactly
+    * the property that lets a 100 TB log build its dimension without a
+    * global sort. Ordering ties break on event_id, so the history is
+    * deterministic and engine-portable.
+    */
+  val scd2 = QueryDef(
+    "etl_scd2",
+    s"""WITH ${PS.evCte},
+       |upd AS MATERIALIZED (SELECT user_id, ts, event_id,
+       |    CASE WHEN value > 100 THEN 'high' WHEN value > 10 THEN 'mid'
+       |      ELSE 'low' END AS tier
+       |  FROM ev WHERE event_type = 'purchase'),
+       |ch AS MATERIALIZED (SELECT user_id, ts, event_id, tier,
+       |    lag(tier) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+       |  FROM upd),
+       |sc AS MATERIALIZED (SELECT user_id, ts, event_id, tier FROM ch
+       |  WHERE prev IS NULL OR prev <> tier)
+       |SELECT user_id, CAST(row_number() OVER w AS BIGINT) AS version, tier,
+       |  ts AS valid_from, lead(ts) OVER w AS valid_to,
+       |  lead(ts) OVER w IS NULL AS is_current
+       |FROM sc WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val byUser = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val upd = Tables.events(s, dir)
+      .filter($"event_type" === "purchase")
+      .select($"user_id", $"ts", $"event_id",
+        when($"value" > 100, "high").when($"value" > 10, "mid")
+          .otherwise("low").as("tier"))
+    val sc = upd
+      .withColumn("prev", lag($"tier", 1).over(byUser))
+      .filter($"prev".isNull || $"prev" =!= $"tier")
+    sc.select($"user_id",
+        row_number().over(byUser).cast("long").as("version"), $"tier",
+        $"ts".as("valid_from"), lead($"ts", 1).over(byUser).as("valid_to"),
+        lead($"ts", 1).over(byUser).isNull.as("is_current"))
+  }
+
   val defs: Seq[QueryDef] = Seq(cleanText, filterEnrich, dedupIngest, parseJson,
-    sessionize, stratifiedSample, corpusPrep, compactLatest, packSequences)
+    sessionize, stratifiedSample, corpusPrep, compactLatest, packSequences, scd2)
 }

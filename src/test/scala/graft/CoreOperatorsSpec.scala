@@ -214,6 +214,71 @@ class CoreOperatorsSpec extends GraftSuite {
     assert(!planOf(got).contains("Window"), "compaction must not plan a window")
   }
 
+  test("scd2: planted tier changes yield chained validity intervals, one exchange") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_scd2").toString
+    // user 1: low -> low (dup, dropped) -> high -> mid; user 2: one version
+    val rows = Seq(
+      (1L, "2024-01-01 10:00:00", 1L, 5.0), (2L, "2024-01-02 10:00:00", 1L, 7.0),
+      (3L, "2024-01-03 10:00:00", 1L, 200.0), (4L, "2024-01-04 10:00:00", 1L, 50.0),
+      (5L, "2024-01-01 12:00:00", 2L, 20.0))
+      .map { case (e, t, u, v) => (e, java.sql.Timestamp.valueOf(t), u, "purchase", v, "{}") }
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val got = operators.Etl.scd2.run(spark, tmp).collect()
+      .groupBy(_.getAs[Long]("user_id"))
+    val u1 = got(1L).sortBy(_.getAs[Long]("version"))
+    assert(u1.map(_.getAs[String]("tier")).toSeq === Seq("low", "high", "mid"))
+    // intervals chain: valid_to of version v = valid_from of v+1
+    u1.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getAs[java.sql.Timestamp]("valid_to") ===
+        b.getAs[java.sql.Timestamp]("valid_from"))
+    }
+    assert(u1.count(_.getAs[Boolean]("is_current")) === 1)
+    assert(u1.last.getAs[Boolean]("is_current"))
+    assert(got(2L).length === 1 && got(2L).head.getAs[Boolean]("is_current"))
+    // real corpus: exactly one open interval per user
+    val real = run("etl_scd2")
+    assert(real.filter($"is_current").groupBy("user_id").count()
+      .filter($"count" =!= 1).count() === 0)
+    // both windows and the change filter share one user_id exchange
+    // (count in the AQE final plan section only — the initial plan
+    // repeats the tree)
+    val finalPlan = planOf(real).split("== Initial Plan ==").head
+    val shuffles = finalPlan.linesIterator.count(_.matches(""".*[+:]- Exchange .*"""))
+    assert(shuffles === 1, s"scd2 must shuffle exactly once:\n$finalPlan")
+  }
+
+  test("concurrency sweep: planted overlaps peak at 3; midnight-crossers count both days") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_conc").toString
+    // sessions (30-min gap): u1 [10:00,10:20], u2 instant at 10:16,
+    // u3 [10:15,10:40], u5 [10:55,11:05] (crosses the hour slice),
+    // u4 [23:50, 00:10+1d] (crosses midnight) -> day1 peak 3 at 10:16
+    val evs = Seq(
+      (1L, "2024-03-01 10:00:00"), (1L, "2024-03-01 10:20:00"),
+      (2L, "2024-03-01 10:16:00"),
+      (3L, "2024-03-01 10:15:00"), (3L, "2024-03-01 10:40:00"),
+      (5L, "2024-03-01 10:55:00"), (5L, "2024-03-01 11:05:00"),
+      (4L, "2024-03-01 23:50:00"), (4L, "2024-03-02 00:10:00"))
+    evs.zipWithIndex.map { case ((u, t), i) =>
+      (i.toLong, java.sql.Timestamp.valueOf(t), u, "view", 1.0, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val got = operators.Analytics.concurrency.run(spark, tmp).collect()
+      .map(r => r.getAs[java.sql.Date]("day").toString -> r).toMap
+    assert(got.keySet === Set("2024-03-01", "2024-03-02"))
+    assert(got("2024-03-01").getAs[Long]("n_sessions") === 5L)
+    assert(got("2024-03-01").getAs[Long]("peak_concurrent") === 3L)
+    assert(got("2024-03-02").getAs[Long]("n_sessions") === 1L)
+    assert(got("2024-03-02").getAs[Long]("peak_concurrent") === 1L)
+    // real corpus: peak never exceeds sessions, both positive
+    run("an_concurrency").collect().foreach { r =>
+      val p = r.getAs[Long]("peak_concurrent"); val n = r.getAs[Long]("n_sessions")
+      assert(p >= 1L && p <= n)
+    }
+  }
+
   test("spike days: a planted 100x day is flagged, flat days are not") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("graft_spike").toString
@@ -414,5 +479,30 @@ class CoreOperatorsSpec extends GraftSuite {
       assert(got(et).getAs[Long]("total_events") === sy.toLong)
     }
     assert(daily.count() > 0)
+  }
+
+  test("histogram quantile sketch: within one bucket of exact; planted interpolation is exact") {
+    import spark.implicits._
+    // real corpus: the sketch guarantee — est within one bucket width of
+    // the exact quantile, row for row
+    run("an_hist_quantiles").collect().foreach { r =>
+      assert(r.getAs[Double]("abs_err") <= 8.0,
+        s"${r.getAs[String]("event_type")} q=${r.getAs[Double]("q")}")
+    }
+    // planted corpus: values 0..79 -> 10 buckets of 8 each. t = 0.5*80 = 40
+    // crosses in bucket 4 (cum 32->40): est = 32 + 8*(40-32)/8 = 40;
+    // t = 72 crosses in bucket 8: est = 72. Exact interpolated quantiles
+    // are 39.5 / 71.1, so the planted errors are 0.5 and 0.9.
+    val tmp = java.nio.file.Files.createTempDirectory("graft_hq").toString
+    (0 until 80).map(i => (i.toLong, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"),
+        i.toLong, "u", i.toDouble, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val got = operators.Analytics.histQuantiles.run(spark, tmp)
+      .collect().map(r => r.getAs[Double]("q") -> r).toMap
+    assert(got(0.5).getAs[Double]("est_value") === 40.0)
+    assert(got(0.5).getAs[Double]("exact_value") === 39.5)
+    assert(got(0.9).getAs[Double]("est_value") === 72.0)
+    assert(math.abs(got(0.9).getAs[Double]("abs_err") - 0.9) < 1e-6)
   }
 }
