@@ -386,6 +386,69 @@ object Etl {
         lead($"ts", 1).over(byUser).isNull.as("is_current"))
   }
 
+  /** Sample count for [[weightedSample]] — the token budget knob: the
+    * selection lands exactly this many picks across the corpus. The
+    * BIGINT products below need cum·K < 2^63, ample for any plausible
+    * (total tokens, K) pair — 1e14 tokens × 2e4 picks; past that the
+    * same formula runs at decimal(38,0) (the an_spike_days posture).
+    */
+  val SampleK = 200L
+
+  /** Token-proportional systematic sampling — the "draw a K-slot sample
+    * where every document's chance is proportional to its token mass"
+    * op that consumes `tx_corpus_mixture`-style weights (the standard
+    * way a training run subsamples an over-represented domain while
+    * preserving token share). Deterministic SYSTEMATIC sampling over
+    * the doc_id order, never rand(): doc i with token span
+    * (off, off+wc] is picked once per multiple of T/K inside its span —
+    * picks = ⌊(off+wc)·K/T⌋ − ⌊off·K/T⌋ — so Σpicks = K EXACTLY, a doc
+    * with wc ≥ T/K is always picked (with a proportional multi-pick
+    * weight), and the whole sample is reproducible across runs,
+    * engines, and partitionings (pure integer arithmetic on exact
+    * prefix sums).
+    *
+    * Scale shape: the running token sum is the same TWO-LEVEL exclusive
+    * prefix as [[packSequences]] (level 1 inside doc_id-div-
+    * [[PackBucketDocs]] buckets, level 2 over per-bucket totals), so no
+    * task ever sorts the corpus; the only non-keyed window runs over
+    * the |docs|/[[PackBucketDocs]] bucket totals (a third level is the
+    * knob past ~10B docs). T arrives as a 1-row broadcast.
+    */
+  val weightedSample = QueryDef(
+    "etl_weighted_sample",
+    s"""WITH t AS MATERIALIZED (SELECT doc_id, source,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS wc FROM documents),
+       |o AS MATERIALIZED (SELECT doc_id, source, wc,
+       |    CAST(COALESCE(SUM(wc) OVER (ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS off
+       |  FROM t),
+       |tt AS MATERIALIZED (SELECT CAST(SUM(wc) AS BIGINT) AS tot FROM t)
+       |SELECT doc_id, source, wc,
+       |  CAST(((off + wc) * $SampleK) // tot - (off * $SampleK) // tot AS BIGINT) AS picks
+       |FROM o CROSS JOIN tt
+       |WHERE ((off + wc) * $SampleK) // tot - (off * $SampleK) // tot > 0""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val t = Tables.documents(s, dir)
+      .select($"doc_id", $"source", size(split($"text", " ")).cast("long").as("wc"))
+      .withColumn("bkt", expr(s"doc_id div $PackBucketDocs"))
+    // two-level exclusive prefix sum (the packSequences shape, corpus-wide)
+    val w1 = Window.partitionBy($"bkt").orderBy($"doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val inb = t.withColumn("ioff", coalesce(sum($"wc").over(w1), lit(0L)))
+    val w2 = Window.orderBy($"bkt").rowsBetween(Window.unboundedPreceding, -1)
+    val boff = t.groupBy($"bkt").agg(sum($"wc").as("bw"))
+      .withColumn("boff", coalesce(sum($"bw").over(w2), lit(0L)))
+      .select($"bkt", $"boff")
+    val tot = t.agg(sum($"wc").as("tot"))
+    val picks = expr(s"((off + wc) * $SampleK) div tot - (off * $SampleK) div tot")
+    inb.join(boff, "bkt")
+      .withColumn("off", $"ioff" + $"boff")
+      .crossJoin(broadcast(tot))
+      .select($"doc_id", $"source", $"wc", picks.as("picks"))
+      .filter($"picks" > 0)
+  }
+
   val defs: Seq[QueryDef] = Seq(cleanText, filterEnrich, dedupIngest, parseJson,
-    sessionize, stratifiedSample, corpusPrep, compactLatest, packSequences, scd2)
+    sessionize, stratifiedSample, corpusPrep, compactLatest, packSequences, scd2,
+    weightedSample)
 }

@@ -254,5 +254,118 @@ object Relational {
       .orderBy($"returnflag", $"linestatus")
   }
 
-  val defs: Seq[QueryDef] = Seq(q1, q3, q5, qWindowRank, qAsofJoin, qRollup)
+  /** Bloom filter geometry: M positions, k salted hashes, B=62 usable
+    * bits per BIGINT word (bit 63 would overflow DuckDB's checked `<<`;
+    * 62 keeps every mask positive in both engines). ~67 words total —
+    * constant size at any corpus scale. With |P| purchasers the expected
+    * false-positive rate is (1 − e^(−k|P|/M))^k; M is the knob a
+    * deployment sizes as ~10·|build| bits.
+    */
+  private val BloomM = 4096L
+  private val BloomK = 3
+  private val BloomB = 62L
+
+  /** The r-th salted bloom position of `u` — md5-derived, so both
+    * engines compute the identical bit layout (the an_cm_topk hashing
+    * posture).
+    */
+  private def bpos(u: org.apache.spark.sql.Column, r: org.apache.spark.sql.Column) =
+    P.hexToLong(md5(concat(r.cast("string"), lit(":"), u.cast("string"))), 1, 15) % BloomM
+
+  private def bposSql(u: String, r: String) =
+    s"(${PS.hexToLong(s"md5(CAST($r AS VARCHAR) || ':' || CAST($u AS VARCHAR))", 1, 15)} % $BloomM)"
+
+  /** Runtime bloom-filter semi-join pruning, with the exact semi-join
+    * alongside as the eval pair (the honest-eval posture of
+    * an_hll_users): "viewers who ever made a high-value purchase" is a semi-join of the
+    * view side against the purchaser set; the bloom path compresses the
+    * purchaser set into a CONSTANT-size bitmap (one bit_or aggregate
+    * with map-side partials — purchaser ids never shuffle), broadcasts
+    * it, and filters the probe side in place. This is the engine-level
+    * pattern behind Spark's runtime bloom-filter join pruning and
+    * DPP-style semi-join pushdown: at 100 TB the probe scan drops
+    * non-matching rows BEFORE the join shuffle, paying ~67 broadcast
+    * longs instead of a |purchasers|-row exchange per probe partition.
+    *
+    * The report quantifies the trade: no false negatives by
+    * construction (n_missed is structurally 0 — a member's bits are all
+    * set), and the measured false-positive rate is the extra join input
+    * the prune lets through. Every count is an integer and the bit
+    * layout is md5-derived, so the sketch itself hash-matches across
+    * engines.
+    */
+  val qBloomPrune = QueryDef(
+    "q_bloom_prune",
+    s"""WITH ${PS.evCte},
+       |pur AS MATERIALIZED (SELECT DISTINCT user_id FROM ev
+       |  WHERE event_type = 'purchase' AND value > 150),
+       |vw AS MATERIALIZED (SELECT DISTINCT user_id FROM ev WHERE event_type = 'view'),
+       |bp AS MATERIALIZED (SELECT ${bposSql("user_id", "r")} AS p
+       |  FROM pur CROSS JOIN range($BloomK) t(r)),
+       |bloom AS MATERIALIZED (SELECT p // $BloomB AS w,
+       |    bit_or(CAST(1 AS BIGINT) << CAST(p % $BloomB AS INT)) AS bits
+       |  FROM bp GROUP BY 1),
+       |vp AS MATERIALIZED (SELECT user_id, ${bposSql("user_id", "r")} AS p
+       |  FROM vw CROSS JOIN range($BloomK) t(r)),
+       |hit AS MATERIALIZED (SELECT v.user_id,
+       |    CASE WHEN (COALESCE(b.bits, 0) & (CAST(1 AS BIGINT) << CAST(v.p % $BloomB AS INT))) <> 0
+       |      THEN 1 ELSE 0 END AS ok
+       |  FROM vp v LEFT JOIN bloom b ON b.w = v.p // $BloomB),
+       |pass AS MATERIALIZED (SELECT user_id, MIN(ok) AS pass FROM hit GROUP BY 1),
+       |tj AS MATERIALIZED (SELECT v.user_id, CASE WHEN p.user_id IS NULL THEN 0 ELSE 1 END AS isp
+       |  FROM vw v LEFT JOIN pur p ON p.user_id = v.user_id),
+       |j AS MATERIALIZED (SELECT t.isp, s.pass FROM tj t JOIN pass s ON s.user_id = t.user_id)
+       |SELECT CAST((SELECT COUNT(*) FROM vw) AS BIGINT) AS n_viewers,
+       |  CAST((SELECT COUNT(*) FROM pur) AS BIGINT) AS n_purchasers,
+       |  CAST(SUM(pass) AS BIGINT) AS n_bloom_pass,
+       |  CAST(SUM(isp) AS BIGINT) AS n_true,
+       |  CAST(SUM(CASE WHEN pass = 1 AND isp = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_false_pos,
+       |  CAST(SUM(CASE WHEN pass = 0 AND isp = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_missed,
+       |  ${PS.prnd("CASE WHEN COUNT(*) = SUM(isp) THEN 0.0 ELSE CAST(SUM(CASE WHEN pass = 1 AND isp = 0 THEN 1 ELSE 0 END) AS DOUBLE) / (COUNT(*) - SUM(isp)) END", 6)} AS fp_rate,
+       |  ${PS.prnd("1.0 - CAST(SUM(pass) AS DOUBLE) / COUNT(*)", 6)} AS pruned_frac
+       |FROM j""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val pur = Tables.events(s, dir)
+      .filter($"event_type" === "purchase" && $"value" > 150)
+      .select($"user_id").distinct()
+    val vw = Tables.events(s, dir).filter($"event_type" === "view")
+      .select($"user_id").distinct()
+    val bloom = pur
+      .select(explode(sequence(lit(0), lit(BloomK - 1))).as("r"), $"user_id")
+      .select(bpos($"user_id", $"r").as("p"))
+      .groupBy(expr(s"p div $BloomB").as("w"))
+      .agg(expr(s"bit_or(shiftleft(CAST(1 AS BIGINT), CAST(p % $BloomB AS INT)))").as("bits"))
+    val vp = vw
+      .select($"user_id", explode(sequence(lit(0), lit(BloomK - 1))).as("r"))
+      .select($"user_id", bpos($"user_id", $"r").as("p"))
+    // the bitmap is CONSTANT-size: always broadcast, never a shuffle
+    val hit = vp.join(broadcast(bloom), expr(s"w = p div $BloomB"), "left")
+      .select($"user_id",
+        when((coalesce($"bits", lit(0L))
+          .bitwiseAND(expr(s"shiftleft(CAST(1 AS BIGINT), CAST(p % $BloomB AS INT))"))) =!= 0L,
+          1L).otherwise(0L).as("ok"))
+    val pass = hit.groupBy($"user_id").agg(min($"ok").as("pass"))
+    // exact semi-join truth — the eval side the bloom path avoids
+    val tj = vw.join(pur.withColumnRenamed("user_id", "p_uid"),
+        $"user_id" === $"p_uid", "left")
+      .select($"user_id", when($"p_uid".isNull, 0L).otherwise(1L).as("isp"))
+    val nv = vw.agg(P.cnt.as("n_viewers"))
+    val np = pur.agg(P.cnt.as("n_purchasers"))
+    tj.join(pass, "user_id")
+      .agg(
+        sum($"pass").as("n_bloom_pass"),
+        sum($"isp").as("n_true"),
+        sum(when($"pass" === 1 && $"isp" === 0, 1L).otherwise(0L)).as("n_false_pos"),
+        sum(when($"pass" === 0 && $"isp" === 1, 1L).otherwise(0L)).as("n_missed"),
+        P.prnd(when(count(lit(1)) === sum($"isp"), 0.0)
+          .otherwise(sum(when($"pass" === 1 && $"isp" === 0, 1L).otherwise(0L)).cast("double")
+            / (count(lit(1)) - sum($"isp"))), 6).as("fp_rate"),
+        P.prnd(lit(1.0) - sum($"pass").cast("double") / count(lit(1)), 6).as("pruned_frac"))
+      .crossJoin(broadcast(nv)).crossJoin(broadcast(np))
+      .select($"n_viewers", $"n_purchasers", $"n_bloom_pass", $"n_true",
+        $"n_false_pos", $"n_missed", $"fp_rate", $"pruned_frac")
+  }
+
+  val defs: Seq[QueryDef] = Seq(q1, q3, q5, qWindowRank, qAsofJoin, qRollup,
+    qBloomPrune)
 }

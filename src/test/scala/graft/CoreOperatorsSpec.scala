@@ -279,6 +279,56 @@ class CoreOperatorsSpec extends GraftSuite {
     }
   }
 
+  test("bloom prune: no false negatives by construction; planted non-members mostly pruned") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_bloom").toString
+    // build side: 500 high-value purchasers (u 1..500); probe side:
+    // 100 of them view (must ALL pass — a member's bits are all set)
+    // plus 500 disjoint viewers (u 10001..10500) — expected FP rate
+    // (1 - e^(-3*500/4096))^3 ≈ 3%, so the prune should drop most
+    val rows =
+      (1 to 500).map(u => (u.toLong, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"),
+        u.toLong, "purchase", 200.0, "{}")) ++
+      (1 to 100).map(u => (1000L + u, java.sql.Timestamp.valueOf("2024-01-02 10:00:00"),
+        u.toLong, "view", 1.0, "{}")) ++
+      (1 to 500).map(u => (2000L + u, java.sql.Timestamp.valueOf("2024-01-03 10:00:00"),
+        10000L + u, "view", 1.0, "{}"))
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val r = operators.Relational.qBloomPrune.run(spark, tmp).head()
+    assert(r.getAs[Long]("n_viewers") === 600L)
+    assert(r.getAs[Long]("n_purchasers") === 500L)
+    assert(r.getAs[Long]("n_true") === 100L)
+    assert(r.getAs[Long]("n_missed") === 0L, "bloom must never drop a true member")
+    assert(r.getAs[Long]("n_bloom_pass") >= 100L)
+    assert(r.getAs[Double]("fp_rate") < 0.2, s"fp_rate ${r.getAs[Double]("fp_rate")}")
+    // real corpus: the guarantee again, plus accounting consistency
+    val c = run("q_bloom_prune").head()
+    assert(c.getAs[Long]("n_missed") === 0L)
+    assert(c.getAs[Long]("n_bloom_pass") ===
+      c.getAs[Long]("n_true") + c.getAs[Long]("n_false_pos"))
+  }
+
+  test("weighted sample: picks sum to exactly K; a dominant doc takes proportional picks") {
+    import spark.implicits._
+    // real corpus: Σpicks = K exactly (systematic sampling invariant)
+    val real = run("etl_weighted_sample")
+    assert(real.agg(sum($"picks")).head.getLong(0) === operators.Etl.SampleK)
+    // planted corpus: one doc holding ~half the token mass must capture
+    // ~half the K picks; every pick count is ≥ 1 on selected rows
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ws").toString
+    val small = (1 to 100).map(i => (i.toLong, ("tok " * 10).trim, "en", "web", 40L))
+    val giant = Seq((500L, ("tok " * 1000).trim, "en", "web", 4000L))
+    (small ++ giant).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = operators.Etl.weightedSample.run(spark, tmp).collect()
+    assert(got.map(_.getAs[Long]("picks")).sum === operators.Etl.SampleK)
+    val g = got.find(_.getAs[Long]("doc_id") == 500L).get.getAs[Long]("picks")
+    // giant doc holds 1000 of 2000 tokens -> 100 of 200 picks (±1 edge)
+    assert(g >= 99L && g <= 101L, s"giant doc picks $g")
+    assert(got.forall(_.getAs[Long]("picks") >= 1L))
+  }
+
   test("spike days: a planted 100x day is flagged, flat days are not") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("graft_spike").toString
