@@ -448,7 +448,56 @@ object Etl {
       .filter($"picks" > 0)
   }
 
+  /** Chunk geometry for [[chunkOverlap]]: window of ChunkSize tokens
+    * advancing by ChunkStride (ChunkSize − ChunkStride tokens of overlap
+    * between consecutive chunks — the context-preserving retrieval
+    * chunking default).
+    */
+  val ChunkSize = 32L
+  val ChunkStride = 24L
+
+  /** Overlapping token chunking — the retrieval/RAG ingestion step that
+    * cuts every document into fixed-size token windows with overlap
+    * (so no answer span is ever split across a chunk boundary without a
+    * copy that contains it whole), emitting one row per chunk with its
+    * exact token span and content digest — the table a vector index is
+    * built FROM (`sim_*` consume embeddings of exactly such chunks;
+    * `tx_boilerplate` is the non-overlapping analysis twin).
+    *
+    * Scale shape: a pure narrow map — split once, explode the
+    * per-doc chunk-index sequence (wc/stride rows), slice the token
+    * array per chunk. No shuffle, no state, fully inside whole-stage
+    * codegen; output size is corpus·(1 + overlap/stride). The digest is
+    * md5 of the space-joined chunk, so chunk identity is engine-portable
+    * (dedup/contamination can run directly on the chunk table).
+    */
+  val chunkOverlap = QueryDef(
+    "etl_chunk_overlap",
+    s"""WITH t AS MATERIALIZED (SELECT doc_id, source, string_split(text, ' ') AS w,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS wc FROM documents),
+       |c AS MATERIALIZED (SELECT doc_id, source, w, wc,
+       |    unnest(generate_series(0, (wc - 1) // $ChunkStride)) AS i FROM t)
+       |SELECT doc_id, source, CAST(i AS BIGINT) AS chunk_id,
+       |  CAST(i * $ChunkStride + 1 AS BIGINT) AS tok_start,
+       |  CAST(least(i * $ChunkStride + $ChunkSize, wc) AS BIGINT) AS tok_end,
+       |  CAST(least(i * $ChunkStride + $ChunkSize, wc) - i * $ChunkStride AS BIGINT) AS n_tokens,
+       |  md5(array_to_string(w[(i * $ChunkStride + 1):(i * $ChunkStride + $ChunkSize)], ' ')) AS chunk_md5
+       |FROM c""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val t = Tables.documents(s, dir)
+      .select($"doc_id", $"source", split($"text", " ").as("w"))
+      .withColumn("wc", size($"w").cast("long"))
+    t.select($"doc_id", $"source", $"w", $"wc",
+        explode(sequence(lit(0L), expr(s"(wc - 1) div $ChunkStride"))).as("i"))
+      .select($"doc_id", $"source", $"i".as("chunk_id"),
+        ($"i" * ChunkStride + 1).as("tok_start"),
+        least($"i" * ChunkStride + ChunkSize, $"wc").as("tok_end"),
+        (least($"i" * ChunkStride + ChunkSize, $"wc") - $"i" * ChunkStride).as("n_tokens"),
+        md5(array_join(slice($"w", ($"i" * ChunkStride + 1).cast("int"), lit(ChunkSize.toInt)), " "))
+          .as("chunk_md5"))
+  }
+
   val defs: Seq[QueryDef] = Seq(cleanText, filterEnrich, dedupIngest, parseJson,
     sessionize, stratifiedSample, corpusPrep, compactLatest, packSequences, scd2,
-    weightedSample)
+    weightedSample, chunkOverlap)
 }

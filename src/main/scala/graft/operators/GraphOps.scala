@@ -1877,9 +1877,72 @@ object GraphOps {
         P.prnd(r, 8).as("assortativity"))
   }
 
+  /** Walk length (edges) for [[grRandomWalks]] — DeepWalk-style corpora
+    * use 40-80; 4 keeps the oracle's unrolled chain readable while the
+    * Spark loop is length-generic.
+    */
+  private val WalkLen = 4
+
+  /** Deterministic random-walk corpus — the sampling pass that turns a
+    * graph into training sequences for skip-gram node embeddings
+    * (DeepWalk/node2vec; the graph-side sibling of `etl_pack_sequences`'
+    * text windows). One walk starts at every node; at step t the walk at
+    * node u moves to the neighbor v minimizing md5(walk:t:v) — a hash-
+    * derived uniform choice that is a pure function of (walk, step,
+    * neighbor), so the whole corpus is reproducible across runs, engines
+    * and partitionings (the etl_stratified_sample posture: never
+    * rand()), while successive steps still decorrelate like random ones.
+    *
+    * Scale shape: each step is ONE keyed join of the |V|-row walk state
+    * against the shared node-partitioned edge relation ([[sharedUnd]])
+    * plus a min-struct hash aggregate (map-side partials pick each
+    * walk's argmin — associative, so partition-invariant); state routes
+    * through the size-driven [[stateJoin]] knob like every other
+    * iteration, and per-round state lazily checkpoints (the pagerank
+    * discipline). Total cost L·|E|-row joins — linear, no materialized
+    * neighborhood lists, no driver-side stepping.
+    */
+  val grRandomWalks = QueryDef(
+    "gr_random_walks", {
+      val steps = (1 to WalkLen).map { t =>
+        s"""w$t AS MATERIALIZED (SELECT wid, v AS cur,
+           |    path || '>' || ${fmtNodeSql("v")} AS path FROM (
+           |  SELECT w.wid, w.path, u.nb AS v,
+           |    row_number() OVER (PARTITION BY w.wid
+           |      ORDER BY md5(CAST(w.wid AS VARCHAR) || ':$t:' || CAST(u.nb AS VARCHAR)), u.nb) AS rn
+           |  FROM w${t - 1} w JOIN und u ON u.node = w.cur) t WHERE rn = 1)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $eNumSql, $undSql,
+         |nodes AS MATERIALIZED (SELECT DISTINCT node FROM und),
+         |w0 AS MATERIALIZED (SELECT node AS wid, node AS cur,
+         |  ${fmtNodeSql("node")} AS path FROM nodes),
+         |$steps
+         |SELECT ${fmtNodeSql("wid")} AS walk_id, path,
+         |  CAST(len(list_distinct(string_split(path, '>'))) AS BIGINT) AS n_unique
+         |FROM w$WalkLen""".stripMargin
+    }) { (s, dir) =>
+    import s.implicits._
+    val u = sharedUnd(s, dir)
+    val nodes = u.select($"node").distinct()
+    val bcast = stateHint(nodes.count())
+    var st = nodes.select($"node".as("wid"), $"node".as("cur"),
+      fmtNode($"node").as("path"))
+    for (t <- 1 to WalkLen) {
+      val h = md5(concat($"wid".cast("string"), lit(s":$t:"), $"nb".cast("string")))
+      st = u.join(stateJoin(st, bcast), $"node" === $"cur")
+        .groupBy($"wid", $"path")
+        .agg(min(struct(h.as("h"), $"nb".as("v"))).as("m"))
+        .select($"wid", $"m.v".as("cur"),
+          concat($"path", lit(">"), fmtNode($"m.v")).as("path"))
+        .localCheckpoint(false)
+    }
+    st.select(fmtNode($"wid").as("walk_id"), $"path",
+      size(array_distinct(split($"path", ">"))).cast("long").as("n_unique"))
+  }
+
   val defs: Seq[QueryDef] = Seq(grEdges, grDegree, grDegreeDirected,
     grDegreeBuckets, grPagerank, grEigenvector, grComponents, grCloseness,
     grBetweenness, grInfluencers, grCommunities, grCommunityStats,
     grCommunityNames, grModularity, grLouvain, grGraphStats, grLinkPredict,
-    grTriangles, grKcore, grAssortativity)
+    grTriangles, grKcore, grAssortativity, grRandomWalks)
 }

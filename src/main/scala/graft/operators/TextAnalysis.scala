@@ -489,7 +489,79 @@ object TextAnalysis {
       .orderBy($"doc_id")
   }
 
+  /** Gopher-style rule filter — the published heuristic gate battery
+    * (word-count bounds, mean-word-length band, minimum stopword
+    * evidence, symbol-to-word ratio, alphabetic-word fraction) that
+    * C4/Gopher/RefinedWeb-class pipelines run BEFORE any model-based
+    * scoring, with every rule's measurement and flag reported per doc so
+    * each rule's yield is auditable (the corpus-prep audit posture).
+    * The synthetic corpus is symbol-clean, so the symbol/alpha rules
+    * pass trivially here — the spec plants violating docs for those
+    * (the tx_pii_scrub posture) while the word-length/stopword rules
+    * discriminate on the real corpus.
+    *
+    * Scale shape: a pure narrow map over the scan — counts from one
+    * split, ellipsis/hash occurrences by length-difference arithmetic,
+    * ratios as integer divisions prnd'd once. No shuffle, no state;
+    * linear at 100 TB.
+    */
+  val gopherRules = QueryDef(
+    "tx_gopher_rules",
+    s"""WITH f AS MATERIALIZED (SELECT doc_id,
+       |    CAST(length(text) AS BIGINT) AS n_chars,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS wc,
+       |    CAST(len(list_filter(string_split(text, ' '),
+       |      x -> x IN (${inList(TextFns.StopWords)}))) AS BIGINT) AS stops,
+       |    CAST(len(list_filter(string_split(text, ' '),
+       |      x -> regexp_matches(x, '[a-z]'))) AS BIGINT) AS alpha_words,
+       |    CAST((length(text) - length(replace(text, '...', ''))) // 3
+       |      + (length(text) - length(replace(text, '#', ''))) AS BIGINT) AS syms
+       |  FROM documents)
+       |SELECT doc_id, wc,
+       |  ${PS.prnd("(n_chars - wc + 1) / wc", 6)} AS mean_word_len,
+       |  stops AS stop_hits,
+       |  ${PS.prnd("syms / wc", 6)} AS symbol_ratio,
+       |  ${PS.prnd("alpha_words / wc", 6)} AS alpha_frac,
+       |  wc >= 16 AND wc <= 100000 AS wc_ok,
+       |  (n_chars - wc + 1) / wc >= 3 AND (n_chars - wc + 1) / wc <= 10 AS mwl_ok,
+       |  stops >= 2 AS stop_ok,
+       |  syms / wc <= CAST(0.1 AS DOUBLE) AS sym_ok,
+       |  alpha_words / wc >= CAST(0.8 AS DOUBLE) AS alpha_ok,
+       |  wc >= 16 AND wc <= 100000
+       |    AND (n_chars - wc + 1) / wc >= 3 AND (n_chars - wc + 1) / wc <= 10
+       |    AND stops >= 2 AND syms / wc <= CAST(0.1 AS DOUBLE)
+       |    AND alpha_words / wc >= CAST(0.8 AS DOUBLE) AS pass
+       |FROM f""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val toks = split($"text", " ")
+    val f = Tables.documents(s, dir).select(
+      $"doc_id",
+      length($"text").cast("long").as("n_chars"),
+      size(toks).cast("long").as("wc"),
+      TextFns.countTokensIn(toks, TextFns.StopWords).cast("long").as("stops"),
+      size(expr("filter(split(text, ' '), x -> x rlike '[a-z]')")).cast("long")
+        .as("alpha_words"),
+      (((length($"text") - length(regexp_replace($"text", lit("\\.\\.\\."), lit(""))))
+        / 3).cast("long")
+        + (length($"text") - length(regexp_replace($"text", lit("#"), lit("")))))
+        .cast("long").as("syms"))
+    val mwl = ($"n_chars" - $"wc" + 1) / $"wc"
+    val wcOk = $"wc" >= 16 && $"wc" <= 100000
+    val mwlOk = mwl >= 3 && mwl <= 10
+    val stopOk = $"stops" >= 2L
+    val symOk = $"syms" / $"wc" <= lit(0.1)
+    val alphaOk = $"alpha_words" / $"wc" >= lit(0.8)
+    f.select($"doc_id", $"wc",
+      P.prnd(mwl, 6).as("mean_word_len"),
+      $"stops".as("stop_hits"),
+      P.prnd($"syms" / $"wc", 6).as("symbol_ratio"),
+      P.prnd($"alpha_words" / $"wc", 6).as("alpha_frac"),
+      wcOk.as("wc_ok"), mwlOk.as("mwl_ok"), stopOk.as("stop_ok"),
+      symOk.as("sym_ok"), alphaOk.as("alpha_ok"),
+      (wcOk && mwlOk && stopOk && symOk && alphaOk).as("pass"))
+  }
+
   val defs: Seq[QueryDef] = Seq(langId, quality, tokenCount, fingerprint,
     contamination, ngramStats, keyterms, repetition, boilerplate,
-    corpusMixture, piiScrub, lmScore)
+    corpusMixture, piiScrub, lmScore, gopherRules)
 }

@@ -329,6 +329,32 @@ class CoreOperatorsSpec extends GraftSuite {
     assert(got.forall(_.getAs[Long]("picks") >= 1L))
   }
 
+  test("chunk overlap: spans tile the doc with the configured overlap") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_chunk").toString
+    // 80 distinct tokens -> chunks [1,32],[25,56],[49,80],[73,80]
+    val toks = (1 to 80).map(i => s"w$i")
+    Seq((1L, toks.mkString(" "), "en", "web", 300L), (2L, "tiny doc", "en", "web", 8L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = operators.Etl.chunkOverlap.run(spark, tmp).collect()
+      .groupBy(_.getAs[Long]("doc_id"))
+    val c1 = got(1L).sortBy(_.getAs[Long]("chunk_id"))
+    assert(c1.map(r => (r.getAs[Long]("tok_start"), r.getAs[Long]("tok_end"))).toSeq ===
+      Seq((1L, 32L), (25L, 56L), (49L, 80L), (73L, 80L)))
+    // consecutive chunks overlap by size - stride = 8 tokens
+    c1.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getAs[Long]("tok_end") - b.getAs[Long]("tok_start") + 1 === 8L)
+    }
+    // digest is the md5 of the actual token span
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(toks.slice(24, 56).mkString(" ").getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    assert(c1(1).getAs[String]("chunk_md5") === d)
+    // a doc shorter than one chunk yields exactly one full-doc chunk
+    assert(got(2L).length === 1 && got(2L).head.getAs[Long]("n_tokens") === 2L)
+  }
+
   test("spike days: a planted 100x day is flagged, flat days are not") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("graft_spike").toString

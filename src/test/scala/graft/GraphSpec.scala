@@ -276,4 +276,31 @@ class GraphSpec extends GraftSuite {
     assert(row.getAs[Long]("n_nodes") === run("gr_degree").count())
     assert(row.getAs[Long]("m_edges") === run("gr_edges").count())
   }
+
+  test("random walks: every step follows a real edge and the corpus is reproducible") {
+    val edges = run("gr_edges").collect()
+      .flatMap { r =>
+        val a = r.getAs[String]("src"); val b = r.getAs[String]("dst")
+        Seq((a, b), (b, a))
+      }.toSet
+    val walks = run("gr_random_walks").collect()
+    // one walk per node, full length (no dead ends in an edge-derived graph)
+    assert(walks.length === run("gr_degree").count())
+    walks.foreach { w =>
+      val p = w.getAs[String]("path").split(">")
+      assert(p.length === 5, s"walk ${w.getAs[String]("walk_id")} length")
+      assert(p.head === w.getAs[String]("walk_id"))
+      p.sliding(2).foreach { case Array(a, b) =>
+        assert(edges.contains((a, b)), s"$a>$b is not an edge")
+      }
+      // customer↔supplier edges only: node types must strictly alternate
+      p.sliding(2).foreach { case Array(a, b) => assert(a.head != b.head) }
+      assert(w.getAs[Long]("n_unique") ===
+        p.distinct.length.toLong)
+    }
+    // determinism: a second evaluation yields the identical corpus
+    val again = run("gr_random_walks").collect()
+    assert(walks.map(_.getAs[String]("path")).sorted.sameElements(
+      again.map(_.getAs[String]("path")).sorted))
+  }
 }

@@ -155,4 +155,32 @@ class TextSentimentSpec extends GraftSuite {
       val p = r.getAs[Double]("lm_score"); p > 0.0 && p <= 1.0
     })
   }
+
+  test("gopher rules: planted violators trip exactly their rule (corpus is symbol-clean)") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_gopher").toString
+    val good = ("the data table is a fast scan " * 4).trim // 28 words, stopwords, clean
+    Seq(
+      (1L, good, "en", "s1", good.length),
+      (2L, "too short", "en", "s1", 9),                         // wc rule
+      (3L, ("#### ... #### ... " * 8).trim + " " + good, "en", "s1", 200), // symbol rule
+      (4L, ("zz " * 30).trim, "en", "s1", 90),                  // no stopwords
+      (5L, ("123 456 " * 16).trim, "en", "s1", 128))            // alpha rule
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val rows = operators.TextAnalysis.gopherRules.run(spark, tmp)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(rows(1L).getAs[Boolean]("pass"), "clean doc must pass every rule")
+    assert(!rows(2L).getAs[Boolean]("wc_ok") && !rows(2L).getAs[Boolean]("pass"))
+    assert(!rows(3L).getAs[Boolean]("sym_ok") && !rows(3L).getAs[Boolean]("pass"))
+    assert(!rows(4L).getAs[Boolean]("stop_ok") && !rows(4L).getAs[Boolean]("pass"))
+    assert(!rows(5L).getAs[Boolean]("alpha_ok") && !rows(5L).getAs[Boolean]("pass"))
+    // real corpus: symbol/alpha rules trivially clean, pass = AND of flags
+    run("tx_gopher_rules").collect().foreach { r =>
+      assert(r.getAs[Boolean]("sym_ok") && r.getAs[Boolean]("alpha_ok"))
+      assert(r.getAs[Boolean]("pass") ===
+        (r.getAs[Boolean]("wc_ok") && r.getAs[Boolean]("mwl_ok")
+          && r.getAs[Boolean]("stop_ok")))
+    }
+  }
 }
