@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{CosineSimilarity, CountTokensIn, HammingBits, LexiconScore, MinMd5, ScaledDot, ShingleJoin, SimHashSig}
+import graft.functions.{CosineSimilarity, CountTokensIn, HammingBits, LexiconScore, MinMd5, ScaledDot, ShingleJoin, SimHashSig, ZOrderBits}
 
 /** Registers graft's native expressions as SQL functions so both the
   * Column API and `spark.sql("... graft_cosine(a,b) ...")` can use them.
@@ -43,5 +43,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_sdot"),
       new ExpressionInfo(classOf[ScaledDot].getName, "graft_sdot"),
       (children: Seq[Expression]) => ScaledDot(children(0), children(1), children(2))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_zorder"),
+      new ExpressionInfo(classOf[ZOrderBits].getName, "graft_zorder"),
+      (children: Seq[Expression]) => ZOrderBits(children(0), children(1))))
   }
 }

@@ -89,4 +89,26 @@ object CorpusIO {
     val bad = parsed.filter(col("bad_record").isNotNull).select(col("bad_record"))
     (good, bad)
   }
+
+  /** Write `df` Z-ORDER clustered on two integral columns: rows are
+    * range-partitioned and sorted by the interleaved Morton key
+    * ([[graft.functions.ZOrderBits]]), so each output file covers a tight
+    * box in BOTH dimensions and its parquet min/max footers let readers
+    * filtering on EITHER column skip most files — the multi-dimensional
+    * data-skipping layout (Delta/Iceberg "OPTIMIZE ZORDER BY"). A linear
+    * sort clusters only its leading column: a filter on the second column
+    * must then read every file. Write-time cost is one range exchange +
+    * per-file sort; the read path pays nothing (the z key is not even
+    * stored). SourcesSpec measures the skip on a secondary-dimension
+    * filter: z-layout prunes most files, the linear layout prunes none.
+    */
+  def writeZOrdered(df: DataFrame, path: String, colA: String, colB: String,
+      files: Int): Unit = {
+    val z = call_function("graft_zorder", col(colA).cast("long"), col(colB).cast("long"))
+    df.withColumn("__z", z)
+      .repartitionByRange(files, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.mode(SaveMode.Overwrite).parquet(path)
+  }
 }

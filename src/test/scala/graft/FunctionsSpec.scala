@@ -271,4 +271,47 @@ class FunctionsSpec extends GraftSuite {
     }
     assert(e.getMessage.contains("scale"), e.getMessage)
   }
+
+  for (mode <- Seq("CODEGEN_ONLY", "NO_CODEGEN")) {
+    test(s"graft_zorder matches a bit-by-bit reference interleave [$mode]") {
+      import spark.implicits._
+      def ref(a: Long, b: Long): Long = {
+        var z = 0L
+        for (bit <- 0 until 31) {
+          z |= ((a >> bit) & 1L) << (2 * bit)
+          z |= ((b >> bit) & 1L) << (2 * bit + 1)
+        }
+        z
+      }
+      val rng = new scala.util.Random(11)
+      val rows = Seq((0L, 0L), (1L, 0L), (0L, 1L), (0x7FFFFFFFL, 0x7FFFFFFFL),
+        (-1L, 5L)) ++ (1 to 40).map(_ => (rng.nextInt(1 << 30).toLong, rng.nextInt(1 << 30).toLong))
+      val got = underMode(mode) {
+        rows.toDF("a", "b")
+          .select($"a", $"b", call_function("graft_zorder", $"a", $"b").as("z"))
+          .collect()
+      }
+      got.foreach { r =>
+        val (a, b) = (r.getLong(0), r.getLong(1))
+        assert(r.getLong(2) === ref(a & 0x7FFFFFFFL, b & 0x7FFFFFFFL), s"($a,$b)")
+        assert(r.getLong(2) >= 0L)
+      }
+      // monotone-in-box property the layout relies on: doubling a while
+      // b is fixed can only raise the key
+      assert(ref(8, 3) < ref(16, 3))
+    }
+  }
+
+  test("graft_zorder null propagation and type guard") {
+    import spark.implicits._
+    val df = Seq((Some(1L), None: Option[Long]), (None, Some(2L)), (Some(3L), Some(4L)))
+      .toDF("a", "b")
+    val out = df.select(call_function("graft_zorder", $"a", $"b")).collect()
+    assert(out(0).isNullAt(0) && out(1).isNullAt(0) && !out(2).isNullAt(0))
+    val e = intercept[Exception] {
+      Seq(("x", 1L)).toDF("s", "b")
+        .select(call_function("graft_zorder", $"s", $"b")).collect()
+    }
+    assert(e.getMessage.contains("integral"), e.getMessage)
+  }
 }

@@ -81,4 +81,35 @@ class SourcesSpec extends GraftSuite {
     val badLines = bad.collect().map(_.getString(0))
     assert(badLines.length === 1 && badLines(0).contains("oops"))
   }
+
+  test("z-ordered layout: a secondary-dimension filter skips most files; linear skips none") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // two independent uniform dims, deterministic from the row id
+    val rng = new scala.util.Random(3)
+    val df = (1 to 20000).map(_ => (rng.nextInt(1024).toLong, rng.nextInt(1024).toLong))
+      .toDF("x", "y")
+    val files = 16
+    val zDir = java.nio.file.Files.createTempDirectory("graft_zord").toString
+    val linDir = java.nio.file.Files.createTempDirectory("graft_lin").toString
+    CorpusIO.writeZOrdered(df, zDir, "x", "y", files)
+    df.repartitionByRange(files, $"x").sortWithinPartitions("x")
+      .write.mode("overwrite").parquet(linDir)
+    // files whose [min,max] y-range intersects a narrow y slice — the
+    // set a parquet reader must open given footer stats
+    def touched(dir: String): Long =
+      spark.read.parquet(dir)
+        .groupBy(input_file_name().as("f"))
+        .agg(min($"y").as("lo"), max($"y").as("hi"))
+        .filter($"lo" <= 96L && $"hi" >= 32L)
+        .count()
+    val zTouched = touched(zDir)
+    val linTouched = touched(linDir)
+    assert(linTouched === files.toLong,
+      s"linear-by-x layout cannot skip on y (got $linTouched)")
+    assert(zTouched <= files / 2,
+      s"z-order should confine a 1/16 y-slice to few files, touched $zTouched")
+    // layout is a pure reordering: content unchanged
+    assert(spark.read.parquet(zDir).count() === 20000L)
+  }
 }
