@@ -843,8 +843,72 @@ object Analytics {
       .orderBy($"event_type", $"q")
   }
 
+  /** Hash-bucketed A/B panel: users deterministically split into two
+    * arms by an md5 bit (EXACTLY how a real experiment system assigns —
+    * stable per user, engine-portable, never rand()), conversion = the
+    * user made a high-value purchase (value > 150 — the q_bloom_prune
+    * cohort, giving a ~45% base rate with variance on this corpus), and the two-proportion z-test decides whether the
+    * arms differ. On the synthetic corpus the arms are exchangeable by
+    * construction, so the expected reading is |z| < 1.96 — the panel is
+    * the A/A sanity check every experimentation stack runs first.
+    *
+    * Portability: every input to the statistic is an exact integer
+    * (user counts, converter counts); the rates, pooled variance, and
+    * z pass through IEEE divides/multiplies and ONE sqrt — which IEEE
+    * 754 requires correctly rounded, so z is bit-identical across
+    * engines (same posture as gr_assortativity's Pearson). The
+    * significance flag compares the UNROUNDED z, so it can never flip
+    * against the reported value. Scale shape: one distinct-user
+    * aggregation with map-side partials, then a 2-row closed form.
+    */
+  val abTest = QueryDef(
+    "an_ab_test",
+    s"""WITH ${PS.evCte},
+       |ua AS MATERIALIZED (SELECT user_id,
+       |    ${PS.hexToLong("md5(CAST(user_id AS VARCHAR))", 1, 1)} % 2 AS arm,
+       |    MAX(CASE WHEN event_type = 'purchase' AND value > 150 THEN 1 ELSE 0 END) AS conv
+       |  FROM ev GROUP BY 1),
+       |a AS MATERIALIZED (SELECT
+       |    CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+       |    CAST(SUM(CASE WHEN arm = 0 THEN conv ELSE 0 END) AS BIGINT) AS conv_a,
+       |    CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+       |    CAST(SUM(CASE WHEN arm = 1 THEN conv ELSE 0 END) AS BIGINT) AS conv_b
+       |  FROM ua),
+       |z AS MATERIALIZED (SELECT n_a, conv_a, n_b, conv_b,
+       |    (CAST(conv_a AS DOUBLE) / n_a - CAST(conv_b AS DOUBLE) / n_b)
+       |      / sqrt((CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+       |        * (1.0 - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+       |        * (1.0 / n_a + 1.0 / n_b)) AS zv
+       |  FROM a)
+       |SELECT n_a, conv_a, n_b, conv_b,
+       |  ${PS.prnd("CAST(conv_a AS DOUBLE) / n_a", 6)} AS rate_a,
+       |  ${PS.prnd("CAST(conv_b AS DOUBLE) / n_b", 6)} AS rate_b,
+       |  ${PS.prnd("zv", 6)} AS z_score,
+       |  abs(zv) > 1.96 AS significant
+       |FROM z""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val ua = Tables.events(s, dir)
+      .groupBy($"user_id",
+        (P.hexToLong(md5($"user_id".cast("string")), 1, 1) % 2).as("arm"))
+      .agg(max(when($"event_type" === "purchase" && $"value" > 150, 1)
+        .otherwise(0)).as("conv"))
+    val a = ua.agg(
+      sum(when($"arm" === 0, 1L).otherwise(0L)).as("n_a"),
+      sum(when($"arm" === 0, $"conv".cast("long")).otherwise(0L)).as("conv_a"),
+      sum(when($"arm" === 1, 1L).otherwise(0L)).as("n_b"),
+      sum(when($"arm" === 1, $"conv".cast("long")).otherwise(0L)).as("conv_b"))
+    val pool = ($"conv_a" + $"conv_b").cast("double") / ($"n_a" + $"n_b")
+    val zv = ($"conv_a".cast("double") / $"n_a" - $"conv_b".cast("double") / $"n_b") /
+      sqrt(pool * (lit(1.0) - pool) * (lit(1.0) / $"n_a" + lit(1.0) / $"n_b"))
+    a.select($"n_a", $"conv_a", $"n_b", $"conv_b",
+      P.prnd($"conv_a".cast("double") / $"n_a", 6).as("rate_a"),
+      P.prnd($"conv_b".cast("double") / $"n_b", 6).as("rate_b"),
+      P.prnd(zv, 6).as("z_score"),
+      (abs(zv) > 1.96).as("significant"))
+  }
+
   val defs: Seq[QueryDef] = Seq(timeline, topGroups, dowActivity, valueBuckets,
     commentBuckets, quantiles, keywordMentions, explorer, userActivity,
     rollingActive, retention, spikeDays, conversion, sessionStats, gini,
-    hllUsers, cmTopk, trend, histQuantiles, concurrency)
+    hllUsers, cmTopk, trend, histQuantiles, concurrency, abTest)
 }

@@ -193,4 +193,42 @@ class DedupSimilaritySpec extends GraftSuite {
       ivf.get(k).foreach(c => assert(c === r.getAs[Double]("cosine"), s"pair $k"))
     }
   }
+
+  test("mmr rerank: greedy invariants hold and the page diverges from pure relevance") {
+    val rows = run("sim_mmr_topk").collect()
+    val byQ = rows.groupBy(_.getAs[Long]("q_id"))
+    val ivf = run("sim_ivf_kmeans_topk").collect()
+      .groupBy(_.getAs[Long]("q_id"))
+    assert(byQ.keySet === ivf.keySet)
+    byQ.foreach { case (q, rs) =>
+      val ordered = rs.sortBy(_.getAs[Long]("mmr_rank"))
+      assert(ordered.map(_.getAs[Long]("mmr_rank")).toSeq === (1L to 5L))
+      assert(ordered.map(_.getAs[Long]("vec_id")).distinct.length === 5, s"q$q dup pick")
+      // rank 1 IS the pure-relevance winner (same tiebreak as the IVF path)
+      val best = ivf(q).minBy(r => (-r.getAs[Double]("cosine"), r.getAs[Long]("vec_id")))
+      assert(ordered.head.getAs[Long]("vec_id") === best.getAs[Long]("vec_id"), s"q$q rank1")
+      assert(ordered.head.getAs[Double]("mmr_score") ===
+        ordered.head.getAs[Double]("relevance"))
+      // classic MMR property: the greedy score sequence never increases
+      // (a later pick was available earlier with an only-smaller penalty)
+      ordered.map(_.getAs[Double]("mmr_score")).sliding(2).foreach {
+        case Array(a, b) => assert(b <= a + 1e-9, s"q$q score rose $a -> $b")
+      }
+      // score = λ·rel − (1−λ)·maxsim with maxsim ∈ [−1, 1] (cosines can
+      // be negative on random embeddings, so the penalty term can ADD)
+      ordered.drop(1).foreach { r =>
+        val sc = r.getAs[Double]("mmr_score"); val rel = r.getAs[Double]("relevance")
+        assert(sc >= 0.7 * rel - 0.3 - 1e-6 && sc <= 0.7 * rel + 0.3 + 1e-6, s"q$q $sc")
+      }
+    }
+    // the re-ranked page must actually differ from relevance order for
+    // some query (random embeddings make near-ties common; if this ever
+    // flakes the corpus changed, not the operator)
+    val diverges = byQ.exists { case (q, rs) =>
+      val mmr3 = rs.sortBy(_.getAs[Long]("mmr_rank")).take(3).map(_.getAs[Long]("vec_id")).toSet
+      val rel3 = ivf(q).map(_.getAs[Long]("vec_id")).toSet
+      mmr3 != rel3
+    }
+    assert(diverges, "MMR page identical to relevance top-k for every query")
+  }
 }
