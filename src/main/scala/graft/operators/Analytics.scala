@@ -491,20 +491,27 @@ object Analytics {
     */
   private val HllLnCase: String = {
     val branches = (1 to 64)
-      .map(v => f"WHEN $v THEN ${math.log(64.0 / v)}%1.17g")
-    s"(CASE v ${branches.mkString(" ")} ELSE 0.0 END)"
+      .map(v => f"WHEN $v THEN CAST(${math.log(64.0 / v)}%1.17g AS DOUBLE)")
+    s"(CASE v ${branches.mkString(" ")} ELSE CAST(0.0 AS DOUBLE) END)"
   }
 
   /** Raw harmonic HLL estimate over ssum — shared expression TEXT so
     * Spark (via expr) and DuckDB parse the identical arithmetic.
     */
-  private val HllRawExpr = "(0.7213 / (1.0 + 1.079 / 64.0)) * 64.0 * 64.0 / ssum"
+  // every constant explicitly DOUBLE: a bare decimal literal parses as
+  // DECIMAL in both engines, and Spark's and DuckDB's decimal-DIVISION
+  // rounding rules differ — at sf0.1 the raw estimate landed exactly on a
+  // prnd boundary and the two decimal paths split it (1926.9375 vs .9376).
+  // With CASTs the whole estimator is IEEE double arithmetic, identical
+  // everywhere.
+  private val HllRawExpr =
+    "(CAST(0.7213 AS DOUBLE) / (CAST(1.0 AS DOUBLE) + CAST(1.079 AS DOUBLE) / CAST(64.0 AS DOUBLE))) * CAST(64.0 AS DOUBLE) * CAST(64.0 AS DOUBLE) / ssum"
 
   /** Corrected estimate: linear counting below 2.5·m when empty
     * registers remain, raw harmonic estimate otherwise.
     */
   private val HllEstExpr =
-    s"(CASE WHEN $HllRawExpr <= 160.0 AND v > 0 THEN 64.0 * $HllLnCase ELSE $HllRawExpr END)"
+    s"(CASE WHEN $HllRawExpr <= CAST(160.0 AS DOUBLE) AND v > 0 THEN CAST(64.0 AS DOUBLE) * $HllLnCase ELSE $HllRawExpr END)"
 
   val hllUsers = QueryDef(
     "an_hll_users",

@@ -141,7 +141,10 @@ object PlansDoc {
     val names = Seq("q1_pricing_summary", "q5_region_revenue", "etl_clean_text",
       "dd_minhash_lsh", "dd_embedding", "dd_simhash", "sim_bruteforce_topk",
       "q_asof_join", "gr_edges", "gr_graph_stats", "an_comment_buckets",
-      "tx_keyterms", "sim_ivf_topk", "tx_pii_scrub")
+      "tx_keyterms", "sim_ivf_topk", "tx_pii_scrub",
+      // late-r10 additions
+      "q_bloom_prune", "etl_scd2", "an_hist_quantiles", "an_concurrency",
+      "etl_chunk_overlap", "gr_random_walks", "sim_mmr_topk")
     val spark = graft.GraftSession.get(8)
     names.foreach { n =>
       println(s"===== $n =====")
