@@ -1674,15 +1674,22 @@ object GraphOps {
        |ORDER BY triangles DESC, node LIMIT 20""".stripMargin) { (s, dir) =>
     import s.implicits._
     val proj = projM(s, dir)
+    // pd is read four times and oe three (wedge sides + the closing
+    // edge join) — materialize each once (lazy checkpoint) so the
+    // downstream self-joins read blocks instead of re-deriving the
+    // projection aggregation per reference
     val pd = proj.select($"a".as("v")).union(proj.select($"b".as("v")))
       .groupBy($"v").agg(P.cnt.as("d"))
+      .localCheckpoint(false)
     val lower = $"da" < $"db" || ($"da" === $"db" && $"a" < $"b")
     val oe = proj
       .join(pd.select($"v".as("a"), $"d".as("da")).hint("shuffle_hash"), "a")
       .join(pd.select($"v".as("b"), $"d".as("db")).hint("shuffle_hash"), "b")
       .select(when(lower, $"a").otherwise($"b").as("u"),
         when(lower, $"b").otherwise($"a").as("v"))
+      .localCheckpoint(false)
     val oer = oe.join(pd.select($"v", $"d".as("dv")).hint("shuffle_hash"), "v")
+      .localCheckpoint(false)
     val tri = oer.select($"u", $"v".as("x"), $"dv".as("dx"))
       .join(oer.select($"u", $"v".as("y"), $"dv".as("dy")).hint("shuffle_hash"), "u")
       .filter($"dx" < $"dy" || ($"dx" === $"dy" && $"x" < $"y"))

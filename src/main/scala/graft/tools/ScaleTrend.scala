@@ -63,7 +63,12 @@ object ScaleTrend {
       // funnel, the capped-projection pair generator, the session chain,
       // the chunk-frequency shuffle join, and the PQ train+ADC+re-rank path
       "an_conversion", "gr_link_predict", "an_session_stats",
-      "tx_boilerplate", "sim_pq_topk")
+      "tx_boilerplate", "sim_pq_topk",
+      // latest additions: triangle wedges, walk steps, the two-level
+      // sweep line, the two-level systematic sample, SCD2 windows, and
+      // the bloom prune
+      "gr_triangles", "gr_random_walks", "an_concurrency",
+      "etl_weighted_sample", "etl_scd2", "q_bloom_prune")
     def time(name: String, dir: String): Double = {
       val fn = SparkEntry.queries(name)
       (1 to 2).map { _ =>
