@@ -774,6 +774,40 @@ object Analytics {
       .orderBy($"day")
   }
 
+  /** Path / flow analysis panel — the top-20 most common session
+    * journeys as ordered event-type sequences ("view>click>purchase"),
+    * the funnel-discovery view next to `an_conversion`'s fixed funnel
+    * and `an_session_stats`' aggregates, over the SAME shared 30-min
+    * session chain ([[Etl.numbered]]). Ordering inside a session is
+    * (ts, event_id) — the sessionization's own total order — so the
+    * path strings are deterministic and engine-portable (the oracle's
+    * `string_agg(... ORDER BY)` equals the struct-sorted collect here).
+    *
+    * Scale shape: one keyed exchange (shared with the session windows),
+    * a per-session hash aggregate whose state is the session's own
+    * ordered type list (bounded by per-entity activity), then a
+    * path-frequency aggregate with map-side partials into
+    * TakeOrderedAndProject — never a global sort of the paths.
+    */
+  val sessionPaths = QueryDef(
+    "an_session_paths",
+    s"""WITH ${PS.evCte}, ${Etl.sessionCteSql},
+       |p AS MATERIALIZED (SELECT user_id, session_idx,
+       |    string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+       |  FROM numbered GROUP BY 1, 2)
+       |SELECT path, CAST(COUNT(*) AS BIGINT) AS n_sessions
+       |FROM p GROUP BY path
+       |ORDER BY n_sessions DESC, path LIMIT 20""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    Etl.numbered(s, dir)
+      .groupBy($"user_id", $"session_idx")
+      .agg(array_join(
+        transform(array_sort(collect_list(struct($"ts", $"event_id", $"event_type"))),
+          x => x.getField("event_type")), ">").as("path"))
+      .groupBy($"path").agg(P.cnt.as("n_sessions"))
+      .orderBy($"n_sessions".desc, $"path").limit(20)
+  }
+
   /** Histogram bucket width for [[histQuantiles]] — the precision knob:
     * the estimate is exact to within one bucket (worst case W, typical
     * W/n_b). events.value spans ~[0, 500], so W=8 gives ~64 buckets.
@@ -917,5 +951,5 @@ object Analytics {
   val defs: Seq[QueryDef] = Seq(timeline, topGroups, dowActivity, valueBuckets,
     commentBuckets, quantiles, keywordMentions, explorer, userActivity,
     rollingActive, retention, spikeDays, conversion, sessionStats, gini,
-    hllUsers, cmTopk, trend, histQuantiles, concurrency, abTest)
+    hllUsers, cmTopk, trend, histQuantiles, concurrency, abTest, sessionPaths)
 }

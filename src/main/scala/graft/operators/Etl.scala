@@ -105,7 +105,7 @@ object Etl {
     */
   private[operators] val sessionCteSql: String =
     """marked AS MATERIALIZED (
-      |  SELECT user_id, event_id, ts, value,
+      |  SELECT user_id, event_id, ts, value, event_type,
       |    CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
       |      OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
       |  FROM ev
@@ -119,17 +119,28 @@ object Etl {
     * the session-level aggregation; shared by [[sessionize]] and
     * `an_session_stats`.
     */
-  private[operators] def sessions(s: org.apache.spark.sql.SparkSession,
+  /** Per-EVENT frame with its session id — the Spark twin of
+    * [[sessionCteSql]]'s `numbered` CTE (one keyed exchange, two window
+    * passes over it); [[sessions]] aggregates it, `an_session_paths`
+    * reads the per-event types.
+    */
+  private[operators] def numbered(s: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame = {
     import s.implicits._
     val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
-    val marked = Tables.events(s, dir).select($"user_id", $"event_id", $"ts", $"value",
-      when(unix_micros($"ts") - lag(unix_micros($"ts"), 1).over(w) > 1800000000L
-        || lag($"ts", 1).over(w).isNull, 1).otherwise(0).as("new_session"))
-    marked
+    Tables.events(s, dir)
+      .select($"user_id", $"event_id", $"ts", $"value", $"event_type",
+        when(unix_micros($"ts") - lag(unix_micros($"ts"), 1).over(w) > 1800000000L
+          || lag($"ts", 1).over(w).isNull, 1).otherwise(0).as("new_session"))
       .withColumn("session_idx",
         sum($"new_session").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
           .cast("long"))
+  }
+
+  private[operators] def sessions(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    numbered(s, dir)
       .groupBy($"user_id", $"session_idx")
       .agg(min($"ts").as("session_start"), max($"ts").as("session_end"),
         P.cnt.as("n_events"), P.dsum($"value").as("session_value"))

@@ -390,6 +390,29 @@ class CoreOperatorsSpec extends GraftSuite {
       Tables.events(spark, sfDir).select("user_id").distinct().count())
   }
 
+  test("session paths: planted journeys aggregate to ordered path strings") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_paths").toString
+    // u1: one session view>click>purchase; u2: two single-view sessions
+    // (45-min gap splits them); u3: same journey as u1
+    val evs = Seq(
+      (1L, "2024-04-01 10:00:00", "view"), (1L, "2024-04-01 10:05:00", "click"),
+      (1L, "2024-04-01 10:10:00", "purchase"),
+      (2L, "2024-04-01 09:00:00", "view"), (2L, "2024-04-01 09:45:00", "view"),
+      (3L, "2024-04-01 12:00:00", "view"), (3L, "2024-04-01 12:05:00", "click"),
+      (3L, "2024-04-01 12:10:00", "purchase"))
+    evs.zipWithIndex.map { case ((u, t, ty), i) =>
+      (i.toLong, java.sql.Timestamp.valueOf(t), u, ty, 1.0, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val got = operators.Analytics.sessionPaths.run(spark, tmp).collect()
+      .map(r => r.getAs[String]("path") -> r.getAs[Long]("n_sessions")).toMap
+    assert(got === Map("view" -> 2L, "view>click>purchase" -> 2L))
+    // real corpus: path session counts re-total to the session count
+    val total = run("an_session_paths").collect().map(_.getAs[Long]("n_sessions")).sum
+    assert(total <= run("etl_sessionize").count())
+  }
+
   test("spike days: a planted 100x day is flagged, flat days are not") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("graft_spike").toString
