@@ -448,5 +448,88 @@ object Dedup {
       .orderBy("vec_a", "vec_b")
   }
 
-  val defs: Seq[QueryDef] = Seq(exact, minhashLsh, ngramJaccard, clusters, simhash, embedding)
+  /** Probe-sample predicate for [[recallGate]]: a fixed id-prefix slice
+    * (dups in this corpus sit at adjacent ids) plus a 10% md5 slice —
+    * deterministic, engine-portable, and FIXED-size relative to the
+    * corpus, which is what keeps the exact all-pairs ground truth
+    * affordable at any SF (the eval cost is probe², never corpus²).
+    */
+  private def inSample(c: org.apache.spark.sql.Column) =
+    c < 200 || P.hexToLong(md5(c.cast("string")), 1, 8) % 100 < 10
+
+  private def inSampleSql(c: String) =
+    s"($c < 200 OR ${PS.hexToLong(s"md5(CAST($c AS VARCHAR))", 1, 8)} % 100 < 10)"
+
+  /** Recall gate for the MinHash-LSH dedup path — the honest eval pair
+    * the dedup family was missing (sim_recall's text twin): EXACT 3-gram
+    * Jaccard ground truth over ALL pairs inside a bounded probe sample,
+    * compared against the LSH candidate set restricted to the same
+    * sample. Because the pipeline verifies candidates exactly
+    * (dd_ngram_jaccard), its end-to-end recall IS the candidate recall
+    * this gate measures; a missed true pair here is a dup the pipeline
+    * can never find. Single-row report: sample size, true pairs,
+    * in-sample candidates, caught pairs, recall, and candidate
+    * efficiency (what fraction of in-sample candidates verify).
+    */
+  val recallGate = QueryDef(
+    "dd_recall",
+    s"""WITH $lshSql,
+       |st AS MATERIALIZED (SELECT doc_id, w FROM toks WHERE ${inSampleSql("doc_id")}),
+       |sg3 AS MATERIALIZED (SELECT DISTINCT doc_id,
+       |    unnest(list_transform(generate_series(1, len(w) - 2),
+       |      i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2])) AS s
+       |  FROM st),
+       |ssz AS MATERIALIZED (SELECT doc_id, COUNT(*) AS n FROM sg3 GROUP BY doc_id),
+       |sinter AS MATERIALIZED (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS ni
+       |  FROM sg3 a JOIN sg3 b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |truth AS MATERIALIZED (SELECT i.doc_a, i.doc_b
+       |  FROM sinter i JOIN ssz sa ON sa.doc_id = i.doc_a
+       |  JOIN ssz sb ON sb.doc_id = i.doc_b
+       |  WHERE ni / (sa.n + sb.n - ni) >= $JaccardThreshold),
+       |scand AS MATERIALIZED (SELECT doc_a, doc_b FROM lsh_cand
+       |  WHERE ${inSampleSql("doc_a")} AND ${inSampleSql("doc_b")}),
+       |caught AS MATERIALIZED (SELECT t.doc_a, t.doc_b FROM truth t
+       |  JOIN scand c ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b)
+       |SELECT CAST((SELECT COUNT(*) FROM st) AS BIGINT) AS n_sample_docs,
+       |  CAST((SELECT COUNT(*) FROM truth) AS BIGINT) AS n_true,
+       |  CAST((SELECT COUNT(*) FROM scand) AS BIGINT) AS n_cand,
+       |  CAST((SELECT COUNT(*) FROM caught) AS BIGINT) AS n_caught,
+       |  ${PS.prnd("CASE WHEN (SELECT COUNT(*) FROM truth) = 0 THEN 1.0 ELSE CAST((SELECT COUNT(*) FROM caught) AS DOUBLE) / (SELECT COUNT(*) FROM truth) END", 6)} AS recall,
+       |  ${PS.prnd("CASE WHEN (SELECT COUNT(*) FROM scand) = 0 THEN 0.0 ELSE CAST((SELECT COUNT(*) FROM caught) AS DOUBLE) / (SELECT COUNT(*) FROM scand) END", 6)} AS cand_efficiency
+       |""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val st = tokenizedM(s, dir).filter(inSample($"doc_id"))
+    val g3 = st
+      .select($"doc_id", explode(array_distinct(
+        call_function("graft_shingles", $"w", lit(3)))).as("s"))
+      .localCheckpoint(false)
+    val sz = g3.groupBy($"doc_id").agg(P.cnt.as("n"))
+    val truth = g3.select($"doc_id".as("doc_a"), $"s")
+      .join(g3.select($"doc_id".as("doc_b"), $"s"), "s")
+      .filter($"doc_a" < $"doc_b")
+      .groupBy($"doc_a", $"doc_b").agg(P.cnt.as("ni"))
+      .join(sz.select($"doc_id".as("doc_a"), $"n".as("na")), "doc_a")
+      .join(sz.select($"doc_id".as("doc_b"), $"n".as("nb")), "doc_b")
+      .filter($"ni" / ($"na" + $"nb" - $"ni") >= JaccardThreshold)
+      .select($"doc_a", $"doc_b")
+      .localCheckpoint(false)
+    val scand = lshCandM(s, dir)
+      .filter(inSample($"doc_a") && inSample($"doc_b"))
+      .localCheckpoint(false)
+    val caught = truth.join(scand, Seq("doc_a", "doc_b"), "left_semi")
+    val nd = st.agg(P.cnt.as("n_sample_docs"))
+    val nt = truth.agg(P.cnt.as("n_true"))
+    val nc = scand.agg(P.cnt.as("n_cand"))
+    val ng = caught.agg(P.cnt.as("n_caught"))
+    nd.crossJoin(broadcast(nt)).crossJoin(broadcast(nc)).crossJoin(broadcast(ng))
+      .select($"n_sample_docs", $"n_true", $"n_cand", $"n_caught",
+        P.prnd(when($"n_true" === 0L, 1.0)
+          .otherwise($"n_caught".cast("double") / $"n_true"), 6).as("recall"),
+        P.prnd(when($"n_cand" === 0L, 0.0)
+          .otherwise($"n_caught".cast("double") / $"n_cand"), 6).as("cand_efficiency"))
+  }
+
+  val defs: Seq[QueryDef] = Seq(exact, minhashLsh, ngramJaccard, clusters, simhash,
+    embedding, recallGate)
 }

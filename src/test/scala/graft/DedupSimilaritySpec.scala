@@ -194,6 +194,28 @@ class DedupSimilaritySpec extends GraftSuite {
     }
   }
 
+  test("dd recall gate: accounting invariants; a planted exact dup is always caught") {
+    import spark.implicits._
+    val r = run("dd_recall").head()
+    assert(r.getAs[Long]("n_caught") <= r.getAs[Long]("n_true"))
+    assert(r.getAs[Long]("n_caught") <= r.getAs[Long]("n_cand"))
+    val rec = r.getAs[Double]("recall")
+    assert(rec > 0.0 && rec <= 1.0)
+    // planted: docs 1/2 identical (inside the id-prefix probe — identical
+    // docs share every band, LSH MUST candidate them), doc 3 unrelated
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ddr").toString
+    val dup = "the quick brown fox jumps over the lazy dog again and again"
+    Seq((1L, dup, "en", "web", dup.length.toLong),
+      (2L, dup, "en", "web", dup.length.toLong),
+      (3L, "completely different words about spark shuffles and joins here", "en", "web", 62L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val p = operators.Dedup.recallGate.run(spark, tmp).head()
+    assert(p.getAs[Long]("n_true") === 1L)
+    assert(p.getAs[Long]("n_caught") === 1L)
+    assert(p.getAs[Double]("recall") === 1.0)
+  }
+
   test("mmr rerank: greedy invariants hold and the page diverges from pure relevance") {
     val rows = run("sim_mmr_topk").collect()
     val byQ = rows.groupBy(_.getAs[Long]("q_id"))
