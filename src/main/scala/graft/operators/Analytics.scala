@@ -808,6 +808,40 @@ object Analytics {
       .orderBy($"n_sessions".desc, $"path").limit(20)
   }
 
+  /** The pivot's EXPLICIT column list — at 100 TB a pivot must never
+    * infer its output schema from the data (that is a full extra scan
+    * and an unbounded-width plan); the bounded, declared event-type
+    * vocabulary is the contract.
+    */
+  private val PivotTypes = Seq("click", "error", "purchase", "signup", "view")
+
+  /** Daily activity matrix — the long→wide pivot every BI layer asks for
+    * (one row per day, one count column per event type plus the row
+    * total). Spark's `.pivot()` with an EXPLICIT value list compiles to
+    * exactly the CASE-sum aggregate the oracle spells out: one hash
+    * aggregation with map-side partials, calendar-bounded output, no
+    * second scan, no inferred schema.
+    */
+  val pivotDaily = QueryDef(
+    "an_pivot_daily",
+    s"""WITH ${PS.evCte}
+       |SELECT CAST(ts AS DATE) AS day,
+       |${PivotTypes.map(t => s"  CAST(COUNT(*) FILTER (WHERE event_type = '$t') AS BIGINT) AS n_$t,").mkString("\n")}
+       |  COUNT(*) AS n_total
+       |FROM ev GROUP BY 1 ORDER BY day""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val wide = Tables.events(s, dir)
+      .groupBy($"ts".cast("date").as("day"))
+      .pivot("event_type", PivotTypes)
+      .agg(count(lit(1)))
+    val renamed = PivotTypes.foldLeft(wide) { (df, t) =>
+      df.withColumn(s"n_$t", coalesce(col(t), lit(0L))).drop(t)
+    }
+    renamed
+      .withColumn("n_total", PivotTypes.map(t => col(s"n_$t")).reduce(_ + _))
+      .orderBy($"day")
+  }
+
   /** Histogram bucket width for [[histQuantiles]] — the precision knob:
     * the estimate is exact to within one bucket (worst case W, typical
     * W/n_b). events.value spans ~[0, 500], so W=8 gives ~64 buckets.
@@ -951,5 +985,6 @@ object Analytics {
   val defs: Seq[QueryDef] = Seq(timeline, topGroups, dowActivity, valueBuckets,
     commentBuckets, quantiles, keywordMentions, explorer, userActivity,
     rollingActive, retention, spikeDays, conversion, sessionStats, gini,
-    hllUsers, cmTopk, trend, histQuantiles, concurrency, abTest, sessionPaths)
+    hllUsers, cmTopk, trend, histQuantiles, concurrency, abTest, sessionPaths,
+    pivotDaily)
 }

@@ -561,7 +561,63 @@ object TextAnalysis {
       (wcOk && mwlOk && stopOk && symOk && alphaOk).as("pass"))
   }
 
+  /** Language-ID confusion matrix — the eval panel behind `tx_lang_id`'s
+    * per-doc verdicts (the honest-eval posture: a classifier that ships
+    * in a filter pipeline ships with its error structure, not just an
+    * accuracy number): one cell per (actual, predicted) language pair
+    * with count, row share, and the corpus-level accuracy alongside.
+    * Share the prediction with tx_lang_id by construction — this query
+    * re-derives the same argmax (same markers, same tiebreak), so the
+    * two panels can never disagree. One narrow scan + a |langs|²-cell
+    * hash aggregate with map-side partials; nothing data-scaled in the
+    * output.
+    */
+  val langidConfusion = QueryDef(
+    "tx_langid_confusion", {
+      val cands = TextFns.LangMarkers.toSeq.sortBy(_._1)
+      val unions = cands.map { case (lg, ws) =>
+        s"""SELECT doc_id, lang, '$lg' AS cand,
+           |  CAST(len(list_filter(string_split(text, ' '), x -> x IN (${inList(ws)}))) AS BIGINT) AS cnt
+           |FROM documents""".stripMargin
+      }.mkString("(\n(", ") UNION ALL (", ")\n)")
+      s"""WITH scored AS MATERIALIZED $unions,
+         |ranked AS MATERIALIZED (SELECT doc_id, lang, cand, cnt,
+         |  row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, cand) AS rn
+         |  FROM scored),
+         |pred AS MATERIALIZED (SELECT doc_id, lang AS actual, cand AS predicted
+         |  FROM ranked WHERE rn = 1),
+         |cells AS MATERIALIZED (SELECT actual, predicted, CAST(COUNT(*) AS BIGINT) AS n
+         |  FROM pred GROUP BY 1, 2),
+         |tot AS MATERIALIZED (SELECT actual, CAST(SUM(n) AS BIGINT) AS rt FROM cells GROUP BY 1),
+         |acc AS MATERIALIZED (SELECT ${PS.prnd("CAST(SUM(CASE WHEN actual = predicted THEN n ELSE 0 END) AS DOUBLE) / SUM(n)", 6)} AS accuracy FROM cells)
+         |SELECT c.actual, c.predicted, c.n,
+         |  ${PS.prnd("CAST(c.n AS DOUBLE) / t.rt", 6)} AS row_share,
+         |  a.accuracy
+         |FROM cells c JOIN tot t ON t.actual = c.actual CROSS JOIN acc a
+         |ORDER BY c.actual, c.predicted""".stripMargin
+    }) { (s, dir) =>
+    import s.implicits._
+    val cands = TextFns.LangMarkers.toSeq.sortBy(_._1)
+    val toks = split($"text", " ")
+    val scored = array(cands.map { case (lg, ws) =>
+      struct((-TextFns.countTokensIn(toks, ws)).cast("long").as("negCnt"), lit(lg).as("cand"))
+    }: _*)
+    val best = element_at(array_sort(scored), 1)
+    val pred = Tables.documents(s, dir)
+      .select($"lang".as("actual"), best.getField("cand").as("predicted"))
+    val cells = pred.groupBy($"actual", $"predicted").agg(P.cnt.as("n"))
+      .localCheckpoint(false)
+    val tot = cells.groupBy($"actual").agg(sum($"n").as("rt"))
+    val acc = cells.agg(P.prnd(
+      sum(when($"actual" === $"predicted", $"n").otherwise(0L)).cast("double")
+        / sum($"n"), 6).as("accuracy"))
+    cells.join(tot, "actual").crossJoin(broadcast(acc))
+      .select($"actual", $"predicted", $"n",
+        P.prnd($"n".cast("double") / $"rt", 6).as("row_share"), $"accuracy")
+      .orderBy($"actual", $"predicted")
+  }
+
   val defs: Seq[QueryDef] = Seq(langId, quality, tokenCount, fingerprint,
     contamination, ngramStats, keyterms, repetition, boilerplate,
-    corpusMixture, piiScrub, lmScore, gopherRules)
+    corpusMixture, piiScrub, lmScore, gopherRules, langidConfusion)
 }

@@ -413,6 +413,21 @@ class CoreOperatorsSpec extends GraftSuite {
     assert(total <= run("etl_sessionize").count())
   }
 
+  test("pivot matrix: wide counts re-total to the timeline and the row sums") {
+    import spark.implicits._
+    val wide = run("an_pivot_daily").collect()
+      .map(r => r.getAs[java.sql.Date]("day").toString -> r).toMap
+    val tl = run("an_timeline").collect()
+      .map(r => r.getAs[java.sql.Date]("day").toString -> r.getAs[Long]("n")).toMap
+    assert(wide.keySet === tl.keySet)
+    wide.foreach { case (d, r) =>
+      val cols = Seq("n_click", "n_error", "n_purchase", "n_signup", "n_view")
+        .map(r.getAs[Long])
+      assert(cols.sum === r.getAs[Long]("n_total"), d)
+      assert(r.getAs[Long]("n_total") === tl(d), d)
+    }
+  }
+
   test("spike days: a planted 100x day is flagged, flat days are not") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("graft_spike").toString

@@ -156,6 +156,22 @@ class TextSentimentSpec extends GraftSuite {
     })
   }
 
+  test("langid confusion: cells re-total the corpus and the diagonal is tx_lang_id's accuracy") {
+    val cells = run("tx_langid_confusion").collect()
+    val nDocs = Tables.documents(spark, sfDir).count()
+    assert(cells.map(_.getAs[Long]("n")).sum === nDocs)
+    val diag = cells.filter(r => r.getAs[String]("actual") == r.getAs[String]("predicted"))
+      .map(_.getAs[Long]("n")).sum
+    val correct = run("tx_lang_id").collect().count(_.getAs[Boolean]("correct"))
+    assert(diag === correct.toLong, "confusion diagonal must equal tx_lang_id verdicts")
+    val acc = cells.head.getAs[Double]("accuracy")
+    assert(math.abs(acc - diag.toDouble / nDocs) < 1e-6)
+    // row shares sum to 1 per actual language
+    cells.groupBy(_.getAs[String]("actual")).values.foreach { rs =>
+      assert(math.abs(rs.map(_.getAs[Double]("row_share")).sum - 1.0) < 1e-4)
+    }
+  }
+
   test("gopher rules: planted violators trip exactly their rule (corpus is symbol-clean)") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("graft_gopher").toString
