@@ -366,6 +366,38 @@ object Relational {
         $"n_false_pos", $"n_missed", $"fp_rate", $"pruned_frac")
   }
 
+  /** TPC-H Q22-shaped anti-join: customers with above-average account
+    * balance and NO orders in the window, counted per market segment —
+    * the NOT EXISTS pattern every warehouse runs (dormant/churned-entity
+    * reports). The plan is the scalable shape: a LEFT ANTI hash join
+    * keyed on custkey (never a per-customer correlated probe — at 100 TB
+    * the anti join shuffles both sides once and streams), with the
+    * average-balance scalar as a 1-row broadcast.
+    */
+  val qAntiJoin = QueryDef(
+    "q_anti_join",
+    s"""SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_dormant,
+       |  ${PS.dsum("c_acctbal")} AS total_balance
+       |FROM customer
+       |WHERE c_acctbal > (SELECT ${PS.davg("c_acctbal")} FROM customer)
+       |  AND NOT EXISTS (SELECT 1 FROM orders
+       |    WHERE o_custkey = c_custkey
+       |      AND o_orderdate >= TIMESTAMP '1998-01-01')
+       |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val c = Tables.customer(s, dir)
+    val avgBal = Tables.customer(s, dir).agg(P.davg($"c_acctbal").as("ab"))
+    val recent = Tables.orders(s, dir)
+      .filter($"o_orderdate" >= lit("1998-01-01").cast("timestamp"))
+      .select($"o_custkey")
+    c.crossJoin(broadcast(avgBal))
+      .filter($"c_acctbal" > $"ab")
+      .join(recent, $"c_custkey" === $"o_custkey", "left_anti")
+      .groupBy($"c_mktsegment")
+      .agg(P.cnt.as("n_dormant"), P.dsum($"c_acctbal").as("total_balance"))
+      .orderBy($"c_mktsegment")
+  }
+
   val defs: Seq[QueryDef] = Seq(q1, q3, q5, qWindowRank, qAsofJoin, qRollup,
-    qBloomPrune)
+    qBloomPrune, qAntiJoin)
 }

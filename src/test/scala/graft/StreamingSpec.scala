@@ -124,6 +124,37 @@ class StreamingSpec extends GraftSuite {
     streaming.UpsertSink.clear(sid)
   }
 
+  test("trending stream: read-time top-k re-ranks after a late-window update") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val input = mem.toDF().toDF("ts", "event_type", "value")
+    val sid = "trending_spec"
+    streaming.UpsertSink.clear(sid)
+    val q = streaming.TrendingStream.trendingQuery(input, sid, "trending_test")
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // window 10:00 — clicks lead 2:1
+    mem.addData((ts("2024-01-01 10:05:00"), "click", 1.0),
+      (ts("2024-01-01 10:10:00"), "click", 1.0),
+      (ts("2024-01-01 10:15:00"), "view", 1.0))
+    q.processAllAvailable()
+    assert(streaming.TrendingStream.topk(sid, "2024-01-01 10:00:00.0", 2) ===
+      Seq(("click", 2L), ("view", 1L)))
+    // two late views flip the order — the upsert replaces the window row
+    // and the next read sees the corrected ranking
+    mem.addData((ts("2024-01-01 10:20:00"), "view", 1.0),
+      (ts("2024-01-01 10:25:00"), "view", 1.0))
+    q.processAllAvailable()
+    q.stop()
+    assert(streaming.TrendingStream.topk(sid, "2024-01-01 10:00:00.0", 2) ===
+      Seq(("view", 3L), ("click", 2L)))
+    // k caps the page; an unknown window serves an empty page
+    assert(streaming.TrendingStream.topk(sid, "2024-01-01 10:00:00.0", 1) ===
+      Seq(("view", 3L)))
+    assert(streaming.TrendingStream.topk(sid, "2024-01-01 11:00:00.0", 3).isEmpty)
+    streaming.UpsertSink.clear(sid)
+  }
+
   test("streaming sessionization emits closed sessions as watermark advances") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
