@@ -827,7 +827,7 @@ object Analytics {
     s"""WITH ${PS.evCte}
        |SELECT CAST(ts AS DATE) AS day,
        |${PivotTypes.map(t => s"  CAST(COUNT(*) FILTER (WHERE event_type = '$t') AS BIGINT) AS n_$t,").mkString("\n")}
-       |  COUNT(*) AS n_total
+       |  CAST(${PivotTypes.map(t => s"COUNT(*) FILTER (WHERE event_type = '$t')").mkString(" + ")} AS BIGINT) AS n_total
        |FROM ev GROUP BY 1 ORDER BY day""".stripMargin) { (s, dir) =>
     import s.implicits._
     val wide = Tables.events(s, dir)

@@ -115,10 +115,6 @@ object Etl {
       |    ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_idx
       |  FROM marked)""".stripMargin
 
-  /** Per-(user, session) frame — the Spark twin of [[sessionCteSql]] plus
-    * the session-level aggregation; shared by [[sessionize]] and
-    * `an_session_stats`.
-    */
   /** Per-EVENT frame with its session id — the Spark twin of
     * [[sessionCteSql]]'s `numbered` CTE (one keyed exchange, two window
     * passes over it); [[sessions]] aggregates it, `an_session_paths`
@@ -477,7 +473,10 @@ object Etl {
     *
     * Scale shape: a pure narrow map — split once, explode the
     * per-doc chunk-index sequence (wc/stride rows), slice the token
-    * array per chunk. No shuffle, no state, fully inside whole-stage
+    * array per chunk. The last chunk is the first one whose window
+    * reaches the doc's end — a further window would be fully contained
+    * in it and add no tokens, so it is never emitted (the chunk table
+    * carries no duplicate-content rows). No shuffle, no state, fully inside whole-stage
     * codegen; output size is corpus·(1 + overlap/stride). The digest is
     * md5 of the space-joined chunk, so chunk identity is engine-portable
     * (dedup/contamination can run directly on the chunk table).
@@ -487,7 +486,8 @@ object Etl {
     s"""WITH t AS MATERIALIZED (SELECT doc_id, source, string_split(text, ' ') AS w,
        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS wc FROM documents),
        |c AS MATERIALIZED (SELECT doc_id, source, w, wc,
-       |    unnest(generate_series(0, (wc - 1) // $ChunkStride)) AS i FROM t)
+       |    unnest(generate_series(0,
+       |      greatest(0, (wc - $ChunkSize + $ChunkStride - 1) // $ChunkStride))) AS i FROM t)
        |SELECT doc_id, source, CAST(i AS BIGINT) AS chunk_id,
        |  CAST(i * $ChunkStride + 1 AS BIGINT) AS tok_start,
        |  CAST(least(i * $ChunkStride + $ChunkSize, wc) AS BIGINT) AS tok_end,
@@ -499,7 +499,9 @@ object Etl {
       .select($"doc_id", $"source", split($"text", " ").as("w"))
       .withColumn("wc", size($"w").cast("long"))
     t.select($"doc_id", $"source", $"w", $"wc",
-        explode(sequence(lit(0L), expr(s"(wc - 1) div $ChunkStride"))).as("i"))
+        explode(sequence(lit(0L),
+          greatest(lit(0L),
+            expr(s"(wc - $ChunkSize + $ChunkStride - 1) div $ChunkStride")))).as("i"))
       .select($"doc_id", $"source", $"i".as("chunk_id"),
         ($"i" * ChunkStride + 1).as("tok_start"),
         least($"i" * ChunkStride + ChunkSize, $"wc").as("tok_end"),

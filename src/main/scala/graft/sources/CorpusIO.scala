@@ -99,8 +99,16 @@ object CorpusIO {
     * sort clusters only its leading column: a filter on the second column
     * must then read every file. Write-time cost is one range exchange +
     * per-file sort; the read path pays nothing (the z key is not even
-    * stored). SourcesSpec measures the skip on a secondary-dimension
-    * filter: z-layout prunes most files, the linear layout prunes none.
+    * stored).
+    *
+    * PRECONDITION: the key interleaves each column's LOW 31 BITS
+    * (higher bits are masked — see [[graft.functions.ZOrderBits]]), so
+    * callers must pass values whose ordering lives in 31 bits: bucket,
+    * rank, or offset wide-domain columns first (epoch micros, 64-bit
+    * hashes) or the layout silently degrades to noise — e.g. z-order on
+    * `datediff(day, epoch)` and a bucketed id, not raw timestamps.
+    * SourcesSpec measures the skip on a secondary-dimension filter:
+    * z-layout prunes most files, the linear layout prunes none.
     */
   def writeZOrdered(df: DataFrame, path: String, colA: String, colB: String,
       files: Int): Unit = {

@@ -332,7 +332,9 @@ class CoreOperatorsSpec extends GraftSuite {
   test("chunk overlap: spans tile the doc with the configured overlap") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("graft_chunk").toString
-    // 80 distinct tokens -> chunks [1,32],[25,56],[49,80],[73,80]
+    // 80 distinct tokens -> chunks [1,32],[25,56],[49,80]; a fourth
+    // window [73,80] would be fully contained in [49,80] and is never
+    // emitted (no duplicate-content rows in the chunk table)
     val toks = (1 to 80).map(i => s"w$i")
     Seq((1L, toks.mkString(" "), "en", "web", 300L), (2L, "tiny doc", "en", "web", 8L))
       .toDF("doc_id", "text", "lang", "source", "n_chars")
@@ -341,7 +343,11 @@ class CoreOperatorsSpec extends GraftSuite {
       .groupBy(_.getAs[Long]("doc_id"))
     val c1 = got(1L).sortBy(_.getAs[Long]("chunk_id"))
     assert(c1.map(r => (r.getAs[Long]("tok_start"), r.getAs[Long]("tok_end"))).toSeq ===
-      Seq((1L, 32L), (25L, 56L), (49L, 80L), (73L, 80L)))
+      Seq((1L, 32L), (25L, 56L), (49L, 80L)))
+    // every chunk past the first contributes new tokens
+    c1.sliding(2).foreach { case Array(a, b) =>
+      assert(b.getAs[Long]("tok_end") > a.getAs[Long]("tok_end"))
+    }
     // consecutive chunks overlap by size - stride = 8 tokens
     c1.sliding(2).foreach { case Array(a, b) =>
       assert(a.getAs[Long]("tok_end") - b.getAs[Long]("tok_start") + 1 === 8L)
