@@ -252,7 +252,19 @@ object Dedup {
   def jaccardPairs(s: SparkSession, dir: String): DataFrame =
     graft.MatStore.of(s, s"dd_jac_pairs:$dir")(jaccardPairsBuild(s, dir))
 
-  private def jaccardPairsBuild(s: SparkSession, dir: String): DataFrame = {
+  /** Pre-checkpoint 3-gram sets for candidate documents only — the
+    * semi-join that prunes the full-corpus gram explode down to docs
+    * appearing in some LSH pair. The candidate-id side is NOT hinted:
+    * on this synthetic near-dup-free corpus it is tiny and AQE will
+    * broadcast it at runtime, but on a real web crawl (30-50% dup
+    * rates) the candidate set is a corpus-sized relation, so the plan
+    * must not COMMIT to a driver-side build (r10 verdict item 2;
+    * ScalePlanSpec asserts the knob-off static plan has no
+    * BroadcastExchange here). Exposed pre-checkpoint so the spec can
+    * see the real join lineage (the localCheckpoint in
+    * [[jaccardPairsBuild]] truncates it to a LogicalRDD).
+    */
+  private[graft] def candGramsBuild(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     // the shared signature store feeds BOTH the minhash-LSH branch and the
     // 3-gram verify branch (see MatStore: one tokenization, one candidate
@@ -267,12 +279,17 @@ object Dedup {
     // values — sz and inter are only ever read for candidate docs. This
     // is also the 100 TB shape: verify cost scales with candidate count,
     // not corpus size.
-    val cand = lshCandM(s, dir)
-    val inCand = cand.select(explode(array($"doc_a", $"doc_b")).as("doc_id")).distinct()
-    val g3 = withW
-      .join(broadcast(inCand), Seq("doc_id"), "left_semi")
+    val inCand = lshCandM(s, dir)
+      .select(explode(array($"doc_a", $"doc_b")).as("doc_id")).distinct()
+    withW
+      .join(inCand, Seq("doc_id"), "left_semi")
       .select($"doc_id", explode(array_distinct(sh3)).as("s"))
-      .localCheckpoint(false)
+  }
+
+  private def jaccardPairsBuild(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cand = lshCandM(s, dir)
+    val g3 = candGramsBuild(s, dir).localCheckpoint(false)
     val sz = g3.groupBy($"doc_id").agg(P.cnt.as("n"))
     val inter = cand
       .join(g3.select($"doc_id".as("doc_a"), $"s"), "doc_a")
