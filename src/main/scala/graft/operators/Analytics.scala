@@ -950,16 +950,19 @@ object Analytics {
        |    CAST(SUM(CASE WHEN arm = 1 THEN conv ELSE 0 END) AS BIGINT) AS conv_b
        |  FROM ua),
        |z AS MATERIALIZED (SELECT n_a, conv_a, n_b, conv_b,
-       |    (CAST(conv_a AS DOUBLE) / n_a - CAST(conv_b AS DOUBLE) / n_b)
-       |      / sqrt((CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
-       |        * (1.0 - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
-       |        * (1.0 / n_a + 1.0 / n_b)) AS zv
+       |    CASE WHEN n_a > 0 AND n_b > 0
+       |        AND conv_a + conv_b > 0 AND conv_a + conv_b < n_a + n_b
+       |      THEN (CAST(conv_a AS DOUBLE) / n_a - CAST(conv_b AS DOUBLE) / n_b)
+       |        / sqrt((CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+       |          * (1.0 - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+       |          * (1.0 / n_a + 1.0 / n_b))
+       |      ELSE NULL END AS zv
        |  FROM a)
        |SELECT n_a, conv_a, n_b, conv_b,
-       |  ${PS.prnd("CAST(conv_a AS DOUBLE) / n_a", 6)} AS rate_a,
-       |  ${PS.prnd("CAST(conv_b AS DOUBLE) / n_b", 6)} AS rate_b,
+       |  CASE WHEN n_a > 0 THEN ${PS.prnd("CAST(conv_a AS DOUBLE) / n_a", 6)} END AS rate_a,
+       |  CASE WHEN n_b > 0 THEN ${PS.prnd("CAST(conv_b AS DOUBLE) / n_b", 6)} END AS rate_b,
        |  ${PS.prnd("zv", 6)} AS z_score,
-       |  abs(zv) > 1.96 AS significant
+       |  COALESCE(abs(zv) > 1.96, false) AS significant
        |FROM z""".stripMargin) { (s, dir) =>
     import s.implicits._
     val ua = Tables.events(s, dir)
@@ -973,13 +976,21 @@ object Analytics {
       sum(when($"arm" === 1, 1L).otherwise(0L)).as("n_b"),
       sum(when($"arm" === 1, $"conv".cast("long")).otherwise(0L)).as("conv_b"))
     val pool = ($"conv_a" + $"conv_b").cast("double") / ($"n_a" + $"n_b")
-    val zv = ($"conv_a".cast("double") / $"n_a" - $"conv_b".cast("double") / $"n_b") /
-      sqrt(pool * (lit(1.0) - pool) * (lit(1.0) / $"n_a" + lit(1.0) / $"n_b"))
+    // degenerate-input guard (r10 ADVICE): an empty arm or a pooled rate
+    // of exactly 0 or 1 zeroes the denominator — Spark would emit
+    // NaN/Infinity where DuckDB emits NULL, so z diverges across engines
+    // and `significant` silently reads false instead of flagging an
+    // invalid test. Both twins emit NULL z (and an explicit false) so a
+    // broken experiment is visibly broken on either engine.
+    val zv = when($"n_a" > 0 && $"n_b" > 0 &&
+        ($"conv_a" + $"conv_b") > 0 && ($"conv_a" + $"conv_b") < ($"n_a" + $"n_b"),
+      ($"conv_a".cast("double") / $"n_a" - $"conv_b".cast("double") / $"n_b") /
+        sqrt(pool * (lit(1.0) - pool) * (lit(1.0) / $"n_a" + lit(1.0) / $"n_b")))
     a.select($"n_a", $"conv_a", $"n_b", $"conv_b",
-      P.prnd($"conv_a".cast("double") / $"n_a", 6).as("rate_a"),
-      P.prnd($"conv_b".cast("double") / $"n_b", 6).as("rate_b"),
+      when($"n_a" > 0, P.prnd($"conv_a".cast("double") / $"n_a", 6)).as("rate_a"),
+      when($"n_b" > 0, P.prnd($"conv_b".cast("double") / $"n_b", 6)).as("rate_b"),
       P.prnd(zv, 6).as("z_score"),
-      (abs(zv) > 1.96).as("significant"))
+      coalesce(abs(zv) > 1.96, lit(false)).as("significant"))
   }
 
   val defs: Seq[QueryDef] = Seq(timeline, topGroups, dowActivity, valueBuckets,

@@ -34,10 +34,19 @@ object TrendingStream {
 
   /** Read side: the top-k event types of one window by count (ties by
     * type name — deterministic), served from the upsert store.
+    *
+    * The store keys windows by `Timestamp.toString` (e.g.
+    * `2024-01-01 10:00:00.0`); both sides are parsed back to epoch
+    * millis before comparing (r10 ADVICE), so a caller passing the
+    * natural `2024-01-01 10:00:00` form matches instead of silently
+    * getting an empty page indistinguishable from an unknown window.
     */
-  def topk(storeId: String, windowStart: String, k: Int): Seq[(String, Long)] =
+  def topk(storeId: String, windowStart: String, k: Int): Seq[(String, Long)] = {
+    val want = java.sql.Timestamp.valueOf(windowStart).getTime
     UpsertSink.snapshot(storeId).toSeq
-      .collect { case ((w, t), (n, _)) if w == windowStart => (t, n) }
+      .collect { case ((w, t), (n, _))
+        if java.sql.Timestamp.valueOf(w).getTime == want => (t, n) }
       .sortBy { case (t, n) => (-n, t) }
       .take(k)
+  }
 }

@@ -396,6 +396,37 @@ class CoreOperatorsSpec extends GraftSuite {
       Tables.events(spark, sfDir).select("user_id").distinct().count())
   }
 
+  test("ab test: degenerate inputs (pooled rate 1, empty arm) yield NULL z, not NaN") {
+    import spark.implicits._
+    def arm(u: Long): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(u.toString.getBytes("UTF-8"))
+      ((d(0) >> 4) & 0xF).toLong % 2
+    }
+    def write(users: Seq[Long]): String = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_ab_dgn").toString
+      // every user converts -> pooled rate exactly 1 -> zero denominator
+      users.map { u =>
+        (u * 10L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"),
+          u, "purchase", 200.0, "{}")
+      }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+      tmp
+    }
+    val both = operators.Analytics.abTest.run(spark, write(1L to 50L)).head()
+    assert(both.isNullAt(both.fieldIndex("z_score")),
+      "pooled rate 1 must yield NULL z, not NaN/Infinity")
+    assert(!both.getAs[Boolean]("significant"),
+      "an invalid test must not read significant")
+    // one arm empty: rates stay NULL-guarded too
+    val oneArm = operators.Analytics.abTest
+      .run(spark, write((1L to 80L).filter(arm(_) == 0L))).head()
+    assert(oneArm.getAs[Long]("n_b") === 0L)
+    assert(oneArm.isNullAt(oneArm.fieldIndex("z_score")))
+    assert(oneArm.isNullAt(oneArm.fieldIndex("rate_b")))
+    assert(!oneArm.getAs[Boolean]("significant"))
+  }
+
   test("session paths: planted journeys aggregate to ordered path strings") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("graft_paths").toString

@@ -112,4 +112,24 @@ class SourcesSpec extends GraftSuite {
     // layout is a pure reordering: content unchanged
     assert(spark.read.parquet(zDir).count() === 20000L)
   }
+
+  test("z-ordered write rejects keys outside the 31-bit Morton domain") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_zbad").toString
+    // epoch-micros-scale values: ordering lives above bit 31, so the
+    // masked key would be noise — the write must fail loudly, not
+    // produce a silently useless layout
+    val wide = Seq((1_700_000_000_000_000L, 5L), (1_700_000_001_000_000L, 6L))
+      .toDF("ts_us", "y")
+    val eWide = intercept[IllegalArgumentException] {
+      CorpusIO.writeZOrdered(wide, dir, "ts_us", "y", 2)
+    }
+    assert(eWide.getMessage.contains("31 bits"))
+    // negative keys break the interleave the same way
+    val neg = Seq((-5L, 1L), (3L, 2L)).toDF("x", "y")
+    val eNeg = intercept[IllegalArgumentException] {
+      CorpusIO.writeZOrdered(neg, dir, "x", "y", 2)
+    }
+    assert(eNeg.getMessage.contains("31 bits"))
+  }
 }

@@ -140,6 +140,10 @@ class StreamingSpec extends GraftSuite {
     q.processAllAvailable()
     assert(streaming.TrendingStream.topk(sid, "2024-01-01 10:00:00.0", 2) ===
       Seq(("click", 2L), ("view", 1L)))
+    // the natural timestamp form (no trailing .0) addresses the same
+    // window — keys are compared as parsed timestamps, not raw strings
+    assert(streaming.TrendingStream.topk(sid, "2024-01-01 10:00:00", 2) ===
+      Seq(("click", 2L), ("view", 1L)))
     // two late views flip the order — the upsert replaces the window row
     // and the next read sees the corrected ranking
     mem.addData((ts("2024-01-01 10:20:00"), "view", 1.0),
