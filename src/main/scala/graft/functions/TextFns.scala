@@ -39,35 +39,9 @@ object TextFns {
   def substrCount(text: Column, kw: String): Column =
     ((length(text) - length(regexp_replace(text, java.util.regex.Pattern.quote(kw), ""))) / kw.length).cast("long")
 
-  // Lexicons over the corpus vocabulary (synthetic docs; SURVEY §3).
-  // Shaped like the reference's VADER-lexicon + emoji lists
-  // (spark-ml-sentiment/spark_ml_sentiment.py:88-97,108-127).
-  val PosWords: Seq[String] = Seq("fast", "small", "merge", "key", "spark")
-  val NegWords: Seq[String] = Seq("slow", "big", "dup")
-  /** Narrower second labeler (the reference compares two labelers:
-    * VADER vs trained ML; we compare full vs narrow lexicon). */
-  val PosWordsNarrow: Seq[String] = Seq("fast", "spark")
-  val NegWordsNarrow: Seq[String] = Seq("slow", "dup")
-
-  /** Emoji stand-ins: the reference counts positive/negative emoji
-    * occurrences and derives emoji_score = pos - neg
-    * (spark-ml-sentiment/spark_ml_sentiment.py:92-101). The synthetic
-    * corpus carries no symbol characters, so two marker-token classes —
-    * disjoint from the sentiment lexicons above — play the emoji role
-    * through the same countTokensIn machinery.
-    */
-  val PosEmoji: Seq[String] = Seq("vector", "window")
-  val NegEmoji: Seq[String] = Seq("scan", "filter")
-
-  /** VADER-style negator / booster marker tokens (stand-ins over the
-    * synthetic vocabulary, the same device as [[PosEmoji]]): a sentiment
-    * token preceded within 3 tokens by a negator flips polarity at
-    * VADER's N_SCALAR -0.74; a booster in the same window adds VADER's
-    * B_INCR 0.293 intensity (reference:
-    * spark-ml-sentiment/spark_ml_sentiment.py:109-130).
-    */
-  val Negators: Seq[String] = Seq("order", "query")
-  val Boosters: Seq[String] = Seq("hash", "batch")
+  // The sentiment data asset (graded VADER valences, negators, boosters,
+  // emoji tables) lives in [[VaderLexicon]] — a transcribed subset of
+  // the public-domain VADER lexicon plus the synthetic-corpus stand-ins.
 
   val StopWords: Seq[String] = Seq("the", "a", "of", "and", "to")
 

@@ -146,35 +146,63 @@ trait WordSetArgs { self: Expression =>
 }
 
 /** Native codegen VADER-style lexicon score (SURVEY §2d; reference:
-  * spark-ml-sentiment/spark_ml_sentiment.py:109-130).
+  * spark-ml-sentiment/spark_ml_sentiment.py:109-130; data asset:
+  * [[VaderLexicon]]).
   *
-  * For each token that is in the positive/negative lexicon, look back up
-  * to 3 tokens: any negator flips the hit by N_SCALAR=-0.74, any booster
-  * scales it by 1+B_INCR=1.293; contributions are the four precomputed
-  * 1e5-scaled integer magnitudes (see companion), so the per-document sum
-  * is exact integer arithmetic — bit-identical to the DuckDB oracle's CASE
-  * expression over the same constants. Non-lexicon tokens contribute 0, so
-  * the lookback only runs on lexicon hits.
+  * Per-word GRADED valences — VADER's actual data model, not a binary
+  * pos/neg split: each token looks up its valence (stored in tenths,
+  * scaled here to ×1e5 integers). On a hit, look back up to 3 tokens:
+  * any booster adds VADER's B_INCR 0.293 sign-aligned (+29300 scaled),
+  * then any negator multiplies by N_SCALAR −0.74 (×−74/100 — exact,
+  * every reachable value is a multiple of 100). The per-document sum is
+  * therefore exact integer arithmetic, bit-identical to the DuckDB
+  * oracle's CASE cascade over the same constants. Non-lexicon tokens
+  * contribute 0, so the lookback only runs on lexicon hits.
   *
-  * `graft_lexicon_score(tokens, 'pos…', 'neg…', 'negators…', 'boosters…')`
+  * `graft_lexicon_score(tokens, 'word:tenths …', 'negators…', 'boosters…')`
   */
-case class LexiconScore(tokens: Expression, posArg: Expression, negArg: Expression,
+case class LexiconScore(tokens: Expression, lexArg: Expression,
     negatorArg: Expression, boosterArg: Expression)
     extends Expression with WordSetArgs {
   import LexiconScore._
 
   override def children: Seq[Expression] =
-    Seq(tokens, posArg, negArg, negatorArg, boosterArg)
+    Seq(tokens, lexArg, negatorArg, boosterArg)
   override def nullable: Boolean = tokens.nullable
   override def dataType: DataType = LongType
   override def prettyName: String = "graft_lexicon_score"
 
   override protected def wordListArgs: Seq[Expression] =
-    Seq(posArg, negArg, negatorArg, boosterArg)
-  override def checkInputDataTypes(): TypeCheckResult = checkWordArgs(tokens)
+    Seq(lexArg, negatorArg, boosterArg)
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val base = checkWordArgs(tokens)
+    if (base != TypeCheckResult.TypeCheckSuccess) return base
+    val raw = lexArg.eval(InternalRow.empty)
+    val badEntry = raw != null &&
+      raw.asInstanceOf[UTF8String].toString.split(" ").filter(_.nonEmpty)
+        .exists { e =>
+          val i = e.lastIndexOf(':')
+          i <= 0 || !e.substring(i + 1).matches("-?\\d+")
+        }
+    if (badEntry)
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName lexicon entries must be 'word:integer-tenths'")
+    else TypeCheckResult.TypeCheckSuccess
+  }
 
-  @transient private lazy val posSet = parseSet(posArg)
-  @transient private lazy val negSet = parseSet(negArg)
+  /** word → valence ×1e5, parsed once from the literal. */
+  @transient private lazy val valence: java.util.HashMap[UTF8String, java.lang.Long] = {
+    val m = new java.util.HashMap[UTF8String, java.lang.Long]()
+    val raw = lexArg.eval(InternalRow.empty)
+    if (raw != null)
+      raw.asInstanceOf[UTF8String].toString.split(" ").filter(_.nonEmpty)
+        .foreach { e =>
+          val i = e.lastIndexOf(':')
+          m.put(UTF8String.fromString(e.substring(0, i)),
+            java.lang.Long.valueOf(e.substring(i + 1).toLong * TenthScale))
+        }
+    m
+  }
   @transient private lazy val negatorSet = parseSet(negatorArg)
   @transient private lazy val boosterSet = parseSet(boosterArg)
 
@@ -187,10 +215,8 @@ case class LexiconScore(tokens: Expression, posArg: Expression, negArg: Expressi
     var i = 0
     while (i < n) {
       if (!a.isNullAt(i)) {
-        val w = a.getUTF8String(i)
-        val isPos = posSet.contains(w)
-        val isNeg = !isPos && negSet.contains(w)
-        if (isPos || isNeg) {
+        val v = valence.get(a.getUTF8String(i))
+        if (v != null) {
           var negated = false; var boosted = false
           var o = 1
           while (o <= 3 && i - o >= 0) {
@@ -201,10 +227,10 @@ case class LexiconScore(tokens: Expression, posArg: Expression, negArg: Expressi
             }
             o += 1
           }
-          val mag =
-            if (negated) { if (boosted) MagNegBoost else MagNeg }
-            else if (boosted) MagBoost else MagBase
-          sum += (if (isPos) mag else -mag)
+          var vv = v.longValue()
+          if (boosted) vv += (if (vv > 0) BoostIncr else -BoostIncr)
+          if (negated) vv = vv * NegScalarNum / NegScalarDen
+          sum += vv
         }
       }
       i += 1
@@ -214,15 +240,13 @@ case class LexiconScore(tokens: Expression, posArg: Expression, negArg: Expressi
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val tokGen = tokens.genCode(ctx)
-    val pos = ctx.addReferenceObj("posSet", posSet)
-    val neg = ctx.addReferenceObj("negSet", negSet)
+    val lex = ctx.addReferenceObj("valenceMap", valence)
     val ngt = ctx.addReferenceObj("negatorSet", negatorSet)
     val bst = ctx.addReferenceObj("boosterSet", boosterSet)
     val a = ctx.freshName("arr"); val n = ctx.freshName("n")
     val i = ctx.freshName("i"); val o = ctx.freshName("o")
-    val w = ctx.freshName("w"); val b = ctx.freshName("bk")
-    val sum = ctx.freshName("sum"); val mag = ctx.freshName("mag")
-    val isPos = ctx.freshName("isPos"); val isNeg = ctx.freshName("isNeg")
+    val b = ctx.freshName("bk"); val v = ctx.freshName("v")
+    val vv = ctx.freshName("vv"); val sum = ctx.freshName("sum")
     val negated = ctx.freshName("negated"); val boosted = ctx.freshName("boosted")
     ev.copy(code = code"""
       |${tokGen.code}
@@ -234,10 +258,8 @@ case class LexiconScore(tokens: Expression, posArg: Expression, negArg: Expressi
       |  long $sum = 0L;
       |  for (int $i = 0; $i < $n; $i++) {
       |    if ($a.isNullAt($i)) continue;
-      |    final UTF8String $w = $a.getUTF8String($i);
-      |    final boolean $isPos = $pos.contains($w);
-      |    final boolean $isNeg = !$isPos && $neg.contains($w);
-      |    if (!$isPos && !$isNeg) continue;
+      |    final Long $v = (Long) $lex.get($a.getUTF8String($i));
+      |    if ($v == null) continue;
       |    boolean $negated = false; boolean $boosted = false;
       |    for (int $o = 1; $o <= 3 && $i - $o >= 0; $o++) {
       |      if ($a.isNullAt($i - $o)) continue;
@@ -245,9 +267,10 @@ case class LexiconScore(tokens: Expression, posArg: Expression, negArg: Expressi
       |      $negated = $negated || $ngt.contains($b);
       |      $boosted = $boosted || $bst.contains($b);
       |    }
-      |    final long $mag = $negated ? ($boosted ? ${MagNegBoost}L : ${MagNeg}L)
-      |                               : ($boosted ? ${MagBoost}L : ${MagBase}L);
-      |    $sum += $isPos ? $mag : -$mag;
+      |    long $vv = $v.longValue();
+      |    if ($boosted) $vv += ($vv > 0 ? ${BoostIncr}L : -${BoostIncr}L);
+      |    if ($negated) $vv = $vv * ${NegScalarNum}L / ${NegScalarDen}L;
+      |    $sum += $vv;
       |  }
       |  ${ev.value} = $sum;
       |}
@@ -256,19 +279,25 @@ case class LexiconScore(tokens: Expression, posArg: Expression, negArg: Expressi
 
   override protected def withNewChildrenInternal(
       newChildren: IndexedSeq[Expression]): Expression =
-    copy(tokens = newChildren(0), posArg = newChildren(1), negArg = newChildren(2),
-      negatorArg = newChildren(3), boosterArg = newChildren(4))
+    copy(tokens = newChildren(0), lexArg = newChildren(1),
+      negatorArg = newChildren(2), boosterArg = newChildren(3))
 }
 
 object LexiconScore {
-  /** 1e5-scaled integer magnitudes for the (negated, boosted) states:
-    * base; boosted = ⌊1.293e5⌋; negated = ·-0.74 exactly (VADER's B_INCR
-    * and N_SCALAR). Shared with the oracle SQL via [[graft.operators.Sentiment]].
+  /** 1e5 scale of the integer score: a valence of 1.9 (19 tenths)
+    * contributes 190000. Shared with the oracle SQL via
+    * [[graft.operators.Sentiment]].
     */
   val MagBase = 100000L
-  val MagBoost = 129300L
-  val MagNeg = -74000L
-  val MagNegBoost = -95682L
+  /** tenths → ×1e5 scale. */
+  val TenthScale = 10000L
+  /** VADER B_INCR 0.293 at the 1e5 scale, added sign-aligned. */
+  val BoostIncr = 29300L
+  /** VADER N_SCALAR −0.74 as an exact integer ratio (every boosted or
+    * unboosted valence is a multiple of 100, so ×−74/100 is exact).
+    */
+  val NegScalarNum = -74L
+  val NegScalarDen = 100L
 }
 
 /** Native codegen count of tokens that appear in a literal word set (with

@@ -1,6 +1,6 @@
 package graft.ml
 
-import graft.functions.TextFns
+import graft.functions.{TextFns, VaderLexicon}
 import org.apache.spark.ml.{Pipeline, PipelineModel}
 import org.apache.spark.ml.classification.{LogisticRegression, NaiveBayes, RandomForestClassifier}
 import org.apache.spark.ml.evaluation.MulticlassClassificationEvaluator
@@ -37,14 +37,14 @@ object SentimentPipeline {
     val s = docs.sparkSession
     import s.implicits._
     val toks = split($"text", " ")
-    val raw = (TextFns.countTokensIn(toks, TextFns.PosWords).cast("double") -
-      TextFns.countTokensIn(toks, TextFns.NegWords)) / size(toks)
+    val raw = (TextFns.countTokensIn(toks, VaderLexicon.PosWords).cast("double") -
+      TextFns.countTokensIn(toks, VaderLexicon.NegWords)) / size(toks)
     // emoji_score over the marker-token emoji classes
     // (spark_ml_sentiment.py:92-101), normalized by length and shifted by
     // +1 into [0,2] so NaiveBayes keeps its nonnegative-feature contract
     // (|pos - neg| ≤ word count, so the per-token rate is in [-1,1]).
-    val emojiRaw = TextFns.countTokensIn(toks, TextFns.PosEmoji).cast("double") -
-      TextFns.countTokensIn(toks, TextFns.NegEmoji)
+    val emojiRaw = TextFns.countTokensIn(toks, VaderLexicon.PosEmoji).cast("double") -
+      TextFns.countTokensIn(toks, VaderLexicon.NegEmoji)
     docs.select($"doc_id", $"text",
       when(raw > 0.05, 2.0).when(raw < -0.05, 0.0).otherwise(1.0).as("label"),
       (coalesce(raw, lit(0.0)) + 1.0) / 2.0 as "lex_score",

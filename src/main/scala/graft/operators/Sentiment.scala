@@ -1,26 +1,36 @@
 package graft.operators
 
 import graft.{QueryDef, Tables}
-import graft.functions.{TextFns, Portable => P, PortableSql => PS}
+import graft.functions.{TextFns, VaderLexicon, Portable => P, PortableSql => PS}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Lexicon sentiment (SURVEY §2d) — VADER-style scoring with negation
-  * flips and booster intensities over a 3-token lookback window plus
-  * ±0.05 3-class thresholds (reference: spark-ml-sentiment/
-  * spark_ml_sentiment.py:88-145), plus distribution and the two-labeler
-  * agreement matrix (full vs narrow lexicon, standing in for the
-  * reference's VADER-vs-ML comparison).
+/** Lexicon sentiment (SURVEY §2d) — VADER scoring over the real
+  * (subset) VADER lexicon: per-word graded valences, negation flips
+  * (N_SCALAR −0.74) and booster intensities (B_INCR +0.293) over a
+  * 3-token lookback window, the compound normalization
+  * s/√(s²+α), α = 15, and VADER's ±0.05 3-class thresholds
+  * (reference: spark-ml-sentiment/spark_ml_sentiment.py:88-145; data
+  * asset: [[graft.functions.VaderLexicon]]). Plus distribution and the
+  * two-labeler agreement matrix (full lexicon vs the high-valence
+  * narrow lexicon, standing in for the reference's VADER-vs-ML
+  * comparison).
   *
-  * Portability: each token's contribution is one of EIGHT precomputed
-  * integer literals (±1e5 base; ×1.293 boosted; ×-0.74 negated — VADER's
-  * B_INCR / N_SCALAR at a 1e5 integer scale), so the per-document sum is
-  * exact integer arithmetic in both engines and only the final
-  * score = Σ/(wc·1e5) division is floating point — one identical IEEE op.
+  * Portability: each token's contribution is an exact 1e5-scaled
+  * integer (valence tenths ×1e4; +29300 sign-aligned boost; ×−74/100
+  * negation — always exact, every reachable value is a multiple of
+  * 100), so the per-document sum `sc` is exact integer arithmetic in
+  * both engines; the compound score is then s = sc/1e5 followed by
+  * s/√(s²+15) — IEEE divides, one multiply, one correctly-rounded
+  * sqrt — bit-identical across engines (same posture as
+  * gr_assortativity's Pearson).
   *
-  * Scale notes: labeling is a pure narrow map over tokens (array functions
-  * inside whole-stage codegen, no UDF, no shuffle); distribution/agreement
-  * are low-cardinality hash aggregations.
+  * Scale notes: labeling is a pure narrow map over tokens (the native
+  * [[graft.functions.LexiconScore]] inside whole-stage codegen, no UDF,
+  * no shuffle); distribution/agreement are low-cardinality hash
+  * aggregations. The lexicon rides into each task as a ~4 KB literal —
+  * at 100 TB the full 7,500-entry list is still only ~100 KB of task
+  * binary, never a join side.
   */
 object Sentiment {
 
@@ -30,109 +40,131 @@ object Sentiment {
   private def nIn(toks: Column, words: Seq[String]): Column =
     TextFns.countTokensIn(toks, words).cast("long")
 
-  /** Scaled-integer magnitudes (see [[graft.functions.LexiconScore]]):
-    * 1e5 base; boosted = ⌊(1+0.293)·1e5⌋; negated = ·-0.74 exactly.
-    */
   private val MagBase = graft.functions.LexiconScore.MagBase
-  private val MagBoost = graft.functions.LexiconScore.MagBoost
-  private val MagNeg = graft.functions.LexiconScore.MagNeg
-  private val MagNegBoost = graft.functions.LexiconScore.MagNegBoost
+  private val BoostIncr = graft.functions.LexiconScore.BoostIncr
+  private val NegNum = graft.functions.LexiconScore.NegScalarNum
+  private val NegDen = graft.functions.LexiconScore.NegScalarDen
 
-  /** Σ over token positions of the signed scaled magnitude, as a long
+  /** VADER's compound normalization constant α. */
+  private val Alpha = 15.0
+
+  /** Σ over token positions of the modified scaled valence, as a long
     * Column — the Spark twin of the `sc` expression in [[labeledSql]].
-    * Native codegen expression: the previous `transform`+`aggregate`
-    * higher-order formulation ran every token on the interpreted lambda
-    * path and dominated the sentiment family's runtime (~25-40× oracle).
+    * Native codegen expression: a `transform`+`aggregate` higher-order
+    * formulation runs every token on the interpreted lambda path and
+    * dominated the sentiment family's runtime (~25-40× oracle).
     */
-  private def scaledScore(toks: Column, pos: Seq[String], neg: Seq[String]): Column =
+  private def scaledScore(toks: Column, entries: Seq[(String, Int)]): Column =
     call_function("graft_lexicon_score", toks,
-      lit(pos.mkString(" ")), lit(neg.mkString(" ")),
-      lit(TextFns.Negators.mkString(" ")), lit(TextFns.Boosters.mkString(" ")))
+      lit(VaderLexicon.lexArg(entries)),
+      lit(VaderLexicon.Negators.mkString(" ")),
+      lit(VaderLexicon.Boosters.mkString(" ")))
 
   private def labeledDf(s: SparkSession, dir: String,
-      pos: Seq[String], neg: Seq[String]): DataFrame = {
+      entries: Seq[(String, Int)], posW: Seq[String], negW: Seq[String]): DataFrame = {
     import s.implicits._
     val toks = split($"text", " ")
     Tables.documents(s, dir).select(
       $"doc_id",
-      nIn(toks, pos).as("pos_n"),
-      nIn(toks, neg).as("neg_n"),
+      nIn(toks, posW).as("pos_n"),
+      nIn(toks, negW).as("neg_n"),
       size(toks).cast("long").as("wc"),
-      scaledScore(toks, pos, neg).as("sc"))
-      .withColumn("raw", $"sc" / ($"wc" * MagBase))
+      scaledScore(toks, entries).as("sc"))
+      .withColumn("sv", $"sc" / lit(MagBase.toDouble))
+      .withColumn("compound", $"sv" / sqrt($"sv" * $"sv" + lit(Alpha)))
       .withColumn("label",
-        when($"raw" > 0.05, "positive")
-          .when($"raw" < -0.05, "negative")
+        when($"compound" > 0.05, "positive")
+          .when($"compound" < -0.05, "negative")
           .otherwise("neutral"))
   }
 
-  private def labeledSql(pos: Seq[String], neg: Seq[String], alias: String): String = {
+  private def labeledSql(entries: Seq[(String, Int)], alias: String): String = {
     def window(words: Seq[String]): String =
       (1 to 3).map(o => s"(i > $o AND w[i - $o] IN (${inList(words)}))").mkString("(", " OR ", ")")
-    val mag =
-      s"""CASE WHEN ${window(TextFns.Negators)} THEN
-         |        CASE WHEN ${window(TextFns.Boosters)} THEN $MagNegBoost ELSE $MagNeg END
-         |      ELSE
-         |        CASE WHEN ${window(TextFns.Boosters)} THEN $MagBoost ELSE $MagBase END END""".stripMargin
+    val vCase = entries
+      .map { case (w, v) => s"WHEN '$w' THEN ${v * graft.functions.LexiconScore.TenthScale}" }
+      .mkString(" ")
+    val negWin = window(VaderLexicon.Negators)
+    val boostWin = window(VaderLexicon.Boosters)
+    // sign-aligned B_INCR, applied BEFORE the N_SCALAR multiply (VADER's
+    // order); //-division is exact — see the portability note above
+    val boosted =
+      s"""v[i] + (CASE WHEN $boostWin THEN
+         |        (CASE WHEN v[i] > 0 THEN $BoostIncr ELSE -$BoostIncr END)
+         |        ELSE 0 END)""".stripMargin
     s"""${alias}w AS MATERIALIZED (
-       |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |  SELECT doc_id, w,
+       |    list_transform(w, x -> CASE x $vCase ELSE 0 END) AS v
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
        |$alias AS MATERIALIZED (
        |  SELECT doc_id,
-       |    CAST(len(list_filter(w, x -> x IN (${inList(pos)}))) AS BIGINT) AS pos_n,
-       |    CAST(len(list_filter(w, x -> x IN (${inList(neg)}))) AS BIGINT) AS neg_n,
+       |    CAST(len(list_filter(v, x -> x > 0)) AS BIGINT) AS pos_n,
+       |    CAST(len(list_filter(v, x -> x < 0)) AS BIGINT) AS neg_n,
        |    CAST(len(w) AS BIGINT) AS wc,
        |    CAST(list_sum(list_transform(generate_series(1, len(w)), i ->
-       |      CASE WHEN w[i] IN (${inList(pos)}) THEN ($mag)
-       |           WHEN w[i] IN (${inList(neg)}) THEN -($mag)
-       |           ELSE 0 END)) AS BIGINT) AS sc
+       |      CASE WHEN v[i] = 0 THEN 0
+       |           WHEN $negWin THEN (($boosted) * $NegNum) // $NegDen
+       |           ELSE $boosted END)) AS BIGINT) AS sc
        |  FROM ${alias}w),
        |${alias}l AS MATERIALIZED (
-       |  SELECT doc_id, pos_n, neg_n, wc, sc / (wc * $MagBase) AS raw,
-       |    CASE WHEN sc / (wc * $MagBase) > 0.05 THEN 'positive'
-       |         WHEN sc / (wc * $MagBase) < -0.05 THEN 'negative'
+       |  SELECT doc_id, pos_n, neg_n, wc, compound,
+       |    CASE WHEN compound > 0.05 THEN 'positive'
+       |         WHEN compound < -0.05 THEN 'negative'
        |         ELSE 'neutral' END AS label
-       |  FROM $alias)""".stripMargin
+       |  FROM (SELECT *,
+       |      (sc / $MagBase.0) / sqrt((sc / $MagBase.0) * (sc / $MagBase.0) + $Alpha)
+       |        AS compound
+       |    FROM $alias))""".stripMargin
   }
 
-  /** Per-document lexicon score + 3-class label. */
+  private def labeledSqlFull(alias: String): String =
+    labeledSql(VaderLexicon.Entries, alias)
+
+  /** Per-document compound score + 3-class label. */
   val lexicon = QueryDef(
     "sent_lexicon",
-    s"""WITH ${labeledSql(TextFns.PosWords, TextFns.NegWords, "lx")}
-       |SELECT doc_id, pos_n, neg_n, ${PS.prnd("raw", 6)} AS score, label
+    s"""WITH ${labeledSqlFull("lx")}
+       |SELECT doc_id, pos_n, neg_n, ${PS.prnd("compound", 6)} AS score, label
        |FROM lxl""".stripMargin) { (s, dir) =>
     import s.implicits._
-    labeledDf(s, dir, TextFns.PosWords, TextFns.NegWords)
-      .select($"doc_id", $"pos_n", $"neg_n", P.prnd($"raw", 6).as("score"), $"label")
+    labeledDf(s, dir, VaderLexicon.Entries,
+      VaderLexicon.PosWords, VaderLexicon.NegWords)
+      .select($"doc_id", $"pos_n", $"neg_n", P.prnd($"compound", 6).as("score"), $"label")
   }
 
   /** Label distribution with share of corpus. */
   val distribution = QueryDef(
     "sent_distribution",
-    s"""WITH ${labeledSql(TextFns.PosWords, TextFns.NegWords, "lx")}
+    s"""WITH ${labeledSqlFull("lx")}
        |SELECT label, COUNT(*) AS n,
        |  ${PS.prnd("COUNT(*) / SUM(COUNT(*)) OVER ()", 6)} AS share
        |FROM lxl GROUP BY label ORDER BY n DESC, label""".stripMargin) { (s, dir) =>
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
-    labeledDf(s, dir, TextFns.PosWords, TextFns.NegWords)
+    labeledDf(s, dir, VaderLexicon.Entries,
+      VaderLexicon.PosWords, VaderLexicon.NegWords)
       .groupBy($"label").agg(count(lit(1)).as("n"))
       .withColumn("share", P.prnd($"n" / sum($"n").over(Window.partitionBy()), 6))
       .orderBy($"n".desc, $"label")
   }
 
-  /** Two-labeler agreement matrix: full lexicon vs narrow lexicon. */
+  /** Two-labeler agreement matrix: full lexicon vs the high-valence
+    * narrow lexicon ([[VaderLexicon.EntriesNarrow]]).
+    */
   val agreement = QueryDef(
     "sent_agreement",
-    s"""WITH ${labeledSql(TextFns.PosWords, TextFns.NegWords, "a")},
-       |${labeledSql(TextFns.PosWordsNarrow, TextFns.NegWordsNarrow, "b")}
+    s"""WITH ${labeledSqlFull("a")},
+       |${labeledSql(VaderLexicon.EntriesNarrow, "b")}
        |SELECT al.label AS label_full, bl.label AS label_narrow,
        |  COUNT(*) AS n, al.label = bl.label AS agree
        |FROM al JOIN bl USING (doc_id)
        |GROUP BY 1, 2 ORDER BY label_full, label_narrow""".stripMargin) { (s, dir) =>
     import s.implicits._
-    val a = labeledDf(s, dir, TextFns.PosWords, TextFns.NegWords)
+    val a = labeledDf(s, dir, VaderLexicon.Entries,
+      VaderLexicon.PosWords, VaderLexicon.NegWords)
       .select($"doc_id", $"label".as("label_full"))
-    val b = labeledDf(s, dir, TextFns.PosWordsNarrow, TextFns.NegWordsNarrow)
+    val b = labeledDf(s, dir, VaderLexicon.EntriesNarrow,
+      VaderLexicon.PosWordsNarrow, VaderLexicon.NegWordsNarrow)
       .select($"doc_id", $"label".as("label_narrow"))
     a.join(b, "doc_id")
       .groupBy($"label_full", $"label_narrow")
@@ -142,14 +174,16 @@ object Sentiment {
   }
 
   /** Per-document emoji counts + emoji_score = pos - neg — the reference's
-    * emoji features (spark_ml_sentiment.py:92-101) over the marker-token
-    * emoji classes (see [[TextFns.PosEmoji]]). Pure narrow map, codegen'd.
+    * emoji features (spark_ml_sentiment.py:92-101) over the real emoji
+    * tables (plus the marker-token stand-ins the emoji-free synthetic
+    * corpus needs; see [[VaderLexicon.PosEmoji]]). Pure narrow map,
+    * codegen'd.
     */
   val emoji = QueryDef(
     "sent_emoji",
     s"""WITH em AS MATERIALIZED (SELECT doc_id,
-       |    CAST(len(list_filter(string_split(text, ' '), x -> x IN (${inList(TextFns.PosEmoji)}))) AS BIGINT) AS positive_emojis,
-       |    CAST(len(list_filter(string_split(text, ' '), x -> x IN (${inList(TextFns.NegEmoji)}))) AS BIGINT) AS negative_emojis
+       |    CAST(len(list_filter(string_split(text, ' '), x -> x IN (${inList(VaderLexicon.PosEmoji)}))) AS BIGINT) AS positive_emojis,
+       |    CAST(len(list_filter(string_split(text, ' '), x -> x IN (${inList(VaderLexicon.NegEmoji)}))) AS BIGINT) AS negative_emojis
        |  FROM documents)
        |SELECT doc_id, positive_emojis, negative_emojis,
        |  positive_emojis - negative_emojis AS emoji_score
@@ -158,10 +192,62 @@ object Sentiment {
     val toks = split($"text", " ")
     Tables.documents(s, dir).select(
       $"doc_id",
-      nIn(toks, TextFns.PosEmoji).as("positive_emojis"),
-      nIn(toks, TextFns.NegEmoji).as("negative_emojis"))
+      nIn(toks, VaderLexicon.PosEmoji).as("positive_emojis"),
+      nIn(toks, VaderLexicon.NegEmoji).as("negative_emojis"))
       .withColumn("emoji_score", $"positive_emojis" - $"negative_emojis")
   }
 
-  val defs: Seq[QueryDef] = Seq(lexicon, distribution, agreement, emoji)
+  /** Top example documents per sentiment label — the dashboard's
+    * "Exemples" tabs (reference: dashboard/dashboard.py:734-760 renders
+    * example posts under each sentiment tab): for each of the three
+    * declared labels, the 3 docs with the strongest |compound| (ties by
+    * doc_id), with the context fields a dashboard card shows.
+    *
+    * Scale shape: one orderBy+limit per DECLARED label —
+    * TakeOrderedAndProject keeps a bounded per-partition top-k and
+    * merges K rows on the driver, so nothing ever shuffles the corpus
+    * (the per-label window-rank alternative would exchange every row
+    * onto 3 label partitions). Three scan passes over the narrow-map
+    * scoring, each scan-bound — the same declared-domain discipline as
+    * an_pivot_daily.
+    */
+  val examples = QueryDef(
+    "sent_examples", {
+      val one = (l: String) =>
+        s"""(SELECT label, doc_id, ${PS.prnd("compound", 6)} AS score,
+           |    lang, source, n_chars, substr(text, 1, 60) AS snippet
+           |  FROM exj WHERE label = '$l'
+           |  ORDER BY abs(${PS.prnd("compound", 6)}) DESC, doc_id LIMIT 3)""".stripMargin
+      s"""WITH ${labeledSqlFull("ex")},
+         |exj AS MATERIALIZED (
+         |  SELECT l.label, l.compound, l.doc_id, d.lang, d.source,
+         |    d.n_chars, d.text
+         |  FROM exl l JOIN documents d USING (doc_id))
+         |${Seq("positive", "negative", "neutral").map(one).mkString("\n|UNION ALL\n|")}
+         |ORDER BY label, score, doc_id""".stripMargin
+    }) { (s, dir) =>
+    import s.implicits._
+    val toks = split($"text", " ")
+    val scored = Tables.documents(s, dir).select(
+      $"doc_id", $"lang", $"source", $"n_chars",
+      substring($"text", 1, 60).as("snippet"),
+      scaledScore(toks, VaderLexicon.Entries).as("sc"))
+      .withColumn("sv", $"sc" / lit(MagBase.toDouble))
+      .withColumn("compound", $"sv" / sqrt($"sv" * $"sv" + lit(Alpha)))
+      .withColumn("label",
+        when($"compound" > 0.05, "positive")
+          .when($"compound" < -0.05, "negative")
+          .otherwise("neutral"))
+      .withColumn("score", P.prnd($"compound", 6))
+    val pick = (l: String) =>
+      scored.filter($"label" === l)
+        .orderBy(abs($"score").desc, $"doc_id")
+        .limit(3)
+        .select($"label", $"doc_id", $"score", $"lang", $"source",
+          $"n_chars", $"snippet")
+    Seq("positive", "negative", "neutral").map(pick).reduce(_ unionAll _)
+      .orderBy($"label", $"score", $"doc_id")
+  }
+
+  val defs: Seq[QueryDef] = Seq(lexicon, distribution, agreement, emoji, examples)
 }

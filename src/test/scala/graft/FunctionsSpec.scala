@@ -15,36 +15,48 @@ class FunctionsSpec extends GraftSuite {
   private def docs: DataFrame = {
     import spark.implicits._
     Seq(
-      (1L, "fast spark query is fast"),                 // plain hits
+      (1L, "fast spark query is fast"),                 // plain stand-in hits
       (2L, "order fast"),                               // negated pos hit
       (3L, "hash slow batch dup"),                      // boosted neg hits
       (4L, "order hash fast"),                          // negated AND boosted
       (5L, ""),                                         // one empty token
-      (6L, "nothing relevant here at all"),             // no hits
-      (7L, "query hash order batch spark dup big slow") // mixed window
+      (6L, "irrelevant words here at all"),             // no hits
+      (7L, "query hash order batch spark dup big slow"),// mixed window
+      (8L, "not good"),                                 // real negated entry
+      (9L, "very good news"),                           // real boosted entry
+      (10L, "this movie was not very good at all")      // negated + boosted
     ).toDF("doc_id", "text")
   }
 
-  /** The replaced transform/aggregate formulation, as the in-spec oracle. */
-  private def hofScore(toks: Column, pos: Seq[String], neg: Seq[String]): Column = {
+  /** Higher-order-function twin of the valence scoring, as the in-spec
+    * oracle: map lookup → sign-aligned B_INCR boost → exact ×−74/100
+    * negation (the division is over exactly-divisible values, so the
+    * double intermediate is exact and the cast back to long lossless).
+    */
+  private def hofScore(toks: Column, entries: Seq[(String, Int)]): Column = {
     import graft.functions.LexiconScore._
+    import graft.functions.VaderLexicon
+    val vmap = typedlit(entries.map { case (w, v) => w -> v * TenthScale }.toMap)
     val scores = transform(toks, (w, idx) => {
       def back(o: Int) = when(idx >= o, element_at(toks, idx - o + 1)).otherwise(lit(""))
-      val negated = (1 to 3).map(o => back(o).isin(TextFns.Negators: _*)).reduce(_ || _)
-      val boosted = (1 to 3).map(o => back(o).isin(TextFns.Boosters: _*)).reduce(_ || _)
-      val mag = when(negated && boosted, lit(MagNegBoost))
-        .when(negated, lit(MagNeg))
-        .when(boosted, lit(MagBoost))
-        .otherwise(lit(MagBase))
-      when(w.isin(pos: _*), mag).when(w.isin(neg: _*), -mag).otherwise(lit(0L))
+      val negated = (1 to 3).map(o => back(o).isin(VaderLexicon.Negators: _*)).reduce(_ || _)
+      val boosted = (1 to 3).map(o => back(o).isin(VaderLexicon.Boosters: _*)).reduce(_ || _)
+      val v = coalesce(element_at(vmap, w), lit(0L))
+      val withBoost = when(boosted,
+        v + when(v > 0, lit(BoostIncr)).otherwise(lit(-BoostIncr))).otherwise(v)
+      val modified = when(negated,
+        (withBoost * lit(NegScalarNum) / lit(NegScalarDen)).cast("long"))
+        .otherwise(withBoost)
+      when(v === 0, lit(0L)).otherwise(modified)
     })
     aggregate(scores, lit(0L), (acc, v) => acc + v)
   }
 
-  private def lexCall(toks: Column): Column =
+  private def lexCall(toks: Column, entries: Seq[(String, Int)]): Column =
     call_function("graft_lexicon_score", toks,
-      lit(TextFns.PosWords.mkString(" ")), lit(TextFns.NegWords.mkString(" ")),
-      lit(TextFns.Negators.mkString(" ")), lit(TextFns.Boosters.mkString(" ")))
+      lit(graft.functions.VaderLexicon.lexArg(entries)),
+      lit(graft.functions.VaderLexicon.Negators.mkString(" ")),
+      lit(graft.functions.VaderLexicon.Boosters.mkString(" ")))
 
   /** Evaluate `mk` under a forced Catalyst evaluation mode so both the
     * generated-Java and interpreted paths are exercised explicitly.
@@ -62,8 +74,8 @@ class FunctionsSpec extends GraftSuite {
         import spark.implicits._
         val toks = split($"text", " ")
         val rows = docs.select($"doc_id",
-          lexCall(toks).as("native"),
-          hofScore(toks, TextFns.PosWords, TextFns.NegWords).as("hof")).collect()
+          lexCall(toks, graft.functions.VaderLexicon.Entries).as("native"),
+          hofScore(toks, graft.functions.VaderLexicon.Entries).as("hof")).collect()
         assert(rows.nonEmpty)
         rows.foreach { r =>
           assert(r.getLong(1) == r.getLong(2), s"doc ${r.getLong(0)}")
@@ -218,11 +230,11 @@ class FunctionsSpec extends GraftSuite {
       (3L, None: Option[Seq[String]])
     ).toDF("id", "toks")
     val out = df.select($"id",
-      lexCall($"toks").as("score"),
+      lexCall($"toks", graft.functions.VaderLexicon.Entries).as("score"),
       call_function("graft_count_in", $"toks", lit("fast")).as("cnt"),
       call_function("graft_simhash", $"toks").as("sig"))
       .collect().map(r => (r.getLong(0), r)).toMap
-    // non-null input: fast(+1e5) + slow(-1e5) = 0 but both counted
+    // non-null input: fast(+1.9) + slow(-1.9) cancel but both counted
     assert(out(1L).getLong(1) == 0L && out(1L).getInt(2) == 1)
     // empty array: all-zero results, not null
     assert(!out(2L).isNullAt(1) && out(2L).getLong(1) == 0L)

@@ -28,6 +28,36 @@ class TextSentimentSpec extends GraftSuite {
     assert(n === Tables.documents(spark, sfDir).count())
   }
 
+  test("sentiment examples: ≤3 per label, labels respect thresholds, strongest first") {
+    val rows = run("sent_examples").collect()
+    val byLabel = rows.groupBy(_.getAs[String]("label"))
+    assert(byLabel.keySet.subsetOf(Set("positive", "negative", "neutral")))
+    byLabel.foreach { case (l, rs) =>
+      assert(rs.length <= 3, s"label $l returned ${rs.length} examples")
+      rs.foreach { r =>
+        val s = r.getAs[Double]("score")
+        l match {
+          case "positive" => assert(s > 0.05)
+          case "negative" => assert(s < -0.05)
+          case "neutral"  => assert(s >= -0.05 - 1e-9 && s <= 0.05 + 1e-9)
+        }
+        assert(r.getAs[String]("snippet").length <= 60)
+      }
+    }
+    // each label's picks are the strongest |score| exemplars: no other
+    // doc of that label scores strictly higher than the weakest pick
+    val full = run("sent_lexicon").collect()
+      .groupBy(_.getAs[String]("label"))
+      .view.mapValues(_.map(r => math.abs(r.getAs[Double]("score")))).toMap
+    byLabel.foreach { case (l, rs) =>
+      if (rs.length == 3) {
+        val weakest = rs.map(r => math.abs(r.getAs[Double]("score"))).min
+        val better = full(l).count(_ > weakest)
+        assert(better < 3, s"label $l: $better docs beat the weakest pick")
+      }
+    }
+  }
+
   test("language id predicts a known language for every doc") {
     val langs = functions.TextFns.LangMarkers.keySet
     val rows = run("tx_lang_id").collect()
