@@ -510,7 +510,66 @@ object Etl {
           .as("chunk_md5"))
   }
 
+  /** md5-bucket thresholds for the 90/5/5 train/val/test split:
+    * 2 hex chars → 0..255; < 230 train, < 243 val, else test.
+    */
+  val SplitTrainMax = 230L
+  val SplitValMax = 243L
+
+  /** Deterministic train/val/test split with a cross-split leakage gate —
+    * the step every training-data pipeline runs last: assign each
+    * document a split from a hash of its ID (stable under corpus growth:
+    * a doc never migrates when neighbors are added, unlike
+    * row_number-range splits), then report, per split, the doc/token
+    * budget and how many documents have an EXACT-content twin in a
+    * different split (the eval-contamination accounting
+    * tx_contamination does against an external eval set, here applied
+    * between the corpus's own splits — a leaked val doc inflates eval
+    * scores).
+    *
+    * Scale shape: one narrow map (hash, token count, content digest),
+    * one shuffle on the content hash for the distinct-split count, one
+    * hash-join back on the digest, then a 3-group aggregate with
+    * map-side partials. No broadcast of anything data-scaling; the
+    * 1-row total for shares rides a window over 3 rows.
+    */
+  val splitTrainVal = QueryDef(
+    "etl_split_train_val",
+    s"""WITH d AS MATERIALIZED (SELECT doc_id,
+       |    CASE WHEN b < $SplitTrainMax THEN 'train'
+       |         WHEN b < $SplitValMax THEN 'val' ELSE 'test' END AS split,
+       |    wc, h
+       |  FROM (SELECT doc_id,
+       |      ${PS.hexToLong("md5(CAST(doc_id AS VARCHAR))", 1, 2)} AS b,
+       |      CAST(len(string_split(text, ' ')) AS BIGINT) AS wc,
+       |      md5(text) AS h
+       |    FROM documents)),
+       |hs AS MATERIALIZED (SELECT h, COUNT(DISTINCT split) AS ns FROM d GROUP BY h)
+       |SELECT split, COUNT(*) AS n_docs, CAST(SUM(wc) AS BIGINT) AS n_tokens,
+       |  ${PS.prnd("COUNT(*) / SUM(COUNT(*)) OVER ()", 6)} AS share,
+       |  CAST(SUM(CASE WHEN ns > 1 THEN 1 ELSE 0 END) AS BIGINT) AS leaked_docs
+       |FROM d JOIN hs USING (h)
+       |GROUP BY split ORDER BY split""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val b = P.hexToLong(md5($"doc_id".cast("string")), 1, 2)
+    val d = Tables.documents(s, dir).select(
+      $"doc_id",
+      when(b < SplitTrainMax, "train")
+        .when(b < SplitValMax, "val").otherwise("test").as("split"),
+      size(split($"text", " ")).cast("long").as("wc"),
+      md5($"text").as("h"))
+    val hs = d.groupBy($"h").agg(countDistinct($"split").as("ns"))
+    d.join(hs, "h")
+      .groupBy($"split")
+      .agg(P.cnt.as("n_docs"), sum($"wc").as("n_tokens"),
+        sum(when($"ns" > 1, 1L).otherwise(0L)).as("leaked_docs"))
+      .withColumn("share",
+        P.prnd($"n_docs" / sum($"n_docs").over(Window.partitionBy()), 6))
+      .select($"split", $"n_docs", $"n_tokens", $"share", $"leaked_docs")
+      .orderBy($"split")
+  }
+
   val defs: Seq[QueryDef] = Seq(cleanText, filterEnrich, dedupIngest, parseJson,
     sessionize, stratifiedSample, corpusPrep, compactLatest, packSequences, scd2,
-    weightedSample, chunkOverlap)
+    weightedSample, chunkOverlap, splitTrainVal)
 }

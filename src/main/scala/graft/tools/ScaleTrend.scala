@@ -68,7 +68,12 @@ object ScaleTrend {
       // sweep line, the two-level systematic sample, SCD2 windows, and
       // the bloom prune
       "gr_triangles", "gr_random_walks", "an_concurrency",
-      "etl_weighted_sample", "etl_scd2", "q_bloom_prune")
+      "etl_weighted_sample", "etl_scd2", "q_bloom_prune",
+      // r11-changed paths: the shuffle-join Lloyd fit, the folded MMR
+      // tail, the un-broadcast dedup verify, the graded-valence VADER
+      // scorer, and the content-hash split/leak gate
+      "sim_kmeans_train", "sim_mmr_topk", "dd_ngram_jaccard",
+      "sent_lexicon", "etl_split_train_val")
     def time(name: String, dir: String): Double = {
       val fn = SparkEntry.queries(name)
       (1 to 2).map { _ =>

@@ -309,6 +309,47 @@ class CoreOperatorsSpec extends GraftSuite {
       c.getAs[Long]("n_true") + c.getAs[Long]("n_false_pos"))
   }
 
+  test("train/val/test split: partitions the corpus, stable buckets, planted leak is flagged") {
+    import spark.implicits._
+    // recompute the operator's md5 bucket to pick doc ids landing in
+    // different splits, then plant identical content across them
+    def bucket(id: Long): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      ((d(0).toLong & 0xFF))
+    }
+    def splitOf(id: Long): String = {
+      val b = bucket(id)
+      if (b < operators.Etl.SplitTrainMax) "train"
+      else if (b < operators.Etl.SplitValMax) "val" else "test"
+    }
+    val ids = 1L to 400L
+    val trainId = ids.find(splitOf(_) == "train").get
+    val valId = ids.find(splitOf(_) == "val").get
+    val tmp = java.nio.file.Files.createTempDirectory("graft_split").toString
+    ids.map { id =>
+      val text = if (id == trainId || id == valId) "leaked duplicate content"
+        else s"unique content for doc $id"
+      (id, text, "en", "s0", text.length.toLong)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val rows = operators.Etl.splitTrainVal.run(spark, tmp).collect()
+      .map(r => r.getAs[String]("split") -> r).toMap
+    // every doc lands in exactly one split
+    assert(rows.values.map(_.getAs[Long]("n_docs")).sum === ids.length.toLong)
+    // the planted twins are flagged in BOTH their splits, nothing else is
+    assert(rows("train").getAs[Long]("leaked_docs") === 1L)
+    assert(rows("val").getAs[Long]("leaked_docs") === 1L)
+    assert(rows("test").getAs[Long]("leaked_docs") === 0L)
+    // shares sum to 1
+    val share = rows.values.map(_.getAs[Double]("share")).sum
+    assert(math.abs(share - 1.0) < 1e-4)
+    // real corpus: the 90/5/5 geometry holds to within hash noise
+    val c = run("etl_split_train_val").collect()
+      .map(r => r.getAs[String]("split") -> r.getAs[Double]("share")).toMap
+    assert(math.abs(c("train") - 0.9) < 0.05, s"train share ${c("train")}")
+  }
+
   test("weighted sample: picks sum to exactly K; a dominant doc takes proportional picks") {
     import spark.implicits._
     // real corpus: Σpicks = K exactly (systematic sampling invariant)
