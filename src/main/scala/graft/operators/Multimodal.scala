@@ -37,5 +37,63 @@ object Multimodal {
       md5($"text").as("checksum"))
   }
 
-  val defs: Seq[QueryDef] = Seq(binaryMeta)
+  /** Frame geometry: fixed byte windows of [[FrameBytes]], sampling every
+    * [[SampleEvery]]-th frame — the declared-stride stand-in for a codec's
+    * keyframe cadence (the decode itself is the MediaPipeline stub).
+    */
+  val FrameBytes = 64L
+  val SampleEvery = 4L
+
+  /** Frame-sampling index over opaque media payloads — the plumbing a
+    * video/audio pipeline runs BEFORE decode: cut each payload into
+    * fixed-size byte frames, keep every k-th (the sampling that bounds
+    * decode cost), and emit one row per sampled frame with its exact
+    * byte window and a content digest (the stand-in for the stubbed
+    * feature-extraction step — at deploy time the digest column is
+    * replaced by the decoder's features over the same byte window, and
+    * nothing else in the plan changes).
+    *
+    * Scale shape: pure narrow map — one explode of the per-doc sampled
+    * frame sequence (n_bytes/(FrameBytes·SampleEvery) rows), the byte
+    * windows sliced from the in-partition payload, no shuffle. The
+    * sampled-frame table is what a distributed decoder maps over
+    * (mapInPandas batches in the reference architecture), so its
+    * partitioning IS the decode parallelism.
+    */
+  val frameIndex = QueryDef(
+    "mm_frame_index",
+    s"""WITH p AS MATERIALIZED (SELECT doc_id, hex(encode(text)) AS ph,
+       |    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+       |  FROM documents),
+       |f AS MATERIALIZED (SELECT doc_id, ph, n_bytes,
+       |    unnest(generate_series(0,
+       |      (n_bytes - 1) // $FrameBytes, $SampleEvery)) AS frame_id
+       |  FROM p WHERE n_bytes > 0)
+       |SELECT doc_id, CAST(frame_id AS BIGINT) AS frame_id,
+       |  CAST(frame_id * $FrameBytes AS BIGINT) AS byte_start,
+       |  CAST(least((frame_id + 1) * $FrameBytes, n_bytes) AS BIGINT) AS byte_end,
+       |  CAST((n_bytes + $FrameBytes - 1) // $FrameBytes AS BIGINT) AS n_frames,
+       |  md5(substr(ph, CAST(frame_id * $FrameBytes * 2 + 1 AS BIGINT),
+       |    CAST((least((frame_id + 1) * $FrameBytes, n_bytes)
+       |      - frame_id * $FrameBytes) * 2 AS BIGINT))) AS frame_md5
+       |FROM f""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val payload = $"text".cast("binary")
+    val p = Tables.documents(s, dir).select(
+      $"doc_id", hex(payload).as("ph"),
+      length(payload).cast("long").as("n_bytes"))
+    p.filter($"n_bytes" > 0)
+      .select($"doc_id", $"ph", $"n_bytes",
+        explode(sequence(lit(0L),
+          expr(s"(n_bytes - 1) div $FrameBytes"), lit(SampleEvery))).as("frame_id"))
+      .select($"doc_id", $"frame_id",
+        ($"frame_id" * FrameBytes).as("byte_start"),
+        least(($"frame_id" + 1) * FrameBytes, $"n_bytes").as("byte_end"),
+        expr(s"(n_bytes + $FrameBytes - 1) div $FrameBytes").as("n_frames"),
+        md5(expr(s"substr(ph, frame_id * $FrameBytes * 2 + 1, " +
+          s"(least((frame_id + 1) * $FrameBytes, n_bytes) - frame_id * $FrameBytes) * 2)"))
+          .as("frame_md5"))
+  }
+
+  val defs: Seq[QueryDef] = Seq(binaryMeta, frameIndex)
 }

@@ -46,4 +46,30 @@ class MlMultimodalSpec extends GraftSuite {
         (hexed.isEmpty || hexed.take(2) === r.getAs[String]("magic_hex"))
     })
   }
+
+  test("mm_frame_index: sampled frames tile the payload; digests match the byte windows") {
+    import operators.Multimodal.{FrameBytes, SampleEvery}
+    val meta = run("mm_binary_meta").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("payload_hex"), r.getAs[Long]("n_bytes"))).toMap
+    val byDoc = run("mm_frame_index").collect().groupBy(_.getAs[Long]("doc_id"))
+    assert(byDoc.nonEmpty)
+    byDoc.foreach { case (id, frames) =>
+      val (ph, nb) = meta(id)
+      val lastFrame = (nb - 1) / FrameBytes
+      val expectIds = (0L to lastFrame by SampleEvery).toSeq
+      assert(frames.map(_.getAs[Long]("frame_id")).sorted === expectIds)
+      frames.foreach { f =>
+        val (s0, e0) = (f.getAs[Long]("byte_start"), f.getAs[Long]("byte_end"))
+        assert(s0 === f.getAs[Long]("frame_id") * FrameBytes)
+        assert(e0 === math.min(s0 + FrameBytes, nb))
+        assert(f.getAs[Long]("n_frames") === (nb + FrameBytes - 1) / FrameBytes)
+        // digest is md5 of exactly this frame's hex window
+        val slice = ph.substring((s0 * 2).toInt, (e0 * 2).toInt)
+        val d = java.security.MessageDigest.getInstance("MD5")
+          .digest(slice.getBytes("UTF-8")).map("%02x".format(_)).mkString
+        assert(f.getAs[String]("frame_md5") === d)
+      }
+    }
+  }
 }
