@@ -108,9 +108,14 @@ object VaderLexicon {
   val EntriesNarrow: Seq[(String, Int)] =
     Entries.filter { case (_, v) => math.abs(v) >= NarrowTenths }
 
-  /** word → valence ×1e5 (exact long), for the Spark-side HOF twins. */
-  val Valence: Map[String, Long] =
-    Entries.map { case (w, v) => w -> v * 10000L }.toMap
+  /** word → valence ×1e5 (exact long) — the single scaling used by the
+    * native expression and the spec's HOF twin (one derivation, so the
+    * test oracle can never desynchronize from the data asset).
+    */
+  def scaled(entries: Seq[(String, Int)]): Map[String, Long] =
+    entries.map { case (w, v) => w -> v * LexiconScore.TenthScale }.toMap
+
+  val Valence: Map[String, Long] = scaled(Entries)
 
   /** The `'word:tenths word:tenths …'` literal [[LexiconScore]] parses. */
   def lexArg(entries: Seq[(String, Int)]): String =
@@ -169,4 +174,16 @@ object VaderLexicon {
     "🤬", "😤", "😒", "🙁",
     // corpus stand-ins
     "scan", "filter")
+
+  // data-asset invariants, checked at class-load so a bad edit fails the
+  // first test instead of silently desynchronizing the engines: no
+  // duplicate words (the SQL CASE would shadow, the map would drop), no
+  // zero valences (the scorer treats 0 as "not in lexicon"), and no word
+  // doing double duty as a negator/booster (the modifier would apply to
+  // its own valence)
+  require(Entries.map(_._1).distinct.size == Entries.size,
+    "VaderLexicon: duplicate lexicon entry")
+  require(Entries.forall(_._2 != 0), "VaderLexicon: zero-valence entry")
+  require(Valence.keySet.intersect((Negators ++ Boosters).toSet).isEmpty,
+    "VaderLexicon: a lexicon word is also a negator/booster")
 }

@@ -182,15 +182,24 @@ case class LexiconScore(tokens: Expression, lexArg: Expression,
       raw.asInstanceOf[UTF8String].toString.split(" ").filter(_.nonEmpty)
         .exists { e =>
           val i = e.lastIndexOf(':')
-          i <= 0 || !e.substring(i + 1).matches("-?\\d+")
+          // bounded digit count: |tenths| ≤ 999999 keeps tenths·1e4 far
+          // from Long overflow (a '-?\d+' check would pass values that
+          // throw NumberFormatException at first task eval, or silently
+          // wrap in the ×1e4 scale — VADER's real range is ±40)
+          i <= 0 || !e.substring(i + 1).matches("-?\\d{1,6}")
         }
     if (badEntry)
       TypeCheckResult.TypeCheckFailure(
-        s"$prettyName lexicon entries must be 'word:integer-tenths'")
+        s"$prettyName lexicon entries must be 'word:integer-tenths' (≤6 digits)")
     else TypeCheckResult.TypeCheckSuccess
   }
 
-  /** word → valence ×1e5, parsed once from the literal. */
+  /** word → valence ×1e5, parsed once from the literal. Zero-valence
+    * entries are DROPPED: the SQL twin's per-position CASE short-circuits
+    * `v[i] = 0` to 0 before any modifier, so a 0-valence word must score
+    * 0 here too — treating it as a map hit would boost/negate it to
+    * ±29300·(−0.74) and break cross-engine parity.
+    */
   @transient private lazy val valence: java.util.HashMap[UTF8String, java.lang.Long] = {
     val m = new java.util.HashMap[UTF8String, java.lang.Long]()
     val raw = lexArg.eval(InternalRow.empty)
@@ -198,8 +207,10 @@ case class LexiconScore(tokens: Expression, lexArg: Expression,
       raw.asInstanceOf[UTF8String].toString.split(" ").filter(_.nonEmpty)
         .foreach { e =>
           val i = e.lastIndexOf(':')
-          m.put(UTF8String.fromString(e.substring(0, i)),
-            java.lang.Long.valueOf(e.substring(i + 1).toLong * TenthScale))
+          val tenths = e.substring(i + 1).toLong
+          if (tenths != 0L)
+            m.put(UTF8String.fromString(e.substring(0, i)),
+              java.lang.Long.valueOf(tenths * TenthScale))
         }
     m
   }
@@ -796,6 +807,18 @@ object ZOrderBits {
     x
   }
 
-  /** a's bits on even positions, b's on odd — always in [0, 2^62). */
-  def interleave(a: Long, b: Long): Long = spread(a) | (spread(b) << 1)
+  /** a's bits on even positions, b's on odd — always in [0, 2^62).
+    * RAISES on values outside [0, 2^31): masking them silently (the r10
+    * behavior) degrades the z-layout to noise with no signal — a loud
+    * in-task error at the first bad row costs nothing and covers every
+    * call site (the r10 ADVICE asked for a guard only in writeZOrdered,
+    * which would have re-scanned the input once per write).
+    */
+  def interleave(a: Long, b: Long): Long = {
+    if (((a | b) & ~0x7FFFFFFFL) != 0L)
+      throw new IllegalArgumentException(
+        s"graft_zorder: value outside the 31-bit Morton domain ($a, $b) — " +
+          "bucket, rank, or offset wide-domain columns first")
+    spread(a) | (spread(b) << 1)
+  }
 }

@@ -60,22 +60,29 @@ object Sentiment {
       lit(VaderLexicon.Negators.mkString(" ")),
       lit(VaderLexicon.Boosters.mkString(" ")))
 
+  /** Append compound + label to a frame carrying the 1e5-scaled integer
+    * score `sc` — the ONE place the normalization and thresholds live
+    * (labeledDf and sent_examples both route through it, so the labelers
+    * can never drift apart).
+    */
+  private def withCompound(df: DataFrame): DataFrame =
+    df.withColumn("sv", col("sc") / lit(MagBase.toDouble))
+      .withColumn("compound", col("sv") / sqrt(col("sv") * col("sv") + lit(Alpha)))
+      .withColumn("label",
+        when(col("compound") > 0.05, "positive")
+          .when(col("compound") < -0.05, "negative")
+          .otherwise("neutral"))
+
   private def labeledDf(s: SparkSession, dir: String,
       entries: Seq[(String, Int)], posW: Seq[String], negW: Seq[String]): DataFrame = {
     import s.implicits._
     val toks = split($"text", " ")
-    Tables.documents(s, dir).select(
+    withCompound(Tables.documents(s, dir).select(
       $"doc_id",
       nIn(toks, posW).as("pos_n"),
       nIn(toks, negW).as("neg_n"),
       size(toks).cast("long").as("wc"),
-      scaledScore(toks, entries).as("sc"))
-      .withColumn("sv", $"sc" / lit(MagBase.toDouble))
-      .withColumn("compound", $"sv" / sqrt($"sv" * $"sv" + lit(Alpha)))
-      .withColumn("label",
-        when($"compound" > 0.05, "positive")
-          .when($"compound" < -0.05, "negative")
-          .otherwise("neutral"))
+      scaledScore(toks, entries).as("sc")))
   }
 
   private def labeledSql(entries: Seq[(String, Int)], alias: String): String = {
@@ -228,16 +235,10 @@ object Sentiment {
     }) { (s, dir) =>
     import s.implicits._
     val toks = split($"text", " ")
-    val scored = Tables.documents(s, dir).select(
+    val scored = withCompound(Tables.documents(s, dir).select(
       $"doc_id", $"lang", $"source", $"n_chars",
       substring($"text", 1, 60).as("snippet"),
-      scaledScore(toks, VaderLexicon.Entries).as("sc"))
-      .withColumn("sv", $"sc" / lit(MagBase.toDouble))
-      .withColumn("compound", $"sv" / sqrt($"sv" * $"sv" + lit(Alpha)))
-      .withColumn("label",
-        when($"compound" > 0.05, "positive")
-          .when($"compound" < -0.05, "negative")
-          .otherwise("neutral"))
+      scaledScore(toks, VaderLexicon.Entries).as("sc")))
       .withColumn("score", P.prnd($"compound", 6))
     val pick = (l: String) =>
       scored.filter($"label" === l)

@@ -112,23 +112,12 @@ object CorpusIO {
     */
   def writeZOrdered(df: DataFrame, path: String, colA: String, colB: String,
       files: Int): Unit = {
-    // enforce the 31-bit precondition at runtime (r10 ADVICE): a
-    // wide-domain input (epoch micros, 64-bit hash) would be silently
-    // masked to its low 31 bits, degrading the layout to noise with no
-    // signal. One cheap agg over the two key columns before the write —
-    // negligible next to the range exchange + per-file sort the write
-    // itself pays — turns misuse into a loud error at the call site.
-    val bounds = df.agg(
-      min(least(col(colA).cast("long"), col(colB).cast("long"))).as("lo"),
-      max(greatest(col(colA).cast("long"), col(colB).cast("long"))).as("hi"))
-      .head()
-    if (!bounds.isNullAt(0)) {
-      val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
-      require(lo >= 0L && hi < (1L << 31),
-        s"writeZOrdered: $colA/$colB values span [$lo, $hi] but the Morton key " +
-          "interleaves each column's low 31 bits — bucket, rank, or offset " +
-          "wide-domain columns first (see ZOrderBits)")
-    }
+    // the 31-bit precondition is enforced IN-TASK by ZOrderBits itself
+    // (r10 ADVICE, hardened in r11): the first out-of-domain value fails
+    // the write loudly instead of silently masking to noise, costs one
+    // branch per row inside the existing pass (a driver-side bounds agg
+    // here would re-scan the whole input once per write), and covers
+    // every graft_zorder call site, not just this writer.
     val z = call_function("graft_zorder", col(colA).cast("long"), col(colB).cast("long"))
     df.withColumn("__z", z)
       .repartitionByRange(files, col("__z"))

@@ -42,7 +42,11 @@ object TrendingStream {
     * getting an empty page indistinguishable from an unknown window.
     */
   def topk(storeId: String, windowStart: String, k: Int): Seq[(String, Long)] = {
-    val want = java.sql.Timestamp.valueOf(windowStart).getTime
+    // accept the ISO 'T' separator too; an unparseable windowStart
+    // raises IllegalArgumentException from Timestamp.valueOf — a loud
+    // contract error, deliberately NOT an empty page (an empty page
+    // means "window unknown", which is a different answer)
+    val want = java.sql.Timestamp.valueOf(windowStart.replace('T', ' ')).getTime
     UpsertSink.snapshot(storeId).toSeq
       .collect { case ((w, t), (n, _))
         if java.sql.Timestamp.valueOf(w).getTime == want => (t, n) }

@@ -36,7 +36,7 @@ class FunctionsSpec extends GraftSuite {
   private def hofScore(toks: Column, entries: Seq[(String, Int)]): Column = {
     import graft.functions.LexiconScore._
     import graft.functions.VaderLexicon
-    val vmap = typedlit(entries.map { case (w, v) => w -> v * TenthScale }.toMap)
+    val vmap = typedlit(VaderLexicon.scaled(entries))
     val scores = transform(toks, (w, idx) => {
       def back(o: Int) = when(idx >= o, element_at(toks, idx - o + 1)).otherwise(lit(""))
       val negated = (1 to 3).map(o => back(o).isin(VaderLexicon.Negators: _*)).reduce(_ || _)
@@ -296,8 +296,19 @@ class FunctionsSpec extends GraftSuite {
         z
       }
       val rng = new scala.util.Random(11)
-      val rows = Seq((0L, 0L), (1L, 0L), (0L, 1L), (0x7FFFFFFFL, 0x7FFFFFFFL),
-        (-1L, 5L)) ++ (1 to 40).map(_ => (rng.nextInt(1 << 30).toLong, rng.nextInt(1 << 30).toLong))
+      // in-domain values only: out-of-domain now RAISES (r11 — silent
+      // masking degraded the layout to noise), asserted below
+      val rows = Seq((0L, 0L), (1L, 0L), (0L, 1L), (0x7FFFFFFFL, 0x7FFFFFFFL)) ++
+        (1 to 40).map(_ => (rng.nextInt(1 << 30).toLong, rng.nextInt(1 << 30).toLong))
+      val bad = intercept[Throwable] {
+        underMode(mode) {
+          Seq((-1L, 5L)).toDF("a", "b")
+            .select(call_function("graft_zorder", $"a", $"b")).collect()
+        }
+      }
+      assert(Iterator.iterate(bad)(_.getCause).takeWhile(_ != null)
+        .exists(t => t.getMessage != null && t.getMessage.contains("Morton domain")),
+        s"expected a Morton-domain raise, got: $bad")
       val got = underMode(mode) {
         rows.toDF("a", "b")
           .select($"a", $"b", call_function("graft_zorder", $"a", $"b").as("z"))

@@ -74,7 +74,10 @@ class ScalePlanSpec extends GraftSuite {
         "an_concurrency" -> 0,
         "an_hist_quantiles" -> 0,
         "an_ab_test" -> 0,
-        "etl_scd2" -> 0
+        "etl_scd2" -> 0,
+        // r11 additions (sim_mmr_topk above still holds for the fold)
+        "etl_split_train_val" -> 0,
+        "sent_examples" -> 0
       )
       allowed.foreach { case (name, maxB) =>
         val df = run(name)
@@ -156,7 +159,8 @@ class ScalePlanSpec extends GraftSuite {
     Seq("etl_clean_text", "etl_filter_enrich", "etl_stratified_sample",
       "etl_chunk_overlap", "tx_gopher_rules",
       "tx_lang_id", "tx_quality", "tx_token_count", "tx_fingerprint",
-      "tx_repetition", "sent_lexicon", "sent_emoji", "mm_binary_meta")
+      "tx_repetition", "sent_lexicon", "sent_emoji", "mm_binary_meta",
+      "mm_frame_index")
       .foreach { name =>
         val plan = planOf(run(name)).toLowerCase
         assert(!plan.contains("exchange"),

@@ -117,19 +117,22 @@ class SourcesSpec extends GraftSuite {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_zbad").toString
     // epoch-micros-scale values: ordering lives above bit 31, so the
-    // masked key would be noise — the write must fail loudly, not
-    // produce a silently useless layout
+    // masked key would be noise — graft_zorder raises in-task at the
+    // first bad row and the write fails loudly instead of producing a
+    // silently useless layout
+    def rootCause(t: Throwable): Throwable =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).toSeq.last
     val wide = Seq((1_700_000_000_000_000L, 5L), (1_700_000_001_000_000L, 6L))
       .toDF("ts_us", "y")
-    val eWide = intercept[IllegalArgumentException] {
+    val eWide = intercept[Throwable] {
       CorpusIO.writeZOrdered(wide, dir, "ts_us", "y", 2)
     }
-    assert(eWide.getMessage.contains("31 bits"))
+    assert(rootCause(eWide).getMessage.contains("Morton domain"))
     // negative keys break the interleave the same way
     val neg = Seq((-5L, 1L), (3L, 2L)).toDF("x", "y")
-    val eNeg = intercept[IllegalArgumentException] {
+    val eNeg = intercept[Throwable] {
       CorpusIO.writeZOrdered(neg, dir, "x", "y", 2)
     }
-    assert(eNeg.getMessage.contains("31 bits"))
+    assert(rootCause(eNeg).getMessage.contains("Morton domain"))
   }
 }
