@@ -253,4 +253,36 @@ class DedupSimilaritySpec extends GraftSuite {
     }
     assert(diverges, "MMR page identical to relevance top-k for every query")
   }
+
+  test("span coverage: planted partial copy is measured; intra-doc repeats don't count") {
+    import spark.implicits._
+    val K = operators.Dedup.SpanK
+    val tmp = java.nio.file.Files.createTempDirectory("graft_span").toString
+    def words(tag: String, n: Int): Seq[String] = (1 to n).map(i => s"$tag$i")
+    val shared = words("dup", 24)              // a 24-token copied passage
+    val docA = (words("a", 30) ++ shared).mkString(" ")            // 54 tokens
+    val docB = (shared ++ words("b", 40)).mkString(" ")            // 64 tokens
+    val docC = words("c", 40).mkString(" ")                        // unique
+    // intra-doc repetition: the same 16-gram twice in ONE doc only
+    val rep = words("r", K)
+    val docD = (rep ++ words("x", 5) ++ rep).mkString(" ")
+    Seq((1L, docA), (2L, docB), (3L, docC), (4L, docD))
+      .map { case (id, t) => (id, t, "en", "s0", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val rows = operators.Dedup.spanCoverage.run(spark, tmp).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    // the copied passage has 24-K+1 = 9 shared 16-gram spans covering
+    // exactly its 24 tokens in each doc
+    assert(rows(1L).getAs[Long]("n_dup_spans") === (24 - K + 1).toLong)
+    assert(rows(1L).getAs[Long]("covered_tokens") === 24L)
+    assert(rows(2L).getAs[Long]("covered_tokens") === 24L)
+    assert(rows(1L).getAs[Double]("dup_coverage") < 0.5)
+    assert(rows(2L).getAs[Double]("dup_coverage") < 0.4)
+    // unique doc: zero
+    assert(rows(3L).getAs[Long]("n_dup_spans") === 0L)
+    assert(rows(3L).getAs[Double]("dup_coverage") === 0.0)
+    // intra-doc repetition is NOT cross-doc duplication
+    assert(rows(4L).getAs[Long]("n_dup_spans") === 0L)
+  }
 }
