@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.{QueryDef, Tables}
 import graft.functions.{Portable => P, PortableSql => PS}
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Dashboard analytics (SURVEY §2b) — the reference's primary user surface
@@ -993,9 +994,113 @@ object Analytics {
       coalesce(abs(zv) > 1.96, lit(false)).as("significant"))
   }
 
+  /** KMV sketch size (k minimum hash values per audience). */
+  val KmvK = 64
+  /** Hash domain: 15 md5 hex chars → [0, 2^60), exactly representable
+    * as a double (needed by the estimator's division).
+    */
+  val KmvDomain = 1L << 60
+
+  /** Audience-overlap estimation via KMV/theta sketches, with the exact
+    * eval pair — the sketch family's set-INTERSECTION member (HLL
+    * answers "how many distinct", count-min "which are heavy"; this
+    * answers "how much do two audiences overlap" without ever shuffling
+    * the full user sets to one place). Per declared event type, the
+    * sketch is the [[KmvK]] smallest 60-bit user hashes (mergeable,
+    * constant size — ship k longs per segment at 100 TB, not user
+    * lists); for a pair, θ = min(θ_a, θ_b) and the estimate is
+    * |{h ∈ A ∩ B : h < θ}| · D/θ — the DataSketches theta-intersection
+    * rule. Everything is in hash space (two users colliding at 60 bits
+    * merge in BOTH the sketch and the exact pair, so the eval is
+    * apples-to-apples and the output engine-portable).
+    *
+    * Scale shape: ONE distinct (type, h) pass over events
+    * (materialized, the signature-table posture), then per DECLARED
+    * type a bounded orderBy+limit (TakeOrderedAndProject — partial
+    * top-k map-side, k rows to the driver-side merge, never a
+    * per-type shuffle of all users); the exact pair is one hash-keyed
+    * aggregate with map-side partials. All estimator arithmetic is
+    * (k−1)·D/θ style — exact-double multiplies of powers of two and one
+    * correctly-rounded divide, bit-identical across engines.
+    */
+  val kmvOverlap = QueryDef(
+    "an_kmv_overlap", {
+      val types = Seq("view", "click", "purchase")
+      val d = s"CAST($KmvDomain AS DOUBLE)"
+      val h = PS.hexToLong("md5(CAST(user_id AS VARCHAR))", 1, 15)
+      def est(n: String, th: String) =
+        s"CASE WHEN $n < $KmvK THEN CAST($n AS DOUBLE) ELSE CAST(${KmvK - 1} AS DOUBLE) * $d / CAST($th AS DOUBLE) END"
+      val kcte = types.zipWithIndex.map { case (t, i) =>
+        s"""k$i AS MATERIALIZED (SELECT h FROM u WHERE event_type = '$t' ORDER BY h LIMIT $KmvK),
+           |s$i AS MATERIALIZED (SELECT CAST(COUNT(*) AS BIGINT) AS n, MAX(h) AS theta FROM k$i)""".stripMargin
+      }.mkString(",\n")
+      val flags = types.zipWithIndex
+        .map { case (t, i) => s"MAX(CASE WHEN event_type = '$t' THEN 1 ELSE 0 END) AS f$i" }
+        .mkString(", ")
+      val pairs = for { i <- types.indices; j <- i + 1 until types.size } yield (i, j)
+      val pairSel = pairs.map { case (i, j) =>
+        s"""SELECT '${types(i)}' AS type_a, '${types(j)}' AS type_b,
+           |  ${PS.prnd(est(s"(SELECT n FROM s$i)", s"(SELECT theta FROM s$i)"), 4)} AS est_a,
+           |  ${PS.prnd(est(s"(SELECT n FROM s$j)", s"(SELECT theta FROM s$j)"), 4)} AS est_b,
+           |  ${PS.prnd(s"""CAST((SELECT COUNT(*) FROM k$i JOIN k$j USING (h)
+           |      WHERE h < least((SELECT theta FROM s$i), (SELECT theta FROM s$j))) AS DOUBLE)
+           |    * $d / CAST(least((SELECT theta FROM s$i), (SELECT theta FROM s$j)) AS DOUBLE)""", 4)} AS est_intersection,
+           |  (SELECT CAST(SUM(f$i * f$j) AS BIGINT) FROM ex) AS exact_intersection""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH ${PS.evCte},
+         |u AS MATERIALIZED (SELECT DISTINCT event_type, $h AS h
+         |  FROM ev WHERE event_type IN (${types.map(t => s"'$t'").mkString(", ")})),
+         |$kcte,
+         |ex AS MATERIALIZED (SELECT h, $flags FROM u GROUP BY h)
+         |$pairSel
+         |ORDER BY type_a, type_b""".stripMargin
+    }) { (s, dir) =>
+    import s.implicits._
+    val types = Seq("view", "click", "purchase")
+    val d = lit(KmvDomain.toDouble)
+    // one distinct (type, hash) pass, shared by every sketch and the
+    // exact pair (at 100 TB this is the materialized signature table)
+    val u = Tables.events(s, dir)
+      .filter($"event_type".isin(types: _*))
+      .select($"event_type",
+        P.hexToLong(md5($"user_id".cast("string")), 1, 15).as("h"))
+      .distinct()
+      .localCheckpoint(false)
+    def kmv(t: String): DataFrame =
+      u.filter($"event_type" === t).select($"h").orderBy($"h").limit(KmvK)
+    def sk(t: String): DataFrame =
+      kmv(t).agg(P.cnt.as("n"), max($"h").as("theta"))
+    def est(n: Column, th: Column): Column =
+      when(n < KmvK, n.cast("double"))
+        .otherwise(lit((KmvK - 1).toDouble) * d / th.cast("double"))
+    val flagCols = types.zipWithIndex.map { case (t, i) =>
+      max(when($"event_type" === t, 1).otherwise(0)).as(s"f$i")
+    }
+    val ex = u.groupBy($"h").agg(flagCols.head, flagCols.tail: _*)
+    val pairs = for { i <- types.indices; j <- i + 1 until types.size } yield (i, j)
+    pairs.map { case (i, j) =>
+      val sa = sk(types(i)).select($"n".as("na"), $"theta".as("ta"))
+      val sb = sk(types(j)).select($"n".as("nb"), $"theta".as("tb"))
+      val exi = ex.agg(sum(col(s"f$i") * col(s"f$j")).cast("long").as("exact_intersection"))
+      val common = kmv(types(i)).join(kmv(types(j)), "h")
+        .crossJoin(broadcast(sa)).crossJoin(broadcast(sb))
+        .filter($"h" < least($"ta", $"tb"))
+        .agg(P.cnt.as("c"))
+      common.crossJoin(broadcast(sa)).crossJoin(broadcast(sb))
+        .crossJoin(broadcast(exi))
+        .select(
+          lit(types(i)).as("type_a"), lit(types(j)).as("type_b"),
+          P.prnd(est($"na", $"ta"), 4).as("est_a"),
+          P.prnd(est($"nb", $"tb"), 4).as("est_b"),
+          P.prnd($"c".cast("double") * d / least($"ta", $"tb").cast("double"), 4)
+            .as("est_intersection"),
+          $"exact_intersection")
+    }.reduce(_ unionAll _).orderBy($"type_a", $"type_b")
+  }
+
   val defs: Seq[QueryDef] = Seq(timeline, topGroups, dowActivity, valueBuckets,
     commentBuckets, quantiles, keywordMentions, explorer, userActivity,
     rollingActive, retention, spikeDays, conversion, sessionStats, gini,
     hllUsers, cmTopk, trend, histQuantiles, concurrency, abTest, sessionPaths,
-    pivotDaily)
+    pivotDaily, kmvOverlap)
 }

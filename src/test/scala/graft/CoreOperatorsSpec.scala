@@ -402,6 +402,37 @@ class CoreOperatorsSpec extends GraftSuite {
     assert(got(2L).length === 1 && got(2L).head.getAs[Long]("n_tokens") === 2L)
   }
 
+  test("kmv overlap: planted disjoint/nested audiences discriminate; estimates track exact") {
+    import spark.implicits._
+    // view: users 1-400; click: 201-600 (50% overlap with view);
+    // purchase: 1001-1400 (disjoint from both)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_kmv").toString
+    def evs(t: String, ids: Range) = ids.map(u =>
+      (u.toLong * 7919 + t.hashCode.toLong.abs % 1000,
+        java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), u.toLong, t, 1.0, "{}"))
+    (evs("view", 1 to 400) ++ evs("click", 201 to 600) ++ evs("purchase", 1001 to 1400))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val rows = operators.Analytics.kmvOverlap.run(spark, tmp).collect()
+      .map(r => (r.getAs[String]("type_a"), r.getAs[String]("type_b")) -> r).toMap
+    val vc = rows(("view", "click"))
+    val vp = rows(("view", "purchase"))
+    val cp = rows(("click", "purchase"))
+    // exact overlaps (hash space = user space here: 60-bit collisions
+    // among 1400 users are vanishingly unlikely and would fail loudly)
+    assert(vc.getAs[Long]("exact_intersection") === 200L)
+    assert(vp.getAs[Long]("exact_intersection") === 0L)
+    assert(cp.getAs[Long]("exact_intersection") === 0L)
+    // the estimator discriminates: the overlapping pair reads far above
+    // the disjoint pairs, and within 50% of truth at k=64
+    val estVc = vc.getAs[Double]("est_intersection")
+    assert(estVc > 100.0 && estVc < 300.0, s"est_intersection $estVc")
+    assert(vp.getAs[Double]("est_intersection") < 50.0)
+    assert(cp.getAs[Double]("est_intersection") < 50.0)
+    // per-audience estimates track the true 400 within 50%
+    assert(math.abs(vc.getAs[Double]("est_a") - 400.0) < 200.0)
+  }
+
   test("ab test: planted arm effect is significant; exchangeable corpus reads as A/A") {
     import spark.implicits._
     // recompute each user's md5-bit arm the way the operator does, then
