@@ -73,7 +73,11 @@ object ScaleTrend {
       // tail, the un-broadcast dedup verify, the graded-valence VADER
       // scorer, and the content-hash split/leak gate
       "sim_kmeans_train", "sim_mmr_topk", "dd_ngram_jaccard",
-      "sent_lexicon", "etl_split_train_val")
+      "sent_lexicon", "etl_split_train_val",
+      // late-r11: the span-hash shuffle, the KMV top-k + exact pair,
+      // the per-label TakeOrdered union, and the binary frame explode
+      "dd_span_coverage", "an_kmv_overlap", "sent_examples",
+      "mm_frame_index")
     def time(name: String, dir: String): Double = {
       val fn = SparkEntry.queries(name)
       (1 to 2).map { _ =>

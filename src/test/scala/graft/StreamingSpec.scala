@@ -159,6 +159,39 @@ class StreamingSpec extends GraftSuite {
     streaming.UpsertSink.clear(sid)
   }
 
+  test("spike stream: only the anomalous window flags; a late event re-ranks it") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val input = mem.toDF().toDF("ts", "event_type", "value")
+    val sid = "spike_spec"
+    streaming.UpsertSink.clear(sid)
+    val q = streaming.SpikeStream.spikeQuery(input, sid, "spike_test")
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // five calm hourly windows of 2 clicks, one window with 20
+    val calm = for {
+      h <- Seq("08", "09", "10", "11", "12")
+      m <- Seq("05", "35")
+    } yield (ts(s"2024-01-01 $h:$m:00"), "click", 1.0)
+    val burst = (1 to 20).map(i => (ts(f"2024-01-01 13:${i + 10}%02d:00"), "click", 1.0))
+    mem.addData(calm ++ burst: _*)
+    q.processAllAvailable()
+    val flagged = streaming.SpikeStream.spikes(sid, "click", 2.0)
+    assert(flagged.map(_._1) === Seq("2024-01-01 13:00:00.0"))
+    assert(flagged.head._2 === 20L)
+    assert(flagged.head._3 > 2.0)
+    // a calm type never flags; an unknown type is empty
+    assert(streaming.SpikeStream.spikes(sid, "view", 2.0).isEmpty)
+    // late events lift a calm window into spike range: the upsert
+    // replaces its row and the next read re-ranks
+    mem.addData((1 to 18).map(i => (ts(f"2024-01-01 12:${i + 40}%02d:00"), "click", 1.0)): _*)
+    q.processAllAvailable()
+    q.stop()
+    val after = streaming.SpikeStream.spikes(sid, "click", 1.0)
+    assert(after.map(_._1) === Seq("2024-01-01 12:00:00.0", "2024-01-01 13:00:00.0"))
+    streaming.UpsertSink.clear(sid)
+  }
+
   test("streaming sessionization emits closed sessions as watermark advances") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
