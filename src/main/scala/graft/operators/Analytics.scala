@@ -31,6 +31,47 @@ object Analytics {
       .orderBy($"day")
   }
 
+  /** Zero-filled (dense) daily timeline of a SPARSE event class —
+    * high-value purchases per day over the full observed calendar. A
+    * groupBy timeline silently drops empty days, which a dashboard axis
+    * (and any day-over-day delta / anomaly rule downstream) cannot
+    * tolerate: a missing day reads as "no data", not "zero". The dense
+    * calendar derives from a 1-row min/max aggregate exploded with
+    * `sequence` — the relation is bounded by ELAPSED TIME (≤ tens of
+    * thousands of rows for decades), not by data volume, so the
+    * backfill join is day-keyed against a constant-ish side at any
+    * corpus scale; the per-day aggregate is the only data-scale work
+    * (one hash agg, map-side partials).
+    */
+  val timelineDense = QueryDef(
+    "an_timeline_dense",
+    s"""WITH ${PS.evCte},
+       |b AS MATERIALIZED (SELECT min(CAST(ts AS DATE)) AS d0,
+       |  max(CAST(ts AS DATE)) AS d1 FROM ev),
+       |cal AS MATERIALIZED (SELECT CAST(unnest(generate_series(
+       |    CAST(d0 AS TIMESTAMP), CAST(d1 AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS day
+       |  FROM b),
+       |c AS MATERIALIZED (SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n,
+       |    ${PS.dsum("value")} AS sv
+       |  FROM ev WHERE event_type = 'purchase' AND value > 180 GROUP BY 1)
+       |SELECT cal.day AS day, CAST(COALESCE(c.n, 0) AS BIGINT) AS n_high,
+       |  COALESCE(c.sv, 0.0) AS sum_value
+       |FROM cal LEFT JOIN c ON c.day = cal.day
+       |ORDER BY cal.day""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+    val cal = ev
+      .agg(min($"ts".cast("date")).as("d0"), max($"ts".cast("date")).as("d1"))
+      .select(explode(sequence($"d0", $"d1")).as("day"))
+    val c = ev.filter($"event_type" === "purchase" && $"value" > 180)
+      .groupBy($"ts".cast("date").as("day"))
+      .agg(P.cnt.as("n"), P.dsum($"value").as("sv"))
+    cal.join(c, Seq("day"), "left")
+      .select($"day", coalesce($"n", lit(0L)).as("n_high"),
+        coalesce($"sv", lit(0.0)).as("sum_value"))
+      .orderBy($"day")
+  }
+
   /** Top-8 sources by document count (top-subreddits analog). */
   val topGroups = QueryDef(
     "an_top_groups",
@@ -1098,7 +1139,7 @@ object Analytics {
     }.reduce(_ unionAll _).orderBy($"type_a", $"type_b")
   }
 
-  val defs: Seq[QueryDef] = Seq(timeline, topGroups, dowActivity, valueBuckets,
+  val defs: Seq[QueryDef] = Seq(timeline, timelineDense, topGroups, dowActivity, valueBuckets,
     commentBuckets, quantiles, keywordMentions, explorer, userActivity,
     rollingActive, retention, spikeDays, conversion, sessionStats, gini,
     hllUsers, cmTopk, trend, histQuantiles, concurrency, abTest, sessionPaths,

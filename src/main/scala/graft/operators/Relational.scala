@@ -398,6 +398,62 @@ object Relational {
       .orderBy($"c_mktsegment")
   }
 
+  /** Band width (= bin width) of the range join, in microseconds. */
+  private val BandUs = 3600L * 1000000L
+
+  /** Time-band (range) join — for each purchase event, the count and
+    * exact value mass of ALL view events (any user) in the preceding
+    * hour; the demand-attribution / lead-window shape every
+    * event-analytics stack runs. Spark plans a pure inequality join as
+    * BroadcastNestedLoopJoin (O(|P|·|V|) comparisons with one side fully
+    * materialized per task — a non-starter at 100 TB), so the scalable
+    * re-expression is BIN DECOMPOSITION: both sides key by
+    * floor(ts / band), each probe row explodes into exactly 2 bins
+    * (band = bin width, so a candidate lives in the probe's bin or the
+    * one before), the join is a plain keyed equi-join shuffle, and the
+    * residual inequality filters the ~2·band-density candidates per
+    * probe. Cost is linear in |P| + |V| + |matches|, bins inherit
+    * calendar locality (a day's work touches a day's bins), and a hot
+    * bin (traffic spike) is an AQE skew-split, not a planning cliff.
+    * The value mass goes through the scaled-long exact-sum path so the
+    * band aggregate hash-matches bit-for-bit.
+    */
+  val qRangeJoin = QueryDef(
+    "q_range_join",
+    s"""WITH ${PS.evCte},
+       |p AS MATERIALIZED (SELECT event_id, epoch_us(ts) AS pus FROM ev
+       |  WHERE event_type = 'purchase'),
+       |v AS MATERIALIZED (SELECT epoch_us(ts) AS vus, value FROM ev
+       |  WHERE event_type = 'view')
+       |SELECT p.event_id, CAST(COUNT(v.vus) AS BIGINT) AS n_views_1h,
+       |  COALESCE(${PS.dsum("v.value")}, 0.0) AS views_value
+       |FROM p LEFT JOIN v
+       |  ON v.vus >= p.pus - $BandUs AND v.vus < p.pus
+       |GROUP BY p.event_id""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+    val p = ev.filter($"event_type" === "purchase")
+      .select($"event_id", unix_micros($"ts").as("pus"))
+    val v = ev.filter($"event_type" === "view")
+      .select(unix_micros($"ts").as("vus"), $"value")
+      .withColumn("bin", expr(s"vus div $BandUs"))
+    // band ⊆ [bin-1, bin]: vus ≥ pus − Band ⇒ vbin ≥ pbin − 1, and
+    // vus < pus ⇒ vbin ≤ pbin — so 2 probe bins cover every candidate,
+    // and the two bins differ, so no candidate is matched twice
+    val probes = p.select($"event_id", $"pus",
+      explode(array(expr(s"pus div $BandUs"), expr(s"pus div $BandUs - 1"))).as("bin"))
+    val matched = probes.join(v, Seq("bin"))
+      .filter($"vus" >= $"pus" - BandUs && $"vus" < $"pus")
+      .groupBy($"event_id")
+      .agg(P.cnt.as("n"), P.dsum($"value").as("vv"))
+    // purchases with an empty band re-enter through the left join (the
+    // oracle's LEFT JOIN zeros); event_id-keyed, size-driven plan choice
+    p.join(matched, Seq("event_id"), "left")
+      .select($"event_id",
+        coalesce($"n", lit(0L)).as("n_views_1h"),
+        coalesce($"vv", lit(0.0)).as("views_value"))
+  }
+
   val defs: Seq[QueryDef] = Seq(q1, q3, q5, qWindowRank, qAsofJoin, qRollup,
-    qBloomPrune, qAntiJoin)
+    qBloomPrune, qAntiJoin, qRangeJoin)
 }

@@ -77,7 +77,8 @@ class ScalePlanSpec extends GraftSuite {
         "etl_scd2" -> 0,
         // r11 additions (sim_mmr_topk above still holds for the fold)
         "etl_split_train_val" -> 0,
-        "sent_examples" -> 0
+        "sent_examples" -> 0,
+        "q_range_join" -> 0 // bin-keyed equi-joins only, both size-driven
       )
       allowed.foreach { case (name, maxB) =>
         val df = run(name)
@@ -118,6 +119,20 @@ class ScalePlanSpec extends GraftSuite {
       assert(n == 0,
         s"candGramsBuild: $n BroadcastExchange nodes in the static plan — " +
           "the candidate doc-id set is being broadcast unconditionally")
+    }
+  }
+
+  test("q_range_join: bin decomposition plans equi-joins, never a nested loop") {
+    // An inequality-only join plans BroadcastNestedLoopJoin (or a
+    // cartesian product) — O(|probe|·|build|) comparisons with one side
+    // fully materialized per task. The bin decomposition must keep every
+    // join in the plan a hash/merge EQUI-join at any threshold setting.
+    Seq(true, false).foreach { knob =>
+      val plan =
+        if (knob) planOf(run("q_range_join"))
+        else withKnobOff(planOf(run("q_range_join")))
+      assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+        s"q_range_join (knob=$knob): plan fell back to a nested-loop join")
     }
   }
 
