@@ -569,7 +569,43 @@ object Etl {
       .orderBy($"split")
   }
 
+  /** Output shard count of the global shuffle — a deployment knob; 16
+    * keeps every shard non-trivially occupied at sf0.01.
+    */
+  private val ShuffleShards = 16L
+
+  /** Deterministic global corpus shuffle — the "shuffle the training
+    * data" step every pre-training pipeline runs before packing, so a
+    * sequential reader sees an i.i.d. stream instead of crawl order.
+    * shard = md5(doc_id) % N is a pure narrow map (uniform across
+    * shards, stable under corpus growth — a doc never migrates when new
+    * docs arrive, unlike rand() or zipWithIndex); the within-shard read
+    * order is the hash key itself. The plan is exactly the production
+    * write path: ONE keyed exchange on shard + a per-shard sort — i.e.
+    * `repartition(N, shard).sortWithinPartitions(hk)` — never a global
+    * sort (no range-partitioner sampling pass, no skew: md5 is uniform
+    * by construction). Emits the per-doc (shard, pos) placement, which
+    * IS the shuffled read order a trainer consumes.
+    */
+  val shardShuffle = QueryDef(
+    "etl_shard_shuffle",
+    s"""WITH h AS MATERIALIZED (SELECT doc_id,
+       |    ${PS.hexToLong("md5(CAST(doc_id AS VARCHAR))", 1, 15)} AS hk
+       |  FROM documents)
+       |SELECT doc_id, CAST(hk % $ShuffleShards AS BIGINT) AS shard,
+       |  CAST(ROW_NUMBER() OVER (PARTITION BY hk % $ShuffleShards
+       |    ORDER BY hk, doc_id) AS BIGINT) AS pos
+       |FROM h""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"shard").orderBy($"hk", $"doc_id")
+    Tables.documents(s, dir)
+      .select($"doc_id", P.hexToLong(md5($"doc_id".cast("string")), 1, 15).as("hk"))
+      .withColumn("shard", $"hk" % ShuffleShards)
+      .select($"doc_id", $"shard", row_number().over(w).cast("long").as("pos"))
+  }
+
   val defs: Seq[QueryDef] = Seq(cleanText, filterEnrich, dedupIngest, parseJson,
     sessionize, stratifiedSample, corpusPrep, compactLatest, packSequences, scd2,
-    weightedSample, chunkOverlap, splitTrainVal)
+    weightedSample, chunkOverlap, splitTrainVal, shardShuffle)
 }

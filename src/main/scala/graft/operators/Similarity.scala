@@ -567,6 +567,65 @@ object Similarity {
       .orderBy($"q_id", $"rank")
   }
 
+  /** The metadata predicate of the filtered-search query — a declared
+    * label allowlist (~20% selectivity on this corpus).
+    */
+  private val FilterLabels = Seq(2, 7)
+
+  /** FILTERED ANN top-k — vector search under a metadata predicate
+    * (label allowlist), the query shape every production vector store
+    * serves ("nearest neighbors WHERE lang = X / tenant = Y"). This is
+    * the PRE-FILTER design: the predicate applies to the candidate
+    * stream BEFORE any cosine is computed — on the embeddings scan
+    * itself, where it reaches the parquet reader as a pushed filter —
+    * so the top-k is exact over the eligible members of the probed
+    * cells. The alternative (post-filtering an unfiltered top-k) is
+    * cheaper per query but silently returns < k results whenever the
+    * filter is selective — the documented failure mode this query
+    * avoids; the residual approximation is IVF's own (cells outside the
+    * probe set), measured by the same recall machinery as the
+    * unfiltered path. Plan shape: identical to sim_ivf_kmeans_topk
+    * (assignment ⋈ broadcast probe list ⋈ filtered embeddings), so the
+    * filter costs a predicate, not a new topology.
+    */
+  val filteredTopk = QueryDef(
+    "sim_filtered_topk",
+    s"""WITH $kmSql,
+       |$kqcSql,
+       |fcand AS MATERIALIZED (SELECT qc.q_id, a.vec_id,
+       |    list_cosine_similarity(CAST(qe.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])) AS cos
+       |  FROM kqc qc
+       |  JOIN kaf a ON a.cell = qc.cell AND a.vec_id <> qc.q_id
+       |  JOIN embeddings e ON e.vec_id = a.vec_id
+       |    AND e.label IN (${FilterLabels.mkString(", ")})
+       |  JOIN embeddings qe ON qe.vec_id = qc.q_id)
+       |SELECT q_id, vec_id, cosine, rank FROM (
+       |  SELECT q_id, vec_id, ${PS.prnd("cos", 6)} AS cosine,
+       |    CAST(row_number() OVER (PARTITION BY q_id
+       |      ORDER BY ${PS.prnd("cos", 6)} DESC, vec_id) AS BIGINT) AS rank
+       |  FROM fcand) r
+       |WHERE rank <= $LshTopK
+       |ORDER BY q_id, rank""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val emb = Tables.embeddings(s, dir)
+    val qcells = kmQueryCells(s, dir)
+    val w = Window.partitionBy($"q_id").orderBy(P.prnd($"cos", 6).desc, $"vec_id")
+    kmAssign(s, dir).select($"vec_id", $"cell")
+      .join(broadcast(qcells), "cell")
+      .filter($"vec_id" =!= $"q_id")
+      // pre-filter: the predicate rides the embeddings scan (PushedFilters)
+      // — no cosine is ever computed for an ineligible vector
+      .join(emb.filter($"label".isin(FilterLabels: _*))
+        .select($"vec_id", $"embedding"), "vec_id")
+      .join(broadcast(emb.filter($"vec_id" < NumQueries)
+        .select($"vec_id".as("q_id"), $"embedding".as("qe"))), "q_id")
+      .select($"q_id", $"vec_id", expr("graft_cosine(qe, embedding)").as("cos"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter($"rank" <= LshTopK)
+      .select($"q_id", $"vec_id", P.prnd($"cos", 6).as("cosine"), $"rank")
+      .orderBy($"q_id", $"rank")
+  }
+
   /** Recall@k of the trained-quantizer ANN path ([[ivfKmeansTopk]])
     * against the exact brute-force baseline — the IVF twin of
     * [[recall]]: before serving a trained index, measure what fraction
@@ -1098,5 +1157,6 @@ object Similarity {
   }
 
   val defs: Seq[QueryDef] = Seq(bruteforce, lshTopk, pairStats, recall, ivfTopk,
-    kmTrain, ivfKmeansTopk, kmRecall, pqTopk, pqRecall, ivfpqTopk, mmrTopk)
+    kmTrain, ivfKmeansTopk, kmRecall, filteredTopk, pqTopk, pqRecall,
+    ivfpqTopk, mmrTopk)
 }
