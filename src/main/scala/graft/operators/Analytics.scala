@@ -72,6 +72,37 @@ object Analytics {
       .orderBy($"day")
   }
 
+  /** Daily active users split into NEW vs RETURNING — the acquisition/
+    * retention headline every dashboard pairs with the timeline. One
+    * (user, day) dedup aggregate, then the user's first-seen day as a
+    * whole-partition window min (WindowExec sorts by user_id only — no
+    * (user, ts) sort) riding the user-keyed exchange, then a day-keyed
+    * rollup. Every relation is user- or day-cardinality and every join/
+    * window key is the partitioning key — nothing broadcast, nothing
+    * quadratic; AQE splits skewed users.
+    */
+  val newVsReturning = QueryDef(
+    "an_new_vs_returning",
+    s"""WITH ${PS.evCte},
+       |d AS MATERIALIZED (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM ev),
+       |m AS MATERIALIZED (SELECT day,
+       |    min(day) OVER (PARTITION BY user_id) AS first_day FROM d)
+       |SELECT day, CAST(SUM(CASE WHEN day = first_day THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+       |  CAST(SUM(CASE WHEN day > first_day THEN 1 ELSE 0 END) AS BIGINT) AS n_returning
+       |FROM m GROUP BY day ORDER BY day""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val d = Tables.events(s, dir)
+      .select($"user_id", $"ts".cast("date").as("day"))
+      .distinct()
+    val w = Window.partitionBy($"user_id")
+    d.withColumn("first_day", min($"day").over(w))
+      .groupBy($"day")
+      .agg(sum(when($"day" === $"first_day", 1L).otherwise(0L)).as("n_new"),
+        sum(when($"day" > $"first_day", 1L).otherwise(0L)).as("n_returning"))
+      .orderBy($"day")
+  }
+
   /** Top-8 sources by document count (top-subreddits analog). */
   val topGroups = QueryDef(
     "an_top_groups",
@@ -1139,7 +1170,7 @@ object Analytics {
     }.reduce(_ unionAll _).orderBy($"type_a", $"type_b")
   }
 
-  val defs: Seq[QueryDef] = Seq(timeline, timelineDense, topGroups, dowActivity, valueBuckets,
+  val defs: Seq[QueryDef] = Seq(timeline, timelineDense, newVsReturning, topGroups, dowActivity, valueBuckets,
     commentBuckets, quantiles, keywordMentions, explorer, userActivity,
     rollingActive, retention, spikeDays, conversion, sessionStats, gini,
     hllUsers, cmTopk, trend, histQuantiles, concurrency, abTest, sessionPaths,

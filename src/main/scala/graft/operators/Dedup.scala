@@ -112,7 +112,11 @@ object Dedup {
   def lshCandM(s: SparkSession, dir: String): DataFrame =
     graft.MatStore.of(s, s"dd_lsh_cand:$dir")(lshCandidates(minhashBands(s, dir)))
 
-  private def minhashBandsOf(s: SparkSession, withW: DataFrame): DataFrame = {
+  /** (doc_id, mh0..mh15) MinHash signatures over the shared tokenization
+    * — the banding-independent core, shared by the production banding
+    * ([[minhashBandsOf]]) and the tuning sweep ([[lshTuning]]).
+    */
+  private def minhashSigsOf(s: SparkSession, withW: DataFrame): DataFrame = {
     import s.implicits._
     // native codegen shingles (functions.ShingleJoin) — the HOF
     // formulation ran the per-shingle lambda interpreted
@@ -123,7 +127,12 @@ object Dedup {
     val mhAggs = (0 until NumHashes).map { j =>
       min((lit(minhashA(j)) * $"h" + lit(minhashB(j))) % MinhashP).as(s"mh$j")
     }
-    val mh = shH.groupBy($"doc_id").agg(mhAggs.head, mhAggs.tail: _*)
+    shH.groupBy($"doc_id").agg(mhAggs.head, mhAggs.tail: _*)
+  }
+
+  private def minhashBandsOf(s: SparkSession, withW: DataFrame): DataFrame = {
+    import s.implicits._
+    val mh = minhashSigsOf(s, withW)
     val keys = (0 until NumBands).map { b =>
       struct(lit(b).as("band"),
         concat_ws(",", (0 until RowsPerBand).map(r =>
@@ -191,14 +200,13 @@ object Dedup {
   /** Shared oracle CTE chain exposing lsh_cand(doc_a, doc_b) — the exact
     * SQL twin of [[minhashBands]] + [[lshCandidates]], bucket cap included.
     */
-  private val lshSql = {
+  /** Oracle CTE text for the signature core (toks/shingled/shh/mh) —
+    * the SQL twin of [[minhashSigsOf]], shared by [[lshSql]] and the
+    * tuning sweep.
+    */
+  private val mhSql = {
     val mhMins = (0 until NumHashes).map(j =>
       s"MIN((${minhashA(j)} * h + ${minhashB(j)}) % $MinhashP) AS mh$j").mkString(",\n    ")
-    val bandSelects = (0 until NumBands).map { b =>
-      val key = (0 until RowsPerBand).map(r => s"CAST(mh${b * RowsPerBand + r} AS VARCHAR)")
-        .mkString(" || ',' || ")
-      s"SELECT doc_id, $b AS band, $key AS bkey FROM mh"
-    }.mkString("\n  UNION ALL ")
     s"""toks AS MATERIALIZED (SELECT doc_id, string_split(text, ' ') AS w FROM documents
        |  WHERE len(string_split(text, ' ')) >= $ShingleK),
        |shingled AS MATERIALIZED (SELECT doc_id,
@@ -208,7 +216,16 @@ object Dedup {
        |shh AS MATERIALIZED (SELECT doc_id, ${PS.hexToLong("md5(s)", 1, 8)} AS h FROM shingled),
        |mh AS MATERIALIZED (SELECT doc_id,
        |    $mhMins
-       |  FROM shh GROUP BY doc_id),
+       |  FROM shh GROUP BY doc_id)""".stripMargin
+  }
+
+  private val lshSql = {
+    val bandSelects = (0 until NumBands).map { b =>
+      val key = (0 until RowsPerBand).map(r => s"CAST(mh${b * RowsPerBand + r} AS VARCHAR)")
+        .mkString(" || ',' || ")
+      s"SELECT doc_id, $b AS band, $key AS bkey FROM mh"
+    }.mkString("\n  UNION ALL ")
+    s"""$mhSql,
        |bands AS MATERIALIZED (
        |  $bandSelects),
        |${saltedCapSql("capped", "bands", "doc_id")},
@@ -223,6 +240,74 @@ object Dedup {
     s"""WITH $lshSql
        |SELECT doc_a, doc_b FROM lsh_cand ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
     lshCandM(s, dir).orderBy("doc_a", "doc_b")
+  }
+
+  /** The banding factorizations of [[NumHashes]] the tuning sweep
+    * measures — every (bands, rows) with bands·rows = 16.
+    */
+  private val TuneConfigs = Seq((1, 16), (2, 8), (4, 4), (8, 2), (16, 1))
+
+  /** LSH parameter-tuning sweep — how a pipeline QUALIFIES its banding
+    * before committing a 100 TB dedup run. For every factorization
+    * b·r = 16 of the signature, the measured candidate-pair volume under
+    * that banding plus the config's theoretical s-curve midpoint
+    * (1/b)^(1/r) — the Jaccard similarity at which the match probability
+    * 1−(1−s^r)^b crosses ~50%. More bands = lower threshold = more
+    * recall AND more candidate volume (the verify-stage cost); the
+    * sweep exposes that trade as data (monotone 18→27 pairs on this
+    * corpus). All five bandings read ONE shared signature build
+    * (MatStore — 16 minhashes is the expensive pass; re-banding is a
+    * projection), each banding's count is a bucket-keyed self-join
+    * exactly like production, and the output is 5 rows. Thresholds are
+    * Scala-computed literals emitted into both engines, so no libm
+    * pow() coupling. The production path additionally salts oversized
+    * buckets ([[MaxBucket]]); the sweep reports RAW volume — the tuning
+    * signal — and stays uncapped by design.
+    */
+  val lshTuning = QueryDef(
+    "dd_lsh_tuning", {
+      val rows = TuneConfigs.zipWithIndex.map { case ((nb, r), i) =>
+        val sels = (0 until nb).map { b =>
+          val key = (0 until r).map(j => s"CAST(mh${b * r + j} AS VARCHAR)")
+            .mkString(" || ',' || ")
+          s"SELECT doc_id, $b AS band, $key AS bkey FROM mh"
+        }.mkString("\n  UNION ALL ")
+        val thr = math.floor(math.pow(1.0 / nb, 1.0 / r) * 1e6 + 0.5) / 1e6
+        (s"""bands_$i AS MATERIALIZED (
+            |  $sels),
+            |cand_$i AS MATERIALIZED (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+            |  FROM bands_$i a JOIN bands_$i b ON a.band = b.band AND a.bkey = b.bkey
+            |    AND a.doc_id < b.doc_id)""".stripMargin,
+          s"""SELECT CAST($nb AS BIGINT) AS bands, CAST($r AS BIGINT) AS rows_per_band,
+             |  $thr AS s_threshold,
+             |  (SELECT CAST(COUNT(*) AS BIGINT) FROM cand_$i) AS n_candidates""".stripMargin)
+      }
+      s"""WITH $mhSql,
+         |${rows.map(_._1).mkString(",\n")}
+         |${rows.map(_._2).mkString("\nUNION ALL ")}
+         |ORDER BY bands""".stripMargin
+    }) { (s, dir) =>
+    import s.implicits._
+    val sigs = graft.MatStore.of(s, s"dd_mh_sigs:$dir")(
+      minhashSigsOf(s, tokenizedM(s, dir)))
+    val rows = TuneConfigs.map { case (nb, r) =>
+      val keys = (0 until nb).map { b =>
+        struct(lit(b).as("band"),
+          concat_ws(",", (0 until r).map(j =>
+            col(s"mh${b * r + j}").cast("string")): _*).as("bkey"))
+      }
+      val bands = sigs.select($"doc_id", explode(array(keys: _*)).as("bk"))
+        .select($"doc_id", $"bk.band".as("band"), $"bk.bkey".as("bkey"))
+      val a = bands.select($"doc_id".as("doc_a"), $"band", $"bkey")
+      val b = bands.select($"doc_id".as("doc_b"), $"band", $"bkey")
+      val thr = math.floor(math.pow(1.0 / nb, 1.0 / r) * 1e6 + 0.5) / 1e6
+      a.join(b, Seq("band", "bkey")).filter($"doc_a" < $"doc_b")
+        .select($"doc_a", $"doc_b").distinct()
+        .agg(P.cnt.as("n_candidates"))
+        .select(lit(nb.toLong).as("bands"), lit(r.toLong).as("rows_per_band"),
+          lit(thr).as("s_threshold"), $"n_candidates")
+    }
+    rows.reduce(_ unionAll _).orderBy($"bands")
   }
 
   /** Oracle CTE chain (appended after [[lshSql]]) exposing
@@ -638,6 +723,6 @@ object Dedup {
           .as("dup_coverage"))
   }
 
-  val defs: Seq[QueryDef] = Seq(exact, minhashLsh, ngramJaccard, clusters, simhash,
-    embedding, recallGate, spanCoverage)
+  val defs: Seq[QueryDef] = Seq(exact, minhashLsh, lshTuning, ngramJaccard, clusters,
+    simhash, embedding, recallGate, spanCoverage)
 }

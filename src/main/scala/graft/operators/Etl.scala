@@ -569,6 +569,49 @@ object Etl {
       .orderBy($"split")
   }
 
+  /** Columns the profiler reports on — a declared list, the schema
+    * contract of the profile (never inferred at run time).
+    */
+  private val ProfileCols = Seq("user_id", "event_type", "value", "props")
+
+  /** Column-level data-quality profile of the events feed — null count
+    * and exact distinct cardinality per declared column, the profiling
+    * pass every ingest pipeline runs before trusting a new drop (nulls
+    * spiking = upstream schema drift; distinct collapsing = a constant
+    * column). ONE scan: the null counts are plain map-side sums and the
+    * multi-column COUNT(DISTINCT) plans a single Expand(k×) pass —
+    * versus k separate scans of a 100 TB feed. Exact distinct is the
+    * oracle-SF choice; the documented 100 TB switch is
+    * approx_count_distinct (HLL, the an_hll_users machinery), same plan
+    * shape with constant-size partials.
+    */
+  val profileColumns = QueryDef(
+    "etl_profile_columns",
+    s"""WITH ${PS.evCte},
+       |a AS MATERIALIZED (SELECT COUNT(*) AS n_rows,
+       |  ${ProfileCols.map(c =>
+            s"SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS ${c}_nulls, " +
+            s"COUNT(DISTINCT $c) AS ${c}_dist").mkString(",\n  |  ")}
+       |FROM ev)
+       |${ProfileCols.map(c =>
+            s"SELECT '$c' AS col_name, CAST(n_rows AS BIGINT) AS n_rows, " +
+            s"CAST(${c}_nulls AS BIGINT) AS n_nulls, CAST(${c}_dist AS BIGINT) AS n_distinct FROM a")
+            .mkString("\n|UNION ALL ")}
+       |ORDER BY col_name""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val aggs = (P.cnt.as("n_rows") +: ProfileCols.flatMap(c => Seq(
+      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}_nulls"),
+      count_distinct(col(c)).as(s"${c}_dist")))).toIndexedSeq
+    val a = Tables.events(s, dir).agg(aggs.head, aggs.tail: _*)
+    val stackArgs = ProfileCols
+      .map(c => s"'$c', ${c}_nulls, ${c}_dist").mkString(", ")
+    a.select(
+        expr(s"stack(${ProfileCols.size}, $stackArgs) AS (col_name, n_nulls, n_distinct)"),
+        $"n_rows")
+      .select($"col_name", $"n_rows", $"n_nulls", $"n_distinct")
+      .orderBy($"col_name")
+  }
+
   /** Output shard count of the global shuffle — a deployment knob; 16
     * keeps every shard non-trivially occupied at sf0.01.
     */
@@ -607,5 +650,5 @@ object Etl {
 
   val defs: Seq[QueryDef] = Seq(cleanText, filterEnrich, dedupIngest, parseJson,
     sessionize, stratifiedSample, corpusPrep, compactLatest, packSequences, scd2,
-    weightedSample, chunkOverlap, splitTrainVal, shardShuffle)
+    weightedSample, chunkOverlap, splitTrainVal, shardShuffle, profileColumns)
 }
