@@ -516,10 +516,12 @@ object Similarity {
   /** Exact brute-force (q_id, vec_id) pairs at rank ≤ [[LshTopK]] — the
     * baseline side both recall gates compare against.
     */
-  private def bruteTopkPairs(s: SparkSession, dir: String): DataFrame = {
+  private def bruteTopkPairs(s: SparkSession, dir: String,
+      onlyLabels: Option[Seq[Int]] = None): DataFrame = {
     import s.implicits._
-    val emb = Tables.embeddings(s, dir)
-    val q = emb.filter($"vec_id" < NumQueries)
+    val emb0 = Tables.embeddings(s, dir)
+    val emb = onlyLabels.fold(emb0)(ls => emb0.filter($"label".isin(ls: _*)))
+    val q = emb0.filter($"vec_id" < NumQueries)
       .select($"vec_id".as("q_id"), $"embedding".as("qe"))
     val w = Window.partitionBy($"q_id").orderBy(P.prnd($"cos", 6).desc, $"vec_id")
     emb.crossJoin(broadcast(q))
@@ -588,42 +590,108 @@ object Similarity {
     * (assignment ⋈ broadcast probe list ⋈ filtered embeddings), so the
     * filter costs a predicate, not a new topology.
     */
-  val filteredTopk = QueryDef(
-    "sim_filtered_topk",
-    s"""WITH $kmSql,
-       |$kqcSql,
-       |fcand AS MATERIALIZED (SELECT qc.q_id, a.vec_id,
+  /** Oracle CTE text of the filtered probe ranking (fcand/frk) —
+    * appended after kmSql + kqcSql; shared by [[filteredTopk]] and
+    * [[filteredRecall]] so both measure the same filtered path.
+    */
+  private val fProbeSql =
+    s"""fcand AS MATERIALIZED (SELECT qc.q_id, a.vec_id,
        |    list_cosine_similarity(CAST(qe.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])) AS cos
        |  FROM kqc qc
        |  JOIN kaf a ON a.cell = qc.cell AND a.vec_id <> qc.q_id
        |  JOIN embeddings e ON e.vec_id = a.vec_id
        |    AND e.label IN (${FilterLabels.mkString(", ")})
-       |  JOIN embeddings qe ON qe.vec_id = qc.q_id)
-       |SELECT q_id, vec_id, cosine, rank FROM (
-       |  SELECT q_id, vec_id, ${PS.prnd("cos", 6)} AS cosine,
+       |  JOIN embeddings qe ON qe.vec_id = qc.q_id),
+       |frk AS MATERIALIZED (SELECT q_id, vec_id, ${PS.prnd("cos", 6)} AS cosine,
        |    CAST(row_number() OVER (PARTITION BY q_id
        |      ORDER BY ${PS.prnd("cos", 6)} DESC, vec_id) AS BIGINT) AS rank
-       |  FROM fcand) r
+       |  FROM fcand)""".stripMargin
+
+  /** MatStore-shared filtered probe ranking — the Spark twin of
+    * [[fProbeSql]]: the serving page ([[filteredTopk]]) and its recall
+    * gate ([[filteredRecall]]) read the SAME scored list.
+    */
+  private def filteredRankedM(s: SparkSession, dir: String): DataFrame =
+    graft.MatStore.of(s, s"sim_km_fprobe:$dir") {
+      import s.implicits._
+      val emb = Tables.embeddings(s, dir)
+      val qcells = kmQueryCells(s, dir)
+      val w = Window.partitionBy($"q_id").orderBy(P.prnd($"cos", 6).desc, $"vec_id")
+      kmAssign(s, dir).select($"vec_id", $"cell")
+        .join(broadcast(qcells), "cell")
+        .filter($"vec_id" =!= $"q_id")
+        // pre-filter: the predicate rides the embeddings scan
+        // (PushedFilters) — no cosine is ever computed for an
+        // ineligible vector
+        .join(emb.filter($"label".isin(FilterLabels: _*))
+          .select($"vec_id", $"embedding"), "vec_id")
+        .join(broadcast(emb.filter($"vec_id" < NumQueries)
+          .select($"vec_id".as("q_id"), $"embedding".as("qe"))), "q_id")
+        .select($"q_id", $"vec_id", expr("graft_cosine(qe, embedding)").as("cos"))
+        .withColumn("rank", row_number().over(w).cast("long"))
+    }
+
+  val filteredTopk = QueryDef(
+    "sim_filtered_topk",
+    s"""WITH $kmSql,
+       |$kqcSql,
+       |$fProbeSql
+       |SELECT q_id, vec_id, cosine, rank FROM frk
        |WHERE rank <= $LshTopK
        |ORDER BY q_id, rank""".stripMargin) { (s, dir) =>
     import s.implicits._
-    val emb = Tables.embeddings(s, dir)
-    val qcells = kmQueryCells(s, dir)
-    val w = Window.partitionBy($"q_id").orderBy(P.prnd($"cos", 6).desc, $"vec_id")
-    kmAssign(s, dir).select($"vec_id", $"cell")
-      .join(broadcast(qcells), "cell")
-      .filter($"vec_id" =!= $"q_id")
-      // pre-filter: the predicate rides the embeddings scan (PushedFilters)
-      // — no cosine is ever computed for an ineligible vector
-      .join(emb.filter($"label".isin(FilterLabels: _*))
-        .select($"vec_id", $"embedding"), "vec_id")
-      .join(broadcast(emb.filter($"vec_id" < NumQueries)
-        .select($"vec_id".as("q_id"), $"embedding".as("qe"))), "q_id")
-      .select($"q_id", $"vec_id", expr("graft_cosine(qe, embedding)").as("cos"))
-      .withColumn("rank", row_number().over(w).cast("long"))
+    filteredRankedM(s, dir)
       .filter($"rank" <= LshTopK)
       .select($"q_id", $"vec_id", P.prnd($"cos", 6).as("cosine"), $"rank")
       .orderBy($"q_id", $"rank")
+  }
+
+  /** Recall@k of the filtered ANN path against the exact FILTERED
+    * brute-force baseline — the gate that closes the filtered stage the
+    * way sim_kmeans_recall closes the unfiltered one. The baseline
+    * applies the same label predicate before ranking (exact top-k over
+    * eligible vectors); the measured loss is therefore IVF's probe
+    * approximation alone, under the filter — exactly what a deployment
+    * must qualify, because selective filters thin the probed cells and
+    * can degrade recall below the unfiltered figure.
+    */
+  val filteredRecall = QueryDef(
+    "sim_filtered_recall",
+    s"""WITH $kmSql,
+       |bq AS MATERIALIZED (SELECT vec_id AS q_id, embedding AS qe FROM embeddings
+       |    WHERE vec_id < $NumQueries),
+       |bsc AS MATERIALIZED (SELECT q_id, vec_id,
+       |    list_cosine_similarity(CAST(qe AS DOUBLE[]), CAST(embedding AS DOUBLE[])) AS cos
+       |  FROM bq, embeddings WHERE vec_id <> q_id
+       |    AND label IN (${FilterLabels.mkString(", ")})),
+       |brk AS MATERIALIZED (SELECT q_id, vec_id,
+       |    CAST(row_number() OVER (PARTITION BY q_id
+       |      ORDER BY ${PS.prnd("cos", 6)} DESC, vec_id) AS BIGINT) AS rank
+       |  FROM bsc),
+       |$kqcSql,
+       |$fProbeSql,
+       |hits AS MATERIALIZED (SELECT b.q_id, COUNT(*) AS n_hits
+       |  FROM brk b JOIN frk l ON l.q_id = b.q_id AND l.vec_id = b.vec_id
+       |  WHERE b.rank <= $LshTopK AND l.rank <= $LshTopK
+       |  GROUP BY b.q_id)
+       |SELECT q.q_id AS q_id, CAST($LshTopK AS BIGINT) AS k,
+       |  CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+       |  ${PS.prnd(s"CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / $LshTopK", 6)} AS recall
+       |FROM bq q LEFT JOIN hits h ON h.q_id = q.q_id
+       |ORDER BY q.q_id""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val brk = bruteTopkPairs(s, dir, onlyLabels = Some(FilterLabels))
+    val frk = filteredRankedM(s, dir)
+      .filter($"rank" <= LshTopK).select($"q_id", $"vec_id")
+    val hits = brk.join(frk, Seq("q_id", "vec_id"))
+      .groupBy($"q_id").agg(P.cnt.as("n_hits"))
+    Tables.embeddings(s, dir).filter($"vec_id" < NumQueries)
+      .select($"vec_id".as("q_id"))
+      .join(hits, Seq("q_id"), "left")
+      .select($"q_id", lit(LshTopK.toLong).as("k"),
+        coalesce($"n_hits", lit(0L)).as("n_hits"),
+        P.prnd(coalesce($"n_hits", lit(0L)).cast("double") / LshTopK, 6).as("recall"))
+      .orderBy($"q_id")
   }
 
   /** Recall@k of the trained-quantizer ANN path ([[ivfKmeansTopk]])
@@ -1157,6 +1225,6 @@ object Similarity {
   }
 
   val defs: Seq[QueryDef] = Seq(bruteforce, lshTopk, pairStats, recall, ivfTopk,
-    kmTrain, ivfKmeansTopk, kmRecall, filteredTopk, pqTopk, pqRecall,
-    ivfpqTopk, mmrTopk)
+    kmTrain, ivfKmeansTopk, kmRecall, filteredTopk, filteredRecall, pqTopk,
+    pqRecall, ivfpqTopk, mmrTopk)
 }
