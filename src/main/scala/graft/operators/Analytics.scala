@@ -530,6 +530,74 @@ object Analytics {
       .orderBy($"event_type")
   }
 
+  /** The declared top-fractions (percent) the concentration report
+    * evaluates.
+    */
+  private val ParetoPcts = Seq(1L, 5L, 10L, 25L)
+
+  /** Activity concentration ("top X% of users produce Y% of events") —
+    * an_gini's actionable sibling: the Pareto shares a capacity planner
+    * or abuse team actually reads. Same 100 TB trick as an_gini: never
+    * rank users individually (that is a global sort of a user-cardinality
+    * relation); aggregate to the DISTINCT-ACTIVITY-VALUE histogram
+    * (bounded by max per-user activity, thousands of rows at any corpus
+    * size), take exclusive prefix sums from the top, and locate each
+    * declared cutoff rank k = ⌈N·p/100⌉ inside its histogram bucket —
+    * mass = se + (k − pu)·v, all exact integers. The windows and the
+    * 4-row cutoff join run over the BOUNDED histogram (the global window
+    * and the inequality join are constant-size by construction — the
+    * corpus-scale work is the two hash aggregates feeding it).
+    */
+  val paretoShare = QueryDef(
+    "an_pareto_share",
+    s"""WITH ${PS.evCte},
+       |ua AS MATERIALIZED (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS c
+       |  FROM ev GROUP BY 1),
+       |h AS MATERIALIZED (SELECT c AS v, CAST(COUNT(*) AS BIGINT) AS nv FROM ua GROUP BY 1),
+       |t AS MATERIALIZED (SELECT SUM(nv) AS n, SUM(nv * v) AS tot FROM h),
+       |p AS MATERIALIZED (SELECT v, nv,
+       |    COALESCE(SUM(nv) OVER (ORDER BY v DESC
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pu,
+       |    COALESCE(SUM(nv * v) OVER (ORDER BY v DESC
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS se
+       |  FROM h),
+       |ks AS MATERIALIZED (SELECT pct,
+       |    CAST(((SELECT n FROM t) * pct + 99) // 100 AS BIGINT) AS k
+       |  FROM (SELECT unnest([${ParetoPcts.mkString(", ")}]) AS pct)),
+       |m AS MATERIALIZED (SELECT ks.pct, ks.k,
+       |    CAST(p.se + (ks.k - p.pu) * p.v AS BIGINT) AS mass
+       |  FROM ks JOIN p ON p.pu < ks.k AND ks.k <= p.pu + p.nv)
+       |SELECT CAST(pct AS BIGINT) AS top_pct, k AS k_users, mass AS events_topk,
+       |  (SELECT CAST(tot AS BIGINT) FROM t) AS total_events,
+       |  ${PS.prnd("CAST(mass AS DOUBLE) / CAST((SELECT tot FROM t) AS DOUBLE)", 6)} AS share
+       |FROM m ORDER BY top_pct""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    val ua = Tables.events(s, dir).groupBy($"user_id").agg(P.cnt.as("c"))
+    val h = ua.groupBy($"c".as("v")).agg(P.cnt.as("nv"))
+    val t = h.agg(sum($"nv".cast(DecimalType(38, 0))).as("n"),
+      sum(($"nv" * $"v").cast(DecimalType(38, 0))).as("tot"))
+    // global window over the HISTOGRAM — bounded by distinct activity
+    // values, not users, so the single-partition sort is constant-size
+    val w = Window.orderBy($"v".desc).rowsBetween(Window.unboundedPreceding, -1)
+    val p = h.select($"v", $"nv",
+      coalesce(sum($"nv").over(w), lit(0L)).as("pu"),
+      coalesce(sum($"nv" * $"v").over(w), lit(0L)).as("se"))
+    val ks = t.select(
+        explode(array(ParetoPcts.map(lit(_)): _*)).as("pct"), $"n", $"tot")
+      .select($"pct", expr("(n * pct + 99) div 100").as("k"), $"tot")
+    // 4-row cutoff relation × bounded histogram: the inequality join is
+    // constant-size by construction (never corpus-scaling data)
+    ks.join(p, $"pu" < $"k" && $"k" <= $"pu" + $"nv")
+      .select($"pct".as("top_pct"), $"k".as("k_users"),
+        ($"se" + ($"k" - $"pu") * $"v").cast("long").as("events_topk"),
+        $"tot".cast("long").as("total_events"),
+        P.prnd(($"se" + ($"k" - $"pu") * $"v").cast("double")
+          / $"tot".cast("double"), 6).as("share"))
+      .orderBy($"top_pct")
+  }
+
   /** Bit-portable HyperLogLog distinct-user sketch per event type, with
     * the exact count and relative error alongside (the honest eval pair,
     * like sim_recall): 64 registers from the md5 of the user id — 6 index
@@ -1172,7 +1240,7 @@ object Analytics {
 
   val defs: Seq[QueryDef] = Seq(timeline, timelineDense, newVsReturning, topGroups, dowActivity, valueBuckets,
     commentBuckets, quantiles, keywordMentions, explorer, userActivity,
-    rollingActive, retention, spikeDays, conversion, sessionStats, gini,
+    rollingActive, retention, spikeDays, conversion, sessionStats, gini, paretoShare,
     hllUsers, cmTopk, trend, histQuantiles, concurrency, abTest, sessionPaths,
     pivotDaily, kmvOverlap)
 }

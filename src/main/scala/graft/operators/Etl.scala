@@ -361,32 +361,49 @@ object Etl {
     * global sort. Ordering ties break on event_id, so the history is
     * deterministic and engine-portable.
     */
+  /** Oracle CTE text (upd/ch/sc) of the SCD2 tier-change stream —
+    * appended after the `ev` CTE; shared by `etl_scd2` and
+    * `q_point_in_time` so both run on the SAME dimension history.
+    */
+  private[operators] val scdChangeSql: String =
+    """upd AS MATERIALIZED (SELECT user_id, ts, event_id,
+      |    CASE WHEN value > 100 THEN 'high' WHEN value > 10 THEN 'mid'
+      |      ELSE 'low' END AS tier
+      |  FROM ev WHERE event_type = 'purchase'),
+      |ch AS MATERIALIZED (SELECT user_id, ts, event_id, tier,
+      |    lag(tier) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      |  FROM upd),
+      |sc AS MATERIALIZED (SELECT user_id, ts, event_id, tier FROM ch
+      |  WHERE prev IS NULL OR prev <> tier)""".stripMargin
+
+  /** Spark twin of [[scdChangeSql]]: the consecutive-equal-filtered
+    * (user_id, ts, event_id, tier) change stream.
+    */
+  private[operators] def tierChanges(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val byUser = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    Tables.events(s, dir)
+      .filter($"event_type" === "purchase")
+      .select($"user_id", $"ts", $"event_id",
+        when($"value" > 100, "high").when($"value" > 10, "mid")
+          .otherwise("low").as("tier"))
+      .withColumn("prev", lag($"tier", 1).over(byUser))
+      .filter($"prev".isNull || $"prev" =!= $"tier")
+      .select($"user_id", $"ts", $"event_id", $"tier")
+  }
+
   val scd2 = QueryDef(
     "etl_scd2",
     s"""WITH ${PS.evCte},
-       |upd AS MATERIALIZED (SELECT user_id, ts, event_id,
-       |    CASE WHEN value > 100 THEN 'high' WHEN value > 10 THEN 'mid'
-       |      ELSE 'low' END AS tier
-       |  FROM ev WHERE event_type = 'purchase'),
-       |ch AS MATERIALIZED (SELECT user_id, ts, event_id, tier,
-       |    lag(tier) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
-       |  FROM upd),
-       |sc AS MATERIALIZED (SELECT user_id, ts, event_id, tier FROM ch
-       |  WHERE prev IS NULL OR prev <> tier)
+       |$scdChangeSql
        |SELECT user_id, CAST(row_number() OVER w AS BIGINT) AS version, tier,
        |  ts AS valid_from, lead(ts) OVER w AS valid_to,
        |  lead(ts) OVER w IS NULL AS is_current
        |FROM sc WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin) { (s, dir) =>
     import s.implicits._
     val byUser = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
-    val upd = Tables.events(s, dir)
-      .filter($"event_type" === "purchase")
-      .select($"user_id", $"ts", $"event_id",
-        when($"value" > 100, "high").when($"value" > 10, "mid")
-          .otherwise("low").as("tier"))
-    val sc = upd
-      .withColumn("prev", lag($"tier", 1).over(byUser))
-      .filter($"prev".isNull || $"prev" =!= $"tier")
+    val sc = tierChanges(s, dir)
     sc.select($"user_id",
         row_number().over(byUser).cast("long").as("version"), $"tier",
         $"ts".as("valid_from"), lead($"ts", 1).over(byUser).as("valid_to"),

@@ -1947,9 +1947,68 @@ object GraphOps {
       size(array_distinct(split($"path", ">"))).cast("long").as("n_unique"))
   }
 
+  /** 2-hop ego network of the top-weighted-degree hub — the "user focus"
+    * drill-down panel of a social dashboard: who the hub touches (1-hop),
+    * who shares a counterparty with it (2-hop — in this bipartite graph,
+    * same-type peers reached through a shared partner), and the edge/
+    * weight mass inside the ego subgraph. Scale shape: the seed is a
+    * TakeOrdered-1 row (constant, broadcast); each hop is a KEYED join
+    * of the undirected relation against the previous frontier — the
+    * 1-hop set of a real hub is data-scaling, so frontier and ego
+    * membership joins stay unhinted/size-driven (semi-join by key, never
+    * a collected id list); counts are scalar aggregates. This is one BFS
+    * frontier step of gr_closeness's landmark machinery, surfaced as a
+    * panel.
+    */
+  val grEgoNet = QueryDef(
+    "gr_ego_net",
+    s"""WITH $eNumSql,
+       |$undSql,
+       |wdeg AS MATERIALIZED (SELECT node, SUM(weight) AS wd FROM und GROUP BY node),
+       |seed AS MATERIALIZED (SELECT node FROM wdeg ORDER BY wd DESC, node LIMIT 1),
+       |h1 AS MATERIALIZED (SELECT DISTINCT nb AS node FROM und
+       |  WHERE node = (SELECT node FROM seed)),
+       |h2 AS MATERIALIZED (SELECT DISTINCT u.nb AS node
+       |  FROM und u JOIN h1 ON u.node = h1.node
+       |  WHERE u.nb <> (SELECT node FROM seed)
+       |    AND u.nb NOT IN (SELECT node FROM h1)),
+       |ego AS MATERIALIZED (SELECT node FROM seed
+       |  UNION SELECT node FROM h1 UNION SELECT node FROM h2),
+       |w_in AS MATERIALIZED (SELECT e.weight FROM e
+       |  JOIN ego a ON e.src = a.node JOIN ego b ON e.dst = b.node)
+       |SELECT (SELECT ${fmtNodeSql("node")} FROM seed) AS seed,
+       |  (SELECT CAST(COUNT(*) AS BIGINT) FROM h1) AS n_1hop,
+       |  (SELECT CAST(COUNT(*) AS BIGINT) FROM h2) AS n_2hop,
+       |  CAST(COUNT(*) AS BIGINT) AS n_edges_ego,
+       |  CAST(SUM(weight) AS BIGINT) AS w_ego
+       |FROM w_in""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val e = edgesNum(s, dir)
+    val und = undirected(e)
+    val seed = und.groupBy($"node").agg(sum($"weight").as("wd"))
+      .orderBy($"wd".desc, $"node").limit(1).select($"node".as("seed"))
+    val h1 = und.join(broadcast(seed), $"node" === $"seed")
+      .select($"nb".as("node")).distinct()
+    // frontier expansion: und keyed on node against the (hub-sized,
+    // data-scaling) 1-hop set — unhinted, so the planner/AQE picks by size
+    val h2 = und.join(h1.withColumnRenamed("node", "fn"), $"node" === $"fn")
+      .select($"nb".as("node")).distinct()
+      .join(broadcast(seed), $"node" === $"seed", "left_anti")
+      .join(h1, Seq("node"), "left_anti")
+    val ego = seed.select($"seed".as("node")).union(h1).union(h2).distinct()
+    val within = e
+      .join(ego.withColumnRenamed("node", "sn"), $"src" === $"sn")
+      .join(ego.withColumnRenamed("node", "dn"), $"dst" === $"dn")
+    within.agg(P.cnt.as("n_edges_ego"), sum($"weight").cast("long").as("w_ego"))
+      .crossJoin(broadcast(h1.agg(P.cnt.as("n_1hop"))))
+      .crossJoin(broadcast(h2.agg(P.cnt.as("n_2hop"))))
+      .crossJoin(broadcast(seed.select(fmtNode($"seed").as("seed"))))
+      .select($"seed", $"n_1hop", $"n_2hop", $"n_edges_ego", $"w_ego")
+  }
+
   val defs: Seq[QueryDef] = Seq(grEdges, grDegree, grDegreeDirected,
     grDegreeBuckets, grPagerank, grEigenvector, grComponents, grCloseness,
     grBetweenness, grInfluencers, grCommunities, grCommunityStats,
     grCommunityNames, grModularity, grLouvain, grGraphStats, grLinkPredict,
-    grTriangles, grKcore, grAssortativity, grRandomWalks)
+    grTriangles, grKcore, grAssortativity, grRandomWalks, grEgoNet)
 }

@@ -398,6 +398,62 @@ object Relational {
       .orderBy($"c_mktsegment")
   }
 
+  /** Point-in-time (temporal) feature lookup — enrich every view event
+    * with the user's tier AS OF that instant, where tiers come from the
+    * SCD2 change stream (`Etl.tierChanges`, shared with etl_scd2 so the
+    * lookup and the dimension are one history). This is the
+    * feature-store join that keeps training data leakage-free: a naive
+    * "current tier" join leaks the FUTURE into past examples, the
+    * classic offline/online skew bug. Re-expression is the q_asof_join
+    * shape — union-marker + running last(ignoreNulls) window — ONE
+    * exchange on user_id, per-partition state is one running value;
+    * never a per-probe interval scan or an exploding range join against
+    * the validity table. Ties at the same timestamp: the change sorts
+    * before the probe (a view at the purchase instant sees the new
+    * tier), multiple same-ts changes resolve by event_id — both
+    * deterministic and mirrored in the oracle. Views before any
+    * purchase keep NULL tier (no history yet — the honest answer).
+    */
+  val qPointInTime = QueryDef(
+    "q_point_in_time",
+    s"""WITH ${PS.evCte},
+       |${graft.operators.Etl.scdChangeSql},
+       |pv AS MATERIALIZED (SELECT user_id, ts, event_id FROM ev
+       |  WHERE event_type = 'view'),
+       |u AS MATERIALIZED (
+       |  SELECT user_id, ts, 1 AS is_chg, event_id AS mid, tier,
+       |    CAST(NULL AS BIGINT) AS probe_id FROM sc
+       |  UNION ALL
+       |  SELECT user_id, ts, 0, event_id, CAST(NULL AS VARCHAR), event_id FROM pv),
+       |m AS MATERIALIZED (SELECT user_id, ts, is_chg, probe_id,
+       |    last_value(tier IGNORE NULLS) OVER w AS tier,
+       |    last_value(CASE WHEN is_chg = 1 THEN ts END IGNORE NULLS) OVER w AS tier_since
+       |  FROM u
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, is_chg DESC, mid
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+       |SELECT probe_id AS event_id, user_id, ts, tier, tier_since
+       |FROM m WHERE is_chg = 0""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val sc = graft.operators.Etl.tierChanges(s, dir)
+    val pv = Tables.events(s, dir).filter($"event_type" === "view")
+      .select($"user_id", $"ts", $"event_id")
+    val chg = sc.select($"user_id", $"ts", lit(1).as("is_chg"),
+      $"event_id".as("mid"), $"tier", lit(null).cast("long").as("probe_id"))
+    val prb = pv.select($"user_id", $"ts", lit(0).as("is_chg"),
+      $"event_id".as("mid"), lit(null).cast("string").as("tier"),
+      $"event_id".as("probe_id"))
+    val w = Window.partitionBy($"user_id")
+      .orderBy($"ts", $"is_chg".desc, $"mid")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    chg.union(prb)
+      .select($"user_id", $"ts", $"is_chg", $"probe_id",
+        last($"tier", ignoreNulls = true).over(w).as("tier"),
+        last(when($"is_chg" === 1, $"ts"), ignoreNulls = true).over(w).as("tier_since"))
+      .filter($"is_chg" === 0)
+      .select($"probe_id".as("event_id"), $"user_id", $"ts", $"tier", $"tier_since")
+  }
+
   /** Band width (= bin width) of the range join, in microseconds. */
   private val BandUs = 3600L * 1000000L
 
@@ -455,5 +511,5 @@ object Relational {
   }
 
   val defs: Seq[QueryDef] = Seq(q1, q3, q5, qWindowRank, qAsofJoin, qRollup,
-    qBloomPrune, qAntiJoin, qRangeJoin)
+    qBloomPrune, qAntiJoin, qRangeJoin, qPointInTime)
 }
