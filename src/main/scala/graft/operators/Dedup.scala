@@ -574,6 +574,48 @@ object Dedup {
     * in-sample candidates, caught pairs, recall, and candidate
     * efficiency (what fraction of in-sample candidates verify).
     */
+  /** Cross-source duplication matrix — for each (source, source) pair,
+    * how many VERIFIED near-dup pairs straddle it and how similar they
+    * are. The question a training-data curator actually asks of the
+    * dedup output ("how much of crawl A is already in corpus B?") —
+    * it decides dedup ORDER and source PRIORITY (which copy survives
+    * first-wins). Built entirely on the shared verified-pair relation
+    * ([[jaccardPairs]], MatStore — the same pairs dd_ngram_jaccard
+    * reports); the two doc→source enrichments are doc_id-keyed joins
+    * against the documents table (size-driven — at 100 TB the pair
+    * relation is corpus×dup-rate-sized and shuffles; nothing here is
+    * broadcast by fiat). Source pairs canonicalize as
+    * (least, greatest) so the matrix is symmetric-upper; the mean
+    * Jaccard goes through the scaled-long exact mean.
+    */
+  val crossSource = QueryDef(
+    "dd_cross_source",
+    s"""WITH $lshSql,
+       |$verSql,
+       |pe AS MATERIALIZED (SELECT
+       |    least(da.source, db.source) AS source_a,
+       |    greatest(da.source, db.source) AS source_b,
+       |    v.jac
+       |  FROM ver v
+       |  JOIN documents da ON da.doc_id = v.doc_a
+       |  JOIN documents db ON db.doc_id = v.doc_b)
+       |SELECT source_a, source_b, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       |  ${PS.prnd(PS.davg(PS.prnd("jac", 6), 12), 6)} AS avg_jac
+       |FROM pe GROUP BY source_a, source_b
+       |ORDER BY source_a, source_b""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val docs = Tables.documents(s, dir).select($"doc_id", $"source")
+    jaccardPairs(s, dir)
+      .join(docs.select($"doc_id".as("doc_a"), $"source".as("sa")), "doc_a")
+      .join(docs.select($"doc_id".as("doc_b"), $"source".as("sb")), "doc_b")
+      .select(least($"sa", $"sb").as("source_a"),
+        greatest($"sa", $"sb").as("source_b"), $"jac")
+      .groupBy($"source_a", $"source_b")
+      .agg(P.cnt.as("n_pairs"),
+        P.prnd(P.davg(P.prnd($"jac", 6), 12), 6).as("avg_jac"))
+      .orderBy($"source_a", $"source_b")
+  }
+
   val recallGate = QueryDef(
     "dd_recall",
     s"""WITH $lshSql,
@@ -724,5 +766,5 @@ object Dedup {
   }
 
   val defs: Seq[QueryDef] = Seq(exact, minhashLsh, lshTuning, ngramJaccard, clusters,
-    simhash, embedding, recallGate, spanCoverage)
+    simhash, embedding, recallGate, spanCoverage, crossSource)
 }
