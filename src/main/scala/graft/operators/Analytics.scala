@@ -128,6 +128,25 @@ object Analytics {
       .orderBy($"dow")
   }
 
+  /** Day-of-week × hour activity heatmap — the traffic-rhythm panel next
+    * to the reference's day-of-week histogram. One hash aggregate to a
+    * 7×24-bounded matrix; scan-bound at any SF.
+    */
+  val hourlyHeatmap = QueryDef(
+    "an_hourly_heatmap",
+    s"""WITH ${PS.evCte}
+       |SELECT CAST(dayofweek(ts) + 1 AS BIGINT) AS dow,
+       |  CAST(hour(ts) AS BIGINT) AS hour, COUNT(*) AS n,
+       |  ${PS.dsum("value")} AS sum_value
+       |FROM ev GROUP BY 1, 2 ORDER BY dow, hour""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    Tables.events(s, dir)
+      .groupBy(dayofweek($"ts").cast("long").as("dow"),
+        hour($"ts").cast("long").as("hour"))
+      .agg(P.cnt.as("n"), P.dsum($"value").as("sum_value"))
+      .orderBy($"dow", $"hour")
+  }
+
   /** Value-bucket distribution (reference score categories >100/50/10/<10). */
   val valueBuckets = QueryDef(
     "an_value_buckets",
@@ -1238,7 +1257,7 @@ object Analytics {
     }.reduce(_ unionAll _).orderBy($"type_a", $"type_b")
   }
 
-  val defs: Seq[QueryDef] = Seq(timeline, timelineDense, newVsReturning, topGroups, dowActivity, valueBuckets,
+  val defs: Seq[QueryDef] = Seq(timeline, timelineDense, newVsReturning, topGroups, dowActivity, hourlyHeatmap, valueBuckets,
     commentBuckets, quantiles, keywordMentions, explorer, userActivity,
     rollingActive, retention, spikeDays, conversion, sessionStats, gini, paretoShare,
     hllUsers, cmTopk, trend, histQuantiles, concurrency, abTest, sessionPaths,

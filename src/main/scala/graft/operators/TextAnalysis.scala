@@ -316,6 +316,59 @@ object TextAnalysis {
       .filter($"rank" <= 3)
   }
 
+  /** Vocabulary-growth (Heaps-law) curve — cumulative distinct-term count
+    * as the corpus grows, by ingest-order decile. THE measurement behind
+    * the vocabulary-vs-hashing decision (`tx_keyterms` vs
+    * `tx_hashed_features`): if the curve hasn't flattened, a vocabulary
+    * join keeps growing with the corpus and feature hashing wins. Each
+    * term contributes exactly its FIRST occurrence (min doc_id — a
+    * term-keyed hash aggregate with map-side partials, the only
+    * corpus-scale work), deciles cut the doc-id RANGE (1-row min/max
+    * broadcast; for a monotonically-assigned ingest id, id range IS
+    * arrival order — the documented assumption), and the cumulative sum
+    * runs over 10 rows. Never a re-scan per prefix (the naive curve is
+    * 10 corpus scans), never a sort of the term relation.
+    */
+  val vocabGrowth = QueryDef(
+    "tx_vocab_growth",
+    s"""WITH t AS MATERIALIZED (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+       |  FROM documents),
+       |f AS MATERIALIZED (SELECT w, MIN(doc_id) AS fd FROM t GROUP BY w),
+       |b AS MATERIALIZED (SELECT MIN(doc_id) AS lo, MAX(doc_id) AS hi FROM documents),
+       |d AS MATERIALIZED (SELECT
+       |    CAST(((fd - (SELECT lo FROM b)) * 10)
+       |      // ((SELECT hi FROM b) - (SELECT lo FROM b) + 1) AS BIGINT) AS decile,
+       |    CAST(COUNT(*) AS BIGINT) AS nt
+       |  FROM f GROUP BY 1),
+       |cal AS MATERIALIZED (SELECT unnest(range(0, 10)) AS decile)
+       |SELECT cal.decile AS decile, CAST(COALESCE(d.nt, 0) AS BIGINT) AS new_terms,
+       |  CAST(SUM(COALESCE(d.nt, 0)) OVER (ORDER BY cal.decile
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_vocab
+       |FROM cal LEFT JOIN d ON d.decile = cal.decile
+       |ORDER BY cal.decile""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val f = Tables.documents(s, dir)
+      .select($"doc_id", explode(split($"text", " ")).as("w"))
+      .groupBy($"w").agg(min($"doc_id").as("fd"))
+    val b = Tables.documents(s, dir)
+      .agg(min($"doc_id").as("lo"), max($"doc_id").as("hi"))
+    val d = f.crossJoin(broadcast(b))
+      .groupBy(expr("((fd - lo) * 10) div (hi - lo + 1)").as("decile"))
+      .agg(P.cnt.as("nt"))
+    // zero-fill the declared 10 deciles (a saturated-vocabulary decile
+    // with no first occurrences must read 0, not vanish) — then the
+    // cumulative window runs over exactly 10 rows
+    val cal = Tables.documents(s, dir).sparkSession.range(0, 10)
+      .select($"id".as("decile"))
+    val w = Window.orderBy($"decile")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cal.join(d, Seq("decile"), "left")
+      .select($"decile", coalesce($"nt", lit(0L)).as("new_terms"))
+      .select($"decile", $"new_terms", sum($"new_terms").over(w).as("cum_vocab"))
+      .orderBy($"decile")
+  }
+
   /** Within-document repetition ratio — the boilerplate/degenerate-text
     * quality signal (CCNet-style): 1 − distinct-3-grams / total-3-grams.
     * High ratio = repeated boilerplate or looping generations, the stuff a
@@ -681,7 +734,7 @@ object TextAnalysis {
   }
 
   val defs: Seq[QueryDef] = Seq(langId, quality, tokenCount, fingerprint,
-    contamination, ngramStats, keyterms, hashedFeatures, repetition,
-    boilerplate, corpusMixture, piiScrub, lmScore, gopherRules,
+    contamination, ngramStats, keyterms, hashedFeatures, vocabGrowth,
+    repetition, boilerplate, corpusMixture, piiScrub, lmScore, gopherRules,
     langidConfusion)
 }

@@ -77,7 +77,18 @@ object ScaleTrend {
       // late-r11: the span-hash shuffle, the KMV top-k + exact pair,
       // the per-label TakeOrdered union, and the binary frame explode
       "dd_span_coverage", "an_kmv_overlap", "sent_examples",
-      "mm_frame_index")
+      "mm_frame_index",
+      // this session: the bin-decomposed band join (NOTE: its MATCH
+      // volume scales with events × band density — the replica multiplies
+      // density too, so super-linear time here is the query's semantics,
+      // not a plan defect; what must stay absent is a nested-loop plan),
+      // the banding sweep's uncapped self-joins, the temporal feature
+      // lookup, the histogram Pareto, the constant-df hashed vectorizer,
+      // the frontier-join ego net, and the cross-source dup matrix
+      "q_range_join", "dd_lsh_tuning", "q_point_in_time",
+      "an_pareto_share", "tx_hashed_features", "gr_ego_net",
+      "dd_cross_source", "sim_filtered_topk", "etl_shard_shuffle",
+      "etl_profile_columns")
     def time(name: String, dir: String): Double = {
       val fn = SparkEntry.queries(name)
       (1 to 2).map { _ =>
