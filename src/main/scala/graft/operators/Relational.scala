@@ -405,10 +405,13 @@ object Relational {
     * feature-store join that keeps training data leakage-free: a naive
     * "current tier" join leaks the FUTURE into past examples, the
     * classic offline/online skew bug. Re-expression is the q_asof_join
-    * shape — union-marker + running last(ignoreNulls) window — ONE
-    * exchange on user_id, per-partition state is one running value;
-    * never a per-probe interval scan or an exploding range join against
-    * the validity table. Ties at the same timestamp: the change sorts
+    * shape — union-marker + running last(ignoreNulls) window. TWO
+    * user-keyed exchanges total (one inside the shared change-detection
+    * window, one for the union lookup window — the probes enter
+    * unpartitioned, so the second is unavoidable without co-partitioned
+    * storage), per-partition state is one running value; never a
+    * per-probe interval scan or an exploding range join against the
+    * validity table. Ties at the same timestamp: the change sorts
     * before the probe (a view at the purchase instant sees the new
     * tier), multiple same-ts changes resolve by event_id — both
     * deterministic and mirrored in the oracle. Views before any
