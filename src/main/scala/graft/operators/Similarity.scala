@@ -612,24 +612,30 @@ object Similarity {
     * gate ([[filteredRecall]]) read the SAME scored list.
     */
   private def filteredRankedM(s: SparkSession, dir: String): DataFrame =
-    graft.MatStore.of(s, s"sim_km_fprobe:$dir") {
-      import s.implicits._
-      val emb = Tables.embeddings(s, dir)
-      val qcells = kmQueryCells(s, dir)
-      val w = Window.partitionBy($"q_id").orderBy(P.prnd($"cos", 6).desc, $"vec_id")
-      kmAssign(s, dir).select($"vec_id", $"cell")
-        .join(broadcast(qcells), "cell")
-        .filter($"vec_id" =!= $"q_id")
-        // pre-filter: the predicate rides the embeddings scan
-        // (PushedFilters) — no cosine is ever computed for an
-        // ineligible vector
-        .join(emb.filter($"label".isin(FilterLabels: _*))
-          .select($"vec_id", $"embedding"), "vec_id")
-        .join(broadcast(emb.filter($"vec_id" < NumQueries)
-          .select($"vec_id".as("q_id"), $"embedding".as("qe"))), "q_id")
-        .select($"q_id", $"vec_id", expr("graft_cosine(qe, embedding)").as("cos"))
-        .withColumn("rank", row_number().over(w).cast("long"))
-    }
+    graft.MatStore.of(s, s"sim_km_fprobe:$dir")(filteredRankedBuild(s, dir))
+
+  /** Pre-checkpoint filtered probe build — exposed for the plan-shape
+    * spec (the MatStore boundary truncates the query-level plan to a
+    * LogicalRDD, the candGramsBuild pattern).
+    */
+  private[graft] def filteredRankedBuild(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables.embeddings(s, dir)
+    val qcells = kmQueryCells(s, dir)
+    val w = Window.partitionBy($"q_id").orderBy(P.prnd($"cos", 6).desc, $"vec_id")
+    kmAssign(s, dir).select($"vec_id", $"cell")
+      .join(broadcast(qcells), "cell")
+      .filter($"vec_id" =!= $"q_id")
+      // pre-filter: the predicate rides the embeddings scan
+      // (PushedFilters) — no cosine is ever computed for an
+      // ineligible vector (spec-asserted)
+      .join(emb.filter($"label".isin(FilterLabels: _*))
+        .select($"vec_id", $"embedding"), "vec_id")
+      .join(broadcast(emb.filter($"vec_id" < NumQueries)
+        .select($"vec_id".as("q_id"), $"embedding".as("qe"))), "q_id")
+      .select($"q_id", $"vec_id", expr("graft_cosine(qe, embedding)").as("cos"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+  }
 
   val filteredTopk = QueryDef(
     "sim_filtered_topk",

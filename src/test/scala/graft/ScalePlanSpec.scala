@@ -122,6 +122,17 @@ class ScalePlanSpec extends GraftSuite {
     }
   }
 
+  test("sim_filtered_topk: the label predicate reaches the embeddings scan") {
+    // Pre-filter design: the metadata predicate must be a PUSHED filter
+    // on the embeddings parquet scan inside the probe build — if it
+    // drifts above the cosine projection (post-filter), every ineligible
+    // vector pays a cosine and selective filters silently return < k.
+    // Censused pre-checkpoint (MatStore truncates the query-level plan).
+    val plan = planOf(operators.Similarity.filteredRankedBuild(spark, sfDir))
+    assert(plan.contains("PushedFilters") && plan.matches("(?s).*In\\(label, \\[2,7\\]\\).*"),
+      s"label allowlist is not pushed to the embeddings scan:\n${plan.take(2000)}")
+  }
+
   test("q_range_join: bin decomposition plans equi-joins, never a nested loop") {
     // An inequality-only join plans BroadcastNestedLoopJoin (or a
     // cartesian product) — O(|probe|·|build|) comparisons with one side
