@@ -128,6 +128,55 @@ object Analytics {
       .orderBy($"dow")
   }
 
+  /** Inter-event gap distribution per user — the histogram that JUSTIFIES
+    * the sessionization threshold (etl_sessionize's 30-min gap is a knob;
+    * this is the data it should be read off of: a bimodal gap
+    * distribution separates within-session activity from between-visit
+    * silence, and the valley is the right cutoff). One user-keyed
+    * exchange (lag window — the same partitioning the session chain
+    * uses), then a CASE over DECLARED gap buckets into a bounded
+    * histogram; never a global sort, never per-user state beyond the one
+    * running lag value.
+    */
+  val eventGapDist = QueryDef(
+    "an_event_gap_dist",
+    s"""WITH ${PS.evCte},
+       |g AS MATERIALIZED (SELECT
+       |    epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id
+       |      ORDER BY ts, event_id) AS gap_us
+       |  FROM ev),
+       |b AS MATERIALIZED (SELECT CASE
+       |    WHEN gap_us < 60000000 THEN 'a_lt_1m'
+       |    WHEN gap_us < 300000000 THEN 'b_1_5m'
+       |    WHEN gap_us < 1800000000 THEN 'c_5_30m'
+       |    WHEN gap_us < 7200000000 THEN 'd_30m_2h'
+       |    ELSE 'e_gt_2h' END AS bucket,
+       |    gap_us
+       |  FROM g WHERE gap_us IS NOT NULL)
+       |SELECT bucket, COUNT(*) AS n,
+       |  CAST(MIN(gap_us) AS BIGINT) AS min_gap_us,
+       |  CAST(MAX(gap_us) AS BIGINT) AS max_gap_us
+       |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val g = Tables.events(s, dir)
+      .select((unix_micros($"ts")
+        - lag(unix_micros($"ts"), 1).over(w)).as("gap_us"))
+      .filter($"gap_us".isNotNull)
+    g.select(
+        when($"gap_us" < 60000000L, "a_lt_1m")
+          .when($"gap_us" < 300000000L, "b_1_5m")
+          .when($"gap_us" < 1800000000L, "c_5_30m")
+          .when($"gap_us" < 7200000000L, "d_30m_2h")
+          .otherwise("e_gt_2h").as("bucket"),
+        $"gap_us")
+      .groupBy($"bucket")
+      .agg(P.cnt.as("n"), min($"gap_us").as("min_gap_us"),
+        max($"gap_us").as("max_gap_us"))
+      .orderBy($"bucket")
+  }
+
   /** Day-of-week × hour activity heatmap — the traffic-rhythm panel next
     * to the reference's day-of-week histogram. One hash aggregate to a
     * 7×24-bounded matrix; scan-bound at any SF.
@@ -1259,7 +1308,7 @@ object Analytics {
 
   val defs: Seq[QueryDef] = Seq(timeline, timelineDense, newVsReturning, topGroups, dowActivity, hourlyHeatmap, valueBuckets,
     commentBuckets, quantiles, keywordMentions, explorer, userActivity,
-    rollingActive, retention, spikeDays, conversion, sessionStats, gini, paretoShare,
+    rollingActive, retention, spikeDays, conversion, sessionStats, eventGapDist, gini, paretoShare,
     hllUsers, cmTopk, trend, histQuantiles, concurrency, abTest, sessionPaths,
     pivotDaily, kmvOverlap)
 }
