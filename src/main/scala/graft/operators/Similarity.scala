@@ -574,6 +574,47 @@ object Similarity {
     */
   private val FilterLabels = Seq(2, 7)
 
+  /** Deterministic sample size of the pairwise-cosine histogram. */
+  private val PairHistN = 64L
+
+  /** Pairwise-cosine distribution over a bounded deterministic sample —
+    * the embedding-health diagnostic run before trusting ANY of the ANN
+    * stack: anisotropic/degenerate embeddings (all pairs high-cosine)
+    * break LSH bucketing, IVF cell balance, and PQ codebooks at once,
+    * and this histogram is where that shows first. Cost is sample²
+    * (PairHistN² pairs, constant at any corpus size — the dd_recall
+    * probe-sample posture), never corpus²; the sample relation
+    * broadcasts by construction. Cosines round through prnd(·,6) before
+    * binning so bin membership is engine-portable; bins are declared
+    * (10 over [−1, 1]).
+    */
+  val pairHist = QueryDef(
+    "sim_pair_hist",
+    s"""WITH sq AS MATERIALIZED (SELECT vec_id, embedding FROM embeddings
+       |    WHERE vec_id < $PairHistN),
+       |pc AS MATERIALIZED (SELECT
+       |    ${PS.prnd("list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))", 6)} AS cos
+       |  FROM sq a JOIN sq b ON a.vec_id < b.vec_id)
+       |SELECT CAST(least(9, greatest(0, CAST(floor((cos + 1) * 5) AS BIGINT))) AS BIGINT) AS bin,
+       |  COUNT(*) AS n_pairs,
+       |  ${PS.prnd("MIN(cos)", 6)} AS min_cos, ${PS.prnd("MAX(cos)", 6)} AS max_cos
+       |FROM pc GROUP BY 1 ORDER BY bin""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val sq = Tables.embeddings(s, dir).filter($"vec_id" < PairHistN)
+      .select($"vec_id", $"embedding")
+    val pc = sq.select($"vec_id".as("a_id"), $"embedding".as("ae"))
+      .join(broadcast(sq.select($"vec_id".as("b_id"), $"embedding".as("be"))),
+        $"a_id" < $"b_id")
+      .select(P.prnd(expr("graft_cosine(ae, be)"), 6).as("cos"))
+    pc.select(least(lit(9L), greatest(lit(0L),
+        floor(($"cos" + 1) * 5).cast("long"))).as("bin"), $"cos")
+      .groupBy($"bin")
+      .agg(P.cnt.as("n_pairs"),
+        P.prnd(min($"cos"), 6).as("min_cos"),
+        P.prnd(max($"cos"), 6).as("max_cos"))
+      .orderBy($"bin")
+  }
+
   /** FILTERED ANN top-k — vector search under a metadata predicate
     * (label allowlist), the query shape every production vector store
     * serves ("nearest neighbors WHERE lang = X / tenant = Y"). This is
@@ -1230,7 +1271,7 @@ object Similarity {
       .orderBy($"q_id", $"mmr_rank")
   }
 
-  val defs: Seq[QueryDef] = Seq(bruteforce, lshTopk, pairStats, recall, ivfTopk,
-    kmTrain, ivfKmeansTopk, kmRecall, filteredTopk, filteredRecall, pqTopk,
-    pqRecall, ivfpqTopk, mmrTopk)
+  val defs: Seq[QueryDef] = Seq(bruteforce, lshTopk, pairStats, pairHist, recall,
+    ivfTopk, kmTrain, ivfKmeansTopk, kmRecall, filteredTopk, filteredRecall,
+    pqTopk, pqRecall, ivfpqTopk, mmrTopk)
 }
