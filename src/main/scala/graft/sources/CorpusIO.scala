@@ -110,6 +110,42 @@ object CorpusIO {
     * SourcesSpec measures the skip on a secondary-dimension filter:
     * z-layout prunes most files, the linear layout prunes none.
     */
+  /** Compact a SMALL-FILES parquet layout into ~[[targetFileBytes]]-sized
+    * files (the Delta/Iceberg `OPTIMIZE` compaction step). Streaming
+    * sinks and fine-grained partitioned writes fragment a table into
+    * thousands of KB-scale files, and at 100 TB that kills readers twice:
+    * the driver's file listing grows with file COUNT, and every scan
+    * task pays per-file open cost (footer read, seek) for a few rows of
+    * data. Compaction is pure I/O repair — same rows, fewer files.
+    *
+    * The output file count derives from the input's ON-DISK bytes
+    * (a file-listing metadata pass — never a data scan), and the rewrite
+    * uses `coalesce`, NOT `repartition`: coalesce merges read splits
+    * with ZERO shuffle (each output task concatenates whole input
+    * splits), which is exactly right for I/O repair — row order within
+    * files is preserved, so an existing clustering (e.g. a
+    * [[writeZOrdered]] layout fragmented by later appends) keeps its
+    * data-skipping value. `repartition` would re-exchange the entire
+    * table to fix what is only a file-count problem. Skew bound: a
+    * coalesced task reads at most ceil(splits/n) input splits, and
+    * splits are already maxPartitionBytes-bounded.
+    *
+    * Returns the target file count (observability — the job log line a
+    * compaction service records).
+    */
+  def compactFiles(spark: SparkSession, inPath: String, outPath: String,
+      targetFileBytes: Long = 128L << 20): Int = {
+    val df = spark.read.parquet(inPath)
+    val conf = spark.sessionState.newHadoopConf()
+    val total = df.inputFiles.map { f =>
+      val p = new org.apache.hadoop.fs.Path(f)
+      p.getFileSystem(conf).getFileStatus(p).getLen
+    }.sum
+    val n = math.max(1, math.ceil(total.toDouble / targetFileBytes).toInt)
+    df.coalesce(n).write.mode(SaveMode.Overwrite).parquet(outPath)
+    n
+  }
+
   def writeZOrdered(df: DataFrame, path: String, colA: String, colB: String,
       files: Int): Unit = {
     // the 31-bit precondition is enforced IN-TASK by ZOrderBits itself

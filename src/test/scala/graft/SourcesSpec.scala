@@ -113,6 +113,31 @@ class SourcesSpec extends GraftSuite {
     assert(spark.read.parquet(zDir).count() === 20000L)
   }
 
+  test("small-files compaction: fewer files, identical rows, no shuffle") {
+    import spark.implicits._
+    val in = tmp("compact_in")
+    val out = tmp("compact_out")
+    // fragment: 64 tiny files of a small table (the streaming-sink shape)
+    val df = (0 until 2000).map(i => (i.toLong, s"row$i")).toDF("id", "v")
+    df.repartition(64).write.mode("overwrite").parquet(in)
+    val nIn = new java.io.File(in).listFiles().count(_.getName.endsWith(".parquet"))
+    assert(nIn >= 32, s"fragmentation setup produced only $nIn files")
+
+    val target = CorpusIO.compactFiles(spark, in, out, targetFileBytes = 512L << 10)
+    val nOut = new java.io.File(out).listFiles().count(_.getName.endsWith(".parquet"))
+    assert(nOut <= math.max(target, 4),
+      s"compaction left $nOut files for a $target-file target")
+    assert(nOut < nIn / 4, s"compaction barely reduced the file count: $nIn -> $nOut")
+    // same rows (I/O repair only)
+    val a = spark.read.parquet(in).orderBy("id").collect()
+    val b = spark.read.parquet(out).orderBy("id").collect()
+    assert(a.toSeq === b.toSeq)
+    // the rewrite plan is coalesce-only: no exchange anywhere
+    val plan = planOf(spark.read.parquet(in).coalesce(target))
+    assert(!plan.toLowerCase.contains("exchange"),
+      s"compaction rewrite plans a shuffle:\n$plan")
+  }
+
   test("z-ordered write rejects keys outside the 31-bit Morton domain") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_zbad").toString
