@@ -1,7 +1,7 @@
 package graft.ml
 
 import graft.functions.{TextFns, VaderLexicon}
-import org.apache.spark.ml.{Pipeline, PipelineModel}
+import org.apache.spark.ml.{Pipeline, PipelineModel, PipelineStage}
 import org.apache.spark.ml.classification.{LogisticRegression, NaiveBayes, RandomForestClassifier}
 import org.apache.spark.ml.evaluation.MulticlassClassificationEvaluator
 import org.apache.spark.ml.feature._
@@ -52,16 +52,33 @@ object SentimentPipeline {
       (coalesce(emojiRaw, lit(0.0)) / size(toks) + 1.0).as("emoji_score"))
   }
 
+  /** Feature space of the hashed (vocabulary-free) mode — matches
+    * `tx_hashed_features`' bucket count.
+    */
+  val HashFeatures = 4096
+
   /** Pipeline with the reference's three classifier choices: "lr"
     * (logistic regression), "rf" (random forest), "nb" (naive Bayes)
     * — spark_ml_sentiment.py:180-296 trains and compares all three.
+    *
+    * `hashed = true` swaps CountVectorizer for HashingTF — the
+    * vocabulary-free mode (the ML twin of `tx_hashed_features`):
+    * CountVectorizer's fit COLLECTS the top-[[VocabSize]] vocabulary to
+    * the driver (an extra aggregate pass whose state grows with the
+    * term universe), while HashingTF is stateless — no fit pass, no
+    * driver-side vocabulary, fixed-width model at any corpus size.
+    * The trade is hash collisions folding features together; the spec
+    * measures that both modes train to comparable accuracy here.
     */
-  def pipeline(classifier: String = "lr"): Pipeline = {
+  def pipeline(classifier: String = "lr", hashed: Boolean = false): Pipeline = {
     val tok = new Tokenizer().setInputCol("text").setOutputCol("words")
     val stop = new StopWordsRemover().setInputCol("words").setOutputCol("filtered")
       .setStopWords(TextFns.StopWords.toArray)
-    val cv = new CountVectorizer().setInputCol("filtered").setOutputCol("tf")
-      .setVocabSize(VocabSize).setMinDF(2)
+    val cv: PipelineStage =
+      if (hashed) new HashingTF().setInputCol("filtered").setOutputCol("tf")
+        .setNumFeatures(HashFeatures)
+      else new CountVectorizer().setInputCol("filtered").setOutputCol("tf")
+        .setVocabSize(VocabSize).setMinDF(2)
     val idf = new IDF().setInputCol("tf").setOutputCol("tfidf")
     // text features + the numeric side-features from labeled() — the
     // VectorAssembler stage the reference applies before its classifiers
@@ -79,10 +96,11 @@ object SentimentPipeline {
   }
 
   /** Train on an 80/20 split (seed 42); returns (model, test accuracy). */
-  def trainEval(docs: DataFrame, classifier: String = "lr"): (PipelineModel, Double) = {
+  def trainEval(docs: DataFrame, classifier: String = "lr",
+      hashed: Boolean = false): (PipelineModel, Double) = {
     val data = labeled(docs)
     val Array(train, test) = data.randomSplit(Array(0.8, 0.2), Seed)
-    val model = pipeline(classifier).fit(train)
+    val model = pipeline(classifier, hashed).fit(train)
     val acc = new MulticlassClassificationEvaluator()
       .setMetricName("accuracy")
       .evaluate(model.transform(test))

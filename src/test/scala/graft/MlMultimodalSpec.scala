@@ -20,6 +20,21 @@ class MlMultimodalSpec extends GraftSuite {
     assert(sample.size === vocab + 3)
   }
 
+  test("hashed (vocabulary-free) mode trains comparably with no fit-time vocab") {
+    // HashingTF mode: no CountVectorizerModel stage (nothing collects a
+    // vocabulary to the driver — the 100 TB mode), fixed 4096-wide text
+    // features, and accuracy in the same band as the vocabulary pipeline
+    val (model, acc) = SentimentPipeline
+      .trainEval(Tables.documents(spark, sfDir), "lr", hashed = true)
+    assert(acc > 0.45, s"hashed-mode accuracy was $acc")
+    assert(!model.stages.exists(_.isInstanceOf[org.apache.spark.ml.feature.CountVectorizerModel]),
+      "hashed mode still fit a driver-side vocabulary")
+    val sample = model.transform(
+      SentimentPipeline.labeled(Tables.documents(spark, sfDir)).limit(1))
+      .select("features").head().getAs[org.apache.spark.ml.linalg.Vector]("features")
+    assert(sample.size === SentimentPipeline.HashFeatures + 3)
+  }
+
   test("all three reference classifiers train (lr, rf, nb)") {
     val ranked = SentimentPipeline.compareClassifiers(Tables.documents(spark, sfDir))
     assert(ranked.map(_._1).toSet === Set("lr", "rf", "nb"))
