@@ -574,6 +574,114 @@ object Dedup {
     * in-sample candidates, caught pairs, recall, and candidate
     * efficiency (what fraction of in-sample candidates verify).
     */
+  /** The batch/base split of the incremental check — ids ≥ IncSplit are
+    * "the arriving batch" (the newest 10% by ingest id; in production,
+    * the day's crawl).
+    */
+  private val IncSplit = 450L
+
+  /** INCREMENTAL dedup — the day's batch checked against the existing
+    * base, NEVER base×base: at 100 TB you dedup the corpus once, then
+    * every ingest batch must answer "is this new doc already in the
+    * store?" without re-pairing the store against itself. Per batch doc:
+    * exact verdict (content hash present in the base — a hash-keyed
+    * join), else near verdict (shares an LSH band bucket with a base doc
+    * AND passes the exact 3-gram Jaccard verify against that candidate),
+    * else keep; `dup_of` is the smallest matching base doc. Cost scales
+    * with |batch| × bucket density, not |base|²: the band join is
+    * batch→base keyed on (band, bkey) — in production the base side is
+    * the PERSISTED signature store (here the session-shared band
+    * relation), so the base pays its signatures once, ever; the gram
+    * verify explodes 3-grams only for docs appearing in some candidate
+    * pair (semi-join pruned, the candGramsBuild discipline). The salted
+    * MaxBucket cap applies to the production store; this check reads the
+    * uncapped bands because a batch→base probe is linear in bucket size
+    * already.
+    */
+  val incremental = QueryDef(
+    "dd_incremental",
+    s"""WITH $mhSql,
+       |bands0 AS MATERIALIZED (
+       |  ${(0 until NumBands).map { b =>
+            val key = (0 until RowsPerBand).map(r => s"CAST(mh${b * RowsPerBand + r} AS VARCHAR)")
+              .mkString(" || ',' || ")
+            s"SELECT doc_id, $b AS band, $key AS bkey FROM mh"
+          }.mkString("\n  UNION ALL ")}),
+       |pairs AS MATERIALIZED (SELECT DISTINCT bb.doc_id AS b_id, ba.doc_id AS base_id
+       |  FROM bands0 bb JOIN bands0 ba ON bb.band = ba.band AND bb.bkey = ba.bkey
+       |  WHERE bb.doc_id >= $IncSplit AND ba.doc_id < $IncSplit),
+       |cand_ids AS MATERIALIZED (SELECT DISTINCT b_id AS doc_id FROM pairs
+       |  UNION SELECT DISTINCT base_id FROM pairs),
+       |g3 AS MATERIALIZED (SELECT DISTINCT t.doc_id,
+       |    unnest(list_transform(generate_series(1, len(w) - 2),
+       |      i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2])) AS s
+       |  FROM toks t SEMI JOIN cand_ids c ON c.doc_id = t.doc_id),
+       |sz AS MATERIALIZED (SELECT doc_id, COUNT(*) AS n FROM g3 GROUP BY doc_id),
+       |nearp AS MATERIALIZED (SELECT i.b_id, i.base_id FROM (
+       |    SELECT p.b_id, p.base_id, COUNT(*) AS ni
+       |    FROM pairs p
+       |    JOIN g3 ga ON ga.doc_id = p.b_id
+       |    JOIN g3 gb ON gb.doc_id = p.base_id AND gb.s = ga.s
+       |    GROUP BY p.b_id, p.base_id) i
+       |  JOIN sz sa ON sa.doc_id = i.b_id
+       |  JOIN sz sb ON sb.doc_id = i.base_id
+       |  WHERE i.ni / (sa.n + sb.n - i.ni) >= $JaccardThreshold),
+       |bex AS MATERIALIZED (SELECT b.doc_id AS b_id, MIN(a.doc_id) AS dup_of
+       |  FROM documents b JOIN documents a
+       |    ON md5(a.text) = md5(b.text) AND a.doc_id < $IncSplit
+       |  WHERE b.doc_id >= $IncSplit GROUP BY b.doc_id),
+       |bnr AS MATERIALIZED (SELECT b_id, MIN(base_id) AS dup_of FROM nearp GROUP BY b_id)
+       |SELECT d.doc_id,
+       |  CASE WHEN e.dup_of IS NOT NULL THEN 'drop_exact'
+       |       WHEN n.dup_of IS NOT NULL THEN 'drop_near'
+       |       ELSE 'keep' END AS verdict,
+       |  COALESCE(e.dup_of, n.dup_of) AS dup_of
+       |FROM documents d
+       |LEFT JOIN bex e ON e.b_id = d.doc_id
+       |LEFT JOIN bnr n ON n.b_id = d.doc_id
+       |WHERE d.doc_id >= $IncSplit""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val bands = minhashBands(s, dir)
+    val bb = bands.filter($"doc_id" >= IncSplit)
+      .select($"doc_id".as("b_id"), $"band", $"bkey")
+    val ba = bands.filter($"doc_id" < IncSplit)
+      .select($"doc_id".as("base_id"), $"band", $"bkey")
+    val pairs = bb.join(ba, Seq("band", "bkey"))
+      .select($"b_id", $"base_id").distinct()
+    // 3-grams only for docs in some candidate pair (semi-join pruned)
+    val candIds = pairs.select($"b_id".as("doc_id"))
+      .union(pairs.select($"base_id".as("doc_id"))).distinct()
+    val g3 = tokenizedM(s, dir)
+      .join(candIds, Seq("doc_id"), "left_semi")
+      .select($"doc_id",
+        explode(call_function("graft_shingles", $"w", lit(3))).as("s"))
+      .distinct()
+    val sz = g3.groupBy($"doc_id").agg(P.cnt.as("n"))
+    val inter = pairs
+      .join(g3.select($"doc_id".as("b_id"), $"s"), "b_id")
+      .join(g3.select($"doc_id".as("base_id"), $"s"), Seq("base_id", "s"))
+      .groupBy($"b_id", $"base_id").agg(P.cnt.as("ni"))
+    val nearp = inter
+      .join(sz.select($"doc_id".as("b_id"), $"n".as("na")), "b_id")
+      .join(sz.select($"doc_id".as("base_id"), $"n".as("nb")), "base_id")
+      .filter($"ni" / ($"na" + $"nb" - $"ni") >= JaccardThreshold)
+    val docs = Tables.documents(s, dir)
+    val bex = docs.filter($"doc_id" >= IncSplit)
+      .select($"doc_id".as("b_id"), md5($"text").as("h"))
+      .join(docs.filter($"doc_id" < IncSplit)
+        .select($"doc_id".as("a_id"), md5($"text").as("h")), "h")
+      .groupBy($"b_id").agg(min($"a_id").as("e_dup"))
+    val bnr = nearp.groupBy($"b_id").agg(min($"base_id").as("n_dup"))
+    docs.filter($"doc_id" >= IncSplit).select($"doc_id")
+      .join(bex.withColumnRenamed("b_id", "doc_id"), Seq("doc_id"), "left")
+      .join(bnr.withColumnRenamed("b_id", "doc_id"), Seq("doc_id"), "left")
+      .select($"doc_id",
+        when($"e_dup".isNotNull, "drop_exact")
+          .when($"n_dup".isNotNull, "drop_near")
+          .otherwise("keep").as("verdict"),
+        coalesce($"e_dup", $"n_dup").as("dup_of"))
+  }
+
   /** Cross-source duplication matrix — for each (source, source) pair,
     * how many VERIFIED near-dup pairs straddle it and how similar they
     * are. The question a training-data curator actually asks of the
@@ -766,5 +874,5 @@ object Dedup {
   }
 
   val defs: Seq[QueryDef] = Seq(exact, minhashLsh, lshTuning, ngramJaccard, clusters,
-    simhash, embedding, recallGate, spanCoverage, crossSource)
+    simhash, embedding, recallGate, spanCoverage, crossSource, incremental)
 }
