@@ -128,6 +128,40 @@ object Analytics {
       .orderBy($"dow")
   }
 
+  /** Longest consecutive-day activity streak per user (gaps-and-islands)
+    * — the engagement metric behind streak badges and churn-risk rules.
+    * The islands trick: within a user, `day − row_number(day)` is
+    * constant exactly along a consecutive run, so streaks fall out of
+    * ONE user-keyed window plus two aggregates that reuse the window's
+    * partitioning — no self-join, no per-user iteration, per-key state
+    * bounded by the user's own active days. Both engines compute the
+    * same integer date arithmetic, so the output is bit-portable.
+    */
+  val activeStreaks = QueryDef(
+    "an_active_streaks",
+    s"""WITH ${PS.evCte},
+       |d AS MATERIALIZED (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM ev),
+       |r AS MATERIALIZED (SELECT user_id, day,
+       |    CAST(row_number() OVER (PARTITION BY user_id ORDER BY day) AS BIGINT) AS rn
+       |  FROM d),
+       |i AS MATERIALIZED (SELECT user_id, day - CAST(rn AS INT) AS grp,
+       |    CAST(COUNT(*) AS BIGINT) AS len
+       |  FROM r GROUP BY 1, 2)
+       |SELECT user_id, CAST(SUM(len) AS BIGINT) AS n_active_days,
+       |  CAST(MAX(len) AS BIGINT) AS max_streak
+       |FROM i GROUP BY user_id""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"user_id").orderBy($"day")
+    Tables.events(s, dir)
+      .select($"user_id", $"ts".cast("date").as("day")).distinct()
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .groupBy($"user_id", date_sub($"day", $"rn".cast("int")).as("grp"))
+      .agg(P.cnt.as("len"))
+      .groupBy($"user_id")
+      .agg(sum($"len").as("n_active_days"), max($"len").as("max_streak"))
+  }
+
   /** Inter-event gap distribution per user — the histogram that JUSTIFIES
     * the sessionization threshold (etl_sessionize's 30-min gap is a knob;
     * this is the data it should be read off of: a bimodal gap
@@ -1308,7 +1342,7 @@ object Analytics {
 
   val defs: Seq[QueryDef] = Seq(timeline, timelineDense, newVsReturning, topGroups, dowActivity, hourlyHeatmap, valueBuckets,
     commentBuckets, quantiles, keywordMentions, explorer, userActivity,
-    rollingActive, retention, spikeDays, conversion, sessionStats, eventGapDist, gini, paretoShare,
+    rollingActive, retention, spikeDays, conversion, sessionStats, eventGapDist, activeStreaks, gini, paretoShare,
     hllUsers, cmTopk, trend, histQuantiles, concurrency, abTest, sessionPaths,
     pivotDaily, kmvOverlap)
 }
