@@ -369,6 +369,69 @@ object TextAnalysis {
       .orderBy($"decile")
   }
 
+  /** The base/batch split of the drift monitor — matches
+    * `dd_incremental`'s arriving-batch convention (ids ≥ 450).
+    */
+  private val DriftSplit = 450L
+
+  /** Term-distribution drift between the existing base corpus and the
+    * arriving batch — the distribution-shift monitor a training pipeline
+    * runs per ingest (a drifting batch silently changes the data mixture
+    * `tx_corpus_mixture` budgets). Per term, the exact L1 contribution
+    * |p_base − p_batch| computed as INTEGER cross-products
+    * |c_a·N_b − c_b·N_a| (decimal accumulators — no float subtraction of
+    * near-equal shares, so ranking is engine-portable); top-10 drifting
+    * terms reported with both shares. Scale shape: two term-keyed count
+    * aggregates, a full-outer term join (vocabulary scales with the
+    * corpus — SHUFFLED on term, the tx_keyterms discipline), 1-row
+    * totals broadcast, TakeOrdered top-10. At 100 TB the counts are the
+    * only corpus-scale work.
+    */
+  val termDrift = QueryDef(
+    "tx_term_drift",
+    s"""WITH t AS MATERIALIZED (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+       |  FROM documents),
+       |ca AS MATERIALIZED (SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM t
+       |  WHERE doc_id < $DriftSplit GROUP BY w),
+       |cb AS MATERIALIZED (SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM t
+       |  WHERE doc_id >= $DriftSplit GROUP BY w),
+       |tot AS MATERIALIZED (SELECT
+       |    (SELECT SUM(c) FROM ca) AS na, (SELECT SUM(c) FROM cb) AS nb),
+       |j AS MATERIALIZED (SELECT COALESCE(ca.w, cb.w) AS term,
+       |    COALESCE(ca.c, 0) AS c_base, COALESCE(cb.c, 0) AS c_batch
+       |  FROM ca FULL JOIN cb ON ca.w = cb.w)
+       |SELECT term, c_base AS n_base, c_batch AS n_batch,
+       |  ${PS.prnd("CAST(c_base AS DOUBLE) / CAST((SELECT na FROM tot) AS DOUBLE)", 6)} AS share_base,
+       |  ${PS.prnd("CAST(c_batch AS DOUBLE) / CAST((SELECT nb FROM tot) AS DOUBLE)", 6)} AS share_batch
+       |FROM j CROSS JOIN tot
+       |ORDER BY abs(c_base * nb - c_batch * na) DESC, term
+       |LIMIT 10""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    import org.apache.spark.sql.types.DecimalType
+    val t = Tables.documents(s, dir)
+      .select($"doc_id", explode(split($"text", " ")).as("w"))
+    val ca = t.filter($"doc_id" < DriftSplit).groupBy($"w").agg(P.cnt.as("c_base"))
+    val cb = t.filter($"doc_id" >= DriftSplit).groupBy($"w").agg(P.cnt.as("c_batch"))
+    val tot = ca.agg(sum($"c_base").as("na"))
+      .crossJoin(cb.agg(sum($"c_batch").as("nb")))
+    // vocabulary-keyed FULL join: shuffled on term (the vocabulary is a
+    // data-scaling relation), zeros for one-sided terms
+    val j = ca.join(cb, Seq("w"), "full_outer")
+      .select($"w".as("term"),
+        coalesce($"c_base", lit(0L)).as("c_base"),
+        coalesce($"c_batch", lit(0L)).as("c_batch"))
+    // exact integer cross-products in decimal — no float subtraction of
+    // near-equal shares decides the ranking
+    j.crossJoin(broadcast(tot))
+      .select($"term", $"c_base".as("n_base"), $"c_batch".as("n_batch"),
+        P.prnd($"c_base".cast("double") / $"na".cast("double"), 6).as("share_base"),
+        P.prnd($"c_batch".cast("double") / $"nb".cast("double"), 6).as("share_batch"),
+        abs($"c_base".cast(DecimalType(38, 0)) * $"nb" - $"c_batch".cast(DecimalType(38, 0)) * $"na").as("contrib"))
+      .orderBy($"contrib".desc, $"term")
+      .limit(10)
+      .drop("contrib")
+  }
+
   /** Within-document repetition ratio — the boilerplate/degenerate-text
     * quality signal (CCNet-style): 1 − distinct-3-grams / total-3-grams.
     * High ratio = repeated boilerplate or looping generations, the stuff a
@@ -735,6 +798,6 @@ object TextAnalysis {
 
   val defs: Seq[QueryDef] = Seq(langId, quality, tokenCount, fingerprint,
     contamination, ngramStats, keyterms, hashedFeatures, vocabGrowth,
-    repetition, boilerplate, corpusMixture, piiScrub, lmScore, gopherRules,
-    langidConfusion)
+    termDrift, repetition, boilerplate, corpusMixture, piiScrub, lmScore,
+    gopherRules, langidConfusion)
 }
