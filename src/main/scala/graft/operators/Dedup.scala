@@ -415,14 +415,31 @@ object Dedup {
     "dd_clusters",
     s"""WITH RECURSIVE $lshSql,
        |$verSql,
-       |pund AS MATERIALIZED (SELECT doc_a AS a, doc_b AS b FROM ver
-       |  UNION ALL SELECT doc_b, doc_a FROM ver),
-       |cc AS (SELECT a AS doc_id, a AS lbl FROM pund
-       |  UNION
-       |  SELECT u.b, c.lbl FROM cc c JOIN pund u ON c.doc_id = u.a),
-       |cl AS MATERIALIZED (SELECT doc_id, MIN(lbl) AS cluster FROM cc GROUP BY doc_id)
+       |$clusterCteSql
        |SELECT doc_id, cluster, doc_id = cluster AS keep
        |FROM cl ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    clusterAssign(s, dir)
+      .select($"doc_id", $"cluster", ($"doc_id" === $"cluster").as("keep"))
+      .orderBy("doc_id")
+  }
+
+  /** Oracle CTE `cl(doc_id, cluster)` over `ver` — the label-propagation
+    * clusters (needs a `WITH RECURSIVE` prefix); shared by `dd_clusters`
+    * and `dd_cluster_canonical`.
+    */
+  private def clusterCteSql: String =
+    """pund AS MATERIALIZED (SELECT doc_a AS a, doc_b AS b FROM ver
+      |  UNION ALL SELECT doc_b, doc_a FROM ver),
+      |cc AS (SELECT a AS doc_id, a AS lbl FROM pund
+      |  UNION
+      |  SELECT u.b, c.lbl FROM cc c JOIN pund u ON c.doc_id = u.a),
+      |cl AS MATERIALIZED (SELECT doc_id, MIN(lbl) AS cluster FROM cc GROUP BY doc_id)""".stripMargin
+
+  /** Spark twin of [[clusterCteSql]]: (doc_id, cluster) via min-label
+    * components over the materialized verified pairs.
+    */
+  private def clusterAssign(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     // jaccardPairs is already materialized by the signature store — the
     // undirected union below reads the same blocks twice
@@ -434,9 +451,51 @@ object Dedup {
     // instead of paying the full 8-round unchecked batch sized for the
     // social graph's diameter
     GraphOps.components(GraphOps.iterRelation(und), uncheckedRounds = 2)
-      .select($"node".as("doc_id"), $"comp".as("cluster"),
-        ($"node" === $"comp").as("keep"))
-      .orderBy("doc_id")
+      .select($"node".as("doc_id"), $"comp".as("cluster"))
+  }
+
+  /** Quality-based canonical pick per near-dup cluster — WHICH copy
+    * survives dedup, decided by the corpus quality score instead of
+    * first-wins: for each cluster, the member maximizing `tx_quality`'s
+    * composite (doc_id tie-break), with whether that differs from the
+    * first-wins (min doc_id) choice. A real curator keeps the BEST copy
+    * — the first crawl of a page is often the truncated one. One
+    * doc_id-keyed join of the cluster relation against the quality
+    * scores (both corpus-scale, size-driven), then a per-cluster
+    * max-struct hash argmax (map-side combine — never a per-cluster
+    * window sort). The shared quality definition (`TextAnalysis
+    * .qualityCol`) guarantees the filter panel and the dedup survivor
+    * agree on what "quality" means.
+    */
+  val clusterCanonical = QueryDef(
+    "dd_cluster_canonical",
+    s"""WITH RECURSIVE $lshSql,
+       |$verSql,
+       |$clusterCteSql,
+       |${graft.operators.TextAnalysis.qualityCteSql},
+       |m AS MATERIALIZED (SELECT c.cluster, c.doc_id, q.quality
+       |  FROM cl c JOIN qd q USING (doc_id)),
+       |can AS MATERIALIZED (SELECT cluster, doc_id AS canonical_doc, quality AS best_quality,
+       |    CAST(row_number() OVER (PARTITION BY cluster
+       |      ORDER BY quality DESC, doc_id) AS BIGINT) AS rn
+       |  FROM m),
+       |csz AS MATERIALIZED (SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n_members FROM m GROUP BY cluster)
+       |SELECT c.cluster, c.canonical_doc, s.n_members, c.best_quality,
+       |  c.canonical_doc <> c.cluster AS differs_from_first_wins
+       |FROM can c JOIN csz s USING (cluster)
+       |WHERE c.rn = 1 ORDER BY c.cluster""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val m = clusterAssign(s, dir)
+      .join(graft.operators.TextAnalysis.qualityScored(s, dir), "doc_id")
+    // max-struct hash argmax: the winner collapses map-side; n_members
+    // rides the same aggregate (no second pass, no window sort)
+    m.groupBy($"cluster")
+      .agg(max(struct($"quality".as("q"), (-$"doc_id").as("nd"))).as("b"),
+        P.cnt.as("n_members"))
+      .select($"cluster", (-$"b.nd").as("canonical_doc"), $"n_members",
+        $"b.q".as("best_quality"),
+        ((-$"b.nd") =!= $"cluster").as("differs_from_first_wins"))
+      .orderBy($"cluster")
   }
 
   // -------------------------------------------------------------- simhash
@@ -874,5 +933,6 @@ object Dedup {
   }
 
   val defs: Seq[QueryDef] = Seq(exact, minhashLsh, lshTuning, ngramJaccard, clusters,
-    simhash, embedding, recallGate, spanCoverage, crossSource, incremental)
+    clusterCanonical, simhash, embedding, recallGate, spanCoverage, crossSource,
+    incremental)
 }

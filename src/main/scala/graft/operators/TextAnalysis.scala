@@ -63,10 +63,7 @@ object TextAnalysis {
        |SELECT doc_id, n_chars, wc,
        |  ${PS.prnd("stops / wc", 6)} AS stop_ratio,
        |  ${PS.prnd("(n_chars - wc + 1) / wc", 6)} AS mean_word_len,
-       |  ${PS.prnd(
-            """CAST(0.4 AS DOUBLE) * least(n_chars / 400, CAST(1.0 AS DOUBLE))
-              |    + CAST(0.3 AS DOUBLE) * (1 - stops / wc)
-              |    + CAST(0.3 AS DOUBLE) * least(((n_chars - wc + 1) / wc) / 8, CAST(1.0 AS DOUBLE))""".stripMargin, 6)} AS quality
+       |  $qualitySqlExpr AS quality
        |FROM f""".stripMargin) { (s, dir) =>
     import s.implicits._
     val toks = split($"text", " ")
@@ -79,10 +76,47 @@ object TextAnalysis {
       $"doc_id", $"n_chars", $"wc",
       P.prnd($"stops" / $"wc", 6).as("stop_ratio"),
       P.prnd(($"n_chars" - $"wc" + 1) / $"wc", 6).as("mean_word_len"),
-      P.prnd(lit(0.4) * least($"n_chars" / lit(400), lit(1.0))
-        + lit(0.3) * (lit(1) - $"stops" / $"wc")
-        + lit(0.3) * least((($"n_chars" - $"wc" + 1) / $"wc") / lit(8), lit(1.0)), 6)
-        .as("quality"))
+      qualityCol($"n_chars", $"wc", $"stops").as("quality"))
+  }
+
+  /** The composite quality score over (n_chars, wc, stops) — ONE
+    * definition shared by `tx_quality` and the dedup canonical pick
+    * (`dd_cluster_canonical`), so "quality" means the same thing in the
+    * filter panel and in which duplicate survives.
+    */
+  private[operators] def qualityCol(nChars: org.apache.spark.sql.Column,
+      wc: org.apache.spark.sql.Column,
+      stops: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    P.prnd(lit(0.4) * least(nChars / lit(400), lit(1.0))
+      + lit(0.3) * (lit(1) - stops / wc)
+      + lit(0.3) * least(((nChars - wc + 1) / wc) / lit(8), lit(1.0)), 6)
+
+  /** SQL twin of [[qualityCol]] — expects n_chars, wc, stops in scope. */
+  private[operators] def qualitySqlExpr: String = PS.prnd(
+    """CAST(0.4 AS DOUBLE) * least(n_chars / 400, CAST(1.0 AS DOUBLE))
+      |    + CAST(0.3 AS DOUBLE) * (1 - stops / wc)
+      |    + CAST(0.3 AS DOUBLE) * least(((n_chars - wc + 1) / wc) / 8, CAST(1.0 AS DOUBLE))""".stripMargin, 6)
+
+  /** Oracle CTE `qd(doc_id, quality)` — self-contained quality scores. */
+  private[operators] def qualityCteSql: String =
+    s"""qd AS MATERIALIZED (SELECT doc_id, $qualitySqlExpr AS quality FROM (
+       |  SELECT doc_id,
+       |    CAST(length(text) AS BIGINT) AS n_chars,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS wc,
+       |    CAST(len(list_filter(string_split(text, ' '), x -> x IN (${inList(TextFns.StopWords)}))) AS BIGINT) AS stops
+       |  FROM documents) f)""".stripMargin
+
+  /** Spark twin of [[qualityCteSql]]: (doc_id, quality). */
+  private[operators] def qualityScored(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val toks = split($"text", " ")
+    Tables.documents(s, dir).select(
+        $"doc_id",
+        length($"text").cast("long").as("n_chars"),
+        size(toks).cast("long").as("wc"),
+        TextFns.countTokensIn(toks, TextFns.StopWords).cast("long").as("stops"))
+      .select($"doc_id", qualityCol($"n_chars", $"wc", $"stops").as("quality"))
   }
 
   /** Whitespace tokens + regex word tokens + a BPE-ish chars/4 estimate. */
