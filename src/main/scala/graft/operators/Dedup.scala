@@ -700,7 +700,11 @@ object Dedup {
        |LEFT JOIN bnr n ON n.b_id = d.doc_id
        |WHERE d.doc_id >= $IncSplit""".stripMargin) { (s, dir) =>
     import s.implicits._
-    val bands = minhashBands(s, dir)
+    // the band relation IS the persisted signature store of a production
+    // ingest (train once, probe per batch): materialized session-wide so
+    // the batch and base sides of the probe join read the same blocks
+    // instead of re-deriving the signatures per side
+    val bands = graft.MatStore.of(s, s"dd_bands:$dir")(minhashBands(s, dir))
     val bb = bands.filter($"doc_id" >= IncSplit)
       .select($"doc_id".as("b_id"), $"band", $"bkey")
     val ba = bands.filter($"doc_id" < IncSplit)

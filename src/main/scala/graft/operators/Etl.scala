@@ -629,6 +629,41 @@ object Etl {
       .orderBy($"col_name")
   }
 
+  /** Winsorization (p1/p99 robust clipping) of the event value — the
+    * feature-normalization step that keeps a fat-tailed metric from
+    * dominating downstream models or dashboards without DROPPING the
+    * tail rows (clipping preserves row count; filtering changes join
+    * cardinalities). Two passes, both scan-bound: one exact-percentile
+    * aggregate for the bounds (1 row, broadcast; the 100 TB switch is
+    * percentile_approx — same plan, sketch partials) and one narrow
+    * clamp map with the clip verdict carried per row for auditability.
+    * Bounds are prnd-rounded so the clamp decisions are engine-portable
+    * at the boundary.
+    */
+  val winsorize = QueryDef(
+    "etl_winsorize",
+    s"""WITH ${PS.evCte},
+       |b AS MATERIALIZED (SELECT ${PS.prnd("quantile_cont(value, 0.01)", 6)} AS lo,
+       |  ${PS.prnd("quantile_cont(value, 0.99)", 6)} AS hi FROM ev)
+       |SELECT event_id, value,
+       |  least(greatest(value, (SELECT lo FROM b)), (SELECT hi FROM b)) AS value_w,
+       |  CASE WHEN value < (SELECT lo FROM b) THEN 'low'
+       |       WHEN value > (SELECT hi FROM b) THEN 'high'
+       |       ELSE 'none' END AS clipped
+       |FROM ev""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val b = Tables.events(s, dir)
+      .agg(expr("percentile(value, array(0.01D, 0.99D))").as("ps"))
+      .select(P.prnd($"ps".getItem(0), 6).as("lo"), P.prnd($"ps".getItem(1), 6).as("hi"))
+    Tables.events(s, dir)
+      .crossJoin(broadcast(b))
+      .select($"event_id", $"value",
+        least(greatest($"value", $"lo"), $"hi").as("value_w"),
+        when($"value" < $"lo", "low")
+          .when($"value" > $"hi", "high")
+          .otherwise("none").as("clipped"))
+  }
+
   /** Output shard count of the global shuffle — a deployment knob; 16
     * keeps every shard non-trivially occupied at sf0.01.
     */
@@ -667,5 +702,6 @@ object Etl {
 
   val defs: Seq[QueryDef] = Seq(cleanText, filterEnrich, dedupIngest, parseJson,
     sessionize, stratifiedSample, corpusPrep, compactLatest, packSequences, scd2,
-    weightedSample, chunkOverlap, splitTrainVal, shardShuffle, profileColumns)
+    weightedSample, chunkOverlap, splitTrainVal, shardShuffle, profileColumns,
+    winsorize)
 }
