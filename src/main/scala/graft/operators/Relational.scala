@@ -457,6 +457,42 @@ object Relational {
       .select($"probe_id".as("event_id"), $"user_id", $"ts", $"tier", $"tier_since")
   }
 
+  /** Pre-join skew audit — the top-20 heaviest join keys of the
+    * orders⋈lineitem fact join by OUTPUT cardinality (n_l·n_o), with each
+    * key's share of the total join output. The report a data engineer
+    * runs BEFORE a big join ships: one hot key producing 10% of the
+    * output is the thing AQE's skew-split will have to save you from,
+    * and better to know at design time (salt, pre-aggregate, or filter).
+    * Two keyed count aggregates (map-side partials), a keyed join of the
+    * two count relations (key-cardinality-sized, far smaller than the
+    * facts), a 1-row total broadcast, and a TakeOrderedAndProject —
+    * the audit never touches fact-row pairs, only per-key COUNTS, so it
+    * costs a fraction of the join it derisks at any scale.
+    */
+  val qSkewAudit = QueryDef(
+    "q_skew_audit",
+    s"""WITH lc AS MATERIALIZED (SELECT l_orderkey AS k, CAST(COUNT(*) AS BIGINT) AS n_l
+       |  FROM lineitem GROUP BY 1),
+       |oc AS MATERIALIZED (SELECT o_orderkey AS k, CAST(COUNT(*) AS BIGINT) AS n_o
+       |  FROM orders GROUP BY 1),
+       |j AS MATERIALIZED (SELECT lc.k AS k, n_l, n_o, n_l * n_o AS out_rows
+       |  FROM lc JOIN oc ON lc.k = oc.k),
+       |t AS MATERIALIZED (SELECT SUM(out_rows) AS tot FROM j)
+       |SELECT k, n_l, n_o, out_rows,
+       |  ${PS.prnd("CAST(out_rows AS DOUBLE) / CAST((SELECT tot FROM t) AS DOUBLE)", 6)} AS out_share
+       |FROM j ORDER BY out_rows DESC, k LIMIT 20""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    import org.apache.spark.sql.types.DecimalType
+    val lc = Tables.lineitem(s, dir).groupBy($"l_orderkey".as("k")).agg(P.cnt.as("n_l"))
+    val oc = Tables.orders(s, dir).groupBy($"o_orderkey".as("k")).agg(P.cnt.as("n_o"))
+    val j = lc.join(oc, "k").select($"k", $"n_l", $"n_o", ($"n_l" * $"n_o").as("out_rows"))
+    val t = j.agg(sum($"out_rows".cast(DecimalType(38, 0))).as("tot"))
+    j.crossJoin(broadcast(t))
+      .select($"k", $"n_l", $"n_o", $"out_rows",
+        P.prnd($"out_rows".cast("double") / $"tot".cast("double"), 6).as("out_share"))
+      .orderBy($"out_rows".desc, $"k").limit(20)
+  }
+
   /** Band width (= bin width) of the range join, in microseconds. */
   private val BandUs = 3600L * 1000000L
 
@@ -514,5 +550,5 @@ object Relational {
   }
 
   val defs: Seq[QueryDef] = Seq(q1, q3, q5, qWindowRank, qAsofJoin, qRollup,
-    qBloomPrune, qAntiJoin, qRangeJoin, qPointInTime)
+    qBloomPrune, qAntiJoin, qRangeJoin, qPointInTime, qSkewAudit)
 }

@@ -577,6 +577,69 @@ object Similarity {
   /** Deterministic sample size of the pairwise-cosine histogram. */
   private val PairHistN = 64L
 
+  /** Base/batch split of the embedding-drift monitor (ids ≥ 450 = the
+    * arriving batch — the dd_incremental / tx_term_drift convention).
+    */
+  private val VecDriftSplit = 450L
+
+  /** Embedding drift per label between the base corpus and the arriving
+    * batch — tx_term_drift's vector-space twin: if a label's batch
+    * centroid swings away from its base centroid (an encoder change, an
+    * upstream distribution shift), every downstream consumer of the
+    * trained IVF/PQ models is degraded and the index needs re-training.
+    * Per label, the cosine between base and batch centroids through the
+    * pairStats exact-decimal machinery (per-(label, dim) means at scale
+    * 9, scaled-decimal dots at scale 12 — no float summation order on
+    * either engine). Scale shape: two (label, dim)-keyed mean aggregates
+    * over the shared exploded coordinates, a (label, dim) join of two
+    * CONSTANT-width centroid relations (labels × dims), and a per-label
+    * closing aggregate — the corpus-scale work is the two means.
+    */
+  val centroidDrift = QueryDef(
+    "sim_centroid_drift",
+    s"""WITH expl AS MATERIALIZED (SELECT vec_id, label,
+       |    generate_subscripts(embedding, 1) AS j,
+       |    CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings),
+       |ca AS MATERIALIZED (SELECT label, j, ${PS.davg("x", 9)} AS c
+       |  FROM expl WHERE vec_id < $VecDriftSplit GROUP BY label, j),
+       |cb AS MATERIALIZED (SELECT label, j, ${PS.davg("x", 9)} AS c
+       |  FROM expl WHERE vec_id >= $VecDriftSplit GROUP BY label, j),
+       |d AS MATERIALIZED (SELECT a.label,
+       |    ${PS.dsum("a.c * b.c", 12)} AS dot,
+       |    ${PS.dsum("a.c * a.c", 12)} AS na,
+       |    ${PS.dsum("b.c * b.c", 12)} AS nb
+       |  FROM ca a JOIN cb b ON a.label = b.label AND a.j = b.j
+       |  GROUP BY a.label),
+       |n1 AS MATERIALIZED (SELECT label, CAST(COUNT(*) AS BIGINT) AS n_base
+       |  FROM embeddings WHERE vec_id < $VecDriftSplit GROUP BY label),
+       |n2 AS MATERIALIZED (SELECT label, CAST(COUNT(*) AS BIGINT) AS n_batch
+       |  FROM embeddings WHERE vec_id >= $VecDriftSplit GROUP BY label)
+       |SELECT d.label, n1.n_base, n2.n_batch,
+       |  ${PS.prnd("dot / sqrt(na * nb)", 6)} AS centroid_cos
+       |FROM d JOIN n1 USING (label) JOIN n2 USING (label)
+       |ORDER BY label""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val expl = explM(s, dir)
+    def cents(pred: org.apache.spark.sql.Column) =
+      expl.filter(pred).groupBy($"label", $"j").agg(P.davg($"x", 9).as("c"))
+    val a = cents($"vec_id" < VecDriftSplit).withColumnRenamed("c", "ca")
+    val b = cents($"vec_id" >= VecDriftSplit).withColumnRenamed("c", "cb")
+    val d = a.join(b, Seq("label", "j"))
+      .groupBy($"label")
+      .agg(P.dsum($"ca" * $"cb", 12).as("dot"),
+        P.dsum($"ca" * $"ca", 12).as("na"),
+        P.dsum($"cb" * $"cb", 12).as("nb"))
+    val emb = Tables.embeddings(s, dir)
+    val n1 = emb.filter($"vec_id" < VecDriftSplit)
+      .groupBy($"label").agg(P.cnt.as("n_base"))
+    val n2 = emb.filter($"vec_id" >= VecDriftSplit)
+      .groupBy($"label").agg(P.cnt.as("n_batch"))
+    d.join(n1, "label").join(n2, "label")
+      .select($"label", $"n_base", $"n_batch",
+        P.prnd($"dot" / sqrt($"na" * $"nb"), 6).as("centroid_cos"))
+      .orderBy($"label")
+  }
+
   /** Pairwise-cosine distribution over a bounded deterministic sample —
     * the embedding-health diagnostic run before trusting ANY of the ANN
     * stack: anisotropic/degenerate embeddings (all pairs high-cosine)
@@ -1271,7 +1334,7 @@ object Similarity {
       .orderBy($"q_id", $"mmr_rank")
   }
 
-  val defs: Seq[QueryDef] = Seq(bruteforce, lshTopk, pairStats, pairHist, recall,
-    ivfTopk, kmTrain, ivfKmeansTopk, kmRecall, filteredTopk, filteredRecall,
-    pqTopk, pqRecall, ivfpqTopk, mmrTopk)
+  val defs: Seq[QueryDef] = Seq(bruteforce, lshTopk, pairStats, pairHist,
+    centroidDrift, recall, ivfTopk, kmTrain, ivfKmeansTopk, kmRecall,
+    filteredTopk, filteredRecall, pqTopk, pqRecall, ivfpqTopk, mmrTopk)
 }

@@ -174,7 +174,8 @@ class ScalePlanSpec extends GraftSuite {
       "tx_fingerprint", "tx_keyterms", "tx_repetition", "tx_boilerplate",
       "sent_lexicon", "sent_emoji", "mm_binary_meta", "q_window_rank",
       "q_asof_join", "q_point_in_time", "q_range_join",
-      "an_user_activity", "an_spike_days", "dd_exact",
+      "an_user_activity", "an_spike_days", "an_active_streaks", "dd_exact",
+      "etl_shard_shuffle", "etl_winsorize",
       "st_funnel_join")
     fullOutput.foreach { name =>
       val plan = planOf(run(name)).toLowerCase
