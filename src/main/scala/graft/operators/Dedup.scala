@@ -633,6 +633,59 @@ object Dedup {
     * in-sample candidates, caught pairs, recall, and candidate
     * efficiency (what fraction of in-sample candidates verify).
     */
+  /** Dedup impact funnel — corpus size (docs AND tokens) surviving each
+    * dedup stage: raw → after exact (first-wins per content hash) →
+    * after near (additionally drop near-dup cluster non-canonicals).
+    * THE headline a curator reports ("dedup removed X% of docs, Y% of
+    * tokens") and the sanity check that the pipeline is neither inert
+    * nor eating the corpus. Built from the same relations the stages
+    * themselves use (content-hash min, the verified-pair clusters), so
+    * the funnel can never disagree with the gates; token mass is one
+    * narrow word-count map aggregated per stage with map-side partials.
+    */
+  val impact = QueryDef(
+    "dd_impact",
+    s"""WITH RECURSIVE $lshSql,
+       |$verSql,
+       |$clusterCteSql,
+       |wc AS MATERIALIZED (SELECT doc_id,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS wc FROM documents),
+       |ek AS MATERIALIZED (SELECT doc_id FROM (
+       |    SELECT doc_id, MIN(doc_id) OVER (PARTITION BY md5(text)) AS k
+       |    FROM documents) t WHERE doc_id = k),
+       |nk AS MATERIALIZED (SELECT e.doc_id FROM ek e
+       |  LEFT JOIN cl c ON c.doc_id = e.doc_id
+       |  WHERE c.doc_id IS NULL OR c.doc_id = c.cluster)
+       |SELECT 'a_raw' AS stage, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(wc) AS BIGINT) AS n_tokens FROM wc
+       |UNION ALL SELECT 'b_after_exact', CAST(COUNT(*) AS BIGINT),
+       |  CAST(SUM(wc) AS BIGINT) FROM wc SEMI JOIN ek USING (doc_id)
+       |UNION ALL SELECT 'c_after_near', CAST(COUNT(*) AS BIGINT),
+       |  CAST(SUM(wc) AS BIGINT) FROM wc SEMI JOIN nk USING (doc_id)
+       |ORDER BY stage""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val wc = Tables.documents(s, dir)
+      .select($"doc_id", md5($"text").as("h"),
+        size(split($"text", " ")).cast("long").as("wc"))
+    // exact keep: min doc_id per content hash (hash agg, no window sort)
+    val ek = wc.groupBy($"h").agg(min($"doc_id").as("doc_id"))
+      .select($"doc_id")
+    // near keep: exact keepers minus non-canonical cluster members
+    val cl = clusterAssign(s, dir)
+    val nk = ek.join(cl, Seq("doc_id"), "left")
+      .filter($"cluster".isNull || $"doc_id" === $"cluster")
+      .select($"doc_id")
+    def stage(name: String, keep: Option[org.apache.spark.sql.DataFrame]) = {
+      val base = keep.fold(wc)(k => wc.join(k, Seq("doc_id"), "left_semi"))
+      base.agg(P.cnt.as("n_docs"), sum($"wc").as("n_tokens"))
+        .select(lit(name).as("stage"), $"n_docs", $"n_tokens")
+    }
+    stage("a_raw", None)
+      .unionAll(stage("b_after_exact", Some(ek)))
+      .unionAll(stage("c_after_near", Some(nk)))
+      .orderBy($"stage")
+  }
+
   /** The batch/base split of the incremental check — ids ≥ IncSplit are
     * "the arriving batch" (the newest 10% by ingest id; in production,
     * the day's crawl).
@@ -938,5 +991,5 @@ object Dedup {
 
   val defs: Seq[QueryDef] = Seq(exact, minhashLsh, lshTuning, ngramJaccard, clusters,
     clusterCanonical, simhash, embedding, recallGate, spanCoverage, crossSource,
-    incremental)
+    incremental, impact)
 }
