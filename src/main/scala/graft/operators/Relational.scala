@@ -534,7 +534,11 @@ object Relational {
       .withColumn("bin", expr(s"vus div $BandUs"))
     // band ⊆ [bin-1, bin]: vus ≥ pus − Band ⇒ vbin ≥ pbin − 1, and
     // vus < pus ⇒ vbin ≤ pbin — so 2 probe bins cover every candidate,
-    // and the two bins differ, so no candidate is matched twice
+    // and the two bins differ, so no candidate is matched twice.
+    // Bin arithmetic assumes non-negative epoch micros (post-1970):
+    // Spark's `div` truncates toward zero while DuckDB's `//` floors,
+    // so pre-epoch timestamps would bin differently per engine — shift
+    // the epoch before binning if that domain ever appears.
     val probes = p.select($"event_id", $"pus",
       explode(array(expr(s"pus div $BandUs"), expr(s"pus div $BandUs - 1"))).as("bin"))
     val matched = probes.join(v, Seq("bin"))
