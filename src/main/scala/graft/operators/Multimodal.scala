@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{QueryDef, Tables}
+import graft.functions.{Portable => P, PortableSql => PS}
 import org.apache.spark.sql.functions._
 
 /** Multimodal plumbing (SURVEY §2i): media payloads ride as opaque binary
@@ -77,6 +78,15 @@ object Multimodal {
        |    CAST((least((frame_id + 1) * $FrameBytes, n_bytes)
        |      - frame_id * $FrameBytes) * 2 AS BIGINT))) AS frame_md5
        |FROM f""".stripMargin) { (s, dir) =>
+    frames(s, dir)
+  }
+
+  /** The sampled-frame table (the frameIndex output) — shared by
+    * `mm_frame_index` and `mm_dup_frames` so both read ONE frame
+    * construction.
+    */
+  private def frames(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
     import s.implicits._
     val payload = $"text".cast("binary")
     val p = Tables.documents(s, dir).select(
@@ -95,5 +105,58 @@ object Multimodal {
           .as("frame_md5"))
   }
 
-  val defs: Seq[QueryDef] = Seq(binaryMeta, frameIndex)
+  /** Oracle CTE chain `fr(doc_id, frame_md5)` — the sampled-frame
+    * digests, the SQL twin of [[frames]]' digest projection.
+    */
+  private val frSql: String =
+    s"""p AS MATERIALIZED (SELECT doc_id, hex(encode(text)) AS ph,
+       |    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+       |  FROM documents),
+       |f AS MATERIALIZED (SELECT doc_id, ph, n_bytes,
+       |    unnest(generate_series(0,
+       |      (n_bytes - 1) // $FrameBytes, $SampleEvery)) AS frame_id
+       |  FROM p WHERE n_bytes > 0),
+       |fr AS MATERIALIZED (SELECT doc_id,
+       |    md5(substr(ph, CAST(frame_id * $FrameBytes * 2 + 1 AS BIGINT),
+       |      CAST((least((frame_id + 1) * $FrameBytes, n_bytes)
+       |        - frame_id * $FrameBytes) * 2 AS BIGINT))) AS frame_md5
+       |  FROM f)""".stripMargin
+
+  /** Cross-document repeated-frame report — the multimodal twin of
+    * `tx_boilerplate`: a frame digest appearing in ≥2 DISTINCT payloads
+    * is shared content (intros, outros, watermarks, padding — the
+    * segments a media-curation pass strips before training), and each
+    * doc reports what fraction of its sampled frames is such shared
+    * material. Digest frequency is one hash aggregate over the sampled
+    * frames (map-side partials); the flag join is digest-keyed and
+    * SHUFFLED by default — the frame-digest vocabulary scales with the
+    * corpus exactly like tx_boilerplate's chunk vocabulary, never
+    * broadcast by fiat. 32 of 781 digests are cross-doc on this corpus
+    * (the near-dup clusters share aligned prefixes).
+    */
+  val dupFrames = QueryDef(
+    "mm_dup_frames",
+    s"""WITH $frSql,
+       |dd AS MATERIALIZED (SELECT frame_md5 FROM (
+       |    SELECT frame_md5, COUNT(DISTINCT doc_id) AS nd FROM fr GROUP BY 1) t
+       |  WHERE nd >= 2)
+       |SELECT fr.doc_id, CAST(COUNT(*) AS BIGINT) AS n_sampled,
+       |  CAST(SUM(CASE WHEN d.frame_md5 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+       |  ${PS.prnd("CAST(SUM(CASE WHEN d.frame_md5 IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)", 6)} AS shared_frac
+       |FROM fr LEFT JOIN dd d ON d.frame_md5 = fr.frame_md5
+       |GROUP BY fr.doc_id""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val fr = frames(s, dir).select($"doc_id", $"frame_md5")
+    val dd = fr.groupBy($"frame_md5")
+      .agg(count_distinct($"doc_id").as("nd"))
+      .filter($"nd" >= 2).select($"frame_md5", lit(1L).as("is_shared"))
+    fr.join(dd, Seq("frame_md5"), "left")
+      .groupBy($"doc_id")
+      .agg(P.cnt.as("n_sampled"),
+        sum(coalesce($"is_shared", lit(0L))).as("n_shared"),
+        P.prnd(sum(coalesce($"is_shared", lit(0L))).cast("double")
+          / count(lit(1)), 6).as("shared_frac"))
+  }
+
+  val defs: Seq[QueryDef] = Seq(binaryMeta, frameIndex, dupFrames)
 }
