@@ -763,4 +763,65 @@ class CoreOperatorsSpec extends GraftSuite {
     assert(got(0.9).getAs[Double]("est_value") === 72.0)
     assert(math.abs(got(0.9).getAs[Double]("abs_err") - 0.9) < 1e-6)
   }
+
+  test("range join: planted boundary events prove [t-1h, t) inclusivity") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_range").toString
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // purchase at 12:00; views at exactly -1h (IN, inclusive lower), -30m
+    // (IN), 0 (OUT, exclusive upper), -1h-1s (OUT)
+    val rows = Seq(
+      (1L, ts("2024-01-01 12:00:00"), 1L, "purchase", 10.0, "{}"),
+      (2L, ts("2024-01-01 11:00:00"), 2L, "view", 1.0, "{}"),
+      (3L, ts("2024-01-01 11:30:00"), 3L, "view", 2.0, "{}"),
+      (4L, ts("2024-01-01 12:00:00"), 4L, "view", 4.0, "{}"),
+      (5L, ts("2024-01-01 10:59:59"), 5L, "view", 8.0, "{}"))
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val got = operators.Relational.qRangeJoin.run(spark, tmp).collect()
+    assert(got.length === 1)
+    assert(got.head.getAs[Long]("n_views_1h") === 2L)
+    assert(got.head.getAs[Double]("views_value") === 3.0)
+  }
+
+  test("pareto share: planted 91/1x9 distribution yields exact cutoff shares") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_pareto").toString
+    def ts(i: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:00:${i % 60}%02d")
+    // user 1: 91 events; users 2..10: 1 each -> N=10 users, 100 events
+    val rows = (1 to 91).map(i => (i.toLong, ts(i), 1L, "view", 1.0, "{}")) ++
+      (2 to 10).map(u => (100L + u, ts(u), u.toLong, "view", 1.0, "{}"))
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val got = operators.Analytics.paretoShare.run(spark, tmp).collect()
+      .map(r => r.getAs[Long]("top_pct") ->
+        (r.getAs[Long]("k_users"), r.getAs[Long]("events_topk"), r.getAs[Double]("share")))
+      .toMap
+    // k = ceil(10·p/100): p=1,5,10 -> 1 user (the heavy one, 91 events);
+    // p=25 -> 3 users -> 93 events
+    assert(got(1L) === ((1L, 91L, 0.91)))
+    assert(got(5L) === ((1L, 91L, 0.91)))
+    assert(got(10L) === ((1L, 91L, 0.91)))
+    assert(got(25L) === ((3L, 93L, 0.93)))
+  }
+
+  test("active streaks: planted gap pattern yields islands of the right length") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_streak").toString
+    def ts(d: Int) = java.sql.Timestamp.valueOf(f"2024-01-$d%02d 10:00:00")
+    // u1 active on days 1,2,3,5,6 (streaks 3 and 2; two events on day 2
+    // must not double-count); u2 one day
+    val rows = Seq(
+      (1L, ts(1), 1L), (2L, ts(2), 1L), (3L, ts(2), 1L), (4L, ts(3), 1L),
+      (5L, ts(5), 1L), (6L, ts(6), 1L),
+      (7L, ts(9), 2L))
+      .map { case (e, t, u) => (e, t, u, "view", 1.0, "{}") }
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val got = operators.Analytics.activeStreaks.run(spark, tmp).collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        (r.getAs[Long]("n_active_days"), r.getAs[Long]("max_streak"))).toMap
+    assert(got(1L) === ((5L, 3L)))
+    assert(got(2L) === ((1L, 1L)))
+  }
 }

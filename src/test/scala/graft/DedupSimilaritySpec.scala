@@ -285,4 +285,32 @@ class DedupSimilaritySpec extends GraftSuite {
     // intra-doc repetition is NOT cross-doc duplication
     assert(rows(4L).getAs[Long]("n_dup_spans") === 0L)
   }
+
+  test("incremental dedup: planted cross-split dups get exact/near/keep verdicts") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_inc").toString
+    // base = ids < 450, batch = ids >= 450 (the IncSplit convention)
+    val t10 = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val t20 = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val docs = Seq(
+      (10L, t10), // base original
+      (20L, t20), // base original
+      (30L, "plain base document with some ordinary words inside it"),
+      (460L, t10), // exact copy of 10 -> drop_exact
+      (470L, t20 + " extra"), // near copy of 20 (J = 36/37 on 5-shingles) -> drop_near
+      (480L, "totally unrelated words completely different nothing shared whatsoever today"))
+      .map { case (id, t) => (id, t, "en", "spec", t.length.toLong) }
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = operators.Dedup.incremental.run(spark, tmp).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("verdict"), Option(r.getAs[java.lang.Long]("dup_of")))).toMap
+    assert(got.keySet === Set(460L, 470L, 480L), "one verdict per batch doc")
+    assert(got(460L) === (("drop_exact", Some(10L))),
+      "identical cross-split text must drop as exact with the base id")
+    assert(got(470L) === (("drop_near", Some(20L))),
+      "one-token-appended copy must drop as near against its base doc")
+    assert(got(480L)._1 === "keep")
+    assert(got(480L)._2.isEmpty)
+  }
 }
