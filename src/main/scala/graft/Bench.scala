@@ -23,97 +23,152 @@ import java.util.concurrent.atomic.{AtomicBoolean, AtomicInteger}
   */
 object Bench {
 
-  /** Previous-round cost (sec at sf0.1, round-9 full sweep);
-    * generous estimates for queries that have never been timed. Only the
-    * ORDER matters — cheapest first guarantees full sweeps.
+  /** Previous-round measured cost (sec at sf0.1, round-12 full warm
+    * sweep) for EVERY query — only the ORDER matters (cheapest first
+    * guarantees full sweeps), but r11 left ~30 later-added queries
+    * unlisted at the 5.0 default: they all sorted to the sweep tail,
+    * where the extra-sample window had closed, so their recorded time
+    * was one first-consumer-cold sample paying the session-shared
+    * MatStore builds (sim_filtered_recall: 2.4s recorded vs 0.29s
+    * isolated). A complete map is the fix that lasts.
     */
   val priorCost: Map[String, Double] = Map(
-    "an_comment_buckets" -> 0.4,
-    "an_conversion" -> 0.5,
-    "an_dow_activity" -> 0.2,
-    "an_session_stats" -> 0.5,
-    "an_explorer" -> 0.2,
-    "an_gini" -> 0.3,
-    "an_hll_users" -> 0.3,
-    "an_keyword_mentions" -> 0.2,
-    "an_quantiles" -> 0.2,
-    "an_retention" -> 0.6,
-    "an_rolling_active" -> 0.4,
-    "an_spike_days" -> 0.25,
-    "an_timeline" -> 0.2,
-    "an_top_groups" -> 0.2,
-    "an_user_activity" -> 0.2,
-    "an_value_buckets" -> 0.3,
-    "dd_clusters" -> 0.3,
-    "dd_embedding" -> 0.6,
-    "dd_exact" -> 0.3,
+    "an_ab_test" -> 0.2,
+    "an_active_streaks" -> 0.24,
+    "an_cm_topk" -> 1.21,
+    "an_comment_buckets" -> 0.16,
+    "an_concurrency" -> 0.68,
+    "an_conversion" -> 0.27,
+    "an_dow_activity" -> 0.16,
+    "an_event_gap_dist" -> 0.35,
+    "an_explorer" -> 0.05,
+    "an_gini" -> 0.24,
+    "an_hist_quantiles" -> 0.5,
+    "an_hll_users" -> 0.61,
+    "an_hourly_heatmap" -> 0.2,
+    "an_keyword_mentions" -> 0.17,
+    "an_kmv_overlap" -> 0.61,
+    "an_new_vs_returning" -> 0.24,
+    "an_pareto_share" -> 0.18,
+    "an_pivot_daily" -> 0.2,
+    "an_quantiles" -> 0.29,
+    "an_retention" -> 0.33,
+    "an_rolling_active" -> 0.37,
+    "an_session_paths" -> 0.61,
+    "an_session_stats" -> 0.3,
+    "an_spike_days" -> 0.2,
+    "an_timeline" -> 0.15,
+    "an_timeline_dense" -> 0.15,
+    "an_top_groups" -> 0.11,
+    "an_trend" -> 0.21,
+    "an_user_activity" -> 0.24,
+    "an_value_buckets" -> 0.15,
+    "dd_cluster_canonical" -> 0.55,
+    "dd_clusters" -> 0.31,
+    "dd_cross_source" -> 0.17,
+    "dd_embedding" -> 0.62,
+    "dd_exact" -> 0.17,
+    "dd_impact" -> 0.46,
+    "dd_incremental" -> 0.56,
+    "dd_lsh_tuning" -> 0.45,
     "dd_minhash_lsh" -> 0.1,
-    "dd_ngram_jaccard" -> 0.1,
-    "dd_simhash" -> 0.6,
-    "etl_clean_text" -> 0.1,
-    "etl_compact_latest" -> 0.3,
-    "etl_corpus_prep" -> 0.3,
-    "etl_dedup_ingest" -> 0.2,
-    "etl_filter_enrich" -> 0.2,
-    "etl_pack_sequences" -> 0.4,
-    "etl_parse_json" -> 0.1,
-    "etl_sessionize" -> 0.3,
-    "etl_stratified_sample" -> 0.1,
-    "gr_betweenness_approx" -> 2.6,
-    "gr_closeness" -> 1.3,
-    "gr_communities" -> 0.6,
-    "gr_community_names" -> 1.6,
-    "gr_community_stats" -> 0.7,
-    "gr_components" -> 0.8,
-    "gr_degree" -> 0.2,
-    "gr_degree_buckets" -> 0.3,
-    "gr_degree_directed" -> 0.3,
-    "gr_edges" -> 0.1,
-    "gr_eigenvector" -> 1.5,
-    "gr_graph_stats" -> 0.5,
-    "gr_influencers" -> 1.4,
-    "gr_link_predict" -> 0.6,
-    "gr_louvain" -> 1.2,
-    "gr_modularity" -> 0.8,
-    "gr_pagerank" -> 1.3,
-    "gr_triangles" -> 0.6,
-    "mm_binary_meta" -> 0.1,
-    "q1_pricing_summary" -> 0.2,
-    "q3_top_orders" -> 0.7,
-    "q5_region_revenue" -> 0.6,
-    "q_asof_join" -> 0.1,
-    "q_rollup" -> 0.3,
-    "q_window_rank" -> 0.2,
-    "sent_agreement" -> 0.3,
-    "sent_distribution" -> 0.2,
+    "dd_ngram_jaccard" -> 0.11,
+    "dd_recall" -> 0.42,
+    "dd_simhash" -> 0.79,
+    "dd_span_coverage" -> 0.68,
+    "etl_chunk_overlap" -> 0.1,
+    "etl_clean_text" -> 0.21,
+    "etl_compact_latest" -> 0.18,
+    "etl_corpus_prep" -> 0.26,
+    "etl_dedup_ingest" -> 0.09,
+    "etl_filter_enrich" -> 0.35,
+    "etl_pack_sequences" -> 0.32,
+    "etl_parse_json" -> 0.55,
+    "etl_profile_columns" -> 0.25,
+    "etl_scd2" -> 0.15,
+    "etl_sessionize" -> 0.31,
+    "etl_shard_shuffle" -> 0.07,
+    "etl_split_train_val" -> 0.32,
+    "etl_stratified_sample" -> 0.07,
+    "etl_weighted_sample" -> 0.19,
+    "etl_winsorize" -> 0.18,
+    "gr_assortativity" -> 0.29,
+    "gr_betweenness_approx" -> 2.93,
+    "gr_closeness" -> 1.07,
+    "gr_communities" -> 0.77,
+    "gr_community_names" -> 0.87,
+    "gr_community_stats" -> 0.91,
+    "gr_components" -> 0.88,
+    "gr_degree" -> 0.28,
+    "gr_degree_buckets" -> 0.23,
+    "gr_degree_directed" -> 0.36,
+    "gr_edges" -> 0.48,
+    "gr_ego_net" -> 0.65,
+    "gr_eigenvector" -> 1.18,
+    "gr_graph_stats" -> 0.11,
+    "gr_influencers" -> 1.02,
+    "gr_kcore" -> 1.03,
+    "gr_link_predict" -> 0.33,
+    "gr_louvain" -> 3.43,
+    "gr_modularity" -> 1.08,
+    "gr_pagerank" -> 1.03,
+    "gr_random_walks" -> 3.61,
+    "gr_triangles" -> 3.86,
+    "mm_binary_meta" -> 0.07,
+    "mm_dup_frames" -> 0.33,
+    "mm_frame_index" -> 0.06,
+    "q1_pricing_summary" -> 0.3,
+    "q3_top_orders" -> 0.51,
+    "q5_region_revenue" -> 0.72,
+    "q_anti_join" -> 0.2,
+    "q_asof_join" -> 0.32,
+    "q_bloom_prune" -> 0.3,
+    "q_point_in_time" -> 0.24,
+    "q_range_join" -> 0.68,
+    "q_rollup" -> 0.29,
+    "q_skew_audit" -> 1.73,
+    "q_window_rank" -> 0.24,
+    "sent_agreement" -> 0.37,
+    "sent_distribution" -> 0.17,
     "sent_emoji" -> 0.1,
-    "sent_lexicon" -> 0.1,
-    "sim_bruteforce_topk" -> 0.4,
-    "sim_ivf_kmeans_topk" -> 0.3,
-    "sim_kmeans_recall" -> 0.3,
-    "sim_ivf_topk" -> 0.5,
-    "sim_kmeans_train" -> 0.1,
-    "sim_lsh_topk" -> 0.3,
-    "sim_pair_stats" -> 0.7,
-    "sim_ivfpq_topk" -> 0.8,
-    "sim_pq_recall" -> 1.1,
-    "sim_pq_topk" -> 0.9,
-    "sim_recall" -> 0.2,
-    "st_enrich_agg" -> 0.2,
-    "st_funnel_join" -> 0.3,
-    "st_window_agg" -> 0.2,
-    "tx_contamination" -> 0.4,
-    "tx_corpus_mixture" -> 0.2,
-    "tx_fingerprint" -> 0.1,
-    "tx_keyterms" -> 0.6,
-    "tx_lang_id" -> 0.1,
-    "tx_lm_score" -> 0.5,
-    "tx_boilerplate" -> 0.4,
-    "tx_ngram_stats" -> 0.2,
-    "tx_pii_scrub" -> 0.1,
+    "sent_examples" -> 1.34,
+    "sent_lexicon" -> 0.16,
+    "sim_bruteforce_topk" -> 0.27,
+    "sim_centroid_drift" -> 2.38,
+    "sim_filtered_recall" -> 2.37,
+    "sim_filtered_topk" -> 0.06,
+    "sim_ivf_kmeans_topk" -> 0.09,
+    "sim_ivf_topk" -> 0.41,
+    "sim_ivfpq_topk" -> 0.73,
+    "sim_kmeans_recall" -> 0.23,
+    "sim_kmeans_train" -> 0.12,
+    "sim_lsh_topk" -> 0.27,
+    "sim_mmr_topk" -> 0.53,
+    "sim_pair_hist" -> 0.3,
+    "sim_pair_stats" -> 0.38,
+    "sim_pq_recall" -> 0.74,
+    "sim_pq_topk" -> 0.84,
+    "sim_recall" -> 0.42,
+    "st_enrich_agg" -> 0.31,
+    "st_funnel_join" -> 0.21,
+    "st_window_agg" -> 0.23,
+    "tx_boilerplate" -> 0.54,
+    "tx_contamination" -> 0.35,
+    "tx_corpus_mixture" -> 0.28,
+    "tx_fingerprint" -> 0.16,
+    "tx_gopher_rules" -> 0.29,
+    "tx_hashed_features" -> 1.8,
+    "tx_keyterms" -> 0.63,
+    "tx_lang_id" -> 0.22,
+    "tx_langid_confusion" -> 0.57,
+    "tx_lm_score" -> 0.93,
+    "tx_ngram_stats" -> 0.16,
+    "tx_pii_scrub" -> 0.5,
     "tx_quality" -> 0.1,
-    "tx_repetition" -> 0.1,
-    "tx_token_count" -> 0.1)
+    "tx_repetition" -> 0.14,
+    "tx_term_drift" -> 0.39,
+    "tx_token_count" -> 0.1,
+    "tx_vocab_growth" -> 0.35)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -304,7 +359,11 @@ object Bench {
         }
         val extra = scala.collection.mutable.ArrayBuffer.empty[Double]
         var more = first.isDefined
-        while (more && (1 + extra.length) < maxSamples && elapsed < budgetSec * 0.5) {
+        // 0.7 (was 0.5): a full warm sweep's wall lands at 400-500s of
+        // the 900s budget, so the half-budget cutoff silently downgraded
+        // the ENTIRE sweep tail to single cold samples — exactly the
+        // expensive queries min-of-N exists for
+        while (more && (1 + extra.length) < maxSamples && elapsed < budgetSec * 0.7) {
           runOne(name, fn, perQueryCap) match {
             case Some(t) => extra += t
             case None => more = false

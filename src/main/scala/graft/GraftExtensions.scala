@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{CosineSimilarity, CountTokensIn, HammingBits, LexiconScore, MinMd5, ScaledDot, ShingleJoin, SimHashSig, ZOrderBits}
+import graft.functions.{CosineSimilarity, CountTokensIn, HammingBits, LexiconScore, MinMd5, ScaledDot, ShingleJoin, SimHashSig, TopKStruct, ZOrderBits}
 
 /** Registers graft's native expressions as SQL functions so both the
   * Column API and `spark.sql("... graft_cosine(a,b) ...")` can use them.
@@ -43,6 +43,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_sdot"),
       new ExpressionInfo(classOf[ScaledDot].getName, "graft_sdot"),
       (children: Seq[Expression]) => ScaledDot(children(0), children(1), children(2))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_topk"),
+      new ExpressionInfo(classOf[TopKStruct].getName, "graft_topk"),
+      (children: Seq[Expression]) => TopKStruct(children(0), children(1))))
     ext.injectFunction((
       FunctionIdentifier("graft_zorder"),
       new ExpressionInfo(classOf[ZOrderBits].getName, "graft_zorder"),

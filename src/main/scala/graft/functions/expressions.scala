@@ -822,3 +822,115 @@ object ZOrderBits {
     spread(a) | (spread(b) << 1)
   }
 }
+
+/** Bounded top-k aggregate: keeps the K SMALLEST values of `child` (by the
+  * type's natural ordering — for a struct, lexicographic over its fields)
+  * and returns them as a sorted array.
+  *
+  * This is the scale-honest replacement for the two corpus-rank idioms
+  * that do NOT survive 100 TB:
+  *  - `row_number() OVER (PARTITION BY g ORDER BY ...) <= k` exchanges and
+  *    SORTS every row of every group for k survivors;
+  *  - `slice(array_sort(collect_list(struct(...))), 1, k)` is hash-based
+  *    but its partial buffers hold the WHOLE group per task before the
+  *    slice.
+  * Here the aggregation buffer never exceeds k elements (inserts prune
+  * eagerly), partial aggregation is map-side (each task ships at most k
+  * rows per group), and merges are associative — so the shuffle carries
+  * k·|groups| rows no matter the corpus size. Encode "top-k by X DESC,
+  * tie ASC" as `struct(-X, tie, ...payload)` — the caller picks order by
+  * sign, exactly like the min-struct argmax idiom this generalizes
+  * (ref capability: per-label / per-doc top-k panels — dashboard.py's
+  * head(n) after sort_values; see SURVEY §2b/§2h).
+  *
+  * k must be a foldable positive int; buffer serialization round-trips
+  * through a single-column UnsafeRow (the same array-in-row framing
+  * Spark's own collect aggregates use).
+  */
+case class TopKStruct(
+    child: Expression,
+    kArg: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate[
+    scala.collection.mutable.ArrayBuffer[Any]] {
+
+  private lazy val k: Int = kArg.eval().asInstanceOf[Number].intValue()
+
+  @transient private lazy val ordering: Ordering[Any] =
+    org.apache.spark.sql.catalyst.util.TypeUtils.getInterpretedOrdering(child.dataType)
+
+  override def prettyName: String = "graft_topk"
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(child.dataType, containsNull = false)
+  override def children: Seq[Expression] = Seq(child, kArg)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (!kArg.foldable) TypeCheckResult.TypeCheckFailure(s"$prettyName: k must be foldable")
+    else if (k <= 0) TypeCheckResult.TypeCheckFailure(s"$prettyName: k must be positive, got $k")
+    else if (!org.apache.spark.sql.catalyst.expressions.RowOrdering.isOrderable(child.dataType))
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName: ${child.dataType.catalogString} is not orderable")
+    else TypeCheckResult.TypeCheckSuccess
+
+  override def createAggregationBuffer(): scala.collection.mutable.ArrayBuffer[Any] =
+    scala.collection.mutable.ArrayBuffer.empty[Any]
+
+  /** Sort + trim to k. Amortized: update lets the buffer grow to 2k before
+    * pruning, so per-row cost is O(log k) comparisons on average. */
+  private def prune(buf: scala.collection.mutable.ArrayBuffer[Any])
+      : scala.collection.mutable.ArrayBuffer[Any] = {
+    val sorted = buf.sortWith((a, b) => ordering.compare(a, b) < 0)
+    if (sorted.length > k) sorted.take(k) else sorted
+  }
+
+  override def update(
+      buf: scala.collection.mutable.ArrayBuffer[Any],
+      input: InternalRow): scala.collection.mutable.ArrayBuffer[Any] = {
+    val v = child.eval(input)
+    if (v == null) buf
+    else {
+      buf += InternalRow.copyValue(v)
+      if (buf.length >= 2 * k) prune(buf) else buf
+    }
+  }
+
+  override def merge(
+      a: scala.collection.mutable.ArrayBuffer[Any],
+      b: scala.collection.mutable.ArrayBuffer[Any]): scala.collection.mutable.ArrayBuffer[Any] =
+    prune(a ++= b)
+
+  override def eval(buf: scala.collection.mutable.ArrayBuffer[Any]): Any =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(prune(buf).toArray)
+
+  @transient private lazy val bufProjection =
+    org.apache.spark.sql.catalyst.expressions.UnsafeProjection.create(
+      Array[DataType](dataType))
+
+  override def serialize(buf: scala.collection.mutable.ArrayBuffer[Any]): Array[Byte] = {
+    val arr = new org.apache.spark.sql.catalyst.util.GenericArrayData(buf.toArray)
+    bufProjection.apply(InternalRow(arr)).getBytes
+  }
+
+  override def deserialize(bytes: Array[Byte]): scala.collection.mutable.ArrayBuffer[Any] = {
+    val row = new org.apache.spark.sql.catalyst.expressions.UnsafeRow(1)
+    row.pointTo(bytes, bytes.length)
+    val arr = row.getArray(0)
+    val buf = createAggregationBuffer()
+    var i = 0
+    val n = arr.numElements()
+    while (i < n) {
+      buf += InternalRow.copyValue(arr.get(i, child.dataType))
+      i += 1
+    }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): TopKStruct =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): TopKStruct =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(child = newChildren(0), kArg = newChildren(1))
+}

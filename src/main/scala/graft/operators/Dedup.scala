@@ -762,16 +762,22 @@ object Dedup {
       .select($"doc_id".as("b_id"), $"band", $"bkey")
     val ba = bands.filter($"doc_id" < IncSplit)
       .select($"doc_id".as("base_id"), $"band", $"bkey")
+    // consumed 3x (both candIds branches + the intersection join)
     val pairs = bb.join(ba, Seq("band", "bkey"))
       .select($"b_id", $"base_id").distinct()
+      .localCheckpoint(false)
     // 3-grams only for docs in some candidate pair (semi-join pruned)
     val candIds = pairs.select($"b_id".as("doc_id"))
       .union(pairs.select($"base_id".as("doc_id"))).distinct()
+    // g3 feeds three consumers (both sides of the intersection join and
+    // sz): materialize it after the semi-join prune so the gram explode
+    // runs once, not three times (the candGramsBuild discipline)
     val g3 = tokenizedM(s, dir)
       .join(candIds, Seq("doc_id"), "left_semi")
       .select($"doc_id",
         explode(call_function("graft_shingles", $"w", lit(3))).as("s"))
       .distinct()
+      .localCheckpoint(false)
     val sz = g3.groupBy($"doc_id").agg(P.cnt.as("n"))
     val inter = pairs
       .join(g3.select($"doc_id".as("b_id"), $"s"), "b_id")

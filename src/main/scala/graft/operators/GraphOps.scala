@@ -1932,19 +1932,32 @@ object GraphOps {
     val u = sharedUnd(s, dir)
     val nodes = u.select($"node").distinct()
     val bcast = stateHint(nodes.count())
-    var st = nodes.select($"node".as("wid"), $"node".as("cur"),
-      fmtNode($"node").as("path"))
+    // Iteration state is (wid, cur) ONLY — the walk's path string is
+    // functionally dependent on wid and would otherwise ride every
+    // step's shuffle key, growing by a node id per round (the r11
+    // slowest-query defect). Each step instead logs its chosen hop
+    // (wid, t, v); the path assembles ONCE at the end from the step
+    // log — a single extra shuffle of WalkLen·|V| narrow int rows with
+    // a ≤WalkLen-element collect per walk (bounded map-side partials).
+    var st = nodes.select($"node".as("wid"), $"node".as("cur"))
+    val steps = Seq.newBuilder[DataFrame]
     for (t <- 1 to WalkLen) {
       val h = md5(concat($"wid".cast("string"), lit(s":$t:"), $"nb".cast("string")))
       st = u.join(stateJoin(st, bcast), $"node" === $"cur")
-        .groupBy($"wid", $"path")
+        .groupBy($"wid")
         .agg(min(struct(h.as("h"), $"nb".as("v"))).as("m"))
-        .select($"wid", $"m.v".as("cur"),
-          concat($"path", lit(">"), fmtNode($"m.v")).as("path"))
+        .select($"wid", $"m.v".as("cur"))
         .localCheckpoint(false)
+      steps += st.select($"wid", lit(t).as("t"), $"cur".as("v"))
     }
-    st.select(fmtNode($"wid").as("walk_id"), $"path",
-      size(array_distinct(split($"path", ">"))).cast("long").as("n_unique"))
+    steps.result().reduce(_ unionAll _)
+      .groupBy($"wid")
+      .agg(array_sort(collect_list(struct($"t", $"v"))).as("hs"))
+      .select(fmtNode($"wid").as("walk_id"),
+        concat_ws(">", concat(array(fmtNode($"wid")),
+          transform($"hs", x => fmtNode(x.getField("v"))))).as("path"))
+      .select($"walk_id", $"path",
+        size(array_distinct(split($"path", ">"))).cast("long").as("n_unique"))
   }
 
   /** 2-hop ego network of the top-weighted-degree hub — the "user focus"
@@ -1985,17 +1998,27 @@ object GraphOps {
     import s.implicits._
     val e = edgesNum(s, dir)
     val und = undirected(e)
+    // seed/h1/h2/ego each feed 2-4 downstream consumers (frontier joins,
+    // counts, the ego-membership joins): materialize each once
+    // (localCheckpoint — the MatStore anything-consumed-twice
+    // discipline) so the |E| weighted-degree aggregate and the hop
+    // joins never re-execute per consumer (r11 VERDICT: unmaterialized,
+    // the whole chain ran 4x).
     val seed = und.groupBy($"node").agg(sum($"weight").as("wd"))
       .orderBy($"wd".desc, $"node").limit(1).select($"node".as("seed"))
+      .localCheckpoint(false)
     val h1 = und.join(broadcast(seed), $"node" === $"seed")
       .select($"nb".as("node")).distinct()
+      .localCheckpoint(false)
     // frontier expansion: und keyed on node against the (hub-sized,
     // data-scaling) 1-hop set — unhinted, so the planner/AQE picks by size
     val h2 = und.join(h1.withColumnRenamed("node", "fn"), $"node" === $"fn")
       .select($"nb".as("node")).distinct()
       .join(broadcast(seed), $"node" === $"seed", "left_anti")
       .join(h1, Seq("node"), "left_anti")
+      .localCheckpoint(false)
     val ego = seed.select($"seed".as("node")).union(h1).union(h2).distinct()
+      .localCheckpoint(false)
     val within = e
       .join(ego.withColumnRenamed("node", "sn"), $"src" === $"sn")
       .join(ego.withColumnRenamed("node", "dn"), $"dst" === $"dn")

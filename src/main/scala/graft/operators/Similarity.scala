@@ -514,10 +514,20 @@ object Similarity {
   }
 
   /** Exact brute-force (q_id, vec_id) pairs at rank ≤ [[LshTopK]] — the
-    * baseline side both recall gates compare against.
+    * baseline side every recall gate compares against. MatStore-shared
+    * per (dir, label-filter): three recall queries (sim_recall,
+    * sim_kmeans_recall, sim_pq_recall) compare against the IDENTICAL
+    * unfiltered baseline, which r11 rebuilt — full corpus×queries
+    * cosine sweep included — once per query.
     */
   private def bruteTopkPairs(s: SparkSession, dir: String,
-      onlyLabels: Option[Seq[Int]] = None): DataFrame = {
+      onlyLabels: Option[Seq[Int]] = None): DataFrame =
+    graft.MatStore.of(s,
+      s"sim_brute:${onlyLabels.fold("all")(_.mkString(","))}:$dir")(
+      bruteTopkBuild(s, dir, onlyLabels))
+
+  private def bruteTopkBuild(s: SparkSession, dir: String,
+      onlyLabels: Option[Seq[Int]]): DataFrame = {
     import s.implicits._
     val emb0 = Tables.embeddings(s, dir)
     val emb = onlyLabels.fold(emb0)(ls => emb0.filter($"label".isin(ls: _*)))

@@ -337,4 +337,38 @@ class FunctionsSpec extends GraftSuite {
     }
     assert(e.getMessage.contains("integral"), e.getMessage)
   }
+
+  test("graft_topk keeps the k smallest structs, bounded, matching the sort oracle") {
+    import spark.implicits._
+    // adversarial layout: many partitions so merge() runs, duplicate
+    // priorities so ties resolve by the next struct field, one group
+    // smaller than k, and enough rows per group to force buffer pruning
+    val rows = for (g <- 1 to 3; i <- 1 to (if (g == 3) 2 else 40))
+      yield (s"g$g", (i * 7919) % 13L, i.toLong) // priority collides mod 13
+    val df = rows.toDF("g", "p", "id").repartition(16)
+    val got = df.groupBy($"g")
+      .agg(call_function("graft_topk", struct($"p", $"id"), lit(5)).as("top"))
+      .collect().map(r => r.getString(0) ->
+        r.getSeq[org.apache.spark.sql.Row](1).map(x => (x.getLong(0), x.getLong(1)))).toMap
+    // in-memory oracle: full sort then take(5)
+    val want = rows.groupBy(_._1).map { case (g, rs) =>
+      g -> rs.map(r => (r._2, r._3)).sorted.take(5).toSeq
+    }
+    assert(got.keySet == want.keySet)
+    want.foreach { case (g, w) => assert(got(g) == w, s"group $g: ${got(g)} vs $w") }
+    // the undersized group returns all its rows, sorted
+    assert(got("g3").length == 2)
+  }
+
+  test("graft_topk nulls are skipped and SQL registration works") {
+    import spark.implicits._
+    Seq((1L, Some(5L)), (1L, None), (1L, Some(2L)), (1L, Some(9L)))
+      .toDF("g", "v").createOrReplaceTempView("tk_in")
+    val out = spark.sql(
+      """SELECT graft_topk(
+        |  CASE WHEN v IS NULL THEN NULL ELSE named_struct('v', v) END, 2) AS t
+        |FROM tk_in GROUP BY g""".stripMargin)
+      .collect()(0).getSeq[org.apache.spark.sql.Row](0).map(_.getLong(0))
+    assert(out == Seq(2L, 5L))
+  }
 }
