@@ -15,7 +15,8 @@ object Registry {
       operators.Dedup.defs ++
       operators.Similarity.defs ++
       operators.Multimodal.defs ++
-      operators.StreamingQueries.defs
+      operators.StreamingQueries.defs ++
+      operators.Ops.defs
 
   def byName: Map[String, QueryDef] = all.map(d => d.name -> d).toMap
 }

@@ -642,6 +642,16 @@ object Dedup {
     * themselves use (content-hash min, the verified-pair clusters), so
     * the funnel can never disagree with the gates; token mass is one
     * narrow word-count map aggregated per stage with map-side partials.
+    *
+    * Survivor policy, stated explicitly: the near stage keeps each
+    * cluster's FIRST-WINS member (min doc_id — the ingest-order policy
+    * dd_exact and dd_minhash_lsh apply), so its token mass is the
+    * first-wins pipeline's. A pipeline that instead adopts
+    * [[clusterCanonical]]'s quality-best pick keeps the same DOC count
+    * (one survivor per cluster) but a different token mass; that
+    * variant's mass follows by joining dd_cluster_canonical's
+    * `canonical_doc` picks back to documents, which is why the funnel
+    * does not duplicate the stage.
     */
   val impact = QueryDef(
     "dd_impact",

@@ -700,8 +700,50 @@ object Etl {
       .select($"doc_id", $"shard", row_number().over(w).cast("long").as("pos"))
   }
 
+  /** Topical-relevance keyword domain — the corpus-membership lexicon of
+    * the reference's scraper gate (scraper/kafka_producer.py:264-276
+    * `_is_can_related` keeps a post iff any keyword appears in
+    * title+selftext, lowercased). Same declared keyword domain as
+    * an_keyword_mentions, so the mention dashboard and the membership
+    * gate can never disagree about what "on-topic" means.
+    */
+  private val RelevanceKeywords = Seq("spark", "join", "merge", "stream", "vector")
+
+  /** Keyword-relevance keep/drop per document WITH the decision reason —
+    * the corpus-membership gate the reference applies at scrape time
+    * (kafka_producer.py:264-276), surfaced as an auditable relation:
+    * `reason` is `kw:<first matching keyword>` (the reference's
+    * first-match-wins loop order) or `no_keyword`. Semantically stage 0
+    * of [[corpusPrep]]'s funnel — membership before length/dup/quality.
+    *
+    * Scale shape: a pure narrow map (one lower() + K substring probes
+    * per row, whole-stage codegen, no shuffle) — linear at 100 TB, like
+    * every other per-row gate.
+    */
+  val relevanceGate = QueryDef(
+    "etl_relevance_gate",
+    s"""SELECT doc_id,
+       |  (${RelevanceKeywords.map(k => s"contains(lower(text), '$k')").mkString(" OR ")}) AS keep,
+       |  CASE ${RelevanceKeywords.map(k => s"WHEN contains(lower(text), '$k') THEN 'kw:$k'").mkString(" ")}
+       |    ELSE 'no_keyword' END AS reason
+       |FROM documents""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val lowered = lower($"text")
+    val reason = RelevanceKeywords.tail
+      .foldLeft(when(lowered.contains(RelevanceKeywords.head),
+        s"kw:${RelevanceKeywords.head}")) { (c, k) =>
+        c.when(lowered.contains(k), s"kw:$k")
+      }
+      .otherwise("no_keyword")
+    Tables.documents(s, dir).select(
+      $"doc_id",
+      RelevanceKeywords.map(k => lowered.contains(k): org.apache.spark.sql.Column)
+        .reduce(_ || _).as("keep"),
+      reason.as("reason"))
+  }
+
   val defs: Seq[QueryDef] = Seq(cleanText, filterEnrich, dedupIngest, parseJson,
     sessionize, stratifiedSample, corpusPrep, compactLatest, packSequences, scd2,
     weightedSample, chunkOverlap, splitTrainVal, shardShuffle, profileColumns,
-    winsorize)
+    winsorize, relevanceGate)
 }

@@ -127,6 +127,19 @@ object Sentiment {
   private def labeledSqlFull(alias: String): String =
     labeledSql(VaderLexicon.Entries, alias)
 
+  /** Cross-subsystem view of the full-lexicon labeled corpus and its
+    * oracle CTE chain (aliases `<alias>w`, `<alias>`, `<alias>l`; labels
+    * live in `<alias>l`) — consumed by ops_pipeline_report's ML-coverage
+    * stage so the pipeline report counts EXACTLY what the sentiment
+    * stage labels (one labeler, never a drifting copy). `def`s so object
+    * init order can never null the interpolation.
+    */
+  private[operators] def labeledShared(s: SparkSession, dir: String): DataFrame =
+    labeledDf(s, dir, VaderLexicon.Entries,
+      VaderLexicon.PosWords, VaderLexicon.NegWords)
+  private[operators] def labeledSharedCte(alias: String): String =
+    labeledSqlFull(alias)
+
   /** Per-document compound score + 3-class label. */
   val lexicon = QueryDef(
     "sent_lexicon",

@@ -136,14 +136,62 @@ object CorpusIO {
   def compactFiles(spark: SparkSession, inPath: String, outPath: String,
       targetFileBytes: Long = 128L << 20): Int = {
     val df = spark.read.parquet(inPath)
+    // sizes come from ONE directory listing per parent dir, not a
+    // per-file getFileStatus RPC loop — the r11 version re-created
+    // exactly the per-file driver metadata cost compaction exists to
+    // repair (on object stores each getFileStatus is a round-trip).
     val conf = spark.sessionState.newHadoopConf()
-    val total = df.inputFiles.map { f =>
-      val p = new org.apache.hadoop.fs.Path(f)
-      p.getFileSystem(conf).getFileStatus(p).getLen
-    }.sum
+    val sizeByPath: Map[String, Long] = df.inputFiles
+      .map(f => new org.apache.hadoop.fs.Path(f))
+      .groupBy(_.getParent)
+      .flatMap { case (parent, _) =>
+        parent.getFileSystem(conf).listStatus(parent)
+          .map(st => st.getPath.toUri.toString -> st.getLen)
+      }
+    val total = df.inputFiles.map(f => sizeByPath.getOrElse(
+      new org.apache.hadoop.fs.Path(f).toUri.toString, 0L)).sum
+    // output count derives from COMPRESSED input bytes — re-encoded
+    // output can drift from targetFileBytes by the (input/output)
+    // compression-ratio delta; an exact split would need a data scan,
+    // which I/O repair must never pay
     val n = math.max(1, math.ceil(total.toDouble / targetFileBytes).toInt)
     df.coalesce(n).write.mode(SaveMode.Overwrite).parquet(outPath)
     n
+  }
+
+  /** Retention / TTL purge over a hive-partitioned layout — the
+    * lifecycle step the reference's DAG runs as `cleanup_old_data`
+    * (airflow/dags/reddit_can_complete_pipeline.py:242-280: delete
+    * documents whose partition date is older than a horizon).
+    *
+    * METADATA-ONLY by construction: the expired partitions are chosen by
+    * comparing each `<partCol>=<value>` DIRECTORY NAME against the
+    * cutoff and deleted recursively at the filesystem layer — no data
+    * file is ever opened, no surviving partition is read, rewritten, or
+    * even listed into (spec-planted: a corrupt file in a survivor
+    * partition rides through untouched). This is the only shape that
+    * survives 100 TB: a purge that re-writes the table (`read.filter.
+    * write`) pays a full scan + shuffle to delete old rows, and a purge
+    * that lists files inside live partitions pays the object-store
+    * metadata cost for data it must not touch.
+    *
+    * `cutoff` is compared as a string against the partition value —
+    * correct for ISO dates and zero-padded numeric partitions (the
+    * layouts [[writePartitioned]] produces). Returns the deleted
+    * partition values (the audit line a lifecycle service logs).
+    */
+  def retentionPurge(spark: SparkSession, path: String, partCol: String,
+      cutoff: String): Seq[String] = {
+    val conf = spark.sessionState.newHadoopConf()
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(conf)
+    val prefix = s"$partCol="
+    val expired = fs.listStatus(root).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith(prefix))
+      .map(st => st.getPath)
+      .filter(_.getName.stripPrefix(prefix) < cutoff)
+    expired.foreach(p => fs.delete(p, true))
+    expired.map(_.getName.stripPrefix(prefix)).sorted
   }
 
   def writeZOrdered(df: DataFrame, path: String, colA: String, colB: String,

@@ -824,4 +824,68 @@ class CoreOperatorsSpec extends GraftSuite {
     assert(got(1L) === ((5L, 3L)))
     assert(got(2L) === ((1L, 1L)))
   }
+
+  test("pipeline report: planted threshold breaches flip the gates; real corpus yields one row") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ops").toString
+    // 60 docs: 50 long neutral + 5 long positive ("good good good") + 5
+    // too-short ("hi", length 2 <= 5 -> unprocessed). processed = 55 >= 50
+    // so the ML gate holds; only 3 distinct users so the network gate
+    // (>= 30) breaches; 60 docs < 100 -> 'expand_sources'.
+    val docs =
+      (1L to 50L).map(i => (i, s"plain filler content row number $i", "en", "web")) ++
+      (51L to 55L).map(i => (i, "good good good", "en", "web")) ++
+      (56L to 60L).map(i => (i, "hi", "en", "web"))
+    docs.map { case (id, t, l, s) => (id, t, l, s, t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    (1L to 40L).map(i => (i, java.sql.Timestamp.valueOf("2024-03-01 10:00:00"),
+        i % 3, "view", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val r = operators.Ops.pipelineReport.run(spark, tmp).collect()
+    assert(r.length === 1)
+    val row = r.head
+    assert(row.getAs[Long]("n_docs") === 60L)
+    assert(row.getAs[Long]("n_events") === 40L)
+    assert(row.getAs[Long]("n_processed") === 55L)
+    assert(row.getAs[Long]("n_scored") === 5L)
+    assert(row.getAs[Long]("n_users") === 3L)
+    assert(row.getAs[Boolean]("ml_gate"))
+    assert(!row.getAs[Boolean]("network_gate"))
+    assert(!row.getAs[Boolean]("go"))
+    assert(row.getAs[String]("recommendation") === "expand_sources")
+    // coverage = 5/55
+    assert(math.abs(row.getAs[Double]("coverage_pct") - 5.0 * 100 / 55).abs < 1e-4)
+    // real corpus: exactly one row, coverage in [0, 100], counts positive
+    val real = run("ops_pipeline_report").collect()
+    assert(real.length === 1)
+    assert(real.head.getAs[Long]("n_docs") > 0)
+    val cov = real.head.getAs[Double]("coverage_pct")
+    assert(cov >= 0.0 && cov <= 100.0)
+  }
+
+  test("relevance gate: list-order first match wins, case-insensitive, misses dropped") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_rel").toString
+    val docs = Seq(
+      (1L, "Using SPARK for analytics"),     // case-insensitive hit
+      (2L, "stream first then merge data"),  // text order stream<merge, but
+                                             // list order merge<stream wins
+      (3L, "nothing relevant here at all"),  // miss -> dropped with reason
+      (4L, "VECTOR search engine"))
+    docs.map { case (id, t) => (id, t, "en", "web", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = operators.Etl.relevanceGate.run(spark, tmp).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Boolean]("keep"), r.getAs[String]("reason")))).toMap
+    assert(got(1L) === ((true, "kw:spark")))
+    assert(got(2L) === ((true, "kw:merge")))
+    assert(got(3L) === ((false, "no_keyword")))
+    assert(got(4L) === ((true, "kw:vector")))
+    // scale shape: pure narrow map, zero exchanges
+    val plan = planOf(run("etl_relevance_gate")).toLowerCase
+    assert(!plan.contains("exchange"), s"relevance gate must not shuffle:\n$plan")
+  }
 }

@@ -175,7 +175,7 @@ class ScalePlanSpec extends GraftSuite {
       "sent_lexicon", "sent_emoji", "mm_binary_meta", "q_window_rank",
       "q_asof_join", "q_point_in_time", "q_range_join",
       "an_user_activity", "an_spike_days", "an_active_streaks", "dd_exact",
-      "etl_shard_shuffle", "etl_winsorize",
+      "etl_shard_shuffle", "etl_winsorize", "etl_relevance_gate",
       "st_funnel_join")
     fullOutput.foreach { name =>
       val plan = planOf(run(name)).toLowerCase
@@ -185,7 +185,7 @@ class ScalePlanSpec extends GraftSuite {
     // the pure narrow maps additionally plan ZERO exchanges — one
     // whole-stage codegen span over the scan
     Seq("etl_clean_text", "etl_filter_enrich", "etl_stratified_sample",
-      "etl_chunk_overlap", "tx_gopher_rules",
+      "etl_chunk_overlap", "tx_gopher_rules", "etl_relevance_gate",
       "tx_lang_id", "tx_quality", "tx_token_count", "tx_fingerprint",
       "tx_repetition", "sent_lexicon", "sent_emoji", "mm_binary_meta",
       "mm_frame_index")

@@ -160,4 +160,39 @@ class SourcesSpec extends GraftSuite {
     }
     assert(rootCause(eNeg).getMessage.contains("Morton domain"))
   }
+
+  test("retention purge: expired partitions deleted by metadata only, survivors untouched") {
+    import spark.implicits._
+    val dir = tmp("graft_ttl")
+    Seq(
+      (1L, "2024-01-01", "a"), (2L, "2024-01-01", "b"),
+      (3L, "2024-01-02", "c"),
+      (4L, "2024-01-05", "d"), (5L, "2024-01-05", "e"))
+      .toDF("id", "dt", "payload")
+      .write.mode("overwrite").partitionBy("dt").parquet(dir)
+    // plant a CORRUPT parquet file inside an EXPIRED partition: a purge
+    // that opened data files would throw; a metadata-only purge deletes
+    // the directory without ever looking inside
+    val corrupt = new java.io.FileOutputStream(s"$dir/dt=2024-01-01/part-corrupt.parquet")
+    corrupt.write("not parquet at all".getBytes); corrupt.close()
+    // plant a hidden sidecar in a SURVIVOR partition: it must ride
+    // through untouched (no rewrite, no listing-into of live partitions)
+    val sidecar = new java.io.File(s"$dir/dt=2024-01-05/_sidecar.bin")
+    val sw = new java.io.FileOutputStream(sidecar); sw.write(Array[Byte](1, 2, 3)); sw.close()
+    def files(sub: String) = new java.io.File(s"$dir/$sub").listFiles()
+      .map(f => (f.getName, f.length, f.lastModified)).sortBy(_._1).toSeq
+    val before = files("dt=2024-01-05")
+    val deleted = CorpusIO.retentionPurge(spark, dir, "dt", "2024-01-03")
+    assert(deleted === Seq("2024-01-01", "2024-01-02"))
+    assert(!new java.io.File(s"$dir/dt=2024-01-01").exists())
+    assert(!new java.io.File(s"$dir/dt=2024-01-02").exists())
+    // survivor partition: byte-for-byte the same files (nothing was
+    // read, rewritten, or cleaned up), sidecar included
+    assert(files("dt=2024-01-05") === before)
+    assert(sidecar.exists())
+    val back = spark.read.option("basePath", dir).parquet(dir)
+    assert(back.select("id").as[Long].collect().sorted.toSeq === Seq(4L, 5L))
+    // idempotent: a second run finds nothing to purge
+    assert(CorpusIO.retentionPurge(spark, dir, "dt", "2024-01-03").isEmpty)
+  }
 }
