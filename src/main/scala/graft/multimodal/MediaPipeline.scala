@@ -3,19 +3,36 @@ package graft.multimodal
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
-/** Decoded-media metadata row. */
-case class MediaMeta(doc_id: Long, width: Int, height: Int, format: String,
-    n_bytes: Long)
+/** Decoded-media metadata + features row. `format` is `grf1/gray` or
+  * `grf1/rgb` for a successful decode, `corrupt/<reason>` for a payload
+  * that failed parsing (quarantined as data — the PERMISSIVE posture
+  * `CorpusIO.readJsonl` uses — never an exception that kills the job).
+  */
+case class MediaMeta(doc_id: Long, width: Int, height: Int, channels: Int,
+    format: String, n_bytes: Long, mean_luma: Double)
 
 /** Multimodal media pipeline (SURVEY §2i): images/audio/video ride Spark
   * as opaque binary columns; decode / feature-extract runs batched per
   * partition via mapPartitions.
   *
-  * The actual codec is STUBBED (this container has no image/audio libs):
-  * [[decodeBatch]] produces a deterministic fake decode from the payload
-  * bytes. Everything around it — schema, partitioning, per-partition
-  * batching, the Dataset plumbing — is real and spec-tested, so swapping
-  * in a real codec is a one-function change.
+  * The codec is a REAL parser of a declared synthetic container format
+  * (r12 — previously a stub that invented dimensions from two payload
+  * bytes). This container has no image/audio libraries, so the format is
+  * our own, but the decode path does everything a real one does: magic
+  * validation, big-endian header parse, structural bounds checks
+  * (dims/channels/length), a per-pixel feature pass over the actual
+  * payload bytes (mean luminance), and malformed-payload quarantine.
+  * Swapping in libjpeg is a one-function change; nothing about the
+  * plumbing or the error contract moves.
+  *
+  * '''GRF1 container layout''' (big-endian):
+  * {{{
+  *   bytes 0-3   magic "GRF1"
+  *   bytes 4-5   width  (u16, >= 1)
+  *   bytes 6-7   height (u16, >= 1)
+  *   byte  8     channels (u8: 1 = gray, 3 = rgb)
+  *   bytes 9..   pixel bytes, exactly width*height*channels
+  * }}}
   *
   * Scale notes: mapPartitions keeps the (large) payloads local — no
   * shuffle; batching amortizes per-call codec setup exactly like a Pandas
@@ -25,25 +42,73 @@ case class MediaMeta(doc_id: Long, width: Int, height: Int, format: String,
 object MediaPipeline {
 
   val BatchSize = 32
+  val HeaderBytes = 9
+  private val Magic = "GRF1".getBytes("US-ASCII")
 
-  /** Attach a binary payload column to documents (id, payload). */
-  def withPayload(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), col("text").cast("binary").as("payload"))
+  /** Deterministic GRF1 writer for one document: dimensions and channel
+    * count derive from the content digest (stable across runs, engines,
+    * partitionings — the etl_stratified_sample posture), pixel bytes are
+    * the content cycled to fill the raster. The synthetic stand-in for
+    * the crawler that stores real media next to text.
+    */
+  private[multimodal] def encodeOne(seed: Array[Byte]): Array[Byte] = {
+    val dig = java.security.MessageDigest.getInstance("MD5").digest(seed)
+    val w = 16 + ((dig(0) & 0xff) % 48)
+    val h = 16 + ((dig(1) & 0xff) % 48)
+    val c = if ((dig(2) & 1) == 0) 1 else 3
+    val n = w * h * c
+    val out = new Array[Byte](HeaderBytes + n)
+    System.arraycopy(Magic, 0, out, 0, 4)
+    out(4) = (w >> 8).toByte; out(5) = w.toByte
+    out(6) = (h >> 8).toByte; out(7) = h.toByte
+    out(8) = c.toByte
+    var i = 0
+    while (i < n) {
+      out(HeaderBytes + i) = if (seed.nonEmpty) seed(i % seed.length) else 0
+      i += 1
+    }
+    out
+  }
 
-  /** STUB codec: deterministic fake decode of one media payload.
-    * A real implementation would hand `payload` to an image/audio codec;
-    * the fake derives stable dimensions from the payload bytes so specs
-    * can assert exact values.
+  /** Attach a GRF1 binary payload column to documents (doc_id, payload) —
+    * a narrow typed map, payloads born in-partition.
+    */
+  def withPayload(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)]
+      .map { case (id, t) => (id, encodeOne(t.getBytes("UTF-8"))) }
+      .toDF("doc_id", "payload")
+  }
+
+  /** REAL codec for one GRF1 payload: validate magic, parse the
+    * big-endian header, check structural consistency, and run the
+    * feature pass (mean luminance) over the actual pixel bytes.
+    * Malformed payloads decode to a `corrupt/<reason>` row instead of
+    * throwing — one bad crawl artifact must cost one row, not the batch.
     */
   private[multimodal] def decodeOne(docId: Long, payload: Array[Byte]): MediaMeta = {
-    val b0 = if (payload.nonEmpty) payload(0) & 0xff else 0
-    val b1 = if (payload.length > 1) payload(1) & 0xff else 0
-    MediaMeta(
-      doc_id = docId,
-      width = 16 + b0 % 64,
-      height = 16 + b1 % 64,
-      format = if (payload.length % 2 == 0) "fake/png" else "fake/jpeg",
-      n_bytes = payload.length.toLong)
+    def corrupt(reason: String) =
+      MediaMeta(docId, 0, 0, 0, s"corrupt/$reason", payload.length.toLong, 0.0)
+    if (payload.length < HeaderBytes) corrupt("truncated_header")
+    else if (payload(0) != Magic(0) || payload(1) != Magic(1) ||
+      payload(2) != Magic(2) || payload(3) != Magic(3)) corrupt("bad_magic")
+    else {
+      val w = ((payload(4) & 0xff) << 8) | (payload(5) & 0xff)
+      val h = ((payload(6) & 0xff) << 8) | (payload(7) & 0xff)
+      val c = payload(8) & 0xff
+      if (w == 0 || h == 0 || (c != 1 && c != 3)) corrupt("bad_dims")
+      else if (payload.length != HeaderBytes + w * h * c) corrupt("length_mismatch")
+      else {
+        val n = w * h * c
+        var sum = 0L
+        var i = 0
+        while (i < n) { sum += payload(HeaderBytes + i) & 0xff; i += 1 }
+        MediaMeta(docId, w, h, c, if (c == 1) "grf1/gray" else "grf1/rgb",
+          payload.length.toLong, sum.toDouble / n)
+      }
+    }
   }
 
   /** Batched partition-local decode: payloads grouped into fixed-size
@@ -53,11 +118,10 @@ object MediaPipeline {
     val spark = withPayloadDf.sparkSession
     import spark.implicits._
     withPayloadDf
-      .select($"doc_id".cast("long"), $"payload")
+      .select(col("doc_id").cast("long"), col("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.grouped(BatchSize).flatMap { batch =>
-          // real codec: decodeBatch(batch.map(_._2)); stub: per-item fake
           batch.map { case (id, payload) => decodeOne(id, payload) }
         }
       }

@@ -41,15 +41,49 @@ class MlMultimodalSpec extends GraftSuite {
     assert(ranked.forall { case (_, a) => a >= 0.0 && a <= 1.0 })
   }
 
-  test("media pipeline decodes every payload with deterministic fake dims") {
+  test("media pipeline: GRF1 encode/decode round-trips dims and features exactly") {
     val docs = Tables.documents(spark, sfDir)
     val decoded = MediaPipeline.decode(MediaPipeline.withPayload(docs))
     val rows = decoded.collect()
     assert(rows.length === docs.count())
-    assert(rows.forall(m => m.width >= 16 && m.width < 80 && m.height >= 16 && m.height < 80))
-    // payload bytes = utf-8 text bytes
-    val n = docs.select(length(col("text"))).agg(sum("length(text)")).head().getLong(0)
-    assert(rows.map(_.n_bytes).sum === n)
+    // every synthetic payload parses: no corrupt rows, dims in the
+    // writer's domain, payload length structurally consistent
+    assert(rows.forall(_.format.startsWith("grf1/")))
+    assert(rows.forall(m => m.width >= 16 && m.width < 64 && m.height >= 16 && m.height < 64))
+    assert(rows.forall(m => m.n_bytes ==
+      MediaPipeline.HeaderBytes + m.width.toLong * m.height * m.channels))
+    assert(rows.forall(m => m.mean_luma >= 0.0 && m.mean_luma <= 255.0))
+    // exact feature check against an in-spec reference decode of one
+    // hand-built payload: 2x2 gray, pixels 10/20/30/40 -> mean 25
+    val hand = Array[Byte]('G', 'R', 'F', '1', 0, 2, 0, 2, 1, 10, 20, 30, 40)
+    val one = MediaPipeline.decode(
+      spark.createDataFrame(Seq((99L, hand))).toDF("doc_id", "payload")).collect()
+    assert(one.head === graft.multimodal.MediaMeta(99L, 2, 2, 1, "grf1/gray", 13L, 25.0))
+    // decode is partition-local: the plan plans no exchange
+    val plan = planOf(decoded.toDF())
+    assert(!plan.toLowerCase.contains("exchange"), s"decode must not shuffle:\n$plan")
+  }
+
+  test("media pipeline: malformed payloads quarantine as corrupt rows, never throw") {
+    val good = MediaPipeline.decode(MediaPipeline.withPayload(
+      Tables.documents(spark, sfDir).limit(1))).collect().head
+    // rebuild the good payload, then break it three ways
+    def bb(xs: Array[Byte]) = xs
+    val truncated = Array[Byte]('G', 'R', 'F')
+    val badMagic = Array[Byte]('J', 'P', 'E', 'G', 0, 2, 0, 2, 1, 1, 2, 3, 4)
+    val lengthMismatch = Array[Byte]('G', 'R', 'F', '1', 0, 2, 0, 2, 1, 1, 2) // 2 of 4 pixels
+    val badDims = Array[Byte]('G', 'R', 'F', '1', 0, 0, 0, 2, 1)
+    val rows = MediaPipeline.decode(
+      spark.createDataFrame(Seq(
+        (1L, bb(truncated)), (2L, bb(badMagic)),
+        (3L, bb(lengthMismatch)), (4L, bb(badDims))))
+        .toDF("doc_id", "payload")).collect()
+      .map(m => m.doc_id -> m.format).toMap
+    assert(rows(1L) === "corrupt/truncated_header")
+    assert(rows(2L) === "corrupt/bad_magic")
+    assert(rows(3L) === "corrupt/length_mismatch")
+    assert(rows(4L) === "corrupt/bad_dims")
+    assert(good.format.startsWith("grf1/"))
   }
 
   test("mm_binary_meta round-trips payload bytes as hex") {
