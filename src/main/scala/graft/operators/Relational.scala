@@ -485,7 +485,13 @@ object Relational {
     import org.apache.spark.sql.types.DecimalType
     val lc = Tables.lineitem(s, dir).groupBy($"l_orderkey".as("k")).agg(P.cnt.as("n_l"))
     val oc = Tables.orders(s, dir).groupBy($"o_orderkey".as("k")).agg(P.cnt.as("n_o"))
-    val j = lc.join(oc, "k").select($"k", $"n_l", $"n_o", ($"n_l" * $"n_o").as("out_rows"))
+    // j feeds BOTH the grand total and the final projection — without a
+    // barrier the two aggregates + join re-execute per consumer (the
+    // r11 recompute defect class); per-key counts are bounded by the
+    // distinct-key count, so the checkpoint is the cheap side
+    val j = lc.join(oc, "k")
+      .select($"k", $"n_l", $"n_o", ($"n_l" * $"n_o").as("out_rows"))
+      .localCheckpoint(false)
     val t = j.agg(sum($"out_rows".cast(DecimalType(38, 0))).as("tot"))
     j.crossJoin(broadcast(t))
       .select($"k", $"n_l", $"n_o", $"out_rows",

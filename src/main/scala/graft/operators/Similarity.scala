@@ -49,13 +49,22 @@ object Similarity {
     val emb = Tables.embeddings(s, dir)
     val q = emb.filter($"vec_id" < NumQueries)
       .select($"vec_id".as("q_id"), $"embedding".as("qe"))
-    val w = Window.partitionBy($"q_id").orderBy(P.prnd($"cos", 6).desc, $"vec_id")
+    // bounded top-k hash aggregate instead of a row_number window: the
+    // corpus×queries score stream folds to ≤ k rows per query in the
+    // map-side partials, so the exchange ships |Q|·k structs — the r11
+    // window exchanged and sorted every (q, candidate) pair (N·|Q| rows)
+    // for TopK survivors. Struct order (-cos, vec_id) is the window's
+    // (cos DESC, vec_id ASC) total order, so ranks are identical.
     emb.crossJoin(broadcast(q))
       .filter($"vec_id" =!= $"q_id")
-      .select($"q_id", $"vec_id", expr("graft_cosine(qe, embedding)").as("cos"))
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter($"rank" <= TopK)
-      .select($"q_id", $"vec_id", P.prnd($"cos", 6).as("cosine"), $"rank")
+      .select($"q_id", $"vec_id",
+        P.prnd(expr("graft_cosine(qe, embedding)"), 6).as("cosine"))
+      .groupBy($"q_id")
+      .agg(call_function("graft_topk",
+        struct((-$"cosine").as("nc"), $"vec_id", $"cosine"), lit(TopK)).as("top"))
+      .select($"q_id", posexplode($"top"))
+      .select($"q_id", $"col.vec_id".as("vec_id"), $"col.cosine".as("cosine"),
+        ($"pos" + 1).cast("long").as("rank"))
       .orderBy($"q_id", $"rank")
   }
 
@@ -501,8 +510,10 @@ object Similarity {
     import s.implicits._
     val emb = Tables.embeddings(s, dir)
     val qcells = kmQueryCells(s, dir)
-    val w = Window.partitionBy($"q_id").orderBy(P.prnd($"cos", 6).desc, $"vec_id")
-    // probed cells only: members stream through one broadcast join
+    // probed cells only: members stream through one broadcast join. The
+    // deepest consumer (sim_mmr_topk's candidate pool) reads rank ≤
+    // MmrPool, so the ranked list is a bounded top-MmrPool aggregate —
+    // probed-member scores fold map-side, never a window shuffle-sort.
     kmAssign(s, dir).select($"vec_id", $"cell")
       .join(broadcast(qcells), "cell")
       .filter($"vec_id" =!= $"q_id")
@@ -510,7 +521,13 @@ object Similarity {
       .join(broadcast(emb.filter($"vec_id" < NumQueries)
         .select($"vec_id".as("q_id"), $"embedding".as("qe"))), "q_id")
       .select($"q_id", $"vec_id", expr("graft_cosine(qe, embedding)").as("cos"))
-      .withColumn("rank", row_number().over(w).cast("long"))
+      .groupBy($"q_id")
+      .agg(call_function("graft_topk",
+        struct((-P.prnd($"cos", 6)).as("nc"), $"vec_id", $"cos"),
+        lit(MmrPool)).as("top"))
+      .select($"q_id", posexplode($"top"))
+      .select($"q_id", $"col.vec_id".as("vec_id"), $"col.cos".as("cos"),
+        ($"pos" + 1).cast("long").as("rank"))
   }
 
   /** Exact brute-force (q_id, vec_id) pairs at rank ≤ [[LshTopK]] — the
@@ -533,12 +550,17 @@ object Similarity {
     val emb = onlyLabels.fold(emb0)(ls => emb0.filter($"label".isin(ls: _*)))
     val q = emb0.filter($"vec_id" < NumQueries)
       .select($"vec_id".as("q_id"), $"embedding".as("qe"))
-    val w = Window.partitionBy($"q_id").orderBy(P.prnd($"cos", 6).desc, $"vec_id")
+    // bounded top-k aggregate, not a window: the full-corpus score stream
+    // never leaves the map side — ≤ LshTopK structs per query reach the
+    // exchange (the r11 shape shuffled+sorted all N·|Q| scored pairs).
     emb.crossJoin(broadcast(q))
       .filter($"vec_id" =!= $"q_id")
-      .select($"q_id", $"vec_id", expr("graft_cosine(qe, embedding)").as("cos"))
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter($"rank" <= LshTopK).select($"q_id", $"vec_id")
+      .select($"q_id", $"vec_id",
+        P.prnd(expr("graft_cosine(qe, embedding)"), 6).as("cosine"))
+      .groupBy($"q_id")
+      .agg(call_function("graft_topk",
+        struct((-$"cosine").as("nc"), $"vec_id"), lit(LshTopK)).as("top"))
+      .select($"q_id", explode($"top.vec_id").as("vec_id"))
   }
 
   /** Trained-quantizer summary: per final cell, member count and mean
@@ -736,7 +758,6 @@ object Similarity {
     import s.implicits._
     val emb = Tables.embeddings(s, dir)
     val qcells = kmQueryCells(s, dir)
-    val w = Window.partitionBy($"q_id").orderBy(P.prnd($"cos", 6).desc, $"vec_id")
     kmAssign(s, dir).select($"vec_id", $"cell")
       .join(broadcast(qcells), "cell")
       .filter($"vec_id" =!= $"q_id")
@@ -748,7 +769,15 @@ object Similarity {
       .join(broadcast(emb.filter($"vec_id" < NumQueries)
         .select($"vec_id".as("q_id"), $"embedding".as("qe"))), "q_id")
       .select($"q_id", $"vec_id", expr("graft_cosine(qe, embedding)").as("cos"))
-      .withColumn("rank", row_number().over(w).cast("long"))
+      // both consumers (sim_filtered_topk, sim_filtered_recall) read
+      // rank ≤ LshTopK — bounded top-k aggregate, no window shuffle-sort
+      .groupBy($"q_id")
+      .agg(call_function("graft_topk",
+        struct((-P.prnd($"cos", 6)).as("nc"), $"vec_id", $"cos"),
+        lit(LshTopK)).as("top"))
+      .select($"q_id", posexplode($"top"))
+      .select($"q_id", $"col.vec_id".as("vec_id"), $"col.cos".as("cos"),
+        ($"pos" + 1).cast("long").as("rank"))
   }
 
   val filteredTopk = QueryDef(
