@@ -42,6 +42,7 @@ object Bench {
     "an_dow_activity" -> 0.16,
     "an_event_gap_dist" -> 0.35,
     "an_explorer" -> 0.05,
+    "an_forecast_naive" -> 0.3,
     "an_gini" -> 0.24,
     "an_hist_quantiles" -> 0.5,
     "an_hll_users" -> 0.61,
@@ -91,6 +92,8 @@ object Bench {
     "etl_split_train_val" -> 0.32,
     "etl_stratified_sample" -> 0.07,
     "etl_weighted_sample" -> 0.19,
+    "etl_mixture_schedule" -> 0.3,
+    "etl_relevance_gate" -> 0.15,
     "etl_winsorize" -> 0.18,
     "gr_assortativity" -> 0.29,
     "gr_betweenness_approx" -> 2.93,
@@ -117,6 +120,7 @@ object Bench {
     "mm_binary_meta" -> 0.07,
     "mm_dup_frames" -> 0.33,
     "mm_frame_index" -> 0.06,
+    "ops_pipeline_report" -> 0.5,
     "q1_pricing_summary" -> 0.3,
     "q3_top_orders" -> 0.51,
     "q5_region_revenue" -> 0.72,
@@ -154,6 +158,7 @@ object Bench {
     "st_window_agg" -> 0.23,
     "tx_boilerplate" -> 0.54,
     "tx_contamination" -> 0.35,
+    "tx_char_diversity" -> 0.6,
     "tx_corpus_mixture" -> 0.28,
     "tx_fingerprint" -> 0.16,
     "tx_gopher_rules" -> 0.29,

@@ -849,12 +849,13 @@ object Analytics {
   val cmTopk = QueryDef(
     "an_cm_topk",
     s"""WITH ${PS.evCte},
-       |hh AS MATERIALIZED (SELECT user_id, r, ${cmBucketSql("user_id", "r")} AS b
-       |  FROM ev CROSS JOIN range($CmDepth) t(r)),
-       |cells AS MATERIALIZED (SELECT r, b, CAST(COUNT(*) AS BIGINT) AS cell
-       |  FROM hh GROUP BY 1, 2),
        |ex AS MATERIALIZED (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS exact_count
        |  FROM ev GROUP BY 1),
+       |hh AS MATERIALIZED (SELECT user_id, exact_count, r,
+       |    ${cmBucketSql("user_id", "r")} AS b
+       |  FROM ex CROSS JOIN range($CmDepth) t(r)),
+       |cells AS MATERIALIZED (SELECT r, b, CAST(SUM(exact_count) AS BIGINT) AS cell
+       |  FROM hh GROUP BY 1, 2),
        |top AS MATERIALIZED (SELECT user_id, exact_count FROM ex
        |  ORDER BY exact_count DESC, user_id LIMIT 20),
        |te AS MATERIALIZED (SELECT t.user_id, t.exact_count, r,
@@ -867,15 +868,21 @@ object Analytics {
        |ORDER BY t.exact_count DESC, t.user_id""".stripMargin) { (s, dir) =>
     import s.implicits._
     val ev = Tables.events(s, dir)
-    // sketch build: a CmDepth-way row expansion into a d·w-cell hash
-    // aggregate — constant output size, map-side partial combine does
-    // almost all the work, nothing keyed by user ever shuffles
-    val cells = ev
-      .select($"user_id", explode(sequence(lit(0), lit(CmDepth - 1))).as("r"))
+    // the eval pair already pays the per-user exact aggregate, so the
+    // sketch is built from (user, count) with WEIGHTED inserts — cell
+    // values identical to streaming +1 inserts, but the CmDepth-way
+    // explode runs over |users| rows, not |events| (a pure streaming
+    // build without the exact side would explode the raw stream — that
+    // shape lives in streaming.TrendingStream). ex feeds both the
+    // sketch and the probe top-20: checkpoint, not recompute.
+    val ex = ev.groupBy($"user_id").agg(P.cnt.as("exact_count"))
+      .localCheckpoint(false)
+    val cells = ex
+      .select($"user_id", $"exact_count",
+        explode(sequence(lit(0), lit(CmDepth - 1))).as("r"))
       .groupBy($"r", cmBucket($"user_id", $"r").as("b"))
-      .agg(P.cnt.as("cell"))
-    val top = ev.groupBy($"user_id").agg(P.cnt.as("exact_count"))
-      .orderBy($"exact_count".desc, $"user_id").limit(20)
+      .agg(sum($"exact_count").as("cell"))
+    val top = ex.orderBy($"exact_count".desc, $"user_id").limit(20)
     // both sides of this join are constant-size (20·d probe rows, d·w
     // cells) — broadcast is safe at any corpus scale
     top
@@ -1340,9 +1347,53 @@ object Analytics {
     }.reduce(_ unionAll _).orderBy($"type_a", $"type_b")
   }
 
+  /** Seasonal-naive forecast accuracy — the dashboard's "is today
+    * normal?" panel done honestly: predict each day's event count with
+    * the count from 7 days earlier (the strongest trivial baseline for
+    * weekly-seasonal traffic) and report per-type error mass. Any real
+    * anomaly/forecast feature must first beat this number, so the
+    * operator IS the baseline gate (the reference dashboard eyeballs the
+    * timeline; this quantifies it — dashboard.py's timeline panel,
+    * reference dashboard.py:70-118).
+    *
+    * Scale shape: the daily series is calendar×type bounded (one
+    * map-side-combined aggregate over the raw events), and the lag is an
+    * equi-join of that tiny relation with itself shifted by 7 days —
+    * never a window over raw events. The per-type MAE is exact (integer
+    * |err| sums); MAPE routes per-row ratios through the scaled-long
+    * exact-sum path so the aggregate is order-invariant.
+    */
+  val forecastNaive = QueryDef(
+    "an_forecast_naive",
+    s"""WITH ${PS.evCte},
+       |d AS MATERIALIZED (SELECT event_type, CAST(ts AS DATE) AS day,
+       |    CAST(COUNT(*) AS BIGINT) AS c FROM ev GROUP BY 1, 2),
+       |j AS MATERIALIZED (SELECT a.event_type AS event_type, a.c AS c, b.c AS pred
+       |  FROM d a JOIN d b ON b.event_type = a.event_type AND b.day = a.day - 7)
+       |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days,
+       |  CAST(SUM(ABS(c - pred)) AS BIGINT) AS sum_abs_err,
+       |  ${PS.prnd("CAST(SUM(ABS(c - pred)) AS DOUBLE) / COUNT(*)", 6)} AS mae,
+       |  ${PS.prnd(PS.davg("CAST(ABS(c - pred) AS DOUBLE) / CAST(c AS DOUBLE)", 9), 6)} AS mape
+       |FROM j GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    // the daily series feeds both join sides — checkpoint, not recompute
+    val d = Tables.events(s, dir)
+      .groupBy($"event_type", $"ts".cast("date").as("day")).agg(P.cnt.as("c"))
+      .localCheckpoint(false)
+    val prior = d.select($"event_type", date_add($"day", 7).as("day"), $"c".as("pred"))
+    d.join(prior, Seq("event_type", "day"))
+      .groupBy($"event_type")
+      .agg(P.cnt.as("n_days"),
+        sum(abs($"c" - $"pred")).as("sum_abs_err"),
+        P.prnd(sum(abs($"c" - $"pred")).cast("double") / P.cnt, 6).as("mae"),
+        P.prnd(P.davg(abs($"c" - $"pred").cast("double") / $"c".cast("double"), 9), 6)
+          .as("mape"))
+      .orderBy($"event_type")
+  }
+
   val defs: Seq[QueryDef] = Seq(timeline, timelineDense, newVsReturning, topGroups, dowActivity, hourlyHeatmap, valueBuckets,
     commentBuckets, quantiles, keywordMentions, explorer, userActivity,
     rollingActive, retention, spikeDays, conversion, sessionStats, eventGapDist, activeStreaks, gini, paretoShare,
     hllUsers, cmTopk, trend, histQuantiles, concurrency, abTest, sessionPaths,
-    pivotDaily, kmvOverlap)
+    pivotDaily, kmvOverlap, forecastNaive)
 }

@@ -742,8 +742,78 @@ object Etl {
       reason.as("reason"))
   }
 
+  /** Target sampling weight per language of the mixture schedule —
+    * powers of two so the stride positions (rank / weight) are EXACT
+    * doubles and the interleave order is bit-identical across engines.
+    * "Upsample English 4×, German/French 2×" is the classic
+    * multilingual-pretraining mixture shape.
+    */
+  private val MixtureWeights: Map[String, Int] =
+    Map("en" -> 4, "de" -> 2, "fr" -> 2, "es" -> 1, "zh" -> 1)
+
+  /** First-N window of the schedule the query materializes. */
+  private val MixtureHead = 50
+
+  /** Deterministic mixture schedule — the exact reading order a trainer
+    * consumes the corpus in when each language has a target sampling
+    * weight. Stride scheduling: the i-th document of language L is
+    * placed at position i / w_L, and the global order by position
+    * interleaves languages so EVERY prefix of the schedule matches the
+    * target mixture (a shuffled-then-concatenated corpus only matches in
+    * expectation; a curriculum needs the guarantee per batch). Completes
+    * the training-data mechanics family: [[splitTrainVal]] decides
+    * membership, [[shardShuffle]] decides placement, this decides ORDER.
+    *
+    * Scale shape: rank-within-language via the same two-level prefix
+    * sum as [[packSequences]] — level 1 ranks inside bounded
+    * (lang, doc_id-bucket) slices, level 2 offsets by per-bucket counts
+    * (corpus/64 rows), so no task ever sorts a whole language. The
+    * head-of-schedule report is a bounded TakeOrdered; the full
+    * schedule is the same relation without the limit, written
+    * sorted-by-position within shards.
+    */
+  val mixtureSchedule = QueryDef(
+    "etl_mixture_schedule", {
+      val wSql = s"(CASE ${MixtureWeights.map { case (l, w) => s"WHEN lang = '$l' THEN $w" }.mkString(" ")} ELSE 1 END)"
+      s"""WITH r AS MATERIALIZED (SELECT doc_id, lang,
+         |    CAST(row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS BIGINT) AS lang_rank
+         |  FROM documents),
+         |p AS MATERIALIZED (SELECT doc_id, lang, lang_rank,
+         |    CAST(lang_rank AS DOUBLE) / $wSql AS pos
+         |  FROM r)
+         |SELECT CAST(row_number() OVER (ORDER BY pos, lang, doc_id) AS BIGINT) AS global_rank,
+         |  doc_id, lang, lang_rank, pos
+         |FROM p ORDER BY global_rank LIMIT $MixtureHead""".stripMargin
+    }) { (s, dir) =>
+    import s.implicits._
+    val t = Tables.documents(s, dir).select($"doc_id", $"lang")
+      .withColumn("bkt", expr(s"doc_id div $PackBucketDocs"))
+    // level 1: rank inside the bounded (lang, bucket) slice
+    val w1 = Window.partitionBy($"lang", $"bkt").orderBy($"doc_id")
+    val inb = t.withColumn("ir", row_number().over(w1).cast("long"))
+    // level 2: offset = docs in the language's earlier buckets
+    val w2 = Window.partitionBy($"lang").orderBy($"bkt")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val boff = t.groupBy($"lang", $"bkt").agg(P.cnt.as("bc"))
+      .withColumn("boff", coalesce(sum($"bc").over(w2), lit(0L)))
+      .select($"lang", $"bkt", $"boff")
+    val wcol = MixtureWeights.tail.foldLeft(
+      when($"lang" === MixtureWeights.head._1, MixtureWeights.head._2.toDouble)) {
+      case (c, (l, w)) => c.when($"lang" === l, w.toDouble)
+    }.otherwise(1.0)
+    val head = inb.join(boff, Seq("lang", "bkt"))
+      .select($"doc_id", $"lang", ($"ir" + $"boff").as("lang_rank"))
+      .withColumn("pos", $"lang_rank".cast("double") / wcol)
+      .orderBy($"pos", $"lang", $"doc_id").limit(MixtureHead)
+    // global_rank over the already-bounded head only (MixtureHead rows)
+    val wg = Window.orderBy($"pos", $"lang", $"doc_id")
+    head.withColumn("global_rank", row_number().over(wg).cast("long"))
+      .select($"global_rank", $"doc_id", $"lang", $"lang_rank", $"pos")
+      .orderBy($"global_rank")
+  }
+
   val defs: Seq[QueryDef] = Seq(cleanText, filterEnrich, dedupIngest, parseJson,
     sessionize, stratifiedSample, corpusPrep, compactLatest, packSequences, scd2,
     weightedSample, chunkOverlap, splitTrainVal, shardShuffle, profileColumns,
-    winsorize, relevanceGate)
+    winsorize, relevanceGate, mixtureSchedule)
 }

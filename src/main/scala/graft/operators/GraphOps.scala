@@ -1657,11 +1657,11 @@ object GraphOps {
        |    SELECT a AS v FROM proj UNION ALL SELECT b FROM proj) t GROUP BY v),
        |oe AS MATERIALIZED (SELECT
        |    CASE WHEN da.d < db.d OR (da.d = db.d AND p.a < p.b) THEN p.a ELSE p.b END AS u,
-       |    CASE WHEN da.d < db.d OR (da.d = db.d AND p.a < p.b) THEN p.b ELSE p.a END AS v
+       |    CASE WHEN da.d < db.d OR (da.d = db.d AND p.a < p.b) THEN p.b ELSE p.a END AS v,
+       |    CASE WHEN da.d < db.d OR (da.d = db.d AND p.a < p.b) THEN db.d ELSE da.d END AS dv
        |  FROM proj p JOIN pd da ON da.v = p.a JOIN pd db ON db.v = p.b),
-       |oer AS MATERIALIZED (SELECT o.u, o.v, pd.d AS dv FROM oe o JOIN pd ON pd.v = o.v),
        |tr AS MATERIALIZED (SELECT w.u, w.x, w.y FROM (
-       |    SELECT o1.u, o1.v AS x, o2.v AS y FROM oer o1 JOIN oer o2 ON o1.u = o2.u
+       |    SELECT o1.u, o1.v AS x, o2.v AS y FROM oe o1 JOIN oe o2 ON o1.u = o2.u
        |    WHERE o1.dv < o2.dv OR (o1.dv = o2.dv AND o1.v < o2.v)) w
        |  JOIN oe e2 ON e2.u = w.x AND e2.v = w.y),
        |tc AS MATERIALIZED (SELECT v, CAST(COUNT(*) AS BIGINT) AS t FROM (
@@ -1682,16 +1682,18 @@ object GraphOps {
       .groupBy($"v").agg(P.cnt.as("d"))
       .localCheckpoint(false)
     val lower = $"da" < $"db" || ($"da" === $"db" && $"a" < $"b")
+    // the out-endpoint's degree rides along from the orientation join
+    // itself (it is max(da, db) by construction) — deriving it here
+    // saves the oe ⋈ pd join + checkpoint an earlier revision paid
     val oe = proj
       .join(pd.select($"v".as("a"), $"d".as("da")).hint("shuffle_hash"), "a")
       .join(pd.select($"v".as("b"), $"d".as("db")).hint("shuffle_hash"), "b")
       .select(when(lower, $"a").otherwise($"b").as("u"),
-        when(lower, $"b").otherwise($"a").as("v"))
+        when(lower, $"b").otherwise($"a").as("v"),
+        when(lower, $"db").otherwise($"da").as("dv"))
       .localCheckpoint(false)
-    val oer = oe.join(pd.select($"v", $"d".as("dv")).hint("shuffle_hash"), "v")
-      .localCheckpoint(false)
-    val tri = oer.select($"u", $"v".as("x"), $"dv".as("dx"))
-      .join(oer.select($"u", $"v".as("y"), $"dv".as("dy")).hint("shuffle_hash"), "u")
+    val tri = oe.select($"u", $"v".as("x"), $"dv".as("dx"))
+      .join(oe.select($"u", $"v".as("y"), $"dv".as("dy")).hint("shuffle_hash"), "u")
       .filter($"dx" < $"dy" || ($"dx" === $"dy" && $"x" < $"y"))
       .join(oe.select($"u".as("x"), $"v".as("y")).hint("shuffle_hash"), Seq("x", "y"))
       .select($"u", $"x", $"y")

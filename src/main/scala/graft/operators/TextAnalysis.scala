@@ -839,8 +839,61 @@ object TextAnalysis {
       .orderBy($"actual", $"predicted")
   }
 
+  /** Character-diversity quality filter — per document, the Simpson
+    * collision probability of its character distribution (the chance two
+    * random character draws coincide), bucketed corpus-wide. Low
+    * diversity (high collision) flags encoding garbage, char-run spam,
+    * and tiny-alphabet noise that token-level filters ([[repetition]]'s
+    * 3-gram ratio, [[quality]]'s stopword battery) miss. Collision
+    * probability is Rényi-2 entropy without the logarithm, so the whole
+    * metric is exact integer arithmetic — Σc·(c−1) over n·(n−1) — and
+    * the bucket id is an integer division, bit-identical across engines
+    * (the repo computes NO runtime transcendental: libm differs between
+    * the JVM and DuckDB in the last ulp).
+    *
+    * Scale shape: the char explode is narrow; the per-(doc, char) count
+    * collapses map-side to each doc's alphabet size, and the per-doc
+    * reduce carries one row per document. Nothing is broadcast, nothing
+    * sorts. (400·Σc² overflows i64 only past ~1e8 chars in ONE document —
+    * a pre-split guard at ingest, not a shape change.)
+    */
+  val charDiversity = QueryDef(
+    "tx_char_diversity",
+    s"""WITH ch AS MATERIALIZED (SELECT doc_id, unnest(string_split(text, '')) AS ch
+       |  FROM documents),
+       |cc AS MATERIALIZED (SELECT doc_id, ch, CAST(COUNT(*) AS BIGINT) AS c
+       |  FROM ch WHERE ch <> '' GROUP BY 1, 2),
+       |dv AS MATERIALIZED (SELECT doc_id, CAST(SUM(c * (c - 1)) AS BIGINT) AS coll,
+       |    CAST(SUM(c) AS BIGINT) AS n FROM cc GROUP BY 1)
+       |SELECT CAST((400 * coll) // (n * (n - 1)) AS BIGINT) AS bucket,
+       |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  ${PS.prnd(PS.davg("1 - CAST(coll AS DOUBLE) / CAST(n * (n - 1) AS DOUBLE)", 9), 6)} AS avg_diversity,
+       |  ${PS.prnd("CAST(SUM(n) AS DOUBLE) / COUNT(*)", 6)} AS avg_chars
+       |FROM dv WHERE n >= 2 GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val cc = Tables.documents(s, dir)
+      .select($"doc_id", explode(split($"text", "")).as("ch"))
+      // Spark's regex split keeps a trailing empty token that DuckDB's
+      // string_split drops; the filter makes both engines count the
+      // same character multiset
+      .filter($"ch" =!= "")
+      .groupBy($"doc_id", $"ch").agg(P.cnt.as("c"))
+    cc.groupBy($"doc_id")
+      .agg(sum($"c" * ($"c" - 1)).as("coll"), sum($"c").as("n"))
+      .filter($"n" >= 2)
+      .select(expr("(400 * coll) div (n * (n - 1))").as("bucket"),
+        (lit(1) - $"coll".cast("double") / ($"n" * ($"n" - 1)).cast("double"))
+          .as("dv"),
+        $"n")
+      .groupBy($"bucket")
+      .agg(P.cnt.as("n_docs"),
+        P.prnd(P.davg($"dv", 9), 6).as("avg_diversity"),
+        P.prnd(sum($"n").cast("double") / P.cnt, 6).as("avg_chars"))
+      .orderBy($"bucket")
+  }
+
   val defs: Seq[QueryDef] = Seq(langId, quality, tokenCount, fingerprint,
     contamination, ngramStats, keyterms, hashedFeatures, vocabGrowth,
     termDrift, repetition, boilerplate, corpusMixture, piiScrub, lmScore,
-    gopherRules, langidConfusion)
+    gopherRules, langidConfusion, charDiversity)
 }

@@ -888,4 +888,55 @@ class CoreOperatorsSpec extends GraftSuite {
     val plan = planOf(run("etl_relevance_gate")).toLowerCase
     assert(!plan.contains("exchange"), s"relevance gate must not shuffle:\n$plan")
   }
+
+  test("forecast naive: planted weekly-lag series scores exact MAE/MAPE") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_fc").toString
+    // 'click' daily counts over Jan 1..10: 1,2,3,4,5,6,7,1,1,1 — only
+    // days 8..10 have a day-7 predecessor (preds 1,2,3 -> |err| 0,1,2)
+    val counts = Seq(1, 2, 3, 4, 5, 6, 7, 1, 1, 1)
+    val rows = counts.zipWithIndex.flatMap { case (c, d) =>
+      (0 until c).map { i =>
+        (d * 100L + i,
+          java.sql.Timestamp.valueOf(f"2024-01-${d + 1}%02d 0$i:00:00"),
+          1L, "click", 1.0, "{}")
+      }
+    }
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val got = operators.Analytics.forecastNaive.run(spark, tmp).collect()
+    assert(got.length === 1)
+    val r = got.head
+    assert(r.getAs[String]("event_type") === "click")
+    assert(r.getAs[Long]("n_days") === 3L)
+    assert(r.getAs[Long]("sum_abs_err") === 3L) // 0 + 1 + 2
+    assert(r.getAs[Double]("mae") === 1.0)
+    assert(r.getAs[Double]("mape") === 1.0) // (0/1 + 1/1 + 2/1) / 3
+  }
+
+  test("mixture schedule: every prefix matches the stride weights, ties by lang") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_mix").toString
+    // 8 en docs (weight 4) + 2 es docs (weight 1): stride positions are
+    // en i/4 and es i/1, so the schedule interleaves 4 en per es
+    val docs = (1L to 8L).map(i => (i, s"en doc $i", "en")) ++
+      Seq((9L, "es doc 1", "es"), (10L, "es doc 2", "es"))
+    docs.map { case (id, t, lg) => (id, t, lg, "web", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = operators.Etl.mixtureSchedule.run(spark, tmp).collect()
+    assert(got.length === 10)
+    val order = got.sortBy(_.getAs[Long]("global_rank"))
+      .map(r => (r.getAs[String]("lang"), r.getAs[Long]("doc_id"))).toSeq
+    // en4 (pos 1.0) ties es1 (pos 1.0): lang ascending puts en first
+    assert(order === Seq(
+      ("en", 1L), ("en", 2L), ("en", 3L), ("en", 4L), ("es", 9L),
+      ("en", 5L), ("en", 6L), ("en", 7L), ("en", 8L), ("es", 10L)))
+    // prefix property: any length-5k prefix carries 4k en + k es
+    assert(order.take(5).count(_._1 == "en") === 4)
+    assert(order.take(10).count(_._1 == "en") === 8)
+    // positions are exact doubles (rank / power-of-two weight)
+    val en1 = got.find(_.getAs[Long]("doc_id") == 1L).get
+    assert(en1.getAs[Double]("pos") === 0.25)
+  }
 }

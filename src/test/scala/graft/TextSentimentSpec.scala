@@ -229,4 +229,31 @@ class TextSentimentSpec extends GraftSuite {
           && r.getAs[Boolean]("stop_ok")))
     }
   }
+
+  test("char diversity: degenerate and all-distinct docs hit the extreme buckets") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_cdiv").toString
+    // "aaaa": coll = 4·3 = den -> diversity 0, bucket 400 (char-run spam)
+    // "abcd": coll = 0 -> diversity 1, bucket 0 (all chars distinct)
+    // "aabb": coll = 2+2 = 4, den = 12 -> diversity 2/3, bucket 133
+    val docs = Seq((1L, "aaaa"), (2L, "abcd"), (3L, "aabb"))
+    docs.map { case (id, t) => (id, t, "en", "web", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = operators.TextAnalysis.charDiversity.run(spark, tmp).collect()
+      .map(r => r.getAs[Long]("bucket") ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Double]("avg_diversity")))).toMap
+    assert(got.keySet === Set(0L, 133L, 400L))
+    assert(got(0L) === ((1L, 1.0)))
+    assert(got(400L) === ((1L, 0.0)))
+    assert(got(133L)._1 === 1L)
+    assert(math.abs(got(133L)._2 - 2.0 / 3) < 1e-6)
+    // real corpus: diversity in (0, 1], buckets strictly below the
+    // degenerate ceiling (natural text never collides like char runs)
+    run("tx_char_diversity").collect().foreach { r =>
+      assert(r.getAs[Long]("bucket") >= 0L && r.getAs[Long]("bucket") < 100L)
+      val d = r.getAs[Double]("avg_diversity")
+      assert(d > 0.8 && d <= 1.0)
+    }
+  }
 }
