@@ -68,6 +68,7 @@ object Bench {
     "dd_clusters" -> 0.31,
     "dd_cross_source" -> 0.17,
     "dd_embedding" -> 0.62,
+    "dd_est_quality" -> 0.4,
     "dd_exact" -> 0.17,
     "dd_impact" -> 0.46,
     "dd_incremental" -> 0.56,

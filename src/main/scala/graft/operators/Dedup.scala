@@ -130,6 +130,13 @@ object Dedup {
     shH.groupBy($"doc_id").agg(mhAggs.head, mhAggs.tail: _*)
   }
 
+  /** MatStore-shared full signature table (doc_id, mh0..mh15) — the 16
+    * minhash mins are the expensive pass; banding ([[lshTuning]]) and
+    * component-match estimation ([[estQuality]]) are projections over it.
+    */
+  private def mhSigsM(s: SparkSession, dir: String): DataFrame =
+    graft.MatStore.of(s, s"dd_mh_sigs:$dir")(minhashSigsOf(s, tokenizedM(s, dir)))
+
   private def minhashBandsOf(s: SparkSession, withW: DataFrame): DataFrame = {
     import s.implicits._
     val mh = minhashSigsOf(s, withW)
@@ -288,8 +295,7 @@ object Dedup {
          |ORDER BY bands""".stripMargin
     }) { (s, dir) =>
     import s.implicits._
-    val sigs = graft.MatStore.of(s, s"dd_mh_sigs:$dir")(
-      minhashSigsOf(s, tokenizedM(s, dir)))
+    val sigs = mhSigsM(s, dir)
     val rows = TuneConfigs.map { case (nb, r) =>
       val keys = (0 until nb).map { b =>
         struct(lit(b).as("band"),
@@ -314,7 +320,12 @@ object Dedup {
     * ver(doc_a, doc_b, jac) — LSH candidates that pass the exact 3-gram
     * Jaccard threshold. Shared by `dd_ngram_jaccard` and `dd_clusters`.
     */
-  private val verSql =
+  /** Oracle CTE chain (appended after [[lshSql]]) exposing
+    * jall(doc_a, doc_b, jac) — the UNFILTERED exact 3-gram Jaccard of
+    * every LSH candidate pair with ≥1 shared gram. [[verSql]] filters it
+    * to the keep threshold; `dd_est_quality` reads it raw.
+    */
+  private val verCoreSql =
     s"""g3 AS MATERIALIZED (SELECT DISTINCT doc_id,
        |    unnest(list_transform(generate_series(1, len(w) - 2),
        |      i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2])) AS s
@@ -325,18 +336,33 @@ object Dedup {
        |  JOIN g3 ga ON ga.doc_id = c.doc_a
        |  JOIN g3 gb ON gb.doc_id = c.doc_b AND gb.s = ga.s
        |  GROUP BY c.doc_a, c.doc_b),
-       |ver AS MATERIALIZED (SELECT i.doc_a, i.doc_b,
+       |jall AS MATERIALIZED (SELECT i.doc_a, i.doc_b,
        |    ni / (sa.n + sb.n - ni) AS jac
        |  FROM inter i
        |  JOIN sz sa ON sa.doc_id = i.doc_a
-       |  JOIN sz sb ON sb.doc_id = i.doc_b
-       |  WHERE ni / (sa.n + sb.n - ni) >= $JaccardThreshold)""".stripMargin
+       |  JOIN sz sb ON sb.doc_id = i.doc_b)""".stripMargin
+
+  private val verSql =
+    s"""$verCoreSql,
+       |ver AS MATERIALIZED (SELECT doc_a, doc_b, jac FROM jall
+       |  WHERE jac >= $JaccardThreshold)""".stripMargin
+
+  /** Spark twin of [[verCoreSql]]: the UNFILTERED exact Jaccard of every
+    * LSH candidate pair with ≥1 shared gram, MatStore-shared — the keep
+    * decision ([[jaccardPairs]]) and the estimator eval
+    * ([[estQuality]]) read the SAME scored relation.
+    */
+  private def jaccardScoredM(s: SparkSession, dir: String): DataFrame =
+    graft.MatStore.of(s, s"dd_jac_all:$dir")(jaccardScoredBuild(s, dir))
 
   /** Spark twin of [[verSql]]: (doc_a, doc_b, jac) pairs that pass the
-    * exact 3-gram Jaccard verify on LSH candidates only.
+    * exact 3-gram Jaccard verify on LSH candidates only — a narrow
+    * filter over the [[jaccardScoredM]] checkpoint blocks.
     */
-  def jaccardPairs(s: SparkSession, dir: String): DataFrame =
-    graft.MatStore.of(s, s"dd_jac_pairs:$dir")(jaccardPairsBuild(s, dir))
+  def jaccardPairs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    jaccardScoredM(s, dir).filter($"jac" >= JaccardThreshold)
+  }
 
   /** Pre-checkpoint 3-gram sets for candidate documents only — the
     * semi-join that prunes the full-corpus gram explode down to docs
@@ -372,7 +398,7 @@ object Dedup {
       .select($"doc_id", explode(array_distinct(sh3)).as("s"))
   }
 
-  private def jaccardPairsBuild(s: SparkSession, dir: String): DataFrame = {
+  private def jaccardScoredBuild(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val cand = lshCandM(s, dir)
     val g3 = candGramsBuild(s, dir).localCheckpoint(false)
@@ -385,7 +411,6 @@ object Dedup {
       .join(sz.select($"doc_id".as("doc_a"), $"n".as("na")), "doc_a")
       .join(sz.select($"doc_id".as("doc_b"), $"n".as("nb")), "doc_b")
       .withColumn("jac", $"ni" / ($"na" + $"nb" - $"ni"))
-      .filter($"jac" >= JaccardThreshold)
       .select($"doc_a", $"doc_b", $"jac")
   }
 
@@ -400,6 +425,65 @@ object Dedup {
     jaccardPairs(s, dir)
       .select($"doc_a", $"doc_b", P.prnd($"jac", 6).as("jaccard"))
       .orderBy("doc_a", "doc_b")
+  }
+
+  /** MinHash estimator-quality eval — the honest-eval pair for the
+    * SIGNATURE itself (dd_recall gates the candidate STAGE; this gates
+    * the estimator a pipeline would use to skip the exact verify): per
+    * LSH candidate pair, the signature-based Jaccard estimate
+    * (matching components / [[NumHashes]] — the unbiased MinHash
+    * estimator, stderr ≈ √(J(1−J)/16) ≈ 0.12 at J=0.5) against the
+    * exact 3-gram Jaccard, with the absolute error. A pipeline reads
+    * the error column to decide whether 16 hashes justify dropping the
+    * exact-verify stage, or how far to widen the signature before the
+    * estimate is decision-grade.
+    *
+    * Scale shape: both inputs are MatStore-shared with the production
+    * path (the signature table, the unfiltered scored pairs), so the
+    * eval costs two bounded joins over candidate-sized relations —
+    * never a corpus pass of its own. Estimates k/16 and the exact
+    * ni/(na+nb−ni) are single IEEE divisions, engine-portable.
+    */
+  val estQuality = QueryDef(
+    "dd_est_quality", {
+      val matchSum = (0 until NumHashes)
+        .map(j => s"CASE WHEN a.mh$j = b.mh$j THEN 1 ELSE 0 END")
+        .mkString(" + ")
+      s"""WITH $lshSql,
+         |$verCoreSql,
+         |est AS MATERIALIZED (SELECT c.doc_a, c.doc_b,
+         |    ($matchSum) / ${NumHashes}.0 AS est
+         |  FROM lsh_cand c
+         |  JOIN mh a ON a.doc_id = c.doc_a
+         |  JOIN mh b ON b.doc_id = c.doc_b)
+         |SELECT e.doc_a, e.doc_b,
+         |  ${PS.prnd("e.est", 6)} AS est_jaccard,
+         |  ${PS.prnd("COALESCE(j.jac, 0)", 6)} AS exact_jaccard,
+         |  ${PS.prnd("abs(e.est - COALESCE(j.jac, 0))", 6)} AS abs_err
+         |FROM est e LEFT JOIN jall j ON j.doc_a = e.doc_a AND j.doc_b = e.doc_b
+         |ORDER BY e.doc_a, e.doc_b""".stripMargin
+    }) { (s, dir) =>
+    import s.implicits._
+    val cand = lshCandM(s, dir)
+    val sigs = mhSigsM(s, dir)
+    val aSide = sigs.select(($"doc_id".as("doc_a") +:
+      (0 until NumHashes).map(j => col(s"mh$j").as(s"a$j"))): _*)
+    val bSide = sigs.select(($"doc_id".as("doc_b") +:
+      (0 until NumHashes).map(j => col(s"mh$j").as(s"b$j"))): _*)
+    val matches = (0 until NumHashes)
+      .map(j => when(col(s"a$j") === col(s"b$j"), 1).otherwise(0))
+      .reduce(_ + _)
+    val est = cand.join(aSide, "doc_a").join(bSide, "doc_b")
+      .select($"doc_a", $"doc_b", (matches / lit(NumHashes.toDouble)).as("est"))
+    // candidate pairs with ZERO shared grams drop out of the scored
+    // relation (join-based intersection) — they are exactly the pairs
+    // the estimator must be graded on hardest, hence the left join + 0
+    est.join(jaccardScoredM(s, dir), Seq("doc_a", "doc_b"), "left")
+      .select($"doc_a", $"doc_b",
+        P.prnd($"est", 6).as("est_jaccard"),
+        P.prnd(coalesce($"jac", lit(0.0)), 6).as("exact_jaccard"),
+        P.prnd(abs($"est" - coalesce($"jac", lit(0.0))), 6).as("abs_err"))
+      .orderBy($"doc_a", $"doc_b")
   }
 
   /** Duplicate clusters — the pipeline's actual keep/drop decision.
@@ -1007,5 +1091,5 @@ object Dedup {
 
   val defs: Seq[QueryDef] = Seq(exact, minhashLsh, lshTuning, ngramJaccard, clusters,
     clusterCanonical, simhash, embedding, recallGate, spanCoverage, crossSource,
-    incremental, impact)
+    incremental, impact, estQuality)
 }

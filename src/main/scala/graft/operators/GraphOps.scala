@@ -1697,8 +1697,10 @@ object GraphOps {
       .filter($"dx" < $"dy" || ($"dx" === $"dy" && $"x" < $"y"))
       .join(oe.select($"u".as("x"), $"v".as("y")).hint("shuffle_hash"), Seq("x", "y"))
       .select($"u", $"x", $"y")
-    val tc = tri.select($"u".as("v")).union(tri.select($"x".as("v")))
-      .union(tri.select($"y".as("v")))
+    // ONE pass over the wedge-close join: the 3-way union of corner
+    // projections re-executed the whole triangle enumeration per branch
+    // (the recompute defect class, 3× the dominant join)
+    val tc = tri.select(explode(array($"u", $"x", $"y")).as("v"))
       .groupBy($"v").agg(P.cnt.as("t"))
     val t = coalesce($"t", lit(0L))
     pd.join(tc, Seq("v"), "left")

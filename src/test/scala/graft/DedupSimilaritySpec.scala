@@ -313,4 +313,34 @@ class DedupSimilaritySpec extends GraftSuite {
     assert(got(480L)._1 === "keep")
     assert(got(480L)._2.isEmpty)
   }
+
+  test("est quality: identical docs estimate exactly 1; error is bounded by 1") {
+    import spark.implicits._
+    // planted: identical docs share every minhash component AND every
+    // 3-gram, so est = exact = 1 and abs_err = 0 — the degenerate case
+    // any estimator must nail
+    val tmp = java.nio.file.Files.createTempDirectory("graft_estq").toString
+    val dup = "the quick brown fox jumps over the lazy dog again and again"
+    Seq((1L, dup, "en", "web", dup.length.toLong),
+      (2L, dup, "en", "web", dup.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val p = operators.Dedup.estQuality.run(spark, tmp).collect()
+    assert(p.length === 1)
+    assert(p.head.getAs[Double]("est_jaccard") === 1.0)
+    assert(p.head.getAs[Double]("exact_jaccard") === 1.0)
+    assert(p.head.getAs[Double]("abs_err") === 0.0)
+    // real corpus: estimates are k/16 grid points, errors in [0, 1],
+    // and the estimator grades every LSH candidate pair exactly once
+    val rows = run("dd_est_quality").collect()
+    val nCand = run("dd_minhash_lsh").count()
+    assert(rows.length.toLong === nCand)
+    rows.foreach { r =>
+      val est = r.getAs[Double]("est_jaccard")
+      assert(est >= 0.0 && est <= 1.0)
+      assert((est * 16).round / 16.0 === est, s"est $est not on the k/16 grid")
+      val err = r.getAs[Double]("abs_err")
+      assert(err >= 0.0 && err <= 1.0)
+    }
+  }
 }

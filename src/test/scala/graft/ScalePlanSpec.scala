@@ -78,7 +78,12 @@ class ScalePlanSpec extends GraftSuite {
         // r11 additions (sim_mmr_topk above still holds for the fold)
         "etl_split_train_val" -> 0,
         "sent_examples" -> 0,
-        "q_range_join" -> 0 // bin-keyed equi-joins only, both size-driven
+        "q_range_join" -> 0, // bin-keyed equi-joins only, both size-driven
+        // r12 additions
+        "an_forecast_naive" -> 0, // calendar-bounded self-join, size-driven
+        "tx_char_diversity" -> 0, // two keyed aggregates, nothing joined
+        "etl_mixture_schedule" -> 0, // prefix-sum joins size-driven
+        "an_cm_topk" -> 1 // d·w-cell sketch (constant in the data size)
       )
       allowed.foreach { case (name, maxB) =>
         val df = run(name)
