@@ -304,4 +304,44 @@ class StreamingSpec extends GraftSuite {
     } yield (v._1, p._1)).toSet
     assert(got === want && got.nonEmpty)
   }
+
+  test("streaming scd2: batch twin equals the oracled etl_scd2; history emits once") {
+    import spark.implicits._
+    import graft.streaming.{Scd2Stream, TierEvent, Scd2Out}
+    val ev = Tables.events(spark, sfDir).filter($"event_type" === "purchase")
+      .select($"user_id", $"event_id", $"ts", $"value").as[TierEvent]
+    val got = Scd2Stream.scd2Batch(ev).collect()
+      .map(r => (r.user_id, r.version, r.tier, r.valid_from_micros,
+        r.valid_to_micros.getOrElse(-1L), r.is_current)).toSet
+    val want = run("etl_scd2")
+      .select($"user_id", $"version", $"tier", unix_micros($"valid_from"),
+        coalesce(unix_micros($"valid_to"), lit(-1L)), $"is_current")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3),
+        r.getLong(4), r.getBoolean(5))).toSet
+    assert(got === want && got.nonEmpty)
+    // MemoryStream: a version closes ONLY when the change arrives, closed
+    // rows emit exactly once, and a straggler never rewrites history
+    def us(t: String): Long = {
+      val ts = java.sql.Timestamp.valueOf(t)
+      ts.toInstant.getEpochSecond * 1000000L + ts.getNanos / 1000L
+    }
+    implicit val sq = spark.sqlContext
+    val ms = MemoryStream[TierEvent]
+    val q = Scd2Stream.scd2Stream(ms.toDS()).writeStream.format("memory")
+      .queryName("scd2_stream_test").outputMode("append").start()
+    ms.addData(TierEvent(1L, 1L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), 5.0))
+    q.processAllAvailable()
+    assert(spark.table("scd2_stream_test").isEmpty) // only the open version exists
+    ms.addData(TierEvent(1L, 2L, java.sql.Timestamp.valueOf("2024-01-02 10:00:00"), 200.0))
+    q.processAllAvailable()
+    val rows = spark.table("scd2_stream_test").as[Scd2Out].collect()
+    assert(rows.toSeq === Seq(Scd2Out(1L, 1L, "low",
+      us("2024-01-01 10:00:00"), Some(us("2024-01-02 10:00:00")), is_current = false)))
+    // straggler behind the applied change: dropped, never a rewrite
+    ms.addData(TierEvent(1L, 0L, java.sql.Timestamp.valueOf("2024-01-01 05:00:00"), 500.0))
+    q.processAllAvailable()
+    assert(spark.table("scd2_stream_test").count() === 1)
+    q.stop()
+  }
 }
