@@ -40,6 +40,7 @@ object Bench {
     "an_concurrency" -> 0.68,
     "an_conversion" -> 0.27,
     "an_dow_activity" -> 0.16,
+    "an_dow_anomaly" -> 0.3,
     "an_event_gap_dist" -> 0.35,
     "an_explorer" -> 0.05,
     "an_forecast_naive" -> 0.3,

@@ -1347,6 +1347,47 @@ object Analytics {
     }.reduce(_ unionAll _).orderBy($"type_a", $"type_b")
   }
 
+  /** Weekday-adjusted anomaly days — [[spikeDays]]' 2σ test run WITHIN
+    * each day-of-week cohort, so "busy for a Saturday" flags even when
+    * the global mean hides it (weekly seasonality inflates the global σ
+    * and masks within-weekday bursts — the standard reason naive spike
+    * detection misses weekend anomalies). Same EXACT INTEGER posture as
+    * the global test: per dow cohort of size n_w with day sums S_w and
+    * square sums Q_w, day d flags iff (c_d·n_w − S_w)² > 4·(Q_w·n_w −
+    * S_w²) — no float mean/σ anywhere, the flag is bit-portable by
+    * construction. One calendar-bounded day aggregation, a 7-row cohort
+    * stats aggregate joined back on dow.
+    */
+  val dowAnomaly = QueryDef(
+    "an_dow_anomaly",
+    s"""WITH ${PS.evCte},
+       |d AS MATERIALIZED (SELECT CAST(ts AS DATE) AS day,
+       |    CAST(dayofweek(ts) + 1 AS BIGINT) AS dow,
+       |    CAST(COUNT(*) AS BIGINT) AS c FROM ev GROUP BY 1, 2),
+       |st AS MATERIALIZED (SELECT dow, COUNT(*) AS nw, CAST(SUM(c) AS BIGINT) AS s,
+       |    CAST(SUM(c * c) AS BIGINT) AS q FROM d GROUP BY dow)
+       |SELECT day, d.dow AS dow, c AS n_events,
+       |  CAST((c * st.nw - st.s) * (c * st.nw - st.s) AS BIGINT) AS dev2_scaled,
+       |  CAST(4 * (st.q * st.nw - st.s * st.s) AS BIGINT) AS thr_scaled,
+       |  (c * st.nw - st.s) * (c * st.nw - st.s) > 4 * (st.q * st.nw - st.s * st.s) AS is_spike
+       |FROM d JOIN st ON st.dow = d.dow""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    // the daily series feeds both the cohort stats and the flag join
+    val d = Tables.events(s, dir)
+      .groupBy($"ts".cast("date").as("day"),
+        dayofweek($"ts").cast("long").as("dow"))
+      .agg(P.cnt.as("c"))
+      .localCheckpoint(false)
+    val st = d.groupBy($"dow")
+      .agg(P.cnt.as("nw"), sum($"c").as("s"), sum($"c" * $"c").as("q"))
+    val dev = $"c" * $"nw" - $"s"
+    val thr = lit(4) * ($"q" * $"nw" - $"s" * $"s")
+    d.join(st, "dow")
+      .select($"day", $"dow", $"c".as("n_events"),
+        (dev * dev).as("dev2_scaled"), thr.as("thr_scaled"),
+        (dev * dev > thr).as("is_spike"))
+  }
+
   /** Seasonal-naive forecast accuracy — the dashboard's "is today
     * normal?" panel done honestly: predict each day's event count with
     * the count from 7 days earlier (the strongest trivial baseline for
@@ -1395,5 +1436,5 @@ object Analytics {
     commentBuckets, quantiles, keywordMentions, explorer, userActivity,
     rollingActive, retention, spikeDays, conversion, sessionStats, eventGapDist, activeStreaks, gini, paretoShare,
     hllUsers, cmTopk, trend, histQuantiles, concurrency, abTest, sessionPaths,
-    pivotDaily, kmvOverlap, forecastNaive)
+    pivotDaily, kmvOverlap, forecastNaive, dowAnomaly)
 }

@@ -914,6 +914,36 @@ class CoreOperatorsSpec extends GraftSuite {
     assert(r.getAs[Double]("mape") === 1.0) // (0/1 + 1/1 + 2/1) / 3
   }
 
+  test("dow anomaly: a Saturday burst flags in-cohort while the global test misses it") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_dowa").toString
+    // six Saturdays 10,10,10,10,10,50 (burst z ≈ 2.24 in-cohort) and
+    // three calm Mondays at 40 — the Mondays lift the GLOBAL σ enough
+    // that an_spike_days does not flag the 50 (z_global ≈ 1.56), while
+    // within the Saturday cohort it exceeds 2σ
+    val days = Seq(
+      ("2024-01-06", 10), ("2024-01-13", 10), ("2024-01-20", 10),
+      ("2024-01-27", 10), ("2024-02-03", 10), ("2024-02-10", 50),
+      ("2024-01-01", 40), ("2024-01-08", 40), ("2024-01-15", 40))
+    val rows = days.zipWithIndex.flatMap { case ((d, c), i) =>
+      (0 until c).map { j =>
+        (i * 1000L + j, java.sql.Timestamp.valueOf(s"$d 12:00:00"),
+          1L, "click", 1.0, "{}")
+      }
+    }
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val dow = operators.Analytics.dowAnomaly.run(spark, tmp).collect()
+      .map(r => r.getAs[java.sql.Date]("day").toString -> r.getAs[Boolean]("is_spike"))
+      .toMap
+    assert(dow("2024-02-10"), "the Saturday burst must flag in-cohort")
+    assert(dow.count(_._2) === 1, s"only the burst flags, got $dow")
+    val global = operators.Analytics.spikeDays.run(spark, tmp).collect()
+      .map(r => r.getAs[java.sql.Date]("day").toString -> r.getAs[Boolean]("is_spike"))
+      .toMap
+    assert(!global("2024-02-10"), "the global 2σ test must miss it (the point)")
+  }
+
   test("mixture schedule: every prefix matches the stride weights, ties by lang") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("graft_mix").toString
