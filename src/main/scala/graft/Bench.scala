@@ -69,6 +69,7 @@ object Bench {
     "dd_clusters" -> 0.31,
     "dd_cross_source" -> 0.17,
     "dd_embedding" -> 0.62,
+    "dd_embedding_sweep" -> 0.5,
     "dd_est_quality" -> 0.4,
     "dd_exact" -> 0.17,
     "dd_impact" -> 0.46,
@@ -122,6 +123,7 @@ object Bench {
     "mm_binary_meta" -> 0.07,
     "mm_dup_frames" -> 0.33,
     "mm_frame_index" -> 0.06,
+    "ops_freshness" -> 0.2,
     "ops_pipeline_report" -> 0.5,
     "q1_pricing_summary" -> 0.3,
     "q3_top_orders" -> 0.51,

@@ -680,18 +680,86 @@ object Dedup {
        |FROM scored WHERE cos >= $CosineThreshold
        |ORDER BY vec_a, vec_b""".stripMargin) { (s, dir) =>
     import s.implicits._
-    val emb = Tables.embeddings(s, dir)
-    // shared SRP signature table (MatStore); lshCandidates applies the
-    // MaxBucket cap — it keys on doc_id, so rename through it and back.
-    val cand = lshCandidates(Srp.bandKeysM(s, dir, 16, 4).select($"vec_id".as("doc_id"), $"band", $"bkey"))
-      .select($"doc_a".as("vec_a"), $"doc_b".as("vec_b"))
-    cand
-      .join(emb.select($"vec_id".as("vec_a"), $"embedding".as("ea")), "vec_a")
-      .join(emb.select($"vec_id".as("vec_b"), $"embedding".as("eb")), "vec_b")
-      .select($"vec_a", $"vec_b", expr("graft_cosine(ea, eb)").as("cos"))
+    embScoredM(s, dir)
       .filter($"cos" >= CosineThreshold)
       .select($"vec_a", $"vec_b", P.prnd($"cos", 6).as("cosine"))
       .orderBy("vec_a", "vec_b")
+  }
+
+  /** MatStore-shared scored embedding candidate pairs (every SRP bucket
+    * mate with its exact cosine, UNFILTERED) — the keep decision
+    * ([[embedding]]) and the threshold sweep ([[embeddingSweep]]) read
+    * the same scored relation, the jaccardScoredM pattern.
+    */
+  private def embScoredM(s: SparkSession, dir: String): DataFrame =
+    graft.MatStore.of(s, s"dd_emb_scored:$dir") {
+      import s.implicits._
+      val emb = Tables.embeddings(s, dir)
+      // shared SRP signature table (MatStore); lshCandidates applies the
+      // MaxBucket cap — it keys on doc_id, so rename through it and back.
+      val cand = lshCandidates(Srp.bandKeysM(s, dir, 16, 4)
+          .select($"vec_id".as("doc_id"), $"band", $"bkey"))
+        .select($"doc_a".as("vec_a"), $"doc_b".as("vec_b"))
+      cand
+        .join(emb.select($"vec_id".as("vec_a"), $"embedding".as("ea")), "vec_a")
+        .join(emb.select($"vec_id".as("vec_b"), $"embedding".as("eb")), "vec_b")
+        .select($"vec_a", $"vec_b", expr("graft_cosine(ea, eb)").as("cos"))
+    }
+
+  /** Thresholds the embedding sweep reports — exact dyadic/decimal
+    * doubles, the same literals in the Spark plan and the SQL text.
+    */
+  private val SweepThresholds: Seq[Double] = (8 to 19).map(_ / 20.0)
+
+  /** Embedding-threshold qualification sweep — [[lshTuning]]'s twin for
+    * the EMBEDDING near-dup stage: for every candidate cosine threshold,
+    * how many bucket-mate pairs the stage would keep, normalized per
+    * vector. A pipeline reads this curve BEFORE committing a 100 TB
+    * dedup run: too low a threshold and the verify/cluster stages drown
+    * in pairs; too high and real near-dups survive. One pass over the
+    * shared scored relation (a single aggregate computes every
+    * threshold's count; the corpus size is a 1-row broadcast).
+    */
+  val embeddingSweep = QueryDef(
+    "dd_embedding_sweep", {
+      val rows = SweepThresholds.map { t =>
+        s"""SELECT CAST($t AS DOUBLE) AS threshold,
+           |  CAST(SUM(CASE WHEN cos >= $t THEN 1 ELSE 0 END) AS BIGINT) AS n_pairs
+           |FROM scored""".stripMargin
+      }.mkString("(", ")\nUNION ALL (", ")")
+      s"""WITH ${Srp.bandKeysSql(16, 4)},
+         |${saltedCapSql("srp_capped", "srp_bk", "vec_id")},
+         |cand AS MATERIALIZED (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+         |  FROM srp_capped a JOIN srp_capped b ON a.band = b.band AND a.bkey = b.bkey
+         |    AND a.salt = b.salt AND a.vec_id < b.vec_id),
+         |scored AS MATERIALIZED (SELECT c.vec_a, c.vec_b,
+         |    list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+         |      CAST(eb.embedding AS DOUBLE[])) AS cos
+         |  FROM cand c
+         |  JOIN embeddings ea ON ea.vec_id = c.vec_a
+         |  JOIN embeddings eb ON eb.vec_id = c.vec_b),
+         |nv AS MATERIALIZED (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM embeddings),
+         |sw AS MATERIALIZED ($rows)
+         |SELECT threshold, n_pairs,
+         |  ${PS.prnd("CAST(n_pairs AS DOUBLE) / CAST(nv.n AS DOUBLE)", 6)} AS pairs_per_vector
+         |FROM sw CROSS JOIN nv ORDER BY threshold""".stripMargin
+    }) { (s, dir) =>
+    import s.implicits._
+    val scored = embScoredM(s, dir)
+    val aggs = SweepThresholds.zipWithIndex.map { case (t, i) =>
+      sum(when($"cos" >= t, 1L).otherwise(0L)).as(s"c$i")
+    }
+    val nv = Tables.embeddings(s, dir).agg(P.cnt.as("n"))
+    scored.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(SweepThresholds.zipWithIndex.map { case (t, i) =>
+        struct(lit(t).as("threshold"), col(s"c$i").as("n_pairs"))
+      }: _*)).as("r"))
+      .select($"r.threshold".as("threshold"), $"r.n_pairs".as("n_pairs"))
+      .crossJoin(broadcast(nv))
+      .select($"threshold", $"n_pairs",
+        P.prnd($"n_pairs".cast("double") / $"n".cast("double"), 6)
+          .as("pairs_per_vector"))
+      .orderBy($"threshold")
   }
 
   /** Probe-sample predicate for [[recallGate]]: a fixed id-prefix slice
@@ -1090,6 +1158,6 @@ object Dedup {
   }
 
   val defs: Seq[QueryDef] = Seq(exact, minhashLsh, lshTuning, ngramJaccard, clusters,
-    clusterCanonical, simhash, embedding, recallGate, spanCoverage, crossSource,
-    incremental, impact, estQuality)
+    clusterCanonical, simhash, embedding, embeddingSweep, recallGate, spanCoverage,
+    crossSource, incremental, impact, estQuality)
 }

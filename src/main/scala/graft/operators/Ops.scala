@@ -95,5 +95,47 @@ object Ops {
           .otherwise("ok").as("recommendation"))
   }
 
-  val defs: Seq[QueryDef] = Seq(pipelineReport)
+  /** Staleness horizon of the freshness report, in hours. */
+  private val StaleHours = 6L
+
+  /** Per-stream freshness / lag report — the other half of the
+    * orchestrator panel next to [[pipelineReport]]'s volumes: per event
+    * type, the last-seen event time and its lag behind the corpus
+    * high-water mark, with a staleness flag at [[StaleHours]]. A dead
+    * upstream producer (the reference's scraper or one Kafka topic
+    * partition going quiet) shows up here hours before volume gates
+    * trip. Deterministic by construction: lag is measured against the
+    * corpus max — the ingest high-water mark — never wall-clock `now()`,
+    * so the report is reproducible and engine-portable (exact integer
+    * microseconds end to end).
+    *
+    * Scale shape: one map-side-combined (type, max, count) aggregate
+    * over the events scan plus a 1-row high-water broadcast.
+    */
+  val freshness = QueryDef(
+    "ops_freshness",
+    s"""WITH ${PS.evCte},
+       |t AS MATERIALIZED (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+       |    CAST(MAX(epoch_us(ts)) AS BIGINT) AS last_us FROM ev GROUP BY 1),
+       |m AS MATERIALIZED (SELECT CAST(MAX(last_us) AS BIGINT) AS hwm FROM t)
+       |SELECT event_type, n_events, last_us,
+       |  CAST(m.hwm - last_us AS BIGINT) AS lag_us,
+       |  (m.hwm - last_us) > ${StaleHours * 3600L * 1000000L} AS stale
+       |FROM t CROSS JOIN m ORDER BY event_type""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    // t feeds both the high-water mark and the report rows — checkpoint,
+    // not recompute (a |types|-row relation)
+    val t = Tables.events(s, dir)
+      .groupBy($"event_type")
+      .agg(P.cnt.as("n_events"), max(unix_micros($"ts")).as("last_us"))
+      .localCheckpoint(false)
+    val m = t.agg(max($"last_us").as("hwm"))
+    t.crossJoin(broadcast(m))
+      .select($"event_type", $"n_events", $"last_us",
+        ($"hwm" - $"last_us").as("lag_us"),
+        ($"hwm" - $"last_us" > StaleHours * 3600L * 1000000L).as("stale"))
+      .orderBy($"event_type")
+  }
+
+  val defs: Seq[QueryDef] = Seq(pipelineReport, freshness)
 }

@@ -914,6 +914,26 @@ class CoreOperatorsSpec extends GraftSuite {
     assert(r.getAs[Double]("mape") === 1.0) // (0/1 + 1/1 + 2/1) / 3
   }
 
+  test("freshness: a quiet stream flags stale against the ingest high-water mark") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_fresh").toString
+    // clicks flow until 12:00; errors went quiet at 02:00 (10h lag > 6h
+    // horizon); views stopped 05:00 ago at 07:00 (5h lag, inside horizon)
+    val rows = Seq(
+      (1L, "2024-01-01 10:00:00", "click"), (2L, "2024-01-01 12:00:00", "click"),
+      (3L, "2024-01-01 01:00:00", "error"), (4L, "2024-01-01 02:00:00", "error"),
+      (5L, "2024-01-01 07:00:00", "view"))
+      .map { case (e, t, ty) => (e, java.sql.Timestamp.valueOf(t), 1L, ty, 1.0, "{}") }
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val got = operators.Ops.freshness.run(spark, tmp).collect()
+      .map(r => r.getAs[String]("event_type") ->
+        ((r.getAs[Long]("lag_us"), r.getAs[Boolean]("stale")))).toMap
+    assert(got("click") === ((0L, false))) // the high-water stream
+    assert(got("error") === ((10L * 3600 * 1000000, true)))
+    assert(got("view") === ((5L * 3600 * 1000000, false)))
+  }
+
   test("dow anomaly: a Saturday burst flags in-cohort while the global test misses it") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("graft_dowa").toString

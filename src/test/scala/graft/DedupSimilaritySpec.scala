@@ -314,6 +314,21 @@ class DedupSimilaritySpec extends GraftSuite {
     assert(got(480L)._2.isEmpty)
   }
 
+  test("embedding sweep: keep-counts decrease monotonically and agree with the keep stage") {
+    import spark.implicits._
+    val rows = run("dd_embedding_sweep").collect()
+      .map(r => (r.getAs[Double]("threshold"), r.getAs[Long]("n_pairs")))
+      .sortBy(_._1)
+    assert(rows.map(_._1).toSeq === (8 to 19).map(_ / 20.0))
+    // raising the threshold can only drop pairs
+    rows.sliding(2).foreach { case Array((t1, n1), (t2, n2)) =>
+      assert(n1 >= n2, s"keep-count rose from $t1 ($n1) to $t2 ($n2)")
+    }
+    // the production keep stage IS the CosineThreshold row of the sweep
+    val atThr = rows.find(_._1 == operators.Dedup.CosineThreshold).get._2
+    assert(atThr === run("dd_embedding").count())
+  }
+
   test("est quality: identical docs estimate exactly 1; error is bounded by 1") {
     import spark.implicits._
     // planted: identical docs share every minhash component AND every
