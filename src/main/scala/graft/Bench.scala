@@ -138,6 +138,7 @@ object Bench {
     "q_window_rank" -> 0.24,
     "sent_agreement" -> 0.37,
     "sent_distribution" -> 0.17,
+    "sent_drift" -> 0.3,
     "sent_emoji" -> 0.1,
     "sent_examples" -> 1.34,
     "sent_lexicon" -> 0.16,

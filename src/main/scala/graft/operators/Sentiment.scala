@@ -269,5 +269,53 @@ object Sentiment {
       .orderBy($"label", $"score", $"doc_id")
   }
 
-  val defs: Seq[QueryDef] = Seq(lexicon, distribution, agreement, emoji, examples)
+  /** Base/batch split of the sentiment drift monitor — the repo's
+    * arriving-batch convention (ids ≥ 450, shared with tx_term_drift /
+    * sim_centroid_drift / dd_incremental).
+    */
+  private val DriftSplit = 450L
+
+  /** Sentiment-distribution drift between the base corpus and the
+    * arriving batch — the monitoring twin of tx_term_drift /
+    * sim_centroid_drift for the SENTIMENT stage: per label, base and
+    * batch counts and shares plus the absolute share delta. A labeler
+    * regression, a scraper source change, or a brigading event all show
+    * here as a share swing before any dashboard panel moves. Reads the
+    * SAME shared labeler every other sentiment consumer uses (one
+    * labeler, never a drifting copy); one conditional-count aggregate
+    * over the labeled corpus + a 1-row totals broadcast.
+    */
+  val drift = QueryDef(
+    "sent_drift",
+    s"""WITH ${labeledSqlFull("sd")},
+       |c AS MATERIALIZED (SELECT label,
+       |    CAST(SUM(CASE WHEN doc_id < $DriftSplit THEN 1 ELSE 0 END) AS BIGINT) AS n_base,
+       |    CAST(SUM(CASE WHEN doc_id >= $DriftSplit THEN 1 ELSE 0 END) AS BIGINT) AS n_batch
+       |  FROM sdl GROUP BY label),
+       |t AS MATERIALIZED (SELECT CAST(SUM(n_base) AS BIGINT) AS tb,
+       |    CAST(SUM(n_batch) AS BIGINT) AS tt FROM c)
+       |SELECT label, n_base, n_batch,
+       |  ${PS.prnd("n_base / tb", 6)} AS share_base,
+       |  ${PS.prnd("n_batch / tt", 6)} AS share_batch,
+       |  ${PS.prnd("abs(n_batch / tt - n_base / tb)", 6)} AS share_delta
+       |FROM c CROSS JOIN t ORDER BY label""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    // c feeds both the totals and the report rows — checkpoint the
+    // 3-row aggregate, never re-run the labeler pass per consumer
+    val c = labeledShared(s, dir)
+      .groupBy($"label")
+      .agg(sum(when($"doc_id" < DriftSplit, 1L).otherwise(0L)).as("n_base"),
+        sum(when($"doc_id" >= DriftSplit, 1L).otherwise(0L)).as("n_batch"))
+      .localCheckpoint(false)
+    val t = c.agg(sum($"n_base").as("tb"), sum($"n_batch").as("tt"))
+    c.crossJoin(broadcast(t))
+      .select($"label", $"n_base", $"n_batch",
+        P.prnd($"n_base" / $"tb", 6).as("share_base"),
+        P.prnd($"n_batch" / $"tt", 6).as("share_batch"),
+        P.prnd(abs($"n_batch" / $"tt" - $"n_base" / $"tb"), 6).as("share_delta"))
+      .orderBy($"label")
+  }
+
+  val defs: Seq[QueryDef] = Seq(lexicon, distribution, agreement, emoji, examples,
+    drift)
 }

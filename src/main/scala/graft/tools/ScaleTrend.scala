@@ -88,7 +88,16 @@ object ScaleTrend {
       "q_range_join", "dd_lsh_tuning", "q_point_in_time",
       "an_pareto_share", "tx_hashed_features", "gr_ego_net",
       "dd_cross_source", "sim_filtered_topk", "etl_shard_shuffle",
-      "etl_profile_columns")
+      "etl_profile_columns",
+      // r12: the bounded-top-k recall gate, the char explode, the
+      // skew-audit checkpoint, the weighted-insert sketch, the two-level
+      // stride schedule, the signature-estimate eval, and the
+      // scored-relation threshold sweep (sim_bruteforce_topk, now also
+      // bounded-top-k, is already in the headline set above)
+      "sim_filtered_recall", "tx_char_diversity",
+      "q_skew_audit", "an_cm_topk", "etl_mixture_schedule",
+      "dd_est_quality", "dd_embedding_sweep", "an_forecast_naive",
+      "an_dow_anomaly", "ops_freshness")
     def time(name: String, dir: String): Double = {
       val fn = SparkEntry.queries(name)
       (1 to 2).map { _ =>
