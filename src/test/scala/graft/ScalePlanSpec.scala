@@ -83,7 +83,12 @@ class ScalePlanSpec extends GraftSuite {
         "an_forecast_naive" -> 0, // calendar-bounded self-join, size-driven
         "tx_char_diversity" -> 0, // two keyed aggregates, nothing joined
         "etl_mixture_schedule" -> 0, // prefix-sum joins size-driven
-        "an_cm_topk" -> 1 // d·w-cell sketch (constant in the data size)
+        "an_cm_topk" -> 1, // d·w-cell sketch (constant in the data size)
+        "an_dow_anomaly" -> 0, // 7-row cohort join, size-driven
+        "dd_est_quality" -> 0, // candidate-keyed joins, size-driven
+        "dd_embedding_sweep" -> 1, // nv (1-row corpus count)
+        "ops_freshness" -> 1, // hwm (1 row)
+        "sent_drift" -> 1 // label totals (1 row)
       )
       allowed.foreach { case (name, maxB) =>
         val df = run(name)
