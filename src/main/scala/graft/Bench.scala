@@ -172,6 +172,7 @@ object Bench {
     "tx_lang_id" -> 0.22,
     "tx_langid_confusion" -> 0.57,
     "tx_lm_score" -> 0.93,
+    "tx_ngram_novelty" -> 0.4,
     "tx_ngram_stats" -> 0.16,
     "tx_pii_scrub" -> 0.5,
     "tx_quality" -> 0.1,

@@ -892,8 +892,72 @@ object TextAnalysis {
       .orderBy($"bucket")
   }
 
+  /** Base/batch split of the novelty monitor (the shared ids ≥ 450
+    * arriving-batch convention).
+    */
+  private val NoveltySplit = 450L
+
+  /** Per-batch-document 3-gram novelty against the base corpus — the
+    * ingest freshness monitor next to [[termDrift]]'s distribution view:
+    * for each arriving document (ids ≥ 450, the shared batch
+    * convention), the fraction of its distinct 3-grams never seen in
+    * the base. Near-zero novelty across a batch means the scraper is
+    * re-fetching known content (a crawl loop, a stuck cursor) even when
+    * no single document is a verbatim duplicate; near-1.0 means a new
+    * domain arrived. [[contamination]] answers train-vs-BENCHMARK
+    * overlap; this answers batch-vs-base freshness.
+    *
+    * Scale shape: base grams are one distinct-keyed relation, the
+    * novelty probe is a LEFT ANTI equi-join on the gram (shuffle,
+    * size-driven — the r10 dedup-verify discipline), and per-doc counts
+    * are map-side partials. Linear in gram volume, never pairwise.
+    */
+  val ngramNovelty = QueryDef(
+    "tx_ngram_novelty",
+    s"""WITH t AS MATERIALIZED (SELECT doc_id, string_split(text, ' ') AS w
+       |  FROM documents),
+       |bg AS MATERIALIZED (SELECT DISTINCT unnest(list_transform(
+       |      generate_series(1, len(w) - 2),
+       |      i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2])) AS s
+       |  FROM t WHERE doc_id < $NoveltySplit AND len(w) >= 3),
+       |tb AS MATERIALIZED (SELECT DISTINCT doc_id, unnest(list_transform(
+       |      generate_series(1, len(w) - 2),
+       |      i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2])) AS s
+       |  FROM t WHERE doc_id >= $NoveltySplit AND len(w) >= 3),
+       |ng AS MATERIALIZED (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams
+       |  FROM tb GROUP BY doc_id),
+       |nv AS MATERIALIZED (SELECT tb.doc_id, CAST(COUNT(*) AS BIGINT) AS n_novel
+       |  FROM tb LEFT JOIN bg USING (s) WHERE bg.s IS NULL GROUP BY tb.doc_id)
+       |SELECT g.doc_id, n_grams,
+       |  CAST(COALESCE(n_novel, 0) AS BIGINT) AS n_novel,
+       |  ${PS.prnd("COALESCE(n_novel, 0) / CAST(n_grams AS DOUBLE)", 6)} AS novelty
+       |FROM ng g LEFT JOIN nv ON nv.doc_id = g.doc_id
+       |ORDER BY g.doc_id""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val t = Tables.documents(s, dir)
+      .select($"doc_id", split($"text", " ").as("w"))
+      .filter(size($"w") >= 3)
+    val sh3 = call_function("graft_shingles", $"w", lit(3))
+    val bg = t.filter($"doc_id" < NoveltySplit)
+      .select(explode(array_distinct(sh3)).as("s")).distinct()
+    // the batch gram table feeds both the per-doc totals and the anti
+    // join — checkpoint, never re-explode per consumer
+    val tb = t.filter($"doc_id" >= NoveltySplit)
+      .select($"doc_id", explode(array_distinct(sh3)).as("s"))
+      .localCheckpoint(false)
+    val ng = tb.groupBy($"doc_id").agg(P.cnt.as("n_grams"))
+    val nv = tb.join(bg, Seq("s"), "left_anti")
+      .groupBy($"doc_id").agg(P.cnt.as("n_novel"))
+    ng.join(nv, Seq("doc_id"), "left")
+      .select($"doc_id", $"n_grams",
+        coalesce($"n_novel", lit(0L)).as("n_novel"),
+        P.prnd(coalesce($"n_novel", lit(0L)) / $"n_grams".cast("double"), 6)
+          .as("novelty"))
+      .orderBy($"doc_id")
+  }
+
   val defs: Seq[QueryDef] = Seq(langId, quality, tokenCount, fingerprint,
     contamination, ngramStats, keyterms, hashedFeatures, vocabGrowth,
     termDrift, repetition, boilerplate, corpusMixture, piiScrub, lmScore,
-    gopherRules, langidConfusion, charDiversity)
+    gopherRules, langidConfusion, charDiversity, ngramNovelty)
 }
