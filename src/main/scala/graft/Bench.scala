@@ -88,6 +88,7 @@ object Bench {
     "etl_filter_enrich" -> 0.35,
     "etl_pack_sequences" -> 0.32,
     "etl_parse_json" -> 0.55,
+    "etl_profile_drift" -> 0.4,
     "etl_profile_columns" -> 0.25,
     "etl_scd2" -> 0.15,
     "etl_sessionize" -> 0.31,

@@ -629,6 +629,66 @@ object Etl {
       .orderBy($"col_name")
   }
 
+  /** Column-profile drift between the event history and the ARRIVING
+    * day — the schema/quality twin of the content drift monitors
+    * (tx_term_drift, sim_centroid_drift, sent_drift): per declared
+    * column, null-rate and distinct cardinality on the base (every day
+    * before the corpus max date) vs the arriving batch (the max date —
+    * the partition a daily ingest just landed), with the null-rate
+    * delta. A producer schema regression (a field going null, an enum
+    * collapsing to one value) shows here on day one, before any
+    * downstream join silently degrades. ONE conditional-aggregate pass
+    * over the events scan (COUNT(DISTINCT CASE ...) per side) + a 1-row
+    * max-date broadcast; the batch boundary is the ingest high-water
+    * DATE, never wall-clock now() — deterministic like ops_freshness.
+    */
+  val profileDrift = QueryDef(
+    "etl_profile_drift",
+    s"""WITH ${PS.evCte},
+       |m AS MATERIALIZED (SELECT MAX(CAST(ts AS DATE)) AS mx FROM ev),
+       |a AS MATERIALIZED (SELECT
+       |  CAST(SUM(CASE WHEN CAST(ts AS DATE) < m.mx THEN 1 ELSE 0 END) AS BIGINT) AS n_base,
+       |  CAST(SUM(CASE WHEN CAST(ts AS DATE) = m.mx THEN 1 ELSE 0 END) AS BIGINT) AS n_batch,
+       |  ${ProfileCols.map(c =>
+            s"CAST(SUM(CASE WHEN CAST(ts AS DATE) < m.mx AND $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS ${c}_bn, " +
+            s"CAST(SUM(CASE WHEN CAST(ts AS DATE) = m.mx AND $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS ${c}_tn, " +
+            s"CAST(COUNT(DISTINCT CASE WHEN CAST(ts AS DATE) < m.mx THEN $c END) AS BIGINT) AS ${c}_bd, " +
+            s"CAST(COUNT(DISTINCT CASE WHEN CAST(ts AS DATE) = m.mx THEN $c END) AS BIGINT) AS ${c}_td")
+            .mkString(",\n  |  ")}
+       |FROM ev CROSS JOIN m)
+       |${ProfileCols.map(c =>
+            s"SELECT '$c' AS col_name, n_base, n_batch, " +
+            s"${c}_bd AS distinct_base, ${c}_td AS distinct_batch, " +
+            s"${PS.prnd(s"${c}_bn / CAST(n_base AS DOUBLE)", 6)} AS null_rate_base, " +
+            s"${PS.prnd(s"${c}_tn / CAST(n_batch AS DOUBLE)", 6)} AS null_rate_batch, " +
+            s"${PS.prnd(s"abs(${c}_tn / CAST(n_batch AS DOUBLE) - ${c}_bn / CAST(n_base AS DOUBLE))", 6)} AS null_rate_delta FROM a")
+            .mkString("\n|UNION ALL ")}
+       |ORDER BY col_name""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+    val m = ev.agg(max($"ts".cast("date")).as("mx"))
+    val day = $"ts".cast("date")
+    val aggs = (Seq(
+      sum(when(day < $"mx", 1L).otherwise(0L)).as("n_base"),
+      sum(when(day === $"mx", 1L).otherwise(0L)).as("n_batch")) ++
+      ProfileCols.flatMap(c => Seq(
+        sum(when(day < $"mx" && col(c).isNull, 1L).otherwise(0L)).as(s"${c}_bn"),
+        sum(when(day === $"mx" && col(c).isNull, 1L).otherwise(0L)).as(s"${c}_tn"),
+        count_distinct(when(day < $"mx", col(c))).as(s"${c}_bd"),
+        count_distinct(when(day === $"mx", col(c))).as(s"${c}_td")))).toIndexedSeq
+    val a = ev.crossJoin(broadcast(m)).agg(aggs.head, aggs.tail: _*)
+      .localCheckpoint(false)
+    val rows = ProfileCols.map { c =>
+      a.select(lit(c).as("col_name"), $"n_base", $"n_batch",
+        col(s"${c}_bd").as("distinct_base"), col(s"${c}_td").as("distinct_batch"),
+        P.prnd(col(s"${c}_bn") / $"n_base".cast("double"), 6).as("null_rate_base"),
+        P.prnd(col(s"${c}_tn") / $"n_batch".cast("double"), 6).as("null_rate_batch"),
+        P.prnd(abs(col(s"${c}_tn") / $"n_batch".cast("double")
+          - col(s"${c}_bn") / $"n_base".cast("double")), 6).as("null_rate_delta"))
+    }
+    rows.reduce(_ unionAll _).orderBy($"col_name")
+  }
+
   /** Winsorization (p1/p99 robust clipping) of the event value — the
     * feature-normalization step that keeps a fat-tailed metric from
     * dominating downstream models or dashboards without DROPPING the
@@ -815,5 +875,5 @@ object Etl {
   val defs: Seq[QueryDef] = Seq(cleanText, filterEnrich, dedupIngest, parseJson,
     sessionize, stratifiedSample, corpusPrep, compactLatest, packSequences, scd2,
     weightedSample, chunkOverlap, splitTrainVal, shardShuffle, profileColumns,
-    winsorize, relevanceGate, mixtureSchedule)
+    winsorize, relevanceGate, mixtureSchedule, profileDrift)
 }
