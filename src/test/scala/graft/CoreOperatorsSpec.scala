@@ -914,6 +914,39 @@ class CoreOperatorsSpec extends GraftSuite {
     assert(r.getAs[Double]("mape") === 1.0) // (0/1 + 1/1 + 2/1) / 3
   }
 
+  test("profile drift: a field going null on the arriving day shows as a null-rate jump") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_pdrift").toString
+    // history (Jan 1-2): props always present; arriving day (Jan 3): the
+    // producer regressed and ships props = NULL on every event
+    val rows = Seq(
+      (1L, "2024-01-01 10:00:00", "click", Some("{}")),
+      (2L, "2024-01-01 11:00:00", "view", Some("{}")),
+      (3L, "2024-01-02 10:00:00", "click", Some("{}")),
+      (4L, "2024-01-02 11:00:00", "view", Some("{}")),
+      (5L, "2024-01-03 10:00:00", "click", None),
+      (6L, "2024-01-03 11:00:00", "click", None))
+      .map { case (e, t, ty, pr) =>
+        (e, java.sql.Timestamp.valueOf(t), 1L, ty, 1.0, pr)
+      }
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val got = operators.Etl.profileDrift.run(spark, tmp).collect()
+      .map(r => r.getAs[String]("col_name") -> r).toMap
+    val props = got("props")
+    assert(props.getAs[Long]("n_base") === 4L)
+    assert(props.getAs[Long]("n_batch") === 2L)
+    assert(props.getAs[Double]("null_rate_base") === 0.0)
+    assert(props.getAs[Double]("null_rate_batch") === 1.0) // the regression
+    assert(props.getAs[Double]("null_rate_delta") === 1.0)
+    assert(props.getAs[Long]("distinct_batch") === 0L) // nothing non-null left
+    // the enum collapse shows too: event_type had 2 values, batch has 1
+    val ty = got("event_type")
+    assert(ty.getAs[Long]("distinct_base") === 2L)
+    assert(ty.getAs[Long]("distinct_batch") === 1L)
+    assert(ty.getAs[Double]("null_rate_delta") === 0.0) // no null story there
+  }
+
   test("freshness: a quiet stream flags stale against the ingest high-water mark") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("graft_fresh").toString

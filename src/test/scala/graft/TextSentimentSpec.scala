@@ -256,4 +256,32 @@ class TextSentimentSpec extends GraftSuite {
       assert(d > 0.8 && d <= 1.0)
     }
   }
+
+  test("sent drift: a planted batch share-swing is measured exactly") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_sdrift").toString
+    // base (ids < 450): 3 positive, 1 negative; batch (ids >= 450):
+    // 1 positive, 3 negative — a sign flip the monitor must quantify.
+    // 'love'/'hate' are graded VADER entries; repetition keeps |compound|
+    // past the 0.05 neutral band.
+    val pos = "love love love this great thing"
+    val neg = "hate hate hate this bad thing"
+    val docs = Seq(
+      (1L, pos), (2L, pos), (3L, pos), (4L, neg),
+      (450L, pos), (451L, neg), (452L, neg), (453L, neg))
+    docs.map { case (id, t) => (id, t, "en", "web", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = operators.Sentiment.drift.run(spark, tmp).collect()
+      .map(r => r.getAs[String]("label") -> r).toMap
+    assert(got("positive").getAs[Long]("n_base") === 3L)
+    assert(got("positive").getAs[Long]("n_batch") === 1L)
+    assert(got("negative").getAs[Long]("n_base") === 1L)
+    assert(got("negative").getAs[Long]("n_batch") === 3L)
+    assert(got("positive").getAs[Double]("share_delta") === 0.5) // 0.75 -> 0.25
+    assert(got("negative").getAs[Double]("share_delta") === 0.5)
+    // shares on each side total 1 over the emitted labels
+    assert(got.values.map(_.getAs[Double]("share_base")).sum === 1.0)
+    assert(got.values.map(_.getAs[Double]("share_batch")).sum === 1.0)
+  }
 }
