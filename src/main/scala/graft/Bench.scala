@@ -154,6 +154,7 @@ object Bench {
     "sim_kmeans_train" -> 0.12,
     "sim_lsh_topk" -> 0.27,
     "sim_mmr_topk" -> 0.53,
+    "sim_norm_audit" -> 0.3,
     "sim_pair_hist" -> 0.3,
     "sim_pair_stats" -> 0.38,
     "sim_pq_recall" -> 0.74,

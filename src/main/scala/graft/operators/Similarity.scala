@@ -108,6 +108,51 @@ object Similarity {
       .orderBy($"q_id", $"rank")
   }
 
+  /** Half-width of the unit-norm acceptance band of [[normAudit]]. */
+  private val UnitBand = 0.01
+
+  /** Per-label embedding-norm health audit — the "is my encoder broken"
+    * panel that runs BEFORE any similarity math is trusted: vector
+    * count, zero vectors (cosine is undefined — they poison every
+    * downstream cosine), vectors inside the ±[[UnitBand]] unit-norm
+    * band (normalized-encoder check: if embeddings are supposed to be
+    * unit-norm, anything outside the band is a preprocessing bug), and
+    * min/mean/max norm per label. [[pairStats]] audits angles between
+    * vectors; this audits the vectors themselves.
+    *
+    * Portability: norm² is ONE codegen'd `graft_sdot(e, e, 6)` per row
+    * (per-term scaled-long rounding — bit-identical to the oracle's
+    * exploded dsum), sqrt is IEEE-correctly-rounded on both engines
+    * (unlike log/exp, which this repo never evaluates at runtime), and
+    * the mean routes through the scaled-long exact-sum path. One narrow
+    * map + one per-label aggregate — scan-bound at any corpus size.
+    */
+  val normAudit = QueryDef(
+    "sim_norm_audit",
+    s"""WITH expl AS MATERIALIZED (SELECT vec_id, label,
+       |    CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings),
+       |n2 AS MATERIALIZED (SELECT vec_id, label,
+       |    ${PS.dsum("x * x", 6)} AS n2 FROM expl GROUP BY vec_id, label),
+       |nm AS MATERIALIZED (SELECT label, n2, ${PS.prnd("sqrt(n2)", 6)} AS norm FROM n2)
+       |SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vectors,
+       |  CAST(SUM(CASE WHEN n2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
+       |  CAST(SUM(CASE WHEN abs(norm - 1.0) <= $UnitBand THEN 1 ELSE 0 END) AS BIGINT) AS n_unit,
+       |  MIN(norm) AS min_norm, MAX(norm) AS max_norm,
+       |  ${PS.prnd(PS.davg("norm", 9), 6)} AS mean_norm
+       |FROM nm GROUP BY label ORDER BY label""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    Tables.embeddings(s, dir)
+      .select($"label", expr("graft_sdot(embedding, embedding, 6)").as("n2"))
+      .withColumn("norm", P.prnd(sqrt($"n2"), 6))
+      .groupBy($"label")
+      .agg(P.cnt.as("n_vectors"),
+        sum(when($"n2" === 0.0, 1L).otherwise(0L)).as("n_zero"),
+        sum(when(abs($"norm" - 1.0) <= UnitBand, 1L).otherwise(0L)).as("n_unit"),
+        min($"norm").as("min_norm"), max($"norm").as("max_norm"),
+        P.prnd(P.davg($"norm", 9), 6).as("mean_norm"))
+      .orderBy($"label")
+  }
+
   /** IVF-style cell stats: per-label centroid norm + mean cosine of the
     * label's vectors to their centroid. Exact decimal sums keep every
     * aggregate deterministic across engines.
@@ -1375,5 +1420,6 @@ object Similarity {
 
   val defs: Seq[QueryDef] = Seq(bruteforce, lshTopk, pairStats, pairHist,
     centroidDrift, recall, ivfTopk, kmTrain, ivfKmeansTopk, kmRecall,
-    filteredTopk, filteredRecall, pqTopk, pqRecall, ivfpqTopk, mmrTopk)
+    filteredTopk, filteredRecall, pqTopk, pqRecall, ivfpqTopk, mmrTopk,
+    normAudit)
 }
