@@ -125,6 +125,7 @@ object Bench {
     "mm_dup_frames" -> 0.33,
     "mm_frame_index" -> 0.06,
     "ops_freshness" -> 0.2,
+    "ops_infra_gate" -> 0.3,
     "ops_pipeline_report" -> 0.5,
     "q1_pricing_summary" -> 0.3,
     "q3_top_orders" -> 0.51,

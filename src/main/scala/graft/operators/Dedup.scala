@@ -150,36 +150,49 @@ object Dedup {
   }
 
   /** Candidate pairs (doc_a < doc_b) sharing any LSH band bucket, with the
-    * [[MaxBucket]] salted skew cap applied per bucket in doc_id order:
-    * buckets at or under the cap keep salt 0 (plan-identical to the
-    * uncapped join); oversized buckets chunk their members into salted
-    * sub-buckets of cap-1 with the bucket rep (min doc_id) replicated
-    * into every chunk.
+    * [[MaxBucket]] salted skew cap applied per bucket: buckets at or under
+    * the cap keep salt 0 (plan-identical to the uncapped join); oversized
+    * buckets chunk their members into md5-HASH-assigned salted sub-buckets
+    * of expected size cap-1 with the bucket rep (min doc_id) replicated
+    * into every chunk — rep links keep each capped bucket one connected
+    * component for [[clusters]].
+    *
+    * The chunk assignment is a HASH of the member id, not a rank: a
+    * row_number over (band, bkey) would sort whole buckets, and an
+    * oversized bucket is exactly the adversary-controlled partition the
+    * cap exists for (a spam cluster IS a huge bucket — an unsplittable
+    * window partition at 100 TB). Here the per-bucket stats are one hash
+    * aggregate with map-side partials and the stats join back on
+    * (band, bkey) is an AQE-skew-splittable shuffle join; no task ever
+    * sorts a bucket. md5 keeps the assignment deterministic and
+    * engine-portable ([[saltedCapSql]] is the exact SQL twin); chunk
+    * sizes are cap-1 in expectation rather than exactly (md5 is uniform,
+    * so an adversary cannot inflate one chunk).
     */
   def lshCandidates(bands0: DataFrame, maxBucket: Int = MaxBucket): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val byBucket = Window.partitionBy(col("band"), col("bkey")).orderBy(col("doc_id"))
-    val whole = Window.partitionBy(col("band"), col("bkey"))
-    // both window specs share one partitioning, so the rank and the
-    // bucket-size count ride a single exchange+sort
     val chunk = maxBucket - 1
+    // one materialization of the band rows feeds the stats aggregate and
+    // the member side of the stats join
+    val b0 = bands0.localCheckpoint(false)
+    val stats = b0.groupBy(col("band"), col("bkey"))
+      .agg(count(lit(1)).as("cnt"), min(col("doc_id")).as("rep"))
+    val nChunks = ceil((col("cnt") - 1) / lit(chunk.toDouble)).cast("int")
     val salts =
       when(col("cnt") <= maxBucket, array(lit(0)))
-        .when(col("rn") === 1,
-          sequence(lit(0), ceil((col("cnt") - 1) / lit(chunk.toDouble)).cast("int") - 1))
-        .otherwise(array(floor((col("rn") - 2) / lit(chunk.toDouble)).cast("int")))
-    // Both sides of the self-join read the band rows: the localCheckpoint
-    // materializes the signature computation once, and its blocks are
-    // reference-cleaned once the plan is GC'd — unlike persist(), which
-    // pins storage until an explicit unpersist() that a composing library
-    // caller has no handle to issue. Lazy: the first scan in the join job
-    // computes the blocks (per-partition block locks serialize the two
-    // sides), so no separate materialization barrier.
-    val bands = bands0
-      .withColumn("rn", row_number().over(byBucket))
-      .withColumn("cnt", count(lit(1)).over(whole))
+        .when(col("doc_id") === col("rep"), sequence(lit(0), nChunks - 1))
+        .otherwise(array(pmod(
+          graft.functions.Portable.hexToLong(md5(col("doc_id").cast("string")), 1, 8),
+          nChunks.cast("long")).cast("int")))
+    // Both sides of the self-join read the salted rows: the localCheckpoint
+    // materializes the salting once, and its blocks are reference-cleaned
+    // once the plan is GC'd — unlike persist(), which pins storage until an
+    // explicit unpersist() that a composing library caller has no handle to
+    // issue. Lazy: the first scan in the join job computes the blocks
+    // (per-partition block locks serialize the two sides), so no separate
+    // materialization barrier.
+    val bands = b0.join(stats, Seq("band", "bkey"))
       .withColumn("salt", explode(salts))
-      .drop("rn", "cnt")
+      .drop("cnt", "rep")
       .localCheckpoint(false)
     val a = bands.select(col("doc_id").as("doc_a"), col("band"), col("bkey"), col("salt"))
     val b = bands.select(col("doc_id").as("doc_b"), col("band"), col("bkey"), col("salt"))
@@ -196,13 +209,15 @@ object Dedup {
       cap: Int = MaxBucket): String =
     s"""$outName AS MATERIALIZED (SELECT $idCol, band, bkey, unnest(
        |    CASE WHEN cnt <= $cap THEN [0]
-       |         WHEN rn = 1 THEN range(0, CAST(ceil((cnt - 1) / ${cap - 1}.0) AS INT))
-       |         ELSE [CAST(floor((rn - 2) / ${cap - 1}.0) AS INT)] END) AS salt
+       |         WHEN $idCol = rep THEN range(0, nchunks)
+       |         ELSE [CAST(${PS.hexToLong(s"md5(CAST($idCol AS VARCHAR))", 1, 8)} % nchunks AS INT)]
+       |         END) AS salt
        |  FROM (
-       |    SELECT $idCol, band, bkey,
-       |      row_number() OVER (PARTITION BY band, bkey ORDER BY $idCol) AS rn,
-       |      COUNT(*) OVER (PARTITION BY band, bkey) AS cnt
-       |    FROM $src) t)""".stripMargin
+       |    SELECT s.$idCol, s.band, s.bkey, g.cnt, g.rep,
+       |      CAST(ceil((g.cnt - 1) / ${cap - 1}.0) AS BIGINT) AS nchunks
+       |    FROM $src s JOIN (
+       |      SELECT band, bkey, COUNT(*) AS cnt, MIN($idCol) AS rep
+       |      FROM $src GROUP BY band, bkey) g USING (band, bkey)) t)""".stripMargin
 
   /** Shared oracle CTE chain exposing lsh_cand(doc_a, doc_b) — the exact
     * SQL twin of [[minhashBands]] + [[lshCandidates]], bucket cap included.

@@ -673,12 +673,22 @@ object Etl {
     // aggregate (measured 1.16s at sf0.1); the exploded shape is K
     // narrow rows per event into the standard partial-distinct pipeline
     // (0.3s). Casting to string for the shared value column is
-    // distinct-preserving (injective per type), so counts match the
-    // oracle's typed COUNT(DISTINCT c) exactly.
+    // distinct-preserving (injective per type) — EXCEPT that IEEE -0.0
+    // and 0.0 are one typed distinct value on both engines but two
+    // strings ("-0.0" vs "0.0"), so floating columns are canonicalized
+    // (-0.0 → 0.0; NaN passes through — both engines treat NaN as one
+    // distinct value and it stringifies uniquely) before the cast so
+    // the string mapping is injective on the typed equivalence classes
+    // (r12 ADVICE).
+    def canon(c: String): org.apache.spark.sql.Column = ev.schema(c).dataType match {
+      case DoubleType | FloatType =>
+        when(col(c) === 0.0, lit(0.0).cast(ev.schema(c).dataType)).otherwise(col(c))
+      case _ => col(c)
+    }
     val kv = ev.crossJoin(broadcast(m))
       .select(($"ts".cast("date") === $"mx").as("is_batch"),
         explode(array(ProfileCols.map(c =>
-          struct(lit(c).as("c"), col(c).cast("string").as("v"))): _*)).as("kv"))
+          struct(lit(c).as("c"), canon(c).cast("string").as("v"))): _*)).as("kv"))
       .select($"is_batch", $"kv.c".as("col_name"), $"kv.v".as("v"))
     val g = kv.groupBy($"col_name", $"is_batch")
       .agg(P.cnt.as("n"),

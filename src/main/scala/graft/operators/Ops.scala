@@ -137,5 +137,80 @@ object Ops {
       .orderBy($"event_type")
   }
 
-  val defs: Seq[QueryDef] = Seq(pipelineReport, freshness)
+  /** Per-table minimum row counts of the infra gate: dimension tables
+    * must be non-empty, fact/corpus tables must carry at least a token
+    * volume (an accidentally-truncated drop of a 100 TB feed still
+    * passes a ≥1 check; it does not pass ≥10).
+    */
+  private val TableFloors: Seq[(String, Long)] = Seq(
+    "region" -> 1L, "nation" -> 1L, "supplier" -> 1L, "part" -> 1L,
+    "customer" -> 10L, "orders" -> 10L, "lineitem" -> 10L,
+    "events" -> 10L, "documents" -> 10L, "embeddings" -> 10L)
+
+  /** Minimum calendar coverage (days) the temporal feed must span. */
+  private val MinSpanDays = 7L
+
+  /** Infrastructure go/no-go gate — the DAG's `check_infrastructure`
+    * pre-flight (reddit_can_complete_pipeline.py:44-57 pings MongoDB and
+    * Kafka before any stage runs) re-expressed for a batch corpus: per
+    * table, READABILITY (the scan itself — an unreadable or missing
+    * table fails the query, which IS the ping), a row-count floor, and
+    * for the temporal feed the calendar span behind the ingest
+    * high-water mark ([[MinSpanDays]] — a feed that "works" but only
+    * carries yesterday's partial day must not green-light a month-scale
+    * analysis). One row per table plus the composite `go` every row
+    * carries — the single relation an orchestrator branches on.
+    *
+    * Scale shape: one scalar aggregate per table (each input scanned
+    * once, count-only so parquet row-group metadata serves most of it)
+    * unioned into a |tables|-row relation, then a 1-row bool_and
+    * broadcast. Deterministic: span is measured inside the data (max −
+    * min event date), never wall-clock now().
+    */
+  val infraGate = QueryDef(
+    "ops_infra_gate",
+    s"""WITH ${PS.evCte},
+       |c AS MATERIALIZED (
+       |  ${TableFloors.map { case (t, f) =>
+              if (t == "events")
+                s"SELECT 'events' AS tbl, CAST(COUNT(*) AS BIGINT) AS n_rows, CAST($f AS BIGINT) AS row_floor, " +
+                  "CAST(date_diff('day', MIN(CAST(ts AS DATE)), MAX(CAST(ts AS DATE))) + 1 AS BIGINT) AS span_days FROM ev"
+              else
+                s"SELECT '$t' AS tbl, CAST(COUNT(*) AS BIGINT) AS n_rows, CAST($f AS BIGINT) AS row_floor, CAST(NULL AS BIGINT) AS span_days FROM $t"
+            }.mkString("\n  |  UNION ALL ")}),
+       |g AS MATERIALIZED (SELECT tbl, n_rows, row_floor,
+       |    n_rows >= row_floor AS rows_ok, span_days,
+       |    (span_days IS NULL OR span_days >= $MinSpanDays) AS span_ok,
+       |    (n_rows >= row_floor AND (span_days IS NULL OR span_days >= $MinSpanDays)) AS ok
+       |  FROM c),
+       |a AS MATERIALIZED (SELECT bool_and(ok) AS go FROM g)
+       |SELECT tbl, n_rows, row_floor, rows_ok, span_days, span_ok, ok, go
+       |FROM g CROSS JOIN a ORDER BY tbl""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val stats = TableFloors.map { case (t, f) =>
+      if (t == "events")
+        Tables.events(s, dir).agg(P.cnt.as("n_rows"),
+            (datediff(max($"ts".cast("date")), min($"ts".cast("date"))) + 1)
+              .cast("long").as("span_days"))
+          .select(lit(t).as("tbl"), $"n_rows", lit(f).as("row_floor"), $"span_days")
+      else
+        Tables.load(s, dir, t).agg(P.cnt.as("n_rows"))
+          .select(lit(t).as("tbl"), $"n_rows", lit(f).as("row_floor"),
+            lit(null).cast("long").as("span_days"))
+    }
+    // g feeds both the report rows and the composite bool_and — a
+    // |tables|-row relation, checkpointed instead of re-unioning ten
+    // scalar aggregates per consumer
+    val g = stats.reduce(_ union _)
+      .select($"tbl", $"n_rows", $"row_floor",
+        ($"n_rows" >= $"row_floor").as("rows_ok"), $"span_days",
+        ($"span_days".isNull || $"span_days" >= MinSpanDays).as("span_ok"),
+        (($"n_rows" >= $"row_floor") &&
+          ($"span_days".isNull || $"span_days" >= MinSpanDays)).as("ok"))
+      .localCheckpoint(false)
+    val a = g.agg(bool_and($"ok").as("go"))
+    g.crossJoin(broadcast(a)).orderBy($"tbl")
+  }
+
+  val defs: Seq[QueryDef] = Seq(pipelineReport, freshness, infraGate)
 }

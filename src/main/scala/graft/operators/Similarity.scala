@@ -42,7 +42,7 @@ object Similarity {
        |rk AS MATERIALIZED (SELECT q_id, vec_id, ${PS.prnd("cos", 6)} AS cosine,
        |    CAST(row_number() OVER (PARTITION BY q_id
        |      ORDER BY ${PS.prnd("cos", 6)} DESC, vec_id) AS BIGINT) AS rank
-       |  FROM sc)
+       |  FROM sc WHERE NOT isnan(cos))
        |SELECT q_id, vec_id, cosine, rank FROM rk WHERE rank <= $TopK
        |ORDER BY q_id, rank""".stripMargin) { (s, dir) =>
     import s.implicits._
@@ -59,6 +59,12 @@ object Similarity {
       .filter($"vec_id" =!= $"q_id")
       .select($"q_id", $"vec_id",
         P.prnd(expr("graft_cosine(qe, embedding)"), 6).as("cosine"))
+      // NaN cosines (a zero vector on either side — the defect
+      // sim_norm_audit exists to catch) are EXCLUDED from ranking on
+      // both engines: ORDER BY cos DESC ranks NaN first while the
+      // min-k struct(-cos) aggregate ranks it last, so an unfiltered
+      // NaN would silently break oracle parity (r12 ADVICE)
+      .filter(!isnan($"cosine"))
       .groupBy($"q_id")
       .agg(call_function("graft_topk",
         struct((-$"cosine").as("nc"), $"vec_id", $"cosine"), lit(TopK)).as("top"))
@@ -334,7 +340,7 @@ object Similarity {
        |brk AS MATERIALIZED (SELECT q_id, vec_id,
        |    CAST(row_number() OVER (PARTITION BY q_id
        |      ORDER BY ${PS.prnd("cos", 6)} DESC, vec_id) AS BIGINT) AS rank
-       |  FROM bsc),
+       |  FROM bsc WHERE NOT isnan(cos)),
        |${Srp.bandKeysSql(LshPlanes, LshBandSize)},
        |lq AS MATERIALIZED (SELECT vec_id AS q_id, band, bkey FROM srp_bk WHERE vec_id < $NumQueries),
        |lcand AS (SELECT DISTINCT lq.q_id, b.vec_id FROM lq
@@ -506,7 +512,8 @@ object Similarity {
        |      row_number() OVER (PARTITION BY q.vec_id
        |        ORDER BY ${PS.prnd("list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), ct.c)", 6)} DESC, ct.cell) AS rn
        |    FROM embeddings q CROSS JOIN kc$KmIters ct
-       |    WHERE q.vec_id < $NumQueries) t
+       |    WHERE q.vec_id < $NumQueries
+       |      AND NOT isnan(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), ct.c))) t
        |  WHERE rn <= $IvfProbes)""".stripMargin
 
   private val kmProbeSql: String =
@@ -520,7 +527,7 @@ object Similarity {
        |krk AS MATERIALIZED (SELECT q_id, vec_id, ${PS.prnd("cos", 6)} AS cosine,
        |    CAST(row_number() OVER (PARTITION BY q_id
        |      ORDER BY ${PS.prnd("cos", 6)} DESC, vec_id) AS BIGINT) AS rank
-       |  FROM kcand)""".stripMargin
+       |  FROM kcand WHERE NOT isnan(cos))""".stripMargin
 
   /** Spark twin of [[kmProbeSql]]: (q_id, vec_id, cos, rank) over the
     * probed cells of the session-shared trained model.
@@ -535,6 +542,7 @@ object Similarity {
     Tables.embeddings(s, dir).filter($"vec_id" < NumQueries)
       .crossJoin(broadcast(kmCents(s, dir)))
       .select($"vec_id".as("q_id"), $"cell", expr("graft_cosine(embedding, c)").as("cos"))
+      .filter(!isnan($"cos")) // NaN cell ranks excluded, both engines
       .groupBy($"q_id")
       .agg(slice(array_sort(collect_list(struct((-P.prnd($"cos", 6)).as("nc"),
         $"cell".as("l")))), 1, IvfProbes).as("top"))
@@ -566,6 +574,7 @@ object Similarity {
       .join(broadcast(emb.filter($"vec_id" < NumQueries)
         .select($"vec_id".as("q_id"), $"embedding".as("qe"))), "q_id")
       .select($"q_id", $"vec_id", expr("graft_cosine(qe, embedding)").as("cos"))
+      .filter(!isnan($"cos")) // NaN excluded from ranking, both engines
       .groupBy($"q_id")
       .agg(call_function("graft_topk",
         struct((-P.prnd($"cos", 6)).as("nc"), $"vec_id", $"cos"),
@@ -602,6 +611,7 @@ object Similarity {
       .filter($"vec_id" =!= $"q_id")
       .select($"q_id", $"vec_id",
         P.prnd(expr("graft_cosine(qe, embedding)"), 6).as("cosine"))
+      .filter(!isnan($"cosine")) // NaN excluded from ranking, both engines
       .groupBy($"q_id")
       .agg(call_function("graft_topk",
         struct((-$"cosine").as("nc"), $"vec_id"), lit(LshTopK)).as("top"))
@@ -786,7 +796,7 @@ object Similarity {
        |frk AS MATERIALIZED (SELECT q_id, vec_id, ${PS.prnd("cos", 6)} AS cosine,
        |    CAST(row_number() OVER (PARTITION BY q_id
        |      ORDER BY ${PS.prnd("cos", 6)} DESC, vec_id) AS BIGINT) AS rank
-       |  FROM fcand)""".stripMargin
+       |  FROM fcand WHERE NOT isnan(cos))""".stripMargin
 
   /** MatStore-shared filtered probe ranking — the Spark twin of
     * [[fProbeSql]]: the serving page ([[filteredTopk]]) and its recall
@@ -814,6 +824,7 @@ object Similarity {
       .join(broadcast(emb.filter($"vec_id" < NumQueries)
         .select($"vec_id".as("q_id"), $"embedding".as("qe"))), "q_id")
       .select($"q_id", $"vec_id", expr("graft_cosine(qe, embedding)").as("cos"))
+      .filter(!isnan($"cos")) // NaN excluded from ranking, both engines
       // both consumers (sim_filtered_topk, sim_filtered_recall) read
       // rank ≤ LshTopK — bounded top-k aggregate, no window shuffle-sort
       .groupBy($"q_id")
@@ -861,7 +872,7 @@ object Similarity {
        |brk AS MATERIALIZED (SELECT q_id, vec_id,
        |    CAST(row_number() OVER (PARTITION BY q_id
        |      ORDER BY ${PS.prnd("cos", 6)} DESC, vec_id) AS BIGINT) AS rank
-       |  FROM bsc),
+       |  FROM bsc WHERE NOT isnan(cos)),
        |$kqcSql,
        |$fProbeSql,
        |hits AS MATERIALIZED (SELECT b.q_id, COUNT(*) AS n_hits
@@ -904,7 +915,7 @@ object Similarity {
        |brk AS MATERIALIZED (SELECT q_id, vec_id,
        |    CAST(row_number() OVER (PARTITION BY q_id
        |      ORDER BY ${PS.prnd("cos", 6)} DESC, vec_id) AS BIGINT) AS rank
-       |  FROM bsc),
+       |  FROM bsc WHERE NOT isnan(cos)),
        |$kmProbeSql,
        |hits AS MATERIALIZED (SELECT b.q_id, COUNT(*) AS n_hits
        |  FROM brk b JOIN krk l ON l.q_id = b.q_id AND l.vec_id = b.vec_id
@@ -1186,7 +1197,7 @@ object Similarity {
        |brk AS MATERIALIZED (SELECT q_id, vec_id,
        |    CAST(row_number() OVER (PARTITION BY q_id
        |      ORDER BY ${PS.prnd("cos", 6)} DESC, vec_id) AS BIGINT) AS rank
-       |  FROM bsc),
+       |  FROM bsc WHERE NOT isnan(cos)),
        |hits AS MATERIALIZED (SELECT b.q_id, COUNT(*) AS n_hits
        |  FROM brk b JOIN prk l ON l.q_id = b.q_id AND l.vec_id = b.vec_id
        |  WHERE b.rank <= $LshTopK AND l.rank <= $LshTopK

@@ -871,12 +871,17 @@ object TextAnalysis {
        |  ${PS.prnd("CAST(SUM(n) AS DOUBLE) / COUNT(*)", 6)} AS avg_chars
        |FROM dv WHERE n >= 2 GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
     import s.implicits._
+    // CODE-POINT split, not split(text, ""): Spark's empty-pattern split
+    // cuts UTF-16 code units (a non-BMP char becomes two surrogate
+    // halves) while DuckDB's string_split('') yields code points, so the
+    // two engines would count different character multisets on any
+    // emoji/supplementary-plane document. Java-regex `.` always consumes
+    // ONE code point (surrogate pairs are a single match), so
+    // regexp_extract_all over (?s). is the code-point multiset on both
+    // engines — and it produces no trailing empty token to filter.
     val cc = Tables.documents(s, dir)
-      .select($"doc_id", explode(split($"text", "")).as("ch"))
-      // Spark's regex split keeps a trailing empty token that DuckDB's
-      // string_split drops; the filter makes both engines count the
-      // same character multiset
-      .filter($"ch" =!= "")
+      .select($"doc_id",
+        explode(regexp_extract_all($"text", lit("(?s)."), lit(0))).as("ch"))
       .groupBy($"doc_id", $"ch").agg(P.cnt.as("c"))
     cc.groupBy($"doc_id")
       .agg(sum($"c" * ($"c" - 1)).as("coll"), sum($"c").as("n"))

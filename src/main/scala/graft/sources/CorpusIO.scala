@@ -217,26 +217,35 @@ object CorpusIO {
     val conf = spark.sessionState.newHadoopConf()
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(conf)
-    val rootUri = fs.makeQualified(root).toUri
-    val files = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long)]
+    // Path.toString carries the DECODED path form (unlike URI.relativize,
+    // whose output is percent-encoded and misresolves when re-joined as a
+    // string), and the hidden filter applies to EVERY path component
+    // under the root — a data file inside an abandoned `_temporary/` or
+    // `.staging/` directory from a failed write must not enter the
+    // snapshot, even though its own basename looks clean (r12 ADVICE).
+    val rootStr = fs.makeQualified(root).toString
+    val files = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long, Long)]
     val it = fs.listFiles(root, true)
     while (it.hasNext) {
       val st = it.next()
-      val name = st.getPath.getName
-      if (st.isFile && name.endsWith(".parquet") && !name.startsWith("_") &&
-        !name.startsWith(".")) {
-        val rel = rootUri.relativize(fs.makeQualified(st.getPath).toUri).toString
-        files += ((rel, st.getLen, st.getModificationTime))
+      if (st.isFile) {
+        val full = fs.makeQualified(st.getPath).toString
+        val rel = full.stripPrefix(rootStr).stripPrefix("/")
+        val comps = rel.split("/")
+        val hidden = comps.exists(c => c.startsWith("_") || c.startsWith("."))
+        if (!hidden && comps.last.endsWith(".parquet"))
+          files += ((rel, full, st.getLen, st.getModificationTime))
       }
     }
-    val rootStr = fs.makeQualified(root).toUri.toString
     val serConf = new org.apache.spark.util.SerializableConfiguration(conf)
     files.toSeq.toDS()
       .repartition(math.max(1, math.min(files.size, 64)))
       .mapPartitions { part =>
         val hconf = serConf.value
-        part.map { case (rel, bytes, mtime) =>
-          val p = new org.apache.hadoop.fs.Path(s"$rootStr/$rel")
+        part.map { case (rel, full, bytes, mtime) =>
+          // the footer-read task opens the fully-qualified path captured
+          // at listing time — never a string re-join of an encoded form
+          val p = new org.apache.hadoop.fs.Path(full)
           val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, hconf)
           val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
           val rows = try reader.getRecordCount finally reader.close()

@@ -865,6 +865,28 @@ class CoreOperatorsSpec extends GraftSuite {
     assert(cov >= 0.0 && cov <= 100.0)
   }
 
+  test("infra gate: an empty temporal feed fails its floor and vetoes the composite go") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_infra").toString
+    for (t <- Tables.names) {
+      val src = if (t == "events") Tables.load(spark, sfDir, t).limit(0)
+        else Tables.load(spark, sfDir, t).limit(12)
+      src.write.mode("overwrite").parquet(s"$tmp/$t.parquet")
+    }
+    val got = operators.Ops.infraGate.run(spark, tmp).collect()
+    assert(got.length === Tables.names.length)
+    val byTbl = got.map(r => r.getAs[String]("tbl") -> r).toMap
+    assert(!byTbl("events").getAs[Boolean]("rows_ok"), "empty feed must fail its floor")
+    assert(!byTbl("events").getAs[Boolean]("ok"))
+    assert(byTbl("documents").getAs[Boolean]("ok"), "populated tables stay green")
+    assert(got.forall(!_.getAs[Boolean]("go")), "one red table vetoes the composite go")
+    // real corpus: everything readable, floors met, 30-day span covers the horizon
+    val real = run("ops_infra_gate").collect()
+    assert(real.forall(_.getAs[Boolean]("ok")))
+    assert(real.forall(_.getAs[Boolean]("go")))
+    assert(real.find(_.getAs[String]("tbl") == "events").get
+      .getAs[Long]("span_days") >= 7L)
+  }
+
   test("relevance gate: list-order first match wins, case-insensitive, misses dropped") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("graft_rel").toString

@@ -28,14 +28,27 @@ class DedupSimilaritySpec extends GraftSuite {
     val bands = hot.toDF("doc_id", "band", "bkey")
     val pairs = operators.Dedup.lshCandidates(bands)
     val got = pairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    // salted chunks of cap-1 members, the bucket rep (doc 1) in every
-    // chunk: expected pair count is sum over chunks of C(members+1, 2)
-    val chunkSizes = (2 to n).grouped(cap - 1).map(_.size).toSeq
+    // md5-hash-assigned chunks (expected size cap-1), the bucket rep
+    // (doc 1) in every chunk: expected pair count is the sum over chunks
+    // of C(members+1, 2) — replicated here with the same md5 salt rule
+    // the operator (and its oracle twin) applies
+    val nChunks = math.ceil((n - 1).toDouble / (cap - 1)).toInt
+    def salt(id: Long): Int = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      val hex = d.map(b => f"$b%02x").mkString.take(8)
+      (java.lang.Long.parseLong(hex, 16) % nChunks).toInt
+    }
+    val chunks = (2 to n).groupBy(i => salt(i.toLong))
+    val chunkSizes = chunks.values.map(_.size).toSeq
+    assert(chunkSizes.size === nChunks, "both hash chunks must be populated")
     val expected = chunkSizes.map(m => (m + 1).toLong * m / 2).sum + 1
     assert(got.size.toLong === expected)
     // the r8 truncation dropped every member past rank 100 — now a
-    // deep-rank near-dup pair in the same chunk survives...
-    assert(got.contains((120L, 121L)), "same-chunk deep pair must survive the cap")
+    // deep same-chunk near-dup pair survives...
+    val deep = chunks.values.find(_.size >= 2).get.sorted.takeRight(2)
+    assert(got.contains((deep(0).toLong, deep(1).toLong)),
+      "same-chunk deep pair must survive the cap")
     // ...every member still pairs with the bucket rep (connectivity for
     // dd_clusters: one component through the rep)...
     assert((2 to n).forall(i => got.contains((1L, i.toLong))), "rep links every member")

@@ -88,6 +88,7 @@ class ScalePlanSpec extends GraftSuite {
         "dd_est_quality" -> 0, // candidate-keyed joins, size-driven
         "dd_embedding_sweep" -> 1, // nv (1-row corpus count)
         "ops_freshness" -> 1, // hwm (1 row)
+        "ops_infra_gate" -> 1, // composite go (1 row)
         "sent_drift" -> 1 // label totals (1 row)
       )
       allowed.foreach { case (name, maxB) =>
