@@ -26,9 +26,18 @@ object MatStore {
   /** The memoized relation for `key`, building + lazily checkpointing it
     * on first use. `build` must be deterministic for the key: the same
     * (session, key) always denotes the same logical relation.
+    *
+    * When the durable store is configured and `key` is PUBLISHED there
+    * ([[graft.sources.IndexStore]]), the bucketed table is served instead
+    * of building — the cross-session train-once/serve-many path. A served
+    * scan is NOT checkpointed: the bucketed layout already provides the
+    * reuse (on-disk blocks) and, unlike a LogicalRDD, keeps its hash
+    * partitioning visible to the planner.
     */
   def of(s: SparkSession, key: String)(build: => DataFrame): DataFrame =
-    lookup(s, key)(build.localCheckpoint(false))
+    lookup(s, key)(
+      graft.sources.IndexStore.tryServe(s, key)
+        .getOrElse(build.localCheckpoint(false)))
 
   /** get-then-putIfAbsent instead of computeIfAbsent: store builds nest
     * (lshCandM → tokenizedM, kmAssign → kmCents), and a nested
@@ -70,7 +79,11 @@ object MatStore {
     * and the relation is cached again.
     */
   def memo(s: SparkSession, key: String)(build: => DataFrame): DataFrame = {
-    val df = lookup(s, key)(build)
+    // a published key serves the bucketed table (already node-partitioned
+    // on disk); the persist below then caches the scan with that
+    // partitioning visible, exactly like the in-session repartition cache
+    val df = lookup(s, key)(
+      graft.sources.IndexStore.tryServe(s, key).getOrElse(build))
     if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
       df.persist()
     df

@@ -440,11 +440,11 @@ object Similarity {
     * and across bench samples ([[graft.MatStore]] — the persisted-index
     * posture of a real IVF deployment: train once, serve many).
     */
-  private def kmCents(s: SparkSession, dir: String): DataFrame =
+  private[graft] def kmCents(s: SparkSession, dir: String): DataFrame =
     graft.MatStore.of(s, s"sim_km_cents:$dir")(kmeansFit(s, dir))
 
   /** Final assignment (vec_id, cell, cos) over [[kmCents]]. */
-  private def kmAssign(s: SparkSession, dir: String): DataFrame =
+  private[graft] def kmAssign(s: SparkSession, dir: String): DataFrame =
     graft.MatStore.of(s, s"sim_km_af:$dir")(
       kmAssignOver(s, dir, kmCents(s, dir), keepCos = true))
 

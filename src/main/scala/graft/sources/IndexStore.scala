@@ -1,0 +1,118 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Durable, cross-session store for the train-once artifacts the session
+  * [[graft.MatStore]] shares within one JVM: the trained k-means model
+  * (centroids + per-vector assignment), the MinHash LSH signature store,
+  * and the graph edge relations. The reference persists its equivalents
+  * in MongoDB between pipeline runs (network-analysis/network_analysis.py
+  * writes the user network; spark-ml-sentiment sinks its results); graft
+  * persists them as BUCKETED parquet tables ([[CorpusIO.writeBucketed]] —
+  * SURVEY §2l calls bucketing "the durable form of MatStore"), so a serve
+  * session reads them pre-shuffled: a join or aggregation on the bucket
+  * key plans NO exchange, exactly like the in-session repartition cache,
+  * but surviving the JVM.
+  *
+  * Mechanics: [[publish]] writes the relation as a bucketed external
+  * table under `spark.graft.index.dir` plus a tiny `_`-prefixed
+  * properties sidecar (bucket column/count + schema DDL — everything a
+  * FRESH session needs; parquet readers ignore underscore files). A
+  * serving session sets the same conf, and [[graft.MatStore]] consults
+  * [[tryServe]] on every cache miss: a published key re-registers the
+  * external table from its sidecar (`CREATE TABLE … CLUSTERED BY …
+  * LOCATION …`) and is read instead of rebuilt — train once, serve many
+  * SESSIONS. With the conf unset (the default, and the driver gates'
+  * mode) the store is completely inert.
+  */
+object IndexStore {
+
+  /** Session conf carrying the durable store directory; unset = inert. */
+  val DirConf = "spark.graft.index.dir"
+
+  private val Meta = "_graft_index.properties"
+
+  def dir(s: SparkSession): Option[String] =
+    Option(s.conf.get(DirConf, null)).filter(_.nonEmpty)
+
+  /** Catalog-safe table name for a MatStore key (keys embed paths). */
+  def tableName(key: String): String =
+    "graft_idx_" + key.toLowerCase.replaceAll("[^a-z0-9]+", "_")
+      .stripPrefix("_").stripSuffix("_")
+
+  /** Publish a MatStore-shared relation under its MatStore `key` as a
+    * bucketed external table + sidecar in the configured store dir.
+    * The write pays the bucket shuffle ONCE; every serving session
+    * amortizes it. Returns the key (for publish-list bookkeeping).
+    */
+  def publish(s: SparkSession, key: String, df: DataFrame, bucketCol: String,
+      buckets: Int = 8): String = {
+    val base = dir(s).getOrElse(
+      throw new IllegalStateException(s"$DirConf is not set"))
+    val name = tableName(key)
+    val path = s"$base/$name"
+    s.sql(s"DROP TABLE IF EXISTS $name")
+    CorpusIO.writeBucketed(df, name, path, bucketCol, buckets)
+    val props = new java.util.Properties()
+    props.setProperty("key", key)
+    props.setProperty("bucketCol", bucketCol)
+    props.setProperty("buckets", buckets.toString)
+    props.setProperty("schema", df.schema.toDDL)
+    val p = new org.apache.hadoop.fs.Path(s"$path/$Meta")
+    val fs = p.getFileSystem(s.sessionState.newHadoopConf())
+    val out = fs.create(p, true)
+    try props.store(out, "graft durable index artifact") finally out.close()
+    key
+  }
+
+  /** Serve `key` from the durable store: Some(bucketed table scan) when
+    * the conf is set AND the key is published there, else None (the
+    * consumer builds in-session as usual). A session that has never seen
+    * the table re-registers it in its own catalog from the sidecar — no
+    * shared metastore required, the filesystem IS the metadata.
+    */
+  def tryServe(s: SparkSession, key: String): Option[DataFrame] =
+    dir(s).flatMap { base =>
+      val name = tableName(key)
+      val path = s"$base/$name"
+      val p = new org.apache.hadoop.fs.Path(s"$path/$Meta")
+      val fs = p.getFileSystem(s.sessionState.newHadoopConf())
+      if (!fs.exists(p)) None
+      else {
+        if (!s.catalog.tableExists(name)) {
+          val props = new java.util.Properties()
+          val in = fs.open(p)
+          try props.load(in) finally in.close()
+          val bCol = props.getProperty("bucketCol")
+          val n = props.getProperty("buckets").toInt
+          s.sql(
+            s"""CREATE TABLE $name (${props.getProperty("schema")})
+               |USING PARQUET
+               |CLUSTERED BY ($bCol) SORTED BY ($bCol) INTO $n BUCKETS
+               |LOCATION '$path'""".stripMargin)
+        }
+        Some(s.table(name))
+      }
+    }
+
+  /** Publish the declared train-once artifacts of a corpus: the trained
+    * k-means quantizer (centroids + assignment — the model
+    * sim_ivf_kmeans_topk / sim_filtered_topk serve from), the MinHash
+    * band signature store (the relation dd_incremental probes per
+    * ingest batch), and the graph edge relations (directed base + the
+    * node-partitioned undirected iteration relation every gr_* query
+    * reads). Bucket keys are each relation's serve-join key.
+    */
+  def publishCorpus(s: SparkSession, dataDir: String): Seq[String] = Seq(
+    publish(s, s"sim_km_cents:$dataDir",
+      graft.operators.Similarity.kmCents(s, dataDir), "cell"),
+    publish(s, s"sim_km_af:$dataDir",
+      graft.operators.Similarity.kmAssign(s, dataDir), "vec_id"),
+    publish(s, s"dd_bands:$dataDir",
+      graft.MatStore.of(s, s"dd_bands:$dataDir")(
+        graft.operators.Dedup.minhashBands(s, dataDir)), "doc_id"),
+    publish(s, s"gr_edges_num:$dataDir",
+      graft.operators.GraphOps.edgesNum(s, dataDir), "src"),
+    publish(s, s"gr_und_w:$dataDir",
+      graft.operators.GraphOps.sharedUnd(s, dataDir), "node"))
+}

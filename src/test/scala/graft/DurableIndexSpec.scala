@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Cross-session durability of the train-once artifacts (r12 verdict
+  * item 1): the k-means model, the LSH signature store, and the graph
+  * edge relations are published as bucketed tables
+  * ([[graft.sources.IndexStore]]) in one session and SERVED in a fresh
+  * one — fresh session state, fresh MatStore, catalog entries dropped so
+  * registration must come from the on-disk sidecars (the one thing the
+  * two sessions necessarily share in a single test JVM is the
+  * SparkContext). Serve results must hash-match the in-session build,
+  * and the serve plans must read the bucketed layout exchange-free on
+  * the bucket key.
+  */
+class DurableIndexSpec extends GraftSuite {
+
+  private def rowsOf(df: org.apache.spark.sql.DataFrame): Seq[String] =
+    df.collect().map(_.toString).sorted.toSeq
+
+  test("publish in one session, serve bit-identical and exchange-free in a fresh one") {
+    val store = java.nio.file.Files.createTempDirectory("graft_idx").toString
+    spark.conf.set(sources.IndexStore.DirConf, store)
+    try {
+      // in-session baselines (nothing is published yet, so these BUILD)
+      val baseIvf = rowsOf(run("sim_ivf_kmeans_topk"))
+      val baseInc = rowsOf(run("dd_incremental"))
+      val basePr = rowsOf(run("gr_pagerank"))
+
+      val keys = sources.IndexStore.publishCorpus(spark, sfDir)
+      assert(keys.size === 5)
+      // drop every catalog entry: the serving session must re-register
+      // from the filesystem sidecars alone (external tables — data stays)
+      keys.foreach(k =>
+        spark.sql(s"DROP TABLE IF EXISTS ${sources.IndexStore.tableName(k)}"))
+
+      val s2 = spark.newSession()
+      s2.conf.set(sources.IndexStore.DirConf, store)
+      try {
+        // the serve path is actually the bucketed table, not a rebuild
+        val af = operators.Similarity.kmAssign(s2, sfDir)
+        val afPlan = planOf(af)
+        assert(afPlan.contains("graft_idx_sim_km_af"),
+          s"kmAssign must serve from the published table:\n$afPlan")
+        // same-key aggregation over the served node-bucketed relation
+        // plans NO exchange — the bucketed layout replaces the
+        // in-session repartition cache
+        val und = operators.GraphOps.sharedUnd(s2, sfDir)
+        val aggPlan = planOf(und.groupBy("node").agg(sum("weight")))
+        assert(!aggPlan.contains("Exchange hashpartitioning"),
+          s"bucket-key aggregation over the served relation must not shuffle:\n$aggPlan")
+        // same-key self-join of the served relation: no exchange either side
+        val l = s2.table(sources.IndexStore.tableName(s"gr_und_w:$sfDir"))
+        val r = s2.table(sources.IndexStore.tableName(s"gr_und_w:$sfDir"))
+          .select(col("node"), col("weight").as("w2"))
+        val joinPlan = planOf(l.join(r, "node"))
+        assert(!joinPlan.contains("Exchange hashpartitioning"),
+          s"bucket-key self-join of the served relation must not shuffle:\n$joinPlan")
+
+        // served results hash-match the in-session path
+        assert(rowsOf(Registry.byName("sim_ivf_kmeans_topk").run(s2, sfDir)) === baseIvf)
+        assert(rowsOf(Registry.byName("dd_incremental").run(s2, sfDir)) === baseInc)
+        assert(rowsOf(Registry.byName("gr_pagerank").run(s2, sfDir)) === basePr)
+      } finally {
+        MatStore.clear(s2)
+        keys.foreach(k =>
+          s2.sql(s"DROP TABLE IF EXISTS ${sources.IndexStore.tableName(k)}"))
+      }
+    } finally {
+      spark.conf.unset(sources.IndexStore.DirConf)
+    }
+  }
+}
