@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.Ckpt._
 
 /** Session-scoped store of materialized intermediate relations (signature
   * tables, verified candidate pairs) keyed by (session, logical name).
@@ -37,7 +38,7 @@ object MatStore {
   def of(s: SparkSession, key: String)(build: => DataFrame): DataFrame =
     lookup(s, key)(
       graft.sources.IndexStore.tryServe(s, key)
-        .getOrElse(build.localCheckpoint(false)))
+        .getOrElse(build.ckpt))
 
   /** get-then-putIfAbsent instead of computeIfAbsent: store builds nest
     * (lshCandM → tokenizedM, kmAssign → kmCents), and a nested

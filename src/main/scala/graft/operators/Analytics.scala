@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.Ckpt._
 import graft.{QueryDef, Tables}
 import graft.functions.{Portable => P, PortableSql => PS}
 import org.apache.spark.sql.{Column, DataFrame}
@@ -876,7 +877,7 @@ object Analytics {
     // shape lives in streaming.TrendingStream). ex feeds both the
     // sketch and the probe top-20: checkpoint, not recompute.
     val ex = ev.groupBy($"user_id").agg(P.cnt.as("exact_count"))
-      .localCheckpoint(false)
+      .ckpt
     val cells = ex
       .select($"user_id", $"exact_count",
         explode(sequence(lit(0), lit(CmDepth - 1))).as("r"))
@@ -1314,7 +1315,7 @@ object Analytics {
       .select($"event_type",
         P.hexToLong(md5($"user_id".cast("string")), 1, 15).as("h"))
       .distinct()
-      .localCheckpoint(false)
+      .ckpt
     def kmv(t: String): DataFrame =
       u.filter($"event_type" === t).select($"h").orderBy($"h").limit(KmvK)
     def sk(t: String): DataFrame =
@@ -1377,7 +1378,7 @@ object Analytics {
       .groupBy($"ts".cast("date").as("day"),
         dayofweek($"ts").cast("long").as("dow"))
       .agg(P.cnt.as("c"))
-      .localCheckpoint(false)
+      .ckpt
     val st = d.groupBy($"dow")
       .agg(P.cnt.as("nw"), sum($"c").as("s"), sum($"c" * $"c").as("q"))
     val dev = $"c" * $"nw" - $"s"
@@ -1420,7 +1421,7 @@ object Analytics {
     // the daily series feeds both join sides — checkpoint, not recompute
     val d = Tables.events(s, dir)
       .groupBy($"event_type", $"ts".cast("date").as("day")).agg(P.cnt.as("c"))
-      .localCheckpoint(false)
+      .ckpt
     val prior = d.select($"event_type", date_add($"day", 7).as("day"), $"c".as("pred"))
     d.join(prior, Seq("event_type", "day"))
       .groupBy($"event_type")

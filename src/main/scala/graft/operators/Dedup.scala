@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.Ckpt._
 import graft.{QueryDef, Tables}
 import graft.functions.{Portable => P, PortableSql => PS}
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -173,7 +174,7 @@ object Dedup {
     val chunk = maxBucket - 1
     // one materialization of the band rows feeds the stats aggregate and
     // the member side of the stats join
-    val b0 = bands0.localCheckpoint(false)
+    val b0 = bands0.ckpt
     val stats = b0.groupBy(col("band"), col("bkey"))
       .agg(count(lit(1)).as("cnt"), min(col("doc_id")).as("rep"))
     val nChunks = ceil((col("cnt") - 1) / lit(chunk.toDouble)).cast("int")
@@ -193,7 +194,7 @@ object Dedup {
     val bands = b0.join(stats, Seq("band", "bkey"))
       .withColumn("salt", explode(salts))
       .drop("cnt", "rep")
-      .localCheckpoint(false)
+      .ckpt
     val a = bands.select(col("doc_id").as("doc_a"), col("band"), col("bkey"), col("salt"))
     val b = bands.select(col("doc_id").as("doc_b"), col("band"), col("bkey"), col("salt"))
     a.join(b, Seq("band", "bkey", "salt"))
@@ -416,7 +417,7 @@ object Dedup {
   private def jaccardScoredBuild(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val cand = lshCandM(s, dir)
-    val g3 = candGramsBuild(s, dir).localCheckpoint(false)
+    val g3 = candGramsBuild(s, dir).ckpt
     val sz = g3.groupBy($"doc_id").agg(P.cnt.as("n"))
     val inter = cand
       .join(g3.select($"doc_id".as("doc_a"), $"s"), "doc_a")
@@ -650,7 +651,7 @@ object Dedup {
     // signature join back — one lazy materialization.
     val sim = Tables.documents(s, dir)
       .select($"doc_id", call_function("graft_simhash", split($"text", " ")).as("s"))
-      .localCheckpoint(false)
+      .ckpt
     val bands = sim.select($"doc_id",
       explode(array((0 until 4).map(b =>
         struct(lit(b).as("band"),
@@ -942,7 +943,7 @@ object Dedup {
     // consumed 3x (both candIds branches + the intersection join)
     val pairs = bb.join(ba, Seq("band", "bkey"))
       .select($"b_id", $"base_id").distinct()
-      .localCheckpoint(false)
+      .ckpt
     // 3-grams only for docs in some candidate pair (semi-join pruned)
     val candIds = pairs.select($"b_id".as("doc_id"))
       .union(pairs.select($"base_id".as("doc_id"))).distinct()
@@ -954,7 +955,7 @@ object Dedup {
       .select($"doc_id",
         explode(call_function("graft_shingles", $"w", lit(3))).as("s"))
       .distinct()
-      .localCheckpoint(false)
+      .ckpt
     val sz = g3.groupBy($"doc_id").agg(P.cnt.as("n"))
     val inter = pairs
       .join(g3.select($"doc_id".as("b_id"), $"s"), "b_id")
@@ -1055,7 +1056,7 @@ object Dedup {
     val g3 = st
       .select($"doc_id", explode(array_distinct(
         call_function("graft_shingles", $"w", lit(3)))).as("s"))
-      .localCheckpoint(false)
+      .ckpt
     val sz = g3.groupBy($"doc_id").agg(P.cnt.as("n"))
     val truth = g3.select($"doc_id".as("doc_a"), $"s")
       .join(g3.select($"doc_id".as("doc_b"), $"s"), "s")
@@ -1065,10 +1066,10 @@ object Dedup {
       .join(sz.select($"doc_id".as("doc_b"), $"n".as("nb")), "doc_b")
       .filter($"ni" / ($"na" + $"nb" - $"ni") >= JaccardThreshold)
       .select($"doc_a", $"doc_b")
-      .localCheckpoint(false)
+      .ckpt
     val scand = lshCandM(s, dir)
       .filter(inSample($"doc_a") && inSample($"doc_b"))
-      .localCheckpoint(false)
+      .ckpt
     val caught = truth.join(scand, Seq("doc_a", "doc_b"), "left_semi")
     val nd = st.agg(P.cnt.as("n_sample_docs"))
     val nt = truth.agg(P.cnt.as("n_true"))

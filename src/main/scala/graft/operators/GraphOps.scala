@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.Ckpt._
 import graft.{MatStore, QueryDef, Tables}
 import graft.functions.{Portable => P, PortableSql => PS}
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -245,7 +246,7 @@ object GraphOps {
     // LogicalRDD wrapper truncates the analyzed plan immediately, and the
     // count() below materializes the blocks in the same job it needs
     // anyway.
-    val wdeg = u.groupBy($"node").agg(sum($"weight").as("wd")).localCheckpoint(false)
+    val wdeg = u.groupBy($"node").agg(sum($"weight").as("wd")).ckpt
     // the ONE deliberate driver action: it materializes wdeg's blocks (a
     // job the first broadcast would pay anyway), and the scalar N it
     // returns feeds both the per-round literals and the size-driven
@@ -288,7 +289,7 @@ object GraphOps {
     // drops from 2 to 1 (measured 3.8s → 2.6s for the full query at
     // sf0.1). On a real cluster use reliable checkpoint() to HDFS/S3
     // instead (survives executor loss).
-    var ranks = wdeg.select($"node", (lit(1.0) / n).as("r")).localCheckpoint(false)
+    var ranks = wdeg.select($"node", (lit(1.0) / n).as("r")).ckpt
     for (i <- 1 to iters) {
       // ranks is |V| rows (tiny next to |E|): broadcast it so the cached
       // edge relation streams through a broadcast-hash join each round
@@ -307,7 +308,7 @@ object GraphOps {
       // ranks is consumed exactly ONCE per round (the state broadcast), so
       // checkpointing every 2nd round halves the materializations without
       // any recomputation; analysis depth stays bounded at two rounds.
-      ranks = if (i % 2 == 0 || i == iters) next.localCheckpoint(false) else next
+      ranks = if (i % 2 == 0 || i == iters) next.ckpt else next
     }
     ranks
   }
@@ -356,10 +357,10 @@ object GraphOps {
     val s = u.sparkSession
     import s.implicits._
     import org.apache.spark.sql.types.DecimalType
-    val nodes = u.select($"node").distinct().localCheckpoint(false)
+    val nodes = u.select($"node").distinct().ckpt
     val n = nodes.count()
     val bcast = stateBroadcast && stateHint(n) // see pagerank
-    var x = nodes.select($"node", (lit(1.0) / n).as("x")).localCheckpoint(false)
+    var x = nodes.select($"node", (lit(1.0) / n).as("x")).ckpt
     for (i <- 1 to iters) {
       // ONE renamed copy of x feeds BOTH joins this round: the two
       // broadcast exchanges then canonicalize identically, so the
@@ -384,7 +385,7 @@ object GraphOps {
         // re-measured at 1032 jobs / 110s — AQE re-executes the entire
         // prior chain inside every later broadcast build instead of
         // reusing it, so each round must leave materialized blocks behind.
-        val rawM = raw.localCheckpoint(false)
+        val rawM = raw.ckpt
         val all = org.apache.spark.sql.expressions.Window
           .partitionBy().rowsBetween(Long.MinValue, Long.MaxValue)
         val nr = sqrt(sum(($"x" * $"x").cast(DecimalType(38, 12))).over(all).cast("double"))
@@ -423,7 +424,7 @@ object GraphOps {
     import s.implicits._
     // lazy localCheckpoint per round truncates lineage (see pagerank)
     var lbls = u.select($"node").distinct()
-      .select($"node", $"node".as("lbl")).localCheckpoint(false)
+      .select($"node", $"node".as("lbl")).ckpt
     // min(own ∪ neighbor labels) as neighbor-min + least(own): the
     // neighbor aggregation is exchange-free over the cached node-
     // partitioned relation (see iterRelation), and the own label folds in
@@ -438,7 +439,7 @@ object GraphOps {
         .groupBy($"node").agg(min($"lbl").as("nl"))
         .join(stateJoin(l2, stateBroadcast), $"node" === $"nb0")
         .select($"node", least($"nl", $"lbl").as("lbl"))
-        .localCheckpoint(false)
+        .ckpt
     }
     // checked round: ONE job computes the step AND the convergence probe.
     // The l branch of the union carries its own label in an `old` column
@@ -452,7 +453,7 @@ object GraphOps {
         .groupBy($"node").agg(min($"lbl").as("nl"))
         .join(stateJoin(l2, stateBroadcast), $"node" === $"nb0")
         .select($"node", least($"nl", $"lbl").as("lbl"), $"lbl".as("old"))
-        .localCheckpoint(false)
+        .ckpt
       (nw.select($"node", $"lbl"), nw.filter($"lbl" =!= $"old").count())
     }
     // |V|-row join of two checkpointed states — far cheaper than a step;
@@ -532,7 +533,7 @@ object GraphOps {
     val init = nodes.select($"node" +:
       (ks.map(i => when($"node" === lmkIds(i), 0).cast("int").as(s"d$i")) ++
         (if (sigma) ks.map(i => when($"node" === lmkIds(i), 1L).as(s"s$i")) else Nil)): _*)
-    var state = init.localCheckpoint(false)
+    var state = init.ckpt
     for (r <- 1 to rounds) {
       // only the previous round's frontier joins the edge relation: a
       // node's min distance is final the round it is first reached
@@ -552,7 +553,7 @@ object GraphOps {
         .select($"node" +:
           (ks.map(i => coalesce(d(i), when(col(s"c$i").isNotNull, r)).as(s"d$i")) ++
             (if (sigma) ks.map(i => coalesce(sg(i), col(s"c$i")).as(s"s$i")) else Nil)): _*)
-        .localCheckpoint(false)
+        .ckpt
     }
     state
   }
@@ -584,7 +585,7 @@ object GraphOps {
     val s = u.sparkSession
     import s.implicits._
     // lazy: materializes under the count() (see betweenness)
-    val nodes = u.select($"node").distinct().localCheckpoint(false)
+    val nodes = u.select($"node").distinct().ckpt
     val bcast = stateBroadcast && stateHint(nodes.count())
     val lmkIds = landmarkSeed(nodes, k)
     val state = landmarkBfs(u, nodes, lmkIds, rounds, sigma = false, bcast)
@@ -628,7 +629,7 @@ object GraphOps {
     import org.apache.spark.sql.types.DecimalType
     // lazy: materializes under the count() below; the landmark top-K and
     // every later reader then ride the blocks
-    val nodes = u.select($"node").distinct().localCheckpoint(false)
+    val nodes = u.select($"node").distinct().ckpt
     val bcast = stateBroadcast && stateHint(nodes.count())
     val lmkIds = landmarkSeed(nodes, k)
     val ks = lmkIds.indices
@@ -655,14 +656,14 @@ object GraphOps {
       // was measured WORSE — shuffling the wide 2+2K-column DAG rows cost
       // 80 MB vs 18 MB total and +0.9s, far more than the four |V|-row
       // level exchanges it saved
-      .localCheckpoint(false)
+      .ckpt
     // backward: deepest level seeds δ = 0; each earlier level joins ONLY
     // the level above it (DAG edges cross adjacent levels), with δ per
     // landmark in columns pd0..pd{K-1} (null = no dependency at this level)
     var prev = state.filter(ks.map(i => col(s"d$i") === rounds).reduce(_ || _))
       .select($"node" +: ks.map(i =>
         when(col(s"d$i") === rounds, lit(0.0)).as(s"pd$i")): _*)
-      .localCheckpoint(false)
+      .ckpt
     val levels = scala.collection.mutable.ArrayBuffer(prev)
     for (r <- (rounds - 1) to 0 by -1) {
       // the per-edge term is pre-rounded with the portable prnd before
@@ -681,7 +682,7 @@ object GraphOps {
         .groupBy($"v")
         .agg(aggs.head, aggs.tail: _*)
         .withColumnRenamed("v", "node")
-        .localCheckpoint(false)
+        .ckpt
       levels += lvl
       prev = lvl
     }
@@ -716,7 +717,7 @@ object GraphOps {
     val s = u.sparkSession
     import s.implicits._
     var lbls = u.select($"node").distinct()
-      .select($"node", $"node".as("lbl")).localCheckpoint(false)
+      .select($"node", $"node".as("lbl")).ckpt
     // same size discipline as [[pagerank]]: the count materializes the
     // checkpointed seed labels (a job round 1 pays anyway) and |V|
     // decides broadcast vs shuffled-hash for every round's state join
@@ -730,7 +731,7 @@ object GraphOps {
       lbls = votes.groupBy($"node")
         .agg(min(struct((-$"sc").as("ns"), $"nlbl".as("l"))).as("m"))
         .select($"node", $"m.l".as("lbl"))
-        .localCheckpoint(false)
+        .ckpt
     }
     lbls.withColumnRenamed("lbl", "community")
   }
@@ -1292,7 +1293,7 @@ object GraphOps {
     // one materialization shared by LPA, the degree agg, and the two
     // label joins below
     val u = sharedUnd(s, dir)
-    val lbl = communities(u).localCheckpoint(false)
+    val lbl = communities(u).ckpt
     // ONE deliberate driver action (same discipline as [[pagerank]]): it
     // materializes the checkpointed labels in a job the first join pays
     // anyway, and |V| drives the broadcast-vs-shuffled-hash choice for
@@ -1384,7 +1385,7 @@ object GraphOps {
        |FROM qc2""".stripMargin) { (s, dir) =>
     import s.implicits._
     val u = sharedUnd(s, dir)
-    val deg = degrees(u).localCheckpoint(false)
+    val deg = degrees(u).ckpt
     // ONE count action: materializes deg (a job the first sweep pays
     // anyway) and |V| drives every state-join choice below
     val bcast = stateHint(deg.count())
@@ -1419,7 +1420,7 @@ object GraphOps {
           when($"c" === $"a", 0).otherwise(1).as("t"), $"c".as("l"))).as("m"))
         .select($"node", $"a",
           when($"m.l" < $"a", $"m.l").otherwise($"a").as("c"))
-        .localCheckpoint(false)
+        .ckpt
       // the one driver action per sweep — materializes the checkpoint
       // and decides convergence (a fixed point: zero moves ⇒ every
       // later sweep is identical, matching the oracle's static unroll)
@@ -1531,10 +1532,10 @@ object GraphOps {
     // aggregates below.
     val cl = MatStore.of(s, s"gr_cl:$dir") {
       val pn = proj.select($"a".as("v")).union(proj.select($"b".as("v"))).distinct()
-      val smp = pn.orderBy($"v").limit(ClSampleK).localCheckpoint(false)
+      val smp = pn.orderBy($"v").limit(ClSampleK).ckpt
       val nbr = proj.join(broadcast(smp), $"a" === $"v").select($"v", $"b".as("n"))
         .union(proj.join(broadcast(smp), $"b" === $"v").select($"v", $"a".as("n")))
-        .localCheckpoint(false)
+        .ckpt
       val dg = nbr.groupBy($"v").agg(P.cnt.as("d"))
       // Triangle count as a neighbor-INTERSECTION probe, not a wedge
       // materialization: a triangle at sampled node v is a projection
@@ -1680,7 +1681,7 @@ object GraphOps {
     // projection aggregation per reference
     val pd = proj.select($"a".as("v")).union(proj.select($"b".as("v")))
       .groupBy($"v").agg(P.cnt.as("d"))
-      .localCheckpoint(false)
+      .ckpt
     val lower = $"da" < $"db" || ($"da" === $"db" && $"a" < $"b")
     // the out-endpoint's degree rides along from the orientation join
     // itself (it is max(da, db) by construction) — deriving it here
@@ -1691,7 +1692,7 @@ object GraphOps {
       .select(when(lower, $"a").otherwise($"b").as("u"),
         when(lower, $"b").otherwise($"a").as("v"),
         when(lower, $"db").otherwise($"da").as("dv"))
-      .localCheckpoint(false)
+      .ckpt
     val tri = oe.select($"u", $"v".as("x"), $"dv".as("dx"))
       .join(oe.select($"u", $"v".as("y"), $"dv".as("dy")).hint("shuffle_hash"), "u")
       .filter($"dx" < $"dy" || ($"dx" === $"dy" && $"x" < $"y"))
@@ -1802,7 +1803,7 @@ object GraphOps {
       // node-partitioned cache) + the constant 1-row K broadcast
       val keep = cur.groupBy($"node").agg(P.cnt.as("dd"))
         .crossJoin(kdf).filter($"dd" >= $"k").select($"node")
-        .localCheckpoint(false)
+        .ckpt
       val n = keep.count()
       if (n == alive) done = true
       else {
@@ -1814,7 +1815,7 @@ object GraphOps {
           .join(stateJoin(keep.select($"node".as("ka")), bcast), $"node" === $"ka")
           .join(stateJoin(keep.select($"node".as("kb")), bcast), $"nb" === $"kb")
           .select($"node", $"nb")
-          .localCheckpoint(false)
+          .ckpt
         rounds += 1
       }
     }
@@ -1864,7 +1865,7 @@ object GraphOps {
     import org.apache.spark.sql.types.DecimalType
     val dec = DecimalType(38, 0)
     val und = sharedUnd(s, dir)
-    val deg = degrees(und).select($"node", $"degree").localCheckpoint(false)
+    val deg = degrees(und).select($"node", $"degree").ckpt
     // the one driver action: materializes deg and sizes the state joins
     val n = deg.count()
     val bcast = stateHint(n)
@@ -1951,7 +1952,7 @@ object GraphOps {
         .groupBy($"wid")
         .agg(min(struct(h.as("h"), $"nb".as("v"))).as("m"))
         .select($"wid", $"m.v".as("cur"))
-        .localCheckpoint(false)
+        .ckpt
       steps += st.select($"wid", lit(t).as("t"), $"cur".as("v"))
     }
     steps.result().reduce(_ unionAll _)
@@ -2010,19 +2011,19 @@ object GraphOps {
     // the whole chain ran 4x).
     val seed = und.groupBy($"node").agg(sum($"weight").as("wd"))
       .orderBy($"wd".desc, $"node").limit(1).select($"node".as("seed"))
-      .localCheckpoint(false)
+      .ckpt
     val h1 = und.join(broadcast(seed), $"node" === $"seed")
       .select($"nb".as("node")).distinct()
-      .localCheckpoint(false)
+      .ckpt
     // frontier expansion: und keyed on node against the (hub-sized,
     // data-scaling) 1-hop set — unhinted, so the planner/AQE picks by size
     val h2 = und.join(h1.withColumnRenamed("node", "fn"), $"node" === $"fn")
       .select($"nb".as("node")).distinct()
       .join(broadcast(seed), $"node" === $"seed", "left_anti")
       .join(h1, Seq("node"), "left_anti")
-      .localCheckpoint(false)
+      .ckpt
     val ego = seed.select($"seed".as("node")).union(h1).union(h2).distinct()
-      .localCheckpoint(false)
+      .ckpt
     val within = e
       .join(ego.withColumnRenamed("node", "sn"), $"src" === $"sn")
       .join(ego.withColumnRenamed("node", "dn"), $"dst" === $"dn")

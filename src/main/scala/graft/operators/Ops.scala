@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.Ckpt._
 import graft.{QueryDef, Tables}
 import graft.functions.{Portable => P, PortableSql => PS}
 import org.apache.spark.sql.functions._
@@ -128,7 +129,7 @@ object Ops {
     val t = Tables.events(s, dir)
       .groupBy($"event_type")
       .agg(P.cnt.as("n_events"), max(unix_micros($"ts")).as("last_us"))
-      .localCheckpoint(false)
+      .ckpt
     val m = t.agg(max($"last_us").as("hwm"))
     t.crossJoin(broadcast(m))
       .select($"event_type", $"n_events", $"last_us",
@@ -207,7 +208,7 @@ object Ops {
         ($"span_days".isNull || $"span_days" >= MinSpanDays).as("span_ok"),
         (($"n_rows" >= $"row_floor") &&
           ($"span_days".isNull || $"span_days" >= MinSpanDays)).as("ok"))
-      .localCheckpoint(false)
+      .ckpt
     val a = g.agg(bool_and($"ok").as("go"))
     g.crossJoin(broadcast(a)).orderBy($"tbl")
   }

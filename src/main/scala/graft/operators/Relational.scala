@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.Ckpt._
 import graft.{QueryDef, Tables}
 import graft.functions.{Portable => P, PortableSql => PS}
 import org.apache.spark.sql.functions._
@@ -491,7 +492,7 @@ object Relational {
     // distinct-key count, so the checkpoint is the cheap side
     val j = lc.join(oc, "k")
       .select($"k", $"n_l", $"n_o", ($"n_l" * $"n_o").as("out_rows"))
-      .localCheckpoint(false)
+      .ckpt
     val t = j.agg(sum($"out_rows".cast(DecimalType(38, 0))).as("tot"))
     j.crossJoin(broadcast(t))
       .select($"k", $"n_l", $"n_o", $"out_rows",

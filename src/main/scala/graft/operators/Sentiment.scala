@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.Ckpt._
 import graft.{QueryDef, Tables}
 import graft.functions.{TextFns, VaderLexicon, Portable => P, PortableSql => PS}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -306,7 +307,7 @@ object Sentiment {
       .groupBy($"label")
       .agg(sum(when($"doc_id" < DriftSplit, 1L).otherwise(0L)).as("n_base"),
         sum(when($"doc_id" >= DriftSplit, 1L).otherwise(0L)).as("n_batch"))
-      .localCheckpoint(false)
+      .ckpt
     val t = c.agg(sum($"n_base").as("tb"), sum($"n_batch").as("tt"))
     c.crossJoin(broadcast(t))
       .select($"label", $"n_base", $"n_batch",

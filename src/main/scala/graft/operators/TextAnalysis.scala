@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.Ckpt._
 import graft.{QueryDef, Tables}
 import graft.functions.{TextFns, Portable => P, PortableSql => PS}
 import org.apache.spark.sql.functions._
@@ -338,7 +339,7 @@ object TextAnalysis {
       .filter(!$"term".isin(TextFns.StopWords: _*))
       .select($"doc_id", (P.hexToLong(md5($"term"), 1, 15) % HashBuckets).as("bucket"))
       .groupBy($"doc_id", $"bucket").agg(P.cnt.as("tf"))
-      .localCheckpoint(false)
+      .ckpt
     // ≤ HashBuckets rows by construction — the broadcast is justified by
     // a structural bound, not by bench-SF luck (contrast tx_keyterms,
     // whose term df must shuffle)
@@ -828,7 +829,7 @@ object TextAnalysis {
     val pred = Tables.documents(s, dir)
       .select($"lang".as("actual"), best.getField("cand").as("predicted"))
     val cells = pred.groupBy($"actual", $"predicted").agg(P.cnt.as("n"))
-      .localCheckpoint(false)
+      .ckpt
     val tot = cells.groupBy($"actual").agg(sum($"n").as("rt"))
     val acc = cells.agg(P.prnd(
       sum(when($"actual" === $"predicted", $"n").otherwise(0L)).cast("double")
@@ -949,7 +950,7 @@ object TextAnalysis {
     // join — checkpoint, never re-explode per consumer
     val tb = t.filter($"doc_id" >= NoveltySplit)
       .select($"doc_id", explode(array_distinct(sh3)).as("s"))
-      .localCheckpoint(false)
+      .ckpt
     val ng = tb.groupBy($"doc_id").agg(P.cnt.as("n_grams"))
     val nv = tb.join(bg, Seq("s"), "left_anti")
       .groupBy($"doc_id").agg(P.cnt.as("n_novel"))

@@ -23,11 +23,18 @@ object EventStream {
     * events with schema (ts timestamp, event_type string, value double).
     */
   def windowAgg(events: DataFrame, watermark: String = "1 hour",
-      win: String = "1 hour"): DataFrame = {
-    val s = events.sparkSession
+      win: String = "1 hour"): DataFrame =
+    windowAggOf(events.withWatermark("ts", watermark), win)
+
+  /** [[windowAgg]] over an ALREADY-watermarked frame — the composed-
+    * pipeline entry ([[PipelineStream]]): a stream that went through an
+    * upstream stateful stage (dedup) already carries its watermark, and
+    * re-declaring one is disallowed under multi-stateful-operator plans.
+    */
+  def windowAggOf(watermarked: DataFrame, win: String = "1 hour"): DataFrame = {
+    val s = watermarked.sparkSession
     import s.implicits._
-    events
-      .withWatermark("ts", watermark)
+    watermarked
       .groupBy(window($"ts", win), $"event_type")
       .agg(P.cnt.as("n"), P.dsum($"value").as("sum_value"))
       .select($"window.start".as("window_start"), $"event_type", $"n", $"sum_value")

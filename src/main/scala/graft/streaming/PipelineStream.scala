@@ -1,0 +1,66 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** The reference's full ingest topology composed as SINGLE streaming
+  * plans (scraper → Kafka → consumer → sinks;
+  * reference: consumer/kafka_consumer.py + spark-streaming-pyspark/
+  * spark_streaming.py): Kafka-shaped wire frames → typed parse with
+  * corrupt-payload drop ([[EventSource.parseWire]]) → watermarked
+  * first-wins ingest dedup ([[DedupStream]]) → a stateful consumer
+  * ([[SessionStream]] / [[Scd2Stream]] / the windowed
+  * [[UpsertSink]] store). Each stage is spec-tested alone; composing
+  * them in ONE query is where watermark/state interactions live
+  * (PipelineStreamSpec drives a late straggler across all three stage
+  * boundaries), and it is the deployment shape — one source read, one
+  * checkpointed query per sink, no intermediate topics.
+  *
+  * Scale notes: the composite inherits each stage's state bounds —
+  * dedup keys live to the watermark horizon, session/SCD2 state is one
+  * accumulator per ACTIVE entity — and chains them in one job: no
+  * re-shuffle between dedup and the grouped stage beyond the user_id
+  * exchange the stateful operator needs anyway.
+  */
+object PipelineStream {
+
+  /** Parse + first-wins dedup on event_id — the shared front of every
+    * consumer below. Batch frames take the same path (plain
+    * dropDuplicates), which is how the spec's batch twins see IDENTICAL
+    * upstream semantics.
+    */
+  def dedupedEvents(wire: DataFrame, watermark: String): DataFrame =
+    DedupStream.dedup(EventSource.parseWire(wire), "ts", watermark, Seq("event_id"))
+
+  /** Wire → dedup → stateful 30-min-gap sessionization. */
+  def sessions(wire: DataFrame, watermark: String): Dataset[SessionRow] = {
+    val s = wire.sparkSession
+    import s.implicits._
+    val ev = dedupedEvents(wire, watermark)
+      .select($"user_id", $"event_id", $"ts", $"value").as[SessionEvent]
+    if (wire.isStreaming) SessionStream.sessionizeStream(ev)
+    else SessionStream.sessionizeBatch(ev)
+  }
+
+  /** Wire → dedup → purchase filter → streaming SCD2 dimension build. */
+  def scd2(wire: DataFrame, watermark: String): Dataset[Scd2Out] = {
+    val s = wire.sparkSession
+    import s.implicits._
+    val ev = dedupedEvents(wire, watermark)
+      .filter($"event_type" === "purchase")
+      .select($"user_id", $"event_id", $"ts", $"value").as[TierEvent]
+    if (wire.isStreaming) Scd2Stream.scd2Stream(ev)
+    else Scd2Stream.scd2Batch(ev)
+  }
+
+  /** Wire → dedup → windowed aggregate → key-wise upsert store: the
+    * serving-sink leg of the topology (the reference's Mongo upserts).
+    */
+  def upserts(wire: DataFrame, storeId: String, queryName: String,
+      watermark: String, win: String = "1 hour"): StreamingQuery =
+    UpsertSink.upsertAggQuery(
+      EventStream.windowAggOf(
+        dedupedEvents(wire, watermark).select("ts", "event_type", "value"), win),
+      storeId, queryName)
+}

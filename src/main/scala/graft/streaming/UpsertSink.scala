@@ -50,7 +50,15 @@ object UpsertSink {
     */
   def upsertQuery(events: DataFrame, storeId: String, queryName: String,
       watermark: String = "1 hour", win: String = "1 hour"): StreamingQuery =
-    EventStream.windowAgg(events, watermark, win)
+    upsertAggQuery(EventStream.windowAgg(events, watermark, win), storeId, queryName)
+
+  /** The upsert sink over an already-built windowed aggregate — the
+    * composed-pipeline entry (the aggregate's watermark came from an
+    * upstream stage; see [[EventStream.windowAggOf]]).
+    */
+  def upsertAggQuery(agg: DataFrame, storeId: String,
+      queryName: String): StreamingQuery =
+    agg
       .writeStream
       .outputMode("update")
       .queryName(queryName)
