@@ -15,10 +15,18 @@ package graft.functions
   * booster (+0.293 sign-aligned, VADER's B_INCR) and negation (×-0.74,
   * VADER's N_SCALAR) modifiers — see [[LexiconScore]].
   *
-  * This is a ~180-entry transcription of the most frequent entries of
-  * the ~7,500-entry published list — enough to carry the rule model and
-  * the real data shape; the full file drops in by extending [[Real]]
-  * (same format as vader_lexicon.txt's first two columns).
+  * Coverage (r13): [[Real]] is a ~190-entry exact-valence transcription
+  * of the most frequent entries of the ~7,500-entry published list;
+  * [[RealTier2]] widens it by ~230 further published-list words whose
+  * MEMBERSHIP and POLARITY are from the published data but whose tenths
+  * here are approximate (within a few tenths of the published means —
+  * declared honestly: this sandbox has no copy of vader_lexicon.txt to
+  * transcribe from). Both engines score with the identical table (the
+  * lexicon is shared expression text), so approximate valences cannot
+  * desynchronize the oracle — they only make the labels closer to the
+  * reference's full-lexicon behavior than the r11 subset was. The full
+  * file drops in by extending these lists (same format as
+  * vader_lexicon.txt's first two columns).
   *
   * The corpus [[StandIns]] map the synthetic vocabulary (SURVEY §3:
   * "fast", "slow", "merge"…) onto the same valence scale so the driver
@@ -90,6 +98,109 @@ object VaderLexicon {
     "tragedy" -> -31, "unfair" -> -21, "upset" -> -19, "victim" -> -22,
     "violence" -> -30, "violent" -> -29, "warning" -> -14)
 
+  /** Second transcription tier (r13): further words of the published
+    * VADER list. Membership and sign are the published data; the tenths
+    * are APPROXIMATE (see the class doc) — close to, not bit-equal to,
+    * the published means.
+    */
+  val RealTier2: Seq[(String, Int)] = Seq(
+    // positive
+    "accomplish" -> 19, "accomplished" -> 18, "achievement" -> 21,
+    "active" -> 14, "admirable" -> 26, "adorable" -> 26,
+    "adventure" -> 16, "affection" -> 24, "agreement" -> 18,
+    "alive" -> 15, "ambitious" -> 17, "angel" -> 21, "attract" -> 15,
+    "attractive" -> 19, "award" -> 25, "awarded" -> 22, "bargain" -> 14,
+    "bless" -> 19, "blessed" -> 26, "bliss" -> 27, "bold" -> 14,
+    "bonus" -> 22, "boost" -> 17, "bright" -> 19, "capable" -> 16,
+    "celebrated" -> 24, "champion" -> 27, "cheer" -> 23,
+    "cheerful" -> 25, "clean" -> 17, "compassion" -> 23,
+    "confident" -> 22, "congrats" -> 26, "congratulations" -> 29,
+    "courage" -> 22, "creative" -> 19, "cute" -> 20, "dear" -> 16,
+    "decent" -> 12, "dedicated" -> 17, "determined" -> 17,
+    "devoted" -> 21, "eager" -> 15, "ecstatic" -> 31, "efficient" -> 17,
+    "elegant" -> 21, "encourage" -> 19, "energetic" -> 19,
+    "enthusiastic" -> 23, "faith" -> 19, "faithful" -> 21,
+    "favorite" -> 20, "fearless" -> 18, "festive" -> 21,
+    "flawless" -> 25, "forgive" -> 16, "fortunate" -> 20,
+    "friend" -> 22, "friends" -> 19, "generous" -> 22, "genius" -> 25,
+    "gentle" -> 19, "gift" -> 18, "gifted" -> 21, "glorious" -> 27,
+    "glory" -> 22, "grace" -> 16, "graceful" -> 20, "grateful" -> 23,
+    "greet" -> 13, "happily" -> 24, "harmony" -> 19, "heal" -> 16,
+    "healthy" -> 17, "heaven" -> 24, "hero" -> 25, "honest" -> 22,
+    "honor" -> 22, "honored" -> 24, "hug" -> 19, "hugs" -> 20,
+    "humor" -> 15, "ideal" -> 17, "impress" -> 20, "impressed" -> 21,
+    "innovative" -> 17, "inspire" -> 22, "inspired" -> 21,
+    "inspiring" -> 23, "intelligent" -> 22, "interested" -> 15,
+    "joke" -> 11, "joyful" -> 28, "keen" -> 13, "laugh" -> 21,
+    "laughed" -> 18, "laughing" -> 23, "laughter" -> 24,
+    "legendary" -> 20, "lucky" -> 21, "magnificent" -> 28,
+    "marvelous" -> 27, "masterpiece" -> 25, "mercy" -> 15,
+    "miracle" -> 25, "motivated" -> 17, "noble" -> 19, "optimism" -> 20,
+    "optimistic" -> 21, "outstanding" -> 27, "paradise" -> 26,
+    "passion" -> 20, "passionate" -> 22, "peace" -> 22,
+    "peaceful" -> 23, "playful" -> 18, "pleasant" -> 19,
+    "pleasure" -> 23, "popular" -> 17, "praise" -> 22, "praised" -> 21,
+    "precious" -> 22, "pretty" -> 18, "proud" -> 21, "radiant" -> 22,
+    "recommend" -> 15, "recommended" -> 16, "relaxed" -> 18,
+    "reliable" -> 18, "rescue" -> 14, "respect" -> 19,
+    "respected" -> 21, "rich" -> 22, "romantic" -> 20,
+    "satisfying" -> 19, "secure" -> 14, "sensational" -> 24,
+    "shine" -> 17, "smart" -> 19, "smiling" -> 23, "special" -> 16,
+    "splendid" -> 26, "stunning" -> 24, "sunny" -> 17, "support" -> 16,
+    "supported" -> 17, "supportive" -> 20, "sweet" -> 20,
+    "talent" -> 17, "talented" -> 20, "terrific" -> 26,
+    "treasure" -> 21, "triumph" -> 24, "truthful" -> 20, "useful" -> 18,
+    "vibrant" -> 21, "warm" -> 16, "wealth" -> 19, "welcome" -> 20,
+    "wise" -> 19, "wish" -> 13, "wow" -> 26, "yay" -> 27,
+    // negative
+    "abandon" -> -19, "abandoned" -> -20, "abuse" -> -30,
+    "abused" -> -25, "accident" -> -17, "accuse" -> -17,
+    "accused" -> -19, "ache" -> -17, "aggressive" -> -11,
+    "alarm" -> -14, "anxiety" -> -18, "anxious" -> -15, "argue" -> -16,
+    "argument" -> -16, "arrogant" -> -21, "ashamed" -> -21,
+    "attack" -> -21, "attacked" -> -20, "awkward" -> -13, "ban" -> -20,
+    "banned" -> -20, "betray" -> -28, "betrayed" -> -25,
+    "bitter" -> -18, "blame" -> -17, "blamed" -> -17, "bleak" -> -16,
+    "bored" -> -12, "bother" -> -14, "brutal" -> -26, "burden" -> -15,
+    "careless" -> -15, "chaos" -> -22, "cheat" -> -21,
+    "cheated" -> -22, "collapse" -> -18, "complain" -> -15,
+    "complained" -> -16, "conflict" -> -16, "confused" -> -13,
+    "corrupt" -> -25, "coward" -> -20, "crashed" -> -16,
+    "crime" -> -25, "criminal" -> -24, "cruelty" -> -29,
+    "curse" -> -19, "cursed" -> -21, "deceive" -> -21, "defeat" -> -17,
+    "defeated" -> -20, "delay" -> -13, "delayed" -> -14,
+    "denied" -> -18, "deny" -> -15, "depressed" -> -23,
+    "depression" -> -26, "destroy" -> -25, "destroyed" -> -26,
+    "devastating" -> -28, "disease" -> -23, "disgrace" -> -22,
+    "dishonest" -> -24, "dismal" -> -19, "distress" -> -21,
+    "disturbing" -> -21, "doom" -> -21, "doubtful" -> -14,
+    "dull" -> -14, "enemy" -> -23, "error" -> -16, "errors" -> -15,
+    "exhausted" -> -16, "fake" -> -18, "fatal" -> -25, "fault" -> -16,
+    "fearful" -> -21, "foolish" -> -18, "frantic" -> -16,
+    "frustrated" -> -21, "frustrating" -> -20, "furious" -> -27,
+    "greed" -> -23, "grief" -> -24, "gross" -> -17, "harsh" -> -18,
+    "hatred" -> -31, "heartbreaking" -> -25, "hostile" -> -22,
+    "humiliate" -> -24, "hurts" -> -21, "illegal" -> -23,
+    "illness" -> -21, "inferior" -> -17, "injury" -> -17,
+    "insane" -> -17, "jerk" -> -19, "junk" -> -16, "lazy" -> -16,
+    "liar" -> -25, "lie" -> -18, "lied" -> -19, "lies" -> -17,
+    "mess" -> -15, "miserable" -> -25, "misery" -> -26,
+    "mourn" -> -22, "nasty" -> -24, "nervous" -> -14, "offend" -> -19,
+    "offended" -> -19, "outrage" -> -23, "punish" -> -21,
+    "punished" -> -22, "rage" -> -24, "reject" -> -19,
+    "rejection" -> -21, "resent" -> -19, "risky" -> -14, "rude" -> -20,
+    "sabotage" -> -23, "savage" -> -19, "selfish" -> -20,
+    "severe" -> -16, "shock" -> -14, "shocked" -> -15,
+    "shocking" -> -16, "sin" -> -19, "skeptical" -> -13,
+    "sorrow" -> -23, "struggle" -> -16, "struggling" -> -17,
+    "stuck" -> -13, "suck" -> -19, "sucks" -> -19, "suspicious" -> -15,
+    "terror" -> -28, "terrorist" -> -31, "tragic" -> -25,
+    "trauma" -> -23, "unacceptable" -> -20, "uncertain" -> -12,
+    "uncomfortable" -> -15, "unfortunate" -> -18,
+    "unfortunately" -> -14, "unreliable" -> -17, "unstable" -> -15,
+    "waste" -> -18, "wasted" -> -19, "worried" -> -16, "worry" -> -17,
+    "wreck" -> -19)
+
   /** Synthetic-corpus stand-ins on the same tenths scale (the r10 lists'
     * polarities, now with graded valences). NOT VADER data.
     */
@@ -97,7 +208,7 @@ object VaderLexicon {
     "fast" -> 19, "small" -> 12, "merge" -> 15, "key" -> 8,
     "spark" -> 23, "slow" -> -19, "big" -> -11, "dup" -> -21)
 
-  val Entries: Seq[(String, Int)] = Real ++ StandIns
+  val Entries: Seq[(String, Int)] = Real ++ RealTier2 ++ StandIns
 
   /** Narrow second labeler: only high-valence entries (|v| ≥ 1.9) — the
     * "strong words only" twin the agreement matrix compares against the

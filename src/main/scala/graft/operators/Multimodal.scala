@@ -158,5 +158,59 @@ object Multimodal {
           / count(lit(1)), 6).as("shared_frac"))
   }
 
-  val defs: Seq[QueryDef] = Seq(binaryMeta, frameIndex, dupFrames)
+  /** Oracled DECODE surface (r12 verdict stretch): the real
+    * [[graft.multimodal.MediaPipeline]] codec runs end to end on the
+    * Spark side (payload synthesis → mapPartitions batched decode →
+    * per-pixel mean-luminance pass), and the oracle RE-DERIVES every
+    * output arithmetically — GRF1 header fields are md5-derived from the
+    * text (width/height/channels from the first digest bytes) and the
+    * raster is the text's UTF-8 bytes cycled to fill it, so mean
+    * luminance is (full_cycles · Σbytes + prefix_sum(n mod len)) / n.
+    * This makes 2i's decode output HASH-CHECKED against an independent
+    * formulation, not just spec-checked: a codec regression in header
+    * parse, bounds, or the feature pass breaks the gate.
+    *
+    * Scale shape (Spark side — the deployable one): payloads are born
+    * and decoded in-partition (mapPartitions batches), one narrow map,
+    * no shuffle; the oracle's per-byte explode exists only to re-derive
+    * the checksum independently.
+    */
+  val decodeMeta = QueryDef(
+    "mm_decode_meta",
+    s"""WITH d AS MATERIALIZED (SELECT doc_id, md5(text) AS dg,
+       |    lower(hex(encode(text))) AS ph,
+       |    CAST(octet_length(encode(text)) AS BIGINT) AS len FROM documents),
+       |hdr AS MATERIALIZED (SELECT doc_id, ph, len,
+       |    CAST(16 + ${PS.hexToLong("dg", 1, 2)} % 48 AS INT) AS width,
+       |    CAST(16 + ${PS.hexToLong("dg", 3, 2)} % 48 AS INT) AS height,
+       |    CAST(CASE WHEN ${PS.hexToLong("dg", 5, 2)} % 2 = 0 THEN 1 ELSE 3 END AS INT) AS channels
+       |  FROM d),
+       |ex AS MATERIALIZED (SELECT doc_id, len,
+       |    CAST(width AS BIGINT) * height * channels AS n,
+       |    unnest(generate_series(CAST(0 AS BIGINT), len - 1)) AS i, ph
+       |  FROM hdr WHERE len > 0),
+       |bv AS MATERIALIZED (SELECT doc_id, len, n, i,
+       |    (strpos('0123456789abcdef', substr(ph, CAST(i * 2 + 1 AS BIGINT), 1)) - 1) * 16
+       |    + (strpos('0123456789abcdef', substr(ph, CAST(i * 2 + 2 AS BIGINT), 1)) - 1) AS v
+       |  FROM ex),
+       |ag AS MATERIALIZED (SELECT doc_id, len, n,
+       |    CAST(SUM(v) AS BIGINT) AS total,
+       |    CAST(SUM(CASE WHEN i < n % len THEN v ELSE 0 END) AS BIGINT) AS prefx
+       |  FROM bv GROUP BY doc_id, len, n)
+       |SELECT h.doc_id, h.width, h.height, h.channels,
+       |  CASE WHEN h.channels = 1 THEN 'grf1/gray' ELSE 'grf1/rgb' END AS format,
+       |  CAST(9 + CAST(h.width AS BIGINT) * h.height * h.channels AS BIGINT) AS n_bytes,
+       |  ${PS.prnd("CASE WHEN h.len = 0 THEN 0.0 ELSE ((a.n // a.len) * a.total + a.prefx) / CAST(a.n AS DOUBLE) END", 6)} AS mean_luma
+       |FROM hdr h LEFT JOIN ag a USING (doc_id)
+       |ORDER BY h.doc_id""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    graft.multimodal.MediaPipeline.decode(
+        graft.multimodal.MediaPipeline.withPayload(Tables.documents(s, dir)))
+      .toDF()
+      .select($"doc_id", $"width", $"height", $"channels", $"format",
+        $"n_bytes", P.prnd($"mean_luma", 6).as("mean_luma"))
+      .orderBy($"doc_id")
+  }
+
+  val defs: Seq[QueryDef] = Seq(binaryMeta, frameIndex, dupFrames, decodeMeta)
 }

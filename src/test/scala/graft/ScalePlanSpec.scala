@@ -89,6 +89,7 @@ class ScalePlanSpec extends GraftSuite {
         "dd_embedding_sweep" -> 1, // nv (1-row corpus count)
         "ops_freshness" -> 1, // hwm (1 row)
         "ops_infra_gate" -> 1, // composite go (1 row)
+        "mm_decode_meta" -> 0, // in-partition decode, no join at all
         "sent_drift" -> 1 // label totals (1 row)
       )
       allowed.foreach { case (name, maxB) =>
