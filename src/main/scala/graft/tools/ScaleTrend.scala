@@ -97,7 +97,13 @@ object ScaleTrend {
       "sim_filtered_recall", "tx_char_diversity",
       "q_skew_audit", "an_cm_topk", "etl_mixture_schedule",
       "dd_est_quality", "dd_embedding_sweep", "an_forecast_naive",
-      "an_dow_anomaly", "ops_freshness")
+      "an_dow_anomaly", "ops_freshness",
+      // r13: the hash-chunk salted bucket cap rides dd_minhash_lsh's
+      // candidate build (already probed through dd_ngram_jaccard above);
+      // new surfaces are the per-table count gate, the in-partition
+      // GRF1 decode, and the code-point char explode (tx_char_diversity,
+      // above, now regexp-based)
+      "ops_infra_gate", "mm_decode_meta", "dd_minhash_lsh")
     def time(name: String, dir: String): Double = {
       val fn = SparkEntry.queries(name)
       (1 to 2).map { _ =>
