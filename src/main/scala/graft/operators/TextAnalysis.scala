@@ -333,13 +333,21 @@ object TextAnalysis {
     // tf feeds BOTH the broadcast df build and the main scored side:
     // materialize it once (the anything-consumed-twice discipline) so
     // the documents explode + hash aggregate never re-execute for the
-    // build side (r11 VERDICT perf-weak: tf recomputed).
+    // build side (r11 VERDICT perf-weak: tf recomputed). Materialized as
+    // a doc_id-partitioned CACHE, not a checkpoint (r13): a repartition
+    // by doc_id satisfies the (doc_id, bucket) grouping (subset
+    // clustering) AND the final per-doc top-k grouping, and the cache —
+    // unlike a checkpoint's LogicalRDD — keeps that partitioning visible
+    // to the planner, so the whole query pays ONE |tf|-row exchange
+    // where the checkpointed form paid two (the iterRelation trick,
+    // GraphOps). clearCache()/session teardown frees the blocks.
     val tf = Tables.documents(s, dir)
       .select($"doc_id", explode(split($"text", " ")).as("term"))
       .filter(!$"term".isin(TextFns.StopWords: _*))
       .select($"doc_id", (P.hexToLong(md5($"term"), 1, 15) % HashBuckets).as("bucket"))
+      .repartition($"doc_id")
       .groupBy($"doc_id", $"bucket").agg(P.cnt.as("tf"))
-      .ckpt
+      .persist()
     // ≤ HashBuckets rows by construction — the broadcast is justified by
     // a structural bound, not by bench-SF luck (contrast tx_keyterms,
     // whose term df must shuffle)
