@@ -868,7 +868,7 @@ object Dedup {
     * "the arriving batch" (the newest 10% by ingest id; in production,
     * the day's crawl).
     */
-  private val IncSplit = 450L
+  private[graft] val IncSplit = 450L
 
   /** INCREMENTAL dedup — the day's batch checked against the existing
     * base, NEVER base×base: at 100 TB you dedup the corpus once, then

@@ -95,6 +95,38 @@ object IndexStore {
       }
     }
 
+  /** Append rows to an already-PUBLISHED artifact — the daily-ingest
+    * maintenance path: a crawl batch's signatures (or new edges) land in
+    * the durable store so the NEXT session's probe sees base + batch
+    * without anyone rebuilding the base. The append pays the bucket
+    * shuffle for the batch rows only. Each append adds one file set per
+    * bucket (Spark bucketed scans handle multi-file buckets; the
+    * per-bucket SORT guarantee weakens to per-file — run a compaction
+    * rewrite when merge-join sorts start to matter). The batch frame
+    * must carry the published schema.
+    */
+  def append(s: SparkSession, key: String, df: DataFrame): Unit = {
+    val name = tableName(key)
+    val base = dir(s).getOrElse(
+      throw new IllegalStateException(s"$DirConf is not set"))
+    val served = tryServe(s, key).getOrElse(
+      throw new IllegalStateException(s"$key is not published under $base"))
+    val path = s"$base/$name"
+    val p = new org.apache.hadoop.fs.Path(s"$path/$Meta")
+    val fs = p.getFileSystem(s.sessionState.newHadoopConf())
+    val props = new java.util.Properties()
+    val in = fs.open(p)
+    try props.load(in) finally in.close()
+    // column order must match the table; bucketing spec must match the
+    // published one or the scan's co-location promise would be a lie
+    df.select(served.columns.map(org.apache.spark.sql.functions.col).toIndexedSeq: _*)
+      .write.mode(org.apache.spark.sql.SaveMode.Append)
+      .bucketBy(props.getProperty("buckets").toInt, props.getProperty("bucketCol"))
+      .sortBy(props.getProperty("bucketCol"))
+      .format("parquet")
+      .saveAsTable(name)
+  }
+
   /** Publish the declared train-once artifacts of a corpus: the trained
     * k-means quantizer (centroids + assignment — the model
     * sim_ivf_kmeans_topk / sim_filtered_topk serve from), the MinHash

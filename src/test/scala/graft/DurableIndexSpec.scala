@@ -70,4 +70,39 @@ class DurableIndexSpec extends GraftSuite {
       spark.conf.unset(sources.IndexStore.DirConf)
     }
   }
+
+  test("published store + batch APPEND: a fresh session probes base+batch signatures") {
+    val store = java.nio.file.Files.createTempDirectory("graft_idx_app").toString
+    val key = s"dd_bands:$sfDir"
+    spark.conf.set(sources.IndexStore.DirConf, store)
+    try {
+      // baseline: the in-session full build (key not published yet)
+      val base = rowsOf(run("dd_incremental"))
+      // the daily-ingest maintenance path: the BASE corpus signatures are
+      // published once; the arriving batch's signatures are APPENDED —
+      // nobody ever rebuilds the base
+      val bands = operators.Dedup.minhashBands(spark, sfDir)
+      val split = operators.Dedup.IncSplit
+      sources.IndexStore.publish(spark, key,
+        bands.filter(col("doc_id") < split), "doc_id")
+      sources.IndexStore.append(spark, key,
+        bands.filter(col("doc_id") >= split))
+      // force sidecar re-registration in the serving session
+      spark.sql(s"DROP TABLE IF EXISTS ${sources.IndexStore.tableName(key)}")
+      val s2 = spark.newSession()
+      s2.conf.set(sources.IndexStore.DirConf, store)
+      try {
+        assert(sources.IndexStore.tryServe(s2, key).isDefined,
+          "the appended artifact must serve in a fresh session")
+        val got = rowsOf(Registry.byName("dd_incremental").run(s2, sfDir))
+        assert(got === base,
+          "probing the published-base + appended-batch store must match the in-session build")
+      } finally {
+        MatStore.clear(s2)
+        s2.sql(s"DROP TABLE IF EXISTS ${sources.IndexStore.tableName(key)}")
+      }
+    } finally {
+      spark.conf.unset(sources.IndexStore.DirConf)
+    }
+  }
 }
