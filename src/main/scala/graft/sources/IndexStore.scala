@@ -140,9 +140,12 @@ object IndexStore {
       graft.operators.Similarity.kmCents(s, dataDir), "cell"),
     publish(s, s"sim_km_af:$dataDir",
       graft.operators.Similarity.kmAssign(s, dataDir), "vec_id"),
+    // the signature store's serve join is the batch-probes-base band
+    // join on (band, bkey) — bucketing by bkey co-locates BOTH sides
+    // (subset clustering), so the per-ingest probe plans no exchange
     publish(s, s"dd_bands:$dataDir",
       graft.MatStore.of(s, s"dd_bands:$dataDir")(
-        graft.operators.Dedup.minhashBands(s, dataDir)), "doc_id"),
+        graft.operators.Dedup.minhashBands(s, dataDir)), "bkey"),
     publish(s, s"gr_edges_num:$dataDir",
       graft.operators.GraphOps.edgesNum(s, dataDir), "src"),
     publish(s, s"gr_und_w:$dataDir",

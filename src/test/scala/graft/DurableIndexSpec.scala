@@ -84,7 +84,7 @@ class DurableIndexSpec extends GraftSuite {
       val bands = operators.Dedup.minhashBands(spark, sfDir)
       val split = operators.Dedup.IncSplit
       sources.IndexStore.publish(spark, key,
-        bands.filter(col("doc_id") < split), "doc_id")
+        bands.filter(col("doc_id") < split), "bkey")
       sources.IndexStore.append(spark, key,
         bands.filter(col("doc_id") >= split))
       // force sidecar re-registration in the serving session
@@ -94,6 +94,17 @@ class DurableIndexSpec extends GraftSuite {
       try {
         assert(sources.IndexStore.tryServe(s2, key).isDefined,
           "the appended artifact must serve in a fresh session")
+        // the per-ingest probe shape — batch signatures joined against
+        // base signatures on (band, bkey) — reads the bkey-bucketed
+        // store CO-LOCATED: no exchange on either side
+        val t = sources.IndexStore.tableName(key)
+        val bb = s2.table(t).filter(col("doc_id") >= split)
+          .select(col("doc_id").as("b_id"), col("band"), col("bkey"))
+        val ba = s2.table(t).filter(col("doc_id") < split)
+          .select(col("doc_id").as("base_id"), col("band"), col("bkey"))
+        val probePlan = planOf(bb.join(ba, Seq("band", "bkey")))
+        assert(!probePlan.contains("Exchange hashpartitioning"),
+          s"the served signature probe join must not shuffle:\n$probePlan")
         val got = rowsOf(Registry.byName("dd_incremental").run(s2, sfDir))
         assert(got === base,
           "probing the published-base + appended-batch store must match the in-session build")
