@@ -127,6 +127,7 @@ object Bench {
     "ops_freshness" -> 0.2,
     "ops_infra_gate" -> 0.3,
     "mm_decode_meta" -> 0.4,
+    "dd_split_leakage" -> 0.3,
     "ops_pipeline_report" -> 0.5,
     "q1_pricing_summary" -> 0.3,
     "q3_top_orders" -> 0.51,

@@ -1024,6 +1024,65 @@ object Dedup {
       .orderBy($"source_a", $"source_b")
   }
 
+  /** Cross-split NEAR-DUP leakage — the eval-integrity gate
+    * `etl_split_train_val` cannot provide: its leaked_docs column
+    * catches EXACT copies straddling train/val/test (content-hash
+    * equality), but a val document that is a near-duplicate of a train
+    * document leaks evaluation signal just the same (the "train/test
+    * overlap" failure mode decontamination papers measure in n-gram
+    * space). Built entirely on relations the pipeline already pays for:
+    * the shared VERIFIED pair relation ([[jaccardPairs]] — the same
+    * pairs dd_ngram_jaccard reports) and the SAME md5-bucket split
+    * assignment as etl_split_train_val (shared constants, so the two
+    * panels cannot disagree about which split a document is in). One
+    * row per canonicalized (split, split) pair with the pair count,
+    * exact mean Jaccard, and the leak flag (cross-split = leak; a
+    * train–train near-dup is waste, not leakage).
+    *
+    * Scale shape: two doc_id-keyed enrichment joins of the pair
+    * relation against the split projection (size-driven, never
+    * broadcast by fiat — at 100 TB the pair relation is
+    * corpus×dup-rate-sized) into a ≤6-row aggregate.
+    */
+  val splitLeakage = QueryDef(
+    "dd_split_leakage",
+    s"""WITH $lshSql,
+       |$verSql,
+       |spl AS MATERIALIZED (SELECT doc_id,
+       |    CASE WHEN b < ${Etl.SplitTrainMax} THEN 'train'
+       |         WHEN b < ${Etl.SplitValMax} THEN 'val' ELSE 'test' END AS split
+       |  FROM (SELECT doc_id,
+       |      ${PS.hexToLong("md5(CAST(doc_id AS VARCHAR))", 1, 2)} AS b
+       |    FROM documents)),
+       |pe AS MATERIALIZED (SELECT
+       |    least(da.split, db.split) AS split_a,
+       |    greatest(da.split, db.split) AS split_b,
+       |    v.jac
+       |  FROM ver v
+       |  JOIN spl da ON da.doc_id = v.doc_a
+       |  JOIN spl db ON db.doc_id = v.doc_b)
+       |SELECT split_a, split_b, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       |  ${PS.prnd(PS.davg(PS.prnd("jac", 6), 12), 6)} AS avg_jac,
+       |  split_a <> split_b AS is_leak
+       |FROM pe GROUP BY split_a, split_b
+       |ORDER BY split_a, split_b""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val b = P.hexToLong(md5($"doc_id".cast("string")), 1, 2)
+    val spl = Tables.documents(s, dir).select($"doc_id",
+      when(b < Etl.SplitTrainMax, "train")
+        .when(b < Etl.SplitValMax, "val").otherwise("test").as("split"))
+    jaccardPairs(s, dir)
+      .join(spl.select($"doc_id".as("doc_a"), $"split".as("sa")), "doc_a")
+      .join(spl.select($"doc_id".as("doc_b"), $"split".as("sb")), "doc_b")
+      .select(least($"sa", $"sb").as("split_a"),
+        greatest($"sa", $"sb").as("split_b"), $"jac")
+      .groupBy($"split_a", $"split_b")
+      .agg(P.cnt.as("n_pairs"),
+        P.prnd(P.davg(P.prnd($"jac", 6), 12), 6).as("avg_jac"))
+      .withColumn("is_leak", $"split_a" =!= $"split_b")
+      .orderBy($"split_a", $"split_b")
+  }
+
   val recallGate = QueryDef(
     "dd_recall",
     s"""WITH $lshSql,
@@ -1175,5 +1234,5 @@ object Dedup {
 
   val defs: Seq[QueryDef] = Seq(exact, minhashLsh, lshTuning, ngramJaccard, clusters,
     clusterCanonical, simhash, embedding, embeddingSweep, recallGate, spanCoverage,
-    crossSource, incremental, impact, estQuality)
+    crossSource, incremental, impact, estQuality, splitLeakage)
 }

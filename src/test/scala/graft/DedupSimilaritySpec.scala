@@ -62,6 +62,44 @@ class DedupSimilaritySpec extends GraftSuite {
     assert(uncapped === n.toLong * (n - 1) / 2 + 1)
   }
 
+  test("split leakage: a planted cross-split near-dup pair is flagged as a leak") {
+    import spark.implicits._
+    def bucket(id: Long): Int = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      Integer.parseInt(d.take(1).map(b => f"$b%02x").mkString, 16)
+    }
+    // ids landing in different splits under the SHARED md5 assignment
+    val trainId = (1L to 1000L).find(bucket(_) < operators.Etl.SplitTrainMax).get
+    val testId = (1L to 1000L).find(bucket(_) >= operators.Etl.SplitValMax).get
+    val dup = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val docs = Seq(
+      (trainId, dup),
+      (testId, dup), // verbatim copy across the split boundary — the worst leak
+      (5000L, "entirely different filler content words one two three four five six"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_leak").toString
+    docs.map { case (id, t) => (id, t, "en", "web", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = operators.Dedup.splitLeakage.run(spark, tmp).collect()
+    assert(got.length === 1)
+    val r = got.head
+    assert(Set(r.getAs[String]("split_a"), r.getAs[String]("split_b"))
+      === Set("train", "test"))
+    assert(r.getAs[Long]("n_pairs") === 1L)
+    assert(r.getAs[Boolean]("is_leak"), "a cross-split near-dup must flag as leakage")
+    assert(r.getAs[Double]("avg_jac") === 1.0)
+    // real corpus: pairs exist, splits legal, scores at or above the
+    // verify threshold
+    val real = run("dd_split_leakage").collect()
+    assert(real.nonEmpty)
+    val splits = Set("train", "val", "test")
+    assert(real.forall(x => splits(x.getAs[String]("split_a")) &&
+      splits(x.getAs[String]("split_b"))))
+    assert(real.forall(_.getAs[Double]("avg_jac") >= operators.Dedup.JaccardThreshold))
+  }
+
   test("ngram jaccard verifies candidates above threshold only") {
     val rows = run("dd_ngram_jaccard").collect()
     assert(rows.nonEmpty)

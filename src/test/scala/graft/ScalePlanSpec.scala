@@ -90,6 +90,7 @@ class ScalePlanSpec extends GraftSuite {
         "ops_freshness" -> 1, // hwm (1 row)
         "ops_infra_gate" -> 1, // composite go (1 row)
         "mm_decode_meta" -> 0, // in-partition decode, no join at all
+        "dd_split_leakage" -> 0, // pair-relation enrichments, size-driven
         "sent_drift" -> 1 // label totals (1 row)
       )
       allowed.foreach { case (name, maxB) =>
