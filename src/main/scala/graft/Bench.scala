@@ -128,6 +128,7 @@ object Bench {
     "ops_infra_gate" -> 0.3,
     "mm_decode_meta" -> 0.4,
     "dd_split_leakage" -> 0.3,
+    "etl_split_by_cluster" -> 0.4,
     "ops_pipeline_report" -> 0.5,
     "q1_pricing_summary" -> 0.3,
     "q3_top_orders" -> 0.51,

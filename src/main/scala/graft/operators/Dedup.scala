@@ -1083,6 +1083,83 @@ object Dedup {
       .orderBy($"split_a", $"split_b")
   }
 
+  /** CLUSTER-AWARE train/val/test split — the FIX for what
+    * [[splitLeakage]] measures: the split key is the md5 bucket of the
+    * doc's near-dup CLUSTER representative (its own id when
+    * unclustered), so every member of a verified near-dup cluster lands
+    * in the SAME split and cross-split near-dup leakage is zero BY
+    * CONSTRUCTION — not by post-hoc filtering, which changes split
+    * sizes unpredictably and still leaks anything the filter misses.
+    * Same bucket thresholds as `etl_split_train_val` (shared
+    * constants); the panel reports per-split doc/token mass and share,
+    * how many docs were placed by a cluster rep rather than their own
+    * id, and the measured cross-split verified-pair count — structurally
+    * 0, carried in the output so the guarantee is DATA a pipeline can
+    * gate on, not a comment.
+    *
+    * Scale shape: the cluster relation is dup-rate-sized (components
+    * over verified pairs, shared with dd_clusters); one doc_id-keyed
+    * LEFT join against it, a narrow split map, one ≤3-row panel
+    * aggregate, and the leak audit re-joins the pair relation against
+    * the split assignment (size-driven) into a 1-row broadcast.
+    */
+  val splitByCluster = QueryDef(
+    "etl_split_by_cluster",
+    s"""WITH RECURSIVE $lshSql,
+       |$verSql,
+       |$clusterCteSql,
+       |d0 AS MATERIALIZED (SELECT doc.doc_id,
+       |    CAST(len(string_split(doc.text, ' ')) AS BIGINT) AS wc,
+       |    cl.cluster IS NOT NULL AS clustered,
+       |    COALESCE(cl.cluster, doc.doc_id) AS rep
+       |  FROM documents doc LEFT JOIN cl ON cl.doc_id = doc.doc_id),
+       |d AS MATERIALIZED (SELECT doc_id, wc, clustered,
+       |    CASE WHEN ${PS.hexToLong("md5(CAST(rep AS VARCHAR))", 1, 2)} < ${Etl.SplitTrainMax} THEN 'train'
+       |         WHEN ${PS.hexToLong("md5(CAST(rep AS VARCHAR))", 1, 2)} < ${Etl.SplitValMax} THEN 'val'
+       |         ELSE 'test' END AS split
+       |  FROM d0),
+       |panel AS MATERIALIZED (SELECT split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |    CAST(SUM(wc) AS BIGINT) AS n_tokens,
+       |    ${PS.prnd("COUNT(*) / SUM(COUNT(*)) OVER ()", 6)} AS share,
+       |    CAST(SUM(CASE WHEN clustered THEN 1 ELSE 0 END) AS BIGINT) AS n_clustered
+       |  FROM d GROUP BY split),
+       |lk AS MATERIALIZED (SELECT CAST(COALESCE(SUM(
+       |      CASE WHEN da.split <> db.split THEN 1 ELSE 0 END), 0) AS BIGINT) AS leaked_pairs
+       |  FROM ver v
+       |  JOIN d da ON da.doc_id = v.doc_a
+       |  JOIN d db ON db.doc_id = v.doc_b)
+       |SELECT p.split, p.n_docs, p.n_tokens, p.share, p.n_clustered, lk.leaked_pairs
+       |FROM panel p CROSS JOIN lk ORDER BY p.split""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val cl = clusterAssign(s, dir)
+    val d0 = Tables.documents(s, dir)
+      .select($"doc_id", size(split($"text", " ")).cast("long").as("wc"))
+      .join(cl, Seq("doc_id"), "left")
+      .select($"doc_id", $"wc", $"cluster".isNotNull.as("clustered"),
+        coalesce($"cluster", $"doc_id").as("rep"))
+    val b = P.hexToLong(md5($"rep".cast("string")), 1, 2)
+    // consumed by the panel AND twice by the leak audit
+    val d = d0.select($"doc_id", $"wc", $"clustered",
+        when(b < Etl.SplitTrainMax, "train")
+          .when(b < Etl.SplitValMax, "val").otherwise("test").as("split"))
+      .ckpt
+    val panel = d.groupBy($"split")
+      .agg(P.cnt.as("n_docs"), sum($"wc").as("n_tokens"),
+        sum(when($"clustered", 1L).otherwise(0L)).as("n_clustered"))
+      .withColumn("share",
+        P.prnd($"n_docs" / sum($"n_docs").over(
+          org.apache.spark.sql.expressions.Window.partitionBy()), 6))
+    val lk = jaccardPairs(s, dir)
+      .join(d.select($"doc_id".as("doc_a"), $"split".as("s_a")), "doc_a")
+      .join(d.select($"doc_id".as("doc_b"), $"split".as("s_b")), "doc_b")
+      .agg(coalesce(sum(when($"s_a" =!= $"s_b", 1L).otherwise(0L)), lit(0L))
+        .as("leaked_pairs"))
+    panel.crossJoin(broadcast(lk))
+      .select($"split", $"n_docs", $"n_tokens", $"share", $"n_clustered",
+        $"leaked_pairs")
+      .orderBy($"split")
+  }
+
   val recallGate = QueryDef(
     "dd_recall",
     s"""WITH $lshSql,
@@ -1234,5 +1311,5 @@ object Dedup {
 
   val defs: Seq[QueryDef] = Seq(exact, minhashLsh, lshTuning, ngramJaccard, clusters,
     clusterCanonical, simhash, embedding, embeddingSweep, recallGate, spanCoverage,
-    crossSource, incremental, impact, estQuality, splitLeakage)
+    crossSource, incremental, impact, estQuality, splitLeakage, splitByCluster)
 }

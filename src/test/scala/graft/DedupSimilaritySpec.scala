@@ -98,6 +98,18 @@ class DedupSimilaritySpec extends GraftSuite {
     assert(real.forall(x => splits(x.getAs[String]("split_a")) &&
       splits(x.getAs[String]("split_b"))))
     assert(real.forall(_.getAs[Double]("avg_jac") >= operators.Dedup.JaccardThreshold))
+    // the FIX: the cluster-aware split re-homes the planted pair into ONE
+    // split — zero cross-split verified pairs by construction, with both
+    // dup docs counted as cluster-placed
+    val fixed = operators.Dedup.splitByCluster.run(spark, tmp).collect()
+    assert(fixed.forall(_.getAs[Long]("leaked_pairs") === 0L),
+      "cluster-aware splitting must leave zero cross-split near-dup pairs")
+    assert(fixed.map(_.getAs[Long]("n_clustered")).sum === 2L)
+    // and on the real corpus too: structural zero, full doc mass conserved
+    val realFix = run("etl_split_by_cluster").collect()
+    assert(realFix.forall(_.getAs[Long]("leaked_pairs") === 0L))
+    assert(realFix.map(_.getAs[Long]("n_docs")).sum ===
+      Tables.documents(spark, sfDir).count())
   }
 
   test("ngram jaccard verifies candidates above threshold only") {

@@ -91,6 +91,7 @@ class ScalePlanSpec extends GraftSuite {
         "ops_infra_gate" -> 1, // composite go (1 row)
         "mm_decode_meta" -> 0, // in-partition decode, no join at all
         "dd_split_leakage" -> 0, // pair-relation enrichments, size-driven
+        "etl_split_by_cluster" -> 1, // 1-row leak audit broadcast
         "sent_drift" -> 1 // label totals (1 row)
       )
       allowed.foreach { case (name, maxB) =>
