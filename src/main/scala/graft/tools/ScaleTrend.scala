@@ -103,7 +103,10 @@ object ScaleTrend {
       // new surfaces are the per-table count gate, the in-partition
       // GRF1 decode, and the code-point char explode (tx_char_diversity,
       // above, now regexp-based)
-      "ops_infra_gate", "mm_decode_meta", "dd_minhash_lsh")
+      "ops_infra_gate", "mm_decode_meta", "dd_minhash_lsh",
+      // the split-leakage gate and its cluster-aware fix ride the shared
+      // verified-pair/cluster relations plus split enrichment joins
+      "dd_split_leakage", "etl_split_by_cluster")
     def time(name: String, dir: String): Double = {
       val fn = SparkEntry.queries(name)
       (1 to 2).map { _ =>
