@@ -51,6 +51,16 @@ object IndexStore {
       throw new IllegalStateException(s"$DirConf is not set"))
     val name = tableName(key)
     val path = s"$base/$name"
+    // refuse a SELF-OVERWRITE: a serving session's MatStore hands every
+    // consumer the published table, so "re-train and publish" executed
+    // there would overwrite the table from a plan that READS it (the
+    // overwrite deletes the input mid-job). Publishing must happen from
+    // a training session (conf unset, or a fresh store dir swapped in
+    // afterwards) — the standard blue/green index-rebuild discipline.
+    if (df.inputFiles.exists(_.contains(s"/$name/")))
+      throw new IllegalStateException(
+        s"refusing to overwrite published '$key' from a plan that reads it; " +
+          s"retrain without $DirConf set, or publish to a fresh store dir and swap")
     s.sql(s"DROP TABLE IF EXISTS $name")
     CorpusIO.writeBucketed(df, name, path, bucketCol, buckets)
     val props = new java.util.Properties()

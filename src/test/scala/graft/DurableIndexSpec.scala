@@ -116,4 +116,34 @@ class DurableIndexSpec extends GraftSuite {
       spark.conf.unset(sources.IndexStore.DirConf)
     }
   }
+
+  test("publish refuses a self-overwrite from a serving session") {
+    val store = java.nio.file.Files.createTempDirectory("graft_idx_guard").toString
+    val key = s"gr_edges_num:$sfDir"
+    spark.conf.set(sources.IndexStore.DirConf, store)
+    try {
+      sources.IndexStore.publish(spark, key,
+        operators.GraphOps.edgesNum(spark, sfDir), "src")
+      spark.sql(s"DROP TABLE IF EXISTS ${sources.IndexStore.tableName(key)}")
+      // a SERVING session re-publishing the key would overwrite the
+      // table from a plan that reads it — must refuse loudly, not
+      // corrupt the store
+      val s3 = spark.newSession()
+      s3.conf.set(sources.IndexStore.DirConf, store)
+      try {
+        val served = sources.IndexStore.tryServe(s3, key).get
+        val e = intercept[IllegalStateException] {
+          sources.IndexStore.publish(s3, key, served, "src")
+        }
+        assert(e.getMessage.contains("refusing to overwrite"))
+        // the store survived the refusal intact
+        assert(sources.IndexStore.tryServe(s3, key).get.count() > 0)
+      } finally {
+        MatStore.clear(s3)
+        s3.sql(s"DROP TABLE IF EXISTS ${sources.IndexStore.tableName(key)}")
+      }
+    } finally {
+      spark.conf.unset(sources.IndexStore.DirConf)
+    }
+  }
 }
