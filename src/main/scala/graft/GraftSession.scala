@@ -42,6 +42,10 @@ object GraftSession {
       // long-lived service JVM serving a query library wants the same
       // headroom
       .config("spark.sql.codegen.cache.maxEntries", "5000")
+      // durable index store (sources.IndexStore): published train-once
+      // artifacts are SERVED instead of rebuilt when this points at a
+      // store dir. Empty (the default) = inert.
+      .config("spark.graft.index.dir", sys.env.getOrElse("SPARK_GRAFT_INDEX_DIR", ""))
       .withExtensions(new GraftExtensions)
 
   def get(cpus: Int = 32): SparkSession = {
