@@ -1693,10 +1693,24 @@ object GraphOps {
         when(lower, $"b").otherwise($"a").as("v"),
         when(lower, $"db").otherwise($"da").as("dv"))
       .ckpt
+    // The closing edge side is data-scaling — never force-broadcast —
+    // but |oe| is KNOWN here (the checkpoint blocks materialize on the
+    // count), so the choice is size-driven exactly like the iteration
+    // state joins (stateHint + the stateBroadcast killswitch): while the
+    // oriented edge set fits a broadcast, the |wedges|-row relation (the
+    // dominant intermediate, Σd_out² rows — 10M at sf0.1, 88 MB through
+    // the r12 exchange) never crosses a shuffle at all; past the
+    // threshold the close join degrades to the shuffled-hash 100 TB
+    // path. Forcing shuffle_hash unconditionally (r12) paid that
+    // exchange at every scale.
+    val closing = oe.select($"u".as("x"), $"v".as("y"))
+    val close =
+      if (stateHint(oe.count()) && stateBroadcastAllowed(s)) broadcast(closing)
+      else closing.hint("shuffle_hash")
     val tri = oe.select($"u", $"v".as("x"), $"dv".as("dx"))
       .join(oe.select($"u", $"v".as("y"), $"dv".as("dy")).hint("shuffle_hash"), "u")
       .filter($"dx" < $"dy" || ($"dx" === $"dy" && $"x" < $"y"))
-      .join(oe.select($"u".as("x"), $"v".as("y")).hint("shuffle_hash"), Seq("x", "y"))
+      .join(close, Seq("x", "y"))
       .select($"u", $"x", $"y")
     // ONE pass over the wedge-close join: the 3-way union of corner
     // projections re-executed the whole triangle enumeration per branch
