@@ -62,6 +62,44 @@ class DedupSimilaritySpec extends GraftSuite {
     assert(uncapped === n.toLong * (n - 1) / 2 + 1)
   }
 
+  test("bucket cap: 30 random buckets match the salting rule replicated exactly") {
+    import spark.implicits._
+    val cap = operators.Dedup.MaxBucket
+    val rnd = new scala.util.Random(20260815L)
+    // bucket sizes straddling every regime: singleton, under-cap, at-cap,
+    // just-over, multiples of the chunk size, and far-over
+    val sizes = Seq(1, 2, cap - 1, cap, cap + 1, 2 * (cap - 1), 2 * (cap - 1) + 1) ++
+      Seq.fill(23)(1 + rnd.nextInt(3 * cap))
+    var nextId = 1L
+    val rows = sizes.zipWithIndex.flatMap { case (sz, b) =>
+      (1 to sz).map { _ => val id = nextId; nextId += 1; (id, b, s"bk$b") }
+    }
+    val got = operators.Dedup.lshCandidates(rows.toDF("doc_id", "band", "bkey"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the rule, replicated: ≤cap → one chunk; else rep (min id) in every
+    // chunk and member m in chunk md5(m) % nChunks
+    def salt(id: Long, n: Int): Int = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      val hex = d.take(4).map(x => f"$x%02x").mkString
+      (java.lang.Long.parseLong(hex, 16) % n).toInt
+    }
+    val expected = rows.groupBy(r => (r._2, r._3)).values.flatMap { members =>
+      val ids = members.map(_._1).sorted
+      if (ids.size <= cap) ids.combinations(2).map(p => (p(0), p(1)))
+      else {
+        val rep = ids.head
+        val nChunks = math.ceil((ids.size - 1).toDouble / (cap - 1)).toInt
+        val chunks = ids.tail.groupBy(salt(_, nChunks))
+        chunks.values.flatMap { c =>
+          val withRep = (rep +: c).sorted
+          withRep.combinations(2).map(p => (p(0), p(1)))
+        }
+      }
+    }.toSet
+    assert(got === expected)
+  }
+
   test("split leakage: a planted cross-split near-dup pair is flagged as a leak") {
     import spark.implicits._
     def bucket(id: Long): Int = {
