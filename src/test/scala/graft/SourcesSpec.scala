@@ -241,4 +241,32 @@ class SourcesSpec extends GraftSuite {
       assert(r.getAs[Long]("n_rows") >= 1L)
     }
   }
+
+  test("manifest: abandoned-write debris excluded at any depth; awkward file names resolve") {
+    import spark.implicits._
+    val dir = tmp("graft_man_edge")
+    Seq((1L, "a"), (2L, "b")).toDF("id", "text").coalesce(1).write.parquet(s"$dir/v")
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(conf)
+    // a data file whose BASENAME looks clean but which lives under an
+    // abandoned _temporary/ from a failed write must not enter the
+    // snapshot (r12 ADVICE: the old filter checked only the basename)
+    val debris = new org.apache.hadoop.fs.Path(s"$dir/v/_temporary/0/part-debris.parquet")
+    fs.mkdirs(debris.getParent)
+    val real = fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/v"))
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet")).head.getPath
+    org.apache.hadoop.fs.FileUtil.copy(fs, real, fs, debris, false, conf)
+    // a file name with spaces and a literal percent must list AND have
+    // its footer read through the captured qualified path (the old
+    // URI-encoded re-join misresolved both)
+    val awkward = new org.apache.hadoop.fs.Path(s"$dir/v/copy with space %20.parquet")
+    org.apache.hadoop.fs.FileUtil.copy(fs, real, fs, awkward, false, conf)
+    val m = CorpusIO.manifest(spark, s"$dir/v").collect()
+    assert(!m.exists(_.getAs[String]("file").contains("_temporary")),
+      "debris under an abandoned underscore directory must be excluded")
+    val awk = m.filter(_.getAs[String]("file").contains("copy with space"))
+    assert(awk.length === 1, s"awkward name missing: ${m.map(_.getAs[String]("file")).mkString(", ")}")
+    assert(awk.head.getAs[Long]("n_rows") === 2L,
+      "the footer of the awkward-named file must be read through the qualified path")
+  }
 }
