@@ -115,6 +115,36 @@ class PipelineStreamSpec extends GraftSuite {
     } finally q.stop()
   }
 
+  test("the composed pipeline is backend-portable: RocksDB state store, identical output") {
+    // At 100 TB the dedup/session state outgrows the default in-memory
+    // HDFS-backed store; the deployment knob is the RocksDB provider
+    // (bundled with Spark). The SAME composed query must produce
+    // bit-identical closed sessions on it — state-backend choice is an
+    // ops decision, never a semantics change.
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    import s2.implicits._
+    implicit val sq = s2.sqlContext
+    val mem = MemoryStream[Array[Byte]]
+    val q = PipelineStream.sessions(mem.toDF().toDF("value"), Wm)
+      .writeStream.format("memory").queryName("pipe_sessions_rocksdb")
+      .outputMode("append").start()
+    try {
+      mem.addData(batchA: _*); q.processAllAvailable()
+      mem.addData(batchB: _*); q.processAllAvailable()
+      mem.addData(batchC: _*); q.processAllAvailable()
+      val got = s2.table("pipe_sessions_rocksdb")
+        .orderBy("user_id", "session_idx").collect().map(_.toString).toSeq
+      val twin = PipelineStream.sessions(
+          (batchA ++ batchB ++ batchC).toDF("value"), Wm).toDF()
+        .filter(($"user_id" === 1 && $"session_idx" <= 2) || $"user_id" === 2)
+        .orderBy("user_id", "session_idx").collect().map(_.toString).toSeq
+      assert(got === twin,
+        "RocksDB-backed run must match the batch twin bit for bit")
+    } finally q.stop()
+  }
+
   test("wire → dedup → windowed upsert store: the serving sink sees deduped counts") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
