@@ -81,8 +81,27 @@ object CorpusIO {
       .select("j.*")
   }
 
-  /** Split a quarantined JSONL read into (good, bad) frames: `good` drops
-    * the quarantine column, `bad` keeps only the raw offending lines.
+  /** CSV twin of [[readJsonl]] — the other wire format 100 TB drops
+    * arrive in: explicit schema (never inference), headerless data lines
+    * (a header row would just quarantine — strip it upstream), and the
+    * same PERMISSIVE text-scan + from_csv shape so a malformed line
+    * (bad type, truncated row) lands whole in `bad_record` instead of
+    * failing the job or silently nulling. [[quarantine]] splits the
+    * result exactly like the JSONL path.
+    */
+  def readCsv(spark: SparkSession, path: String, schema: StructType,
+      options: Map[String, String] = Map.empty): DataFrame = {
+    val withCorrupt = schema.add("bad_record", "string")
+    spark.read.text(path)
+      .select(from_csv(col("value"), withCorrupt,
+        Map("mode" -> "PERMISSIVE",
+          "columnNameOfCorruptRecord" -> "bad_record") ++ options).as("c"))
+      .select("c.*")
+  }
+
+  /** Split a quarantined JSONL/CSV read into (good, bad) frames: `good`
+    * drops the quarantine column, `bad` keeps only the raw offending
+    * lines.
     */
   def quarantine(parsed: DataFrame): (DataFrame, DataFrame) = {
     val good = parsed.filter(col("bad_record").isNull).drop("bad_record")

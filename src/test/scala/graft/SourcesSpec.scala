@@ -82,6 +82,29 @@ class SourcesSpec extends GraftSuite {
     assert(badLines.length === 1 && badLines(0).contains("oops"))
   }
 
+  test("csv source: explicit schema, malformed lines quarantined not dropped") {
+    import org.apache.spark.sql.types._
+    val dir = tmp("graft_csv")
+    val lines = Seq(
+      "1,hello world,2.5",
+      "2,second line,0.75",
+      "not_a_long,broken,xyz", // bad types -> quarantine whole
+      "3,third,1.0")
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/data.csv"),
+      lines.mkString("\n").getBytes("UTF-8"))
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("text", StringType), StructField("score", DoubleType)))
+    val parsed = CorpusIO.readCsv(spark, dir, schema)
+    val (good, bad) = CorpusIO.quarantine(parsed)
+    assert(good.count() === 3L)
+    assert(good.columns.toSeq === Seq("id", "text", "score"))
+    assert(good.filter(org.apache.spark.sql.functions.col("id") === 1L)
+      .head().getAs[Double]("score") === 2.5)
+    val badLines = bad.collect().map(_.getString(0))
+    assert(badLines.length === 1 && badLines.head.startsWith("not_a_long"),
+      "the malformed line must be quarantined whole, not dropped or nulled")
+  }
+
   test("z-ordered layout: a secondary-dimension filter skips most files; linear skips none") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
