@@ -111,6 +111,73 @@ object MediaPipeline {
     }
   }
 
+  /** Nearest-neighbor downscale of one GRF1 payload so that
+    * max(width, height) ≤ `maxDim`, re-encoded as a VALID GRF1 container
+    * (updated header, exact-length raster) — the media-normalization
+    * step a multimodal training pipeline runs before feature extraction
+    * (bounding decode cost and memory per sample). Real pixel math over
+    * real payload bytes: output pixel (y, x, c) is the source pixel at
+    * the floor-mapped coordinate, per channel. Payloads already inside
+    * the bound pass through UNCHANGED (byte-identical — no pointless
+    * re-encode); malformed payloads pass through unchanged too, so the
+    * downstream [[decodeOne]] still quarantines them with the original
+    * reason (resize never launders a corrupt sample into a crash or a
+    * fake image).
+    */
+  private[multimodal] def resizeOne(payload: Array[Byte], maxDim: Int): Array[Byte] = {
+    val meta = decodeOne(0L, payload)
+    if (meta.format.startsWith("corrupt/")) payload
+    else if (meta.width <= maxDim && meta.height <= maxDim) payload
+    else {
+      val (w, h, c) = (meta.width, meta.height, meta.channels)
+      val scale = math.max(w, h).toDouble / maxDim
+      val nw = math.max(1, math.round(w / scale).toInt)
+      val nh = math.max(1, math.round(h / scale).toInt)
+      val out = new Array[Byte](HeaderBytes + nw * nh * c)
+      System.arraycopy(Magic, 0, out, 0, 4)
+      out(4) = (nw >> 8).toByte; out(5) = nw.toByte
+      out(6) = (nh >> 8).toByte; out(7) = nh.toByte
+      out(8) = c.toByte
+      var y = 0
+      while (y < nh) {
+        val sy = math.min(h - 1, (y * scale).toInt)
+        var x = 0
+        while (x < nw) {
+          val sx = math.min(w - 1, (x * scale).toInt)
+          var ch = 0
+          while (ch < c) {
+            out(HeaderBytes + (y * nw + x) * c + ch) =
+              payload(HeaderBytes + (sy * w + sx) * c + ch)
+            ch += 1
+          }
+          x += 1
+        }
+        y += 1
+      }
+      out
+    }
+  }
+
+  /** Batched partition-local resize over (doc_id, payload) — same
+    * mapPartitions shape as [[decode]]: payloads never leave their
+    * partition, batches amortize codec setup, and the output schema is
+    * the input schema so resize composes anywhere in the payload
+    * pipeline (withPayload → resize → decode).
+    */
+  def resize(withPayloadDf: DataFrame, maxDim: Int): DataFrame = {
+    val spark = withPayloadDf.sparkSession
+    import spark.implicits._
+    withPayloadDf
+      .select(col("doc_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.grouped(BatchSize).flatMap { batch =>
+          batch.map { case (id, p) => (id, resizeOne(p, maxDim)) }
+        }
+      }
+      .toDF("doc_id", "payload")
+  }
+
   /** Batched partition-local decode: payloads grouped into fixed-size
     * batches (mirroring a real codec's batch API) and decoded in place.
     */

@@ -64,6 +64,41 @@ class MlMultimodalSpec extends GraftSuite {
     assert(!plan.toLowerCase.contains("exchange"), s"decode must not shuffle:\n$plan")
   }
 
+  test("media pipeline: nearest-neighbor resize — exact pixels, pass-throughs, composition") {
+    // hand-built 4x4 gray raster with distinct pixels 1..16
+    val px = (1 to 16).map(_.toByte).toArray
+    val src = Array[Byte]('G', 'R', 'F', '1', 0, 4, 0, 4, 1) ++ px
+    val out = MediaPipeline.resize(
+      spark.createDataFrame(Seq((1L, src))).toDF("doc_id", "payload"), 2)
+      .collect().head.getAs[Array[Byte]]("payload")
+    val m = MediaPipeline.decode(
+      spark.createDataFrame(Seq((1L, out))).toDF("doc_id", "payload")).collect().head
+    assert((m.width, m.height, m.channels, m.format) === ((2, 2, 1, "grf1/gray")))
+    // scale = 2.0: out(y, x) = src(2y, 2x) -> pixels 1, 3, 9, 11
+    assert(out.drop(MediaPipeline.HeaderBytes).toSeq === Seq[Byte](1, 3, 9, 11))
+    // within-bound and corrupt payloads pass through BYTE-IDENTICAL
+    val small = Array[Byte]('G', 'R', 'F', '1', 0, 2, 0, 2, 1, 10, 20, 30, 40)
+    val bad = Array[Byte]('J', 'P', 'E', 'G', 0, 2, 0, 2, 1, 1, 2, 3, 4)
+    val thru = MediaPipeline.resize(
+      spark.createDataFrame(Seq((1L, small), (2L, bad))).toDF("doc_id", "payload"), 16)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Array[Byte]]("payload")).toMap
+    assert(thru(1L).toSeq === small.toSeq)
+    assert(thru(2L).toSeq === bad.toSeq, "corrupt payloads ride through unchanged")
+    // composition over the real corpus: every resized payload decodes
+    // valid with max dim bounded, and the resize plan never shuffles
+    // narrow filter, not limit: a global limit plans its own exchange,
+    // which would mask the property under test
+    val resized = MediaPipeline.resize(
+      MediaPipeline.withPayload(
+        Tables.documents(spark, sfDir).filter(col("doc_id") < 50)), 20)
+    val metas = MediaPipeline.decode(resized).collect()
+    assert(metas.length === 50)
+    assert(metas.forall(_.format.startsWith("grf1/")))
+    assert(metas.forall(x => math.max(x.width, x.height) <= 20))
+    val plan = planOf(resized)
+    assert(!plan.toLowerCase.contains("exchange"), s"resize must not shuffle:\n$plan")
+  }
+
   test("media pipeline: malformed payloads quarantine as corrupt rows, never throw") {
     val good = MediaPipeline.decode(MediaPipeline.withPayload(
       Tables.documents(spark, sfDir).limit(1))).collect().head
