@@ -165,10 +165,15 @@ object Dedup {
     * window partition at 100 TB). Here the per-bucket stats are one hash
     * aggregate with map-side partials and the stats join back on
     * (band, bkey) is an AQE-skew-splittable shuffle join; no task ever
-    * sorts a bucket. md5 keeps the assignment deterministic and
-    * engine-portable ([[saltedCapSql]] is the exact SQL twin); chunk
-    * sizes are cap-1 in expectation rather than exactly (md5 is uniform,
-    * so an adversary cannot inflate one chunk).
+    * sorts a bucket. md5 over (band, bkey, id) keeps the assignment
+    * deterministic and engine-portable ([[saltedCapSql]] is the exact SQL
+    * twin); chunk sizes are cap-1 in expectation rather than exactly —
+    * md5 is uniform for UNCONTROLLED ids, and because the bucket key is
+    * mixed into the hash input, a chosen-id set cannot reuse one ground
+    * collision across buckets: an adversary would have to grind each
+    * (band, bkey) independently, and bkey is itself a minhash output the
+    * adversary only steers by authoring colliding CONTENT, which the cap
+    * already bounds.
     */
   def lshCandidates(bands0: DataFrame, maxBucket: Int = MaxBucket): DataFrame = {
     val chunk = maxBucket - 1
@@ -182,7 +187,14 @@ object Dedup {
       when(col("cnt") <= maxBucket, array(lit(0)))
         .when(col("doc_id") === col("rep"), sequence(lit(0), nChunks - 1))
         .otherwise(array(pmod(
-          graft.functions.Portable.hexToLong(md5(col("doc_id").cast("string")), 1, 8),
+          // band+bkey are mixed into the chunk hash: with md5(id) alone an
+          // adversary who CONTROLS ids could grind a set whose members
+          // land in one chunk of every bucket they share (r13 ADVICE);
+          // keyed on the bucket, the same id set spreads independently
+          // per bucket, so uniformity holds even for chosen ids
+          graft.functions.Portable.hexToLong(md5(concat_ws(":",
+            col("band").cast("string"), col("bkey"),
+            col("doc_id").cast("string"))), 1, 8),
           nChunks.cast("long")).cast("int")))
     // Both sides of the self-join read the salted rows: the localCheckpoint
     // materializes the salting once, and its blocks are reference-cleaned
@@ -211,7 +223,7 @@ object Dedup {
     s"""$outName AS MATERIALIZED (SELECT $idCol, band, bkey, unnest(
        |    CASE WHEN cnt <= $cap THEN [0]
        |         WHEN $idCol = rep THEN range(0, nchunks)
-       |         ELSE [CAST(${PS.hexToLong(s"md5(CAST($idCol AS VARCHAR))", 1, 8)} % nchunks AS INT)]
+       |         ELSE [CAST(${PS.hexToLong(s"md5(CAST(band AS VARCHAR) || ':' || bkey || ':' || CAST($idCol AS VARCHAR))", 1, 8)} % nchunks AS INT)]
        |         END) AS salt
        |  FROM (
        |    SELECT s.$idCol, s.band, s.bkey, g.cnt, g.rep,

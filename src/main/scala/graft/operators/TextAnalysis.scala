@@ -340,14 +340,18 @@ object TextAnalysis {
     // unlike a checkpoint's LogicalRDD — keeps that partitioning visible
     // to the planner, so the whole query pays ONE |tf|-row exchange
     // where the checkpointed form paid two (the iterRelation trick,
-    // GraphOps). clearCache()/session teardown frees the blocks.
-    val tf = Tables.documents(s, dir)
-      .select($"doc_id", explode(split($"text", " ")).as("term"))
-      .filter(!$"term".isin(TextFns.StopWords: _*))
-      .select($"doc_id", (P.hexToLong(md5($"term"), 1, 15) % HashBuckets).as("bucket"))
-      .repartition($"doc_id")
-      .groupBy($"doc_id", $"bucket").agg(P.cnt.as("tf"))
-      .persist()
+    // GraphOps). Held by MatStore.memo, NOT a bare persist() (r13
+    // ADVICE): a builder-local persist has no unpersist handle, so the
+    // CacheManager would pin one entry per data dir for the session —
+    // MatStore owns the lifecycle (clear() unpersists, the bench's cold
+    // mode and multi-dir sweeps stay bounded) and warm runs reuse it.
+    val tf = graft.MatStore.memo(s, s"tx_tf:$dir")(
+      Tables.documents(s, dir)
+        .select($"doc_id", explode(split($"text", " ")).as("term"))
+        .filter(!$"term".isin(TextFns.StopWords: _*))
+        .select($"doc_id", (P.hexToLong(md5($"term"), 1, 15) % HashBuckets).as("bucket"))
+        .repartition($"doc_id")
+        .groupBy($"doc_id", $"bucket").agg(P.cnt.as("tf")))
     // ≤ HashBuckets rows by construction — the broadcast is justified by
     // a structural bound, not by bench-SF luck (contrast tx_keyterms,
     // whose term df must shuffle)

@@ -35,10 +35,51 @@ object IndexStore {
   def dir(s: SparkSession): Option[String] =
     Option(s.conf.get(DirConf, null)).filter(_.nonEmpty)
 
-  /** Catalog-safe table name for a MatStore key (keys embed paths). */
+  /** Catalog-safe table name for a MatStore key (keys embed paths). The
+    * readable sanitized form COLLAPSES distinct keys (`/data/sf0.1` and
+    * `/data/sf0_1` both sanitize to `_data_sf0_1`), so a short digest of
+    * the RAW key is suffixed — two different corpora can never alias to
+    * one table/dir (r13 ADVICE); [[tryServe]] additionally refuses a
+    * sidecar whose stored key disagrees (defense in depth for stores
+    * written by older layouts).
+    */
   def tableName(key: String): String =
     "graft_idx_" + key.toLowerCase.replaceAll("[^a-z0-9]+", "_")
-      .stripPrefix("_").stripSuffix("_")
+      .stripPrefix("_").stripSuffix("_") + "_" + md5Hex(key).take(8)
+
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  /** Listing-only digest of a corpus dir — relative path, byte size and
+    * mtime of every visible parquet file (the same visibility rule as
+    * [[CorpusIO.manifest]], minus the distributed footer job: staleness
+    * detection must stay a pure metadata pass). Recorded in the sidecar
+    * at [[publishCorpus]] time; [[tryServe]] recomputes it so a store
+    * whose SOURCE DATA was rewritten under the same path is refused
+    * (serve falls back to an in-session rebuild) instead of silently
+    * serving artifacts of the dead corpus (r13 ADVICE).
+    */
+  def dataFingerprint(s: SparkSession, dataDir: String): String = {
+    val conf = s.sessionState.newHadoopConf()
+    val root = new org.apache.hadoop.fs.Path(dataDir)
+    val fs = root.getFileSystem(conf)
+    val rootStr = fs.makeQualified(root).toString
+    val lines = scala.collection.mutable.ArrayBuffer.empty[String]
+    val it = fs.listFiles(root, true)
+    while (it.hasNext) {
+      val st = it.next()
+      if (st.isFile) {
+        val rel = fs.makeQualified(st.getPath).toString
+          .stripPrefix(rootStr).stripPrefix("/")
+        val comps = rel.split("/")
+        val hidden = comps.exists(c => c.startsWith("_") || c.startsWith("."))
+        if (!hidden && comps.last.endsWith(".parquet"))
+          lines += s"$rel\t${st.getLen}\t${st.getModificationTime}"
+      }
+    }
+    md5Hex(lines.sorted.mkString("\n"))
+  }
 
   /** Publish a MatStore-shared relation under its MatStore `key` as a
     * bucketed external table + sidecar in the configured store dir.
@@ -46,7 +87,7 @@ object IndexStore {
     * amortizes it. Returns the key (for publish-list bookkeeping).
     */
   def publish(s: SparkSession, key: String, df: DataFrame, bucketCol: String,
-      buckets: Int = 8): String = {
+      buckets: Int = 8, sourceDir: Option[String] = None): String = {
     val base = dir(s).getOrElse(
       throw new IllegalStateException(s"$DirConf is not set"))
     val name = tableName(key)
@@ -68,6 +109,12 @@ object IndexStore {
     props.setProperty("bucketCol", bucketCol)
     props.setProperty("buckets", buckets.toString)
     props.setProperty("schema", df.schema.toDDL)
+    // source-data fingerprint: lets tryServe refuse the artifact after
+    // the corpus it was trained on is rewritten in place
+    sourceDir.foreach { d =>
+      props.setProperty("sourceDir", d)
+      props.setProperty("fingerprint", dataFingerprint(s, d))
+    }
     val p = new org.apache.hadoop.fs.Path(s"$path/$Meta")
     val fs = p.getFileSystem(s.sessionState.newHadoopConf())
     val out = fs.create(p, true)
@@ -89,19 +136,36 @@ object IndexStore {
       val fs = p.getFileSystem(s.sessionState.newHadoopConf())
       if (!fs.exists(p)) None
       else {
-        if (!s.catalog.tableExists(name)) {
-          val props = new java.util.Properties()
-          val in = fs.open(p)
-          try props.load(in) finally in.close()
-          val bCol = props.getProperty("bucketCol")
-          val n = props.getProperty("buckets").toInt
-          s.sql(
-            s"""CREATE TABLE $name (${props.getProperty("schema")})
-               |USING PARQUET
-               |CLUSTERED BY ($bCol) SORTED BY ($bCol) INTO $n BUCKETS
-               |LOCATION '$path'""".stripMargin)
+        val props = new java.util.Properties()
+        val in = fs.open(p)
+        try props.load(in) finally in.close()
+        // the sidecar's stored key must be THE requested key — a store
+        // written under an older (digest-free) name layout, or any
+        // residual collision, must never serve another corpus's artifact
+        if (props.getProperty("key") != key) {
+          System.err.println(s"[IndexStore] '$name' holds key " +
+            s"'${props.getProperty("key")}', not '$key' — not serving")
+          None
+        } else if (Option(props.getProperty("fingerprint")).exists(fp =>
+            fp != dataFingerprint(s, props.getProperty("sourceDir")))) {
+          // source corpus rewritten since publish: the artifact is stale;
+          // fall back to the in-session rebuild (blue/green: republish to
+          // a fresh store dir to restore serving)
+          System.err.println(s"[IndexStore] '$key' is STALE (source data " +
+            s"at ${props.getProperty("sourceDir")} changed since publish) — not serving")
+          None
+        } else {
+          if (!s.catalog.tableExists(name)) {
+            val bCol = props.getProperty("bucketCol")
+            val n = props.getProperty("buckets").toInt
+            s.sql(
+              s"""CREATE TABLE $name (${props.getProperty("schema")})
+                 |USING PARQUET
+                 |CLUSTERED BY ($bCol) SORTED BY ($bCol) INTO $n BUCKETS
+                 |LOCATION '$path'""".stripMargin)
+          }
+          Some(s.table(name))
         }
-        Some(s.table(name))
       }
     }
 
@@ -147,17 +211,22 @@ object IndexStore {
     */
   def publishCorpus(s: SparkSession, dataDir: String): Seq[String] = Seq(
     publish(s, s"sim_km_cents:$dataDir",
-      graft.operators.Similarity.kmCents(s, dataDir), "cell"),
+      graft.operators.Similarity.kmCents(s, dataDir), "cell",
+      sourceDir = Some(dataDir)),
     publish(s, s"sim_km_af:$dataDir",
-      graft.operators.Similarity.kmAssign(s, dataDir), "vec_id"),
+      graft.operators.Similarity.kmAssign(s, dataDir), "vec_id",
+      sourceDir = Some(dataDir)),
     // the signature store's serve join is the batch-probes-base band
     // join on (band, bkey) — bucketing by bkey co-locates BOTH sides
     // (subset clustering), so the per-ingest probe plans no exchange
     publish(s, s"dd_bands:$dataDir",
       graft.MatStore.of(s, s"dd_bands:$dataDir")(
-        graft.operators.Dedup.minhashBands(s, dataDir)), "bkey"),
+        graft.operators.Dedup.minhashBands(s, dataDir)), "bkey",
+      sourceDir = Some(dataDir)),
     publish(s, s"gr_edges_num:$dataDir",
-      graft.operators.GraphOps.edgesNum(s, dataDir), "src"),
+      graft.operators.GraphOps.edgesNum(s, dataDir), "src",
+      sourceDir = Some(dataDir)),
     publish(s, s"gr_und_w:$dataDir",
-      graft.operators.GraphOps.sharedUnd(s, dataDir), "node"))
+      graft.operators.GraphOps.sharedUnd(s, dataDir), "node",
+      sourceDir = Some(dataDir)))
 }

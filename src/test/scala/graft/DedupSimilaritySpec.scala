@@ -33,9 +33,11 @@ class DedupSimilaritySpec extends GraftSuite {
     // of C(members+1, 2) — replicated here with the same md5 salt rule
     // the operator (and its oracle twin) applies
     val nChunks = math.ceil((n - 1).toDouble / (cap - 1)).toInt
+    // chunk hash is keyed on (band, bkey, id) — r13 ADVICE: id-only md5
+    // let a chosen-id set land in one chunk of EVERY bucket it shares
     def salt(id: Long): Int = {
       val d = java.security.MessageDigest.getInstance("MD5")
-        .digest(id.toString.getBytes("UTF-8"))
+        .digest(s"0:hot:$id".getBytes("UTF-8"))
       val hex = d.map(b => f"$b%02x").mkString.take(8)
       (java.lang.Long.parseLong(hex, 16) % nChunks).toInt
     }
@@ -77,20 +79,21 @@ class DedupSimilaritySpec extends GraftSuite {
     val got = operators.Dedup.lshCandidates(rows.toDF("doc_id", "band", "bkey"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     // the rule, replicated: ≤cap → one chunk; else rep (min id) in every
-    // chunk and member m in chunk md5(m) % nChunks
-    def salt(id: Long, n: Int): Int = {
+    // chunk and member m in chunk md5(band:bkey:m) % nChunks
+    def salt(band: Int, bkey: String, id: Long, n: Int): Int = {
       val d = java.security.MessageDigest.getInstance("MD5")
-        .digest(id.toString.getBytes("UTF-8"))
+        .digest(s"$band:$bkey:$id".getBytes("UTF-8"))
       val hex = d.take(4).map(x => f"$x%02x").mkString
       (java.lang.Long.parseLong(hex, 16) % n).toInt
     }
     val expected = rows.groupBy(r => (r._2, r._3)).values.flatMap { members =>
       val ids = members.map(_._1).sorted
+      val (band, bkey) = (members.head._2, members.head._3)
       if (ids.size <= cap) ids.combinations(2).map(p => (p(0), p(1)))
       else {
         val rep = ids.head
         val nChunks = math.ceil((ids.size - 1).toDouble / (cap - 1)).toInt
-        val chunks = ids.tail.groupBy(salt(_, nChunks))
+        val chunks = ids.tail.groupBy(salt(band, bkey, _, nChunks))
         chunks.values.flatMap { c =>
           val withRep = (rep +: c).sorted
           withRep.combinations(2).map(p => (p(0), p(1)))
