@@ -101,7 +101,9 @@ object Bench {
     "etl_winsorize" -> 0.18,
     "gr_assortativity" -> 0.29,
     "gr_betweenness_approx" -> 2.93,
+    "gr_betweenness_w" -> 4.5,
     "gr_closeness" -> 1.07,
+    "gr_closeness_w" -> 2.0,
     "gr_communities" -> 0.77,
     "gr_community_names" -> 0.87,
     "gr_community_stats" -> 0.91,

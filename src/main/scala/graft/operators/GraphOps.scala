@@ -46,6 +46,37 @@ object GraphOps {
   private val BwLandmarks = 8
   private val BwRounds = 4
 
+  /** WEIGHTED-distance landmark parameters (r14). The reference measures
+    * closeness and betweenness with edge weight as DISTANCE
+    * (network_analysis.py:145,154 — `distance='weight'` /
+    * `weight='weight'`), where the r13 landmark rows counted hops — the
+    * one silent semantic divergence the r13 verdict flagged. These
+    * variants run synchronous Bellman-Ford relax rounds (per round each
+    * node takes min over neighbors of dist(u) + w(u,v)) in the SAME
+    * columnar landmark framework. The round count bounds the HOP length
+    * of the weighted paths considered — the declared landmark
+    * approximation, exact on any graph whose weighted shortest paths use
+    * at most that many edges; weighted paths can use MORE hops than the
+    * unweighted diameter (many light edges can undercut one heavy edge),
+    * hence the larger bounds. [[ClWCap]] caps each landmark's distance
+    * contribution (the weighted twin of the unweighted rounds+1
+    * fallback): larger than any bounded-hop weighted distance observed
+    * on this corpus, and applied identically by both engines, so an
+    * unreached pair stays deterministic at any SF.
+    */
+  private val ClWRounds = 8
+  private val ClWCap = 100L
+  private val BwWRounds = 5
+  /** Forward σ and backward δ pass depth over the weighted shortest-path
+    * DAG: a weighted DAG is leveled by DISTANCE, not hops, so both
+    * passes run as bounded synchronous relaxations to their fixpoint —
+    * exact once the bound reaches the DAG's hop depth (≤ the relax
+    * round count here, plus alternate equal-weight chains the relax
+    * rounds themselves admit; the estimator is declared as
+    * depth-bounded, and the oracle unrolls the identical rounds).
+    */
+  private val BwWDagIters = 5
+
   /** Label-propagation rounds. Fixed (not converged) so the oracle can
     * unroll the exact same number of synchronous steps. On this dense
     * diameter-~4 bipartite graph LPA collapses quickly (4 rounds → 2
@@ -701,6 +732,176 @@ object GraphOps {
       .select($"node", coalesce($"b", lit(0.0)).as("b"))
   }
 
+  /** Columnar landmark WEIGHTED-distance state: one row per node with
+    * per-landmark distance columns d0..d{K-1} (BIGINT sum of edge
+    * weights; null = unreached within the hop bound), computed by
+    * `rounds` synchronous Bellman-Ford relaxations. Unlike BFS a
+    * weighted distance is NOT final the round it is first set — a later
+    * lighter path may undercut it — so the frontier is the CHANGED set
+    * (per-landmark change flags g0..g{K-1}): a node re-propagates only
+    * in the round after one of its distances improved, which is the
+    * standard delta relaxation and produces the same per-round state as
+    * relaxing every edge (a skipped edge was already relaxed with the
+    * identical source distance). State stays |V| rows with 2K columns;
+    * every join is the same frontier-into-edges shape as [[landmarkBfs]]
+    * and the size-driven [[stateJoin]] knob applies unchanged.
+    */
+  private def weightedDists(u: DataFrame, nodes: DataFrame, lmkIds: Array[Long],
+      rounds: Int, bcast: Boolean): DataFrame = {
+    val s = u.sparkSession
+    import s.implicits._
+    val ks = lmkIds.indices
+    def d(i: Int) = col(s"d$i")
+    def g(i: Int) = col(s"g$i")
+    val init = nodes.select($"node" +:
+      (ks.map(i => when($"node" === lmkIds(i), 0L).as(s"d$i")) ++
+        ks.map(i => ($"node" === lmkIds(i)).as(s"g$i"))): _*)
+    var state = init.ckpt
+    for (_ <- 1 to rounds) {
+      val frontier = state.filter(ks.map(g).reduce(_ || _))
+        .select($"node".as("nb0") +:
+          ks.flatMap(i => Seq(d(i).as(s"fd$i"), g(i).as(s"fg$i"))): _*)
+      val aggs = ks.map(i =>
+        min(when(col(s"fg$i"), col(s"fd$i") + $"weight")).as(s"c$i"))
+      val cand = u.join(stateJoin(frontier, bcast), $"nb" === $"nb0")
+        .groupBy($"node").agg(aggs.head, aggs.tail: _*)
+      // merge: keep the smaller of current and candidate; the change
+      // flag marks a strict improvement (drives the next frontier)
+      state = state.join(stateJoin(cand, bcast), Seq("node"), "left")
+        .select($"node" +:
+          (ks.map(i => when(d(i).isNull, col(s"c$i"))
+            .when(col(s"c$i").isNull, d(i))
+            .when(col(s"c$i") < d(i), col(s"c$i"))
+            .otherwise(d(i)).as(s"d$i")) ++
+            ks.map(i => (col(s"c$i").isNotNull &&
+              (d(i).isNull || col(s"c$i") < d(i))).as(s"g$i"))): _*)
+        .ckpt
+    }
+    state.select($"node" +: ks.map(i => d(i)): _*)
+  }
+
+  /** Landmark closeness over WEIGHTED distance — the reference-parity
+    * twin of [[closeness]] (`nx.closeness_centrality(distance='weight')`,
+    * network_analysis.py:154): distance is the sum of edge weights along
+    * the lightest path, not the hop count. K landmark sources, `rounds`
+    * Bellman-Ford relax rounds via [[weightedDists]], then
+    * closeness_w(v) = K / Σ_l min(dist_w(v,l), [[ClWCap]]) — the same
+    * Brandes & Pich pivot estimator with the cap standing in for
+    * rounds+1. All distance arithmetic is exact BIGINT; only the final
+    * division is double.
+    */
+  def closenessW(u: DataFrame, k: Int = ClLandmarks, rounds: Int = ClWRounds,
+      stateBroadcast: Boolean = true): DataFrame = {
+    val s = u.sparkSession
+    import s.implicits._
+    val nodes = u.select($"node").distinct().ckpt
+    val bcast = stateBroadcast && stateHint(nodes.count())
+    val lmkIds = landmarkSeed(nodes, k)
+    val state = weightedDists(u, nodes, lmkIds, rounds, bcast)
+    val tot = lmkIds.indices.map(i =>
+      when(col(s"d$i").isNull || col(s"d$i") > ClWCap, ClWCap)
+        .otherwise(col(s"d$i"))).reduce(_ + _)
+    state.select($"node",
+      (lit(k).cast("double") / tot.cast("double")).as("c"))
+  }
+
+  /** Landmark (pivot-sampled) betweenness over WEIGHTED distance — the
+    * reference-parity twin of [[betweenness]]
+    * (`nx.betweenness_centrality(weight='weight')`,
+    * network_analysis.py:145): shortest paths measured in summed edge
+    * weight. Three bounded synchronous passes, all on the columnar
+    * landmark state:
+    *
+    *  - distances: [[weightedDists]] Bellman-Ford rounds (exact BIGINT);
+    *  - σ path counts: the weighted shortest-path DAG has an edge v→w
+    *    per landmark exactly when d(w) = d(v) + weight(v,w); a weighted
+    *    DAG is leveled by distance, not hops, so σ (σ(lmk)=1,
+    *    σ(v)=Σ_pred σ(u)) runs as [[BwWDagIters]] synchronous forward
+    *    relaxations — after t rounds σ counts the DAG paths of ≤ t hops,
+    *    the fixpoint once t reaches the DAG depth;
+    *  - δ dependencies: Brandes' δ(v) = Σ_{w:succ} σv/σw·(1+δ(w)) as
+    *    [[BwWDagIters]] synchronous backward relaxations from δ≡0 —
+    *    after t rounds δ carries dependency mass from descendants ≤ t
+    *    levels deep, the same bounded-depth estimator, with the r12
+    *    prnd-before-dsum decimal discipline at every round so the
+    *    DuckDB twin hash-matches despite double non-associativity.
+    *
+    * Score(v) = Σ_l δ_l(v)/K with the Brandes v ≠ source mask. Every
+    * pass is a keyed join of |V|-row (or DAG-row) state against the
+    * materialized edge relation — the [[pagerank]] iteration shape, K×
+    * fewer rows than a (node, landmark) expansion, size-driven
+    * broadcasts throughout.
+    */
+  def betweennessW(u: DataFrame, k: Int = BwLandmarks, rounds: Int = BwWRounds,
+      dagIters: Int = BwWDagIters, stateBroadcast: Boolean = true): DataFrame = {
+    val s = u.sparkSession
+    import s.implicits._
+    val nodes = u.select($"node").distinct().ckpt
+    val bcast = stateBroadcast && stateHint(nodes.count())
+    val lmkIds = landmarkSeed(nodes, k)
+    val ks = lmkIds.indices
+    val state = weightedDists(u, nodes, lmkIds, rounds, bcast)
+    // weighted shortest-path DAG, columnar: one row per edge that is a
+    // DAG edge for ANY landmark, with per-landmark membership masks
+    val sv = state.select($"node".as("v") +: ks.map(i => col(s"d$i").as(s"dv$i")): _*)
+    val sw = state.select($"node".as("w") +: ks.map(i => col(s"d$i").as(s"dw$i")): _*)
+    val dag = u.join(stateJoin(sv, bcast), $"node" === $"v")
+      .join(stateJoin(sw, bcast), $"nb" === $"w")
+      .select($"v" +: $"w" +: ks.map(i =>
+        (col(s"dw$i") === col(s"dv$i") + $"weight").as(s"e$i")): _*)
+      .filter(ks.map(i => coalesce(col(s"e$i"), lit(false))).reduce(_ || _))
+      .ckpt
+    // forward σ: pinned σ(lmk)=1, else Σ over DAG predecessors of the
+    // previous round's σ (null = not yet counted; exact BIGINT)
+    var sig = nodes.select($"node" +:
+      ks.map(i => when($"node" === lmkIds(i), 1L).as(s"s$i")): _*).ckpt
+    for (_ <- 1 to dagIters) {
+      val prevS = sig.select($"node".as("v0") +: ks.map(i => col(s"s$i").as(s"ps$i")): _*)
+      val sAggs = ks.map(i => sum(when(col(s"e$i"), col(s"ps$i"))).as(s"cs$i"))
+      val cand = dag.join(stateJoin(prevS, bcast), $"v" === $"v0")
+        .groupBy($"w").agg(sAggs.head, sAggs.tail: _*)
+      sig = nodes.join(stateJoin(cand.withColumnRenamed("w", "node"), bcast),
+          Seq("node"), "left")
+        .select($"node" +: ks.map(i =>
+          when($"node" === lmkIds(i), 1L).otherwise(col(s"cs$i")).as(s"s$i")): _*)
+        .ckpt
+    }
+    // per-edge dependency ratio σv/σw per landmark (null when the edge is
+    // not on landmark i's DAG or either σ is outside the σ bound)
+    val sv2 = sig.select($"node".as("v2") +: ks.map(i => col(s"s$i").as(s"sv$i")): _*)
+    val sw2 = sig.select($"node".as("w2") +: ks.map(i => col(s"s$i").as(s"sw$i")): _*)
+    val dagR = dag.join(stateJoin(sv2, bcast), $"v" === $"v2")
+      .join(stateJoin(sw2, bcast), $"w" === $"w2")
+      .select($"v" +: $"w" +: ks.map(i =>
+        when(col(s"e$i") && col(s"sv$i").isNotNull && col(s"sw$i").isNotNull,
+          col(s"sv$i").cast("double") / col(s"sw$i").cast("double")).as(s"rt$i")): _*)
+      .filter(ks.map(i => col(s"rt$i").isNotNull).reduce(_ || _))
+      .ckpt
+    // backward δ: bounded synchronous relaxation from δ≡0, re-derived in
+    // full each round (not accumulated) — the fixpoint recurrence on a
+    // DAG, correct to dagIters levels of descendants
+    var dlt = nodes.select($"node" +: ks.map(i => lit(0.0).as(s"p$i")): _*).ckpt
+    for (_ <- 1 to dagIters) {
+      val prevD = dlt.select($"node".as("w3") +: ks.map(i => col(s"p$i").as(s"wp$i")): _*)
+      val aggs = ks.map(i => P.dsum(P.prnd(
+        col(s"rt$i") * (lit(1.0) + col(s"wp$i")), 9), 9).as(s"cd$i"))
+      val cand = dagR.join(stateJoin(prevD, bcast), $"w" === $"w3")
+        .groupBy($"v").agg(aggs.head, aggs.tail: _*)
+      dlt = nodes.join(stateJoin(cand.withColumnRenamed("v", "node"), bcast),
+          Seq("node"), "left")
+        .select($"node" +: ks.map(i =>
+          coalesce(col(s"cd$i"), lit(0.0)).as(s"p$i")): _*)
+        .ckpt
+    }
+    // score: Σ over landmarks of δ through the exact floor(·1e9) integer
+    // hop (row-wise long adds — associative), v ≠ source masked per
+    // column; the oracle sums the identical BIGINT terms over its K rows
+    val masked = ks.map(i => when($"node" === lmkIds(i), lit(0L))
+      .otherwise(floor(col(s"p$i") * lit(1e9) + lit(0.5)).cast("long")))
+    dlt.select($"node",
+      (masked.reduce(_ + _).cast("double") / lit(1e9) / lit(k).cast("double")).as("b"))
+  }
+
   /** Synchronous weighted label propagation — the scalable stand-in for
     * the reference's Louvain community detection
     * (reference: network-analysis/network_analysis.py:180-212). Every
@@ -874,6 +1075,94 @@ object GraphOps {
          |  ${PS.dsum("delta", 9)} / CAST($k AS DOUBLE) AS b
          |  FROM bdeltas GROUP BY node)""".stripMargin
     ((base +: fwd) ++ Seq(dag, bwdBase) ++ bwd :+ fin).mkString(",\n")
+  }
+
+  /** cw0..cwN CTE chain — unrolled synchronous WEIGHTED (Bellman-Ford)
+    * relax rounds from the K landmark sources, the SQL twin of
+    * [[weightedDists]] for [[closenessW]]. Per round the (node, lmk)
+    * minimum over (previous distances ∪ every neighbor's distance +
+    * edge weight) — semantically the full relaxation; the Spark side's
+    * changed-frontier delta relaxation produces the identical per-round
+    * state (a skipped edge was already relaxed with the same source
+    * distance).
+    */
+  private def cwChain(k: Int, rounds: Int): String = {
+    val base =
+      s"""cwnodes AS MATERIALIZED (SELECT DISTINCT node FROM und),
+         |cwlmk AS MATERIALIZED (SELECT node AS lmk FROM (
+         |  SELECT DISTINCT node FROM und ORDER BY node LIMIT $k)),
+         |cw0 AS MATERIALIZED (SELECT lmk AS node, lmk, CAST(0 AS BIGINT) AS d FROM cwlmk)""".stripMargin
+    val steps = (1 to rounds).map { i =>
+      s"""cw$i AS MATERIALIZED (SELECT x.node, x.lmk, MIN(x.d) AS d FROM (
+         |    SELECT node, lmk, d FROM cw${i - 1}
+         |    UNION ALL
+         |    SELECT u.node, p.lmk, p.d + u.weight FROM und u JOIN cw${i - 1} p ON u.nb = p.node) x
+         |  GROUP BY x.node, x.lmk)""".stripMargin
+    }
+    (base +: steps).mkString(",\n")
+  }
+
+  /** wd0..wdN + ws0..wsT + wdl0..wdlT CTE chain — unrolled weighted
+    * relax rounds, forward σ relaxations and backward δ relaxations,
+    * the SQL twin of [[betweennessW]] (row-based (node, lmk) expansion;
+    * the Spark side's columnar state is the same recurrence).
+    */
+  private def bwwChain(k: Int, rounds: Int, dagIters: Int): String = {
+    val base =
+      s"""wnodes AS MATERIALIZED (SELECT DISTINCT node FROM und),
+         |wlmk AS MATERIALIZED (SELECT node AS lmk FROM (
+         |  SELECT DISTINCT node FROM und ORDER BY node LIMIT $k)),
+         |wd0 AS MATERIALIZED (SELECT lmk AS node, lmk, CAST(0 AS BIGINT) AS d FROM wlmk)""".stripMargin
+    val relax = (1 to rounds).map { i =>
+      s"""wd$i AS MATERIALIZED (SELECT x.node, x.lmk, MIN(x.d) AS d FROM (
+         |    SELECT node, lmk, d FROM wd${i - 1}
+         |    UNION ALL
+         |    SELECT u.node, p.lmk, p.d + u.weight FROM und u JOIN wd${i - 1} p ON u.nb = p.node) x
+         |  GROUP BY x.node, x.lmk)""".stripMargin
+    }
+    // DAG edge v→w for landmark l iff d(w) = d(v) + weight(v, w); no DAG
+    // edge enters the landmark itself (positive weights), so the pinned
+    // σ(lmk)=1 base row never collides with an aggregated row
+    val dag =
+      s"""wdag AS MATERIALIZED (SELECT v.lmk, v.node AS v, w.node AS w
+         |  FROM und u
+         |  JOIN wd$rounds v ON u.node = v.node
+         |  JOIN wd$rounds w ON u.nb = w.node AND w.lmk = v.lmk AND w.d = v.d + u.weight)""".stripMargin
+    val sigBase =
+      s"""ws0 AS MATERIALIZED (SELECT lmk AS node, lmk, CAST(1 AS BIGINT) AS sig FROM wlmk)""".stripMargin
+    val sig = (1 to dagIters).map { t =>
+      s"""ws$t AS MATERIALIZED (
+         |  SELECT lmk AS node, lmk, CAST(1 AS BIGINT) AS sig FROM wlmk
+         |  UNION ALL
+         |  SELECT g.w AS node, g.lmk, CAST(SUM(p.sig) AS BIGINT) AS sig
+         |  FROM wdag g JOIN ws${t - 1} p ON g.v = p.node AND g.lmk = p.lmk
+         |  GROUP BY g.w, g.lmk)""".stripMargin
+    }
+    val dagR =
+      s"""wdag2 AS MATERIALIZED (SELECT g.lmk, g.v, g.w,
+         |    CAST(sv.sig AS DOUBLE) / CAST(sw.sig AS DOUBLE) AS rt
+         |  FROM wdag g
+         |  JOIN ws$dagIters sv ON g.v = sv.node AND g.lmk = sv.lmk
+         |  JOIN ws$dagIters sw ON g.w = sw.node AND g.lmk = sw.lmk)""".stripMargin
+    val dltBase =
+      s"""wdl0 AS MATERIALIZED (SELECT n.node, l.lmk, CAST(0.0 AS DOUBLE) AS delta
+         |  FROM wnodes n CROSS JOIN wlmk l)""".stripMargin
+    val dlt = (1 to dagIters).map { t =>
+      s"""wdl$t AS MATERIALIZED (SELECT n.node, l.lmk, COALESCE(a.delta, CAST(0.0 AS DOUBLE)) AS delta
+         |  FROM wnodes n CROSS JOIN wlmk l
+         |  LEFT JOIN (
+         |    SELECT g.v AS node, g.lmk,
+         |      ${PS.dsum(PS.prnd("g.rt * (CAST(1.0 AS DOUBLE) + d.delta)", 9), 9)} AS delta
+         |    FROM wdag2 g JOIN wdl${t - 1} d ON g.w = d.node AND g.lmk = d.lmk
+         |    GROUP BY g.v, g.lmk) a ON a.node = n.node AND a.lmk = l.lmk)""".stripMargin
+    }
+    val fin =
+      s"""wbc AS MATERIALIZED (SELECT node,
+         |  (CAST(SUM(CASE WHEN node <> lmk THEN CAST(floor(delta * 1e9 + 0.5) AS BIGINT)
+         |    ELSE CAST(0 AS BIGINT) END) AS DOUBLE) / 1e9) / CAST($k AS DOUBLE) AS b
+         |  FROM wdl$dagIters GROUP BY node)""".stripMargin
+    ((base +: relax) ++ Seq(dag, sigBase) ++ sig ++ Seq(dagR, dltBase) ++ dlt :+ fin)
+      .mkString(",\n")
   }
 
   /** lp0..lpN CTE chain — unrolled synchronous label-propagation rounds,
@@ -1172,6 +1461,36 @@ object GraphOps {
     import s.implicits._
     betweenness(sharedUnd(s, dir))
       .select(fmtNode($"node").as("node"), P.prnd($"b", 6).as("betweenness"))
+      .orderBy($"node")
+  }
+
+  /** Weighted-distance landmark closeness — see [[closenessW]]. */
+  val grClosenessW = QueryDef(
+    "gr_closeness_w",
+    s"""WITH $eNumSql, $undSql,
+       |${cwChain(ClLandmarks, ClWRounds)}
+       |SELECT ${fmtNodeSql("n.node")} AS node,
+       |  ${PS.prnd(s"CAST($ClLandmarks AS DOUBLE) / CAST(SUM(CASE WHEN d.d IS NULL OR d.d > $ClWCap THEN $ClWCap ELSE d.d END) AS DOUBLE)", 8)} AS closeness_w
+       |FROM cwnodes n CROSS JOIN cwlmk l
+       |LEFT JOIN cw$ClWRounds d ON d.node = n.node AND d.lmk = l.lmk
+       |GROUP BY n.node ORDER BY node""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    closenessW(sharedUnd(s, dir))
+      .select(fmtNode($"node").as("node"), P.prnd($"c", 8).as("closeness_w"))
+      .orderBy($"node")
+  }
+
+  /** Weighted-distance landmark betweenness — see [[betweennessW]]. */
+  val grBetweennessW = QueryDef(
+    "gr_betweenness_w",
+    s"""WITH $eNumSql, $undSql,
+       |${bwwChain(BwLandmarks, BwWRounds, BwWDagIters)}
+       |SELECT ${fmtNodeSql("n.node")} AS node, ${PS.prnd("COALESCE(b.b, CAST(0.0 AS DOUBLE))", 6)} AS betweenness_w
+       |FROM wnodes n LEFT JOIN wbc b ON n.node = b.node
+       |ORDER BY node""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    betweennessW(sharedUnd(s, dir))
+      .select(fmtNode($"node").as("node"), P.prnd($"b", 6).as("betweenness_w"))
       .orderBy($"node")
   }
 
@@ -2050,7 +2369,8 @@ object GraphOps {
 
   val defs: Seq[QueryDef] = Seq(grEdges, grDegree, grDegreeDirected,
     grDegreeBuckets, grPagerank, grEigenvector, grComponents, grCloseness,
-    grBetweenness, grInfluencers, grCommunities, grCommunityStats,
+    grClosenessW, grBetweenness, grBetweennessW, grInfluencers,
+    grCommunities, grCommunityStats,
     grCommunityNames, grModularity, grLouvain, grGraphStats, grLinkPredict,
     grTriangles, grKcore, grAssortativity, grRandomWalks, grEgoNet)
 }

@@ -92,6 +92,79 @@ class GraphSpec extends GraftSuite {
     assert(rows.map(_.getAs[Double]("betweenness")).distinct.length > 10)
   }
 
+  test("weighted centralities: toy graph matches brute-force Dijkstra/Brandes") {
+    // The r13 verdict's top item: the reference measures closeness and
+    // betweenness with edge weight as DISTANCE (nx distance='weight');
+    // this hand-verifies the weighted landmark operators against an
+    // independent driver-side Dijkstra + Brandes on a toy graph where
+    // weighted shortest paths DIFFER from hop paths: heavy direct edges
+    // 1-4 (w10) and 1-6 (w9) are undercut by chains of light edges, and
+    // 2-4 (w2) creates equal-weight alternatives so σ > 1 is exercised.
+    import spark.implicits._
+    import operators.GraphOps
+    val ew: Seq[(Long, Long, Long)] = Seq(
+      (1L, 2L, 1L), (2L, 3L, 1L), (3L, 4L, 1L), (1L, 4L, 10L),
+      (2L, 4L, 2L), (4L, 5L, 2L), (5L, 6L, 2L), (1L, 6L, 9L), (2L, 7L, 1L))
+    val und = (ew ++ ew.map(e => (e._2, e._1, e._3))).toDF("node", "nb", "weight")
+    val nodes = (1L to 7L).toSeq
+    val adj: Map[Long, Seq[(Long, Long)]] =
+      (ew ++ ew.map(e => (e._2, e._1, e._3)))
+        .groupBy(_._1).map { case (n, es) => n -> es.map(e => (e._2, e._3)) }
+    def dijkstra(src: Long): Map[Long, Long] = {
+      val dist = scala.collection.mutable.Map[Long, Long](src -> 0L)
+      val done = scala.collection.mutable.Set[Long]()
+      while ((dist.keySet diff done).nonEmpty) {
+        val u = (dist.keySet diff done).minBy(dist)
+        done += u
+        for ((v, w) <- adj(u)) {
+          val nd = dist(u) + w
+          if (!dist.contains(v) || nd < dist(v)) dist(v) = nd
+        }
+      }
+      dist.toMap
+    }
+    val pivots = Seq(1L, 2L, 3L) // landmarkSeed = k smallest node ids
+    // closeness_w(v) = k / Σ_l min(dist_w(v, l), 100): exact integer sum,
+    // one double division — the Spark result must match bit-for-bit
+    val dists = pivots.map(dijkstra)
+    val gotC = GraphOps.closenessW(und, k = 3).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    for (v <- nodes) {
+      val tot = dists.map(d => math.min(d.getOrElse(v, Long.MaxValue), 100L)).sum
+      assert(gotC(v) === 3.0 / tot.toDouble, s"closeness_w($v)")
+    }
+    // the weighted paths genuinely differ from hops: d_w(1,4) = 3 via the
+    // light chain, not the direct w10 edge (hop distance is 1)
+    assert(dists(0)(4L) === 3L)
+    // betweenness_w: brute-force Brandes from the same pivots (weighted
+    // Dijkstra, σ path counts, δ accumulation in decreasing-distance
+    // order), score = Σ_l δ_l(v ≠ l) / k
+    def brandes(src: Long): Map[Long, Double] = {
+      val dist = dijkstra(src)
+      val order = dist.toSeq.sortBy(_._2).map(_._1)
+      val sigma = scala.collection.mutable.Map[Long, Double](src -> 1.0)
+      for (v <- order if v != src)
+        sigma(v) = adj(v).collect {
+          case (u, w) if dist.contains(u) && dist(u) + w == dist(v) => sigma(u)
+        }.sum
+      val delta = scala.collection.mutable.Map[Long, Double]().withDefaultValue(0.0)
+      for (v <- order.reverse) {
+        for ((w, wt) <- adj(v) if dist.contains(w) && dist(w) == dist(v) + wt)
+          delta(v) += sigma(v) / sigma(w) * (1.0 + delta(w))
+      }
+      delta.toMap.withDefaultValue(0.0)
+    }
+    val deltas = pivots.map(brandes)
+    val gotB = GraphOps.betweennessW(und, k = 3).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    for (v <- nodes) {
+      val exp = pivots.zip(deltas).collect { case (p, d) if p != v => d(v) }.sum / 3.0
+      assert(math.abs(gotB(v) - exp) < 1e-6, s"betweenness_w($v): ${gotB(v)} vs $exp")
+    }
+    // the toy exercises real mass: some node strictly between others
+    assert(gotB.values.max > 0.0)
+  }
+
   test("every node gets a component and labels are canonical members") {
     val comp = run("gr_components")
     val nodes = operators.GraphOps.undirected(operators.GraphOps.edges(spark, sfDir))

@@ -92,7 +92,12 @@ class ScalePlanSpec extends GraftSuite {
         "mm_decode_meta" -> 0, // in-partition decode, no join at all
         "dd_split_leakage" -> 0, // pair-relation enrichments, size-driven
         "etl_split_by_cluster" -> 1, // 1-row leak audit broadcast
-        "sent_drift" -> 1 // label totals (1 row)
+        "sent_drift" -> 1, // label totals (1 row)
+        // r14 additions: every weighted-centrality state join rides
+        // stateJoin (frontier, candidate, σ, δ, DAG-side state) — with
+        // the knob off nothing may broadcast
+        "gr_closeness_w" -> 0,
+        "gr_betweenness_w" -> 0
       )
       allowed.foreach { case (name, maxB) =>
         val df = run(name)
