@@ -127,6 +127,7 @@ object Bench {
     "mm_dup_frames" -> 0.33,
     "mm_frame_index" -> 0.06,
     "ops_freshness" -> 0.2,
+    "ops_incremental_gate" -> 2.0,
     "ops_infra_gate" -> 0.3,
     "mm_decode_meta" -> 0.4,
     "dd_split_leakage" -> 0.3,

@@ -85,6 +85,22 @@ object Dedup {
   def minhashBands(s: SparkSession, dir: String): DataFrame =
     minhashBandsOf(s, tokenizedM(s, dir))
 
+  /** Band signatures computed from an ARBITRARY documents relation (at
+    * minimum `doc_id`, `text`) — the file-incremental ingest path: a
+    * batch read straight off a [[graft.sources.CorpusIO.manifestDiff]]
+    * work list rather than from the corpus table
+    * (`ops_incremental_gate`). Same tokenize → shingle → minhash → band
+    * chain as [[minhashBands]], so batch signatures are directly
+    * probe-compatible with the published store.
+    */
+  def bandsOfDocs(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    minhashBandsOf(s, docs
+      .select($"doc_id", split($"text", " ").as("w"))
+      .filter(size($"w") >= ShingleK))
+  }
+
   /** (doc_id, w) tokenization shared by the minhash and 3-gram paths.
     * The words array MUST be aliased in its own projection: referenced
     * inline, the split() expression is textually duplicated into every

@@ -213,5 +213,108 @@ object Ops {
     g.crossJoin(broadcast(a)).orderBy($"tbl")
   }
 
-  val defs: Seq[QueryDef] = Seq(pipelineReport, freshness, infraGate)
+  /** End-to-end incremental-ingest gate — the 100 TB daily-operations
+    * story proved as ONE oracled query (r13 verdict item 2): a day-0
+    * base corpus snapshot lands as parquet files, the day-1 batch files
+    * arrive, and the query processes ONLY the files
+    * [[graft.sources.CorpusIO.manifestDiff]] schedules — the base is
+    * never re-read for signatures — then emits the same per-batch-doc
+    * verdicts as `dd_incremental`. The ORACLE is the full-recompute
+    * semantics (`dd_incremental`'s own SQL twin over the raw documents
+    * table), so the hash match IS the proof that the file-level
+    * incremental path equals the full recompute.
+    *
+    * In the order a daily pipeline runs them:
+    *  1. day 0: base docs (doc_id < IncSplit) written to a working
+    *     corpus dir; [[graft.sources.CorpusIO.manifest]] snapshots it
+    *     (the file list is captured eagerly at snapshot time, so the
+    *     later append cannot leak into the old snapshot);
+    *  2. day 1: the batch appended — new parquet files, same dir;
+    *  3. work list = manifestDiff added/changed files, collected on the
+    *     driver — a deliberate driver action of MANIFEST scale (a file
+    *     list, the artifact an orchestrator holds anyway; never data).
+    *     Guards assert the list is non-empty and that no unchanged
+    *     day-0 file was scheduled for reprocessing;
+    *  4. batch signatures are computed from the work-list files alone
+    *     ([[Dedup.bandsOfDocs]]) and probe the shared base signature
+    *     store (MatStore `dd_bands`, base half) — batch×base, never
+    *     base×base. In serve mode the probe reads the PUBLISHED
+    *     bucketed store, so the full composition (manifest diff →
+    *     batch-only processing → durable-store probe) is exactly what
+    *     the serve-mode CORRECTNESS replica executes;
+    *  5. candidates verify by exact 3-gram Jaccard (batch grams from
+    *     the work-list files, base grams candidate-only); exact dups by
+    *     md5 against the base corpus.
+    */
+  val incrementalGate = QueryDef(
+    "ops_incremental_gate",
+    Dedup.incremental.oracle.get) { (s, dir) =>
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    val work = s"${System.getProperty("java.io.tmpdir")}/graft_inc_gate_" +
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+    val corpus = s"$work/corpus"
+    val root = new org.apache.hadoop.fs.Path(work)
+    val hfs = root.getFileSystem(s.sessionState.newHadoopConf())
+    if (hfs.exists(root)) hfs.delete(root, true)
+    docs.filter($"doc_id" < Dedup.IncSplit)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(corpus)
+    val prev = graft.sources.CorpusIO.manifest(s, corpus)
+    docs.filter($"doc_id" >= Dedup.IncSplit)
+      .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(corpus)
+    val cur = graft.sources.CorpusIO.manifest(s, corpus)
+    val workList = graft.sources.CorpusIO.manifestDiff(prev, cur)
+      .filter($"status".isin("added", "changed"))
+      .select($"file").as[String].collect().sorted
+    require(workList.nonEmpty, "batch day produced no work-list files")
+    val baseFiles = prev.select($"file").as[String].collect().toSet
+    require(workList.forall(f => !baseFiles.contains(f)),
+      "manifestDiff scheduled an unchanged base file for reprocessing")
+    val batch = s.read.parquet(workList.map(f => s"$corpus/$f").toIndexedSeq: _*)
+    // batch signatures from the work-list files; base half of the shared
+    // signature store (published table in serve mode)
+    val bandsB = Dedup.bandsOfDocs(batch)
+      .select($"doc_id".as("b_id"), $"band", $"bkey")
+    val baseBands = graft.MatStore.of(s, s"dd_bands:$dir")(Dedup.minhashBands(s, dir))
+      .filter($"doc_id" < Dedup.IncSplit)
+      .select($"doc_id".as("base_id"), $"band", $"bkey")
+    val pairs = bandsB.join(baseBands, Seq("band", "bkey"))
+      .select($"b_id", $"base_id").distinct().ckpt
+    val candIds = pairs.select($"b_id".as("doc_id"))
+      .union(pairs.select($"base_id".as("doc_id"))).distinct()
+    val toksB = batch.select($"doc_id", split($"text", " ").as("w"))
+      .filter(size($"w") >= Dedup.ShingleK)
+    val toksBase = Dedup.tokenizedM(s, dir).filter($"doc_id" < Dedup.IncSplit)
+    val g3 = toksB.union(toksBase)
+      .join(candIds, Seq("doc_id"), "left_semi")
+      .select($"doc_id",
+        explode(call_function("graft_shingles", $"w", lit(3))).as("s"))
+      .distinct().ckpt
+    val sz = g3.groupBy($"doc_id").agg(P.cnt.as("n"))
+    val inter = pairs
+      .join(g3.select($"doc_id".as("b_id"), $"s"), "b_id")
+      .join(g3.select($"doc_id".as("base_id"), $"s"), Seq("base_id", "s"))
+      .groupBy($"b_id", $"base_id").agg(P.cnt.as("ni"))
+    val nearp = inter
+      .join(sz.select($"doc_id".as("b_id"), $"n".as("na")), "b_id")
+      .join(sz.select($"doc_id".as("base_id"), $"n".as("nb")), "base_id")
+      .filter($"ni" / ($"na" + $"nb" - $"ni") >= Dedup.JaccardThreshold)
+    val bex = batch.select($"doc_id".as("b_id"), md5($"text").as("h"))
+      .join(docs.filter($"doc_id" < Dedup.IncSplit)
+        .select($"doc_id".as("a_id"), md5($"text").as("h")), "h")
+      .groupBy($"b_id").agg(min($"a_id").as("e_dup"))
+    val bnr = nearp.groupBy($"b_id").agg(min($"base_id").as("n_dup"))
+    batch.select($"doc_id")
+      .join(bex.withColumnRenamed("b_id", "doc_id"), Seq("doc_id"), "left")
+      .join(bnr.withColumnRenamed("b_id", "doc_id"), Seq("doc_id"), "left")
+      .select($"doc_id",
+        when($"e_dup".isNotNull, "drop_exact")
+          .when($"n_dup".isNotNull, "drop_near")
+          .otherwise("keep").as("verdict"),
+        coalesce($"e_dup", $"n_dup").as("dup_of"))
+  }
+
+  val defs: Seq[QueryDef] = Seq(pipelineReport, freshness, infraGate,
+    incrementalGate)
 }
