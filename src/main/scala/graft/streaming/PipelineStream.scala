@@ -58,9 +58,10 @@ object PipelineStream {
     * serving-sink leg of the topology (the reference's Mongo upserts).
     */
   def upserts(wire: DataFrame, storeId: String, queryName: String,
-      watermark: String, win: String = "1 hour"): StreamingQuery =
+      watermark: String, win: String = "1 hour",
+      checkpoint: Option[String] = None): StreamingQuery =
     UpsertSink.upsertAggQuery(
       EventStream.windowAggOf(
         dedupedEvents(wire, watermark).select("ts", "event_type", "value"), win),
-      storeId, queryName)
+      storeId, queryName, checkpoint)
 }

@@ -54,15 +54,23 @@ object UpsertSink {
 
   /** The upsert sink over an already-built windowed aggregate — the
     * composed-pipeline entry (the aggregate's watermark came from an
-    * upstream stage; see [[EventStream.windowAggOf]]).
+    * upstream stage; see [[EventStream.windowAggOf]]). Pass `checkpoint`
+    * for a RESTARTABLE query (production: always) — a restart resumes
+    * from the committed offsets/state, and a replayed micro-batch is
+    * harmless because the keyed put is idempotent: re-emitting a
+    * window's row replaces the stored row, so the store converges to the
+    * batch-run content across any crash/restart boundary (the
+    * foreachBatch exactly-once-EFFECT discipline: offsets+state
+    * transactional in the checkpoint, sink writes idempotent by key).
     */
-  def upsertAggQuery(agg: DataFrame, storeId: String,
-      queryName: String): StreamingQuery =
-    agg
+  def upsertAggQuery(agg: DataFrame, storeId: String, queryName: String,
+      checkpoint: Option[String] = None): StreamingQuery = {
+    val w = agg
       .writeStream
       .outputMode("update")
       .queryName(queryName)
-      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+    checkpoint.foreach(c => w.option("checkpointLocation", c))
+    w.foreachBatch { (batch: Dataset[Row], _: Long) =>
         val sid = storeId
         batch.foreachPartition { rows: Iterator[Row] =>
           val st = UpsertSink.store(sid)
@@ -75,4 +83,5 @@ object UpsertSink {
         }
       }
       .start()
+  }
 }

@@ -10,6 +10,14 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
   * composite outputs checked against the batch twins run on the SAME
   * frames.
   */
+/** Static holder for the crash-recovery test's closed-session rows —
+  * addressed statically so the foreachBatch closure (driver-side under
+  * local[*]) appends across query incarnations.
+  */
+private[graft] object CrashRecoveryRows {
+  val rows = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+}
+
 class PipelineStreamSpec extends GraftSuite {
 
   private val Wm = "6 hours"
@@ -143,6 +151,77 @@ class PipelineStreamSpec extends GraftSuite {
       assert(got === twin,
         "RocksDB-backed run must match the batch twin bit for bit")
     } finally q.stop()
+  }
+
+  test("crash recovery: killed after batch A, restarted from the same checkpoint — identical to the uninterrupted run") {
+    // r13 verdict item 3: at 100 TB restarts are ROUTINE; the claim to
+    // prove is that a kill between micro-batches loses nothing. Both
+    // stateful legs run with explicit checkpoints, are stopped after
+    // batch A (events B arrive while the pipeline is DOWN), restarted
+    // as NEW query objects against the same checkpoint dirs, and fed
+    // the remainder. Closed sessions (emitted across both incarnations)
+    // and the upsert store must be bit-identical to never-crashed runs:
+    // offsets + dedup/session/window state all resume from the
+    // checkpoint, and the upsert sink's keyed put is idempotent under
+    // any replayed batch.
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val ckS = java.nio.file.Files.createTempDirectory("graft_ck_sess").toString
+    val ckU = java.nio.file.Files.createTempDirectory("graft_ck_ups").toString
+    val sid = "pipe_crash_store"
+    UpsertSink.clear(sid)
+    CrashRecoveryRows.rows.clear()
+    val mem = MemoryStream[Array[Byte]]
+    // the memory sink refuses checkpoint recovery by design; the
+    // restartable sink shape is foreachBatch (same as the upsert leg) —
+    // closed sessions accumulate across query INCARNATIONS
+    def sessQ() = PipelineStream.sessions(mem.toDF().toDF("value"), Wm)
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", ckS)
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[SessionRow], _: Long) =>
+        b.toDF().collect().foreach(r => CrashRecoveryRows.rows.add(r.toString))
+      }.start()
+    def upsQ() = PipelineStream.upserts(mem.toDF().toDF("value"), sid,
+      "pipe_crash_ups", Wm, checkpoint = Some(ckU))
+    val q1 = sessQ(); val u1 = upsQ()
+    mem.addData(batchA: _*); q1.processAllAvailable(); u1.processAllAvailable()
+    q1.stop(); u1.stop() // the crash — B and C are never drained by these queries
+    mem.addData(batchB: _*) // lands while the pipeline is down
+    val q2 = sessQ(); val u2 = upsQ()
+    try {
+      q2.processAllAvailable(); u2.processAllAvailable()
+      mem.addData(batchC: _*)
+      q2.processAllAvailable(); u2.processAllAvailable()
+      import scala.jdk.CollectionConverters._
+      val got = CrashRecoveryRows.rows.asScala.toSeq.sorted
+      // the session reference: the uninterrupted composite == the batch
+      // twin on the same frames for every CLOSED session (proven by the
+      // first test); compare against the twin directly
+      val twin = PipelineStream.sessions(
+          (batchA ++ batchB ++ batchC).toDF("value"), Wm).toDF()
+        .filter(($"user_id" === 1 && $"session_idx" <= 2) || $"user_id" === 2)
+        .collect().map(_.toString).sorted.toSeq
+      assert(got === twin,
+        "sessions across the crash/restart boundary diverged from the uninterrupted run")
+      // the store reference: the batch twin of the same composite
+      // (parse → dedup → windowed aggregate) over all frames — the
+      // content the store must converge to regardless of crashes.
+      // (A second streaming run over the same MemoryStream can't serve
+      // as the reference: committed batches are truncated from the
+      // in-memory buffer, so a fresh-checkpoint reader sees nothing.)
+      val twinStore = EventStream.windowAggOf(
+          PipelineStream.dedupedEvents(
+            (batchA ++ batchB ++ batchC).toDF("value"), Wm)
+            .select("ts", "event_type", "value"), "1 hour")
+        .collect()
+        .map(r => (r.getAs[java.sql.Timestamp]("window_start").toString,
+          r.getAs[String]("event_type")) ->
+          ((r.getAs[Long]("n"), r.getAs[Double]("sum_value"))))
+        .toMap
+      assert(UpsertSink.snapshot(sid) === twinStore,
+        "upsert store across the crash diverged from the batch twin")
+      assert(UpsertSink.snapshot(sid).nonEmpty)
+    } finally { q2.stop(); u2.stop(); UpsertSink.clear(sid) }
   }
 
   test("wire → dedup → windowed upsert store: the serving sink sees deduped counts") {
