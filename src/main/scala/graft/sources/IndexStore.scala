@@ -201,6 +201,67 @@ object IndexStore {
       .saveAsTable(name)
   }
 
+  /** Bucket-AWARE compaction of a published artifact — the repair for
+    * [[append]]'s file growth (each append adds one file set per bucket
+    * and weakens the per-bucket sort to per-file). A plain
+    * [[CorpusIO.compactFiles]] coalesce would be WRONG here: it strips
+    * the bucket file naming, so the rewritten table would silently stop
+    * being bucketed and every serve join would re-grow an exchange.
+    * This rewrite keeps the bucket spec: the relation is repartitioned
+    * ON THE BUCKET-ID EXPRESSION (`pmod(hash(col), n)` — `hash()` is the
+    * same Murmur3 the bucketed writer assigns file buckets with), so
+    * every bucket's rows land wholly in one write task and the
+    * bucketBy/sortBy writer emits exactly ONE file per bucket with the
+    * full per-bucket sort restored. (Repartitioning on the raw column
+    * does NOT guarantee this: the exchange's partition-index mapping is
+    * not the bucket-id mapping, and a bucket split across tasks yields
+    * one file per task it touches.) Blue/green at the directory level: the compacted
+    * copy is fully written to a side path first, then swapped in with
+    * its sidecar re-created — a crash mid-compact leaves the original
+    * intact. Returns the (before, after) visible data-file counts.
+    */
+  def compact(s: SparkSession, key: String): (Int, Int) = {
+    val base = dir(s).getOrElse(
+      throw new IllegalStateException(s"$DirConf is not set"))
+    val name = tableName(key)
+    val path = s"$base/$name"
+    val served = tryServe(s, key).getOrElse(
+      throw new IllegalStateException(s"$key is not published under $base"))
+    val p = new org.apache.hadoop.fs.Path(s"$path/$Meta")
+    val fs = p.getFileSystem(s.sessionState.newHadoopConf())
+    val props = new java.util.Properties()
+    val in = fs.open(p)
+    try props.load(in) finally in.close()
+    val bCol = props.getProperty("bucketCol")
+    val n = props.getProperty("buckets").toInt
+    def dataFiles(d: String): Int =
+      fs.listStatus(new org.apache.hadoop.fs.Path(d))
+        .count(st => st.isFile && !st.getPath.getName.startsWith("_") &&
+          !st.getPath.getName.startsWith("."))
+    val before = dataFiles(path)
+    val tmpName = name + "_compacting"
+    val tmpPath = s"$base/$tmpName"
+    s.sql(s"DROP TABLE IF EXISTS $tmpName")
+    fs.delete(new org.apache.hadoop.fs.Path(tmpPath), true)
+    import org.apache.spark.sql.functions.{col, hash, lit, pmod}
+    CorpusIO.writeBucketed(
+      served.repartition(n, pmod(hash(col(bCol)), lit(n))),
+      tmpName, tmpPath, bCol, n)
+    // swap: the compacted copy is complete on disk; drop the catalog
+    // entries (both sessions' registrations re-derive from the sidecar),
+    // replace the directory, restore the sidecar
+    s.sql(s"DROP TABLE IF EXISTS $tmpName")
+    s.sql(s"DROP TABLE IF EXISTS $name")
+    fs.delete(new org.apache.hadoop.fs.Path(path), true)
+    if (!fs.rename(new org.apache.hadoop.fs.Path(tmpPath),
+        new org.apache.hadoop.fs.Path(path)))
+      throw new IllegalStateException(s"compaction swap failed for $key")
+    val out = fs.create(new org.apache.hadoop.fs.Path(s"$path/$Meta"), true)
+    try props.store(out, "graft durable index artifact (compacted)")
+    finally out.close()
+    (before, dataFiles(path))
+  }
+
   /** Publish the declared train-once artifacts of a corpus: the trained
     * k-means quantizer (centroids + assignment — the model
     * sim_ivf_kmeans_topk / sim_filtered_topk serve from), the MinHash

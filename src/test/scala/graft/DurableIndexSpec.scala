@@ -117,6 +117,88 @@ class DurableIndexSpec extends GraftSuite {
     }
   }
 
+  test("bucket-aware compaction: one file per bucket, rows identical, serve plan still exchange-free") {
+    // r13 verdict item 4: append grows one file set per bucket and
+    // weakens the per-bucket sort; CorpusIO.compactFiles' coalesce would
+    // strip the bucket naming entirely. IndexStore.compact must restore
+    // one-file-per-bucket WITHOUT losing the bucketed layout.
+    val store = java.nio.file.Files.createTempDirectory("graft_idx_cmp").toString
+    val key = s"gr_edges_num:$sfDir"
+    spark.conf.set(sources.IndexStore.DirConf, store)
+    try {
+      val e = operators.GraphOps.edgesNum(spark, sfDir)
+      sources.IndexStore.publish(spark, key, e, "src")
+      // two appends (disjoint halves re-appended) → 3 file sets per bucket
+      sources.IndexStore.append(spark, key, e.filter(col("src") % 4 === 0))
+      sources.IndexStore.append(spark, key, e.filter(col("src") % 4 === 2))
+      spark.sql(s"DROP TABLE IF EXISTS ${sources.IndexStore.tableName(key)}")
+      val s2 = spark.newSession()
+      s2.conf.set(sources.IndexStore.DirConf, store)
+      try {
+        val t = sources.IndexStore.tableName(key)
+        val before = rowsOf(sources.IndexStore.tryServe(s2, key).get)
+        val (nBefore, nAfter) = sources.IndexStore.compact(s2, key)
+        assert(nBefore > 8, s"appends should leave multi-file buckets, saw $nBefore")
+        assert(nAfter === 8, s"compaction must leave exactly one file per bucket, saw $nAfter")
+        // rows bit-identical through the rewrite (duplicates from the
+        // re-appends included — compaction is I/O repair, never dedup)
+        val served = sources.IndexStore.tryServe(s2, key).get
+        assert(rowsOf(served) === before)
+        // the layout is still bucketed: a self-join on the bucket key
+        // plans no exchange
+        val l = s2.table(t).select(col("src"), col("weight").as("wl"))
+        val r = s2.table(t).select(col("src"), col("weight").as("wr"))
+        val plan = planOf(l.join(r, "src"))
+        assert(!plan.contains("Exchange hashpartitioning"),
+          s"compacted table lost its bucketed layout:\n$plan")
+      } finally {
+        MatStore.clear(s2)
+        s2.sql(s"DROP TABLE IF EXISTS ${sources.IndexStore.tableName(key)}")
+      }
+    } finally {
+      spark.conf.unset(sources.IndexStore.DirConf)
+    }
+  }
+
+  test("serve refuses a stale artifact after its source corpus is rewritten; a sidecar key mismatch never serves") {
+    import spark.implicits._
+    val store = java.nio.file.Files.createTempDirectory("graft_idx_fp").toString
+    val data = java.nio.file.Files.createTempDirectory("graft_idx_fp_data").toString
+    val key = s"toy:$data"
+    spark.conf.set(sources.IndexStore.DirConf, store)
+    try {
+      Seq((1L, "a"), (2L, "b")).toDF("id", "v").write.mode("overwrite")
+        .parquet(s"$data/t.parquet")
+      sources.IndexStore.publish(spark, key,
+        spark.read.parquet(s"$data/t.parquet"), "id", sourceDir = Some(data))
+      spark.sql(s"DROP TABLE IF EXISTS ${sources.IndexStore.tableName(key)}")
+      // unchanged source: serves
+      assert(sources.IndexStore.tryServe(spark, key).isDefined)
+      spark.sql(s"DROP TABLE IF EXISTS ${sources.IndexStore.tableName(key)}")
+      // the corpus is rewritten in place (a new file lands): the
+      // fingerprint no longer matches → refuse, fall back to rebuild
+      Seq((3L, "c")).toDF("id", "v").write.mode("overwrite")
+        .parquet(s"$data/t2.parquet")
+      assert(sources.IndexStore.tryServe(spark, key).isEmpty,
+        "a stale artifact must not serve after the source data changed")
+      // an old-layout/corrupted sidecar whose stored key disagrees with
+      // the requested key must never serve another corpus's artifact
+      val name = sources.IndexStore.tableName(key)
+      val p = new org.apache.hadoop.fs.Path(s"$store/$name/_graft_index.properties")
+      val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+      val props = new java.util.Properties()
+      val in = fs.open(p); try props.load(in) finally in.close()
+      props.setProperty("key", "some_other_corpus")
+      props.remove("fingerprint"); props.remove("sourceDir")
+      val out = fs.create(p, true); try props.store(out, "tampered") finally out.close()
+      assert(sources.IndexStore.tryServe(spark, key).isEmpty,
+        "a sidecar holding a different key must not serve")
+    } finally {
+      spark.conf.unset(sources.IndexStore.DirConf)
+      spark.sql(s"DROP TABLE IF EXISTS ${sources.IndexStore.tableName(key)}")
+    }
+  }
+
   test("publish refuses a self-overwrite from a serving session") {
     val store = java.nio.file.Files.createTempDirectory("graft_idx_guard").toString
     val key = s"gr_edges_num:$sfDir"
