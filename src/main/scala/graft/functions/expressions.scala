@@ -222,23 +222,51 @@ case class LexiconScore(tokens: Expression, lexArg: Expression,
     if (arr == null) return null
     val a = arr.asInstanceOf[ArrayData]
     val n = a.numElements()
-    var sum = 0L
+    // pass 1 — case analysis (VADER's allcap_differential): per token,
+    // the lowercased LOOKUP form (null = already lowercase) and the
+    // ALL-CAPS flag; emphasis applies only when SOME but not ALL tokens
+    // are caps. The byte scan is the fast path: a pure-ASCII token with
+    // no uppercase letter allocates nothing.
+    val low = new Array[UTF8String](n)
+    val caps = new Array[Boolean](n)
+    var nCaps = 0
     var i = 0
     while (i < n) {
       if (!a.isNullAt(i)) {
-        val v = valence.get(a.getUTF8String(i))
+        val t = a.getUTF8String(i)
+        if (LexiconScore.maybeCased(t)) {
+          val lo = t.toLowerCase
+          if (!t.equals(lo)) {
+            low(i) = lo
+            if (t.equals(t.toUpperCase)) { caps(i) = true; nCaps += 1 }
+          }
+        }
+      }
+      i += 1
+    }
+    val capDiff = nCaps > 0 && nCaps < n
+    var sum = 0L
+    i = 0
+    while (i < n) {
+      if (!a.isNullAt(i)) {
+        val key = if (low(i) != null) low(i) else a.getUTF8String(i)
+        val v = valence.get(key)
         if (v != null) {
           var negated = false; var boosted = false
           var o = 1
           while (o <= 3 && i - o >= 0) {
             if (!a.isNullAt(i - o)) {
-              val b = a.getUTF8String(i - o)
+              val b = if (low(i - o) != null) low(i - o) else a.getUTF8String(i - o)
               negated = negated || negatorSet.contains(b)
               boosted = boosted || boosterSet.contains(b)
             }
             o += 1
           }
           var vv = v.longValue()
+          // VADER order: C_INCR caps emphasis on the word itself, then
+          // the booster scalar, then the negation multiply (all exact:
+          // every term is a multiple of 100)
+          if (capDiff && caps(i)) vv += (if (vv > 0) CapIncr else -CapIncr)
           if (boosted) vv += (if (vv > 0) BoostIncr else -BoostIncr)
           if (negated) vv = vv * NegScalarNum / NegScalarDen
           sum += vv
@@ -259,6 +287,10 @@ case class LexiconScore(tokens: Expression, lexArg: Expression,
     val b = ctx.freshName("bk"); val v = ctx.freshName("v")
     val vv = ctx.freshName("vv"); val sum = ctx.freshName("sum")
     val negated = ctx.freshName("negated"); val boosted = ctx.freshName("boosted")
+    val low = ctx.freshName("low"); val caps = ctx.freshName("caps")
+    val nCaps = ctx.freshName("nCaps"); val capDiff = ctx.freshName("capDiff")
+    val t = ctx.freshName("tok"); val lo = ctx.freshName("lo")
+    val key = ctx.freshName("key")
     ev.copy(code = code"""
       |${tokGen.code}
       |boolean ${ev.isNull} = ${tokGen.isNull};
@@ -266,19 +298,36 @@ case class LexiconScore(tokens: Expression, lexArg: Expression,
       |if (!${ev.isNull}) {
       |  final ArrayData $a = ${tokGen.value};
       |  final int $n = $a.numElements();
+      |  final UTF8String[] $low = new UTF8String[$n];
+      |  final boolean[] $caps = new boolean[$n];
+      |  int $nCaps = 0;
+      |  for (int $i = 0; $i < $n; $i++) {
+      |    if ($a.isNullAt($i)) continue;
+      |    final UTF8String $t = $a.getUTF8String($i);
+      |    if (graft.functions.LexiconScore$$.MODULE$$.maybeCased($t)) {
+      |      final UTF8String $lo = $t.toLowerCase();
+      |      if (!$t.equals($lo)) {
+      |        $low[$i] = $lo;
+      |        if ($t.equals($t.toUpperCase())) { $caps[$i] = true; $nCaps++; }
+      |      }
+      |    }
+      |  }
+      |  final boolean $capDiff = $nCaps > 0 && $nCaps < $n;
       |  long $sum = 0L;
       |  for (int $i = 0; $i < $n; $i++) {
       |    if ($a.isNullAt($i)) continue;
-      |    final Long $v = (Long) $lex.get($a.getUTF8String($i));
+      |    final UTF8String $key = $low[$i] != null ? $low[$i] : $a.getUTF8String($i);
+      |    final Long $v = (Long) $lex.get($key);
       |    if ($v == null) continue;
       |    boolean $negated = false; boolean $boosted = false;
       |    for (int $o = 1; $o <= 3 && $i - $o >= 0; $o++) {
       |      if ($a.isNullAt($i - $o)) continue;
-      |      final UTF8String $b = $a.getUTF8String($i - $o);
+      |      final UTF8String $b = $low[$i - $o] != null ? $low[$i - $o] : $a.getUTF8String($i - $o);
       |      $negated = $negated || $ngt.contains($b);
       |      $boosted = $boosted || $bst.contains($b);
       |    }
       |    long $vv = $v.longValue();
+      |    if ($capDiff && $caps[$i]) $vv += ($vv > 0 ? ${CapIncr}L : -${CapIncr}L);
       |    if ($boosted) $vv += ($vv > 0 ? ${BoostIncr}L : -${BoostIncr}L);
       |    if ($negated) $vv = $vv * ${NegScalarNum}L / ${NegScalarDen}L;
       |    $sum += $vv;
@@ -304,11 +353,41 @@ object LexiconScore {
   val TenthScale = 10000L
   /** VADER B_INCR 0.293 at the 1e5 scale, added sign-aligned. */
   val BoostIncr = 29300L
+  /** VADER C_INCR 0.733 at the 1e5 scale (r14) — the ALL-CAPS emphasis,
+    * added sign-aligned to a matched word when the document mixes cased
+    * and all-caps tokens (VADER's allcap_differential gate: emphasis
+    * means nothing in a text that is entirely shouted).
+    */
+  val CapIncr = 73300L
+  /** VADER punctuation amplification at the 1e5 scale (r14), applied to
+    * the document SUM sign-aligned before normalization: 0.292 per '!'
+    * capped at four; '?' contributes 0.18 each for two-or-three, a flat
+    * 0.96 beyond (the published ep/qm rules).
+    */
+  val ExclIncr = 29200L
+  val QmStep = 18000L
+  val QmCap = 96000L
   /** VADER N_SCALAR −0.74 as an exact integer ratio (every boosted or
     * unboosted valence is a multiple of 100, so ×−74/100 is exact).
     */
   val NegScalarNum = -74L
   val NegScalarDen = 100L
+
+  /** Fast-path case probe: false ⇔ the token is pure ASCII with no
+    * uppercase letter — it cannot be ALL-CAPS and equals its own
+    * lowercase form, so the scorer skips both case allocations. Any
+    * non-ASCII byte routes to the slow (Unicode-correct) path.
+    */
+  def maybeCased(t: UTF8String): Boolean = {
+    val n = t.numBytes
+    var i = 0
+    while (i < n) {
+      val b = t.getByte(i)
+      if ((b >= 'A' && b <= 'Z') || b < 0) return true
+      i += 1
+    }
+    false
+  }
 }
 
 /** Native codegen count of tokens that appear in a literal word set (with

@@ -43,6 +43,10 @@ object Sentiment {
 
   private val MagBase = graft.functions.LexiconScore.MagBase
   private val BoostIncr = graft.functions.LexiconScore.BoostIncr
+  private val CapIncr = graft.functions.LexiconScore.CapIncr
+  private val ExclIncr = graft.functions.LexiconScore.ExclIncr
+  private val QmStep = graft.functions.LexiconScore.QmStep
+  private val QmCap = graft.functions.LexiconScore.QmCap
   private val NegNum = graft.functions.LexiconScore.NegScalarNum
   private val NegDen = graft.functions.LexiconScore.NegScalarDen
 
@@ -62,58 +66,94 @@ object Sentiment {
       lit(VaderLexicon.Boosters.mkString(" ")))
 
   /** Append compound + label to a frame carrying the 1e5-scaled integer
-    * score `sc` — the ONE place the normalization and thresholds live
-    * (labeledDf and sent_examples both route through it, so the labelers
-    * can never drift apart).
+    * token-sum `sc` and the punctuation-emphasis amount `emph` — the ONE
+    * place the punctuation amplification, normalization and thresholds
+    * live (labeledDf and sent_examples both route through it, so the
+    * labelers can never drift apart). VADER applies punctuation to the
+    * document SUM, sign-aligned, before the compound normalization
+    * (score_valence's ep/qm amplifiers) — exact integer arithmetic here.
     */
   private def withCompound(df: DataFrame): DataFrame =
-    df.withColumn("sv", col("sc") / lit(MagBase.toDouble))
+    df.withColumn("sc",
+        col("sc") + when(col("sc") > 0, col("emph"))
+          .when(col("sc") < 0, -col("emph")).otherwise(lit(0L)))
+      .withColumn("sv", col("sc") / lit(MagBase.toDouble))
       .withColumn("compound", col("sv") / sqrt(col("sv") * col("sv") + lit(Alpha)))
       .withColumn("label",
         when(col("compound") > 0.05, "positive")
           .when(col("compound") < -0.05, "negative")
           .otherwise("neutral"))
 
+  /** 1e5-scaled punctuation emphasis of a text Column: 0.292 per '!'
+    * capped at four; 0.18 per '?' for two-or-three, flat 0.96 beyond
+    * (VADER's published ep/qm rules). Exact long integer.
+    */
+  private def punctEmph(text: Column): Column = {
+    val ep = (length(text) - length(translate(text, "!", ""))).cast("long")
+    val qm = (length(text) - length(translate(text, "?", ""))).cast("long")
+    least(ep, lit(4L)) * ExclIncr +
+      when(qm > 3, QmCap).when(qm > 1, qm * QmStep).otherwise(lit(0L))
+  }
+
   private def labeledDf(s: SparkSession, dir: String,
       entries: Seq[(String, Int)], posW: Seq[String], negW: Seq[String]): DataFrame = {
     import s.implicits._
     val toks = split($"text", " ")
+    // the pos/neg panel counts match on the LOWERCASED tokens — the same
+    // case-insensitive membership the scorer and its oracle use
+    val toksLower = split(lower($"text"), " ")
     withCompound(Tables.documents(s, dir).select(
       $"doc_id",
-      nIn(toks, posW).as("pos_n"),
-      nIn(toks, negW).as("neg_n"),
+      nIn(toksLower, posW).as("pos_n"),
+      nIn(toksLower, negW).as("neg_n"),
       size(toks).cast("long").as("wc"),
-      scaledScore(toks, entries).as("sc")))
+      scaledScore(toks, entries).as("sc"),
+      punctEmph($"text").as("emph")))
   }
 
   private def labeledSql(entries: Seq[(String, Int)], alias: String): String = {
     def window(words: Seq[String]): String =
-      (1 to 3).map(o => s"(i > $o AND w[i - $o] IN (${inList(words)}))").mkString("(", " OR ", ")")
+      (1 to 3).map(o => s"(i > $o AND lower(w[i - $o]) IN (${inList(words)}))").mkString("(", " OR ", ")")
     val vCase = entries
       .map { case (w, v) => s"WHEN '$w' THEN ${v * graft.functions.LexiconScore.TenthScale}" }
       .mkString(" ")
     val negWin = window(VaderLexicon.Negators)
     val boostWin = window(VaderLexicon.Boosters)
-    // sign-aligned B_INCR, applied BEFORE the N_SCALAR multiply (VADER's
-    // order); //-division is exact — see the portability note above
+    // VADER modifier order, all exact integers: sign-aligned C_INCR caps
+    // emphasis (gated on the document's caps differential), sign-aligned
+    // B_INCR, then the N_SCALAR multiply; //-division is exact — see the
+    // portability note above
+    val emphd =
+      s"""v[i] + (CASE WHEN capdiff AND cp[i] = 1 THEN
+         |        (CASE WHEN v[i] > 0 THEN $CapIncr ELSE -$CapIncr END)
+         |        ELSE 0 END)""".stripMargin
     val boosted =
-      s"""v[i] + (CASE WHEN $boostWin THEN
+      s"""($emphd) + (CASE WHEN $boostWin THEN
          |        (CASE WHEN v[i] > 0 THEN $BoostIncr ELSE -$BoostIncr END)
          |        ELSE 0 END)""".stripMargin
     s"""${alias}w AS MATERIALIZED (
        |  SELECT doc_id, w,
-       |    list_transform(w, x -> CASE x $vCase ELSE 0 END) AS v
-       |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
+       |    list_transform(w, x -> CASE lower(x) $vCase ELSE 0 END) AS v,
+       |    list_transform(w, x -> CASE WHEN x = upper(x) AND x <> lower(x) THEN 1 ELSE 0 END) AS cp,
+       |    CAST(len(text) - len(replace(text, '!', '')) AS BIGINT) AS ep_n,
+       |    CAST(len(text) - len(replace(text, '?', '')) AS BIGINT) AS qm_n
+       |  FROM (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents)),
        |$alias AS MATERIALIZED (
-       |  SELECT doc_id,
+       |  SELECT doc_id, pos_n, neg_n, wc,
+       |    sc0 + (CASE WHEN sc0 > 0 THEN emph WHEN sc0 < 0 THEN -emph ELSE 0 END) AS sc
+       |  FROM (SELECT doc_id,
        |    CAST(len(list_filter(v, x -> x > 0)) AS BIGINT) AS pos_n,
        |    CAST(len(list_filter(v, x -> x < 0)) AS BIGINT) AS neg_n,
        |    CAST(len(w) AS BIGINT) AS wc,
        |    CAST(list_sum(list_transform(generate_series(1, len(w)), i ->
        |      CASE WHEN v[i] = 0 THEN 0
        |           WHEN $negWin THEN (($boosted) * $NegNum) // $NegDen
-       |           ELSE $boosted END)) AS BIGINT) AS sc
-       |  FROM ${alias}w),
+       |           ELSE $boosted END)) AS BIGINT) AS sc0,
+       |    LEAST(ep_n, 4) * $ExclIncr +
+       |      (CASE WHEN qm_n > 3 THEN $QmCap WHEN qm_n > 1 THEN qm_n * $QmStep ELSE 0 END) AS emph
+       |  FROM (SELECT *,
+       |      (list_sum(cp) > 0 AND list_sum(cp) < len(w)) AS capdiff
+       |    FROM ${alias}w))),
        |${alias}l AS MATERIALIZED (
        |  SELECT doc_id, pos_n, neg_n, wc, compound,
        |    CASE WHEN compound > 0.05 THEN 'positive'
@@ -253,7 +293,8 @@ object Sentiment {
     val scored = withCompound(Tables.documents(s, dir).select(
       $"doc_id", $"lang", $"source", $"n_chars",
       substring($"text", 1, 60).as("snippet"),
-      scaledScore(toks, VaderLexicon.Entries).as("sc")))
+      scaledScore(toks, VaderLexicon.Entries).as("sc"),
+      punctEmph($"text").as("emph")))
       .withColumn("score", P.prnd($"compound", 6))
     // top-3 by |score| DESC, doc_id ASC per label, encoded as the
     // k-smallest of struct(-|score|, doc_id, payload...)

@@ -18,6 +18,52 @@ class TextSentimentSpec extends GraftSuite {
     })
   }
 
+  test("VADER caps/punctuation emphasis: planted docs match hand-computed scores") {
+    // r13 verdict item 5: ALL-CAPS emphasis (C_INCR 0.733, gated on the
+    // caps DIFFERENTIAL — a fully-shouted text gets none) and '!'/'?'
+    // amplification (0.292 per '!' ≤4; 0.18 per '?' for 2-3, 0.96 cap)
+    // are published VADER behaviors. The synthetic corpus carries no
+    // caps or punctuation, so these paths need planting: a documents
+    // table with cased/punctuated texts, run through the REAL
+    // sent_lexicon query, against exact hand-computed integer sums.
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_vader").toString
+    Seq(
+      (1L, "this is GOOD news"), // caps diff → 19·1e4 + 73300
+      (2L, "GOOD NEWS EVERYONE TODAY"), // ALL caps → no differential, base only
+      (3L, "not GOOD"), // (base + caps) × −0.74, exact
+      (4L, "very GOOD"), // caps then booster, both sign-aligned
+      (5L, "good news !!!"), // 3 '!' → +3·29200 on a positive sum
+      (6L, "bad day ????"), // >3 '?' → the 96000 cap on a negative sum
+      (7L, "terrible!!!") // attached punctuation: token unmatched, sum 0, emph unapplied
+    ).map { case (id, t) => (id, t, "en", "plant", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Registry.byName("sent_lexicon").run(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Double]("score"), r.getAs[String]("label"))).toMap
+    val expSc = Map( // exact 1e5-scaled integer sums, by the VADER rules
+      1L -> 263300L, // 190000 + 73300
+      2L -> 190000L,
+      3L -> -194842L, // 263300 · −74 / 100
+      4L -> 292600L, // 190000 + 73300 + 29300
+      5L -> 277600L, // 190000 + 3·29200
+      6L -> -346000L, // −250000 − 96000
+      7L -> 0L)
+    def compound(sc: Long): Double = {
+      val sv = sc / 100000.0
+      val c = sv / math.sqrt(sv * sv + 15.0)
+      math.floor(c * 1e6 + 0.5) / 1e6
+    }
+    expSc.foreach { case (id, sc) =>
+      assert(got(id)._1 === compound(sc), s"doc $id: ${got(id)._1} vs sc=$sc")
+    }
+    assert(got(3L)._2 === "negative")
+    assert(got(7L)._2 === "neutral")
+    // the differential matters: mixed-case doc 1 outscored the shouted doc 2
+    assert(got(1L)._1 > got(2L)._1)
+  }
+
   test("sentiment distribution shares sum to 1") {
     val share = run("sent_distribution").agg(sum("share")).head().getDouble(0)
     assert(math.abs(share - 1.0) < 1e-4)
