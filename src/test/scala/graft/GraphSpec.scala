@@ -62,6 +62,40 @@ class GraphSpec extends GraftSuite {
     assert(ref.getAs[Long]("n_communities") >= 1L)
   }
 
+  test("louvain: planted modular graph reaches a 2-community fixpoint with positive Q") {
+    // r13 verdict stretch item: the corpus graph has no assortative
+    // structure, so gr_louvain honestly converges to 1 community there
+    // (the planted corpus specs cover that). This plants a graph that
+    // HAS structure — two dense customer×supplier blocks (pair weight 2)
+    // joined by one weak cross edge — and asserts the LPA + move-down
+    // sweep pipeline lands on the true 2-block partition with the
+    // hand-computed modularity, not a degenerate fixpoint.
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_louvain").toString
+    Seq((100L, 10L), (101L, 11L), (102L, 12L), (103L, 30L), (104L, 31L),
+      (105L, 32L), (106L, 12L))
+      .toDF("o_orderkey", "o_custkey")
+      .write.parquet(s"$dir/orders.parquet")
+    val blockA = Seq(100L, 101L, 102L)
+      .flatMap(o => Seq(20L, 20L, 21L, 21L, 22L, 22L).map(sp => (o, sp)))
+    val blockB = Seq(103L, 104L, 105L)
+      .flatMap(o => Seq(50L, 50L, 51L, 51L, 52L, 52L).map(sp => (o, sp)))
+    (blockA ++ blockB :+ ((106L, 50L)))
+      .toDF("l_orderkey", "l_suppkey")
+      .write.parquet(s"$dir/lineitem.parquet")
+    val row = Registry.byName("gr_louvain").run(spark, dir).collect()(0)
+    assert(row.getAs[Long]("n_communities") === 2L,
+      s"expected the 2 planted blocks, got ${row.getAs[Long]("n_communities")}")
+    assert(row.getAs[Long]("n_moved") > 0L, "the sweep should move the LPA side-labels down")
+    // hand-computed Q of the block partition: one-directional weight
+    // 18+18+1 = 37, so w2 = 74; win = 36 per block (both directions),
+    // wtot = 37 per block (the cross edge adds 1 to each side):
+    // Q = 2·(36/74 − (37/74)²) = 0.472972973…
+    val q = row.getAs[Double]("modularity")
+    assert(math.abs(q - 0.472972973) < 1e-6, s"modularity $q")
+    assert(q > 0.0)
+  }
+
   test("edges exclude the bot-account keys and carry positive weights") {
     val e = run("gr_edges")
     assert(e.count() > 0)
