@@ -149,6 +149,12 @@ object CorpusIO {
     * coalesced task reads at most ceil(splits/n) input splits, and
     * splits are already maxPartitionBytes-bounded.
     *
+    * NOT for BUCKETED tables: coalesce strips the bucket file naming,
+    * so pointing this at a bucketed layout silently un-buckets it and
+    * every co-located serve join re-grows an exchange — compact those
+    * with [[IndexStore.compact]], which rewrites per bucket and keeps
+    * the spec (r13 ADVICE / verdict item 4).
+    *
     * Returns the target file count (observability — the job log line a
     * compaction service records).
     */

@@ -50,9 +50,12 @@ object ScaleTrend {
     val src = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
     val out = if (args.length > 1) args(1) else "/tmp/graft_scale5x"
     val factor = if (args.length > 2) args(2).toInt else 5
+    // args(3): comma-separated name subset — re-probe suspected throttle
+    // noise against an ALREADY-BUILT replica without the full sweep
+    val only = if (args.length > 3) Some(args(3).split(",").toSet) else None
     val spark = GraftSession.get(32)
     spark.sparkContext.setLogLevel("ERROR")
-    build(spark, src, out, factor)
+    if (only.isEmpty) build(spark, src, out, factor)
 
     val names = Seq("q1_pricing_summary", "q_rollup", "etl_clean_text",
       "tx_fingerprint", "sent_agreement", "dd_simhash", "dd_embedding",
@@ -106,7 +109,12 @@ object ScaleTrend {
       "ops_infra_gate", "mm_decode_meta", "dd_minhash_lsh",
       // the split-leakage gate and its cluster-aware fix ride the shared
       // verified-pair/cluster relations plus split enrichment joins
-      "dd_split_leakage", "etl_split_by_cluster")
+      "dd_split_leakage", "etl_split_by_cluster",
+      // r14: the weighted Bellman-Ford landmark relaxations (+ the
+      // distance-leveled σ/δ DAG passes over the weighted shortest-path
+      // DAG) and the file-incremental manifest-diff gate (batch-sized
+      // probe work + one base corpus write)
+      "gr_closeness_w", "gr_betweenness_w", "ops_incremental_gate")
     def time(name: String, dir: String): Double = {
       val fn = SparkEntry.queries(name)
       (1 to 2).map { _ =>
@@ -115,7 +123,7 @@ object ScaleTrend {
         (System.nanoTime() - t0) / 1e9
       }.min
     }
-    names.foreach { n =>
+    names.filter(n => only.forall(_.contains(n))).foreach { n =>
       val a = time(n, src)
       val b = time(n, out)
       println(f"SCALETREND $n%-24s base=$a%6.2f x$factor=$b%6.2f ratio=${b / a}%5.2f")
