@@ -302,9 +302,12 @@ object Ops {
       // id list all ride the same blocks
       s.read.parquet(workList.map(f => s"$corpus/$f").toIndexedSeq: _*)
     }
-    // batch signatures from the work-list files; base half of the shared
-    // signature store (published table in serve mode)
-    val bandsB = Dedup.bandsOfDocs(batch)
+    // batch signatures from the work-list files — themselves a
+    // once-per-ingest artifact (production APPENDS them to the durable
+    // signature store, IndexStore.append; recomputing them per consumer
+    // would re-pay the batch's tokenize+minhash for every probe)
+    val bandsB = graft.MatStore.of(s, s"ops_inc_bands:$dir")(
+        Dedup.bandsOfDocs(batch))
       .select($"doc_id".as("b_id"), $"band", $"bkey")
     val baseBands = graft.MatStore.of(s, s"dd_bands:$dir")(Dedup.minhashBands(s, dir))
       .filter($"doc_id" < Dedup.IncSplit)
