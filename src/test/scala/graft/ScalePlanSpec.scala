@@ -178,6 +178,18 @@ class ScalePlanSpec extends GraftSuite {
     assert(on.toSeq === off.toSeq, "shuffled-hash sweep path diverged from broadcast path")
   }
 
+  test("knob off: weighted centralities match the broadcast-path results") {
+    // r14: every weighted-relaxation state join (frontier, candidate,
+    // σ, δ, both DAG sides) rides stateJoin — the shuffled-hash 100 TB
+    // path must produce BIT-identical distances/dependencies, since the
+    // relax recurrences are exact integer/decimal arithmetic either way
+    for (name <- Seq("gr_closeness_w", "gr_betweenness_w")) {
+      val on = run(name).collect()
+      val off = withKnobOff { run(name).collect() }
+      assert(on.toSeq === off.toSeq, s"$name: shuffled-hash path diverged")
+    }
+  }
+
   test("full-output queries plan no global sort (no RangePartitioning exchange)") {
     // A global orderBy plans Exchange(RangePartitioning), whose range
     // boundaries come from a SAMPLING pass that re-executes the child —
