@@ -60,6 +60,14 @@ object IndexStore {
     * (serve falls back to an in-session rebuild) instead of silently
     * serving artifacts of the dead corpus (r13 ADVICE).
     */
+  /** Cost note: the recursive listing runs once per SERVED KEY per
+    * session (MatStore memoizes the served relation, so tryServe fires
+    * on the first miss only) — the same metadata-pass cost class as the
+    * served table's own file index. Deliberately NOT cached across keys:
+    * a session-scoped fingerprint cache would blind a live session to an
+    * in-place rewrite, which is exactly the staleness this check exists
+    * to catch (spec-planted).
+    */
   def dataFingerprint(s: SparkSession, dataDir: String): String = {
     val conf = s.sessionState.newHadoopConf()
     val root = new org.apache.hadoop.fs.Path(dataDir)
