@@ -93,13 +93,8 @@ object Dedup {
     * chain as [[minhashBands]], so batch signatures are directly
     * probe-compatible with the published store.
     */
-  def bandsOfDocs(docs: DataFrame): DataFrame = {
-    val s = docs.sparkSession
-    import s.implicits._
-    minhashBandsOf(s, docs
-      .select($"doc_id", split($"text", " ").as("w"))
-      .filter(size($"w") >= ShingleK))
-  }
+  def bandsOfDocs(docs: DataFrame): DataFrame =
+    minhashBandsOf(docs.sparkSession, tokenizedOf(docs))
 
   /** (doc_id, w) tokenization shared by the minhash and 3-gram paths.
     * The words array MUST be aliased in its own projection: referenced
@@ -107,12 +102,24 @@ object Dedup {
     * element_at inside the (interpreted, no-CSE) lambda — measured 5
     * regex splits per shingle, 28x the rows' worth of split work.
     */
-  def tokenized(s: SparkSession, dir: String): DataFrame = {
+  /** (doc_id, w) tokenization of an ARBITRARY documents relation — THE
+    * single definition of the split + ShingleK length gate. The gate is
+    * correctness-bearing (short docs must be excluded identically on
+    * the signature path and the 3-gram verify path, or incremental-vs-
+    * full parity breaks), so every tokenizer — the corpus table path,
+    * [[bandsOfDocs]], and the file-incremental gate's work-list read —
+    * routes here rather than re-spelling it.
+    */
+  def tokenizedOf(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
     import s.implicits._
-    Tables.documents(s, dir)
+    docs
       .select($"doc_id", split($"text", " ").as("w"))
       .filter(size($"w") >= ShingleK)
   }
+
+  def tokenized(s: SparkSession, dir: String): DataFrame =
+    tokenizedOf(Tables.documents(s, dir))
 
   /** Materialized (doc_id, w) token arrays — the shared corpus scan of the
     * dd_* family (see [[graft.MatStore]]): minhash signatures, the 3-gram

@@ -246,6 +246,22 @@ object Ops {
     *     the work-list files, base grams candidate-only); exact dups by
     *     md5 against the base corpus.
     */
+  /** The gate's working corpus location — keyed on the SESSION as well
+    * as the corpus (two sessions in one JVM, e.g. spec + bench, must
+    * not clobber each other's in-flight lifecycle: the MatStore build
+    * mutates the filesystem, so the 'benign race, loser discarded'
+    * contract of pure builds does not apply), and DERIVED rather than
+    * random so the quiet-day spec can re-snapshot the same corpus the
+    * gate wrote. Shared with SourcesSpec through this one definition.
+    */
+  private[graft] def incGateCorpusDir(s: org.apache.spark.sql.SparkSession,
+      dir: String): String = {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+    val sess = Integer.toHexString(System.identityHashCode(s))
+    s"${System.getProperty("java.io.tmpdir")}/graft_inc_gate_${sess}_$digest/corpus"
+  }
+
   val incrementalGate = QueryDef(
     "ops_incremental_gate",
     Dedup.incremental.oracle.get) { (s, dir) =>
@@ -264,10 +280,8 @@ object Ops {
     // the scale trend (1.24x at 5x data) shows the cost is fixed, not
     // data-scaling.
     val batch = graft.MatStore.of(s, s"ops_inc_batch:$dir") {
-      val work = s"${System.getProperty("java.io.tmpdir")}/graft_inc_gate_" +
-        java.security.MessageDigest.getInstance("MD5")
-          .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
-      val corpus = s"$work/corpus"
+      val corpus = incGateCorpusDir(s, dir)
+      val work = new java.io.File(corpus).getParent
       val root = new org.apache.hadoop.fs.Path(work)
       val hfs = root.getFileSystem(s.sessionState.newHadoopConf())
       if (hfs.exists(root)) hfs.delete(root, true)
@@ -316,8 +330,7 @@ object Ops {
       .select($"b_id", $"base_id").distinct().ckpt
     val candIds = pairs.select($"b_id".as("doc_id"))
       .union(pairs.select($"base_id".as("doc_id"))).distinct()
-    val toksB = batch.select($"doc_id", split($"text", " ").as("w"))
-      .filter(size($"w") >= Dedup.ShingleK)
+    val toksB = Dedup.tokenizedOf(batch)
     val toksBase = Dedup.tokenizedM(s, dir).filter($"doc_id" < Dedup.IncSplit)
     val g3 = toksB.union(toksBase)
       .join(candIds, Seq("doc_id"), "left_semi")

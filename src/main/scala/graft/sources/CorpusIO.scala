@@ -237,17 +237,19 @@ object CorpusIO {
     * snapshots of the same logical corpus diff cleanly across physical
     * locations (a copy, a rename, a bucket migration).
     */
-  def manifest(spark: SparkSession, path: String): DataFrame = {
-    import spark.implicits._
-    val conf = spark.sessionState.newHadoopConf()
-    val root = new org.apache.hadoop.fs.Path(path)
-    val fs = root.getFileSystem(conf)
-    // Path.toString carries the DECODED path form (unlike URI.relativize,
-    // whose output is percent-encoded and misresolves when re-joined as a
-    // string), and the hidden filter applies to EVERY path component
-    // under the root — a data file inside an abandoned `_temporary/` or
-    // `.staging/` directory from a failed write must not enter the
-    // snapshot, even though its own basename looks clean (r12 ADVICE).
+  /** Recursive listing of the VISIBLE parquet data files under `root`:
+    * (relative path, qualified path, bytes, mtime). THE single
+    * definition of snapshot visibility, shared by [[manifest]] and
+    * [[IndexStore]]'s source-staleness check — Path.toString carries the
+    * DECODED path form (unlike URI.relativize, whose output is
+    * percent-encoded and misresolves when re-joined as a string), and
+    * the hidden filter applies to EVERY path component under the root —
+    * a data file inside an abandoned `_temporary/` or `.staging/`
+    * directory from a failed write must not enter the snapshot, even
+    * though its own basename looks clean (r12 ADVICE).
+    */
+  private[graft] def visibleParquetFiles(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path): Seq[(String, String, Long, Long)] = {
     val rootStr = fs.makeQualified(root).toString
     val files = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long, Long)]
     val it = fs.listFiles(root, true)
@@ -262,8 +264,17 @@ object CorpusIO {
           files += ((rel, full, st.getLen, st.getModificationTime))
       }
     }
+    files.toSeq
+  }
+
+  def manifest(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    val conf = spark.sessionState.newHadoopConf()
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(conf)
+    val files = visibleParquetFiles(fs, root)
     val serConf = new org.apache.spark.util.SerializableConfiguration(conf)
-    files.toSeq.toDS()
+    files.toDS()
       .repartition(math.max(1, math.min(files.size, 64)))
       .mapPartitions { part =>
         val hconf = serConf.value

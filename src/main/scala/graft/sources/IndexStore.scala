@@ -32,6 +32,14 @@ object IndexStore {
 
   private val Meta = "_graft_index.properties"
 
+  /** Second sidecar: the recorded source snapshot (one line per visible
+    * parquet file of the source dir at publish time — see
+    * [[sourceSnapshotLines]]). A separate file, not a property: the
+    * list is manifest-scale, and properties-escaping a multi-MB value
+    * would make the main sidecar unreadable to a human operator.
+    */
+  private val SrcMeta = "_graft_source.snapshot"
+
   def dir(s: SparkSession): Option[String] =
     Option(s.conf.get(DirConf, null)).filter(_.nonEmpty)
 
@@ -60,34 +68,45 @@ object IndexStore {
     * (serve falls back to an in-session rebuild) instead of silently
     * serving artifacts of the dead corpus (r13 ADVICE).
     */
-  /** Cost note: the recursive listing runs once per SERVED KEY per
+  /** One `rel\tbytes\tmtime` line per visible parquet file of a corpus
+    * dir, sorted — the recorded source snapshot behind the staleness
+    * check. Shares [[CorpusIO.visibleParquetFiles]]'s visibility rule
+    * (the same rule [[CorpusIO.manifest]] applies), so a file the
+    * manifest would schedule can never be invisible to the check.
+    *
+    * Cost note: the recursive listing runs once per SERVED KEY per
     * session (MatStore memoizes the served relation, so tryServe fires
     * on the first miss only) — the same metadata-pass cost class as the
-    * served table's own file index. Deliberately NOT cached across keys:
-    * a session-scoped fingerprint cache would blind a live session to an
-    * in-place rewrite, which is exactly the staleness this check exists
-    * to catch (spec-planted).
+    * served table's own file index. Deliberately NOT cached across
+    * keys: a session-scoped cache would blind a live session to an
+    * in-place rewrite, which is exactly what the check exists to catch
+    * (spec-planted).
     */
-  def dataFingerprint(s: SparkSession, dataDir: String): String = {
-    val conf = s.sessionState.newHadoopConf()
+  def sourceSnapshotLines(s: SparkSession, dataDir: String): Seq[String] = {
     val root = new org.apache.hadoop.fs.Path(dataDir)
-    val fs = root.getFileSystem(conf)
-    val rootStr = fs.makeQualified(root).toString
-    val lines = scala.collection.mutable.ArrayBuffer.empty[String]
-    val it = fs.listFiles(root, true)
-    while (it.hasNext) {
-      val st = it.next()
-      if (st.isFile) {
-        val rel = fs.makeQualified(st.getPath).toString
-          .stripPrefix(rootStr).stripPrefix("/")
-        val comps = rel.split("/")
-        val hidden = comps.exists(c => c.startsWith("_") || c.startsWith("."))
-        if (!hidden && comps.last.endsWith(".parquet"))
-          lines += s"$rel\t${st.getLen}\t${st.getModificationTime}"
-      }
-    }
-    md5Hex(lines.sorted.mkString("\n"))
+    val fs = root.getFileSystem(s.sessionState.newHadoopConf())
+    CorpusIO.visibleParquetFiles(fs, root)
+      .map { case (rel, _, bytes, mtime) => s"$rel\t$bytes\t$mtime" }
+      .sorted
   }
+
+  /** True iff every file recorded at publish time still reads back
+    * byte-for-byte the same (present, same size, same mtime). File
+    * ADDITIONS are deliberately NOT staleness: new files are the
+    * daily-ingest flow (manifestDiff schedules them, [[append]] lands
+    * their signatures) — treating an arrival as a rewrite would
+    * self-invalidate the store on its first incremental day, while a
+    * base file changing or vanishing under a published artifact is the
+    * real corruption signal. Any listing failure (source dir moved,
+    * permissions) reads as stale — refusal is safe, the consumer
+    * rebuilds in-session.
+    */
+  private def sourceUnchanged(s: SparkSession, dataDir: String,
+      recorded: Seq[String]): Boolean =
+    try {
+      val now = sourceSnapshotLines(s, dataDir).toSet
+      recorded.forall(now.contains)
+    } catch { case _: java.io.IOException => false }
 
   /** Publish a MatStore-shared relation under its MatStore `key` as a
     * bucketed external table + sidecar in the configured store dir.
@@ -117,11 +136,17 @@ object IndexStore {
     props.setProperty("bucketCol", bucketCol)
     props.setProperty("buckets", buckets.toString)
     props.setProperty("schema", df.schema.toDDL)
-    // source-data fingerprint: lets tryServe refuse the artifact after
-    // the corpus it was trained on is rewritten in place
+    // source-data snapshot: lets tryServe refuse the artifact after a
+    // file the artifact was trained ON is rewritten or removed in place
+    // (additions are the append flow, not staleness)
     sourceDir.foreach { d =>
       props.setProperty("sourceDir", d)
-      props.setProperty("fingerprint", dataFingerprint(s, d))
+      val sp = new org.apache.hadoop.fs.Path(s"$path/$SrcMeta")
+      val sfs = sp.getFileSystem(s.sessionState.newHadoopConf())
+      val sout = sfs.create(sp, true)
+      try sout.write((sourceSnapshotLines(s, d).mkString("\n") + "\n")
+        .getBytes("UTF-8"))
+      finally sout.close()
     }
     val p = new org.apache.hadoop.fs.Path(s"$path/$Meta")
     val fs = p.getFileSystem(s.sessionState.newHadoopConf())
@@ -154,11 +179,21 @@ object IndexStore {
           System.err.println(s"[IndexStore] '$name' holds key " +
             s"'${props.getProperty("key")}', not '$key' — not serving")
           None
-        } else if (Option(props.getProperty("fingerprint")).exists(fp =>
-            fp != dataFingerprint(s, props.getProperty("sourceDir")))) {
-          // source corpus rewritten since publish: the artifact is stale;
-          // fall back to the in-session rebuild (blue/green: republish to
-          // a fresh store dir to restore serving)
+        } else if (Option(props.getProperty("sourceDir")).exists { d =>
+            val sp = new org.apache.hadoop.fs.Path(s"$path/$SrcMeta")
+            fs.exists(sp) && {
+              val in2 = fs.open(sp)
+              val recorded =
+                try scala.io.Source.fromInputStream(in2, "UTF-8")
+                  .getLines().filter(_.nonEmpty).toVector
+                finally in2.close()
+              !sourceUnchanged(s, d, recorded)
+            }
+          }) {
+          // a file the artifact was trained on was rewritten or removed
+          // since publish: the artifact is stale; fall back to the
+          // in-session rebuild (blue/green: republish to a fresh store
+          // dir to restore serving)
           System.err.println(s"[IndexStore] '$key' is STALE (source data " +
             s"at ${props.getProperty("sourceDir")} changed since publish) — not serving")
           None
@@ -223,10 +258,15 @@ object IndexStore {
     * full per-bucket sort restored. (Repartitioning on the raw column
     * does NOT guarantee this: the exchange's partition-index mapping is
     * not the bucket-id mapping, and a bucket split across tasks yields
-    * one file per task it touches.) Blue/green at the directory level: the compacted
-    * copy is fully written to a side path first, then swapped in with
-    * its sidecar re-created — a crash mid-compact leaves the original
-    * intact. Returns the (before, after) visible data-file counts.
+    * one file per task it touches.) Blue/green at the directory level:
+    * the compacted copy is fully written to a side path (sidecars
+    * included), then swapped in by TWO renames — never a
+    * delete-before-rename. A crash before the swap leaves the original
+    * serving; a crash between the renames leaves the store offline
+    * (consumers rebuild in-session) with the original intact under
+    * `<name>_old`, recoverable by renaming back; no window destroys
+    * the artifact. Returns the (before, after) visible data-file
+    * counts.
     */
   def compact(s: SparkSession, key: String): (Int, Int) = {
     val base = dir(s).getOrElse(
@@ -255,18 +295,32 @@ object IndexStore {
     CorpusIO.writeBucketed(
       served.repartition(n, pmod(hash(col(bCol)), lit(n))),
       tmpName, tmpPath, bCol, n)
-    // swap: the compacted copy is complete on disk; drop the catalog
-    // entries (both sessions' registrations re-derive from the sidecar),
-    // replace the directory, restore the sidecar
+    // swap: the compacted copy is completed on disk INCLUDING both
+    // sidecars before anything moves, then a two-rename swap — never a
+    // delete-before-rename: a crash between the renames leaves the
+    // store OFFLINE (tryServe → None, consumers rebuild in-session)
+    // with the original intact under `<name>_old`, recoverable by
+    // renaming back; the artifact is never destroyed mid-compact
     s.sql(s"DROP TABLE IF EXISTS $tmpName")
     s.sql(s"DROP TABLE IF EXISTS $name")
-    fs.delete(new org.apache.hadoop.fs.Path(path), true)
-    if (!fs.rename(new org.apache.hadoop.fs.Path(tmpPath),
-        new org.apache.hadoop.fs.Path(path)))
-      throw new IllegalStateException(s"compaction swap failed for $key")
-    val out = fs.create(new org.apache.hadoop.fs.Path(s"$path/$Meta"), true)
+    val out = fs.create(new org.apache.hadoop.fs.Path(s"$tmpPath/$Meta"), true)
     try props.store(out, "graft durable index artifact (compacted)")
     finally out.close()
+    val srcSnap = new org.apache.hadoop.fs.Path(s"$path/$SrcMeta")
+    if (fs.exists(srcSnap))
+      org.apache.hadoop.fs.FileUtil.copy(fs, srcSnap, fs,
+        new org.apache.hadoop.fs.Path(s"$tmpPath/$SrcMeta"), false,
+        s.sessionState.newHadoopConf())
+    val oldPath = new org.apache.hadoop.fs.Path(s"$base/${name}_old")
+    fs.delete(oldPath, true)
+    if (!fs.rename(new org.apache.hadoop.fs.Path(path), oldPath))
+      throw new IllegalStateException(s"compaction swap failed for $key (retire)")
+    if (!fs.rename(new org.apache.hadoop.fs.Path(tmpPath),
+        new org.apache.hadoop.fs.Path(path))) {
+      fs.rename(oldPath, new org.apache.hadoop.fs.Path(path)) // roll back
+      throw new IllegalStateException(s"compaction swap failed for $key (promote)")
+    }
+    fs.delete(oldPath, true)
     (before, dataFiles(path))
   }
 

@@ -175,12 +175,30 @@ class DurableIndexSpec extends GraftSuite {
       // unchanged source: serves
       assert(sources.IndexStore.tryServe(spark, key).isDefined)
       spark.sql(s"DROP TABLE IF EXISTS ${sources.IndexStore.tableName(key)}")
-      // the corpus is rewritten in place (a new file lands): the
-      // fingerprint no longer matches → refuse, fall back to rebuild
+      // a NEW file landing is the daily-ingest flow, not staleness: the
+      // store must KEEP serving (manifestDiff schedules the arrival,
+      // append lands its signatures) — treating an addition as a
+      // rewrite would self-invalidate the store on its first
+      // incremental day
       Seq((3L, "c")).toDF("id", "v").write.mode("overwrite")
         .parquet(s"$data/t2.parquet")
+      assert(sources.IndexStore.tryServe(spark, key).isDefined,
+        "an ADDED source file must not un-serve the store")
+      spark.sql(s"DROP TABLE IF EXISTS ${sources.IndexStore.tableName(key)}")
+      // but a file the artifact was TRAINED ON being rewritten in place
+      // is real staleness → refuse, fall back to in-session rebuild
+      Seq((1L, "REWRITTEN"), (2L, "b")).toDF("id", "v").write.mode("overwrite")
+        .parquet(s"$data/t.parquet")
       assert(sources.IndexStore.tryServe(spark, key).isEmpty,
-        "a stale artifact must not serve after the source data changed")
+        "a stale artifact must not serve after a recorded source file changed")
+      spark.sql(s"DROP TABLE IF EXISTS ${sources.IndexStore.tableName(key)}")
+      // a VANISHED source dir must refuse gracefully (never throw):
+      // refusal is safe — consumers rebuild in-session
+      val fs0 = new org.apache.hadoop.fs.Path(data)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      fs0.delete(new org.apache.hadoop.fs.Path(data), true)
+      assert(sources.IndexStore.tryServe(spark, key).isEmpty,
+        "a missing source dir must refuse, not throw")
       // an old-layout/corrupted sidecar whose stored key disagrees with
       // the requested key must never serve another corpus's artifact
       val name = sources.IndexStore.tableName(key)

@@ -353,10 +353,7 @@ class SourcesSpec extends GraftSuite {
     // the quiet-day property: snapshotting the UNCHANGED corpus again
     // schedules nothing — a daily pipeline that reprocesses anything on
     // a no-op day is broken at 100 TB
-    val corpus = System.getProperty("java.io.tmpdir") + "/graft_inc_gate_" +
-      java.security.MessageDigest.getInstance("MD5")
-        .digest(sfDir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8) +
-      "/corpus"
+    val corpus = operators.Ops.incGateCorpusDir(spark, sfDir)
     val snapA = CorpusIO.manifest(spark, corpus)
     val snapB = CorpusIO.manifest(spark, corpus)
     val statuses = CorpusIO.manifestDiff(snapA, snapB).collect()
