@@ -852,16 +852,35 @@ object GraphOps {
       .filter(ks.map(i => coalesce(col(s"e$i"), lit(false))).reduce(_ || _))
       .ckpt
     // forward σ: pinned σ(lmk)=1, else Σ over DAG predecessors of the
-    // previous round's σ (null = not yet counted; exact BIGINT)
-    var sig = nodes.select($"node" +:
+    // previous round's σ (exact BIGINT). State is SPARSE — one row per
+    // node with any σ so far; an absent row means all-null σ, which is
+    // exactly what the dense formulation carried for unreached nodes,
+    // so no per-round |V|-row re-densify join is paid (a |V|-row
+    // shuffle per round on the non-broadcast path). The landmarks ride
+    // an 8-row frame: a landmark node can accumulate σ for OTHER
+    // landmarks' DAGs, so pinning is per-column over the candidate rows
+    // plus an 8-row anti-join for landmarks no candidate row covers.
+    val lmkFrame = s.createDataFrame(
+      s.sparkContext.parallelize(lmkIds.toSeq.map(org.apache.spark.sql.Row(_)), 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("node",
+          org.apache.spark.sql.types.LongType, nullable = false))))
+    var sig = lmkFrame.select($"node" +:
       ks.map(i => when($"node" === lmkIds(i), 1L).as(s"s$i")): _*).ckpt
     for (_ <- 1 to dagIters) {
       val prevS = sig.select($"node".as("v0") +: ks.map(i => col(s"s$i").as(s"ps$i")): _*)
-      val sAggs = ks.map(i => sum(when(col(s"e$i"), col(s"ps$i"))).as(s"cs$i"))
-      val cand = dag.join(stateJoin(prevS, bcast), $"v" === $"v0")
-        .groupBy($"w").agg(sAggs.head, sAggs.tail: _*)
-      sig = nodes.join(stateJoin(cand.withColumnRenamed("w", "node"), bcast),
-          Seq("node"), "left")
+      // the K pinned marker rows (all-null contributions) ride INTO the
+      // aggregate input, so a landmark node always has an output row to
+      // pin — one hash aggregate, no re-densify join, no second read of
+      // the aggregated relation
+      val contrib = dag.join(stateJoin(prevS, bcast), $"v" === $"v0")
+        .select($"w".as("node") +: ks.map(i =>
+          when(col(s"e$i"), col(s"ps$i")).as(s"c$i")): _*)
+        .union(lmkFrame.select($"node" +: ks.map(i =>
+          lit(null).cast("long").as(s"c$i")): _*))
+      val sAggs = ks.map(i => sum(col(s"c$i")).as(s"cs$i"))
+      sig = contrib.groupBy($"node")
+        .agg(sAggs.head, sAggs.tail: _*)
         .select($"node" +: ks.map(i =>
           when($"node" === lmkIds(i), 1L).otherwise(col(s"cs$i")).as(s"s$i")): _*)
         .ckpt
@@ -879,27 +898,29 @@ object GraphOps {
       .ckpt
     // backward δ: bounded synchronous relaxation from δ≡0, re-derived in
     // full each round (not accumulated) — the fixpoint recurrence on a
-    // DAG, correct to dagIters levels of descendants
-    var dlt = nodes.select($"node" +: ks.map(i => lit(0.0).as(s"p$i")): _*).ckpt
+    // DAG, correct to dagIters levels of descendants. State is SPARSE
+    // like σ's: an absent (or null-column) row means δ = 0, coalesced at
+    // every use, so no round pays the |V|-row re-densify join of the
+    // first cut (one |V|-row LEFT join at the very end emits the full
+    // node set instead of ten mid-round ones).
+    var dlt = lmkFrame.select($"node" +: ks.map(i => lit(0.0).as(s"p$i")): _*).ckpt
     for (_ <- 1 to dagIters) {
       val prevD = dlt.select($"node".as("w3") +: ks.map(i => col(s"p$i").as(s"wp$i")): _*)
       val aggs = ks.map(i => P.dsum(P.prnd(
-        col(s"rt$i") * (lit(1.0) + col(s"wp$i")), 9), 9).as(s"cd$i"))
-      val cand = dagR.join(stateJoin(prevD, bcast), $"w" === $"w3")
+        col(s"rt$i") * (lit(1.0) + coalesce(col(s"wp$i"), lit(0.0))), 9), 9).as(s"cd$i"))
+      dlt = dagR.join(stateJoin(prevD, bcast), $"w" === $"w3", "left")
         .groupBy($"v").agg(aggs.head, aggs.tail: _*)
-      dlt = nodes.join(stateJoin(cand.withColumnRenamed("v", "node"), bcast),
-          Seq("node"), "left")
-        .select($"node" +: ks.map(i =>
-          coalesce(col(s"cd$i"), lit(0.0)).as(s"p$i")): _*)
+        .select($"v".as("node") +: ks.map(i => col(s"cd$i").as(s"p$i")): _*)
         .ckpt
     }
     // score: Σ over landmarks of δ through the exact floor(·1e9) integer
     // hop (row-wise long adds — associative), v ≠ source masked per
     // column; the oracle sums the identical BIGINT terms over its K rows
     val masked = ks.map(i => when($"node" === lmkIds(i), lit(0L))
-      .otherwise(floor(col(s"p$i") * lit(1e9) + lit(0.5)).cast("long")))
-    dlt.select($"node",
-      (masked.reduce(_ + _).cast("double") / lit(1e9) / lit(k).cast("double")).as("b"))
+      .otherwise(floor(coalesce(col(s"p$i"), lit(0.0)) * lit(1e9) + lit(0.5)).cast("long")))
+    nodes.join(stateJoin(dlt, bcast), Seq("node"), "left")
+      .select($"node",
+        (masked.reduce(_ + _).cast("double") / lit(1e9) / lit(k).cast("double")).as("b"))
   }
 
   /** Synchronous weighted label propagation — the scalable stand-in for
