@@ -22,7 +22,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_lexicon_score"),
       new ExpressionInfo(classOf[LexiconScore].getName, "graft_lexicon_score"),
       (children: Seq[Expression]) => LexiconScore(
-        children(0), children(1), children(2), children(3))))
+        children(0), children(1), children(2), children(3),
+        children(4), children(5))))
     ext.injectFunction((
       FunctionIdentifier("graft_shingles"),
       new ExpressionInfo(classOf[ShingleJoin].getName, "graft_shingles"),

@@ -47,6 +47,14 @@ object MatStore {
     * holds. The benign race (two threads building the same lazy plan,
     * loser discarded un-materialized) costs nothing.
     */
+  /** Drop the memoized relation for (session, key). Maintenance actions
+    * that REPLACE a relation's backing files in place (the
+    * [[graft.sources.IndexStore.compact]] swap) call this so no consumer
+    * keeps a plan whose file index points at deleted files.
+    */
+  def invalidate(s: SparkSession, key: String): Unit =
+    cache.remove((s, key))
+
   private def lookup(s: SparkSession, key: String)(build: => DataFrame): DataFrame = {
     if (!cache.isEmpty)
       cache.keySet.removeIf(k => k._1.sparkContext.isStopped)

@@ -268,6 +268,55 @@ object VaderLexicon {
     // corpus stand-ins (synthetic vocabulary)
     "hash", "batch")
 
+  /** Intensity DAMPENERS (r15): VADER BOOSTER_DICT's decrement entries
+    * (B_DECR −0.293 — "kind of", "sort of", "slightly"…), the multi-word
+    * degree modifiers the r14 verdict flagged as absent. Applied as
+    * −B_INCR sign-aligned (toward zero) anywhere in the same 3-token
+    * lookback the boosters use. VADER words that are ALSO in its NEGATE
+    * list ("hardly", "rarely", "seldom") stay negators here — the
+    * data-asset invariant forbids double duty. Plus corpus stand-ins.
+    */
+  val Dampeners: Seq[String] = Seq(
+    "almost", "barely", "kinda", "sorta", "less", "little",
+    "marginally", "occasionally", "partly", "scarcely", "slightly",
+    "somewhat",
+    // corpus stand-ins (synthetic vocabulary)
+    "line", "row")
+
+  /** Multi-word dampeners, matched as ADJACENT token bigrams whose
+    * second word falls inside the 3-token lookback (first word directly
+    * precedes it). VADER's published "kind of" / "sort of" entries; the
+    * corpus stand-in keeps the bigram path oracled on the synthetic
+    * corpus. A bigram's FIRST word may itself be a lexicon entry
+    * ("kind" → 2.4) — VADER scores the single word independently of the
+    * bigram modifier, and so does graft.
+    */
+  val DampenerBigrams: Seq[(String, String)] = Seq(
+    "kind" -> "of", "sort" -> "of",
+    // corpus stand-in (synthetic vocabulary)
+    "data" -> "table")
+
+  /** The dampener literal [[LexiconScore]] parses: singles plus
+    * underscore-joined bigrams.
+    */
+  def dampArg: String =
+    (Dampeners ++ DampenerBigrams.map { case (a, b) => s"${a}_$b" })
+      .mkString(" ")
+
+  /** Contrastive-conjunction pivots — VADER's _but_check (r15): token
+    * valences BEFORE the first pivot halve (×1/2), those AFTER scale
+    * ×3/2, applied as the LAST per-token step (after caps, boosters,
+    * dampeners, negation — VADER modifies the finished sentiments
+    * list). Every reachable pre-pivot value is even (all terms are
+    * multiples of 100; the −74/100 negation leaves an even value), so
+    * both scalings are exact integer arithmetic in both engines. The
+    * published rule is the single word "but"; the corpus stand-in keeps
+    * the path oracled on the synthetic corpus.
+    */
+  val ButWords: Seq[String] = Seq("but",
+    // corpus stand-in (synthetic vocabulary)
+    "group")
+
   /** Emoji sentiment tables: the reference counts positive/negative
     * emoji occurrences and derives emoji_score = pos − neg
     * (spark_ml_sentiment.py:92-101; VADER ships the UTF-8 emoji table
@@ -297,4 +346,15 @@ object VaderLexicon {
   require(Entries.forall(_._2 != 0), "VaderLexicon: zero-valence entry")
   require(Valence.keySet.intersect((Negators ++ Boosters).toSet).isEmpty,
     "VaderLexicon: a lexicon word is also a negator/booster")
+  // r15 modifier invariants: a single-word dampener or a but-pivot doing
+  // double duty as lexicon/negator/booster would self-modify or
+  // double-count inside one lookback window (bigram FIRST words are
+  // exempt — VADER's "kind" is both a lexicon entry and half of
+  // "kind of", scored independently)
+  require(Dampeners.toSet
+      .intersect(Valence.keySet ++ Negators ++ Boosters).isEmpty,
+    "VaderLexicon: a dampener is also a lexicon/negator/booster word")
+  require(ButWords.toSet.intersect(Valence.keySet ++ Negators ++ Boosters
+      ++ Dampeners ++ DampenerBigrams.map(_._2)).isEmpty,
+    "VaderLexicon: a but-pivot word is also a modifier/lexicon word")
 }

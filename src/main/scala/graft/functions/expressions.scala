@@ -151,29 +151,44 @@ trait WordSetArgs { self: Expression =>
   *
   * Per-word GRADED valences — VADER's actual data model, not a binary
   * pos/neg split: each token looks up its valence (stored in tenths,
-  * scaled here to ×1e5 integers). On a hit, look back up to 3 tokens:
-  * any booster adds VADER's B_INCR 0.293 sign-aligned (+29300 scaled),
-  * then any negator multiplies by N_SCALAR −0.74 (×−74/100 — exact,
-  * every reachable value is a multiple of 100). The per-document sum is
-  * therefore exact integer arithmetic, bit-identical to the DuckDB
-  * oracle's CASE cascade over the same constants. Non-lexicon tokens
-  * contribute 0, so the lookback only runs on lexicon hits.
+  * scaled here to ×1e5 integers). On a hit, look back up to 3 tokens
+  * and apply, in VADER's order, all sign-aligned to the ORIGINAL
+  * valence sign:
+  *  1. C_INCR caps emphasis on the matched word itself (+73300), gated
+  *     on the document's caps differential;
+  *  2. any booster adds B_INCR 0.293 (+29300), plus C_INCR when the
+  *     BOOSTER word is itself ALL-CAPS under the differential (VADER's
+  *     scalar_inc_dec caps bonus, r15);
+  *  3. any dampener — single word or adjacent bigram ("kind of") whose
+  *     second word falls in the window — subtracts B_INCR (toward
+  *     zero), VADER's B_DECR entries (r15);
+  *  4. any negator multiplies by N_SCALAR −0.74 (×−74/100 — exact,
+  *     every reachable value is a multiple of 100);
+  *  5. the but-clause (r15): valences before the FIRST pivot token
+  *     ("but") halve, those after scale ×3/2 (VADER's _but_check —
+  *     exact, every post-negation value is even).
+  * The per-document sum is therefore exact integer arithmetic,
+  * bit-identical to the DuckDB oracle's CASE cascade over the same
+  * constants. Non-lexicon tokens contribute 0, so the lookback only
+  * runs on lexicon hits.
   *
-  * `graft_lexicon_score(tokens, 'word:tenths …', 'negators…', 'boosters…')`
+  * `graft_lexicon_score(tokens, 'word:tenths …', 'negators…',
+  * 'boosters…', 'dampeners… first_second…', 'butwords…')`
   */
 case class LexiconScore(tokens: Expression, lexArg: Expression,
-    negatorArg: Expression, boosterArg: Expression)
+    negatorArg: Expression, boosterArg: Expression,
+    dampenerArg: Expression, butArg: Expression)
     extends Expression with WordSetArgs {
   import LexiconScore._
 
   override def children: Seq[Expression] =
-    Seq(tokens, lexArg, negatorArg, boosterArg)
+    Seq(tokens, lexArg, negatorArg, boosterArg, dampenerArg, butArg)
   override def nullable: Boolean = tokens.nullable
   override def dataType: DataType = LongType
   override def prettyName: String = "graft_lexicon_score"
 
   override protected def wordListArgs: Seq[Expression] =
-    Seq(lexArg, negatorArg, boosterArg)
+    Seq(lexArg, negatorArg, boosterArg, dampenerArg, butArg)
   override def checkInputDataTypes(): TypeCheckResult = {
     val base = checkWordArgs(tokens)
     if (base != TypeCheckResult.TypeCheckSuccess) return base
@@ -216,6 +231,34 @@ case class LexiconScore(tokens: Expression, lexArg: Expression,
   }
   @transient private lazy val negatorSet = parseSet(negatorArg)
   @transient private lazy val boosterSet = parseSet(boosterArg)
+  @transient private lazy val butSet = parseSet(butArg)
+  /** Single-word dampeners. */
+  @transient private lazy val dampSingles: java.util.HashSet[UTF8String] = {
+    val s = new java.util.HashSet[UTF8String]()
+    val v = dampenerArg.eval(InternalRow.empty)
+    if (v != null)
+      v.asInstanceOf[UTF8String].toString.split(" ").filter(_.nonEmpty)
+        .filterNot(_.contains("_"))
+        .foreach(w => s.add(UTF8String.fromString(w)))
+    s
+  }
+  /** Bigram dampeners, second word → candidate first words (tiny arrays:
+    * "of" → ["kind", "sort"]). Keyed on the SECOND word because that is
+    * the one inside the lookback window; the first is checked by direct
+    * adjacency.
+    */
+  @transient private lazy val dampBigrams: java.util.HashMap[UTF8String, Array[UTF8String]] = {
+    val m = new java.util.HashMap[UTF8String, Array[UTF8String]]()
+    val v = dampenerArg.eval(InternalRow.empty)
+    if (v != null)
+      v.asInstanceOf[UTF8String].toString.split(" ").filter(_.contains("_"))
+        .map(_.split("_", 2)).filter(_.length == 2)
+        .groupBy(_(1)).foreach { case (second, pairs) =>
+          m.put(UTF8String.fromString(second),
+            pairs.map(p => UTF8String.fromString(p(0))))
+        }
+    m
+  }
 
   override def eval(input: InternalRow): Any = {
     val arr = tokens.eval(input)
@@ -226,21 +269,27 @@ case class LexiconScore(tokens: Expression, lexArg: Expression,
     // the lowercased LOOKUP form (null = already lowercase) and the
     // ALL-CAPS flag; emphasis applies only when SOME but not ALL tokens
     // are caps. The byte scan is the fast path: a pure-ASCII token with
-    // no uppercase letter allocates nothing.
+    // no uppercase letter allocates nothing. The same pass records the
+    // FIRST but-pivot index (VADER's _but_check pivots on the first
+    // occurrence).
     val low = new Array[UTF8String](n)
     val caps = new Array[Boolean](n)
     var nCaps = 0
+    var butIdx = -1
     var i = 0
     while (i < n) {
       if (!a.isNullAt(i)) {
         val t = a.getUTF8String(i)
+        var key = t
         if (LexiconScore.maybeCased(t)) {
           val lo = t.toLowerCase
           if (!t.equals(lo)) {
             low(i) = lo
+            key = lo
             if (t.equals(t.toUpperCase)) { caps(i) = true; nCaps += 1 }
           }
         }
+        if (butIdx < 0 && butSet.contains(key)) butIdx = i
       }
       i += 1
     }
@@ -253,22 +302,48 @@ case class LexiconScore(tokens: Expression, lexArg: Expression,
         val v = valence.get(key)
         if (v != null) {
           var negated = false; var boosted = false
+          var boostedCaps = false; var dampened = false
           var o = 1
           while (o <= 3 && i - o >= 0) {
             if (!a.isNullAt(i - o)) {
               val b = if (low(i - o) != null) low(i - o) else a.getUTF8String(i - o)
               negated = negated || negatorSet.contains(b)
-              boosted = boosted || boosterSet.contains(b)
+              if (boosterSet.contains(b)) {
+                boosted = true
+                if (capDiff && caps(i - o)) boostedCaps = true
+              }
+              if (dampSingles.contains(b)) dampened = true
+              else if (!dampened && i - o - 1 >= 0 && !a.isNullAt(i - o - 1)) {
+                val firsts = dampBigrams.get(b)
+                if (firsts != null) {
+                  val prev = if (low(i - o - 1) != null) low(i - o - 1)
+                    else a.getUTF8String(i - o - 1)
+                  var j = 0
+                  while (j < firsts.length && !dampened) {
+                    if (firsts(j).equals(prev)) dampened = true
+                    j += 1
+                  }
+                }
+              }
             }
             o += 1
           }
+          val pos = v.longValue() > 0
           var vv = v.longValue()
           // VADER order: C_INCR caps emphasis on the word itself, then
-          // the booster scalar, then the negation multiply (all exact:
-          // every term is a multiple of 100)
-          if (capDiff && caps(i)) vv += (if (vv > 0) CapIncr else -CapIncr)
-          if (boosted) vv += (if (vv > 0) BoostIncr else -BoostIncr)
+          // the booster scalar (with the booster-word caps bonus), the
+          // dampener scalar, the negation multiply, then the but-clause
+          // scaling — all exact (multiples of 100 until the negation,
+          // even afterwards)
+          if (capDiff && caps(i)) vv += (if (pos) CapIncr else -CapIncr)
+          if (boosted) vv += (if (pos) BoostIncr else -BoostIncr)
+          if (boostedCaps) vv += (if (pos) CapIncr else -CapIncr)
+          if (dampened) vv -= (if (pos) BoostIncr else -BoostIncr)
           if (negated) vv = vv * NegScalarNum / NegScalarDen
+          if (butIdx >= 0) {
+            if (i < butIdx) vv = vv / 2
+            else if (i > butIdx) vv = vv * 3 / 2
+          }
           sum += vv
         }
       }
@@ -282,15 +357,23 @@ case class LexiconScore(tokens: Expression, lexArg: Expression,
     val lex = ctx.addReferenceObj("valenceMap", valence)
     val ngt = ctx.addReferenceObj("negatorSet", negatorSet)
     val bst = ctx.addReferenceObj("boosterSet", boosterSet)
+    val dms = ctx.addReferenceObj("dampSingles", dampSingles)
+    val dmb = ctx.addReferenceObj("dampBigrams", dampBigrams)
+    val but = ctx.addReferenceObj("butSet", butSet)
     val a = ctx.freshName("arr"); val n = ctx.freshName("n")
     val i = ctx.freshName("i"); val o = ctx.freshName("o")
     val b = ctx.freshName("bk"); val v = ctx.freshName("v")
     val vv = ctx.freshName("vv"); val sum = ctx.freshName("sum")
     val negated = ctx.freshName("negated"); val boosted = ctx.freshName("boosted")
+    val boostedCaps = ctx.freshName("boostedCaps")
+    val dampened = ctx.freshName("dampened")
+    val firsts = ctx.freshName("firsts"); val prev = ctx.freshName("prev")
+    val j = ctx.freshName("j"); val pos = ctx.freshName("pos")
     val low = ctx.freshName("low"); val caps = ctx.freshName("caps")
     val nCaps = ctx.freshName("nCaps"); val capDiff = ctx.freshName("capDiff")
+    val butIdx = ctx.freshName("butIdx")
     val t = ctx.freshName("tok"); val lo = ctx.freshName("lo")
-    val key = ctx.freshName("key")
+    val key = ctx.freshName("key"); val key1 = ctx.freshName("key1")
     ev.copy(code = code"""
       |${tokGen.code}
       |boolean ${ev.isNull} = ${tokGen.isNull};
@@ -301,16 +384,20 @@ case class LexiconScore(tokens: Expression, lexArg: Expression,
       |  final UTF8String[] $low = new UTF8String[$n];
       |  final boolean[] $caps = new boolean[$n];
       |  int $nCaps = 0;
+      |  int $butIdx = -1;
       |  for (int $i = 0; $i < $n; $i++) {
       |    if ($a.isNullAt($i)) continue;
       |    final UTF8String $t = $a.getUTF8String($i);
+      |    UTF8String $key1 = $t;
       |    if (graft.functions.LexiconScore$$.MODULE$$.maybeCased($t)) {
       |      final UTF8String $lo = $t.toLowerCase();
       |      if (!$t.equals($lo)) {
       |        $low[$i] = $lo;
+      |        $key1 = $lo;
       |        if ($t.equals($t.toUpperCase())) { $caps[$i] = true; $nCaps++; }
       |      }
       |    }
+      |    if ($butIdx < 0 && $but.contains($key1)) $butIdx = $i;
       |  }
       |  final boolean $capDiff = $nCaps > 0 && $nCaps < $n;
       |  long $sum = 0L;
@@ -320,16 +407,38 @@ case class LexiconScore(tokens: Expression, lexArg: Expression,
       |    final Long $v = (Long) $lex.get($key);
       |    if ($v == null) continue;
       |    boolean $negated = false; boolean $boosted = false;
+      |    boolean $boostedCaps = false; boolean $dampened = false;
       |    for (int $o = 1; $o <= 3 && $i - $o >= 0; $o++) {
       |      if ($a.isNullAt($i - $o)) continue;
       |      final UTF8String $b = $low[$i - $o] != null ? $low[$i - $o] : $a.getUTF8String($i - $o);
       |      $negated = $negated || $ngt.contains($b);
-      |      $boosted = $boosted || $bst.contains($b);
+      |      if ($bst.contains($b)) {
+      |        $boosted = true;
+      |        if ($capDiff && $caps[$i - $o]) $boostedCaps = true;
+      |      }
+      |      if ($dms.contains($b)) { $dampened = true; }
+      |      else if (!$dampened && $i - $o - 1 >= 0 && !$a.isNullAt($i - $o - 1)) {
+      |        final UTF8String[] $firsts = (UTF8String[]) $dmb.get($b);
+      |        if ($firsts != null) {
+      |          final UTF8String $prev = $low[$i - $o - 1] != null
+      |            ? $low[$i - $o - 1] : $a.getUTF8String($i - $o - 1);
+      |          for (int $j = 0; $j < $firsts.length && !$dampened; $j++) {
+      |            if ($firsts[$j].equals($prev)) $dampened = true;
+      |          }
+      |        }
+      |      }
       |    }
+      |    final boolean $pos = $v.longValue() > 0;
       |    long $vv = $v.longValue();
-      |    if ($capDiff && $caps[$i]) $vv += ($vv > 0 ? ${CapIncr}L : -${CapIncr}L);
-      |    if ($boosted) $vv += ($vv > 0 ? ${BoostIncr}L : -${BoostIncr}L);
+      |    if ($capDiff && $caps[$i]) $vv += ($pos ? ${CapIncr}L : -${CapIncr}L);
+      |    if ($boosted) $vv += ($pos ? ${BoostIncr}L : -${BoostIncr}L);
+      |    if ($boostedCaps) $vv += ($pos ? ${CapIncr}L : -${CapIncr}L);
+      |    if ($dampened) $vv -= ($pos ? ${BoostIncr}L : -${BoostIncr}L);
       |    if ($negated) $vv = $vv * ${NegScalarNum}L / ${NegScalarDen}L;
+      |    if ($butIdx >= 0) {
+      |      if ($i < $butIdx) $vv = $vv / 2L;
+      |      else if ($i > $butIdx) $vv = $vv * 3L / 2L;
+      |    }
       |    $sum += $vv;
       |  }
       |  ${ev.value} = $sum;
@@ -340,7 +449,8 @@ case class LexiconScore(tokens: Expression, lexArg: Expression,
   override protected def withNewChildrenInternal(
       newChildren: IndexedSeq[Expression]): Expression =
     copy(tokens = newChildren(0), lexArg = newChildren(1),
-      negatorArg = newChildren(2), boosterArg = newChildren(3))
+      negatorArg = newChildren(2), boosterArg = newChildren(3),
+      dampenerArg = newChildren(4), butArg = newChildren(5))
 }
 
 object LexiconScore {

@@ -214,9 +214,13 @@ object Dedup {
           // adversary who CONTROLS ids could grind a set whose members
           // land in one chunk of every bucket they share (r13 ADVICE);
           // keyed on the bucket, the same id set spreads independently
-          // per bucket, so uniformity holds even for chosen ids
-          graft.functions.Portable.hexToLong(md5(concat_ws(":",
-            col("band").cast("string"), col("bkey"),
+          // per bucket, so uniformity holds even for chosen ids.
+          // concat(), not concat_ws(): concat_ws silently SKIPS null
+          // operands where the oracle's '||' null-propagates — a nullable
+          // input would make the engines diverge silently instead of
+          // poisoning the hash in both (r14 ADVICE)
+          graft.functions.Portable.hexToLong(md5(concat(
+            col("band").cast("string"), lit(":"), col("bkey"), lit(":"),
             col("doc_id").cast("string"))), 1, 8),
           nChunks.cast("long")).cast("int")))
     // Both sides of the self-join read the salted rows: the localCheckpoint

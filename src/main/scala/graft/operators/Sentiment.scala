@@ -63,7 +63,9 @@ object Sentiment {
     call_function("graft_lexicon_score", toks,
       lit(VaderLexicon.lexArg(entries)),
       lit(VaderLexicon.Negators.mkString(" ")),
-      lit(VaderLexicon.Boosters.mkString(" ")))
+      lit(VaderLexicon.Boosters.mkString(" ")),
+      lit(VaderLexicon.dampArg),
+      lit(VaderLexicon.ButWords.mkString(" ")))
 
   /** Append compound + label to a frame carrying the 1e5-scaled integer
     * token-sum `sc` and the punctuation-emphasis amount `emph` — the ONE
@@ -119,22 +121,51 @@ object Sentiment {
       .mkString(" ")
     val negWin = window(VaderLexicon.Negators)
     val boostWin = window(VaderLexicon.Boosters)
+    // r15: the booster-word caps bonus (VADER scalar_inc_dec) — a booster
+    // in the window that is itself ALL-CAPS adds C_INCR, gated on the
+    // same caps differential as the matched-word emphasis
+    val boostCapsWin = (1 to 3)
+      .map(o => s"(i > $o AND lower(w[i - $o]) IN (${inList(VaderLexicon.Boosters)}) AND cp[i - $o] = 1)")
+      .mkString("(capdiff AND (", " OR ", "))")
+    // r15: dampeners — single words anywhere in the window, plus the
+    // multi-word bigrams whose SECOND word falls in the window with the
+    // first directly adjacent ("kind of", "sort of")
+    val bigramList = VaderLexicon.DampenerBigrams
+      .map { case (a, b) => s"'$a $b'" }.mkString(", ")
+    val dampWin = ((1 to 3)
+      .map(o => s"(i > $o AND lower(w[i - $o]) IN (${inList(VaderLexicon.Dampeners)}))") ++
+      (1 to 3).map(o =>
+        s"(i > ${o + 1} AND (lower(w[i - ${o + 1}]) || ' ' || lower(w[i - $o])) IN ($bigramList))"))
+      .mkString("(", " OR ", ")")
     // VADER modifier order, all exact integers: sign-aligned C_INCR caps
     // emphasis (gated on the document's caps differential), sign-aligned
-    // B_INCR, then the N_SCALAR multiply; //-division is exact — see the
-    // portability note above
+    // B_INCR (+C_INCR booster caps bonus, −B_INCR dampener), then the
+    // N_SCALAR multiply, then the but-clause scaling (every pre-pivot
+    // value is even, so //2 and *3//2 are exact); //-division is exact —
+    // see the portability note above
     val emphd =
       s"""v[i] + (CASE WHEN capdiff AND cp[i] = 1 THEN
          |        (CASE WHEN v[i] > 0 THEN $CapIncr ELSE -$CapIncr END)
          |        ELSE 0 END)""".stripMargin
-    val boosted =
+    val adjusted =
       s"""($emphd) + (CASE WHEN $boostWin THEN
          |        (CASE WHEN v[i] > 0 THEN $BoostIncr ELSE -$BoostIncr END)
+         |        ELSE 0 END)
+         |      + (CASE WHEN $boostCapsWin THEN
+         |        (CASE WHEN v[i] > 0 THEN $CapIncr ELSE -$CapIncr END)
+         |        ELSE 0 END)
+         |      - (CASE WHEN $dampWin THEN
+         |        (CASE WHEN v[i] > 0 THEN $BoostIncr ELSE -$BoostIncr END)
          |        ELSE 0 END)""".stripMargin
+    val modified =
+      s"(CASE WHEN $negWin THEN (($adjusted) * $NegNum) // $NegDen ELSE $adjusted END)"
+    val butList = VaderLexicon.ButWords.map(w => s"'$w'").mkString(", ")
     s"""${alias}w AS MATERIALIZED (
        |  SELECT doc_id, w,
        |    list_transform(w, x -> CASE lower(x) $vCase ELSE 0 END) AS v,
        |    list_transform(w, x -> CASE WHEN x = upper(x) AND x <> lower(x) THEN 1 ELSE 0 END) AS cp,
+       |    COALESCE((list_filter(generate_series(1, len(w)),
+       |      i -> lower(w[i]) IN ($butList)))[1], 0) AS bi,
        |    CAST(len(text) - len(replace(text, '!', '')) AS BIGINT) AS ep_n,
        |    CAST(len(text) - len(replace(text, '?', '')) AS BIGINT) AS qm_n
        |  FROM (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents)),
@@ -147,8 +178,9 @@ object Sentiment {
        |    CAST(len(w) AS BIGINT) AS wc,
        |    CAST(list_sum(list_transform(generate_series(1, len(w)), i ->
        |      CASE WHEN v[i] = 0 THEN 0
-       |           WHEN $negWin THEN (($boosted) * $NegNum) // $NegDen
-       |           ELSE $boosted END)) AS BIGINT) AS sc0,
+       |           WHEN bi > 0 AND i < bi THEN ($modified) // 2
+       |           WHEN bi > 0 AND i > bi THEN (($modified) * 3) // 2
+       |           ELSE $modified END)) AS BIGINT) AS sc0,
        |    LEAST(ep_n, 4) * $ExclIncr +
        |      (CASE WHEN qm_n > 3 THEN $QmCap WHEN qm_n > 1 THEN qm_n * $QmStep ELSE 0 END) AS emph
        |  FROM (SELECT *,

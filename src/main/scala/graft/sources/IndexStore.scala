@@ -226,8 +226,7 @@ object IndexStore {
     val name = tableName(key)
     val base = dir(s).getOrElse(
       throw new IllegalStateException(s"$DirConf is not set"))
-    val served = tryServe(s, key).getOrElse(
-      throw new IllegalStateException(s"$key is not published under $base"))
+    val served = requireServed(s, key, "append")
     val path = s"$base/$name"
     val p = new org.apache.hadoop.fs.Path(s"$path/$Meta")
     val fs = p.getFileSystem(s.sessionState.newHadoopConf())
@@ -242,6 +241,66 @@ object IndexStore {
       .sortBy(props.getProperty("bucketCol"))
       .format("parquet")
       .saveAsTable(name)
+    // extend the staleness snapshot with the batch's OWN source files
+    // (those living under the recorded sourceDir): without this, the
+    // snapshot covers only publish-time files, so an in-place rewrite of
+    // an ingest day's source file after its signatures were appended
+    // would serve a silently stale artifact — the exact failure mode the
+    // snapshot exists to catch, shifted one day later (r14 ADVICE). The
+    // merge is manifest-scale (a file list), one listing per append.
+    Option(props.getProperty("sourceDir")).foreach { d =>
+      val dRoot = new org.apache.hadoop.fs.Path(d)
+      val dfs = dRoot.getFileSystem(s.sessionState.newHadoopConf())
+      val dPrefix = dfs.makeQualified(dRoot).toString + "/"
+      val batchRels = df.inputFiles.toSeq
+        .map(f => dfs.makeQualified(new org.apache.hadoop.fs.Path(f)).toString)
+        .filter(_.startsWith(dPrefix))
+        .map(_.stripPrefix(dPrefix))
+      if (batchRels.nonEmpty) {
+        val byRel = CorpusIO.visibleParquetFiles(dfs, dRoot)
+          .map { case (rel, _, bytes, mtime) => rel -> s"$rel\t$bytes\t$mtime" }
+          .toMap
+        val sp = new org.apache.hadoop.fs.Path(s"$path/$SrcMeta")
+        val recorded =
+          if (!fs.exists(sp)) Vector.empty[String]
+          else {
+            val in2 = fs.open(sp)
+            try scala.io.Source.fromInputStream(in2, "UTF-8")
+              .getLines().filter(_.nonEmpty).toVector
+            finally in2.close()
+          }
+        val merged = (recorded ++ batchRels.flatMap(byRel.get)).distinct.sorted
+        val sout = fs.create(sp, true)
+        try sout.write((merged.mkString("\n") + "\n").getBytes("UTF-8"))
+        finally sout.close()
+      }
+    }
+  }
+
+  /** [[tryServe]] with maintenance-grade error reporting: a maintenance
+    * action (append/compact) on a key that will not serve must say WHY —
+    * an absent store ("publish first") is a different operator mistake
+    * from a published-but-REFUSED one (stale source snapshot or
+    * key-mismatched sidecar), which needs a blue/green republish, not an
+    * append. tryServe's None deliberately conflates them for CONSUMERS
+    * (both mean "rebuild in-session"); maintenance must not (r14 ADVICE).
+    */
+  private def requireServed(s: SparkSession, key: String,
+      action: String): DataFrame = {
+    val base = dir(s).getOrElse(
+      throw new IllegalStateException(s"$DirConf is not set"))
+    tryServe(s, key).getOrElse {
+      val p = new org.apache.hadoop.fs.Path(s"$base/${tableName(key)}/$Meta")
+      val fs = p.getFileSystem(s.sessionState.newHadoopConf())
+      if (!fs.exists(p))
+        throw new IllegalStateException(
+          s"cannot $action '$key': not published under $base")
+      else
+        throw new IllegalStateException(
+          s"cannot $action '$key': published under $base but REFUSED to serve " +
+            "(stale source snapshot or key-mismatched sidecar — see the " +
+            "[IndexStore] log line); republish to a fresh store dir instead")
+    }
   }
 
   /** Bucket-AWARE compaction of a published artifact — the repair for
@@ -273,8 +332,7 @@ object IndexStore {
       throw new IllegalStateException(s"$DirConf is not set"))
     val name = tableName(key)
     val path = s"$base/$name"
-    val served = tryServe(s, key).getOrElse(
-      throw new IllegalStateException(s"$key is not published under $base"))
+    val served = requireServed(s, key, "compact")
     val p = new org.apache.hadoop.fs.Path(s"$path/$Meta")
     val fs = p.getFileSystem(s.sessionState.newHadoopConf())
     val props = new java.util.Properties()
@@ -321,6 +379,14 @@ object IndexStore {
       throw new IllegalStateException(s"compaction swap failed for $key (promote)")
     }
     fs.delete(oldPath, true)
+    // same-session invalidation: a MatStore memo created by an earlier
+    // tryServe holds a scan whose FILE INDEX points at the pre-swap
+    // files (the directory path is unchanged, but every data file in it
+    // was replaced) — drop the memo and refresh the catalog's cached
+    // listing so the next consumer re-resolves the compacted files
+    // instead of failing on deleted ones (r14 ADVICE)
+    graft.MatStore.invalidate(s, key)
+    if (s.catalog.tableExists(name)) s.catalog.refreshTable(name)
     (before, dataFiles(path))
   }
 

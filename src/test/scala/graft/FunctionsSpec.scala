@@ -24,30 +24,61 @@ class FunctionsSpec extends GraftSuite {
       (7L, "query hash order batch spark dup big slow"),// mixed window
       (8L, "not good"),                                 // real negated entry
       (9L, "very good news"),                           // real boosted entry
-      (10L, "this movie was not very good at all")      // negated + boosted
+      (10L, "this movie was not very good at all"),     // negated + boosted
+      (11L, "this is GOOD news"),                       // caps differential
+      (12L, "VERY good stuff today"),                   // booster caps bonus (r15)
+      (13L, "kind of good today"),                      // bigram dampener (r15)
+      (14L, "slightly good"),                           // single dampener (r15)
+      (15L, "slow day but fast ending"),                // but pivot: ×1/2, ×3/2 (r15)
+      (16L, "good times but somewhat bad news")         // but + dampener after pivot
     ).toDF("doc_id", "text")
   }
 
-  /** Higher-order-function twin of the valence scoring, as the in-spec
-    * oracle: map lookup → sign-aligned B_INCR boost → exact ×−74/100
-    * negation (the division is over exactly-divisible values, so the
-    * double intermediate is exact and the cast back to long lossless).
+  /** Higher-order-function twin of the FULL valence scoring, as the
+    * in-spec oracle: lowercased map lookup → sign-aligned C_INCR caps
+    * emphasis (capdiff-gated) → sign-aligned B_INCR boost (+C_INCR
+    * booster caps bonus) → −B_INCR dampener (singles + bigrams) → exact
+    * ×−74/100 negation → but-clause ×1/2 / ×3/2 (the divisions are over
+    * exactly-divisible values, so the double intermediates are exact and
+    * the casts back to long lossless).
     */
   private def hofScore(toks: Column, entries: Seq[(String, Int)]): Column = {
     import graft.functions.LexiconScore._
     import graft.functions.VaderLexicon
     val vmap = typedlit(VaderLexicon.scaled(entries))
+    def isCaps(c: Column) = c === upper(c) && c =!= lower(c)
+    val nCaps = size(filter(toks, w => isCaps(w)))
+    val capdiff = nCaps > 0 && nCaps < size(toks)
+    val biArr = filter(
+      transform(toks, (w, i) =>
+        when(lower(w).isin(VaderLexicon.ButWords: _*), i + 1).otherwise(lit(0))),
+      x => x > 0)
+    val bi = coalesce(try_element_at(biArr, lit(1)), lit(0))
+    val bigrams = VaderLexicon.DampenerBigrams.map { case (a, b) => s"$a $b" }
     val scores = transform(toks, (w, idx) => {
       def back(o: Int) = when(idx >= o, element_at(toks, idx - o + 1)).otherwise(lit(""))
-      val negated = (1 to 3).map(o => back(o).isin(VaderLexicon.Negators: _*)).reduce(_ || _)
-      val boosted = (1 to 3).map(o => back(o).isin(VaderLexicon.Boosters: _*)).reduce(_ || _)
-      val v = coalesce(element_at(vmap, w), lit(0L))
-      val withBoost = when(boosted,
-        v + when(v > 0, lit(BoostIncr)).otherwise(lit(-BoostIncr))).otherwise(v)
+      val negated = (1 to 3).map(o => lower(back(o)).isin(VaderLexicon.Negators: _*)).reduce(_ || _)
+      val boosted = (1 to 3).map(o => lower(back(o)).isin(VaderLexicon.Boosters: _*)).reduce(_ || _)
+      val boostedCaps = capdiff && (1 to 3).map(o =>
+        lower(back(o)).isin(VaderLexicon.Boosters: _*) && isCaps(back(o))).reduce(_ || _)
+      val dampened =
+        (1 to 3).map(o => lower(back(o)).isin(VaderLexicon.Dampeners: _*)).reduce(_ || _) ||
+        (1 to 3).map(o =>
+          concat(lower(back(o + 1)), lit(" "), lower(back(o))).isin(bigrams: _*)).reduce(_ || _)
+      val v = coalesce(element_at(vmap, lower(w)), lit(0L))
+      def sgn(amt: Long) = when(v > 0, lit(amt)).otherwise(lit(-amt))
+      val adjusted = v +
+        when(capdiff && isCaps(w), sgn(CapIncr)).otherwise(lit(0L)) +
+        when(boosted, sgn(BoostIncr)).otherwise(lit(0L)) +
+        when(boostedCaps, sgn(CapIncr)).otherwise(lit(0L)) -
+        when(dampened, sgn(BoostIncr)).otherwise(lit(0L))
       val modified = when(negated,
-        (withBoost * lit(NegScalarNum) / lit(NegScalarDen)).cast("long"))
-        .otherwise(withBoost)
-      when(v === 0, lit(0L)).otherwise(modified)
+        (adjusted * lit(NegScalarNum) / lit(NegScalarDen)).cast("long"))
+        .otherwise(adjusted)
+      val butScaled = when(bi > 0 && (idx + 1) < bi, (modified / lit(2)).cast("long"))
+        .when(bi > 0 && (idx + 1) > bi, (modified * lit(3) / lit(2)).cast("long"))
+        .otherwise(modified)
+      when(v === 0, lit(0L)).otherwise(butScaled)
     })
     aggregate(scores, lit(0L), (acc, v) => acc + v)
   }
@@ -56,7 +87,9 @@ class FunctionsSpec extends GraftSuite {
     call_function("graft_lexicon_score", toks,
       lit(graft.functions.VaderLexicon.lexArg(entries)),
       lit(graft.functions.VaderLexicon.Negators.mkString(" ")),
-      lit(graft.functions.VaderLexicon.Boosters.mkString(" ")))
+      lit(graft.functions.VaderLexicon.Boosters.mkString(" ")),
+      lit(graft.functions.VaderLexicon.dampArg),
+      lit(graft.functions.VaderLexicon.ButWords.mkString(" ")))
 
   /** Evaluate `mk` under a forced Catalyst evaluation mode so both the
     * generated-Java and interpreted paths are exercised explicitly.

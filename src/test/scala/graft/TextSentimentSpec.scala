@@ -64,6 +64,52 @@ class TextSentimentSpec extends GraftSuite {
     assert(got(1L)._1 > got(2L)._1)
   }
 
+  test("VADER but-clause and degree modifiers: planted docs match hand-computed scores") {
+    // r14 verdict item 2: the but-clause (valences before the first
+    // 'but' halve, after ×1.5 — VADER's _but_check) and the multi-word
+    // degree modifiers ("kind of", "sort of" → −B_INCR toward zero) are
+    // published VADER rules. Planted docs through the REAL sent_lexicon
+    // query against exact hand-computed integer sums.
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_vader_but").toString
+    Seq(
+      // bi at pos 3: slow −190000/2 = −95000; fast 190000·3/2 = 285000
+      (1L, "slow day but fast ending"),
+      // kind scores itself (240000); good dampened by the "kind of"
+      // bigram: 190000 − 29300 = 160700
+      (2L, "kind of good today"),
+      // caps diff + booster + BOOSTER-word caps bonus:
+      // 190000 + 73300 + 29300 + 73300 = 365900
+      (3L, "VERY GOOD day"),
+      // negated bigram-dampened: kind 240000·−74/100 = −177600;
+      // good (190000 − 29300)·−74/100 = −118918
+      (4L, "not kind of good"),
+      // real 'but': good 190000/2 = 95000; bad −250000·3/2 = −375000
+      (5L, "good times but bad news"),
+      // single dampener: 190000 − 29300 = 160700
+      (6L, "slightly good")
+    ).map { case (id, t) => (id, t, "en", "plant", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Registry.byName("sent_lexicon").run(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("score")).toMap
+    val expSc = Map(
+      1L -> 190000L,  // −95000 + 285000
+      2L -> 400700L,  // 240000 + 160700
+      3L -> 365900L,
+      4L -> -296518L, // −177600 − 118918
+      5L -> -280000L, // 95000 − 375000
+      6L -> 160700L)
+    def compound(sc: Long): Double = {
+      val sv = sc / 100000.0
+      val c = sv / math.sqrt(sv * sv + 15.0)
+      math.floor(c * 1e6 + 0.5) / 1e6
+    }
+    expSc.foreach { case (id, sc) =>
+      assert(got(id) === compound(sc), s"doc $id: ${got(id)} vs sc=$sc")
+    }
+  }
+
   test("sentiment distribution shares sum to 1") {
     val share = run("sent_distribution").agg(sum("share")).head().getDouble(0)
     assert(math.abs(share - 1.0) < 1e-4)
