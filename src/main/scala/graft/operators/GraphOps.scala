@@ -101,6 +101,17 @@ object GraphOps {
     */
   private val LvSweeps = 6
 
+  /** Multi-level Louvain (r15, [[grLouvainMl]]): coarse levels unrolled
+    * after the level-1 sweeps (2 contractions = 3 levels total — the
+    * reference's hierarchy depth on graphs this shape; a zero-move
+    * coarse level is a fixed point, so extra levels are no-ops) and the
+    * per-coarse-level sweep cap (coarse graphs are community-count
+    * sized, so sweeps converge in 1-2 moves; the cap only bounds the
+    * unrolled SQL).
+    */
+  private val MlCoarseLevels = 2
+  private val MlCoarseSweeps = 4
+
   // ---------------------------------------------------------------- library
 
   /** Weighted customer↔supplier edges; weight = number of line items.
@@ -1203,41 +1214,58 @@ object GraphOps {
     (base +: steps).mkString(",\n")
   }
 
-  /** lv0..lvN CTE chain — unrolled constrained Louvain local-move
-    * sweeps over the LPA labels, the SQL twin of the [[grLouvain]]
-    * loop. Requires `und`, `deg`, `tw` and `lp\$LpIters` CTEs in
-    * scope. Sweep i derives per-community totals (lct), neighbor-
-    * community weights (lcd), the argmax move under the move-down-only
-    * constraint (lmv), the move count (lmvd), and the next label set
-    * (lv i).
+  /** Generalized unrolled constrained-Louvain local-move sweep chain —
+    * the SQL twin of [[louvainSweepLoop]] over an arbitrary (und, deg)
+    * graph relation. `pfx` namespaces the CTEs (labels land in
+    * `<pfx>v0..<pfx>vN`), `baseSelect` seeds `<pfx>v0 (node, c)`, and
+    * `tw` must be in scope (2m is a LEVEL-INVARIANT of the coarsening:
+    * contracting communities preserves total edge weight, so every
+    * level's gain scores use the same w2). Sweep i derives
+    * per-community totals (<pfx>ct), neighbor-community weights
+    * (<pfx>cd — self rows excluded: a coarse super-node's self-loop is
+    * internal weight, not a neighbor edge), the argmax move under the
+    * move-down-only constraint (<pfx>mv), the move count (<pfx>mvd),
+    * and the next label set. The `u.node <> u.nb` filter is vacuous on
+    * the base bipartite graph (even/odd id encoding) and load-bearing
+    * on coarse graphs, whose contraction emits self-loop rows.
     */
-  private def lvChain(sweeps: Int): String = {
-    val base = s"lv0 AS MATERIALIZED (SELECT node, lbl AS c FROM lp$LpIters)"
+  private def lvChainOver(pfx: String, und: String, deg: String,
+      baseSelect: String, sweeps: Int): String = {
+    val base = s"${pfx}v0 AS MATERIALIZED ($baseSelect)"
     val steps = (1 to sweeps).map { i =>
-      s"""lct$i AS MATERIALIZED (SELECT l.c AS community, CAST(SUM(d.wdegree) AS BIGINT) AS wtot
-         |  FROM lv${i - 1} l JOIN deg d USING (node) GROUP BY l.c),
-         |lcd$i AS MATERIALIZED (SELECT node, c, CAST(SUM(wnc) AS BIGINT) AS wnc FROM (
+      s"""${pfx}ct$i AS MATERIALIZED (SELECT l.c AS community, CAST(SUM(d.wdegree) AS BIGINT) AS wtot
+         |  FROM ${pfx}v${i - 1} l JOIN $deg d USING (node) GROUP BY l.c),
+         |${pfx}cd$i AS MATERIALIZED (SELECT node, c, CAST(SUM(wnc) AS BIGINT) AS wnc FROM (
          |    SELECT u.node, lb.c, u.weight AS wnc
-         |    FROM und u JOIN lv${i - 1} lb ON u.nb = lb.node
-         |    UNION ALL SELECT node, c, 0 AS wnc FROM lv${i - 1}) t
+         |    FROM $und u JOIN ${pfx}v${i - 1} lb ON u.nb = lb.node WHERE u.node <> u.nb
+         |    UNION ALL SELECT node, c, 0 AS wnc FROM ${pfx}v${i - 1}) t
          |  GROUP BY node, c),
-         |lmv$i AS MATERIALIZED (SELECT node, a, CASE WHEN c < a THEN c ELSE a END AS c FROM (
+         |${pfx}mv$i AS MATERIALIZED (SELECT node, a, CASE WHEN c < a THEN c ELSE a END AS c FROM (
          |    SELECT cd.node, la.c AS a, cd.c,
          |      row_number() OVER (PARTITION BY cd.node ORDER BY
          |        (w.w2 * cd.wnc - d.wdegree *
          |          (ct.wtot - CASE WHEN cd.c = la.c THEN d.wdegree ELSE 0 END)) DESC,
          |        CASE WHEN cd.c = la.c THEN 0 ELSE 1 END,
          |        cd.c) AS rn
-         |    FROM lcd$i cd
-         |    JOIN lv${i - 1} la ON la.node = cd.node
-         |    JOIN lct$i ct ON ct.community = cd.c
-         |    JOIN deg d ON d.node = cd.node, tw w) x
+         |    FROM ${pfx}cd$i cd
+         |    JOIN ${pfx}v${i - 1} la ON la.node = cd.node
+         |    JOIN ${pfx}ct$i ct ON ct.community = cd.c
+         |    JOIN $deg d ON d.node = cd.node, tw w) x
          |  WHERE rn = 1),
-         |lmvd$i AS MATERIALIZED (SELECT CAST(SUM(CASE WHEN c <> a THEN 1 ELSE 0 END) AS BIGINT) AS n_moved FROM lmv$i),
-         |lv$i AS MATERIALIZED (SELECT node, c FROM lmv$i)""".stripMargin
+         |${pfx}mvd$i AS MATERIALIZED (SELECT CAST(SUM(CASE WHEN c <> a THEN 1 ELSE 0 END) AS BIGINT) AS n_moved FROM ${pfx}mv$i),
+         |${pfx}v$i AS MATERIALIZED (SELECT node, c FROM ${pfx}mv$i)""".stripMargin
     }
     (base +: steps).mkString(",\n")
   }
+
+  /** lv0..lvN CTE chain — the base-graph instance of [[lvChainOver]]
+    * (label CTEs keep their historical `lv<i>` names), seeded from the
+    * LPA labels. Requires `und`, `deg`, `tw` and `lp\$LpIters` CTEs in
+    * scope.
+    */
+  private def lvChain(sweeps: Int): String =
+    lvChainOver("l", "und", "deg",
+      s"SELECT node, lbl AS c FROM lp$LpIters", sweeps)
 
   /** Numeric-id edge CTEs — the SQL twin of [[numericUnd]]. */
   private val ccNumSql =
@@ -1659,6 +1687,68 @@ object GraphOps {
       .agg(P.cnt.as("n_communities"), P.prnd(P.dsum($"q", 12), 8).as("modularity"))
   }
 
+  /** Constrained local-move sweep chain to convergence over an arbitrary
+    * (und, deg) graph — the shared move phase of [[grLouvain]] (base
+    * graph) and [[grLouvainMl]] (base + coarse levels). Per sweep every
+    * node simultaneously evaluates moving to each NEIGHBORING community
+    * with the exact-BIGINT isolated-node gain and the move-down-only
+    * symmetry constraint (see [[grLouvain]]); sweeps stop at the first
+    * zero-move fixed point or `cap`. Self rows (`node = nb`) are
+    * excluded from the neighbor-weight candidates — vacuous on the base
+    * bipartite graph, load-bearing on COARSE graphs, where contraction
+    * emits self-loop rows that are internal weight, not neighbor edges
+    * (their weight still counts in `deg`, as in standard Louvain).
+    * Returns (labels `(node, community)`, total nodes moved, sweeps
+    * that moved ≥1 node). One localCheckpoint + count action per sweep
+    * (the pagerank discipline).
+    */
+  private def louvainSweepLoop(u: DataFrame, deg: DataFrame, lbl0: DataFrame,
+      w2df: DataFrame, bcast: Boolean, cap: Int): (DataFrame, Long, Long) = {
+    val s = u.sparkSession
+    import s.implicits._
+    var lbl = lbl0
+    var movedTotal = 0L
+    var sweepsWithMoves = 0L
+    var converged = false
+    var sweep = 0
+    while (sweep < cap && !converged) {
+      sweep += 1
+      val ctot = lbl.join(deg, "node")
+        .groupBy($"community").agg(sum($"wdegree").as("wtot"))
+      val cand = u
+        .filter($"node" =!= $"nb")
+        .join(stateJoin(lbl.select($"node".as("nb2"), $"community".as("c")), bcast), $"nb" === $"nb2")
+        .select($"node", $"c", $"weight".as("wnc"))
+        .union(lbl.select($"node", $"community".as("c"), lit(0L).as("wnc")))
+        .groupBy($"node", $"c").agg(sum($"wnc").as("wnc"))
+      // argmax as a hash aggregate: min(struct(-score, own-last, c))
+      // picks the same row as the oracle's row_number over (score DESC,
+      // own-first, c) — map-side partials, no per-node sort
+      val mv = cand
+        .join(stateJoin(lbl.select($"node".as("n0"), $"community".as("a")), bcast), $"node" === $"n0")
+        .join(stateJoin(ctot.select($"community".as("c"), $"wtot"), bcast), "c")
+        .join(stateJoin(deg.select($"node".as("n1"), $"wdegree".as("dn")), bcast), $"node" === $"n1")
+        .crossJoin(broadcast(w2df))
+        .select($"node", $"a", $"c",
+          ($"w2" * $"wnc" - $"dn" *
+            ($"wtot" - when($"c" === $"a", $"dn").otherwise(lit(0L)))).as("score"))
+        .groupBy($"node", $"a")
+        .agg(min(struct((-$"score").as("ns"),
+          when($"c" === $"a", 0).otherwise(1).as("t"), $"c".as("l"))).as("m"))
+        .select($"node", $"a",
+          when($"m.l" < $"a", $"m.l").otherwise($"a").as("c"))
+        .ckpt
+      // the one driver action per sweep — materializes the checkpoint
+      // and decides convergence (a fixed point: zero moves ⇒ every
+      // later sweep is identical, matching the oracle's static unroll)
+      val moved = mv.filter($"c" =!= $"a").count()
+      movedTotal += moved
+      if (moved > 0) sweepsWithMoves += 1 else converged = true
+      lbl = mv.select($"node", $"c".as("community"))
+    }
+    (lbl, movedTotal, sweepsWithMoves)
+  }
+
   /** Constrained Louvain local-move sweeps, iterated to convergence —
     * the move phase of the reference's community detection
     * (network_analysis.py:194: louvain greedily maximizes modularity by
@@ -1729,46 +1819,10 @@ object GraphOps {
     // ONE count action: materializes deg (a job the first sweep pays
     // anyway) and |V| drives every state-join choice below
     val bcast = stateHint(deg.count())
-    var lbl = communities(u, stateBroadcast = bcast)
+    val lbl0 = communities(u, stateBroadcast = bcast)
     val w2df = u.agg(sum($"weight").as("w2"))
-    var movedTotal = 0L
-    var sweepsWithMoves = 0L
-    var converged = false
-    var sweep = 0
-    while (sweep < LvSweeps && !converged) {
-      sweep += 1
-      val ctot = lbl.join(deg, "node")
-        .groupBy($"community").agg(sum($"wdegree").as("wtot"))
-      val cand = u
-        .join(stateJoin(lbl.select($"node".as("nb2"), $"community".as("c")), bcast), $"nb" === $"nb2")
-        .select($"node", $"c", $"weight".as("wnc"))
-        .union(lbl.select($"node", $"community".as("c"), lit(0L).as("wnc")))
-        .groupBy($"node", $"c").agg(sum($"wnc").as("wnc"))
-      // argmax as a hash aggregate: min(struct(-score, own-last, c))
-      // picks the same row as the oracle's row_number over (score DESC,
-      // own-first, c) — map-side partials, no per-node sort
-      val mv = cand
-        .join(stateJoin(lbl.select($"node".as("n0"), $"community".as("a")), bcast), $"node" === $"n0")
-        .join(stateJoin(ctot.select($"community".as("c"), $"wtot"), bcast), "c")
-        .join(stateJoin(deg.select($"node".as("n1"), $"wdegree".as("dn")), bcast), $"node" === $"n1")
-        .crossJoin(broadcast(w2df))
-        .select($"node", $"a", $"c",
-          ($"w2" * $"wnc" - $"dn" *
-            ($"wtot" - when($"c" === $"a", $"dn").otherwise(lit(0L)))).as("score"))
-        .groupBy($"node", $"a")
-        .agg(min(struct((-$"score").as("ns"),
-          when($"c" === $"a", 0).otherwise(1).as("t"), $"c".as("l"))).as("m"))
-        .select($"node", $"a",
-          when($"m.l" < $"a", $"m.l").otherwise($"a").as("c"))
-        .ckpt
-      // the one driver action per sweep — materializes the checkpoint
-      // and decides convergence (a fixed point: zero moves ⇒ every
-      // later sweep is identical, matching the oracle's static unroll)
-      val moved = mv.filter($"c" =!= $"a").count()
-      movedTotal += moved
-      if (moved > 0) sweepsWithMoves += 1 else converged = true
-      lbl = mv.select($"node", $"c".as("community"))
-    }
+    val (lbl, movedTotal, sweepsWithMoves) =
+      louvainSweepLoop(u, deg, lbl0, w2df, bcast, LvSweeps)
     val cin2 = u
       .join(stateJoin(lbl.select($"node".as("m1"), $"community".as("c1")), bcast), $"node" === $"m1")
       .join(stateJoin(lbl.select($"node".as("m2"), $"community".as("c2")), bcast),
@@ -1784,6 +1838,145 @@ object GraphOps {
       .agg(P.cnt.as("n_communities"), P.prnd(P.dsum($"q", 12), 8).as("modularity"))
       .select($"n_communities", lit(movedTotal).as("n_moved"),
         lit(sweepsWithMoves).as("n_sweeps"), $"modularity")
+  }
+
+  /** MULTI-LEVEL Louvain (r15) — the aggregation/coarsening phase the
+    * r14 verdict flagged as the one §1 panel not reproducible in kind:
+    * the reference's `louvain_communities(weight='weight', seed=42)`
+    * (network_analysis.py:194) interleaves local-move convergence with
+    * graph CONTRACTION, so hierarchical community structure a single
+    * move level cannot see (no individual border node gains by moving,
+    * but a whole sub-community does) still resolves.
+    *
+    * Level 1 is exactly [[grLouvain]]'s LPA-seeded sweep chain. Each
+    * coarse level then:
+    *  1. contracts communities to super-nodes with ONE keyed aggregate
+    *     over the previous level's edge relation (same shape as the
+    *     base edge build; within-community weight becomes a self-loop
+    *     row, which counts in the super-node's degree but is excluded
+    *     from neighbor candidates — standard Louvain);
+    *  2. re-runs the same constrained sweep loop from the singleton
+    *     partition of super-nodes ([[louvainSweepLoop]] — `tw` is
+    *     level-invariant: contraction preserves total edge weight);
+    *  3. unfolds: the base node→community mapping composes through the
+    *     level's label join.
+    * [[MlCoarseLevels]] coarse levels are unrolled statically in the
+    * oracle; the Spark loop early-exits at a zero-move level (a fixed
+    * point — contracting an unchanged partition yields the identical
+    * coarse graph, so every later level is a no-op on both engines).
+    * Output: community count, coarse-level moves, effective levels
+    * (1 + coarse levels that moved), and the unfolded partition's
+    * base-graph modularity (exact arithmetic as [[grModularity]]).
+    *
+    * Scale shape: contraction is one map-side-combined aggregate at
+    * coarse-edge cardinality; every coarse relation is ≤ the previous
+    * level's community count, so levels SHRINK — the base level's
+    * size-driven [[stateJoin]] discipline dominates the cost and the
+    * coarse levels ride on relations that are tiny by construction.
+    */
+  val grLouvainMl = QueryDef(
+    "gr_louvain_ml", {
+      val ms = MlCoarseSweeps
+      val coarse = (2 to MlCoarseLevels + 1).map { l =>
+        val prevLbl = if (l == 2) s"lv$LvSweeps" else s"m${l - 1}v$ms"
+        val prevUnd = if (l == 2) "und" else s"und${l - 1}"
+        s"""und$l AS MATERIALIZED (SELECT a.c AS node, b.c AS nb, CAST(SUM(u.weight) AS BIGINT) AS weight
+           |  FROM $prevUnd u JOIN $prevLbl a ON u.node = a.node JOIN $prevLbl b ON u.nb = b.node
+           |  GROUP BY a.c, b.c),
+           |deg$l AS MATERIALIZED (SELECT node, CAST(SUM(weight) AS BIGINT) AS wdegree FROM und$l GROUP BY node),
+           |${lvChainOver(s"m$l", s"und$l", s"deg$l", s"SELECT node, node AS c FROM deg$l", ms)}""".stripMargin
+      }.mkString(",\n")
+      val finJoins = (2 to MlCoarseLevels + 1).map { l =>
+        val prev = if (l == 2) "l1.c" else s"x${l - 1}.c"
+        s"JOIN m${l}v$ms x$l ON $prev = x$l.node"
+      }.mkString("\n  ")
+      def lvlSum(l: Int): String =
+        (1 to ms).map(i => s"(SELECT n_moved FROM m${l}mvd$i)").mkString("(", " + ", ")")
+      val movedSum = (2 to MlCoarseLevels + 1).map(lvlSum).mkString(" + ")
+      val levels = (2 to MlCoarseLevels + 1)
+        .map(l => s"(CASE WHEN ${lvlSum(l)} > 0 THEN 1 ELSE 0 END)").mkString(" + ")
+      s"""WITH $eNumSql, $undSql, $degSql,
+         |${lpChain(LpIters)},
+         |tw AS MATERIALIZED (SELECT CAST(SUM(weight) AS BIGINT) AS w2 FROM und),
+         |${lvChain(LvSweeps)},
+         |$coarse,
+         |fin AS MATERIALIZED (SELECT l1.node, x${MlCoarseLevels + 1}.c AS community
+         |  FROM lv$LvSweeps l1
+         |  $finJoins),
+         |cinm AS MATERIALIZED (SELECT a1.community, CAST(SUM(u.weight) AS BIGINT) AS win
+         |  FROM und u
+         |  JOIN fin a1 ON u.node = a1.node
+         |  JOIN fin a2 ON u.nb = a2.node AND a2.community = a1.community
+         |  GROUP BY a1.community),
+         |ctotm AS MATERIALIZED (SELECT m.community, CAST(SUM(d.wdegree) AS BIGINT) AS wtot
+         |  FROM fin m JOIN deg d USING (node) GROUP BY m.community),
+         |qcm AS MATERIALIZED (SELECT t.community,
+         |    ${PS.prnd("COALESCE(i.win, 0) / CAST(w.w2 AS DOUBLE) - (t.wtot / CAST(w.w2 AS DOUBLE)) * (t.wtot / CAST(w.w2 AS DOUBLE))", 12)} AS q
+         |  FROM ctotm t LEFT JOIN cinm i ON i.community = t.community, tw w)
+         |SELECT CAST(COUNT(*) AS BIGINT) AS n_communities,
+         |  CAST($movedSum AS BIGINT) AS n_moved,
+         |  CAST(1 + $levels AS BIGINT) AS n_levels,
+         |  ${PS.prnd(PS.dsum("q", 12), 8)} AS modularity
+         |FROM qcm""".stripMargin
+    }) { (s, dir) =>
+    import s.implicits._
+    val u = sharedUnd(s, dir)
+    val deg = degrees(u).ckpt
+    val bcast = stateHint(deg.count())
+    val w2df = u.agg(sum($"weight").as("w2"))
+    val lbl0 = communities(u, stateBroadcast = bcast)
+    val (lbl1, _, _) = louvainSweepLoop(u, deg, lbl0, w2df, bcast, LvSweeps)
+    var mapping = lbl1.ckpt
+    var curU = u
+    var curLbl = mapping
+    var curBcast = bcast
+    var coarseMoved = 0L
+    var levelsWithMoves = 0L
+    var done = false
+    var lvl = 2
+    while (lvl <= MlCoarseLevels + 1 && !done) {
+      // contraction: ONE keyed aggregate builds the coarse edge relation
+      // (within-community weight lands on the self-loop row node = nb)
+      val cund = curU
+        .join(stateJoin(curLbl.select($"node".as("n1"), $"community".as("ca")), curBcast), $"node" === $"n1")
+        .join(stateJoin(curLbl.select($"node".as("n2"), $"community".as("cb")), curBcast), $"nb" === $"n2")
+        .groupBy($"ca", $"cb").agg(sum($"weight").as("weight"))
+        .select($"ca".as("node"), $"cb".as("nb"), $"weight")
+        .ckpt
+      val cdeg = cund.groupBy($"node").agg(sum($"weight").as("wdegree")).ckpt
+      // one count action per level: materializes the coarse relations
+      // and sizes the level's state joins (coarse |V| = community count)
+      val cb = stateHint(cdeg.count())
+      val init = cdeg.select($"node", $"node".as("community"))
+      val (clbl, mvd, _) = louvainSweepLoop(cund, cdeg, init, w2df, cb, MlCoarseSweeps)
+      coarseMoved += mvd
+      // zero moves = a fixed point: the next contraction reproduces this
+      // coarse graph, so every later level is a no-op (the oracle's
+      // static unroll computes exactly that no-op)
+      if (mvd > 0) levelsWithMoves += 1 else done = true
+      mapping = mapping.select($"node", $"community".as("c0"))
+        .join(stateJoin(clbl.select($"node".as("cn"), $"community".as("c1")), cb), $"c0" === $"cn")
+        .select($"node", $"c1".as("community")).ckpt
+      curU = cund
+      curLbl = clbl
+      curBcast = cb
+      lvl += 1
+    }
+    val cinm = u
+      .join(stateJoin(mapping.select($"node".as("m1"), $"community".as("c1")), bcast), $"node" === $"m1")
+      .join(stateJoin(mapping.select($"node".as("m2"), $"community".as("c2")), bcast),
+        $"nb" === $"m2" && $"c2" === $"c1")
+      .groupBy($"c1".as("community")).agg(sum($"weight").as("win"))
+    val ctotm = mapping.join(deg, "node")
+      .groupBy($"community").agg(sum($"wdegree").as("wtot"))
+    ctotm.join(cinm, Seq("community"), "left")
+      .crossJoin(broadcast(w2df))
+      .select(P.prnd(
+        coalesce($"win", lit(0L)) / $"w2".cast("double")
+          - ($"wtot" / $"w2".cast("double")) * ($"wtot" / $"w2".cast("double")), 12).as("q"))
+      .agg(P.cnt.as("n_communities"), P.prnd(P.dsum($"q", 12), 8).as("modularity"))
+      .select($"n_communities", lit(coarseMoved).as("n_moved"),
+        lit(1L + levelsWithMoves).as("n_levels"), $"modularity")
   }
 
   /** Per-supplier customer cap for the clustering projection and the
@@ -2392,6 +2585,6 @@ object GraphOps {
     grDegreeBuckets, grPagerank, grEigenvector, grComponents, grCloseness,
     grClosenessW, grBetweenness, grBetweennessW, grInfluencers,
     grCommunities, grCommunityStats,
-    grCommunityNames, grModularity, grLouvain, grGraphStats, grLinkPredict,
+    grCommunityNames, grModularity, grLouvain, grLouvainMl, grGraphStats, grLinkPredict,
     grTriangles, grKcore, grAssortativity, grRandomWalks, grEgoNet)
 }

@@ -96,6 +96,80 @@ class GraphSpec extends GraftSuite {
     assert(q > 0.0)
   }
 
+  test("louvain multi-level: planted hierarchy resolves coarse blocks single-level cannot") {
+    // r14 verdict item 1: a planted HIERARCHICAL graph — two coarse
+    // blocks (A, B) of three dense sub-blocks each. Inter-sub-block ties
+    // are sized so NO single border node gains by moving (level 1
+    // honestly stalls at the 6 sub-blocks) while whole-sub-block merges
+    // DO gain (the coarse level resolves A and B) — the exact situation
+    // the reference's multi-level louvain_communities handles and a
+    // single move level cannot.
+    //
+    // Construction (one-directional edge weights): each sub-block is a
+    // 4-customer × 4-supplier biclique with pair weight 2 (internal 32;
+    // LPA needs internal ties STRICTLY heavier than inter ties or its
+    // weighted votes leak across sub-blocks). All inter edges are unit:
+    // SB1↔SB2 and SB1↔SB3 in both orientations (custs_i×sups_j and
+    // custs_j×sups_i, 32 each — SB1 is the heaviest attractor, so the
+    // down-only coarse sweeps converge on its label in one sweep) and
+    // SB2→SB3 single orientation (16); one weight-1 A–B cross edge
+    // keeps the graph connected. Totals: one-directional 6·32 +
+    // 2·(32+32+16) + 1 = 353, so w2 = 706; sub-block und-degree totals
+    // 129/112/112 per coarse block (the cross edge rides on SB1/SB4).
+    //
+    // Hand-computed gains (score = w2·w(n→c) − deg(n)·wtot'(c)):
+    //  level 1, worst border node (an SB1 customer, deg 16): stay
+    //  706·8 − 16·113 = 3840 > best move 706·4 − 16·112 = 1032 — every
+    //  node stalls inside its sub-block;
+    //  level 2, super-node SB2 (deg 112): move to SB1 706·32 − 112·129 =
+    //  8144 > stay 0 — the coarse level merges each block.
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_louvain_ml").toString
+    // sub-block k: customers custs(k), suppliers sups(k)
+    val custs = Seq(Seq(10L, 11L, 12L, 13L), Seq(14L, 15L, 16L, 17L),
+      Seq(18L, 19L, 20L, 21L), Seq(40L, 41L, 42L, 43L),
+      Seq(44L, 45L, 46L, 47L), Seq(48L, 49L, 50L, 51L))
+    val sups = Seq(Seq(20L, 21L, 22L, 23L), Seq(24L, 25L, 26L, 27L),
+      Seq(28L, 29L, 30L, 31L), Seq(60L, 61L, 62L, 63L),
+      Seq(64L, 65L, 66L, 67L), Seq(68L, 69L, 70L, 71L))
+    // one order per customer; edge weight = lineitem count per (cust, sup)
+    val orders = custs.flatten.map(c => (c * 100L, c))
+    val li = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    def order(c: Long) = c * 100L
+    // internal bicliques, pair weight 2
+    for (b <- 0 until 6; c <- custs(b); sp <- sups(b); _ <- 1 to 2) li += ((order(c), sp))
+    // unit inter edges, all pairs of the given orientation
+    def inter(ci: Seq[Long], sj: Seq[Long]): Unit =
+      for (c <- ci; sp <- sj) li += ((order(c), sp))
+    for (base <- Seq(0, 3)) {
+      inter(custs(base), sups(base + 1)); inter(custs(base + 1), sups(base)) // SB1↔SB2: 32
+      inter(custs(base), sups(base + 2)); inter(custs(base + 2), sups(base)) // SB1↔SB3: 32
+      inter(custs(base + 1), sups(base + 2)) // SB2→SB3: 16
+    }
+    li += ((order(10L), 60L)) // the weak A–B cross edge
+    orders.toDF("o_orderkey", "o_custkey").write.parquet(s"$dir/orders.parquet")
+    li.toSeq.toDF("l_orderkey", "l_suppkey").write.parquet(s"$dir/lineitem.parquet")
+    val single = Registry.byName("gr_louvain").run(spark, dir).collect()(0)
+    assert(single.getAs[Long]("n_communities") === 6L,
+      s"single-level should stall at the 6 sub-blocks, got ${single.getAs[Long]("n_communities")}")
+    val q6 = 384.0 / 706.0 -
+      2.0 * (129.0 * 129 + 112.0 * 112 + 112.0 * 112) / (706.0 * 706.0)
+    assert(math.abs(single.getAs[Double]("modularity") - q6) < 1e-6,
+      s"single-level Q ${single.getAs[Double]("modularity")} vs hand-computed $q6")
+    val ml = Registry.byName("gr_louvain_ml").run(spark, dir).collect()(0)
+    assert(ml.getAs[Long]("n_communities") === 2L,
+      s"multi-level should reach the 2 coarse blocks, got ${ml.getAs[Long]("n_communities")}")
+    assert(ml.getAs[Long]("n_levels") === 2L,
+      s"one coarse level should move (then fixpoint), got ${ml.getAs[Long]("n_levels")}")
+    assert(ml.getAs[Long]("n_moved") > 0L)
+    // Q(A|B): und-internal per block 352, block degree total 353
+    val q2 = 352.0 / 353.0 - 0.5
+    val qMl = ml.getAs[Double]("modularity")
+    assert(math.abs(qMl - q2) < 1e-6, s"multi-level Q $qMl vs hand-computed $q2")
+    assert(qMl > single.getAs[Double]("modularity") + 0.05,
+      "the coarse level must strictly improve modularity here")
+  }
+
   test("edges exclude the bot-account keys and carry positive weights") {
     val e = run("gr_edges")
     assert(e.count() > 0)
