@@ -758,7 +758,7 @@ object GraphOps {
     * and the size-driven [[stateJoin]] knob applies unchanged.
     */
   private def weightedDists(u: DataFrame, nodes: DataFrame, lmkIds: Array[Long],
-      rounds: Int, bcast: Boolean): DataFrame = {
+      rounds: Int, bcast: Boolean, probe: Int => Unit = _ => ()): DataFrame = {
     val s = u.sparkSession
     import s.implicits._
     val ks = lmkIds.indices
@@ -768,7 +768,16 @@ object GraphOps {
       (ks.map(i => when($"node" === lmkIds(i), 0L).as(s"d$i")) ++
         ks.map(i => ($"node" === lmkIds(i)).as(s"g$i"))): _*)
     var state = init.ckpt
-    for (_ <- 1 to rounds) {
+    // convergence short-circuit (r14 verdict item 6): an empty frontier
+    // is a FIXED POINT — no distance improved this round, so every later
+    // round relaxes nothing and the oracle's statically-unrolled
+    // trailing rounds are no-ops. The count per round is one cheap
+    // aggregate on state the next round's join would materialize anyway
+    // (the components fixpoint-probe discipline).
+    var round = 0
+    var active = 1L
+    while (round < rounds && active > 0) {
+      round += 1
       val frontier = state.filter(ks.map(g).reduce(_ || _))
         .select($"node".as("nb0") +:
           ks.flatMap(i => Seq(d(i).as(s"fd$i"), g(i).as(s"fg$i"))): _*)
@@ -787,7 +796,9 @@ object GraphOps {
             ks.map(i => (col(s"c$i").isNotNull &&
               (d(i).isNull || col(s"c$i") < d(i))).as(s"g$i"))): _*)
         .ckpt
+      active = state.filter(ks.map(g).reduce(_ || _)).count()
     }
+    probe(round)
     state.select($"node" +: ks.map(i => d(i)): _*)
   }
 
@@ -802,13 +813,15 @@ object GraphOps {
     * division is double.
     */
   def closenessW(u: DataFrame, k: Int = ClLandmarks, rounds: Int = ClWRounds,
-      stateBroadcast: Boolean = true): DataFrame = {
+      stateBroadcast: Boolean = true,
+      probe: (String, Int) => Unit = (_, _) => ()): DataFrame = {
     val s = u.sparkSession
     import s.implicits._
     val nodes = u.select($"node").distinct().ckpt
     val bcast = stateBroadcast && stateHint(nodes.count())
     val lmkIds = landmarkSeed(nodes, k)
-    val state = weightedDists(u, nodes, lmkIds, rounds, bcast)
+    val state = weightedDists(u, nodes, lmkIds, rounds, bcast,
+      probe("relax", _))
     val tot = lmkIds.indices.map(i =>
       when(col(s"d$i").isNull || col(s"d$i") > ClWCap, ClWCap)
         .otherwise(col(s"d$i"))).reduce(_ + _)
@@ -844,14 +857,16 @@ object GraphOps {
     * broadcasts throughout.
     */
   def betweennessW(u: DataFrame, k: Int = BwLandmarks, rounds: Int = BwWRounds,
-      dagIters: Int = BwWDagIters, stateBroadcast: Boolean = true): DataFrame = {
+      dagIters: Int = BwWDagIters, stateBroadcast: Boolean = true,
+      probe: (String, Int) => Unit = (_, _) => ()): DataFrame = {
     val s = u.sparkSession
     import s.implicits._
     val nodes = u.select($"node").distinct().ckpt
     val bcast = stateBroadcast && stateHint(nodes.count())
     val lmkIds = landmarkSeed(nodes, k)
     val ks = lmkIds.indices
-    val state = weightedDists(u, nodes, lmkIds, rounds, bcast)
+    val state = weightedDists(u, nodes, lmkIds, rounds, bcast,
+      probe("relax", _))
     // weighted shortest-path DAG, columnar: one row per edge that is a
     // DAG edge for ANY landmark, with per-landmark membership masks
     val sv = state.select($"node".as("v") +: ks.map(i => col(s"d$i").as(s"dv$i")): _*)
@@ -876,9 +891,26 @@ object GraphOps {
       org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("node",
           org.apache.spark.sql.types.LongType, nullable = false))))
+    // σ is pointwise MONOTONE non-decreasing across rounds (each round
+    // counts DAG paths of one more hop; terms are non-negative), so the
+    // per-column sums are a complete fixpoint probe: unchanged sums ⇒
+    // no σ changed and no null became non-null ⇒ every later round is a
+    // no-op (matching the oracle's trailing statically-unrolled rounds).
+    // One cheap aggregate per round on the just-checkpointed state
+    // (r14 verdict item 6).
+    def sigMetric(df: DataFrame): Seq[java.math.BigDecimal] = {
+      val aggs = ks.map(i =>
+        sum(col(s"s$i").cast("decimal(38,0)")).as(s"m$i"))
+      val r = df.agg(aggs.head, aggs.tail: _*).head()
+      ks.map(i => Option(r.getDecimal(i)).getOrElse(java.math.BigDecimal.ZERO))
+    }
     var sig = lmkFrame.select($"node" +:
       ks.map(i => when($"node" === lmkIds(i), 1L).as(s"s$i")): _*).ckpt
-    for (_ <- 1 to dagIters) {
+    var sigPrev = sigMetric(sig)
+    var sigIt = 0
+    var sigFixed = false
+    while (sigIt < dagIters && !sigFixed) {
+      sigIt += 1
       val prevS = sig.select($"node".as("v0") +: ks.map(i => col(s"s$i").as(s"ps$i")): _*)
       // the K pinned marker rows (all-null contributions) ride INTO the
       // aggregate input, so a landmark node always has an output row to
@@ -895,7 +927,10 @@ object GraphOps {
         .select($"node" +: ks.map(i =>
           when($"node" === lmkIds(i), 1L).otherwise(col(s"cs$i")).as(s"s$i")): _*)
         .ckpt
+      val m = sigMetric(sig)
+      if (m == sigPrev) sigFixed = true else sigPrev = m
     }
+    probe("sigma", sigIt)
     // per-edge dependency ratio σv/σw per landmark (null when the edge is
     // not on landmark i's DAG or either σ is outside the σ bound)
     val sv2 = sig.select($"node".as("v2") +: ks.map(i => col(s"s$i").as(s"sv$i")): _*)
@@ -914,8 +949,25 @@ object GraphOps {
     // every use, so no round pays the |V|-row re-densify join of the
     // first cut (one |V|-row LEFT join at the very end emits the full
     // node set instead of ten mid-round ones).
+    // δ shares σ's monotone-fixpoint probe: δ_t is a monotone function
+    // of δ_{t-1} ≥ 0 (non-negative ratio terms), each round's values are
+    // prnd-quantized to 1e-9, and the metric compares the exact
+    // floor(·1e9) integers — unchanged sums ⇒ the quantized state is
+    // identical ⇒ every later round (and the output, which reads δ
+    // through the same quantization) is unchanged.
+    def dltMetric(df: DataFrame): Seq[java.math.BigDecimal] = {
+      val aggs = ks.map(i =>
+        sum(floor(coalesce(col(s"p$i"), lit(0.0)) * lit(1e9) + lit(0.5))
+          .cast("decimal(38,0)")).as(s"m$i"))
+      val r = df.agg(aggs.head, aggs.tail: _*).head()
+      ks.map(i => Option(r.getDecimal(i)).getOrElse(java.math.BigDecimal.ZERO))
+    }
     var dlt = lmkFrame.select($"node" +: ks.map(i => lit(0.0).as(s"p$i")): _*).ckpt
-    for (_ <- 1 to dagIters) {
+    var dltPrev = dltMetric(dlt)
+    var dltIt = 0
+    var dltFixed = false
+    while (dltIt < dagIters && !dltFixed) {
+      dltIt += 1
       val prevD = dlt.select($"node".as("w3") +: ks.map(i => col(s"p$i").as(s"wp$i")): _*)
       val aggs = ks.map(i => P.dsum(P.prnd(
         col(s"rt$i") * (lit(1.0) + coalesce(col(s"wp$i"), lit(0.0))), 9), 9).as(s"cd$i"))
@@ -923,7 +975,10 @@ object GraphOps {
         .groupBy($"v").agg(aggs.head, aggs.tail: _*)
         .select($"v".as("node") +: ks.map(i => col(s"cd$i").as(s"p$i")): _*)
         .ckpt
+      val m = dltMetric(dlt)
+      if (m == dltPrev) dltFixed = true else dltPrev = m
     }
+    probe("delta", dltIt)
     // score: Σ over landmarks of δ through the exact floor(·1e9) integer
     // hop (row-wise long adds — associative), v ≠ source masked per
     // column; the oracle sums the identical BIGINT terms over its K rows

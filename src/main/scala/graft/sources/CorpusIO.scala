@@ -284,35 +284,81 @@ object CorpusIO {
           val p = new org.apache.hadoop.fs.Path(full)
           val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, hconf)
           val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-          val rows = try reader.getRecordCount finally reader.close()
-          (rel, bytes, mtime, rows)
+          // the schema fingerprint rides the SAME footer read the row
+          // count already pays (r14 verdict item 4): a daily feed that
+          // lands a file with an added/missing/retyped column must be
+          // detectable at manifest time, not when it poisons a
+          // downstream operator with null-fills or a late cast failure
+          val (rows, fp) =
+            try {
+              val md = reader.getFooter.getFileMetaData
+              val digest = java.security.MessageDigest.getInstance("MD5")
+                .digest(md.getSchema.toString.getBytes("UTF-8"))
+                .map("%02x".format(_)).mkString
+              (reader.getRecordCount, digest)
+            } finally reader.close()
+          (rel, bytes, mtime, rows, fp)
         }
       }
-      .toDF("file", "bytes", "mtime", "n_rows")
+      .toDF("file", "bytes", "mtime", "n_rows", "schema_fp")
   }
 
   /** Diff two [[manifest]] snapshots into per-file lifecycle statuses:
     * `added` (only in the new snapshot), `removed` (only in the old),
-    * `changed` (same path, different bytes/mtime/rows), `unchanged`.
-    * The added+changed set IS the incremental work list — everything a
-    * downstream consumer must (re-)process to catch up from the old
-    * snapshot to the new one. A full-outer equi-join on the relative
-    * path; both sides are manifest-sized (file counts), never data.
+    * `schema_changed` (same path, different footer-schema fingerprint —
+    * the r14 schema-evolution guard: detected BEFORE the generic
+    * `changed`, because a schema-divergent rewrite needs operator
+    * action, not reprocessing), `changed` (same path, different
+    * bytes/mtime/rows), `unchanged`. The added+changed set IS the
+    * incremental work list — everything a downstream consumer must
+    * (re-)process to catch up from the old snapshot to the new one. A
+    * full-outer equi-join on the relative path; both sides are
+    * manifest-sized (file counts), never data. The output carries each
+    * file's current `schema_fp` so a gate can also check ADDED files
+    * against the base corpus's schema ([[schemaGuard]]).
     */
   def manifestDiff(prev: DataFrame, cur: DataFrame): DataFrame = {
     val p = prev.select(col("file"), col("bytes").as("p_bytes"),
-      col("mtime").as("p_mtime"), col("n_rows").as("p_rows"))
+      col("mtime").as("p_mtime"), col("n_rows").as("p_rows"),
+      col("schema_fp").as("p_fp"))
     val c = cur.select(col("file"), col("bytes").as("c_bytes"),
-      col("mtime").as("c_mtime"), col("n_rows").as("c_rows"))
+      col("mtime").as("c_mtime"), col("n_rows").as("c_rows"),
+      col("schema_fp").as("c_fp"))
     p.join(c, Seq("file"), "full_outer")
       .select(col("file"),
         when(col("p_bytes").isNull, "added")
           .when(col("c_bytes").isNull, "removed")
+          .when(col("p_fp") =!= col("c_fp"), "schema_changed")
           .when(col("p_bytes") =!= col("c_bytes") ||
             col("p_mtime") =!= col("c_mtime") ||
             col("p_rows") =!= col("c_rows"), "changed")
           .otherwise("unchanged").as("status"),
-        col("c_bytes").as("bytes"), col("c_rows").as("n_rows"))
+        col("c_bytes").as("bytes"), col("c_rows").as("n_rows"),
+        col("c_fp").as("schema_fp"))
+  }
+
+  /** Base-integrity SCHEMA guard over a collected [[manifestDiff]] — the
+    * refusal an incremental gate issues before scheduling a divergent
+    * file into an operator that would null-fill silently or fail late
+    * (r14 verdict item 4). Two failure modes: a base file REWRITTEN
+    * with a different schema (`schema_changed`), and an ADDED batch
+    * file whose footer schema disagrees with the base corpus's
+    * (consensus = the fingerprints of the unchanged base files).
+    * Intentional schema evolution is an operator action — republish the
+    * corpus — never something an unattended daily gate infers.
+    */
+  def schemaGuard(diff: Seq[org.apache.spark.sql.Row]): Unit = {
+    val drifted = diff.filter(_.getAs[String]("status") == "schema_changed")
+      .map(_.getAs[String]("file"))
+    require(drifted.isEmpty,
+      s"base file(s) rewritten with a DIVERGENT SCHEMA: ${drifted.sorted.mkString(", ")}")
+    val baseFps = diff.filter(_.getAs[String]("status") == "unchanged")
+      .map(_.getAs[String]("schema_fp")).toSet
+    val badAdds = diff.filter(r => r.getAs[String]("status") == "added" &&
+        baseFps.nonEmpty && !baseFps.contains(r.getAs[String]("schema_fp")))
+      .map(_.getAs[String]("file"))
+    require(badAdds.isEmpty,
+      s"batch file(s) with a schema DIVERGENT from the base corpus refused: ${badAdds.sorted.mkString(", ")}")
   }
 
   def writeZOrdered(df: DataFrame, path: String, colA: String, colB: String,

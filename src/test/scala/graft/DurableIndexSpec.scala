@@ -160,6 +160,40 @@ class DurableIndexSpec extends GraftSuite {
     }
   }
 
+  test("store lifecycle gate: publish→append→compact→serve equals the fresh build, _old retired") {
+    // r14 verdict item 3: the composed maintenance arc as one query. The
+    // oracled gate (ops_store_lifecycle) proves hash equality against
+    // the fresh full build via CORRECTNESS; this spec asserts the same
+    // in-JVM plus the lifecycle hygiene the oracle cannot see: the
+    // post-compact serve plan is still exchange-free on the bucket key
+    // and the blue/green `_old` directory is retired.
+    val out = rowsOf(run("ops_store_lifecycle"))
+    val fresh = rowsOf(run("dd_minhash_lsh"))
+    assert(out === fresh, "lifecycle store candidates must equal the fresh build")
+    val store = operators.Ops.lifecycleStoreDir(spark, sfDir)
+    val root = new org.apache.hadoop.fs.Path(store)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val names = fs.listStatus(root).map(_.getPath.getName).toSeq
+    assert(!names.exists(_.endsWith("_old")),
+      s"the compaction swap must retire _old: $names")
+    assert(!names.exists(_.endsWith("_compacting")),
+      s"the compaction swap must retire the side copy: $names")
+    // exactly one file per bucket after the compact (8 data files)
+    val key = s"lc_bands:$sfDir"
+    val t = sources.IndexStore.tableName(key)
+    val dataFiles = fs.listStatus(new org.apache.hadoop.fs.Path(s"$store/$t"))
+      .count(st => st.isFile && !st.getPath.getName.startsWith("_") &&
+        !st.getPath.getName.startsWith("."))
+    assert(dataFiles === 8, s"expected one file per bucket, saw $dataFiles")
+    // the served table kept its bucketed layout through the lifecycle:
+    // a self-join on the bucket key plans no exchange
+    val l = spark.table(t).select(col("bkey"), col("doc_id").as("da"))
+    val r = spark.table(t).select(col("bkey"), col("doc_id").as("db"))
+    val plan = planOf(l.join(r, "bkey"))
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"post-lifecycle table lost its bucketed layout:\n$plan")
+  }
+
   test("serve refuses a stale artifact after its source corpus is rewritten; a sidecar key mismatch never serves") {
     import spark.implicits._
     val store = java.nio.file.Files.createTempDirectory("graft_idx_fp").toString

@@ -273,6 +273,40 @@ class GraphSpec extends GraftSuite {
     assert(gotB.values.max > 0.0)
   }
 
+  test("weighted centralities: convergence short-circuit exits before the round caps") {
+    // r14 verdict item 6: the relax/σ/δ loops previously ran their fixed
+    // caps even after reaching their fixpoint. With caps raised far past
+    // the toy graph's weighted hop depth, every loop must stop early
+    // (the exact monotone-sum fixpoint probes — an empty relax frontier;
+    // unchanged per-landmark σ/δ sums) and the scores must be
+    // cap-invariant (the brute-force parity test above pins the values
+    // themselves; CORRECTNESS pins the corpus hashes).
+    import spark.implicits._
+    import operators.GraphOps
+    val ew: Seq[(Long, Long, Long)] = Seq(
+      (1L, 2L, 1L), (2L, 3L, 1L), (3L, 4L, 1L), (1L, 4L, 10L),
+      (2L, 4L, 2L), (4L, 5L, 2L), (5L, 6L, 2L), (1L, 6L, 9L), (2L, 7L, 1L))
+    val und = (ew ++ ew.map(e => (e._2, e._1, e._3))).toDF("node", "nb", "weight")
+    val probes = scala.collection.mutable.Map.empty[String, Int]
+    val got = GraphOps.betweennessW(und, k = 3, rounds = 20, dagIters = 20,
+      probe = (ph, n) => probes(ph) = n).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(probes("relax") < 20, s"relax must converge early: $probes")
+    assert(probes("sigma") < 20, s"sigma must converge early: $probes")
+    assert(probes("delta") < 20, s"delta must converge early: $probes")
+    val ref = GraphOps.betweennessW(und, k = 3).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got === ref, "betweenness_w must be cap-invariant past convergence")
+    val probesC = scala.collection.mutable.Map.empty[String, Int]
+    val gotC = GraphOps.closenessW(und, k = 3, rounds = 20,
+      probe = (ph, n) => probesC(ph) = n).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(probesC("relax") < 20, s"closeness relax must converge early: $probesC")
+    val refC = GraphOps.closenessW(und, k = 3).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(gotC === refC, "closeness_w must be cap-invariant past convergence")
+  }
+
   test("every node gets a component and labels are canonical members") {
     val comp = run("gr_components")
     val nodes = operators.GraphOps.undirected(operators.GraphOps.edges(spark, sfDir))

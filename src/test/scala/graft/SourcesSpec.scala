@@ -265,6 +265,74 @@ class SourcesSpec extends GraftSuite {
     }
   }
 
+  test("manifest schema guard: a divergent-schema day is classified and refused") {
+    // r14 verdict item 4: a real daily feed eventually lands a file with
+    // an added/missing/retyped column. The manifest's footer-schema
+    // fingerprint (same footer read the row count pays) must classify
+    // (a) a base file REWRITTEN with a new schema as schema_changed and
+    // (b) an added batch file whose schema disagrees with the base
+    // corpus, and the gate guard must refuse both with the
+    // base-integrity error instead of letting the file null-fill a
+    // downstream operator.
+    import spark.implicits._
+    val dir = tmp("graft_man_schema")
+    val corpus = s"$dir/corpus"
+    Seq((1L, "a"), (2L, "b")).toDF("id", "text").coalesce(1)
+      .write.parquet(corpus)
+    // materialize the snapshot NOW: manifest captures the file LIST
+    // eagerly but its footer reads are lazy, and this test rewrites a
+    // base file in place below — a re-executed lazy snapshot would read
+    // the rewritten footer into the "old" side and mask the drift
+    val m1 = CorpusIO.manifest(spark, corpus).localCheckpoint()
+    val fp1 = m1.collect().map(_.getAs[String]("schema_fp")).distinct
+    assert(fp1.length === 1 && fp1.head.length === 32,
+      "one consistent 32-hex footer-schema fingerprint for a uniform corpus")
+
+    // (b) a batch day arrives with a RETYPED column (id int, extra col)
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = new org.apache.hadoop.fs.Path(corpus).getFileSystem(conf)
+    Seq((3, "c", 0.5)).toDF("id", "text", "score").coalesce(1)
+      .write.parquet(s"$dir/batch")
+    val batchFile = fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/batch"))
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet")).head.getPath
+    org.apache.hadoop.fs.FileUtil.copy(fs, batchFile, fs,
+      new org.apache.hadoop.fs.Path(s"$corpus/day1-divergent.parquet"), false, conf)
+    val d = CorpusIO.manifestDiff(m1, CorpusIO.manifest(spark, corpus)).collect()
+    val added = d.filter(_.getAs[String]("status") == "added")
+    assert(added.length === 1)
+    assert(added.head.getAs[String]("schema_fp") !== fp1.head,
+      "the divergent batch file must carry a different fingerprint")
+    val refusal = intercept[IllegalArgumentException] {
+      CorpusIO.schemaGuard(d.toIndexedSeq)
+    }
+    assert(refusal.getMessage.contains("day1-divergent.parquet"))
+    assert(refusal.getMessage.toLowerCase.contains("divergent"))
+
+    // a schema-CONSISTENT batch day passes the guard
+    fs.delete(new org.apache.hadoop.fs.Path(s"$corpus/day1-divergent.parquet"), false)
+    Seq((4L, "d")).toDF("id", "text").coalesce(1).write.parquet(s"$dir/ok")
+    val okFile = fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/ok"))
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet")).head.getPath
+    org.apache.hadoop.fs.FileUtil.copy(fs, okFile, fs,
+      new org.apache.hadoop.fs.Path(s"$corpus/day1-ok.parquet"), false, conf)
+    val dOk = CorpusIO.manifestDiff(m1, CorpusIO.manifest(spark, corpus)).collect()
+    CorpusIO.schemaGuard(dOk.toIndexedSeq) // must not throw
+    assert(dOk.count(_.getAs[String]("status") == "added") === 1)
+
+    // (a) a base file rewritten IN PLACE with a new schema → schema_changed
+    val baseFile = m1.collect().map(_.getAs[String]("file")).head
+    org.apache.hadoop.fs.FileUtil.copy(fs, batchFile, fs,
+      new org.apache.hadoop.fs.Path(s"$corpus/$baseFile"), false, conf)
+    val d2 = CorpusIO.manifestDiff(m1, CorpusIO.manifest(spark, corpus)).collect()
+    assert(d2.exists(r => r.getAs[String]("status") == "schema_changed" &&
+        r.getAs[String]("file") == baseFile),
+      s"in-place schema rewrite must classify schema_changed: ${d2.mkString(", ")}")
+    val refusal2 = intercept[IllegalArgumentException] {
+      CorpusIO.schemaGuard(d2.toIndexedSeq)
+    }
+    assert(refusal2.getMessage.contains(baseFile))
+  }
+
   test("manifest: abandoned-write debris excluded at any depth; awkward file names resolve") {
     import spark.implicits._
     val dir = tmp("graft_man_edge")
