@@ -335,6 +335,71 @@ object Analytics {
       .orderBy($"n_chars".desc, $"doc_id").limit(20)
   }
 
+  /** The explorer's page size and the strictly-after-(n_chars DESC,
+    * doc_id) keyset predicate — THE pagination primitive: the cursor is
+    * the last row the client saw, and the next page is a filtered
+    * top-k, never an OFFSET (OFFSET n re-scans and re-sorts n rows to
+    * throw them away — at 100 TB page 50 would re-read page 1-49's
+    * data; the keyset page's cost is the same as page 1's).
+    */
+  val ExplorerPageSize = 20
+  private def afterKey(chars: Column, id: Column,
+      lastChars: Column, lastId: Column): Column =
+    chars < lastChars || (chars === lastChars && id > lastId)
+
+  /** Keyset continuation of the explorer with a LITERAL cursor — the
+    * real serving API (the dashboard holds the last row of the page it
+    * rendered and passes it back). With literal bounds the continuation
+    * predicate reaches the parquet scan (`PushedFilters` on n_chars),
+    * so on the curated range-sorted layout later pages SKIP the files
+    * earlier pages came from — proved in SourcesSpec.
+    */
+  def explorerPage(docs: DataFrame, lastChars: Long, lastId: Long,
+      pageSize: Int = ExplorerPageSize): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    docs
+      .filter($"lang" === "en" && $"n_chars" > 200 &&
+        afterKey($"n_chars", $"doc_id", lit(lastChars), lit(lastId)))
+      .select($"doc_id", $"source", $"lang", $"n_chars")
+      .orderBy($"n_chars".desc, $"doc_id").limit(pageSize)
+  }
+
+  /** PAGE 2 of the explorer through the keyset cursor (r14 verdict
+    * item 7: the reference dashboard pages through results; `an_explorer`
+    * serves page 1 only). The oracled form derives the cursor — the
+    * last row of page 1 in (n_chars DESC, doc_id) order — inside the
+    * query as a 1-row broadcast so the result is deterministic at any
+    * SF; production passes the cursor as literals instead
+    * ([[explorerPage]]) and pays ONE top-k scan per page.
+    */
+  val explorerPage2 = QueryDef(
+    "an_explorer_page",
+    s"""WITH p1 AS MATERIALIZED (SELECT doc_id, n_chars FROM documents
+       |  WHERE lang = 'en' AND n_chars > 200
+       |  ORDER BY n_chars DESC, doc_id LIMIT $ExplorerPageSize),
+       |lastk AS MATERIALIZED (SELECT n_chars AS lc, doc_id AS li FROM p1
+       |  ORDER BY n_chars, doc_id DESC LIMIT 1)
+       |SELECT doc_id, source, lang, n_chars FROM documents, lastk
+       |WHERE lang = 'en' AND n_chars > 200
+       |  AND (n_chars < lc OR (n_chars = lc AND doc_id > li))
+       |ORDER BY n_chars DESC, doc_id LIMIT $ExplorerPageSize""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val base = Tables.documents(s, dir)
+      .filter($"lang" === "en" && $"n_chars" > 200)
+    // the page-1 cursor: last row of the page in serve order (= first
+    // row under the reversed order) — a bounded top-k, then a 1-row
+    // broadcast into the page-2 top-k
+    val lastk = base.select($"n_chars", $"doc_id")
+      .orderBy($"n_chars".desc, $"doc_id").limit(ExplorerPageSize)
+      .orderBy($"n_chars", $"doc_id".desc).limit(1)
+      .select($"n_chars".as("lc"), $"doc_id".as("li"))
+    base.crossJoin(broadcast(lastk))
+      .filter(afterKey($"n_chars", $"doc_id", $"lc", $"li"))
+      .select($"doc_id", $"source", $"lang", $"n_chars")
+      .orderBy($"n_chars".desc, $"doc_id").limit(ExplorerPageSize)
+  }
+
   /** Per-user activity stats (network_analysis.py:256-292 analog). */
   val userActivity = QueryDef(
     "an_user_activity",
@@ -1434,7 +1499,7 @@ object Analytics {
   }
 
   val defs: Seq[QueryDef] = Seq(timeline, timelineDense, newVsReturning, topGroups, dowActivity, hourlyHeatmap, valueBuckets,
-    commentBuckets, quantiles, keywordMentions, explorer, userActivity,
+    commentBuckets, quantiles, keywordMentions, explorer, explorerPage2, userActivity,
     rollingActive, retention, spikeDays, conversion, sessionStats, eventGapDist, activeStreaks, gini, paretoShare,
     hllUsers, cmTopk, trend, histQuantiles, concurrency, abTest, sessionPaths,
     pivotDaily, kmvOverlap, forecastNaive, dowAnomaly)

@@ -64,4 +64,34 @@ object PipelineStream {
       EventStream.windowAggOf(
         dedupedEvents(wire, watermark).select("ts", "event_type", "value"), win),
       storeId, queryName, checkpoint)
+
+  /** Wire → dedup → per-micro-batch ENRICHMENT against a PUBLISHED
+    * bucketed store (r15) — the streaming consumer of the train-once
+    * artifacts: a foreachBatch leg joins each arriving batch against
+    * [[graft.sources.IndexStore]]'s served table on its bucket key, so
+    * the static side arrives pre-shuffled off disk (the same
+    * exchange-free scan the batch twin gets) and the stream pays only
+    * its own keyed exchange. [[graft.sources.IndexStore.tryServe]] is
+    * consulted PER BATCH: a store republished mid-stream (the blue/green
+    * swap) is picked up on the next micro-batch without restarting the
+    * query, and an unpublished or serve-REFUSED store fails the batch
+    * loudly — an enrichment leg silently joining nothing would corrupt
+    * the sink. The enriched batch lands through `sink` (the reference's
+    * Mongo-write position).
+    */
+  def enriched(wire: DataFrame, storeKey: String, joinCol: String,
+      queryName: String, watermark: String,
+      checkpoint: Option[String] = None)(sink: DataFrame => Unit): StreamingQuery = {
+    val s = wire.sparkSession
+    val w = dedupedEvents(wire, watermark)
+      .writeStream.queryName(queryName).outputMode("append")
+    val ws = checkpoint.fold(w)(c => w.option("checkpointLocation", c))
+    ws.foreachBatch { (batch: DataFrame, _: Long) =>
+      val served = graft.sources.IndexStore.tryServe(s, storeKey).getOrElse(
+        throw new IllegalStateException(
+          s"enrichment store '$storeKey' is not served — publish it " +
+            "(or republish after a refusal) before the leg's next batch"))
+      sink(batch.join(served, joinCol))
+    }.start()
+  }
 }

@@ -35,6 +35,59 @@ class MlMultimodalSpec extends GraftSuite {
     assert(sample.size === SentimentPipeline.HashFeatures + 3)
   }
 
+  test("feature exactness: vocabulary, IDF values and assembled vectors on a planted corpus") {
+    // r14 verdict item 5: the pipeline's accuracy specs showed the stack
+    // TRAINS; this pins the FEATURE MATH exactly on a 4-doc corpus small
+    // enough to hand-compute. Corpus term totals: spark 5, merge 4,
+    // fast 3, once 1 — so the fitted CountVectorizer vocabulary (ordered
+    // by corpus frequency) is [spark, merge, fast] with 'once' dropped
+    // by minDF=2; document frequencies spark 2, merge 3, fast 2 give
+    // Spark's IDF ln((m+1)/(df+1)) with m=4; and d3 = "spark fast fast"
+    // assembles [idf_spark, 0, 2·idf_fast, lex_score=1, n_tokens=3,
+    // emoji_score=1].
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "spark merge spark spark spark"),
+      (2L, "merge fast"),
+      (3L, "spark fast fast"),
+      (4L, "merge merge once"))
+      .toDF("doc_id", "text")
+    val model = SentimentPipeline.pipeline("lr")
+      .fit(SentimentPipeline.labeled(docs))
+    val cv = model.stages(2)
+      .asInstanceOf[org.apache.spark.ml.feature.CountVectorizerModel]
+    assert(cv.vocabulary.toSeq === Seq("spark", "merge", "fast"),
+      s"fitted vocabulary: ${cv.vocabulary.mkString(",")}")
+    val idf = model.stages(3)
+      .asInstanceOf[org.apache.spark.ml.feature.IDFModel].idf.toArray
+    val expIdf = Seq(math.log(5.0 / 3), math.log(5.0 / 4), math.log(5.0 / 3))
+    idf.zip(expIdf).zipWithIndex.foreach { case ((got, exp), i) =>
+      assert(math.abs(got - exp) < 1e-12, s"idf($i): $got vs $exp")
+    }
+    val feats = model.transform(SentimentPipeline.labeled(docs)
+        .filter($"doc_id" === 3L))
+      .select("features").head()
+      .getAs[org.apache.spark.ml.linalg.Vector]("features").toArray
+    val expFeats = Seq(math.log(5.0 / 3), 0.0, 2 * math.log(5.0 / 3),
+      1.0, 3.0, 1.0) // tfidf(spark=1, merge=0, fast=2) ++ side-features
+    assert(feats.length === expFeats.length)
+    feats.zip(expFeats).zipWithIndex.foreach { case ((got, exp), i) =>
+      assert(math.abs(got - exp) < 1e-12, s"feature($i): $got vs $exp")
+    }
+    // hashed mode: the same doc's text features land in exactly the
+    // murmur3 buckets HashingTF.indexOf declares, with exact counts
+    val hModel = SentimentPipeline.pipeline("lr", hashed = true)
+      .fit(SentimentPipeline.labeled(docs))
+    val htf = hModel.stages(2).asInstanceOf[org.apache.spark.ml.feature.HashingTF]
+    val tf = hModel.stages.take(3).foldLeft(
+        SentimentPipeline.labeled(docs).filter($"doc_id" === 3L): org.apache.spark.sql.DataFrame)(
+        (df, st) => st.asInstanceOf[org.apache.spark.ml.Transformer].transform(df))
+      .select("tf").head().getAs[org.apache.spark.ml.linalg.Vector]("tf")
+    val expBuckets = Map(htf.indexOf("spark") -> 1.0, htf.indexOf("fast") -> 2.0)
+    val gotBuckets = tf.toArray.zipWithIndex.collect { case (v, i) if v != 0.0 => i -> v }.toMap
+    assert(gotBuckets === expBuckets, s"hashed buckets: $gotBuckets vs $expBuckets")
+  }
+
   test("all three reference classifiers train (lr, rf, nb)") {
     val ranked = SentimentPipeline.compareClassifiers(Tables.documents(spark, sfDir))
     assert(ranked.map(_._1).toSet === Set("lr", "rf", "nb"))

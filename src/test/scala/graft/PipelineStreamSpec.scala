@@ -18,6 +18,13 @@ private[graft] object CrashRecoveryRows {
   val rows = new java.util.concurrent.ConcurrentLinkedQueue[String]()
 }
 
+/** Static holder for the store-enrichment leg's sink rows (same
+  * foreachBatch-closure addressing as [[CrashRecoveryRows]]).
+  */
+private[graft] object EnrichedRows {
+  val rows = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+}
+
 class PipelineStreamSpec extends GraftSuite {
 
   private val Wm = "6 hours"
@@ -91,6 +98,62 @@ class PipelineStreamSpec extends GraftSuite {
         .orderBy("user_id", "session_idx").collect()
       assert(twin.map(_.toString).toSeq === got.map(_.toString).toSeq)
     } finally q.stop()
+  }
+
+  test("wire → dedup → store-enrichment leg: in-stream join against the published store equals the batch twin") {
+    // r14 verdict stretch item: the streaming CONSUMER of the train-once
+    // artifacts — arriving events enriched per micro-batch against a
+    // published bucketed user dimension, results identical to the batch
+    // twin on the same frames. Also proves the per-batch tryServe: the
+    // leg runs across two micro-batches against the same published
+    // store, and an UNPUBLISHED key fails the batch loudly.
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val store = java.nio.file.Files.createTempDirectory("graft_enrich_store").toString
+    spark.conf.set(sources.IndexStore.DirConf, store)
+    val key = "enrich_user_dim"
+    try {
+      val dim = Seq((1L, "free"), (2L, "pro"), (9L, "unseen"))
+        .toDF("user_id", "tier")
+      sources.IndexStore.publish(spark, key, dim, "user_id", buckets = 4)
+      EnrichedRows.rows.clear()
+      val mem = MemoryStream[Array[Byte]]
+      val q = PipelineStream.enriched(mem.toDF().toDF("value"), key,
+        "user_id", "pipe_enriched", Wm) { joined =>
+        joined.select($"event_id", $"user_id", $"tier").collect()
+          .foreach(r => EnrichedRows.rows.add(r.toString))
+      }
+      try {
+        mem.addData(batchA: _*); q.processAllAvailable()
+        mem.addData(batchB: _*); q.processAllAvailable()
+      } finally q.stop()
+      val got = EnrichedRows.rows.toArray.map(_.toString).sorted.toSeq
+      // batch twin: the same frames through the same dedup + the same
+      // served table (u1 → free, u2 → pro; duplicates dropped upstream)
+      val served = sources.IndexStore.tryServe(spark, key).get
+      val twin = PipelineStream.dedupedEvents(
+          (batchA ++ batchB).toDF("value"), Wm)
+        .join(served, "user_id")
+        .select($"event_id", $"user_id", $"tier").collect()
+        .map(_.toString).sorted.toSeq
+      assert(got === twin, s"stream-enriched rows diverged:\n$got\nvs\n$twin")
+      assert(got.nonEmpty && got.exists(_.contains("free")) && got.exists(_.contains("pro")))
+      // an unpublished key must fail the micro-batch loudly, not join nothing
+      val mem2 = MemoryStream[Array[Byte]]
+      val q2 = PipelineStream.enriched(mem2.toDF().toDF("value"),
+        "enrich_missing", "user_id", "pipe_enriched_missing", Wm)(_ => ())
+      try {
+        mem2.addData(batchA: _*)
+        val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+          q2.processAllAvailable()
+        }
+        assert(e.getMessage.contains("enrich_missing") ||
+          Option(e.getCause).exists(_.getMessage.contains("enrich_missing")))
+      } finally q2.stop()
+    } finally {
+      spark.conf.unset(sources.IndexStore.DirConf)
+      spark.sql(s"DROP TABLE IF EXISTS ${sources.IndexStore.tableName(key)}")
+    }
   }
 
   test("wire → dedup → scd2: emitted history is immutable across the straggler") {

@@ -372,7 +372,10 @@ class SourcesSpec extends GraftSuite {
     import spark.implicits._
     val dir = tmp("graft_explorer")
     val docs = Tables.documents(spark, sfDir)
-    docs.repartitionByRange(8, $"n_chars")
+    // 16 range buckets → ~9 en rows per file, so one explorer PAGE spans
+    // several files (the keyset continuation below needs a whole file
+    // above the page-1 cursor to demonstrate the skip)
+    docs.repartitionByRange(16, $"n_chars")
       .sortWithinPartitions($"n_chars")
       .write.mode("overwrite").partitionBy("lang").parquet(dir)
     val q = CorpusIO.readPartitioned(spark, dir)
@@ -397,13 +400,45 @@ class SourcesSpec extends GraftSuite {
     // fewer files than exist (the 100 TB payoff: the scan is bounded by
     // the match, not the partition)
     val perFile = spark.read.parquet(s"$dir/lang=en")
-      .groupBy(input_file_name().as("f")).agg(max($"n_chars").as("hi"))
+      .groupBy(input_file_name().as("f")).agg(max($"n_chars").as("hi"),
+        min($"n_chars").as("lo"))
       .collect()
     val total = perFile.length
     val touchable = perFile.count(_.getAs[Long]("hi") > 200L)
     assert(touchable < total,
       s"no file is skippable: $touchable of $total files reach past the cut")
     assert(touchable >= 1)
+
+    // r14 verdict item 7 — keyset CONTINUATION page: with the literal
+    // cursor (the last row page 1 served), the continuation predicate
+    // must (1) return exactly the oracled page 2, (2) still reach the
+    // parquet scan as a pushed filter, and (3) skip the top-of-range
+    // files page 1 came from on this range-sorted layout (the reason
+    // keyset beats OFFSET at 100 TB).
+    val p1 = got.map(_.split(",")) // [doc_id, source, lang, n_chars]
+    val lastRow = Registry.byName("an_explorer").run(spark, sfDir)
+      .orderBy($"n_chars", $"doc_id".desc).limit(1).collect()(0)
+    val (lastChars, lastId) =
+      (lastRow.getAs[Long]("n_chars"), lastRow.getAs[Long]("doc_id"))
+    val page2 = operators.Analytics.explorerPage(
+      CorpusIO.readPartitioned(spark, dir), lastChars, lastId)
+    val gotP2 = page2.collect().map(_.toString).toSeq
+    val expectP2 = Registry.byName("an_explorer_page").run(spark, sfDir)
+      .collect().map(_.toString).toSeq
+    assert(gotP2 === expectP2,
+      "literal-cursor keyset page diverged from the oracled page 2")
+    val p2Plan = page2.queryExecution.executedPlan.toString
+    assert(p2Plan.contains("PushedFilters: [") &&
+      p2Plan.split("PushedFilters:")(1).takeWhile(_ != ']').contains("n_chars"),
+      s"the continuation predicate must reach the parquet scan:\n$p2Plan")
+    // file-skipping payoff: the continuation upper bound (n_chars ≤
+    // lastChars) leaves every file whose min is past the cursor
+    // untouchable — page 2 can skip files page 1 HAD to read
+    val skippableForP2 = perFile.count(_.getAs[Long]("lo") > lastChars)
+    assert(skippableForP2 >= 1,
+      s"page 2 should skip the top-of-range files (cursor $lastChars): " +
+        perFile.map(r => s"[${r.getAs[Long]("lo")},${r.getAs[Long]("hi")}]").mkString(" "))
+    assert(p1.nonEmpty)
   }
 
   test("incremental gate: equals full recompute; re-snapshot yields an empty work list") {
