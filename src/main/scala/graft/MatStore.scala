@@ -40,6 +40,17 @@ object MatStore {
       graft.sources.IndexStore.tryServe(s, key)
         .getOrElse(build.ckpt))
 
+  /** Drop EVERY memoized relation of `s`. Maintenance actions that
+    * REPLACE a relation's backing files in place (the
+    * [[graft.sources.IndexStore.compact]] swap) call this: the swapped
+    * key's memo is stale, and so is any memo whose lazy plan was built
+    * FROM it (file indexes are captured at plan construction, and memo
+    * derivation is not introspectable) — dropping all is conservative
+    * but correct; later consumers re-serve or rebuild once.
+    */
+  def invalidateSession(s: SparkSession): Unit =
+    cache.keySet.removeIf(_._1 eq s)
+
   /** get-then-putIfAbsent instead of computeIfAbsent: store builds nest
     * (lshCandM → tokenizedM, kmAssign → kmCents), and a nested
     * computeIfAbsent on the same ConcurrentHashMap throws "Recursive
@@ -47,14 +58,6 @@ object MatStore {
     * holds. The benign race (two threads building the same lazy plan,
     * loser discarded un-materialized) costs nothing.
     */
-  /** Drop the memoized relation for (session, key). Maintenance actions
-    * that REPLACE a relation's backing files in place (the
-    * [[graft.sources.IndexStore.compact]] swap) call this so no consumer
-    * keeps a plan whose file index points at deleted files.
-    */
-  def invalidate(s: SparkSession, key: String): Unit =
-    cache.remove((s, key))
-
   private def lookup(s: SparkSession, key: String)(build: => DataFrame): DataFrame = {
     if (!cache.isEmpty)
       cache.keySet.removeIf(k => k._1.sparkContext.isStopped)

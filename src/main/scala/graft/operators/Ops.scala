@@ -254,13 +254,20 @@ object Ops {
     * random so the quiet-day spec can re-snapshot the same corpus the
     * gate wrote. Shared with SourcesSpec through this one definition.
     */
-  private[graft] def incGateCorpusDir(s: org.apache.spark.sql.SparkSession,
-      dir: String): String = {
+  /** One (session, corpus)-keyed tmp location for the gates' mutable
+    * working state — shared by [[incGateCorpusDir]] and
+    * [[lifecycleStoreDir]] so the keying scheme cannot drift apart.
+    */
+  private def sessionCorpusTmpDir(s: org.apache.spark.sql.SparkSession,
+      dir: String, prefix: String, leaf: String): String = {
     val digest = java.security.MessageDigest.getInstance("MD5")
       .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
     val sess = Integer.toHexString(System.identityHashCode(s))
-    s"${System.getProperty("java.io.tmpdir")}/graft_inc_gate_${sess}_$digest/corpus"
+    s"${System.getProperty("java.io.tmpdir")}/${prefix}_${sess}_$digest/$leaf"
   }
+
+  private[graft] def incGateCorpusDir(s: org.apache.spark.sql.SparkSession,
+      dir: String): String = sessionCorpusTmpDir(s, dir, "graft_inc_gate", "corpus")
 
   val incrementalGate = QueryDef(
     "ops_incremental_gate",
@@ -373,12 +380,7 @@ object Ops {
     * the exact store the query wrote.
     */
   private[graft] def lifecycleStoreDir(s: org.apache.spark.sql.SparkSession,
-      dir: String): String = {
-    val digest = java.security.MessageDigest.getInstance("MD5")
-      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
-    val sess = Integer.toHexString(System.identityHashCode(s))
-    s"${System.getProperty("java.io.tmpdir")}/graft_store_lc_${sess}_$digest/store"
-  }
+      dir: String): String = sessionCorpusTmpDir(s, dir, "graft_store_lc", "store")
 
   /** End-to-end STORE-LIFECYCLE gate (r14 verdict item 3) — the full
     * maintenance arc of a durable artifact proved as ONE oracled query,

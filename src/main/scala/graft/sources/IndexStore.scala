@@ -43,6 +43,20 @@ object IndexStore {
   def dir(s: SparkSession): Option[String] =
     Option(s.conf.get(DirConf, null)).filter(_.nonEmpty)
 
+  /** Modification time of `key`'s main sidecar, or -1 when the store is
+    * unconfigured/unpublished — the CHEAP republish signal (one
+    * getFileStatus; every publish/compact rewrites the sidecar). Long-
+    * lived consumers (the streaming enrichment leg) cache the served
+    * relation and revalidate on this instead of paying [[tryServe]]'s
+    * full source-staleness listing per use.
+    */
+  def metaMtime(s: SparkSession, key: String): Long =
+    dir(s).map { base =>
+      val p = new org.apache.hadoop.fs.Path(s"$base/${tableName(key)}/$Meta")
+      val fs = p.getFileSystem(s.sessionState.newHadoopConf())
+      if (fs.exists(p)) fs.getFileStatus(p).getModificationTime else -1L
+    }.getOrElse(-1L)
+
   /** Catalog-safe table name for a MatStore key (keys embed paths). The
     * readable sanitized form COLLAPSES distinct keys (`/data/sf0.1` and
     * `/data/sf0_1` both sanitize to `_data_sf0_1`), so a short digest of
@@ -181,7 +195,12 @@ object IndexStore {
           None
         } else if (Option(props.getProperty("sourceDir")).exists { d =>
             val sp = new org.apache.hadoop.fs.Path(s"$path/$SrcMeta")
-            fs.exists(sp) && {
+            // a sourceDir-published store MUST carry its snapshot: a
+            // missing file means a crashed maintenance write (the
+            // append merge's delete+rename window) — refusing is safe
+            // (consumers rebuild in-session), serving without the
+            // staleness check is not (r15 review)
+            !fs.exists(sp) || {
               val in2 = fs.open(sp)
               val recorded =
                 try scala.io.Source.fromInputStream(in2, "UTF-8")
@@ -233,21 +252,19 @@ object IndexStore {
     val props = new java.util.Properties()
     val in = fs.open(p)
     try props.load(in) finally in.close()
-    // column order must match the table; bucketing spec must match the
-    // published one or the scan's co-location promise would be a lie
-    df.select(served.columns.map(org.apache.spark.sql.functions.col).toIndexedSeq: _*)
-      .write.mode(org.apache.spark.sql.SaveMode.Append)
-      .bucketBy(props.getProperty("buckets").toInt, props.getProperty("bucketCol"))
-      .sortBy(props.getProperty("bucketCol"))
-      .format("parquet")
-      .saveAsTable(name)
     // extend the staleness snapshot with the batch's OWN source files
-    // (those living under the recorded sourceDir): without this, the
-    // snapshot covers only publish-time files, so an in-place rewrite of
-    // an ingest day's source file after its signatures were appended
-    // would serve a silently stale artifact — the exact failure mode the
-    // snapshot exists to catch, shifted one day later (r14 ADVICE). The
-    // merge is manifest-scale (a file list), one listing per append.
+    // (those living under the recorded sourceDir) BEFORE the data lands:
+    // without this, the snapshot covers only publish-time files, so an
+    // in-place rewrite of an ingest day's source file after its
+    // signatures were appended would serve a silently stale artifact —
+    // the exact failure mode the snapshot exists to catch, shifted one
+    // day later (r14 ADVICE). Recording first is the safe order: a crash
+    // after the merge but before the data append leaves EXTRA recorded
+    // files, which can only cause a conservative refusal, never a stale
+    // serve. The merge is manifest-scale (a file list), one listing per
+    // append, and lands via write-temp + delete + rename — a crash
+    // mid-write leaves the old snapshot or NO snapshot (which tryServe
+    // refuses), never a silently truncated one (r15 review).
     Option(props.getProperty("sourceDir")).foreach { d =>
       val dRoot = new org.apache.hadoop.fs.Path(d)
       val dfs = dRoot.getFileSystem(s.sessionState.newHadoopConf())
@@ -270,11 +287,24 @@ object IndexStore {
             finally in2.close()
           }
         val merged = (recorded ++ batchRels.flatMap(byRel.get)).distinct.sorted
-        val sout = fs.create(sp, true)
+        val tmp = new org.apache.hadoop.fs.Path(s"$path/$SrcMeta.tmp")
+        val sout = fs.create(tmp, true)
         try sout.write((merged.mkString("\n") + "\n").getBytes("UTF-8"))
         finally sout.close()
+        fs.delete(sp, false)
+        if (!fs.rename(tmp, sp))
+          throw new IllegalStateException(
+            s"failed to swap the source snapshot for '$key'")
       }
     }
+    // column order must match the table; bucketing spec must match the
+    // published one or the scan's co-location promise would be a lie
+    df.select(served.columns.map(org.apache.spark.sql.functions.col).toIndexedSeq: _*)
+      .write.mode(org.apache.spark.sql.SaveMode.Append)
+      .bucketBy(props.getProperty("buckets").toInt, props.getProperty("bucketCol"))
+      .sortBy(props.getProperty("bucketCol"))
+      .format("parquet")
+      .saveAsTable(name)
   }
 
   /** [[tryServe]] with maintenance-grade error reporting: a maintenance
@@ -380,13 +410,17 @@ object IndexStore {
     }
     fs.delete(oldPath, true)
     // same-session invalidation: a MatStore memo created by an earlier
-    // tryServe holds a scan whose FILE INDEX points at the pre-swap
-    // files (the directory path is unchanged, but every data file in it
-    // was replaced) — drop the memo and refresh the catalog's cached
-    // listing so the next consumer re-resolves the compacted files
-    // instead of failing on deleted ones (r14 ADVICE)
-    graft.MatStore.invalidate(s, key)
-    if (s.catalog.tableExists(name)) s.catalog.refreshTable(name)
+    // tryServe — or any memo whose lazy plan was BUILT from that served
+    // scan (the file index is captured at plan construction) — points at
+    // the pre-swap files, which the swap just deleted. Memo derivation
+    // is not introspectable, so the whole session's store is dropped:
+    // conservative (later consumers re-serve or rebuild once) but
+    // correct, and compaction is a rare maintenance action (r14 ADVICE,
+    // widened by the r15 review). The dropped TABLE is re-CREATEd with a
+    // fresh file index by the next tryServe. Plans already handed out to
+    // external callers cannot be repaired from here — run compaction
+    // from a maintenance session, not mid-serve.
+    graft.MatStore.invalidateSession(s)
     (before, dataFiles(path))
   }
 

@@ -114,7 +114,14 @@ object ScaleTrend {
       // distance-leveled σ/δ DAG passes over the weighted shortest-path
       // DAG) and the file-incremental manifest-diff gate (batch-sized
       // probe work + one base corpus write)
-      "gr_closeness_w", "gr_betweenness_w", "ops_incremental_gate")
+      "gr_closeness_w", "gr_betweenness_w", "ops_incremental_gate",
+      // r15: the multi-level coarsening (coarse relations are
+      // community-count sized — the trend shows level 1 dominating),
+      // the keyset continuation page, the store publish/append/compact/
+      // serve lifecycle (file-count-scale maintenance + one bucketed
+      // store build per dir), and the single-level sweeps it rides on
+      "gr_louvain", "gr_louvain_ml", "an_explorer_page",
+      "ops_store_lifecycle")
     def time(name: String, dir: String): Double = {
       val fn = SparkEntry.queries(name)
       (1 to 2).map { _ =>

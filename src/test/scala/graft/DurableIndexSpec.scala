@@ -233,9 +233,19 @@ class DurableIndexSpec extends GraftSuite {
       fs0.delete(new org.apache.hadoop.fs.Path(data), true)
       assert(sources.IndexStore.tryServe(spark, key).isEmpty,
         "a missing source dir must refuse, not throw")
+      // a sourceDir-published store whose SNAPSHOT sidecar is missing
+      // (a crashed maintenance write — append's delete+rename window)
+      // must REFUSE: serving without the staleness check is the failure
+      // the snapshot exists to prevent (r15)
+      val name = sources.IndexStore.tableName(key)
+      val snapP = new org.apache.hadoop.fs.Path(s"$store/$name/_graft_source.snapshot")
+      val fsSnap = snapP.getFileSystem(spark.sessionState.newHadoopConf())
+      assert(fsSnap.exists(snapP))
+      fsSnap.delete(snapP, false)
+      assert(sources.IndexStore.tryServe(spark, key).isEmpty,
+        "a sourceDir-published store with no snapshot must refuse, not serve unchecked")
       // an old-layout/corrupted sidecar whose stored key disagrees with
       // the requested key must never serve another corpus's artifact
-      val name = sources.IndexStore.tableName(key)
       val p = new org.apache.hadoop.fs.Path(s"$store/$name/_graft_index.properties")
       val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
       val props = new java.util.Properties()
