@@ -178,6 +178,16 @@ class ScalePlanSpec extends GraftSuite {
     assert(on.toSeq === off.toSeq, "shuffled-hash sweep path diverged from broadcast path")
   }
 
+  test("knob off: gr_louvain_ml matches the broadcast-path result") {
+    // r15: the multi-level chain adds the contraction joins and the
+    // coarse-level sweeps — every one rides stateJoin, so the
+    // shuffled-hash 100 TB path must produce the identical partition
+    // (exact-integer gain argmax at every level)
+    val on = run("gr_louvain_ml").collect()
+    val off = withKnobOff { run("gr_louvain_ml").collect() }
+    assert(on.toSeq === off.toSeq, "multi-level shuffled-hash path diverged")
+  }
+
   test("knob off: weighted centralities match the broadcast-path results") {
     // r14: every weighted-relaxation state join (frontier, candidate,
     // σ, δ, both DAG sides) rides stateJoin — the shuffled-hash 100 TB
