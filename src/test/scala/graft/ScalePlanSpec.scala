@@ -97,7 +97,10 @@ class ScalePlanSpec extends GraftSuite {
         // stateJoin (frontier, candidate, σ, δ, DAG-side state) — with
         // the knob off nothing may broadcast
         "gr_closeness_w" -> 0,
-        "gr_betweenness_w" -> 0
+        "gr_betweenness_w" -> 0,
+        // r15 additions
+        "gr_louvain_ml" -> 1, // w2 (1 row); contraction + coarse sweeps ride stateJoin
+        "an_explorer_page" -> 1 // the 1-row page-1 cursor
       )
       allowed.foreach { case (name, maxB) =>
         val df = run(name)
