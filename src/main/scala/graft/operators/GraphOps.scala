@@ -1804,6 +1804,27 @@ object GraphOps {
     (lbl, movedTotal, sweepsWithMoves)
   }
 
+  /** Session-shared LEVEL-1 sweep result — the LPA-seeded constrained
+    * sweep chain to convergence, consumed by BOTH [[grLouvain]] (which
+    * reports it) and [[grLouvainMl]] (which coarsens from it): one
+    * train-once artifact, two consumers, the MatStore discipline every
+    * other shared build follows (re-running ~3s of identical sweeps per
+    * consumer would double the family's bench cost for nothing). The
+    * sweep telemetry (total moves, moving sweeps) rides the relation as
+    * two constant columns so the memo stays a single DataFrame.
+    */
+  private def lv1M(s: SparkSession, dir: String, u: DataFrame,
+      deg: DataFrame, bcast: Boolean, w2df: DataFrame): DataFrame = {
+    import s.implicits._
+    MatStore.of(s, s"gr_lv1:$dir") {
+      val lbl0 = communities(u, stateBroadcast = bcast)
+      val (lbl, moved, sweeps) =
+        louvainSweepLoop(u, deg, lbl0, w2df, bcast, LvSweeps)
+      lbl.select($"node", $"community",
+        lit(moved).as("n_moved"), lit(sweeps).as("n_sweeps"))
+    }
+  }
+
   /** Constrained Louvain local-move sweeps, iterated to convergence —
     * the move phase of the reference's community detection
     * (network_analysis.py:194: louvain greedily maximizes modularity by
@@ -1874,10 +1895,14 @@ object GraphOps {
     // ONE count action: materializes deg (a job the first sweep pays
     // anyway) and |V| drives every state-join choice below
     val bcast = stateHint(deg.count())
-    val lbl0 = communities(u, stateBroadcast = bcast)
     val w2df = u.agg(sum($"weight").as("w2"))
-    val (lbl, movedTotal, sweepsWithMoves) =
-      louvainSweepLoop(u, deg, lbl0, w2df, bcast, LvSweeps)
+    val lv1 = lv1M(s, dir, u, deg, bcast, w2df)
+    val lbl = lv1.select($"node", $"community")
+    // the telemetry constants ride the shared relation; one 1-row read
+    // (empty graph ⇒ zero moves, zero sweeps)
+    val meta = lv1.select($"n_moved", $"n_sweeps").limit(1).collect()
+    val movedTotal = if (meta.isEmpty) 0L else meta(0).getLong(0)
+    val sweepsWithMoves = if (meta.isEmpty) 0L else meta(0).getLong(1)
     val cin2 = u
       .join(stateJoin(lbl.select($"node".as("m1"), $"community".as("c1")), bcast), $"node" === $"m1")
       .join(stateJoin(lbl.select($"node".as("m2"), $"community".as("c2")), bcast),
@@ -1979,9 +2004,10 @@ object GraphOps {
     val deg = degrees(u).ckpt
     val bcast = stateHint(deg.count())
     val w2df = u.agg(sum($"weight").as("w2"))
-    val lbl0 = communities(u, stateBroadcast = bcast)
-    val (lbl1, _, _) = louvainSweepLoop(u, deg, lbl0, w2df, bcast, LvSweeps)
-    var mapping = lbl1.ckpt
+    // level 1 = the SHARED sweep result gr_louvain also reports (already
+    // checkpointed by the memo — no extra ckpt)
+    var mapping = lv1M(s, dir, u, deg, bcast, w2df)
+      .select($"node", $"community")
     var curU = u
     var curLbl = mapping
     var curBcast = bcast
