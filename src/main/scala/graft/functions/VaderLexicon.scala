@@ -254,11 +254,10 @@ object VaderLexicon {
     // corpus stand-ins (synthetic vocabulary)
     "order", "query")
 
-  /** Intensity boosters: VADER's BOOSTER_DICT increment subset (our
-    * simplified rule model applies the full B_INCR anywhere in the
-    * 3-token lookback; VADER's distance damping and decrement boosters
-    * — "slightly", "somewhat" — are out of scope) plus the two corpus
-    * stand-ins.
+  /** Intensity boosters: VADER's BOOSTER_DICT increment subset, applied
+    * per lookback position with VADER's distance damping (×1 / ×0.95 /
+    * ×0.9 — [[LexiconScore.BoostAtO]], r15; the decrement entries live
+    * in [[Dampeners]]) plus the two corpus stand-ins.
     */
   val Boosters: Seq[String] = Seq(
     "very", "really", "extremely", "absolutely", "completely",

@@ -154,17 +154,23 @@ trait WordSetArgs { self: Expression =>
   * scaled here to ×1e5 integers). On a hit, look back up to 3 tokens
   * and apply, in VADER's order, all sign-aligned to the ORIGINAL
   * valence sign:
-  *  1. C_INCR caps emphasis on the matched word itself (+73300), gated
-  *     on the document's caps differential;
-  *  2. any booster adds B_INCR 0.293 (+29300), plus C_INCR when the
-  *     BOOSTER word is itself ALL-CAPS under the differential (VADER's
-  *     scalar_inc_dec caps bonus, r15);
-  *  3. any dampener — single word or adjacent bigram ("kind of") whose
-  *     second word falls in the window — subtracts B_INCR (toward
-  *     zero), VADER's B_DECR entries (r15);
-  *  4. any negator multiplies by N_SCALAR −0.74 (×−74/100 — exact,
-  *     every reachable value is a multiple of 100);
-  *  5. the but-clause (r15): valences before the FIRST pivot token
+  *  1. C_INCR caps emphasis on the matched word itself, gated on the
+  *     document's caps differential;
+  *  2. each lookback position's modifier scalar, DISTANCE-DAMPED
+  *     (VADER's ×1 / ×0.95 / ×0.9 by offset, r15 — precomputed exact
+  *     products, [[LexiconScore.BoostAtO]]): a booster adds B_INCR
+  *     0.293 (+C_INCR when the booster word is itself ALL-CAPS under
+  *     the differential — scalar_inc_dec's caps bonus); a dampener —
+  *     single word or adjacent bigram ("kind of") whose second word
+  *     falls in the window — subtracts B_INCR (toward zero), VADER's
+  *     B_DECR entries. Scalars SUM over the window ("very really
+  *     good" collects both boosters, each damped by its own offset),
+  *     the summed net applied sign-aligned to the valence;
+  *  3. any negator multiplies by N_SCALAR −0.74 (×−74/100 — exact,
+  *     every reachable value is a multiple of 100; the boolean-window
+  *     single multiply is the declared simplification of VADER's
+  *     per-position negation cascade);
+  *  4. the but-clause (r15): valences before the FIRST pivot token
   *     ("but") halve, those after scale ×3/2 (VADER's _but_check —
   *     exact, every post-negation value is even).
   * The per-document sum is therefore exact integer arithmetic,
@@ -301,28 +307,29 @@ case class LexiconScore(tokens: Expression, lexArg: Expression,
         val key = if (low(i) != null) low(i) else a.getUTF8String(i)
         val v = valence.get(key)
         if (v != null) {
-          var negated = false; var boosted = false
-          var boostedCaps = false; var dampened = false
+          var negated = false
+          var net = 0L
           var o = 1
           while (o <= 3 && i - o >= 0) {
             if (!a.isNullAt(i - o)) {
               val b = if (low(i - o) != null) low(i - o) else a.getUTF8String(i - o)
               negated = negated || negatorSet.contains(b)
-              if (boosterSet.contains(b)) {
-                boosted = true
-                if (capDiff && caps(i - o)) boostedCaps = true
-              }
-              if (dampSingles.contains(b)) dampened = true
-              else if (!dampened && i - o - 1 >= 0 && !a.isNullAt(i - o - 1)) {
+              if (boosterSet.contains(b))
+                net += (if (capDiff && caps(i - o)) BoostCapsAtO(o - 1)
+                  else BoostAtO(o - 1))
+              if (dampSingles.contains(b)) net -= DampAtO(o - 1)
+              else if (i - o - 1 >= 0 && !a.isNullAt(i - o - 1)) {
                 val firsts = dampBigrams.get(b)
                 if (firsts != null) {
                   val prev = if (low(i - o - 1) != null) low(i - o - 1)
                     else a.getUTF8String(i - o - 1)
                   var j = 0
-                  while (j < firsts.length && !dampened) {
-                    if (firsts(j).equals(prev)) dampened = true
+                  var hit = false
+                  while (j < firsts.length && !hit) {
+                    if (firsts(j).equals(prev)) hit = true
                     j += 1
                   }
+                  if (hit) net -= DampAtO(o - 1)
                 }
               }
             }
@@ -331,14 +338,12 @@ case class LexiconScore(tokens: Expression, lexArg: Expression,
           val pos = v.longValue() > 0
           var vv = v.longValue()
           // VADER order: C_INCR caps emphasis on the word itself, then
-          // the booster scalar (with the booster-word caps bonus), the
-          // dampener scalar, the negation multiply, then the but-clause
+          // the summed distance-damped modifier net (sign-aligned to the
+          // valence), the negation multiply, then the but-clause
           // scaling — all exact (multiples of 100 until the negation,
           // even afterwards)
           if (capDiff && caps(i)) vv += (if (pos) CapIncr else -CapIncr)
-          if (boosted) vv += (if (pos) BoostIncr else -BoostIncr)
-          if (boostedCaps) vv += (if (pos) CapIncr else -CapIncr)
-          if (dampened) vv -= (if (pos) BoostIncr else -BoostIncr)
+          vv += (if (pos) net else -net)
           if (negated) vv = vv * NegScalarNum / NegScalarDen
           if (butIdx >= 0) {
             if (i < butIdx) vv = vv / 2
@@ -364,11 +369,13 @@ case class LexiconScore(tokens: Expression, lexArg: Expression,
     val i = ctx.freshName("i"); val o = ctx.freshName("o")
     val b = ctx.freshName("bk"); val v = ctx.freshName("v")
     val vv = ctx.freshName("vv"); val sum = ctx.freshName("sum")
-    val negated = ctx.freshName("negated"); val boosted = ctx.freshName("boosted")
-    val boostedCaps = ctx.freshName("boostedCaps")
-    val dampened = ctx.freshName("dampened")
+    val negated = ctx.freshName("negated"); val net = ctx.freshName("net")
+    val hit = ctx.freshName("hit")
     val firsts = ctx.freshName("firsts"); val prev = ctx.freshName("prev")
     val j = ctx.freshName("j"); val pos = ctx.freshName("pos")
+    // offset→damped-scalar lookup as literal ternaries (o ∈ {1,2,3})
+    def atO(vals: IndexedSeq[Long]): String =
+      s"($o == 1 ? ${vals(0)}L : ($o == 2 ? ${vals(1)}L : ${vals(2)}L))"
     val low = ctx.freshName("low"); val caps = ctx.freshName("caps")
     val nCaps = ctx.freshName("nCaps"); val capDiff = ctx.freshName("capDiff")
     val butIdx = ctx.freshName("butIdx")
@@ -406,34 +413,34 @@ case class LexiconScore(tokens: Expression, lexArg: Expression,
       |    final UTF8String $key = $low[$i] != null ? $low[$i] : $a.getUTF8String($i);
       |    final Long $v = (Long) $lex.get($key);
       |    if ($v == null) continue;
-      |    boolean $negated = false; boolean $boosted = false;
-      |    boolean $boostedCaps = false; boolean $dampened = false;
+      |    boolean $negated = false;
+      |    long $net = 0L;
       |    for (int $o = 1; $o <= 3 && $i - $o >= 0; $o++) {
       |      if ($a.isNullAt($i - $o)) continue;
       |      final UTF8String $b = $low[$i - $o] != null ? $low[$i - $o] : $a.getUTF8String($i - $o);
       |      $negated = $negated || $ngt.contains($b);
       |      if ($bst.contains($b)) {
-      |        $boosted = true;
-      |        if ($capDiff && $caps[$i - $o]) $boostedCaps = true;
+      |        $net += ($capDiff && $caps[$i - $o])
+      |          ? ${atO(BoostCapsAtO)} : ${atO(BoostAtO)};
       |      }
-      |      if ($dms.contains($b)) { $dampened = true; }
-      |      else if (!$dampened && $i - $o - 1 >= 0 && !$a.isNullAt($i - $o - 1)) {
+      |      if ($dms.contains($b)) { $net -= ${atO(DampAtO)}; }
+      |      else if ($i - $o - 1 >= 0 && !$a.isNullAt($i - $o - 1)) {
       |        final UTF8String[] $firsts = (UTF8String[]) $dmb.get($b);
       |        if ($firsts != null) {
       |          final UTF8String $prev = $low[$i - $o - 1] != null
       |            ? $low[$i - $o - 1] : $a.getUTF8String($i - $o - 1);
-      |          for (int $j = 0; $j < $firsts.length && !$dampened; $j++) {
-      |            if ($firsts[$j].equals($prev)) $dampened = true;
+      |          boolean $hit = false;
+      |          for (int $j = 0; $j < $firsts.length && !$hit; $j++) {
+      |            if ($firsts[$j].equals($prev)) $hit = true;
       |          }
+      |          if ($hit) $net -= ${atO(DampAtO)};
       |        }
       |      }
       |    }
       |    final boolean $pos = $v.longValue() > 0;
       |    long $vv = $v.longValue();
       |    if ($capDiff && $caps[$i]) $vv += ($pos ? ${CapIncr}L : -${CapIncr}L);
-      |    if ($boosted) $vv += ($pos ? ${BoostIncr}L : -${BoostIncr}L);
-      |    if ($boostedCaps) $vv += ($pos ? ${CapIncr}L : -${CapIncr}L);
-      |    if ($dampened) $vv -= ($pos ? ${BoostIncr}L : -${BoostIncr}L);
+      |    $vv += ($pos ? $net : -$net);
       |    if ($negated) $vv = $vv * ${NegScalarNum}L / ${NegScalarDen}L;
       |    if ($butIdx >= 0) {
       |      if ($i < $butIdx) $vv = $vv / 2L;
@@ -454,31 +461,46 @@ case class LexiconScore(tokens: Expression, lexArg: Expression,
 }
 
 object LexiconScore {
-  /** 1e5 scale of the integer score: a valence of 1.9 (19 tenths)
-    * contributes 190000. Shared with the oracle SQL via
-    * [[graft.operators.Sentiment]].
+  /** 1e7 scale of the integer score: a valence of 1.9 (19 tenths)
+    * contributes 19000000. Shared with the oracle SQL via
+    * [[graft.operators.Sentiment]]. r15: the scale moved 1e5 → 1e7 so
+    * the DISTANCE-DAMPED modifier scalars (×0.95 / ×0.9 — VADER's
+    * lookback damping) stay multiples of 100 and therefore exact
+    * through the ×−74/100 negation; at 1e5, 29300·0.95 = 27835 would
+    * have made a negated damped term inexact integer division.
     */
-  val MagBase = 100000L
-  /** tenths → ×1e5 scale. */
-  val TenthScale = 10000L
-  /** VADER B_INCR 0.293 at the 1e5 scale, added sign-aligned. */
-  val BoostIncr = 29300L
-  /** VADER C_INCR 0.733 at the 1e5 scale (r14) — the ALL-CAPS emphasis,
+  val MagBase = 10000000L
+  /** tenths → ×1e7 scale. */
+  val TenthScale = 1000000L
+  /** VADER B_INCR 0.293 at the 1e7 scale, added sign-aligned. */
+  val BoostIncr = 2930000L
+  /** VADER C_INCR 0.733 at the 1e7 scale (r14) — the ALL-CAPS emphasis,
     * added sign-aligned to a matched word when the document mixes cased
     * and all-caps tokens (VADER's allcap_differential gate: emphasis
     * means nothing in a text that is entirely shouted).
     */
-  val CapIncr = 73300L
-  /** VADER punctuation amplification at the 1e5 scale (r14), applied to
+  val CapIncr = 7330000L
+  /** Distance-damped modifier scalars per lookback offset 1..3 (r15):
+    * VADER multiplies a modifier word's scalar by 1 / 0.95 / 0.9 as it
+    * sits further from the matched word. Precomputed exact products —
+    * no runtime division in either engine: booster B_INCR·f_o, the
+    * ALL-CAPS booster (B_INCR+C_INCR)·f_o, dampener B_INCR·f_o
+    * (subtracted). Every value is a multiple of 100, keeping the
+    * negation exact.
+    */
+  val BoostAtO: IndexedSeq[Long] = IndexedSeq(2930000L, 2783500L, 2637000L)
+  val BoostCapsAtO: IndexedSeq[Long] = IndexedSeq(10260000L, 9747000L, 9234000L)
+  val DampAtO: IndexedSeq[Long] = IndexedSeq(2930000L, 2783500L, 2637000L)
+  /** VADER punctuation amplification at the 1e7 scale (r14), applied to
     * the document SUM sign-aligned before normalization: 0.292 per '!'
     * capped at four; '?' contributes 0.18 each for two-or-three, a flat
     * 0.96 beyond (the published ep/qm rules).
     */
-  val ExclIncr = 29200L
-  val QmStep = 18000L
-  val QmCap = 96000L
-  /** VADER N_SCALAR −0.74 as an exact integer ratio (every boosted or
-    * unboosted valence is a multiple of 100, so ×−74/100 is exact).
+  val ExclIncr = 2920000L
+  val QmStep = 1800000L
+  val QmCap = 9600000L
+  /** VADER N_SCALAR −0.74 as an exact integer ratio (every modified
+    * valence is a multiple of 100, so ×−74/100 is exact).
     */
   val NegScalarNum = -74L
   val NegScalarDen = 100L

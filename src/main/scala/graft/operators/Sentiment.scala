@@ -120,43 +120,38 @@ object Sentiment {
       .map { case (w, v) => s"WHEN '$w' THEN ${v * graft.functions.LexiconScore.TenthScale}" }
       .mkString(" ")
     val negWin = window(VaderLexicon.Negators)
-    val boostWin = window(VaderLexicon.Boosters)
-    // r15: the booster-word caps bonus (VADER scalar_inc_dec) — a booster
-    // in the window that is itself ALL-CAPS adds C_INCR, gated on the
-    // same caps differential as the matched-word emphasis
-    val boostCapsWin = (1 to 3)
-      .map(o => s"(i > $o AND lower(w[i - $o]) IN (${inList(VaderLexicon.Boosters)}) AND cp[i - $o] = 1)")
-      .mkString("(capdiff AND (", " OR ", "))")
-    // r15: dampeners — single words anywhere in the window, plus the
-    // multi-word bigrams whose SECOND word falls in the window with the
-    // first directly adjacent ("kind of", "sort of")
+    // r15: per-position DISTANCE-DAMPED modifier scalars (VADER's
+    // ×1/×0.95/×0.9 by lookback offset, precomputed exact literals —
+    // LexiconScore.BoostAtO/BoostCapsAtO/DampAtO): per offset, a booster
+    // contributes its damped B_INCR (the ALL-CAPS booster its damped
+    // B_INCR+C_INCR — scalar_inc_dec's caps bonus), a dampener (single
+    // word, or a bigram whose SECOND word sits at the offset with the
+    // first directly adjacent) subtracts its damped B_INCR; the terms
+    // SUM over the window and the net applies sign-aligned
     val bigramList = VaderLexicon.DampenerBigrams
       .map { case (a, b) => s"'$a $b'" }.mkString(", ")
-    val dampWin = ((1 to 3)
-      .map(o => s"(i > $o AND lower(w[i - $o]) IN (${inList(VaderLexicon.Dampeners)}))") ++
-      (1 to 3).map(o =>
-        s"(i > ${o + 1} AND (lower(w[i - ${o + 1}]) || ' ' || lower(w[i - $o])) IN ($bigramList))"))
-      .mkString("(", " OR ", ")")
+    import graft.functions.LexiconScore.{BoostAtO, BoostCapsAtO, DampAtO}
+    val netTerms = (1 to 3).map { o =>
+      s"""(CASE WHEN i > $o AND lower(w[i - $o]) IN (${inList(VaderLexicon.Boosters)}) THEN
+         |        (CASE WHEN capdiff AND cp[i - $o] = 1 THEN ${BoostCapsAtO(o - 1)} ELSE ${BoostAtO(o - 1)} END)
+         |        ELSE 0 END)
+         |      - (CASE WHEN (i > $o AND lower(w[i - $o]) IN (${inList(VaderLexicon.Dampeners)}))
+         |          OR (i > ${o + 1} AND (lower(w[i - ${o + 1}]) || ' ' || lower(w[i - $o])) IN ($bigramList))
+         |        THEN ${DampAtO(o - 1)} ELSE 0 END)""".stripMargin
+    }.mkString("(", "\n      + ", ")")
     // VADER modifier order, all exact integers: sign-aligned C_INCR caps
-    // emphasis (gated on the document's caps differential), sign-aligned
-    // B_INCR (+C_INCR booster caps bonus, −B_INCR dampener), then the
-    // N_SCALAR multiply, then the but-clause scaling (every pre-pivot
-    // value is even, so //2 and *3//2 are exact); //-division is exact —
-    // see the portability note above
+    // emphasis (gated on the document's caps differential), the summed
+    // sign-aligned damped modifier net, then the N_SCALAR multiply, then
+    // the but-clause scaling (every pre-pivot value is even, so //2 and
+    // *3//2 are exact); //-division is exact — see the portability note
+    // above
     val emphd =
       s"""v[i] + (CASE WHEN capdiff AND cp[i] = 1 THEN
          |        (CASE WHEN v[i] > 0 THEN $CapIncr ELSE -$CapIncr END)
          |        ELSE 0 END)""".stripMargin
     val adjusted =
-      s"""($emphd) + (CASE WHEN $boostWin THEN
-         |        (CASE WHEN v[i] > 0 THEN $BoostIncr ELSE -$BoostIncr END)
-         |        ELSE 0 END)
-         |      + (CASE WHEN $boostCapsWin THEN
-         |        (CASE WHEN v[i] > 0 THEN $CapIncr ELSE -$CapIncr END)
-         |        ELSE 0 END)
-         |      - (CASE WHEN $dampWin THEN
-         |        (CASE WHEN v[i] > 0 THEN $BoostIncr ELSE -$BoostIncr END)
-         |        ELSE 0 END)""".stripMargin
+      s"""($emphd) + (CASE WHEN v[i] > 0 THEN $netTerms
+         |        ELSE -$netTerms END)""".stripMargin
     val modified =
       s"(CASE WHEN $negWin THEN (($adjusted) * $NegNum) // $NegDen ELSE $adjusted END)"
     val butList = VaderLexicon.ButWords.map(w => s"'$w'").mkString(", ")

@@ -30,14 +30,18 @@ class FunctionsSpec extends GraftSuite {
       (13L, "kind of good today"),                      // bigram dampener (r15)
       (14L, "slightly good"),                           // single dampener (r15)
       (15L, "slow day but fast ending"),                // but pivot: ×1/2, ×3/2 (r15)
-      (16L, "good times but somewhat bad news")         // but + dampener after pivot
+      (16L, "good times but somewhat bad news"),        // but + dampener after pivot
+      (17L, "very nice day good"),                      // damped booster at offset 3 (×0.9)
+      (18L, "slightly irrelevant good"),                // damped dampener at offset 2 (×0.95)
+      (19L, "VERY irrelevant good stuff")               // damped CAPS booster at offset 2
     ).toDF("doc_id", "text")
   }
 
   /** Higher-order-function twin of the FULL valence scoring, as the
     * in-spec oracle: lowercased map lookup → sign-aligned C_INCR caps
-    * emphasis (capdiff-gated) → sign-aligned B_INCR boost (+C_INCR
-    * booster caps bonus) → −B_INCR dampener (singles + bigrams) → exact
+    * emphasis (capdiff-gated) → the summed per-position DISTANCE-DAMPED
+    * modifier net (booster +B·f_o, ALL-CAPS booster +(B+C)·f_o,
+    * dampener singles + bigrams −B·f_o) applied sign-aligned → exact
     * ×−74/100 negation → but-clause ×1/2 / ×3/2 (the divisions are over
     * exactly-divisible values, so the double intermediates are exact and
     * the casts back to long lossless).
@@ -58,20 +62,21 @@ class FunctionsSpec extends GraftSuite {
     val scores = transform(toks, (w, idx) => {
       def back(o: Int) = when(idx >= o, element_at(toks, idx - o + 1)).otherwise(lit(""))
       val negated = (1 to 3).map(o => lower(back(o)).isin(VaderLexicon.Negators: _*)).reduce(_ || _)
-      val boosted = (1 to 3).map(o => lower(back(o)).isin(VaderLexicon.Boosters: _*)).reduce(_ || _)
-      val boostedCaps = capdiff && (1 to 3).map(o =>
-        lower(back(o)).isin(VaderLexicon.Boosters: _*) && isCaps(back(o))).reduce(_ || _)
-      val dampened =
-        (1 to 3).map(o => lower(back(o)).isin(VaderLexicon.Dampeners: _*)).reduce(_ || _) ||
-        (1 to 3).map(o =>
-          concat(lower(back(o + 1)), lit(" "), lower(back(o))).isin(bigrams: _*)).reduce(_ || _)
+      val net = (1 to 3).map { o =>
+        val boostT = when(lower(back(o)).isin(VaderLexicon.Boosters: _*),
+          when(capdiff && isCaps(back(o)), lit(BoostCapsAtO(o - 1)))
+            .otherwise(lit(BoostAtO(o - 1)))).otherwise(lit(0L))
+        val dampT = when(
+          lower(back(o)).isin(VaderLexicon.Dampeners: _*) ||
+            concat(lower(back(o + 1)), lit(" "), lower(back(o))).isin(bigrams: _*),
+          lit(DampAtO(o - 1))).otherwise(lit(0L))
+        boostT - dampT
+      }.reduce(_ + _)
       val v = coalesce(element_at(vmap, lower(w)), lit(0L))
-      def sgn(amt: Long) = when(v > 0, lit(amt)).otherwise(lit(-amt))
       val adjusted = v +
-        when(capdiff && isCaps(w), sgn(CapIncr)).otherwise(lit(0L)) +
-        when(boosted, sgn(BoostIncr)).otherwise(lit(0L)) +
-        when(boostedCaps, sgn(CapIncr)).otherwise(lit(0L)) -
-        when(dampened, sgn(BoostIncr)).otherwise(lit(0L))
+        when(capdiff && isCaps(w),
+          when(v > 0, lit(CapIncr)).otherwise(lit(-CapIncr))).otherwise(lit(0L)) +
+        when(v > 0, net).otherwise(-net)
       val modified = when(negated,
         (adjusted * lit(NegScalarNum) / lit(NegScalarDen)).cast("long"))
         .otherwise(adjusted)

@@ -42,16 +42,16 @@ class TextSentimentSpec extends GraftSuite {
     val got = Registry.byName("sent_lexicon").run(spark, dir).collect()
       .map(r => r.getAs[Long]("doc_id") ->
         (r.getAs[Double]("score"), r.getAs[String]("label"))).toMap
-    val expSc = Map( // exact 1e5-scaled integer sums, by the VADER rules
-      1L -> 263300L, // 190000 + 73300
-      2L -> 190000L,
-      3L -> -194842L, // 263300 · −74 / 100
-      4L -> 292600L, // 190000 + 73300 + 29300
-      5L -> 277600L, // 190000 + 3·29200
-      6L -> -346000L, // −250000 − 96000
+    val expSc = Map( // exact 1e7-scaled integer sums, by the VADER rules
+      1L -> 26330000L, // 19000000 + 7330000
+      2L -> 19000000L,
+      3L -> -19484200L, // 26330000 · −74 / 100
+      4L -> 29260000L, // 19000000 + 7330000 + 2930000 (booster at offset 1: undamped)
+      5L -> 27760000L, // 19000000 + 3·2920000
+      6L -> -34600000L, // −25000000 − 9600000
       7L -> 0L)
     def compound(sc: Long): Double = {
-      val sv = sc / 100000.0
+      val sv = sc / 1e7
       val c = sv / math.sqrt(sv * sv + 15.0)
       math.floor(c * 1e6 + 0.5) / 1e6
     }
@@ -73,35 +73,45 @@ class TextSentimentSpec extends GraftSuite {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_vader_but").toString
     Seq(
-      // bi at pos 3: slow −190000/2 = −95000; fast 190000·3/2 = 285000
+      // bi at pos 3: slow −19000000/2; fast 19000000·3/2
       (1L, "slow day but fast ending"),
-      // kind scores itself (240000); good dampened by the "kind of"
-      // bigram: 190000 − 29300 = 160700
+      // kind scores itself (24000000); good dampened by the "kind of"
+      // bigram at offset 1 (undamped): 19000000 − 2930000 = 16070000
       (2L, "kind of good today"),
-      // caps diff + booster + BOOSTER-word caps bonus:
-      // 190000 + 73300 + 29300 + 73300 = 365900
+      // caps diff + BOOSTER-word caps bonus at offset 1:
+      // 19000000 + 7330000 + (2930000 + 7330000) = 36590000
       (3L, "VERY GOOD day"),
-      // negated bigram-dampened: kind 240000·−74/100 = −177600;
-      // good (190000 − 29300)·−74/100 = −118918
+      // negated bigram-dampened: kind 24000000·−74/100 = −17760000;
+      // good (19000000 − 2930000)·−74/100 = −11891800
       (4L, "not kind of good"),
-      // real 'but': good 190000/2 = 95000; bad −250000·3/2 = −375000
+      // real 'but': good /2 = 9500000; bad −25000000·3/2 = −37500000
       (5L, "good times but bad news"),
-      // single dampener: 190000 − 29300 = 160700
-      (6L, "slightly good")
+      // single dampener at offset 1: 19000000 − 2930000 = 16070000
+      (6L, "slightly good"),
+      // r15 distance damping: booster at offset 2 → B_INCR·0.95:
+      // 19000000 + 2783500 = 21783500
+      (7L, "very day good"),
+      // dampener at offset 3 → B_INCR·0.9: 19000000 − 2637000
+      (8L, "slightly day day good"),
+      // damped booster THEN negated: 21783500·−74/100 = −16119790
+      (9L, "not very day good")
     ).map { case (id, t) => (id, t, "en", "plant", t.length.toLong) }
       .toDF("doc_id", "text", "lang", "source", "n_chars")
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
     val got = Registry.byName("sent_lexicon").run(spark, dir).collect()
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("score")).toMap
     val expSc = Map(
-      1L -> 190000L,  // −95000 + 285000
-      2L -> 400700L,  // 240000 + 160700
-      3L -> 365900L,
-      4L -> -296518L, // −177600 − 118918
-      5L -> -280000L, // 95000 − 375000
-      6L -> 160700L)
+      1L -> 19000000L,  // −9500000 + 28500000
+      2L -> 40070000L,  // 24000000 + 16070000
+      3L -> 36590000L,
+      4L -> -29651800L, // −17760000 − 11891800
+      5L -> -28000000L, // 9500000 − 37500000
+      6L -> 16070000L,
+      7L -> 21783500L,
+      8L -> 16363000L,  // 19000000 − 2637000
+      9L -> -16119790L)
     def compound(sc: Long): Double = {
-      val sv = sc / 100000.0
+      val sv = sc / 1e7
       val c = sv / math.sqrt(sv * sv + 15.0)
       math.floor(c * 1e6 + 0.5) / 1e6
     }
