@@ -40,17 +40,6 @@ object MatStore {
       graft.sources.IndexStore.tryServe(s, key)
         .getOrElse(build.ckpt))
 
-  /** Drop EVERY memoized relation of `s`. Maintenance actions that
-    * REPLACE a relation's backing files in place (the
-    * [[graft.sources.IndexStore.compact]] swap) call this: the swapped
-    * key's memo is stale, and so is any memo whose lazy plan was built
-    * FROM it (file indexes are captured at plan construction, and memo
-    * derivation is not introspectable) — dropping all is conservative
-    * but correct; later consumers re-serve or rebuild once.
-    */
-  def invalidateSession(s: SparkSession): Unit =
-    cache.keySet.removeIf(_._1 eq s)
-
   /** get-then-putIfAbsent instead of computeIfAbsent: store builds nest
     * (lshCandM → tokenizedM, kmAssign → kmCents), and a nested
     * computeIfAbsent on the same ConcurrentHashMap throws "Recursive

@@ -10,7 +10,7 @@ package graft.functions
   *
   * Layout: `word -> valence in TENTHS` (VADER publishes mean ratings on
   * a [-4, +4] scale with one decimal; "good" = 1.9 is stored as 19).
-  * The scoring machinery works on `valence × 1e4` = a 1e5-scaled
+  * The scoring machinery works on `valence × 1e6` = a 1e7-scaled
   * integer, so per-token contributions stay exact integers through the
   * booster (+0.293 sign-aligned, VADER's B_INCR) and negation (×-0.74,
   * VADER's N_SCALAR) modifiers — see [[LexiconScore]].
@@ -219,7 +219,7 @@ object VaderLexicon {
   val EntriesNarrow: Seq[(String, Int)] =
     Entries.filter { case (_, v) => math.abs(v) >= NarrowTenths }
 
-  /** word → valence ×1e5 (exact long) — the single scaling used by the
+  /** word → valence ×1e7 (exact long) — the single scaling used by the
     * native expression and the spec's HOF twin (one derivation, so the
     * test oracle can never desynchronize from the data asset).
     */

@@ -151,7 +151,7 @@ trait WordSetArgs { self: Expression =>
   *
   * Per-word GRADED valences — VADER's actual data model, not a binary
   * pos/neg split: each token looks up its valence (stored in tenths,
-  * scaled here to ×1e5 integers). On a hit, look back up to 3 tokens
+  * scaled here to ×1e7 integers). On a hit, look back up to 3 tokens
   * and apply, in VADER's order, all sign-aligned to the ORIGINAL
   * valence sign:
   *  1. C_INCR caps emphasis on the matched word itself, gated on the
@@ -203,10 +203,10 @@ case class LexiconScore(tokens: Expression, lexArg: Expression,
       raw.asInstanceOf[UTF8String].toString.split(" ").filter(_.nonEmpty)
         .exists { e =>
           val i = e.lastIndexOf(':')
-          // bounded digit count: |tenths| ≤ 999999 keeps tenths·1e4 far
+          // bounded digit count: |tenths| ≤ 999999 keeps tenths·1e6 far
           // from Long overflow (a '-?\d+' check would pass values that
           // throw NumberFormatException at first task eval, or silently
-          // wrap in the ×1e4 scale — VADER's real range is ±40)
+          // wrap in the ×1e6 scale — VADER's real range is ±40)
           i <= 0 || !e.substring(i + 1).matches("-?\\d{1,6}")
         }
     if (badEntry)
@@ -215,11 +215,11 @@ case class LexiconScore(tokens: Expression, lexArg: Expression,
     else TypeCheckResult.TypeCheckSuccess
   }
 
-  /** word → valence ×1e5, parsed once from the literal. Zero-valence
+  /** word → valence ×1e7, parsed once from the literal. Zero-valence
     * entries are DROPPED: the SQL twin's per-position CASE short-circuits
     * `v[i] = 0` to 0 before any modifier, so a 0-valence word must score
     * 0 here too — treating it as a map hit would boost/negate it to
-    * ±29300·(−0.74) and break cross-engine parity.
+    * a modified nonzero value and break cross-engine parity.
     */
   @transient private lazy val valence: java.util.HashMap[UTF8String, java.lang.Long] = {
     val m = new java.util.HashMap[UTF8String, java.lang.Long]()

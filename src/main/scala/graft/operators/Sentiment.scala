@@ -17,11 +17,12 @@ import org.apache.spark.sql.functions._
   * narrow lexicon, standing in for the reference's VADER-vs-ML
   * comparison).
   *
-  * Portability: each token's contribution is an exact 1e5-scaled
-  * integer (valence tenths ×1e4; +29300 sign-aligned boost; ×−74/100
-  * negation — always exact, every reachable value is a multiple of
+  * Portability: each token's contribution is an exact 1e7-scaled
+  * integer (valence tenths ×1e6; distance-damped ±B_INCR/C_INCR
+  * modifier scalars as precomputed literals; ×−74/100 negation —
+  * always exact, every reachable value is a multiple of
   * 100), so the per-document sum `sc` is exact integer arithmetic in
-  * both engines; the compound score is then s = sc/1e5 followed by
+  * both engines; the compound score is then s = sc/1e7 followed by
   * s/√(s²+15) — IEEE divides, one multiply, one correctly-rounded
   * sqrt — bit-identical across engines (same posture as
   * gr_assortativity's Pearson).
@@ -42,7 +43,6 @@ object Sentiment {
     TextFns.countTokensIn(toks, words).cast("long")
 
   private val MagBase = graft.functions.LexiconScore.MagBase
-  private val BoostIncr = graft.functions.LexiconScore.BoostIncr
   private val CapIncr = graft.functions.LexiconScore.CapIncr
   private val ExclIncr = graft.functions.LexiconScore.ExclIncr
   private val QmStep = graft.functions.LexiconScore.QmStep
@@ -67,7 +67,7 @@ object Sentiment {
       lit(VaderLexicon.dampArg),
       lit(VaderLexicon.ButWords.mkString(" ")))
 
-  /** Append compound + label to a frame carrying the 1e5-scaled integer
+  /** Append compound + label to a frame carrying the 1e7-scaled integer
     * token-sum `sc` and the punctuation-emphasis amount `emph` — the ONE
     * place the punctuation amplification, normalization and thresholds
     * live (labeledDf and sent_examples both route through it, so the
@@ -86,7 +86,7 @@ object Sentiment {
           .when(col("compound") < -0.05, "negative")
           .otherwise("neutral"))
 
-  /** 1e5-scaled punctuation emphasis of a text Column: 0.292 per '!'
+  /** 1e7-scaled punctuation emphasis of a text Column: 0.292 per '!'
     * capped at four; 0.18 per '?' for two-or-three, flat 0.96 beyond
     * (VADER's published ep/qm rules). Exact long integer.
     */
@@ -150,14 +150,18 @@ object Sentiment {
          |        (CASE WHEN v[i] > 0 THEN $CapIncr ELSE -$CapIncr END)
          |        ELSE 0 END)""".stripMargin
     val adjusted =
-      s"""($emphd) + (CASE WHEN v[i] > 0 THEN $netTerms
-         |        ELSE -$netTerms END)""".stripMargin
+      s"""($emphd) + (CASE WHEN v[i] > 0 THEN 1 ELSE -1 END) * $netTerms""".stripMargin
     val modified =
       s"(CASE WHEN $negWin THEN (($adjusted) * $NegNum) // $NegDen ELSE $adjusted END)"
     val butList = VaderLexicon.ButWords.map(w => s"'$w'").mkString(", ")
+    // the valence lambda is CAST to BIGINT: DuckDB types the integer
+    // literals INT32, and at the 1e7 scale a negated high-valence word
+    // (|v·74| > 2^31 from |tenths| ≥ 30) would overflow the INT32
+    // multiply and crash the oracle (r15 review; reproduced on a bare
+    // "not amazing")
     s"""${alias}w AS MATERIALIZED (
        |  SELECT doc_id, w,
-       |    list_transform(w, x -> CASE lower(x) $vCase ELSE 0 END) AS v,
+       |    list_transform(w, x -> CAST(CASE lower(x) $vCase ELSE 0 END AS BIGINT)) AS v,
        |    list_transform(w, x -> CASE WHEN x = upper(x) AND x <> lower(x) THEN 1 ELSE 0 END) AS cp,
        |    COALESCE((list_filter(generate_series(1, len(w)),
        |      i -> lower(w[i]) IN ($butList)))[1], 0) AS bi,

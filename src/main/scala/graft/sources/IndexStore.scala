@@ -420,7 +420,7 @@ object IndexStore {
     // fresh file index by the next tryServe. Plans already handed out to
     // external callers cannot be repaired from here — run compaction
     // from a maintenance session, not mid-serve.
-    graft.MatStore.invalidateSession(s)
+    graft.MatStore.clear(s)
     (before, dataFiles(path))
   }
 

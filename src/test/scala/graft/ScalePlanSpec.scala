@@ -176,7 +176,13 @@ class ScalePlanSpec extends GraftSuite {
   }
 
   test("knob off: gr_louvain matches the broadcast-path result") {
+    // the level-1 sweep result is MatStore-memoized (gr_lv1) and the
+    // checkpoint freezes whichever path built it — clear between the two
+    // runs so the knob-off run genuinely re-executes the sweeps on the
+    // shuffled-hash path instead of comparing the cache to itself
+    MatStore.clear(spark)
     val on = run("gr_louvain").collect()
+    MatStore.clear(spark)
     val off = withKnobOff { run("gr_louvain").collect() }
     assert(on.toSeq === off.toSeq, "shuffled-hash sweep path diverged from broadcast path")
   }
@@ -185,8 +191,11 @@ class ScalePlanSpec extends GraftSuite {
     // r15: the multi-level chain adds the contraction joins and the
     // coarse-level sweeps — every one rides stateJoin, so the
     // shuffled-hash 100 TB path must produce the identical partition
-    // (exact-integer gain argmax at every level)
+    // (exact-integer gain argmax at every level). Same memo-clear
+    // discipline as the single-level test above.
+    MatStore.clear(spark)
     val on = run("gr_louvain_ml").collect()
+    MatStore.clear(spark)
     val off = withKnobOff { run("gr_louvain_ml").collect() }
     assert(on.toSeq === off.toSeq, "multi-level shuffled-hash path diverged")
   }
