@@ -1825,6 +1825,21 @@ object GraphOps {
     }
   }
 
+  /** The publishable form of the level-1 sweep artifact (see [[lv1M]]) —
+    * what [[graft.sources.IndexStore.publishCorpus]] trains, so a
+    * serving session reads the converged labels from the bucketed store
+    * instead of re-running the sweep loop (the same train-once/
+    * serve-many arc as the k-means model and the signature store).
+    */
+  def lv1Artifact(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val u = sharedUnd(s, dir)
+    val deg = degrees(u).ckpt
+    val bcast = stateHint(deg.count())
+    val w2df = u.agg(sum($"weight").as("w2"))
+    lv1M(s, dir, u, deg, bcast, w2df)
+  }
+
   /** Constrained Louvain local-move sweeps, iterated to convergence —
     * the move phase of the reference's community detection
     * (network_analysis.py:194: louvain greedily maximizes modularity by

@@ -451,5 +451,11 @@ object IndexStore {
       sourceDir = Some(dataDir)),
     publish(s, s"gr_und_w:$dataDir",
       graft.operators.GraphOps.sharedUnd(s, dataDir), "node",
+      sourceDir = Some(dataDir)),
+    // the converged level-1 Louvain sweep labels (r15) — the iterative
+    // artifact gr_louvain reports and gr_louvain_ml coarsens from; a
+    // serving session reads the labels instead of re-running the sweeps
+    publish(s, s"gr_lv1:$dataDir",
+      graft.operators.GraphOps.lv1Artifact(s, dataDir), "node",
       sourceDir = Some(dataDir)))
 }

@@ -26,9 +26,11 @@ class DurableIndexSpec extends GraftSuite {
       val baseIvf = rowsOf(run("sim_ivf_kmeans_topk"))
       val baseInc = rowsOf(run("dd_incremental"))
       val basePr = rowsOf(run("gr_pagerank"))
+      val baseLv = rowsOf(run("gr_louvain"))
+      val baseLvMl = rowsOf(run("gr_louvain_ml"))
 
       val keys = sources.IndexStore.publishCorpus(spark, sfDir)
-      assert(keys.size === 5)
+      assert(keys.size === 6)
       // drop every catalog entry: the serving session must re-register
       // from the filesystem sidecars alone (external tables — data stays)
       keys.foreach(k =>
@@ -61,6 +63,11 @@ class DurableIndexSpec extends GraftSuite {
         assert(rowsOf(Registry.byName("sim_ivf_kmeans_topk").run(s2, sfDir)) === baseIvf)
         assert(rowsOf(Registry.byName("dd_incremental").run(s2, sfDir)) === baseInc)
         assert(rowsOf(Registry.byName("gr_pagerank").run(s2, sfDir)) === basePr)
+        // the r15 level-1 sweep artifact: the serving session reads the
+        // converged labels instead of re-running the sweeps, and both
+        // Louvain queries (telemetry included) hash-match the builder
+        assert(rowsOf(Registry.byName("gr_louvain").run(s2, sfDir)) === baseLv)
+        assert(rowsOf(Registry.byName("gr_louvain_ml").run(s2, sfDir)) === baseLvMl)
       } finally {
         MatStore.clear(s2)
         keys.foreach(k =>
