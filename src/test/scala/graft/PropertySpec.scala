@@ -67,4 +67,93 @@ class PropertySpec extends AnyFunSuite {
       }
     })
   }
+
+  // ------------------------------------------------- lexicon score fuzz
+
+  /** Independent plain-Scala model of the full r15 VADER semantics —
+    * lowercased lookup, caps differential, per-position distance-damped
+    * modifier scalars (boosters + caps bonus, dampener singles +
+    * bigrams), boolean-window negation, but-clause scaling. Written
+    * directly from the declared rules, NOT from the expression code, so
+    * a combinatorial interaction bug in either survives the other.
+    */
+  private def refLexScore(tokens: IndexedSeq[String]): Long = {
+    import graft.functions.LexiconScore._
+    import graft.functions.VaderLexicon._
+    val low = tokens.map(t => if (t == null) null else t.toLowerCase)
+    val caps = tokens.indices.map { i =>
+      val t = tokens(i)
+      t != null && t != t.toLowerCase && t == t.toUpperCase
+    }
+    val nCaps = caps.count(identity)
+    val capDiff = nCaps > 0 && nCaps < tokens.length
+    val butIdx = tokens.indices
+      .find(i => tokens(i) != null && ButWords.contains(low(i))).getOrElse(-1)
+    var sum = 0L
+    for (i <- tokens.indices if tokens(i) != null) {
+      val v = Valence.getOrElse(low(i), 0L)
+      if (v != 0L) {
+        var negated = false
+        var net = 0L
+        for (o <- 1 to 3 if i - o >= 0 && tokens(i - o) != null) {
+          val b = low(i - o)
+          if (Negators.contains(b)) negated = true
+          if (Boosters.contains(b))
+            net += (if (capDiff && caps(i - o)) BoostCapsAtO(o - 1)
+              else BoostAtO(o - 1))
+          if (Dampeners.contains(b)) net -= DampAtO(o - 1)
+          else if (i - o - 1 >= 0 && tokens(i - o - 1) != null &&
+              DampenerBigrams.exists { case (f, s2) =>
+                s2 == b && f == low(i - o - 1) })
+            net -= DampAtO(o - 1)
+        }
+        val pos = v > 0
+        var vv = v
+        if (capDiff && caps(i)) vv += (if (pos) CapIncr else -CapIncr)
+        vv += (if (pos) net else -net)
+        if (negated) vv = vv * NegScalarNum / NegScalarDen
+        if (butIdx >= 0) {
+          if (i < butIdx) vv = vv / 2
+          else if (i > butIdx) vv = vv * 3 / 2
+        }
+        sum += vv
+      }
+    }
+    sum
+  }
+
+  /** Token pool deliberately mixing every rule trigger: lexicon words
+    * of both signs (incl. a high-valence one that exercises the wide
+    * integer range), negators, boosters, dampener singles, bigram
+    * halves, but-pivots, caps variants, empty strings, unknowns, nulls.
+    */
+  private val lexPool: Seq[String] = Seq(
+    "good", "bad", "fine", "sorry", "amazing", "kind", "terrible",
+    "not", "never", "very", "so", "really",
+    "slightly", "kinda", "of", "sort", "data", "table",
+    "but", "group", "day", "xyz", "",
+    "GOOD", "BAD", "VERY", "NOT", "Amazing", "SLIGHTLY", null)
+
+  private val genTokens: Gen[List[String]] =
+    Gen.listOf(Gen.oneOf(lexPool))
+
+  test("graft_lexicon_score: interpreted eval matches the independent rule model on random token mixes") {
+    import graft.functions.{LexiconScore, VaderLexicon}
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.sql.types.{ArrayType, StringType}
+    import org.apache.spark.unsafe.types.UTF8String
+    val expr = LexiconScore(
+      BoundReference(0, ArrayType(StringType, containsNull = true), nullable = false),
+      Literal(VaderLexicon.lexArg(VaderLexicon.Entries)),
+      Literal(VaderLexicon.Negators.mkString(" ")),
+      Literal(VaderLexicon.Boosters.mkString(" ")),
+      Literal(VaderLexicon.dampArg),
+      Literal(VaderLexicon.ButWords.mkString(" ")))
+    check(Prop.forAll(genTokens) { toks =>
+      val arr = new GenericArrayData(
+        toks.map(t => if (t == null) null else UTF8String.fromString(t)).toArray[Any])
+      val got = expr.eval(InternalRow(arr)).asInstanceOf[Long]
+      got == refLexScore(toks.toIndexedSeq)
+    }, cases = 500)
+  }
 }
