@@ -43,6 +43,7 @@ object Bench {
     "an_dow_anomaly" -> 0.3,
     "an_event_gap_dist" -> 0.35,
     "an_explorer" -> 0.05,
+    "an_explorer_page" -> 0.12,
     "an_forecast_naive" -> 0.3,
     "an_gini" -> 0.24,
     "an_hist_quantiles" -> 0.5,
@@ -119,6 +120,7 @@ object Bench {
     "gr_kcore" -> 1.03,
     "gr_link_predict" -> 0.33,
     "gr_louvain" -> 3.43,
+    "gr_louvain_ml" -> 2.2,
     "gr_modularity" -> 1.08,
     "gr_pagerank" -> 1.03,
     "gr_random_walks" -> 3.61,
@@ -129,6 +131,7 @@ object Bench {
     "ops_freshness" -> 0.2,
     "ops_incremental_gate" -> 2.0,
     "ops_infra_gate" -> 0.3,
+    "ops_store_lifecycle" -> 1.9,
     "mm_decode_meta" -> 0.4,
     "dd_split_leakage" -> 0.3,
     "etl_split_by_cluster" -> 0.4,

@@ -24,6 +24,53 @@ object MatStore {
   private val cache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]
 
+  /** Memo keys whose PLAN reads the durable store's files — the served
+    * scans themselves plus any memo whose build consumed one (the file
+    * index is captured at plan construction, so a post-compact swap
+    * leaves those plans pointing at deleted files). Tracked so
+    * [[graft.sources.IndexStore.compact]] can invalidate exactly these
+    * instead of dropping the whole session store (r15 ADVICE: the
+    * lifecycle gate runs compact inside a normal query pass, and a
+    * blanket clear discarded every unrelated warm shared build
+    * mid-bench). Conservative in the safe direction: a key is tainted
+    * when ANY tryServe succeeded while its build was on this thread's
+    * stack, even if the serve's rows never reached the returned plan.
+    */
+  private val storeTainted =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[(SparkSession, String)]()
+  private val buildStack = new ThreadLocal[List[(SparkSession, String)]] {
+    override def initialValue: List[(SparkSession, String)] = Nil
+  }
+
+  /** Called by [[graft.sources.IndexStore.tryServe]] on every successful
+    * serve: taints every memo currently BUILDING on this thread (builds
+    * are constructed synchronously on the caller's thread, so the stack
+    * covers nested derivations like the lifecycle gate's post-compact
+    * serve).
+    */
+  private[graft] def noteStoreServed(s: SparkSession): Unit =
+    buildStack.get().foreach { case k @ (ks, _) =>
+      if (ks eq s) storeTainted.add(k)
+    }
+
+  /** Drop only the memos whose plans read the durable store ([[noteStoreServed]]
+    * taint) — compact's scoped invalidation. Unrelated warm builds
+    * (tokenized corpora, edge relations built in-session) survive the
+    * maintenance action.
+    */
+  def clearStoreDerived(s: SparkSession): Unit = {
+    val it = storeTainted.iterator()
+    while (it.hasNext) {
+      val k = it.next()
+      if (k._1 eq s) {
+        val df = cache.remove(k)
+        if (df != null)
+          try df.unpersist(blocking = false) catch { case _: Throwable => () }
+        it.remove()
+      }
+    }
+  }
+
   /** The memoized relation for `key`, building + lazily checkpointing it
     * on first use. `build` must be deterministic for the key: the same
     * (session, key) always denotes the same logical relation.
@@ -54,7 +101,8 @@ object MatStore {
     val existing = cache.get(k)
     if (existing != null) existing
     else {
-      val built = build
+      buildStack.set(k :: buildStack.get())
+      val built = try build finally buildStack.set(buildStack.get().tail)
       val prev = cache.putIfAbsent(k, built)
       if (prev != null) {
         // losing thread: discard the unused build. Memo-path builds
@@ -104,6 +152,7 @@ object MatStore {
       if (k._1 eq s) {
         try cache.get(k).unpersist(blocking = false) catch { case _: Throwable => () }
         it.remove()
+        storeTainted.remove(k)
       }
     }
   }

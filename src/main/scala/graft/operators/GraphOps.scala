@@ -898,15 +898,31 @@ object GraphOps {
     // no-op (matching the oracle's trailing statically-unrolled rounds).
     // One cheap aggregate per round on the just-checkpointed state
     // (r14 verdict item 6).
-    def sigMetric(df: DataFrame): Seq[java.math.BigDecimal] = {
+    //
+    // Soundness guard (r15 ADVICE): monotonicity — and with it the
+    // probe's completeness — silently breaks if a Long σ wraps (path
+    // counts grow exponentially on dense DAGs; Spark wraps negative
+    // where DuckDB BIGINT errors), and wrapped positives and negatives
+    // can cancel inside a sum, faking an unchanged metric. The same
+    // aggregate therefore also reads each column's MIN (a wrap is
+    // negative at the row level) and the loop watches for any
+    // per-column sum DECREASE; either signal marks the probe unsound
+    // and the loop falls through to the full statically-unrolled
+    // dagIters — never an early exit on a corrupted metric.
+    def sigMetric(df: DataFrame): (Seq[java.math.BigDecimal], Boolean) = {
       val aggs = ks.map(i =>
-        sum(col(s"s$i").cast("decimal(38,0)")).as(s"m$i"))
+        sum(col(s"s$i").cast("decimal(38,0)")).as(s"m$i")) ++
+        ks.map(i => min(col(s"s$i")).as(s"mn$i"))
       val r = df.agg(aggs.head, aggs.tail: _*).head()
-      ks.map(i => Option(r.getDecimal(i)).getOrElse(java.math.BigDecimal.ZERO))
+      val sums = ks.map(i =>
+        Option(r.getDecimal(i)).getOrElse(java.math.BigDecimal.ZERO))
+      val nonNeg = ks.forall(i =>
+        r.isNullAt(ks.length + i) || r.getLong(ks.length + i) >= 0L)
+      (sums, nonNeg)
     }
     var sig = lmkFrame.select($"node" +:
       ks.map(i => when($"node" === lmkIds(i), 1L).as(s"s$i")): _*).ckpt
-    var sigPrev = sigMetric(sig)
+    var (sigPrev, sigSound) = sigMetric(sig)
     var sigIt = 0
     var sigFixed = false
     while (sigIt < dagIters && !sigFixed) {
@@ -927,8 +943,10 @@ object GraphOps {
         .select($"node" +: ks.map(i =>
           when($"node" === lmkIds(i), 1L).otherwise(col(s"cs$i")).as(s"s$i")): _*)
         .ckpt
-      val m = sigMetric(sig)
-      if (m == sigPrev) sigFixed = true else sigPrev = m
+      val (m, nonNeg) = sigMetric(sig)
+      if (!nonNeg || ks.exists(i => m(i).compareTo(sigPrev(i)) < 0))
+        sigSound = false
+      if (sigSound && m == sigPrev) sigFixed = true else sigPrev = m
     }
     probe("sigma", sigIt)
     // per-edge dependency ratio σv/σw per landmark (null when the edge is
@@ -964,6 +982,11 @@ object GraphOps {
     }
     var dlt = lmkFrame.select($"node" +: ks.map(i => lit(0.0).as(s"p$i")): _*).ckpt
     var dltPrev = dltMetric(dlt)
+    // δ shares σ's decrease guard: its quantized per-column sums are
+    // monotone non-decreasing (non-negative ratio terms), so any
+    // decrease is corruption evidence (e.g. a divergent upstream σ) —
+    // disable the short-circuit and run the full unroll (r15 ADVICE)
+    var dltSound = true
     var dltIt = 0
     var dltFixed = false
     while (dltIt < dagIters && !dltFixed) {
@@ -976,7 +999,8 @@ object GraphOps {
         .select($"v".as("node") +: ks.map(i => col(s"cd$i").as(s"p$i")): _*)
         .ckpt
       val m = dltMetric(dlt)
-      if (m == dltPrev) dltFixed = true else dltPrev = m
+      if (ks.exists(i => m(i).compareTo(dltPrev(i)) < 0)) dltSound = false
+      if (dltSound && m == dltPrev) dltFixed = true else dltPrev = m
     }
     probe("delta", dltIt)
     // score: Σ over landmarks of δ through the exact floor(·1e9) integer

@@ -43,19 +43,34 @@ object IndexStore {
   def dir(s: SparkSession): Option[String] =
     Option(s.conf.get(DirConf, null)).filter(_.nonEmpty)
 
-  /** Modification time of `key`'s main sidecar, or -1 when the store is
-    * unconfigured/unpublished — the CHEAP republish signal (one
-    * getFileStatus; every publish/compact rewrites the sidecar). Long-
-    * lived consumers (the streaming enrichment leg) cache the served
-    * relation and revalidate on this instead of paying [[tryServe]]'s
-    * full source-staleness listing per use.
+  /** Publish-generation token of `key`'s artifact, or None when the
+    * store is unconfigured/unpublished — the CHEAP republish signal
+    * (one tiny sidecar read; every publish/compact writes a FRESH
+    * `version` uuid). Long-lived consumers (the streaming enrichment
+    * leg) cache the served relation and revalidate on this instead of
+    * paying [[tryServe]]'s full source-staleness listing per use.
+    * A uuid, deliberately NOT the sidecar mtime: on filesystems with
+    * coarse (1s) mtime resolution a republish landing in the same
+    * second as the prior publish would read as 'unchanged' while the
+    * swap has already deleted the files the cached plan points at
+    * (r15 ADVICE). Older sidecars without the property fall back to
+    * mtime+length — still strictly stronger than mtime alone.
     */
-  def metaMtime(s: SparkSession, key: String): Long =
-    dir(s).map { base =>
+  def metaVersion(s: SparkSession, key: String): Option[String] =
+    dir(s).flatMap { base =>
       val p = new org.apache.hadoop.fs.Path(s"$base/${tableName(key)}/$Meta")
       val fs = p.getFileSystem(s.sessionState.newHadoopConf())
-      if (fs.exists(p)) fs.getFileStatus(p).getModificationTime else -1L
-    }.getOrElse(-1L)
+      if (!fs.exists(p)) None
+      else {
+        val props = new java.util.Properties()
+        val in = fs.open(p)
+        try props.load(in) finally in.close()
+        Option(props.getProperty("version")).orElse {
+          val st = fs.getFileStatus(p)
+          Some(s"mtime:${st.getModificationTime};len:${st.getLen}")
+        }
+      }
+    }
 
   /** Catalog-safe table name for a MatStore key (keys embed paths). The
     * readable sanitized form COLLAPSES distinct keys (`/data/sf0.1` and
@@ -150,6 +165,9 @@ object IndexStore {
     props.setProperty("bucketCol", bucketCol)
     props.setProperty("buckets", buckets.toString)
     props.setProperty("schema", df.schema.toDDL)
+    // monotone publish-generation token — the streaming enrichment
+    // cache's cheap revalidation signal (see metaVersion)
+    props.setProperty("version", java.util.UUID.randomUUID().toString)
     // source-data snapshot: lets tryServe refuse the artifact after a
     // file the artifact was trained ON is rewritten or removed in place
     // (additions are the append flow, not staleness)
@@ -226,6 +244,10 @@ object IndexStore {
                  |CLUSTERED BY ($bCol) SORTED BY ($bCol) INTO $n BUCKETS
                  |LOCATION '$path'""".stripMargin)
           }
+          // taint any MatStore memo currently building on this thread:
+          // its plan reads this store's files, so a later compact's swap
+          // must invalidate it (scoped invalidation, r15 ADVICE)
+          graft.MatStore.noteStoreServed(s)
           Some(s.table(name))
         }
       }
@@ -240,8 +262,20 @@ object IndexStore {
     * per-bucket SORT guarantee weakens to per-file — run a compaction
     * rewrite when merge-join sorts start to matter). The batch frame
     * must carry the published schema.
+    *
+    * `sourceFiles`: the batch's OWN source-data files (absolute paths or
+    * paths relative to the published sourceDir), merged into the
+    * staleness snapshot alongside whatever `df.inputFiles` resolves.
+    * REQUIRED when the batch frame is checkpoint-backed: a LogicalRDD
+    * (MatStore's .ckpt output — e.g. the bands relation the lifecycle
+    * gate appends) reports NO inputFiles, so without the explicit list
+    * the r14 staleness-coverage guarantee would silently no-op for
+    * exactly those callers (r15 ADVICE). An append with a recorded
+    * sourceDir that resolves ZERO source files refuses loudly rather
+    * than landing an untracked batch.
     */
-  def append(s: SparkSession, key: String, df: DataFrame): Unit = {
+  def append(s: SparkSession, key: String, df: DataFrame,
+      sourceFiles: Seq[String] = Nil): Unit = {
     val name = tableName(key)
     val base = dir(s).getOrElse(
       throw new IllegalStateException(s"$DirConf is not set"))
@@ -269,14 +303,32 @@ object IndexStore {
       val dRoot = new org.apache.hadoop.fs.Path(d)
       val dfs = dRoot.getFileSystem(s.sessionState.newHadoopConf())
       val dPrefix = dfs.makeQualified(dRoot).toString + "/"
-      val batchRels = df.inputFiles.toSeq
+      // inputFiles PLUS the caller's explicit list: a checkpointed
+      // (LogicalRDD-backed) batch frame reports no inputFiles at all
+      val batchRels = (df.inputFiles.toSeq ++ sourceFiles.map { f =>
+          if (f.startsWith("/") || f.contains("://")) f else s"$dPrefix$f"
+        })
         .map(f => dfs.makeQualified(new org.apache.hadoop.fs.Path(f)).toString)
         .filter(_.startsWith(dPrefix))
         .map(_.stripPrefix(dPrefix))
-      if (batchRels.nonEmpty) {
+        .distinct
+      if (batchRels.isEmpty)
+        throw new IllegalStateException(
+          s"append to '$key' resolves NO source files under $d — the " +
+            "batch frame is likely checkpoint-backed (inputFiles empty); " +
+            "pass the batch's source paths via sourceFiles= so the " +
+            "staleness snapshot keeps covering appended days")
+      else {
+        // a batch rel may name a parquet DIRECTORY (the usual shape of
+        // an explicit sourceFiles entry): cover every visible file at
+        // or under it
         val byRel = CorpusIO.visibleParquetFiles(dfs, dRoot)
           .map { case (rel, _, bytes, mtime) => rel -> s"$rel\t$bytes\t$mtime" }
-          .toMap
+        val covered = byRel.collect {
+          case (rel, line)
+              if batchRels.exists(r => rel == r || rel.startsWith(r + "/")) =>
+            line
+        }
         val sp = new org.apache.hadoop.fs.Path(s"$path/$SrcMeta")
         val recorded =
           if (!fs.exists(sp)) Vector.empty[String]
@@ -286,7 +338,7 @@ object IndexStore {
               .getLines().filter(_.nonEmpty).toVector
             finally in2.close()
           }
-        val merged = (recorded ++ batchRels.flatMap(byRel.get)).distinct.sorted
+        val merged = (recorded ++ covered).distinct.sorted
         val tmp = new org.apache.hadoop.fs.Path(s"$path/$SrcMeta.tmp")
         val sout = fs.create(tmp, true)
         try sout.write((merged.mkString("\n") + "\n").getBytes("UTF-8"))
@@ -305,6 +357,14 @@ object IndexStore {
       .sortBy(props.getProperty("bucketCol"))
       .format("parquet")
       .saveAsTable(name)
+    // fresh publish-generation token AFTER the data lands: a consumer
+    // plan cached before the append captured a file index without the
+    // new files, so version-revalidating consumers (the streaming
+    // enrichment leg) must re-serve to see the appended rows
+    props.setProperty("version", java.util.UUID.randomUUID().toString)
+    val mOut = fs.create(p, true)
+    try props.store(mOut, "graft durable index artifact (appended)")
+    finally mOut.close()
   }
 
   /** [[tryServe]] with maintenance-grade error reporting: a maintenance
@@ -391,6 +451,9 @@ object IndexStore {
     // renaming back; the artifact is never destroyed mid-compact
     s.sql(s"DROP TABLE IF EXISTS $tmpName")
     s.sql(s"DROP TABLE IF EXISTS $name")
+    // fresh publish-generation token: cached consumers (the streaming
+    // enrichment leg) revalidate on it and re-serve the compacted copy
+    props.setProperty("version", java.util.UUID.randomUUID().toString)
     val out = fs.create(new org.apache.hadoop.fs.Path(s"$tmpPath/$Meta"), true)
     try props.store(out, "graft durable index artifact (compacted)")
     finally out.close()
@@ -410,17 +473,19 @@ object IndexStore {
     }
     fs.delete(oldPath, true)
     // same-session invalidation: a MatStore memo created by an earlier
-    // tryServe — or any memo whose lazy plan was BUILT from that served
+    // tryServe — or any memo whose lazy plan was BUILT from a served
     // scan (the file index is captured at plan construction) — points at
-    // the pre-swap files, which the swap just deleted. Memo derivation
-    // is not introspectable, so the whole session's store is dropped:
-    // conservative (later consumers re-serve or rebuild once) but
-    // correct, and compaction is a rare maintenance action (r14 ADVICE,
-    // widened by the r15 review). The dropped TABLE is re-CREATEd with a
-    // fresh file index by the next tryServe. Plans already handed out to
-    // external callers cannot be repaired from here — run compaction
-    // from a maintenance session, not mid-serve.
-    graft.MatStore.clear(s)
+    // the pre-swap files, which the swap just deleted. Derivation is
+    // tracked ([[graft.MatStore.noteStoreServed]] taints every memo
+    // whose build a successful serve ran inside), so invalidation is
+    // SCOPED to the store-derived memos: unrelated warm shared builds
+    // (tokenized corpora, in-session edge relations) survive a
+    // mid-session compact instead of silently re-paying their builds
+    // (r15 ADVICE). The dropped TABLE is re-CREATEd with a fresh file
+    // index by the next tryServe. Plans already handed out to external
+    // callers cannot be repaired from here — run compaction from a
+    // maintenance session, not mid-serve.
+    graft.MatStore.clearStoreDerived(s)
     (before, dataFiles(path))
   }
 

@@ -84,29 +84,32 @@ object PipelineStream {
       checkpoint: Option[String] = None)(sink: DataFrame => Unit): StreamingQuery = {
     val s = wire.sparkSession
     // the served relation is CACHED across micro-batches and revalidated
-    // by ONE sidecar getFileStatus per batch (a full tryServe re-lists
-    // the whole source corpus for the staleness check — per-batch that
-    // would dominate small-batch latency at real file counts; the
-    // sidecar mtime changes on every publish/compact, so a blue/green
-    // republish is still picked up on the next micro-batch). The
-    // source-STALENESS check therefore runs when the serve is
-    // (re)established, not per batch — an in-place source rewrite
-    // surfaces at the next republish or leg restart, the documented
-    // maintenance flow.
-    var servedCache: Option[(Long, DataFrame)] = None
+    // by ONE tiny sidecar read per batch (a full tryServe re-lists the
+    // whole source corpus for the staleness check — per-batch that
+    // would dominate small-batch latency at real file counts). The
+    // revalidation token is the sidecar's publish-generation VERSION
+    // uuid, written fresh by every publish/append/compact — NOT the
+    // sidecar mtime, which on coarse-resolution (1s) filesystems reads
+    // 'unchanged' for a republish landing in the same second as the
+    // prior publish, leaving the cached plan pointing at files the swap
+    // just deleted (r15 ADVICE). The source-STALENESS check therefore
+    // runs when the serve is (re)established, not per batch — an
+    // in-place source rewrite surfaces at the next republish or leg
+    // restart, the documented maintenance flow.
+    var servedCache: Option[(String, DataFrame)] = None
     val w = dedupedEvents(wire, watermark)
       .writeStream.queryName(queryName).outputMode("append")
     val ws = checkpoint.fold(w)(c => w.option("checkpointLocation", c))
     ws.foreachBatch { (batch: DataFrame, _: Long) =>
-      val mt = graft.sources.IndexStore.metaMtime(s, storeKey)
+      val ver = graft.sources.IndexStore.metaVersion(s, storeKey)
       val served = servedCache match {
-        case Some((t, df)) if t == mt && mt >= 0 => df
+        case Some((t, df)) if ver.contains(t) => df
         case _ =>
           val df = graft.sources.IndexStore.tryServe(s, storeKey).getOrElse(
             throw new IllegalStateException(
               s"enrichment store '$storeKey' is not served — publish it " +
                 "(or republish after a refusal) before the leg's next batch"))
-          servedCache = Some((mt, df))
+          servedCache = ver.map((_, df))
           df
       }
       sink(batch.join(served, joinCol))

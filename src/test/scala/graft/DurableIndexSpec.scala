@@ -268,6 +268,122 @@ class DurableIndexSpec extends GraftSuite {
     }
   }
 
+  test("append: a checkpoint-backed batch must pass sourceFiles explicitly; the snapshot then covers the appended day") {
+    import spark.implicits._
+    import graft.Ckpt._
+    val store = java.nio.file.Files.createTempDirectory("graft_idx_ckpt").toString
+    val data = java.nio.file.Files.createTempDirectory("graft_idx_ckpt_data").toString
+    val key = s"ckpt_toy:$data"
+    spark.conf.set(sources.IndexStore.DirConf, store)
+    try {
+      Seq((1L, "a"), (2L, "b")).toDF("id", "v").write.mode("overwrite")
+        .parquet(s"$data/day0.parquet")
+      sources.IndexStore.publish(spark, key,
+        spark.read.parquet(s"$data/day0.parquet"), "id", sourceDir = Some(data))
+      // day 1 arrives, but the batch frame is CHECKPOINT-backed (the
+      // MatStore .ckpt shape — e.g. the bands relation the lifecycle
+      // gate appends): inputFiles is empty, so a silent append would
+      // leave the appended day OUTSIDE the staleness snapshot — the
+      // r14 guarantee no-oped exactly for these callers (r15 ADVICE).
+      // The append must refuse loudly instead.
+      Seq((3L, "c")).toDF("id", "v").write.mode("overwrite")
+        .parquet(s"$data/day1.parquet")
+      val batch = spark.read.parquet(s"$data/day1.parquet").ckpt
+      batch.count() // materialize: inputFiles of a LogicalRDD is empty
+      assert(batch.inputFiles.isEmpty, "precondition: ckpt frames report no inputFiles")
+      val e = intercept[IllegalStateException] {
+        sources.IndexStore.append(spark, key, batch)
+      }
+      assert(e.getMessage.contains("sourceFiles"))
+      // with the batch's source paths passed explicitly, the append
+      // lands AND the snapshot covers the new day
+      sources.IndexStore.append(spark, key, batch,
+        sourceFiles = Seq("day1.parquet"))
+      spark.sql(s"DROP TABLE IF EXISTS ${sources.IndexStore.tableName(key)}")
+      assert(sources.IndexStore.tryServe(spark, key).get.count() === 3)
+      spark.sql(s"DROP TABLE IF EXISTS ${sources.IndexStore.tableName(key)}")
+      // rewrite the APPENDED day's source in place: the store must now
+      // refuse — the snapshot really does cover the appended files
+      Seq((3L, "REWRITTEN")).toDF("id", "v").write.mode("overwrite")
+        .parquet(s"$data/day1.parquet")
+      assert(sources.IndexStore.tryServe(spark, key).isEmpty,
+        "the staleness snapshot must cover the explicitly-listed appended day")
+    } finally {
+      spark.conf.unset(sources.IndexStore.DirConf)
+      spark.sql(s"DROP TABLE IF EXISTS ${sources.IndexStore.tableName(key)}")
+    }
+  }
+
+  test("compact invalidates only store-DERIVED memos; unrelated warm builds survive") {
+    import spark.implicits._
+    val store = java.nio.file.Files.createTempDirectory("graft_idx_scope").toString
+    val key = s"scope_toy:$store"
+    spark.conf.set(sources.IndexStore.DirConf, store)
+    try {
+      sources.IndexStore.publish(spark, key,
+        Seq((1L, 10L), (2L, 20L)).toDF("id", "v"), "id")
+      // an UNRELATED memo (no serve in its build) and a store-DERIVED
+      // one (its build reads the served table)
+      var unrelatedBuilds = 0
+      var derivedBuilds = 0
+      def unrelated = MatStore.of(spark, "scope_unrelated") {
+        unrelatedBuilds += 1
+        Seq((9L, 9L)).toDF("a", "b")
+      }
+      def derived = MatStore.of(spark, s"scope_derived") {
+        derivedBuilds += 1
+        sources.IndexStore.tryServe(spark, key).get.filter(col("id") > 0)
+      }
+      unrelated.count(); derived.count()
+      assert(unrelatedBuilds === 1 && derivedBuilds === 1)
+      // compact runs mid-session (the lifecycle gate's shape): scoped
+      // invalidation (r15 ADVICE) must drop ONLY the derived memo
+      sources.IndexStore.compact(spark, key)
+      unrelated.count(); derived.count()
+      assert(unrelatedBuilds === 1,
+        "compact must not discard unrelated warm builds")
+      assert(derivedBuilds === 2,
+        "compact must invalidate memos whose plans read the swapped store files")
+    } finally {
+      MatStore.clear(spark)
+      spark.conf.unset(sources.IndexStore.DirConf)
+      spark.sql(s"DROP TABLE IF EXISTS ${sources.IndexStore.tableName(key)}")
+    }
+  }
+
+  test("every maintenance action bumps the publish-generation version token") {
+    import spark.implicits._
+    val store = java.nio.file.Files.createTempDirectory("graft_idx_ver").toString
+    val key = s"ver_toy:$store"
+    spark.conf.set(sources.IndexStore.DirConf, store)
+    try {
+      assert(sources.IndexStore.metaVersion(spark, key).isEmpty)
+      sources.IndexStore.publish(spark, key, Seq((1L, "a")).toDF("id", "v"), "id")
+      val v1 = sources.IndexStore.metaVersion(spark, key)
+      assert(v1.nonEmpty)
+      // append and compact must each write a FRESH token: cached
+      // consumers (the streaming enrichment leg) revalidate on it, and
+      // an mtime comparison would miss a maintenance action landing in
+      // the same filesystem-timestamp second (r15 ADVICE)
+      sources.IndexStore.append(spark, key, Seq((2L, "b")).toDF("id", "v"))
+      val v2 = sources.IndexStore.metaVersion(spark, key)
+      assert(v2.nonEmpty && v2 != v1, "append must bump the version")
+      sources.IndexStore.compact(spark, key)
+      val v3 = sources.IndexStore.metaVersion(spark, key)
+      assert(v3.nonEmpty && v3 != v2, "compact must bump the version")
+      // republish in a maintenance session (conf unset) then swap back:
+      // same-second republish still reads as changed
+      spark.sql(s"DROP TABLE IF EXISTS ${sources.IndexStore.tableName(key)}")
+      sources.IndexStore.publish(spark, key, Seq((9L, "z")).toDF("id", "v"), "id")
+      val v4 = sources.IndexStore.metaVersion(spark, key)
+      assert(v4.nonEmpty && v4 != v3, "republish must bump the version")
+    } finally {
+      MatStore.clear(spark)
+      spark.conf.unset(sources.IndexStore.DirConf)
+      spark.sql(s"DROP TABLE IF EXISTS ${sources.IndexStore.tableName(key)}")
+    }
+  }
+
   test("publish refuses a self-overwrite from a serving session") {
     val store = java.nio.file.Files.createTempDirectory("graft_idx_guard").toString
     val key = s"gr_edges_num:$sfDir"
