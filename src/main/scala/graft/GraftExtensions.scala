@@ -23,7 +23,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[LexiconScore].getName, "graft_lexicon_score"),
       (children: Seq[Expression]) => LexiconScore(
         children(0), children(1), children(2), children(3),
-        children(4), children(5))))
+        children(4), children(5), children(6))))
     ext.injectFunction((
       FunctionIdentifier("graft_shingles"),
       new ExpressionInfo(classOf[ShingleJoin].getName, "graft_shingles"),

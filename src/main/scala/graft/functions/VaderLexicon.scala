@@ -302,6 +302,36 @@ object VaderLexicon {
     (Dampeners ++ DampenerBigrams.map { case (a, b) => s"${a}_$b" })
       .mkString(" ")
 
+  /** The _negation_check idiom vocabulary (r16): at lookback offsets 2
+    * and 3, "never so/this …" scales ×1.25 instead of negating and
+    * "without doubt …" passes unmodified (vaderSentiment's
+    * _negation_check special cases, start_i 1 and 2). Each list pairs
+    * the published VADER word with a corpus stand-in so the branches
+    * stay oracled on the synthetic corpus: "order"/"query" are ALREADY
+    * the negator stand-ins, mirroring VADER's structure where "never"
+    * and "without" are themselves NEGATE entries whose idiom forms
+    * REDIRECT the negation; "agg"/"join" are free synthetic-vocabulary
+    * words standing in for the (ungated) neighbor words.
+    */
+  val NeverWords: Seq[String] = Seq("never",
+    // corpus stand-in (already the first negator stand-in)
+    "order")
+  val SoThisWords: Seq[String] = Seq("so", "this",
+    // corpus stand-in (synthetic vocabulary)
+    "agg")
+  val WithoutWords: Seq[String] = Seq("without",
+    // corpus stand-in (already the second negator stand-in)
+    "query")
+  val DoubtWords: Seq[String] = Seq("doubt",
+    // corpus stand-in (synthetic vocabulary)
+    "join")
+
+  /** The idiom literal [[LexiconScore]] parses: the four lists joined
+    * with '|' (space-separated within).
+    */
+  def idiomArg: String = Seq(NeverWords, SoThisWords, WithoutWords, DoubtWords)
+    .map(_.mkString(" ")).mkString("|")
+
   /** Contrastive-conjunction pivots — VADER's _but_check (r15): token
     * valences BEFORE the first pivot halve (×1/2), those AFTER scale
     * ×3/2, applied as the LAST per-token step (after caps, boosters,

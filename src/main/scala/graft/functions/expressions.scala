@@ -151,50 +151,63 @@ trait WordSetArgs { self: Expression =>
   *
   * Per-word GRADED valences — VADER's actual data model, not a binary
   * pos/neg split: each token looks up its valence (stored in tenths,
-  * scaled here to ×1e7 integers). On a hit, look back up to 3 tokens
-  * and apply, in VADER's order, all sign-aligned to the ORIGINAL
-  * valence sign:
-  *  1. C_INCR caps emphasis on the matched word itself, gated on the
-  *     document's caps differential;
-  *  2. each lookback position's modifier scalar, DISTANCE-DAMPED
-  *     (VADER's ×1 / ×0.95 / ×0.9 by offset, r15 — precomputed exact
-  *     products, [[LexiconScore.BoostAtO]]): a booster adds B_INCR
-  *     0.293 (+C_INCR when the booster word is itself ALL-CAPS under
-  *     the differential — scalar_inc_dec's caps bonus); a dampener —
-  *     single word or adjacent bigram ("kind of") whose second word
-  *     falls in the window — subtracts B_INCR (toward zero), VADER's
-  *     B_DECR entries. Scalars SUM over the window ("very really
-  *     good" collects both boosters, each damped by its own offset),
-  *     the summed net applied sign-aligned to the valence;
-  *  3. any negator multiplies by N_SCALAR −0.74 (×−74/100 — exact,
-  *     every reachable value is a multiple of 100; the boolean-window
-  *     single multiply is the declared simplification of VADER's
-  *     per-position negation cascade);
-  *  4. the but-clause (r15): valences before the FIRST pivot token
-  *     ("but") halve, those after scale ×3/2 (VADER's _but_check —
-  *     exact, every post-negation value is even).
-  * The per-document sum is therefore exact integer arithmetic,
-  * bit-identical to the DuckDB oracle's CASE cascade over the same
-  * constants. Non-lexicon tokens contribute 0, so the lookback only
-  * runs on lexicon hits.
+  * scaled here to ×1e11 integers). On a hit:
+  *  1. C_INCR caps emphasis on the matched word itself, sign-aligned
+  *     to the lexicon valence and gated on the document's caps
+  *     differential;
+  *  2. the PER-POSITION lookback cascade (r16 — vaderSentiment's
+  *     sentiment_valence loop, previously the declared summed-net
+  *     simplification): for each offset o = 1..3, SKIPPED entirely
+  *     when the lookback word is itself a lexicon entry (VADER's
+  *     membership gate), the running value vv is updated in sequence —
+  *       a. scalar_inc_dec: a booster contributes magnitude
+  *          m = +B_INCR·f_o, a dampener (single word or adjacent
+  *          bigram whose second word sits at the offset)
+  *          m = −B_INCR·f_o, distance-damped (f_o = 1/0.95/0.9);
+  *          sign-aligned to the RUNNING value with the caps bonus
+  *          C = C_INCR·f_o: vv>0 → m+C, vv<0 → −m−C, vv=0 → m−C
+  *          (so an ALL-CAPS dampener on a positive valence FLIPS to a
+  *          net boost −B+C = +0.44 — the r15-declared caps-flip);
+  *       b. _negation_check at this offset: at o ≥ 2, "never so/this"
+  *          scales ×5/4 and "without doubt" passes unmodified
+  *          ([[VaderLexicon.NeverWords]] etc.); otherwise a negator
+  *          multiplies by N_SCALAR ×−74/100. Each negator in the
+  *          window multiplies SEPARATELY, interleaved with the
+  *          scalars, so a booster behind a negation sees the flipped
+  *          sign — VADER's cascade, not a boolean window;
+  *  3. the but-clause (r15): valences before the FIRST pivot token
+  *     ("but") halve, those after scale ×3/2 (VADER's _but_check).
+  * Every multiply lands on an exactly divisible value at the 1e11
+  * scale (see [[LexiconScore.MagBase]]), so the per-document sum is
+  * exact integer arithmetic, bit-identical to the DuckDB oracle's
+  * chained list_transform steps over the same constants. Non-lexicon
+  * tokens contribute 0, so the lookback only runs on lexicon hits.
+  *
+  * Both the interpreted path and the generated code call ONE shared
+  * scorer ([[LexiconScore.Model.score]]): the cascade is sequential
+  * imperative logic, and duplicating it between eval and hand-written
+  * Java codegen text is where cross-path divergence bugs live. The
+  * call stays inside the whole-stage-codegen span (a plain JIT-hot
+  * method call per row; the token loop itself is compiled Scala).
   *
   * `graft_lexicon_score(tokens, 'word:tenths …', 'negators…',
-  * 'boosters…', 'dampeners… first_second…', 'butwords…')`
+  * 'boosters…', 'dampeners… first_second…', 'butwords…',
+  * 'never…|sothis…|without…|doubt…')`
   */
 case class LexiconScore(tokens: Expression, lexArg: Expression,
     negatorArg: Expression, boosterArg: Expression,
-    dampenerArg: Expression, butArg: Expression)
+    dampenerArg: Expression, butArg: Expression, idiomArg: Expression)
     extends Expression with WordSetArgs {
   import LexiconScore._
 
   override def children: Seq[Expression] =
-    Seq(tokens, lexArg, negatorArg, boosterArg, dampenerArg, butArg)
+    Seq(tokens, lexArg, negatorArg, boosterArg, dampenerArg, butArg, idiomArg)
   override def nullable: Boolean = tokens.nullable
   override def dataType: DataType = LongType
   override def prettyName: String = "graft_lexicon_score"
 
   override protected def wordListArgs: Seq[Expression] =
-    Seq(lexArg, negatorArg, boosterArg, dampenerArg, butArg)
+    Seq(lexArg, negatorArg, boosterArg, dampenerArg, butArg, idiomArg)
   override def checkInputDataTypes(): TypeCheckResult = {
     val base = checkWordArgs(tokens)
     if (base != TypeCheckResult.TypeCheckSuccess) return base
@@ -266,10 +279,160 @@ case class LexiconScore(tokens: Expression, lexArg: Expression,
     m
   }
 
+  /** The four '|'-separated idiom word sets: never, so/this, without,
+    * doubt (see [[VaderLexicon.idiomArg]]).
+    */
+  @transient private lazy val idiomSets: IndexedSeq[java.util.HashSet[UTF8String]] = {
+    val raw = idiomArg.eval(InternalRow.empty)
+    val parts =
+      if (raw == null) Array.empty[String]
+      else raw.asInstanceOf[UTF8String].toString.split("\\|", -1)
+    (0 until 4).map { k =>
+      val s = new java.util.HashSet[UTF8String]()
+      if (k < parts.length)
+        parts(k).split(" ").filter(_.nonEmpty)
+          .foreach(w => s.add(UTF8String.fromString(w)))
+      s
+    }
+  }
+
+  @transient private lazy val model: LexiconModel = LexiconModel(valence,
+    negatorSet, boosterSet, dampSingles, dampBigrams, butSet,
+    idiomSets(0), idiomSets(1), idiomSets(2), idiomSets(3))
+
   override def eval(input: InternalRow): Any = {
     val arr = tokens.eval(input)
-    if (arr == null) return null
-    val a = arr.asInstanceOf[ArrayData]
+    if (arr == null) null else model.score(arr.asInstanceOf[ArrayData])
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val tokGen = tokens.genCode(ctx)
+    val m = ctx.addReferenceObj("lexModel", model,
+      classOf[LexiconModel].getName)
+    ev.copy(code = code"""
+      |${tokGen.code}
+      |boolean ${ev.isNull} = ${tokGen.isNull};
+      |long ${ev.value} = 0L;
+      |if (!${ev.isNull}) {
+      |  ${ev.value} = $m.score(${tokGen.value});
+      |}
+    """.stripMargin)
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(tokens = newChildren(0), lexArg = newChildren(1),
+      negatorArg = newChildren(2), boosterArg = newChildren(3),
+      dampenerArg = newChildren(4), butArg = newChildren(5),
+      idiomArg = newChildren(6))
+}
+
+object LexiconScore {
+  /** 1e11 scale of the integer score: a valence of 1.9 (19 tenths)
+    * contributes 190000000000. Shared with the oracle SQL via
+    * [[graft.operators.Sentiment]]. r15 moved 1e5 → 1e7 so the
+    * distance-damped modifier scalars stay exact through ONE ×−74/100
+    * negation; r16's PER-POSITION negation cascade (VADER's
+    * _negation_check runs inside each lookback step, so up to THREE
+    * ×−74/100 multiplies — plus one ×5/4 never-so idiom — can chain on
+    * one token) needs every addend to be a multiple of 1e6 = 100³, so
+    * the scale moved 1e7 → 1e11: the 5-decimal damped scalars
+    * (0.27835·1e11 = 27835·1e6) and every lexicon valence
+    * (tenths·1e10) are multiples of 1e6, and a 2-adic/5-adic count
+    * over the worst-case multiply chains (neg/neg/neg, neg/idiom/idiom
+    * …) shows every /100, /4 and but-clause /2 lands on an exactly
+    * divisible value — bit-identical integer arithmetic in both
+    * engines, no floor-vs-truncate divergence possible.
+    */
+  val MagBase = 100000000000L
+  /** tenths → ×1e11 scale. */
+  val TenthScale = 10000000000L
+  /** VADER B_INCR 0.293 at the 1e11 scale, added sign-aligned. */
+  val BoostIncr = 29300000000L
+  /** VADER C_INCR 0.733 at the 1e11 scale (r14) — the ALL-CAPS emphasis,
+    * added sign-aligned to a matched word when the document mixes cased
+    * and all-caps tokens (VADER's allcap_differential gate: emphasis
+    * means nothing in a text that is entirely shouted).
+    */
+  val CapIncr = 73300000000L
+  /** Distance-damped modifier scalars per lookback offset 1..3 (r15):
+    * VADER multiplies a modifier word's scalar by 1 / 0.95 / 0.9 as it
+    * sits further from the matched word. Precomputed exact products —
+    * no runtime division in either engine: B_INCR·f_o for the
+    * booster/dampener magnitude and C_INCR·f_o for the ALL-CAPS bonus
+    * (the whole scalar_inc_dec output is damped, bonus included).
+    * r16: the bonus rides a SEPARATE table because scalar_inc_dec's
+    * caps arithmetic is not sign-symmetric — for the running valence
+    * vv and modifier magnitude m (+B booster / −B dampener):
+    * vv>0 → m+C, vv<0 → −m−C, vv=0 → m−C. The dampener caps case
+    * FLIPS to a net boost (−B+C = +0.44) on a positive valence — the
+    * r15-declared approximation this closes.
+    */
+  val BoostAtO: IndexedSeq[Long] =
+    IndexedSeq(29300000000L, 27835000000L, 26370000000L)
+  val CapAtO: IndexedSeq[Long] =
+    IndexedSeq(73300000000L, 69635000000L, 65970000000L)
+  /** VADER punctuation amplification at the 1e11 scale (r14), applied to
+    * the document SUM sign-aligned before normalization: 0.292 per '!'
+    * capped at four; '?' contributes 0.18 each for two-or-three, a flat
+    * 0.96 beyond (the published ep/qm rules).
+    */
+  val ExclIncr = 29200000000L
+  val QmStep = 18000000000L
+  val QmCap = 96000000000L
+  /** VADER N_SCALAR −0.74 as an exact integer ratio (every value
+    * reaching a negation multiply is a multiple of 100 — see the scale
+    * note above).
+    */
+  val NegScalarNum = -74L
+  val NegScalarDen = 100L
+  /** The never-so/never-this idiom scaling inside _negation_check:
+    * ×1.25 as the exact ratio 5/4 (every value reaching it is a
+    * multiple of 4 at the 1e11 scale).
+    */
+  val IdiomNum = 5L
+  val IdiomDen = 4L
+
+  /** Fast-path case probe: false ⇔ the token is pure ASCII with no
+    * uppercase letter — it cannot be ALL-CAPS and equals its own
+    * lowercase form, so the scorer skips both case allocations. Any
+    * non-ASCII byte routes to the slow (Unicode-correct) path.
+    */
+  def maybeCased(t: UTF8String): Boolean = {
+    val n = t.numBytes
+    var i = 0
+    while (i < n) {
+      val b = t.getByte(i)
+      if ((b >= 'A' && b <= 'Z') || b < 0) return true
+      i += 1
+    }
+    false
+  }
+}
+
+/** The parsed, immutable scorer state + the ONE cascade implementation
+  * both [[LexiconScore]] evaluation paths call (interpreted eval and the
+  * generated code's per-row call — see the class doc for why the logic
+  * is not duplicated into codegen text). Serializable: the expression
+  * ships it to executors inside the codegen references array.
+  */
+case class LexiconModel(
+    valence: java.util.HashMap[UTF8String, java.lang.Long],
+    negatorSet: java.util.HashSet[UTF8String],
+    boosterSet: java.util.HashSet[UTF8String],
+    dampSingles: java.util.HashSet[UTF8String],
+    dampBigrams: java.util.HashMap[UTF8String, Array[UTF8String]],
+    butSet: java.util.HashSet[UTF8String],
+    neverSet: java.util.HashSet[UTF8String],
+    soThisSet: java.util.HashSet[UTF8String],
+    withoutSet: java.util.HashSet[UTF8String],
+    doubtSet: java.util.HashSet[UTF8String]) extends Serializable {
+  import LexiconScore._
+
+  /** The full r16 VADER semantics over one token array — see
+    * [[LexiconScore]]'s class doc for the rule inventory.
+    */
+  def score(a: ArrayData): Long = {
     val n = a.numElements()
     // pass 1 — case analysis (VADER's allcap_differential): per token,
     // the lowercased LOOKUP form (null = already lowercase) and the
@@ -300,51 +463,69 @@ case class LexiconScore(tokens: Expression, lexArg: Expression,
       i += 1
     }
     val capDiff = nCaps > 0 && nCaps < n
+    // lowercased lookup form of token j, or null for a null token
+    def keyAt(j: Int): UTF8String =
+      if (a.isNullAt(j)) null
+      else if (low(j) != null) low(j) else a.getUTF8String(j)
     var sum = 0L
     i = 0
     while (i < n) {
       if (!a.isNullAt(i)) {
-        val key = if (low(i) != null) low(i) else a.getUTF8String(i)
-        val v = valence.get(key)
+        val v = valence.get(keyAt(i))
         if (v != null) {
-          var negated = false
-          var net = 0L
+          var vv = v.longValue()
+          // caps emphasis on the matched word itself (lexicon sign —
+          // at this point the running value IS the lexicon value)
+          if (capDiff && caps(i)) vv += (if (vv > 0) CapIncr else -CapIncr)
+          // the per-offset cascade
           var o = 1
           while (o <= 3 && i - o >= 0) {
-            if (!a.isNullAt(i - o)) {
-              val b = if (low(i - o) != null) low(i - o) else a.getUTF8String(i - o)
-              negated = negated || negatorSet.contains(b)
-              if (boosterSet.contains(b))
-                net += (if (capDiff && caps(i - o)) BoostCapsAtO(o - 1)
-                  else BoostAtO(o - 1))
-              if (dampSingles.contains(b)) net -= DampAtO(o - 1)
-              else if (i - o - 1 >= 0 && !a.isNullAt(i - o - 1)) {
+            val b = keyAt(i - o)
+            // membership gate: VADER skips the whole step (scalar AND
+            // negation) when the lookback word is a lexicon entry
+            if (b != null && valence.get(b) == null) {
+              // scalar_inc_dec magnitude: booster +B·f_o, dampener
+              // (single or adjacent bigram) −B·f_o
+              var m = 0L
+              if (boosterSet.contains(b)) m = BoostAtO(o - 1)
+              else if (dampSingles.contains(b)) m = -BoostAtO(o - 1)
+              else if (i - o - 1 >= 0) {
                 val firsts = dampBigrams.get(b)
                 if (firsts != null) {
-                  val prev = if (low(i - o - 1) != null) low(i - o - 1)
-                    else a.getUTF8String(i - o - 1)
-                  var j = 0
-                  var hit = false
-                  while (j < firsts.length && !hit) {
-                    if (firsts(j).equals(prev)) hit = true
-                    j += 1
+                  val prev = keyAt(i - o - 1)
+                  if (prev != null) {
+                    var j = 0
+                    while (j < firsts.length && m == 0L) {
+                      if (firsts(j).equals(prev)) m = -BoostAtO(o - 1)
+                      j += 1
+                    }
                   }
-                  if (hit) net -= DampAtO(o - 1)
                 }
+              }
+              if (m != 0L) {
+                val cb = if (capDiff && caps(i - o)) CapAtO(o - 1) else 0L
+                vv += (if (vv > 0) m + cb else if (vv < 0) -m - cb else m - cb)
+              }
+              // _negation_check at this offset
+              if (o == 1) {
+                if (negatorSet.contains(b)) vv = vv * NegScalarNum / NegScalarDen
+              } else {
+                val n1 = keyAt(i - 1)
+                val n2 = if (o == 3) keyAt(i - 2) else null
+                if (neverSet.contains(b) &&
+                    ((n1 != null && soThisSet.contains(n1)) ||
+                      (n2 != null && soThisSet.contains(n2))))
+                  vv = vv * IdiomNum / IdiomDen
+                else if (withoutSet.contains(b) &&
+                    ((n1 != null && doubtSet.contains(n1)) ||
+                      (n2 != null && doubtSet.contains(n2)))) {
+                  // "without doubt": negation suppressed, value unchanged
+                } else if (negatorSet.contains(b))
+                  vv = vv * NegScalarNum / NegScalarDen
               }
             }
             o += 1
           }
-          val pos = v.longValue() > 0
-          var vv = v.longValue()
-          // VADER order: C_INCR caps emphasis on the word itself, then
-          // the summed distance-damped modifier net (sign-aligned to the
-          // valence), the negation multiply, then the but-clause
-          // scaling — all exact (multiples of 100 until the negation,
-          // even afterwards)
-          if (capDiff && caps(i)) vv += (if (pos) CapIncr else -CapIncr)
-          vv += (if (pos) net else -net)
-          if (negated) vv = vv * NegScalarNum / NegScalarDen
           if (butIdx >= 0) {
             if (i < butIdx) vv = vv / 2
             else if (i > butIdx) vv = vv * 3 / 2
@@ -355,170 +536,6 @@ case class LexiconScore(tokens: Expression, lexArg: Expression,
       i += 1
     }
     sum
-  }
-
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val tokGen = tokens.genCode(ctx)
-    val lex = ctx.addReferenceObj("valenceMap", valence)
-    val ngt = ctx.addReferenceObj("negatorSet", negatorSet)
-    val bst = ctx.addReferenceObj("boosterSet", boosterSet)
-    val dms = ctx.addReferenceObj("dampSingles", dampSingles)
-    val dmb = ctx.addReferenceObj("dampBigrams", dampBigrams)
-    val but = ctx.addReferenceObj("butSet", butSet)
-    val a = ctx.freshName("arr"); val n = ctx.freshName("n")
-    val i = ctx.freshName("i"); val o = ctx.freshName("o")
-    val b = ctx.freshName("bk"); val v = ctx.freshName("v")
-    val vv = ctx.freshName("vv"); val sum = ctx.freshName("sum")
-    val negated = ctx.freshName("negated"); val net = ctx.freshName("net")
-    val hit = ctx.freshName("hit")
-    val firsts = ctx.freshName("firsts"); val prev = ctx.freshName("prev")
-    val j = ctx.freshName("j"); val pos = ctx.freshName("pos")
-    // offset→damped-scalar lookup as literal ternaries (o ∈ {1,2,3})
-    def atO(vals: IndexedSeq[Long]): String =
-      s"($o == 1 ? ${vals(0)}L : ($o == 2 ? ${vals(1)}L : ${vals(2)}L))"
-    val low = ctx.freshName("low"); val caps = ctx.freshName("caps")
-    val nCaps = ctx.freshName("nCaps"); val capDiff = ctx.freshName("capDiff")
-    val butIdx = ctx.freshName("butIdx")
-    val t = ctx.freshName("tok"); val lo = ctx.freshName("lo")
-    val key = ctx.freshName("key"); val key1 = ctx.freshName("key1")
-    ev.copy(code = code"""
-      |${tokGen.code}
-      |boolean ${ev.isNull} = ${tokGen.isNull};
-      |long ${ev.value} = 0L;
-      |if (!${ev.isNull}) {
-      |  final ArrayData $a = ${tokGen.value};
-      |  final int $n = $a.numElements();
-      |  final UTF8String[] $low = new UTF8String[$n];
-      |  final boolean[] $caps = new boolean[$n];
-      |  int $nCaps = 0;
-      |  int $butIdx = -1;
-      |  for (int $i = 0; $i < $n; $i++) {
-      |    if ($a.isNullAt($i)) continue;
-      |    final UTF8String $t = $a.getUTF8String($i);
-      |    UTF8String $key1 = $t;
-      |    if (graft.functions.LexiconScore$$.MODULE$$.maybeCased($t)) {
-      |      final UTF8String $lo = $t.toLowerCase();
-      |      if (!$t.equals($lo)) {
-      |        $low[$i] = $lo;
-      |        $key1 = $lo;
-      |        if ($t.equals($t.toUpperCase())) { $caps[$i] = true; $nCaps++; }
-      |      }
-      |    }
-      |    if ($butIdx < 0 && $but.contains($key1)) $butIdx = $i;
-      |  }
-      |  final boolean $capDiff = $nCaps > 0 && $nCaps < $n;
-      |  long $sum = 0L;
-      |  for (int $i = 0; $i < $n; $i++) {
-      |    if ($a.isNullAt($i)) continue;
-      |    final UTF8String $key = $low[$i] != null ? $low[$i] : $a.getUTF8String($i);
-      |    final Long $v = (Long) $lex.get($key);
-      |    if ($v == null) continue;
-      |    boolean $negated = false;
-      |    long $net = 0L;
-      |    for (int $o = 1; $o <= 3 && $i - $o >= 0; $o++) {
-      |      if ($a.isNullAt($i - $o)) continue;
-      |      final UTF8String $b = $low[$i - $o] != null ? $low[$i - $o] : $a.getUTF8String($i - $o);
-      |      $negated = $negated || $ngt.contains($b);
-      |      if ($bst.contains($b)) {
-      |        $net += ($capDiff && $caps[$i - $o])
-      |          ? ${atO(BoostCapsAtO)} : ${atO(BoostAtO)};
-      |      }
-      |      if ($dms.contains($b)) { $net -= ${atO(DampAtO)}; }
-      |      else if ($i - $o - 1 >= 0 && !$a.isNullAt($i - $o - 1)) {
-      |        final UTF8String[] $firsts = (UTF8String[]) $dmb.get($b);
-      |        if ($firsts != null) {
-      |          final UTF8String $prev = $low[$i - $o - 1] != null
-      |            ? $low[$i - $o - 1] : $a.getUTF8String($i - $o - 1);
-      |          boolean $hit = false;
-      |          for (int $j = 0; $j < $firsts.length && !$hit; $j++) {
-      |            if ($firsts[$j].equals($prev)) $hit = true;
-      |          }
-      |          if ($hit) $net -= ${atO(DampAtO)};
-      |        }
-      |      }
-      |    }
-      |    final boolean $pos = $v.longValue() > 0;
-      |    long $vv = $v.longValue();
-      |    if ($capDiff && $caps[$i]) $vv += ($pos ? ${CapIncr}L : -${CapIncr}L);
-      |    $vv += ($pos ? $net : -$net);
-      |    if ($negated) $vv = $vv * ${NegScalarNum}L / ${NegScalarDen}L;
-      |    if ($butIdx >= 0) {
-      |      if ($i < $butIdx) $vv = $vv / 2L;
-      |      else if ($i > $butIdx) $vv = $vv * 3L / 2L;
-      |    }
-      |    $sum += $vv;
-      |  }
-      |  ${ev.value} = $sum;
-      |}
-    """.stripMargin)
-  }
-
-  override protected def withNewChildrenInternal(
-      newChildren: IndexedSeq[Expression]): Expression =
-    copy(tokens = newChildren(0), lexArg = newChildren(1),
-      negatorArg = newChildren(2), boosterArg = newChildren(3),
-      dampenerArg = newChildren(4), butArg = newChildren(5))
-}
-
-object LexiconScore {
-  /** 1e7 scale of the integer score: a valence of 1.9 (19 tenths)
-    * contributes 19000000. Shared with the oracle SQL via
-    * [[graft.operators.Sentiment]]. r15: the scale moved 1e5 → 1e7 so
-    * the DISTANCE-DAMPED modifier scalars (×0.95 / ×0.9 — VADER's
-    * lookback damping) stay multiples of 100 and therefore exact
-    * through the ×−74/100 negation; at 1e5, 29300·0.95 = 27835 would
-    * have made a negated damped term inexact integer division.
-    */
-  val MagBase = 10000000L
-  /** tenths → ×1e7 scale. */
-  val TenthScale = 1000000L
-  /** VADER B_INCR 0.293 at the 1e7 scale, added sign-aligned. */
-  val BoostIncr = 2930000L
-  /** VADER C_INCR 0.733 at the 1e7 scale (r14) — the ALL-CAPS emphasis,
-    * added sign-aligned to a matched word when the document mixes cased
-    * and all-caps tokens (VADER's allcap_differential gate: emphasis
-    * means nothing in a text that is entirely shouted).
-    */
-  val CapIncr = 7330000L
-  /** Distance-damped modifier scalars per lookback offset 1..3 (r15):
-    * VADER multiplies a modifier word's scalar by 1 / 0.95 / 0.9 as it
-    * sits further from the matched word. Precomputed exact products —
-    * no runtime division in either engine: booster B_INCR·f_o, the
-    * ALL-CAPS booster (B_INCR+C_INCR)·f_o, dampener B_INCR·f_o
-    * (subtracted). Every value is a multiple of 100, keeping the
-    * negation exact.
-    */
-  val BoostAtO: IndexedSeq[Long] = IndexedSeq(2930000L, 2783500L, 2637000L)
-  val BoostCapsAtO: IndexedSeq[Long] = IndexedSeq(10260000L, 9747000L, 9234000L)
-  val DampAtO: IndexedSeq[Long] = IndexedSeq(2930000L, 2783500L, 2637000L)
-  /** VADER punctuation amplification at the 1e7 scale (r14), applied to
-    * the document SUM sign-aligned before normalization: 0.292 per '!'
-    * capped at four; '?' contributes 0.18 each for two-or-three, a flat
-    * 0.96 beyond (the published ep/qm rules).
-    */
-  val ExclIncr = 2920000L
-  val QmStep = 1800000L
-  val QmCap = 9600000L
-  /** VADER N_SCALAR −0.74 as an exact integer ratio (every modified
-    * valence is a multiple of 100, so ×−74/100 is exact).
-    */
-  val NegScalarNum = -74L
-  val NegScalarDen = 100L
-
-  /** Fast-path case probe: false ⇔ the token is pure ASCII with no
-    * uppercase letter — it cannot be ALL-CAPS and equals its own
-    * lowercase form, so the scorer skips both case allocations. Any
-    * non-ASCII byte routes to the slow (Unicode-correct) path.
-    */
-  def maybeCased(t: UTF8String): Boolean = {
-    val n = t.numBytes
-    var i = 0
-    while (i < n) {
-      val b = t.getByte(i)
-      if ((b >= 'A' && b <= 'Z') || b < 0) return true
-      i += 1
-    }
-    false
   }
 }
 

@@ -17,15 +17,16 @@ import org.apache.spark.sql.functions._
   * narrow lexicon, standing in for the reference's VADER-vs-ML
   * comparison).
   *
-  * Portability: each token's contribution is an exact 1e7-scaled
-  * integer (valence tenths ×1e6; distance-damped ±B_INCR/C_INCR
-  * modifier scalars as precomputed literals; ×−74/100 negation —
-  * always exact, every reachable value is a multiple of
-  * 100), so the per-document sum `sc` is exact integer arithmetic in
-  * both engines; the compound score is then s = sc/1e7 followed by
-  * s/√(s²+15) — IEEE divides, one multiply, one correctly-rounded
-  * sqrt — bit-identical across engines (same posture as
-  * gr_assortativity's Pearson).
+  * Portability: each token's contribution is an exact 1e11-scaled
+  * integer (valence tenths ×1e10; distance-damped ±B_INCR/C_INCR
+  * modifier scalars as precomputed literals; the r16 per-position
+  * ×−74/100 negation cascade and ×5/4 never-so idiom — every multiply
+  * provably lands on an exactly divisible value, see
+  * [[graft.functions.LexiconScore.MagBase]]), so the per-document sum
+  * `sc` is exact integer arithmetic in both engines; the compound
+  * score is then s = sc/1e11 followed by s/√(s²+15) — IEEE divides,
+  * one multiply, one correctly-rounded sqrt — bit-identical across
+  * engines (same posture as gr_assortativity's Pearson).
   *
   * Scale notes: labeling is a pure narrow map over tokens (the native
   * [[graft.functions.LexiconScore]] inside whole-stage codegen, no UDF,
@@ -65,7 +66,8 @@ object Sentiment {
       lit(VaderLexicon.Negators.mkString(" ")),
       lit(VaderLexicon.Boosters.mkString(" ")),
       lit(VaderLexicon.dampArg),
-      lit(VaderLexicon.ButWords.mkString(" ")))
+      lit(VaderLexicon.ButWords.mkString(" ")),
+      lit(VaderLexicon.idiomArg))
 
   /** Append compound + label to a frame carrying the 1e7-scaled integer
     * token-sum `sc` and the punctuation-emphasis amount `emph` — the ONE
@@ -114,51 +116,90 @@ object Sentiment {
   }
 
   private def labeledSql(entries: Seq[(String, Int)], alias: String): String = {
-    def window(words: Seq[String]): String =
-      (1 to 3).map(o => s"(i > $o AND lower(w[i - $o]) IN (${inList(words)}))").mkString("(", " OR ", ")")
     val vCase = entries
       .map { case (w, v) => s"WHEN '$w' THEN ${v * graft.functions.LexiconScore.TenthScale}" }
       .mkString(" ")
-    val negWin = window(VaderLexicon.Negators)
-    // r15: per-position DISTANCE-DAMPED modifier scalars (VADER's
-    // ×1/×0.95/×0.9 by lookback offset, precomputed exact literals —
-    // LexiconScore.BoostAtO/BoostCapsAtO/DampAtO): per offset, a booster
-    // contributes its damped B_INCR (the ALL-CAPS booster its damped
-    // B_INCR+C_INCR — scalar_inc_dec's caps bonus), a dampener (single
-    // word, or a bigram whose SECOND word sits at the offset with the
-    // first directly adjacent) subtracts its damped B_INCR; the terms
-    // SUM over the window and the net applies sign-aligned
+    // r16: the PER-POSITION cascade (VADER's sentiment_valence loop,
+    // closing the r15-declared negation-cascade and dampener-caps-flip
+    // approximations) as CHAINED list_transform steps — one scalar step
+    // and one negation step per lookback offset, each reading the
+    // previous step's list column, so the running value threads through
+    // the offsets exactly like the native expression's loop (a single
+    // nested expression would duplicate each step's text ~12× per
+    // level). Every step is gated on the offset word NOT being a
+    // lexicon entry (v[i-o] = 0 — VADER's membership gate) and all
+    // arithmetic is exact integers at the 1e11 scale (see
+    // LexiconScore.MagBase).
     val bigramList = VaderLexicon.DampenerBigrams
       .map { case (a, b) => s"'$a $b'" }.mkString(", ")
-    import graft.functions.LexiconScore.{BoostAtO, BoostCapsAtO, DampAtO}
-    val netTerms = (1 to 3).map { o =>
-      s"""(CASE WHEN i > $o AND lower(w[i - $o]) IN (${inList(VaderLexicon.Boosters)}) THEN
-         |        (CASE WHEN capdiff AND cp[i - $o] = 1 THEN ${BoostCapsAtO(o - 1)} ELSE ${BoostAtO(o - 1)} END)
-         |        ELSE 0 END)
-         |      - (CASE WHEN (i > $o AND lower(w[i - $o]) IN (${inList(VaderLexicon.Dampeners)}))
-         |          OR (i > ${o + 1} AND (lower(w[i - ${o + 1}]) || ' ' || lower(w[i - $o])) IN ($bigramList))
-         |        THEN ${DampAtO(o - 1)} ELSE 0 END)""".stripMargin
-    }.mkString("(", "\n      + ", ")")
-    // VADER modifier order, all exact integers: sign-aligned C_INCR caps
-    // emphasis (gated on the document's caps differential), the summed
-    // sign-aligned damped modifier net, then the N_SCALAR multiply, then
-    // the but-clause scaling (every pre-pivot value is even, so //2 and
-    // *3//2 are exact); //-division is exact — see the portability note
-    // above
-    val emphd =
-      s"""v[i] + (CASE WHEN capdiff AND cp[i] = 1 THEN
-         |        (CASE WHEN v[i] > 0 THEN $CapIncr ELSE -$CapIncr END)
-         |        ELSE 0 END)""".stripMargin
-    val adjusted =
-      s"""($emphd) + (CASE WHEN v[i] > 0 THEN 1 ELSE -1 END) * $netTerms""".stripMargin
-    val modified =
-      s"(CASE WHEN $negWin THEN (($adjusted) * $NegNum) // $NegDen ELSE $adjusted END)"
+    import graft.functions.LexiconScore.{BoostAtO, CapAtO, IdiomDen, IdiomNum}
+    val boostL = inList(VaderLexicon.Boosters)
+    val dampL = inList(VaderLexicon.Dampeners)
+    val negL = inList(VaderLexicon.Negators)
+    val neverL = inList(VaderLexicon.NeverWords)
+    val soThisL = inList(VaderLexicon.SoThisWords)
+    val withoutL = inList(VaderLexicon.WithoutWords)
+    val doubtL = inList(VaderLexicon.DoubtWords)
+    // scalar_inc_dec at offset o over previous column prev: booster
+    // magnitude +B·f_o, dampener (single or adjacent bigram) −B·f_o,
+    // sign-aligned to the RUNNING value with the damped C_INCR caps
+    // bonus (vv>0 → m+C, vv<0 → −m−C, vv=0 → m−C — the dampener caps
+    // FLIP falls out of m+C with m = −B)
+    def scalarStep(o: Int, prev: String): String = {
+      val p = s"$prev[i]"
+      val c = s"(CASE WHEN capdiff AND cp[i - $o] = 1 THEN ${CapAtO(o - 1)} ELSE 0 END)"
+      def adj(m: String): String =
+        s"(CASE WHEN $p > 0 THEN ($m) + $c WHEN $p < 0 THEN -($m) - $c ELSE ($m) - $c END)"
+      s"""CASE WHEN v[i] = 0 THEN 0
+         |           WHEN i <= $o THEN $p
+         |           WHEN v[i - $o] <> 0 THEN $p
+         |           ELSE $p + (CASE WHEN lower(w[i - $o]) IN ($boostL) THEN ${adj(s"0 + ${BoostAtO(o - 1)}")}
+         |             WHEN lower(w[i - $o]) IN ($dampL)
+         |               OR (i > ${o + 1} AND (lower(w[i - ${o + 1}]) || ' ' || lower(w[i - $o])) IN ($bigramList))
+         |               THEN ${adj(s"0 - ${BoostAtO(o - 1)}")}
+         |             ELSE 0 END) END""".stripMargin
+    }
+    // _negation_check at offset o over previous column prev: at o ≥ 2
+    // the never-so/this idiom scales ×5/4 and without-doubt passes
+    // unmodified; otherwise a negator multiplies ×−74/100 — each offset
+    // SEPARATELY (the cascade), all under the membership gate
+    def negStep(o: Int, prev: String): String = {
+      val q = s"$prev[i]"
+      val idioms =
+        if (o == 1) ""
+        else {
+          val near =
+            if (o == 2) s"lower(w[i - 1]) IN (%s)"
+            else s"(lower(w[i - 2]) IN (%s) OR lower(w[i - 1]) IN (%s))"
+          def fill(l: String) =
+            if (o == 2) near.format(l) else near.format(l, l)
+          s"""
+             |           WHEN lower(w[i - $o]) IN ($neverL) AND ${fill(soThisL)} THEN ($q * $IdiomNum) // $IdiomDen
+             |           WHEN lower(w[i - $o]) IN ($withoutL) AND ${fill(doubtL)} THEN $q""".stripMargin
+        }
+      s"""CASE WHEN v[i] = 0 THEN 0
+         |           WHEN i <= $o THEN $q
+         |           WHEN v[i - $o] <> 0 THEN $q$idioms
+         |           WHEN lower(w[i - $o]) IN ($negL) THEN ($q * $NegNum) // $NegDen
+         |           ELSE $q END""".stripMargin
+    }
+    def stepCte(name: String, from: String, col: String, body: String): String =
+      s"""$name AS (
+         |  SELECT *, list_transform(generate_series(1, len(w)), i ->
+         |         $body) AS $col
+         |  FROM $from)""".stripMargin
+    val steps = Seq(
+      stepCte(s"${alias}s1", s"${alias}c", "y1", scalarStep(1, "x0")),
+      stepCte(s"${alias}n1", s"${alias}s1", "x1", negStep(1, "y1")),
+      stepCte(s"${alias}s2", s"${alias}n1", "y2", scalarStep(2, "x1")),
+      stepCte(s"${alias}n2", s"${alias}s2", "x2", negStep(2, "y2")),
+      stepCte(s"${alias}s3", s"${alias}n2", "y3", scalarStep(3, "x2")),
+      stepCte(s"${alias}n3", s"${alias}s3", "x3", negStep(3, "y3"))
+    ).mkString(",\n|")
     val butList = VaderLexicon.ButWords.map(w => s"'$w'").mkString(", ")
     // the valence lambda is CAST to BIGINT: DuckDB types the integer
-    // literals INT32, and at the 1e7 scale a negated high-valence word
-    // (|v·74| > 2^31 from |tenths| ≥ 30) would overflow the INT32
-    // multiply and crash the oracle (r15 review; reproduced on a bare
-    // "not amazing")
+    // literals INT32 where they fit, and a BIGINT-scale multiply on an
+    // INT32 lane would overflow and crash the oracle (r15 review)
     s"""${alias}w AS MATERIALIZED (
        |  SELECT doc_id, w,
        |    list_transform(w, x -> CAST(CASE lower(x) $vCase ELSE 0 END AS BIGINT)) AS v,
@@ -168,6 +209,15 @@ object Sentiment {
        |    CAST(len(text) - len(replace(text, '!', '')) AS BIGINT) AS ep_n,
        |    CAST(len(text) - len(replace(text, '?', '')) AS BIGINT) AS qm_n
        |  FROM (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents)),
+       |${alias}c AS (
+       |  SELECT *, list_transform(generate_series(1, len(w)), i ->
+       |         CASE WHEN v[i] = 0 THEN 0
+       |           ELSE v[i] + (CASE WHEN capdiff AND cp[i] = 1 THEN
+       |             (CASE WHEN v[i] > 0 THEN $CapIncr ELSE -$CapIncr END) ELSE 0 END) END) AS x0
+       |  FROM (SELECT *,
+       |      (list_sum(cp) > 0 AND list_sum(cp) < len(w)) AS capdiff
+       |    FROM ${alias}w)),
+       |$steps,
        |$alias AS MATERIALIZED (
        |  SELECT doc_id, pos_n, neg_n, wc,
        |    sc0 + (CASE WHEN sc0 > 0 THEN emph WHEN sc0 < 0 THEN -emph ELSE 0 END) AS sc
@@ -176,15 +226,12 @@ object Sentiment {
        |    CAST(len(list_filter(v, x -> x < 0)) AS BIGINT) AS neg_n,
        |    CAST(len(w) AS BIGINT) AS wc,
        |    CAST(list_sum(list_transform(generate_series(1, len(w)), i ->
-       |      CASE WHEN v[i] = 0 THEN 0
-       |           WHEN bi > 0 AND i < bi THEN ($modified) // 2
-       |           WHEN bi > 0 AND i > bi THEN (($modified) * 3) // 2
-       |           ELSE $modified END)) AS BIGINT) AS sc0,
+       |      CASE WHEN bi > 0 AND i < bi THEN x3[i] // 2
+       |           WHEN bi > 0 AND i > bi THEN (x3[i] * 3) // 2
+       |           ELSE x3[i] END)) AS BIGINT) AS sc0,
        |    LEAST(ep_n, 4) * $ExclIncr +
        |      (CASE WHEN qm_n > 3 THEN $QmCap WHEN qm_n > 1 THEN qm_n * $QmStep ELSE 0 END) AS emph
-       |  FROM (SELECT *,
-       |      (list_sum(cp) > 0 AND list_sum(cp) < len(w)) AS capdiff
-       |    FROM ${alias}w))),
+       |  FROM ${alias}n3)),
        |${alias}l AS MATERIALIZED (
        |  SELECT doc_id, pos_n, neg_n, wc, compound,
        |    CASE WHEN compound > 0.05 THEN 'positive'

@@ -33,59 +33,117 @@ class FunctionsSpec extends GraftSuite {
       (16L, "good times but somewhat bad news"),        // but + dampener after pivot
       (17L, "very nice day good"),                      // damped booster at offset 3 (×0.9)
       (18L, "slightly irrelevant good"),                // damped dampener at offset 2 (×0.95)
-      (19L, "VERY irrelevant good stuff")               // damped CAPS booster at offset 2
+      (19L, "VERY irrelevant good stuff"),              // damped CAPS booster at offset 2
+      (20L, "very not good"),                           // cascade: negate at o=1, booster at o=2 sees the flipped sign (r16)
+      (21L, "not not good"),                            // cascade: two separate ×−0.74 multiplies (r16)
+      (22L, "SLIGHTLY good news"),                      // dampener caps FLIP: −B+C net boost (r16)
+      (23L, "never so good"),                           // never-so idiom: ×5/4 instead of negation (r16)
+      (24L, "without doubt good"),                      // without-doubt idiom: negation suppressed (r16)
+      (25L, "without day good"),                        // 'without' still negates when no 'doubt' follows
+      (26L, "order agg fast")                           // corpus stand-in idiom: ×5/4 on the synthetic vocabulary
     ).toDF("doc_id", "text")
   }
 
   /** Higher-order-function twin of the FULL valence scoring, as the
     * in-spec oracle: lowercased map lookup → sign-aligned C_INCR caps
-    * emphasis (capdiff-gated) → the summed per-position DISTANCE-DAMPED
-    * modifier net (booster +B·f_o, ALL-CAPS booster +(B+C)·f_o,
-    * dampener singles + bigrams −B·f_o) applied sign-aligned → exact
-    * ×−74/100 negation → but-clause ×1/2 / ×3/2 (the divisions are over
-    * exactly-divisible values, so the double intermediates are exact and
-    * the casts back to long lossless).
+    * emphasis (capdiff-gated) → the r16 PER-POSITION cascade (per
+    * offset, under VADER's lexicon-membership gate: scalar_inc_dec
+    * aligned to the RUNNING sign with the damped caps bonus — the
+    * dampener caps FLIP included — then _negation_check with the
+    * never-so ×5/4 and without-doubt idioms) → but-clause ×1/2 / ×3/2.
+    * The divisions are over exactly-divisible values, so the double
+    * intermediates are exact (≤ ~1e14, within the 2^53 mantissa) and
+    * the casts back to long lossless.
+    *
+    * The running value threads through the offsets as CHAINED
+    * PROJECTIONS (one list column per half-step, each lambda reading
+    * the previous step's column by attribute reference) — the same
+    * shape as the DuckDB twin. A single nested Column tree duplicates
+    * the previous step's whole subtree (lexicon map literal included)
+    * ~8× per level and OOMs the analyzer at three levels.
     */
-  private def hofScore(toks: Column, entries: Seq[(String, Int)]): Column = {
+  private def withHof(df0: DataFrame, entries: Seq[(String, Int)],
+      out: String): DataFrame = {
     import graft.functions.LexiconScore._
     import graft.functions.VaderLexicon
     val vmap = typedlit(VaderLexicon.scaled(entries))
     def isCaps(c: Column) = c === upper(c) && c =!= lower(c)
-    val nCaps = size(filter(toks, w => isCaps(w)))
-    val capdiff = nCaps > 0 && nCaps < size(toks)
-    val biArr = filter(
-      transform(toks, (w, i) =>
-        when(lower(w).isin(VaderLexicon.ButWords: _*), i + 1).otherwise(lit(0))),
-      x => x > 0)
-    val bi = coalesce(try_element_at(biArr, lit(1)), lit(0))
     val bigrams = VaderLexicon.DampenerBigrams.map { case (a, b) => s"$a $b" }
-    val scores = transform(toks, (w, idx) => {
-      def back(o: Int) = when(idx >= o, element_at(toks, idx - o + 1)).otherwise(lit(""))
-      val negated = (1 to 3).map(o => lower(back(o)).isin(VaderLexicon.Negators: _*)).reduce(_ || _)
-      val net = (1 to 3).map { o =>
-        val boostT = when(lower(back(o)).isin(VaderLexicon.Boosters: _*),
-          when(capdiff && isCaps(back(o)), lit(BoostCapsAtO(o - 1)))
-            .otherwise(lit(BoostAtO(o - 1)))).otherwise(lit(0L))
-        val dampT = when(
-          lower(back(o)).isin(VaderLexicon.Dampeners: _*) ||
-            concat(lower(back(o + 1)), lit(" "), lower(back(o))).isin(bigrams: _*),
-          lit(DampAtO(o - 1))).otherwise(lit(0L))
-        boostT - dampT
-      }.reduce(_ + _)
-      val v = coalesce(element_at(vmap, lower(w)), lit(0L))
-      val adjusted = v +
-        when(capdiff && isCaps(w),
-          when(v > 0, lit(CapIncr)).otherwise(lit(-CapIncr))).otherwise(lit(0L)) +
-        when(v > 0, net).otherwise(-net)
-      val modified = when(negated,
-        (adjusted * lit(NegScalarNum) / lit(NegScalarDen)).cast("long"))
-        .otherwise(adjusted)
-      val butScaled = when(bi > 0 && (idx + 1) < bi, (modified / lit(2)).cast("long"))
-        .when(bi > 0 && (idx + 1) > bi, (modified * lit(3) / lit(2)).cast("long"))
-        .otherwise(modified)
-      when(v === 0, lit(0L)).otherwise(butScaled)
-    })
-    aggregate(scores, lit(0L), (acc, v) => acc + v)
+    val tk = col("_tk"); val vl = col("_vl")
+    def lowAt(i: Column): Column = lower(element_at(tk, i))
+    def capsAt(i: Column): Column = col("_capdiff") && isCaps(element_at(tk, i))
+    def idxSeq: Column = sequence(lit(1), size(tk))
+    // scalar_inc_dec at offset o over the previous column
+    def scalarStep(o: Int, prev: String): Column => Column = { i =>
+      val p = element_at(col(prev), i)
+      when(element_at(vl, i) === 0, lit(0L))
+        .when(i <= o, p)
+        .when(element_at(vl, i - o) =!= 0, p) // membership gate
+        .otherwise {
+          val b = lowAt(i - o)
+          val cb = when(capsAt(i - o), lit(CapAtO(o - 1))).otherwise(lit(0L))
+          def adj(m: Long): Column =
+            when(p > 0, lit(m) + cb).when(p < 0, lit(-m) - cb).otherwise(lit(m) - cb)
+          p + when(b.isin(VaderLexicon.Boosters: _*), adj(BoostAtO(o - 1)))
+            .when(b.isin(VaderLexicon.Dampeners: _*) ||
+              (i > o + 1 && concat(lowAt(i - o - 1), lit(" "), b).isin(bigrams: _*)),
+              adj(-BoostAtO(o - 1)))
+            .otherwise(lit(0L))
+        }
+    }
+    // _negation_check at offset o over the previous column
+    def negStep(o: Int, prev: String): Column => Column = { i =>
+      val q = element_at(col(prev), i)
+      val negd = (q * lit(NegScalarNum) / lit(NegScalarDen)).cast("long")
+      val base = when(element_at(vl, i) === 0, lit(0L))
+        .when(i <= o, q)
+        .when(element_at(vl, i - o) =!= 0, q) // membership gate
+      val b = lowAt(i - o)
+      def anyIn(words: Seq[String]): Column =
+        if (o == 2) lowAt(i - 1).isin(words: _*)
+        else lowAt(i - 1).isin(words: _*) || lowAt(i - 2).isin(words: _*)
+      val withIdioms =
+        if (o == 1) base
+        else base
+          .when(b.isin(VaderLexicon.NeverWords: _*) && anyIn(VaderLexicon.SoThisWords),
+            (q * lit(IdiomNum) / lit(IdiomDen)).cast("long"))
+          .when(b.isin(VaderLexicon.WithoutWords: _*) && anyIn(VaderLexicon.DoubtWords), q)
+      withIdioms
+        .when(b.isin(VaderLexicon.Negators: _*), negd)
+        .otherwise(q)
+    }
+    val steps: Seq[(String, String, Column => Column)] = Seq(
+      ("_y1", "_x0", scalarStep(1, "_x0")), ("_x1", "_y1", negStep(1, "_y1")),
+      ("_y2", "_x1", scalarStep(2, "_x1")), ("_x2", "_y2", negStep(2, "_y2")),
+      ("_y3", "_x2", scalarStep(3, "_x2")), ("_x3", "_y3", negStep(3, "_y3")))
+    val base = df0
+      .withColumn("_tk", split(col("text"), " "))
+      .withColumn("_vl", transform(col("_tk"), w =>
+        coalesce(element_at(vmap, lower(w)), lit(0L))))
+      .withColumn("_ncaps", size(filter(col("_tk"), w => isCaps(w))))
+      .withColumn("_capdiff", col("_ncaps") > 0 && col("_ncaps") < size(col("_tk")))
+      .withColumn("_bi", coalesce(try_element_at(filter(
+        transform(col("_tk"), (w, i) =>
+          when(lower(w).isin(VaderLexicon.ButWords: _*), i + 1).otherwise(lit(0))),
+        x => x > 0), lit(1)), lit(0)))
+      .withColumn("_x0", transform(sequence(lit(1), size(col("_tk"))), i => {
+        val v = element_at(col("_vl"), i)
+        when(v === 0, lit(0L)).otherwise(v +
+          when(col("_capdiff") && isCaps(element_at(col("_tk"), i)),
+            when(v > 0, lit(CapIncr)).otherwise(lit(-CapIncr))).otherwise(lit(0L)))
+      }))
+    val chained = steps.foldLeft(base) { case (df, (name, _, f)) =>
+      df.withColumn(name, transform(idxSeq, f))
+    }
+    chained.withColumn(out, aggregate(
+      transform(idxSeq, i => {
+        val x = element_at(col("_x3"), i)
+        when(col("_bi") > 0 && i < col("_bi"), (x / lit(2)).cast("long"))
+          .when(col("_bi") > 0 && i > col("_bi"), (x * lit(3) / lit(2)).cast("long"))
+          .otherwise(x)
+      }), lit(0L), (acc, v) => acc + v))
+      .drop("_tk", "_vl", "_ncaps", "_capdiff", "_bi",
+        "_x0", "_y1", "_x1", "_y2", "_x2", "_y3", "_x3")
   }
 
   private def lexCall(toks: Column, entries: Seq[(String, Int)]): Column =
@@ -94,7 +152,8 @@ class FunctionsSpec extends GraftSuite {
       lit(graft.functions.VaderLexicon.Negators.mkString(" ")),
       lit(graft.functions.VaderLexicon.Boosters.mkString(" ")),
       lit(graft.functions.VaderLexicon.dampArg),
-      lit(graft.functions.VaderLexicon.ButWords.mkString(" ")))
+      lit(graft.functions.VaderLexicon.ButWords.mkString(" ")),
+      lit(graft.functions.VaderLexicon.idiomArg))
 
   /** Evaluate `mk` under a forced Catalyst evaluation mode so both the
     * generated-Java and interpreted paths are exercised explicitly.
@@ -111,9 +170,10 @@ class FunctionsSpec extends GraftSuite {
       underMode(mode) {
         import spark.implicits._
         val toks = split($"text", " ")
-        val rows = docs.select($"doc_id",
-          lexCall(toks, graft.functions.VaderLexicon.Entries).as("native"),
-          hofScore(toks, graft.functions.VaderLexicon.Entries).as("hof")).collect()
+        val rows = withHof(docs, graft.functions.VaderLexicon.Entries, "hof")
+          .select($"doc_id",
+            lexCall(toks, graft.functions.VaderLexicon.Entries).as("native"),
+            $"hof").collect()
         assert(rows.nonEmpty)
         rows.foreach { r =>
           assert(r.getLong(1) == r.getLong(2), s"doc ${r.getLong(0)}")

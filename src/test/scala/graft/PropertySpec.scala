@@ -70,12 +70,17 @@ class PropertySpec extends AnyFunSuite {
 
   // ------------------------------------------------- lexicon score fuzz
 
-  /** Independent plain-Scala model of the full r15 VADER semantics —
-    * lowercased lookup, caps differential, per-position distance-damped
-    * modifier scalars (boosters + caps bonus, dampener singles +
-    * bigrams), boolean-window negation, but-clause scaling. Written
-    * directly from the declared rules, NOT from the expression code, so
-    * a combinatorial interaction bug in either survives the other.
+  /** Independent plain-Scala model of the full r16 VADER semantics —
+    * lowercased lookup, caps differential, and the PER-POSITION
+    * cascade: per lookback offset, under the lexicon-membership gate,
+    * scalar_inc_dec aligned to the RUNNING sign (distance-damped
+    * booster/dampener magnitude, damped C_INCR caps bonus with the
+    * dampener caps FLIP, the vv=0 asymmetry), then _negation_check at
+    * that offset (never-so/this ×5/4, without-doubt pass, else
+    * ×−74/100 — each negator multiplies separately); finally the
+    * but-clause scaling. Written directly from the declared rules, NOT
+    * from the expression code, so a combinatorial interaction bug in
+    * either survives the other.
     */
   private def refLexScore(tokens: IndexedSeq[String]): Long = {
     import graft.functions.LexiconScore._
@@ -89,29 +94,43 @@ class PropertySpec extends AnyFunSuite {
     val capDiff = nCaps > 0 && nCaps < tokens.length
     val butIdx = tokens.indices
       .find(i => tokens(i) != null && ButWords.contains(low(i))).getOrElse(-1)
+    def lowAt(j: Int): String =
+      if (j < 0 || tokens(j) == null) null else low(j)
     var sum = 0L
     for (i <- tokens.indices if tokens(i) != null) {
       val v = Valence.getOrElse(low(i), 0L)
       if (v != 0L) {
-        var negated = false
-        var net = 0L
-        for (o <- 1 to 3 if i - o >= 0 && tokens(i - o) != null) {
-          val b = low(i - o)
-          if (Negators.contains(b)) negated = true
-          if (Boosters.contains(b))
-            net += (if (capDiff && caps(i - o)) BoostCapsAtO(o - 1)
-              else BoostAtO(o - 1))
-          if (Dampeners.contains(b)) net -= DampAtO(o - 1)
-          else if (i - o - 1 >= 0 && tokens(i - o - 1) != null &&
-              DampenerBigrams.exists { case (f, s2) =>
-                s2 == b && f == low(i - o - 1) })
-            net -= DampAtO(o - 1)
-        }
-        val pos = v > 0
         var vv = v
-        if (capDiff && caps(i)) vv += (if (pos) CapIncr else -CapIncr)
-        vv += (if (pos) net else -net)
-        if (negated) vv = vv * NegScalarNum / NegScalarDen
+        if (capDiff && caps(i)) vv += (if (v > 0) CapIncr else -CapIncr)
+        for (o <- 1 to 3 if i - o >= 0) {
+          val b = lowAt(i - o)
+          // membership gate: a lexicon word in the window modifies nothing
+          if (b != null && Valence.getOrElse(b, 0L) == 0L) {
+            var m = 0L
+            if (Boosters.contains(b)) m = BoostAtO(o - 1)
+            else if (Dampeners.contains(b)) m = -BoostAtO(o - 1)
+            else if (i - o - 1 >= 0 && tokens(i - o - 1) != null &&
+                DampenerBigrams.exists { case (f, s2) =>
+                  s2 == b && f == low(i - o - 1) })
+              m = -BoostAtO(o - 1)
+            if (m != 0L) {
+              val cb = if (capDiff && caps(i - o)) CapAtO(o - 1) else 0L
+              vv += (if (vv > 0) m + cb else if (vv < 0) -m - cb else m - cb)
+            }
+            if (o == 1) {
+              if (Negators.contains(b)) vv = vv * NegScalarNum / NegScalarDen
+            } else {
+              val n1 = lowAt(i - 1)
+              val n2 = if (o == 3) lowAt(i - 2) else null
+              def hits(ws: Seq[String]): Boolean =
+                (n1 != null && ws.contains(n1)) || (n2 != null && ws.contains(n2))
+              if (NeverWords.contains(b) && hits(SoThisWords))
+                vv = vv * IdiomNum / IdiomDen
+              else if (WithoutWords.contains(b) && hits(DoubtWords)) ()
+              else if (Negators.contains(b)) vv = vv * NegScalarNum / NegScalarDen
+            }
+          }
+        }
         if (butIdx >= 0) {
           if (i < butIdx) vv = vv / 2
           else if (i > butIdx) vv = vv * 3 / 2
@@ -125,14 +144,18 @@ class PropertySpec extends AnyFunSuite {
   /** Token pool deliberately mixing every rule trigger: lexicon words
     * of both signs (incl. a high-valence one that exercises the wide
     * integer range), negators, boosters, dampener singles, bigram
-    * halves, but-pivots, caps variants, empty strings, unknowns, nulls.
+    * halves, idiom words (never/so/this/without/doubt + the corpus
+    * stand-ins), but-pivots, caps variants, empty strings, unknowns,
+    * nulls.
     */
   private val lexPool: Seq[String] = Seq(
     "good", "bad", "fine", "sorry", "amazing", "kind", "terrible",
     "not", "never", "very", "so", "really",
     "slightly", "kinda", "of", "sort", "data", "table",
+    "this", "without", "doubt", "order", "query", "agg", "join",
     "but", "group", "day", "xyz", "",
-    "GOOD", "BAD", "VERY", "NOT", "Amazing", "SLIGHTLY", null)
+    "GOOD", "BAD", "VERY", "NOT", "Amazing", "SLIGHTLY",
+    "NEVER", "SO", "WITHOUT", "Doubt", null)
 
   private val genTokens: Gen[List[String]] =
     Gen.listOf(Gen.oneOf(lexPool))
@@ -148,7 +171,8 @@ class PropertySpec extends AnyFunSuite {
       Literal(VaderLexicon.Negators.mkString(" ")),
       Literal(VaderLexicon.Boosters.mkString(" ")),
       Literal(VaderLexicon.dampArg),
-      Literal(VaderLexicon.ButWords.mkString(" ")))
+      Literal(VaderLexicon.ButWords.mkString(" ")),
+      Literal(VaderLexicon.idiomArg))
     check(Prop.forAll(genTokens) { toks =>
       val arr = new GenericArrayData(
         toks.map(t => if (t == null) null else UTF8String.fromString(t)).toArray[Any])

@@ -42,16 +42,16 @@ class TextSentimentSpec extends GraftSuite {
     val got = Registry.byName("sent_lexicon").run(spark, dir).collect()
       .map(r => r.getAs[Long]("doc_id") ->
         (r.getAs[Double]("score"), r.getAs[String]("label"))).toMap
-    val expSc = Map( // exact 1e7-scaled integer sums, by the VADER rules
-      1L -> 26330000L, // 19000000 + 7330000
-      2L -> 19000000L,
-      3L -> -19484200L, // 26330000 · −74 / 100
-      4L -> 29260000L, // 19000000 + 7330000 + 2930000 (booster at offset 1: undamped)
-      5L -> 27760000L, // 19000000 + 3·2920000
-      6L -> -34600000L, // −25000000 − 9600000
+    val expSc = Map( // exact 1e11-scaled integer sums, by the VADER rules
+      1L -> 263300000000L, // 19e10 + 7.33e10
+      2L -> 190000000000L,
+      3L -> -194842000000L, // 263300000000 · −74 / 100
+      4L -> 292600000000L, // 19e10 + 7.33e10 + 2.93e10 (booster at offset 1: undamped)
+      5L -> 277600000000L, // 19e10 + 3·2.92e10
+      6L -> -346000000000L, // −25e10 − 9.6e10
       7L -> 0L)
     def compound(sc: Long): Double = {
-      val sv = sc / 1e7
+      val sv = sc / 1e11
       val c = sv / math.sqrt(sv * sv + 15.0)
       math.floor(c * 1e6 + 0.5) / 1e6
     }
@@ -100,18 +100,82 @@ class TextSentimentSpec extends GraftSuite {
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
     val got = Registry.byName("sent_lexicon").run(spark, dir).collect()
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("score")).toMap
-    val expSc = Map(
-      1L -> 19000000L,  // −9500000 + 28500000
-      2L -> 40070000L,  // 24000000 + 16070000
-      3L -> 36590000L,
-      4L -> -29651800L, // −17760000 − 11891800
-      5L -> -28000000L, // 9500000 − 37500000
-      6L -> 16070000L,
-      7L -> 21783500L,
-      8L -> 16363000L,  // 19000000 − 2637000
-      9L -> -16119790L)
+    val expSc = Map( // exact 1e11-scaled integer sums
+      1L -> 190000000000L,  // −9.5e10 + 28.5e10
+      2L -> 400700000000L,  // 24e10 + 16.07e10
+      3L -> 365900000000L,
+      4L -> -296518000000L, // −17.76e10 − 11.8918e10
+      5L -> -280000000000L, // 9.5e10 − 37.5e10
+      6L -> 160700000000L,
+      7L -> 217835000000L,
+      8L -> 163630000000L,  // 19e10 − 2.637e10
+      9L -> -161197900000L)
     def compound(sc: Long): Double = {
-      val sv = sc / 1e7
+      val sv = sc / 1e11
+      val c = sv / math.sqrt(sv * sv + 15.0)
+      math.floor(c * 1e6 + 0.5) / 1e6
+    }
+    expSc.foreach { case (id, sc) =>
+      assert(got(id) === compound(sc), s"doc $id: ${got(id)} vs sc=$sc")
+    }
+  }
+
+  test("VADER negation cascade, dampener caps flip and negation idioms: planted docs match hand-computed scores") {
+    // r16 (r15 verdict item 2): the per-position negation cascade
+    // (vaderSentiment's sentiment_valence applies _negation_check
+    // INSIDE each lookback step, so each negator multiplies separately
+    // and a modifier behind a negation sees the flipped running sign),
+    // the dampener-word ALL-CAPS flip (scalar_inc_dec adds C_INCR to
+    // the B_DECR magnitude: −0.293+0.733 = +0.44 net boost), and the
+    // never-so/this ×1.25 / without-doubt pass idioms. Planted docs
+    // through the REAL sent_lexicon query against exact hand-computed
+    // 1e11-scale integer sums.
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_vader_casc").toString
+    Seq(
+      // cascade ORDER: negation at o=1 flips the sign BEFORE the o=2
+      // booster aligns to it: (19e10·−0.74) − 2.93e10·0.95
+      (1L, "very not good"),
+      // two negators = two separate multiplies: 19e10·(−0.74)²
+      (2L, "not not good"),
+      // dampener caps FLIP: vv>0, ALL-CAPS dampener at o=1 adds
+      // (−B+C)·1 = +4.4e10
+      (3L, "SLIGHTLY good news"),
+      // never-so idiom: booster 'so' at o=1, then ×5/4 at o=2 (never
+      // negates nothing): (19e10 + 2.93e10)·5/4
+      (4L, "never so good"),
+      // without-doubt idiom: 'good' passes unmodified at o=2 ('doubt'
+      // at o=1 is a LEXICON entry −1.5, so the membership gate skips
+      // that step — observably); 'doubt' itself scores and is negated
+      // by 'without' at its own o=1
+      (5L, "without doubt good"),
+      // 'without' with no 'doubt' neighbor still negates at o=2
+      (6L, "without day good"),
+      // corpus stand-in idiom (order=never, agg=so/this): the branch
+      // the synthetic-corpus oracle exercises
+      (7L, "order agg fast"),
+      // o=3 idiom: never at i-3, 'so' at i-2: (19e10 + 2.93e10·0.95)·5/4
+      (8L, "never so day good"),
+      // cascade at caps: negate at o=1, CAPS booster at o=2 on the now
+      // NEGATIVE value subtracts (B+C)·0.95: 19e10·−0.74 − 9.747e10
+      (9L, "VERY not good news")
+    ).map { case (id, t) => (id, t, "en", "plant", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Registry.byName("sent_lexicon").run(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("score")).toMap
+    val expSc = Map(
+      1L -> -168435000000L, // −140600000000 − 27835000000
+      2L -> 104044000000L,  // −140600000000 · −74 / 100
+      3L -> 234000000000L,  // 190000000000 + 44000000000
+      4L -> 274125000000L,  // 219300000000 · 5 / 4
+      5L -> 301000000000L,  // doubt −15e10·−0.74 = +111000000000; good 19e10
+      6L -> -140600000000L,
+      7L -> 237500000000L,  // fast 19e10·5/4 (agg: no scalar, order: idiom)
+      8L -> 272293750000L,  // (19e10 + 27835000000) = 217835000000 ·5/4
+      9L -> -238070000000L) // −140600000000 − 97470000000
+    def compound(sc: Long): Double = {
+      val sv = sc / 1e11
       val c = sv / math.sqrt(sv * sv + 15.0)
       math.floor(c * 1e6 + 0.5) / 1e6
     }
