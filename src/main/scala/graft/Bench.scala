@@ -101,6 +101,7 @@ object Bench {
     "etl_relevance_gate" -> 0.15,
     "etl_winsorize" -> 0.18,
     "gr_assortativity" -> 0.29,
+    "gr_centrality_err" -> 1.5,
     "gr_betweenness_approx" -> 2.93,
     "gr_betweenness_w" -> 4.5,
     "gr_closeness" -> 1.07,

@@ -2701,10 +2701,272 @@ object GraphOps {
       .select($"seed", $"n_1hop", $"n_2hop", $"n_edges_ego", $"w_ego")
   }
 
+  // ---------------------------------------------- landmark error gate
+
+  /** Probe-subgraph size of the landmark-centrality error gate: the
+    * ProbeN smallest node ids. Constant, so the gate's work is bounded
+    * at ProbeN² pairs at ANY corpus scale — the whole point: exact
+    * all-sources centralities are feasible only on a bounded slice.
+    */
+  private val ProbeN = 40
+
+  /** Unrolled row-based BFS chain from the sources CTE `srcCte`
+    * (column `node`) over the induced probe edges `pu`, CTE names
+    * `<pfx>0..<pfx>R` with rows (src, node, d). The exact twin of
+    * [[clChain]]'s landmark chain, parameterized on the source set.
+    */
+  private def ceBfsChain(pfx: String, srcCte: String, rounds: Int): String = {
+    val base = s"${pfx}0 AS (SELECT node AS src, node, 0 AS d FROM $srcCte)"
+    val steps = (1 to rounds).map { i =>
+      s"""$pfx$i AS (SELECT x.src, x.node, MIN(x.d) AS d FROM (
+         |    SELECT src, node, d FROM $pfx${i - 1}
+         |    UNION ALL
+         |    SELECT p.src, u.node, p.d + 1 FROM pu u JOIN $pfx${i - 1} p ON u.nb = p.node) x
+         |  GROUP BY x.src, x.node)""".stripMargin
+    }
+    (base +: steps).mkString(",\n")
+  }
+
+  /** Unrolled row-based Brandes chain (forward σ + backward δ levels)
+    * from the sources CTE over `pu` — the exact twin of [[bwChain]],
+    * parameterized on the source set. Emits `<pfx>i` per node:
+    * Σ_src floor(δ·1e9 + 0.5) as BIGINT (src ≠ node), the exact
+    * integer the ranking and the error report both read.
+    */
+  private def ceBwChain(pfx: String, srcCte: String, rounds: Int): String = {
+    val base =
+      s"""${pfx}f0 AS (SELECT node AS src, node, 0 AS d, CAST(1 AS BIGINT) AS sig FROM $srcCte)""".stripMargin
+    val fwd = (1 to rounds).map { i =>
+      s"""${pfx}f${i}c AS (SELECT p.src, u.node, CAST(SUM(p.sig) AS BIGINT) AS sig
+         |  FROM pu u JOIN ${pfx}f${i - 1} p ON u.nb = p.node AND p.d = ${i - 1}
+         |  GROUP BY p.src, u.node),
+         |${pfx}f$i AS (SELECT src, node, d, sig FROM ${pfx}f${i - 1}
+         |  UNION ALL
+         |  SELECT c.src, c.node, $i AS d, c.sig FROM ${pfx}f${i}c c
+         |  WHERE NOT EXISTS (SELECT 1 FROM ${pfx}f${i - 1} p
+         |    WHERE p.node = c.node AND p.src = c.src))""".stripMargin
+    }
+    val dag =
+      s"""${pfx}dag AS (SELECT v.src, v.node AS v, v.d AS dv, v.sig AS sv,
+         |    w.node AS w, w.sig AS sw
+         |  FROM pu u
+         |  JOIN ${pfx}f$rounds v ON u.node = v.node
+         |  JOIN ${pfx}f$rounds w ON u.nb = w.node AND w.src = v.src AND w.d = v.d + 1)""".stripMargin
+    val bwdBase =
+      s"""${pfx}d$rounds AS (SELECT node, src, CAST(0.0 AS DOUBLE) AS delta
+         |  FROM ${pfx}f$rounds WHERE d = $rounds)""".stripMargin
+    val bwd = ((rounds - 1) to 0 by -1).map { r =>
+      s"""${pfx}d$r AS (SELECT g.v AS node, g.src,
+         |  ${PS.dsum(PS.prnd("(CAST(g.sv AS DOUBLE) / CAST(g.sw AS DOUBLE)) * (CAST(1.0 AS DOUBLE) + COALESCE(d2.delta, CAST(0.0 AS DOUBLE)))", 9), 9)} AS delta
+         |  FROM ${pfx}dag g LEFT JOIN ${pfx}d${r + 1} d2 ON g.w = d2.node AND g.src = d2.src
+         |  WHERE g.dv = $r
+         |  GROUP BY g.v, g.src)""".stripMargin
+    }
+    val unionDl = (0 to rounds).map(r => s"SELECT node, src, delta FROM ${pfx}d$r").mkString(" UNION ALL ")
+    val fin =
+      s"""${pfx}i AS (SELECT n.node,
+         |  CAST(COALESCE(SUM(CAST(floor(x.delta * 1e9 + 0.5) AS BIGINT)), 0) AS BIGINT) AS ib
+         |  FROM pn n LEFT JOIN ($unionDl) x ON x.node = n.node AND x.node <> x.src
+         |  GROUP BY n.node)""".stripMargin
+    ((base +: fwd) ++ Seq(dag, bwdBase) ++ bwd :+ fin).mkString(",\n")
+  }
+
+  /** Landmark-centrality ERROR gate (r15 verdict item 3) — the graph
+    * family's `dd_recall`/`sim_recall` twin: the landmark estimators
+    * ([[closeness]], [[betweenness]]) are spec-verified on toy graphs,
+    * but no oracled query measured what the K-source approximation
+    * costs on the actual corpus. This one does, in the only setting
+    * where exact is affordable: the induced subgraph of the [[ProbeN]]
+    * smallest node ids (deterministic id-slice; the reference computes
+    * exact centralities over its whole — small — graph,
+    * network_analysis.py:145-155). Per metric:
+    *
+    *  - EXACT: all-sources BFS (closeness) / all-sources Brandes
+    *    (betweenness) within the probe subgraph, the same round caps
+    *    as production so the measured gap isolates the LANDMARK
+    *    sampling error (K sources vs all |P| sources), not the depth
+    *    bound;
+    *  - APPROX: the production landmark rule (K smallest ids) applied
+    *    to the same subgraph;
+    *  - report: Spearman rank correlation (ranks by exact integer
+    *    keys — total capped distance ASC / Σ floor(δ·1e9) DESC, node
+    *    id ties — so the correlation is exact integer arithmetic until
+    *    one final divide), top-10 overlap, and mean/max absolute error
+    *    between the comparable per-source-averaged values.
+    *
+    * Scale shape: every relation after the probe slice is bounded by
+    * the CONSTANT ProbeN (≤ ProbeN² BFS pairs), so the gate costs the
+    * same at any corpus scale; the slice itself is one top-K over the
+    * shared node relation and the induced-edge join probes the shared
+    * edge relation once with two broadcast semi-joins.
+    */
+  val grCentralityErr = QueryDef(
+    "gr_centrality_err",
+    s"""WITH $eNumSql, $undSql,
+       |pn AS MATERIALIZED (SELECT node FROM (
+       |  SELECT DISTINCT node FROM und ORDER BY node LIMIT $ProbeN)),
+       |pnn AS MATERIALIZED (SELECT CAST(COUNT(*) AS BIGINT) AS np FROM pn),
+       |pu AS MATERIALIZED (SELECT u.node, u.nb FROM und u
+       |  JOIN pn a ON u.node = a.node JOIN pn b ON u.nb = b.node),
+       |plmk AS MATERIALIZED (SELECT node FROM (
+       |  SELECT node FROM pn ORDER BY node LIMIT $ClLandmarks)),
+       |${ceBfsChain("cex", "pn", ClRounds)},
+       |${ceBfsChain("cel", "plmk", ClRounds)},
+       |cet AS MATERIALIZED (SELECT n.node,
+       |    (SELECT np FROM pnn) * ${ClRounds + 1} - CAST(COALESCE(SUM(${ClRounds + 1} - d.d), 0) AS BIGINT) AS tot_e
+       |  FROM pn n LEFT JOIN cex$ClRounds d ON d.node = n.node GROUP BY n.node),
+       |clt AS MATERIALIZED (SELECT n.node,
+       |    $ClLandmarks * ${ClRounds + 1} - CAST(COALESCE(SUM(${ClRounds + 1} - d.d), 0) AS BIGINT) AS tot_l
+       |  FROM pn n LEFT JOIN cel$ClRounds d ON d.node = n.node GROUP BY n.node),
+       |${ceBwChain("bex", "pn", BwRounds)},
+       |${ceBwChain("bel", "plmk", BwRounds)},
+       |crank AS MATERIALIZED (SELECT e.node,
+       |    ROW_NUMBER() OVER (ORDER BY e.tot_e ASC, e.node ASC) AS re,
+       |    ROW_NUMBER() OVER (ORDER BY l.tot_l ASC, l.node ASC) AS ra,
+       |    CAST((SELECT np FROM pnn) AS DOUBLE) / CAST(e.tot_e AS DOUBLE) AS ve,
+       |    CAST($ClLandmarks AS DOUBLE) / CAST(l.tot_l AS DOUBLE) AS va
+       |  FROM cet e JOIN clt l ON e.node = l.node),
+       |brank AS MATERIALIZED (SELECT e.node,
+       |    ROW_NUMBER() OVER (ORDER BY e.ib DESC, e.node ASC) AS re,
+       |    ROW_NUMBER() OVER (ORDER BY l.ib DESC, l.node ASC) AS ra,
+       |    CAST(e.ib AS DOUBLE) / 1e9 / CAST((SELECT np FROM pnn) AS DOUBLE) AS ve,
+       |    CAST(l.ib AS DOUBLE) / 1e9 / CAST($ClLandmarks AS DOUBLE) AS va
+       |  FROM bexi e JOIN beli l ON e.node = l.node),
+       |rep AS MATERIALIZED (
+       |  SELECT 'closeness' AS metric, * FROM (
+       |    SELECT CAST(COUNT(*) AS BIGINT) AS n_probe,
+       |      ${PS.prnd("CASE WHEN COUNT(*) > 1 THEN 1.0 - (6.0 * CAST(SUM((re - ra) * (re - ra)) AS DOUBLE)) / (CAST(COUNT(*) AS DOUBLE) * (CAST(COUNT(*) AS DOUBLE) * CAST(COUNT(*) AS DOUBLE) - 1.0)) ELSE NULL END", 6)} AS spearman,
+       |      CAST(SUM(CASE WHEN re <= 10 AND ra <= 10 THEN 1 ELSE 0 END) AS DOUBLE) / 10.0 AS top10_overlap,
+       |      ${PS.prnd(PS.dsum(PS.prnd("abs(va - ve)", 9), 9) + " / COUNT(*)", 6)} AS mean_abs_err,
+       |      ${PS.prnd("MAX(" + PS.prnd("abs(va - ve)", 9) + ")", 6)} AS max_abs_err
+       |    FROM crank)
+       |  UNION ALL
+       |  SELECT 'betweenness' AS metric, * FROM (
+       |    SELECT CAST(COUNT(*) AS BIGINT) AS n_probe,
+       |      ${PS.prnd("CASE WHEN COUNT(*) > 1 THEN 1.0 - (6.0 * CAST(SUM((re - ra) * (re - ra)) AS DOUBLE)) / (CAST(COUNT(*) AS DOUBLE) * (CAST(COUNT(*) AS DOUBLE) * CAST(COUNT(*) AS DOUBLE) - 1.0)) ELSE NULL END", 6)} AS spearman,
+       |      CAST(SUM(CASE WHEN re <= 10 AND ra <= 10 THEN 1 ELSE 0 END) AS DOUBLE) / 10.0 AS top10_overlap,
+       |      ${PS.prnd(PS.dsum(PS.prnd("abs(va - ve)", 9), 9) + " / COUNT(*)", 6)} AS mean_abs_err,
+       |      ${PS.prnd("MAX(" + PS.prnd("abs(va - ve)", 9) + ")", 6)} AS max_abs_err
+       |    FROM brank))
+       |SELECT metric, n_probe, spearman, top10_overlap, mean_abs_err, max_abs_err
+       |FROM rep ORDER BY metric""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val und = sharedUnd(s, dir)
+    // probe slice: ProbeN smallest ids (a constant-size top-K), induced
+    // edges via two explicit broadcasts of the tiny probe relation
+    val pn = und.select($"node").distinct()
+      .orderBy($"node").limit(ProbeN).ckpt
+    val pu = und
+      .join(broadcast(pn.select($"node".as("pa"))), $"node" === $"pa")
+      .join(broadcast(pn.select($"node".as("pb"))), $"nb" === $"pb")
+      .select($"node", $"nb").ckpt
+    val np = pn.count() // bounded by the constant ProbeN
+    val lmk = pn.orderBy($"node").limit(ClLandmarks).ckpt
+    // row-based BFS (src, node, d) — the oracle chain's recurrence
+    def bfs(srcs: DataFrame, rounds: Int): DataFrame = {
+      var d = srcs.select($"node".as("src"), $"node", lit(0).as("d")).ckpt
+      for (_ <- 1 to rounds) {
+        d = d.union(
+            pu.join(d.select($"src", $"node".as("pn2"), $"d"), $"nb" === $"pn2")
+              .select($"src", $"node", ($"d" + 1).as("d")))
+          .groupBy($"src", $"node").agg(min($"d").as("d"))
+          .ckpt
+      }
+      d
+    }
+    def closenessTot(srcs: DataFrame, nSrc: Long, rounds: Int): DataFrame = {
+      val d = bfs(srcs, rounds)
+      pn.join(d.select($"node", $"d"), Seq("node"), "left")
+        .groupBy($"node")
+        .agg((lit(nSrc * (rounds + 1)) -
+          coalesce(sum(lit(rounds + 1) - $"d"), lit(0L)).cast("long")).as("tot"))
+    }
+    // row-based Brandes: Σ_src floor(δ·1e9 + 0.5) per node, exact BIGINT
+    def brandesInt(srcs: DataFrame, rounds: Int): DataFrame = {
+      var bf = srcs.select($"node".as("src"), $"node", lit(0).as("d"),
+        lit(1L).as("sig")).ckpt
+      for (i <- 1 to rounds) {
+        val c = pu.join(
+            bf.filter($"d" === i - 1).select($"src", $"node".as("pn2"), $"sig"),
+            $"nb" === $"pn2")
+          .groupBy($"src", $"node").agg(sum($"sig").cast("long").as("sig"))
+        bf = bf.union(
+            c.join(bf.select($"src", $"node"), Seq("src", "node"), "left_anti")
+              .select($"src", $"node", lit(i).as("d"), $"sig"))
+          .ckpt
+      }
+      val sv = bf.select($"src", $"node".as("v"), $"d".as("dv"), $"sig".as("sv"))
+      val sw = bf.select($"src".as("src2"), $"node".as("w"), $"d".as("dw"), $"sig".as("sw"))
+      val dag = pu.join(sv, $"node" === $"v")
+        .join(sw, $"nb" === $"w" && $"src" === $"src2" && $"dw" === $"dv" + 1)
+        .select($"src", $"v", $"dv", $"sv", $"w", $"sw").ckpt
+      var dl = bf.filter($"d" === rounds)
+        .select($"node", $"src", lit(0.0).as("delta")).ckpt
+      val levels = scala.collection.mutable.ArrayBuffer(dl)
+      for (r <- (rounds - 1) to 0 by -1) {
+        dl = dag.filter($"dv" === r)
+          .join(dl.select($"node".as("w2"), $"src".as("src3"), $"delta"),
+            $"w" === $"w2" && $"src" === $"src3", "left")
+          .groupBy($"v", $"src")
+          .agg(P.dsum(P.prnd(($"sv".cast("double") / $"sw".cast("double")) *
+            (lit(1.0) + coalesce($"delta", lit(0.0))), 9), 9).as("delta"))
+          .select($"v".as("node"), $"src", $"delta")
+          .ckpt
+        levels += dl
+      }
+      val allDl = levels.reduce(_ union _).filter($"node" =!= $"src")
+      pn.join(allDl.select($"node", $"delta"), Seq("node"), "left")
+        .groupBy($"node")
+        .agg(coalesce(sum(floor($"delta" * 1e9 + 0.5).cast("long")), lit(0L))
+          .cast("long").as("ib"))
+    }
+    import org.apache.spark.sql.expressions.Window
+    // per metric: exact/approx integer rank keys + comparable values
+    def report(metric: String, ranked: DataFrame): DataFrame = {
+      val n = $"n".cast("double")
+      ranked
+        .agg(P.cnt.as("n_probe"),
+          sum(($"re" - $"ra") * ($"re" - $"ra")).as("sd2"),
+          sum(when($"re" <= 10 && $"ra" <= 10, 1).otherwise(0)).as("ov"),
+          P.dsum(P.prnd(abs($"va" - $"ve"), 9), 9).as("sae"),
+          max(P.prnd(abs($"va" - $"ve"), 9)).as("mxe"),
+          P.cnt.as("n"))
+        .select(lit(metric).as("metric"), $"n_probe",
+          P.prnd(when($"n" > 1,
+            lit(1.0) - (lit(6.0) * $"sd2".cast("double")) / (n * (n * n - 1.0)))
+            .otherwise(lit(null).cast("double")), 6).as("spearman"),
+          ($"ov".cast("double") / 10.0).as("top10_overlap"),
+          P.prnd($"sae" / $"n_probe", 6).as("mean_abs_err"),
+          P.prnd($"mxe", 6).as("max_abs_err"))
+    }
+    val ce = closenessTot(pn, np, ClRounds).select($"node", $"tot".as("tot_e"))
+    val cl = closenessTot(lmk, ClLandmarks.toLong, ClRounds)
+      .select($"node".as("node2"), $"tot".as("tot_l"))
+    val crank = ce.join(cl, $"node" === $"node2")
+      .select($"node",
+        row_number().over(Window.orderBy($"tot_e".asc, $"node".asc)).as("re"),
+        row_number().over(Window.orderBy($"tot_l".asc, $"node2".asc)).as("ra"),
+        (lit(np).cast("double") / $"tot_e".cast("double")).as("ve"),
+        (lit(ClLandmarks).cast("double") / $"tot_l".cast("double")).as("va"))
+      .ckpt
+    val be = brandesInt(pn, BwRounds).select($"node", $"ib".as("ib_e"))
+    val bl = brandesInt(lmk, BwRounds).select($"node".as("node2"), $"ib".as("ib_l"))
+    val brank = be.join(bl, $"node" === $"node2")
+      .select($"node",
+        row_number().over(Window.orderBy($"ib_e".desc, $"node".asc)).as("re"),
+        row_number().over(Window.orderBy($"ib_l".desc, $"node2".asc)).as("ra"),
+        ($"ib_e".cast("double") / 1e9 / lit(np).cast("double")).as("ve"),
+        ($"ib_l".cast("double") / 1e9 / lit(ClLandmarks).cast("double")).as("va"))
+      .ckpt
+    report("closeness", crank).union(report("betweenness", brank))
+      .orderBy($"metric")
+  }
+
   val defs: Seq[QueryDef] = Seq(grEdges, grDegree, grDegreeDirected,
     grDegreeBuckets, grPagerank, grEigenvector, grComponents, grCloseness,
     grClosenessW, grBetweenness, grBetweennessW, grInfluencers,
     grCommunities, grCommunityStats,
     grCommunityNames, grModularity, grLouvain, grLouvainMl, grGraphStats, grLinkPredict,
-    grTriangles, grKcore, grAssortativity, grRandomWalks, grEgoNet)
+    grTriangles, grKcore, grAssortativity, grRandomWalks, grEgoNet,
+    grCentralityErr)
 }

@@ -492,6 +492,75 @@ class GraphSpec extends GraftSuite {
     assert(row.getAs[Long]("m_edges") === run("gr_edges").count())
   }
 
+  test("centrality error gate: closeness row matches a brute-force probe-subgraph model") {
+    // r16: gr_centrality_err measures the landmark approximation against
+    // EXACT all-sources centralities on the 40-smallest-id probe
+    // subgraph. The closeness side is pure integer arithmetic end to
+    // end, so this spec recomputes it with an independent plain-Scala
+    // BFS (the collect is the induced probe subgraph — bounded by the
+    // constant ProbeN², a spec-side action) and must match exactly.
+    val rows = run("gr_centrality_err").collect()
+      .map(r => r.getAs[String]("metric") -> r).toMap
+    assert(rows.keySet === Set("closeness", "betweenness"))
+    // independent model: probe slice + induced edges
+    import org.apache.spark.sql.functions.col
+    val e = operators.GraphOps.edgesNum(spark, sfDir)
+      .select(col("src"), col("dst")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val nodes = e.flatMap(p => Seq(p._1, p._2)).distinct.sorted
+    val pn = nodes.take(40)
+    val pset = pn.toSet
+    val adj = (e.filter(p => pset(p._1) && pset(p._2))
+      .flatMap(p => Seq(p._1 -> p._2, p._2 -> p._1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).distinct).toMap
+    val R = 6
+    def bfsTot(srcs: Seq[Long]): Map[Long, Long] = {
+      val tot = scala.collection.mutable.Map(pn.map(_ -> 0L): _*)
+      for (s <- srcs) {
+        val dist = scala.collection.mutable.Map(s -> 0)
+        var frontier = Seq(s)
+        for (d <- 1 to R) {
+          frontier = frontier.flatMap(v => adj.getOrElse(v, Array.empty[Long]))
+            .distinct.filterNot(v => dist.contains(v))
+          frontier.foreach(v => dist(v) = d)
+        }
+        pn.foreach(v => tot(v) += math.min(dist.getOrElse(v, R + 1), R + 1).toLong)
+      }
+      tot.toMap
+    }
+    val totE = bfsTot(pn)
+    val lmk = pn.take(8)
+    val totL = bfsTot(lmk)
+    def ranks(tot: Map[Long, Long]): Map[Long, Int] =
+      pn.sortBy(v => (tot(v), v)).zipWithIndex.map { case (v, i) => v -> (i + 1) }.toMap
+    val re = ranks(totE); val ra = ranks(totL)
+    val n = pn.length
+    val sd2 = pn.map(v => { val d = re(v) - ra(v); d.toLong * d }).sum
+    def prnd(x: Double, dg: Int): Double = { val f = math.pow(10, dg); math.floor(x * f + 0.5) / f }
+    val spearman = prnd(1.0 - 6.0 * sd2 / (n.toDouble * (n.toDouble * n - 1.0)), 6)
+    val overlap = pn.count(v => re(v) <= 10 && ra(v) <= 10) / 10.0
+    val errs = pn.map(v => prnd(math.abs(8.0 / totL(v) - n.toDouble / totE(v)), 9))
+    val meanErr = prnd(errs.map(x => math.floor(x * 1e9 + 0.5).toLong).sum / 1e9 / n, 6)
+    val maxErr = prnd(errs.max, 6)
+    val c = rows("closeness")
+    assert(c.getAs[Long]("n_probe") === n.toLong)
+    assert(c.getAs[Double]("spearman") === spearman)
+    assert(c.getAs[Double]("top10_overlap") === overlap)
+    assert(c.getAs[Double]("mean_abs_err") === meanErr)
+    assert(c.getAs[Double]("max_abs_err") === maxErr)
+    // betweenness row: bounded-sanity (its δ quantization discipline is
+    // oracle-verified; a rational-exact spec model would diverge in the
+    // low decimals by design)
+    val b = rows("betweenness")
+    assert(b.getAs[Long]("n_probe") === n.toLong)
+    val rho = b.getAs[Double]("spearman")
+    assert(rho >= -1.0 && rho <= 1.0)
+    val ov = b.getAs[Double]("top10_overlap")
+    assert(ov >= 0.0 && ov <= 1.0)
+    assert(b.getAs[Double]("mean_abs_err") >= 0.0)
+    assert(b.getAs[Double]("max_abs_err") >= b.getAs[Double]("mean_abs_err"))
+  }
+
   test("random walks: every step follows a real edge and the corpus is reproducible") {
     val edges = run("gr_edges").collect()
       .flatMap { r =>
