@@ -300,7 +300,20 @@ object Ops {
       docs.filter($"doc_id" < Dedup.IncSplit).coalesce(4)
         .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(corpus)
       val prev = graft.sources.CorpusIO.manifest(s, corpus)
-      docs.filter($"doc_id" >= Dedup.IncSplit).coalesce(2)
+      // the day-1 batch lands with an ADDED nullable column (r15 verdict
+      // item 4) — the compatible schema evolution a real daily feed
+      // eventually performs. The guard must ACCEPT the additive day
+      // (schemaGuard's additive rule; before r16 this write would have
+      // been refused as divergent), and the pipeline below ignores the
+      // extra column, so the gate stays hash-equal to the full-recompute
+      // oracle — the acceptance is exercised on the oracled path itself.
+      // `when` without otherwise keeps the column NULLABLE — a plain
+      // lit() would write a parquet REQUIRED field, which the additive
+      // rule rightly refuses (old files cannot null-fill a required
+      // column)
+      docs.filter($"doc_id" >= Dedup.IncSplit)
+        .withColumn("ingest_day", when($"doc_id".isNotNull, lit("day1")))
+        .coalesce(2)
         .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(corpus)
       val cur = graft.sources.CorpusIO.manifest(s, corpus)
       // ONE driver action materializes the whole diff (manifest-scale —
@@ -318,10 +331,13 @@ object Ops {
       // bandsOfDocs would null-fill or fail late on it
       graft.sources.CorpusIO.schemaGuard(diff.toIndexedSeq)
       // the incremental guarantee: day 0's files must all read back
-      // unchanged — a 'changed'/'removed'/'schema_changed' base file
-      // means something rewrote the immutable corpus under us
-      require(!diff.exists(r => Set("changed", "removed", "schema_changed")
-          .contains(r.getAs[String]("status"))),
+      // unchanged — a 'changed'/'removed'/'schema_changed'/
+      // 'schema_added_col' base file means something rewrote the
+      // immutable corpus under us (the additive class is a COMPATIBLE
+      // schema, but a rewritten base file is staleness regardless —
+      // schemaGuard deliberately leaves that refusal to this check)
+      require(!diff.exists(r => Set("changed", "removed", "schema_changed",
+          "schema_added_col").contains(r.getAs[String]("status"))),
         "manifestDiff scheduled a base file for reprocessing")
       // the returned relation is the work-list read itself — MatStore
       // ckpts it, so signatures, grams, the exact-dup hash and the final

@@ -289,74 +289,123 @@ object CorpusIO {
           // lands a file with an added/missing/retyped column must be
           // detectable at manifest time, not when it poisons a
           // downstream operator with null-fills or a late cast failure
-          val (rows, fp) =
+          val (rows, fp, cols) =
             try {
               val md = reader.getFooter.getFileMetaData
               val digest = java.security.MessageDigest.getInstance("MD5")
                 .digest(md.getSchema.toString.getBytes("UTF-8"))
                 .map("%02x".format(_)).mkString
-              (reader.getRecordCount, digest)
+              // canonical per-field descriptors (repetition + type +
+              // name, whitespace-collapsed, sorted): the structured form
+              // the additive-evolution classifier needs — a fingerprint
+              // can say "different", only the field list can say "a
+              // nullable column was ADDED and nothing else moved" (r15
+              // verdict item 4). Same footer read, no extra I/O.
+              import scala.jdk.CollectionConverters._
+              val fields = md.getSchema.getFields.asScala
+                .map(_.toString.replaceAll("\\s+", " ").trim)
+                .sorted.toSeq
+              (reader.getRecordCount, digest, fields)
             } finally reader.close()
-          (rel, bytes, mtime, rows, fp)
+          (rel, bytes, mtime, rows, fp, cols)
         }
       }
-      .toDF("file", "bytes", "mtime", "n_rows", "schema_fp")
+      .toDF("file", "bytes", "mtime", "n_rows", "schema_fp", "schema_cols")
+  }
+
+  /** True iff `newCols` is an ADDITIVE evolution of `oldCols`: every old
+    * field appears in the new list with an identical definition
+    * (descriptors carry repetition + type + name, so a retyped, renamed
+    * or re-required field breaks the subset) and every extra field is
+    * OPTIONAL (nullable — old files can be null-filled under the merged
+    * schema; a new REQUIRED column cannot be).
+    */
+  private def additiveCols(oldCols: Seq[String], newCols: Seq[String]): Boolean = {
+    val n = newCols.toSet
+    oldCols.forall(n.contains) &&
+      (n -- oldCols).forall(_.startsWith("optional "))
   }
 
   /** Diff two [[manifest]] snapshots into per-file lifecycle statuses:
     * `added` (only in the new snapshot), `removed` (only in the old),
-    * `schema_changed` (same path, different footer-schema fingerprint —
-    * the r14 schema-evolution guard: detected BEFORE the generic
-    * `changed`, because a schema-divergent rewrite needs operator
-    * action, not reprocessing), `changed` (same path, different
-    * bytes/mtime/rows), `unchanged`. The added+changed set IS the
-    * incremental work list — everything a downstream consumer must
-    * (re-)process to catch up from the old snapshot to the new one. A
-    * full-outer equi-join on the relative path; both sides are
-    * manifest-sized (file counts), never data. The output carries each
-    * file's current `schema_fp` so a gate can also check ADDED files
-    * against the base corpus's schema ([[schemaGuard]]).
+    * `schema_added_col` (same path, schema grew by NULLABLE column(s)
+    * only — the compatible evolution a real daily feed eventually
+    * performs: old files null-fill, r15 verdict item 4), `schema_changed`
+    * (same path, any OTHER footer-schema divergence — retyped, dropped,
+    * or required-added columns need operator action, not reprocessing;
+    * both schema classes are detected BEFORE the generic `changed`),
+    * `changed` (same path, different bytes/mtime/rows), `unchanged`.
+    * NOTE: for a BASE corpus both schema classes still mean an in-place
+    * rewrite — an incremental gate's base-integrity check must refuse
+    * `schema_added_col` base files just like `changed` ones; the
+    * additive class exists so ADDED batch files with a grown schema can
+    * be accepted ([[schemaGuard]]) while rewrites stay refusals.
+    * The added+changed set IS the incremental work list — everything a
+    * downstream consumer must (re-)process to catch up from the old
+    * snapshot to the new one. A full-outer equi-join on the relative
+    * path; both sides are manifest-sized (file counts), never data. The
+    * output carries each file's current `schema_fp` and `schema_cols`
+    * so a gate can also check ADDED files against the base corpus's
+    * schema ([[schemaGuard]]).
     */
   def manifestDiff(prev: DataFrame, cur: DataFrame): DataFrame = {
     val p = prev.select(col("file"), col("bytes").as("p_bytes"),
       col("mtime").as("p_mtime"), col("n_rows").as("p_rows"),
-      col("schema_fp").as("p_fp"))
+      col("schema_fp").as("p_fp"), col("schema_cols").as("p_cols"))
     val c = cur.select(col("file"), col("bytes").as("c_bytes"),
       col("mtime").as("c_mtime"), col("n_rows").as("c_rows"),
-      col("schema_fp").as("c_fp"))
+      col("schema_fp").as("c_fp"), col("schema_cols").as("c_cols"))
     p.join(c, Seq("file"), "full_outer")
       .select(col("file"),
         when(col("p_bytes").isNull, "added")
           .when(col("c_bytes").isNull, "removed")
+          .when(col("p_fp") =!= col("c_fp") &&
+            size(array_except(col("p_cols"), col("c_cols"))) === 0 &&
+            forall(array_except(col("c_cols"), col("p_cols")),
+              x => x.startsWith("optional ")), "schema_added_col")
           .when(col("p_fp") =!= col("c_fp"), "schema_changed")
           .when(col("p_bytes") =!= col("c_bytes") ||
             col("p_mtime") =!= col("c_mtime") ||
             col("p_rows") =!= col("c_rows"), "changed")
           .otherwise("unchanged").as("status"),
         col("c_bytes").as("bytes"), col("c_rows").as("n_rows"),
-        col("c_fp").as("schema_fp"))
+        col("c_fp").as("schema_fp"), col("c_cols").as("schema_cols"))
   }
 
   /** Base-integrity SCHEMA guard over a collected [[manifestDiff]] — the
     * refusal an incremental gate issues before scheduling a divergent
     * file into an operator that would null-fill silently or fail late
-    * (r14 verdict item 4). Two failure modes: a base file REWRITTEN
-    * with a different schema (`schema_changed`), and an ADDED batch
-    * file whose footer schema disagrees with the base corpus's
-    * (consensus = the fingerprints of the unchanged base files).
-    * Intentional schema evolution is an operator action — republish the
-    * corpus — never something an unattended daily gate infers.
+    * (r14 verdict item 4). Failure modes: a base file REWRITTEN with an
+    * INCOMPATIBLY different schema (`schema_changed` — retyped, dropped
+    * or required-added columns), and an ADDED batch file whose footer
+    * schema neither matches the base corpus's (consensus = the schemas
+    * of the unchanged base files) nor is an ADDITIVE evolution of one
+    * (r15 verdict item 4: a real daily feed eventually ADDS a nullable
+    * column — old files null-fill under the merged schema, so the
+    * additive day is accepted, distinct from retyped/dropped which
+    * stay refusals). `schema_added_col` base-file rewrites are NOT
+    * refused here (the schema is compatible); an in-place rewrite of a
+    * base file is a STALENESS failure, owned by the gate's
+    * base-integrity check — which must list `schema_added_col`
+    * alongside `changed`. Incompatible schema evolution remains an
+    * operator action — republish the corpus — never something an
+    * unattended daily gate infers.
     */
   def schemaGuard(diff: Seq[org.apache.spark.sql.Row]): Unit = {
     val drifted = diff.filter(_.getAs[String]("status") == "schema_changed")
       .map(_.getAs[String]("file"))
     require(drifted.isEmpty,
       s"base file(s) rewritten with a DIVERGENT SCHEMA: ${drifted.sorted.mkString(", ")}")
-    val baseFps = diff.filter(_.getAs[String]("status") == "unchanged")
-      .map(_.getAs[String]("schema_fp")).toSet
-    val badAdds = diff.filter(r => r.getAs[String]("status") == "added" &&
-        baseFps.nonEmpty && !baseFps.contains(r.getAs[String]("schema_fp")))
-      .map(_.getAs[String]("file"))
+    def colsOf(r: org.apache.spark.sql.Row): Seq[String] =
+      r.getSeq[String](r.fieldIndex("schema_cols")).toVector
+    val base = diff.filter(_.getAs[String]("status") == "unchanged")
+      .map(colsOf).distinct
+    val badAdds = diff.filter { r =>
+      r.getAs[String]("status") == "added" && base.nonEmpty && {
+        val cols = colsOf(r)
+        !base.exists(b => b == cols || additiveCols(b, cols))
+      }
+    }.map(_.getAs[String]("file"))
     require(badAdds.isEmpty,
       s"batch file(s) with a schema DIVERGENT from the base corpus refused: ${badAdds.sorted.mkString(", ")}")
   }

@@ -331,6 +331,57 @@ class SourcesSpec extends GraftSuite {
       CorpusIO.schemaGuard(d2.toIndexedSeq)
     }
     assert(refusal2.getMessage.contains(baseFile))
+
+    // (c) ADDITIVE evolution (r15 verdict item 4): a batch day whose
+    // files carry the base schema PLUS a new nullable column must be
+    // ACCEPTED by the guard (old files null-fill under the merged
+    // schema) — distinct from the retyped case (b) above
+    val corpus2 = s"$dir/corpus2"
+    Seq((1L, "a"), (2L, "b")).toDF("id", "text").coalesce(1)
+      .write.parquet(corpus2)
+    val m2base = CorpusIO.manifest(spark, corpus2).localCheckpoint()
+    // Option → a genuinely NULLABLE (parquet optional) added column; a
+    // plain Double would write REQUIRED, which the additive rule refuses
+    Seq((3L, "c", Some(0.5))).toDF("id", "text", "score").coalesce(1)
+      .write.parquet(s"$dir/additive")
+    val addFile = fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/additive"))
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet")).head.getPath
+    org.apache.hadoop.fs.FileUtil.copy(fs, addFile, fs,
+      new org.apache.hadoop.fs.Path(s"$corpus2/day1-additive.parquet"), false, conf)
+    val dAdd = CorpusIO.manifestDiff(m2base, CorpusIO.manifest(spark, corpus2)).collect()
+    assert(dAdd.count(_.getAs[String]("status") == "added") === 1)
+    CorpusIO.schemaGuard(dAdd.toIndexedSeq) // additive day: must not throw
+
+    // (d) a BASE file rewritten in place with the additive schema
+    // classifies schema_added_col (compatible schema — the guard does
+    // not refuse it), NOT schema_changed; the in-place rewrite itself
+    // stays a STALENESS refusal owned by the gate's base-integrity
+    // check, which lists schema_added_col alongside changed
+    val base2File = m2base.collect().map(_.getAs[String]("file")).head
+    org.apache.hadoop.fs.FileUtil.copy(fs, addFile, fs,
+      new org.apache.hadoop.fs.Path(s"$corpus2/$base2File"), false, conf)
+    val dRw = CorpusIO.manifestDiff(m2base, CorpusIO.manifest(spark, corpus2)).collect()
+    assert(dRw.exists(r => r.getAs[String]("status") == "schema_added_col" &&
+        r.getAs[String]("file") == base2File),
+      s"additive in-place rewrite must classify schema_added_col: ${dRw.mkString(", ")}")
+    // dropped-column evolution is NEVER additive: against the widened
+    // (id, text, score) base consensus, an added (id, text) file is a
+    // SUBSET — compatible reads would silently lose the column, so the
+    // guard refuses it
+    val corpus3 = s"$dir/corpus3"
+    Seq((1L, "a", 0.5)).toDF("id", "text", "score").coalesce(1)
+      .write.parquet(corpus3)
+    val m3base = CorpusIO.manifest(spark, corpus3).localCheckpoint()
+    Seq((9L, "z")).toDF("id", "text").coalesce(1).write.parquet(s"$dir/dropped")
+    val dropFile = fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/dropped"))
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet")).head.getPath
+    org.apache.hadoop.fs.FileUtil.copy(fs, dropFile, fs,
+      new org.apache.hadoop.fs.Path(s"$corpus3/day1-dropped.parquet"), false, conf)
+    val dDrop = CorpusIO.manifestDiff(m3base, CorpusIO.manifest(spark, corpus3)).collect()
+    val refusal3 = intercept[IllegalArgumentException] {
+      CorpusIO.schemaGuard(dDrop.toIndexedSeq)
+    }
+    assert(refusal3.getMessage.contains("day1-dropped.parquet"))
   }
 
   test("manifest: abandoned-write debris excluded at any depth; awkward file names resolve") {
