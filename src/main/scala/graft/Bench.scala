@@ -133,6 +133,7 @@ object Bench {
     "ops_incremental_gate" -> 2.0,
     "ops_infra_gate" -> 0.3,
     "ops_store_lifecycle" -> 1.9,
+    "ops_graph_ingest" -> 1.3,
     "mm_decode_meta" -> 0.4,
     "dd_split_leakage" -> 0.3,
     "etl_split_by_cluster" -> 0.4,

@@ -268,6 +268,49 @@ class DurableIndexSpec extends GraftSuite {
     }
   }
 
+  test("graph ingest gate: appended edge store equals the fresh build for pagerank AND communities") {
+    // r16 (r15 verdict item 5): the daily edge-batch arc. The oracled
+    // gate (ops_graph_ingest) proves publish→append→serve→PageRank
+    // hash-equal to the full rebuild via CORRECTNESS; this spec asserts
+    // the same in-JVM, extends the equality to the community labels
+    // (the other iterative consumer the reference recomputes per
+    // scrape), and checks the store hygiene the oracle cannot see.
+    val freshPr = rowsOf(run("gr_pagerank"))
+    val freshCm = rowsOf(run("gr_communities"))
+    val gatePr = rowsOf(run("ops_graph_ingest"))
+    assert(gatePr === freshPr,
+      "pagerank over the appended store must equal the fresh build")
+    // the served base+batch relation feeds label propagation too
+    val store = operators.Ops.graphIngestStoreDir(spark, sfDir)
+    spark.conf.set(sources.IndexStore.DirConf, store)
+    try {
+      val key = s"gi_edges:$sfDir"
+      val served = sources.IndexStore.tryServe(spark, key).get
+      val cm = operators.GraphOps.communities(
+          operators.GraphOps.iterRelation(operators.GraphOps.undirected(served)))
+        .select(operators.GraphOps.fmtNode(col("node")).as("node"),
+          operators.GraphOps.fmtNode(col("community")).as("community"))
+        .orderBy("node")
+      assert(rowsOf(cm) === freshCm,
+        "communities over the appended store must equal the fresh build")
+      // the appended store kept its bucketed layout: a self-join on the
+      // bucket key plans no exchange
+      val t = sources.IndexStore.tableName(key)
+      val l = spark.table(t).select(col("src"), col("weight").as("wl"))
+      val r = spark.table(t).select(col("src"), col("weight").as("wr"))
+      val plan = planOf(l.join(r, "src"))
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"appended edge store lost its bucketed layout:\n$plan")
+      // base + batch really are both in the store (the append landed)
+      val srcs = served.select(col("src")).distinct().collect()
+        .map(_.getLong(0))
+      assert(srcs.exists(_ % 8 == 0) && srcs.exists(_ % 8 != 0),
+        "the served relation must carry base AND appended batch edges")
+    } finally {
+      spark.conf.unset(sources.IndexStore.DirConf)
+    }
+  }
+
   test("append: a checkpoint-backed batch must pass sourceFiles explicitly; the snapshot then covers the appended day") {
     import spark.implicits._
     import graft.Ckpt._
