@@ -121,6 +121,7 @@ object Bench {
     "gr_kcore" -> 1.03,
     "gr_link_predict" -> 0.33,
     "gr_louvain" -> 3.43,
+    "gr_louvain_agree" -> 2.5,
     "gr_louvain_ml" -> 2.2,
     "gr_modularity" -> 1.08,
     "gr_pagerank" -> 1.03,

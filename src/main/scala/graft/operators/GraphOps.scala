@@ -1959,6 +1959,158 @@ object GraphOps {
         lit(sweepsWithMoves).as("n_sweeps"), $"modularity")
   }
 
+  /** SEEDED-SCHEDULE Louvain sweep variant (r15 verdict item 6) — the
+    * deterministic, engine-portable stand-in for the reference's seeded
+    * node-visit ORDER (`louvain_communities(seed=42)` visits nodes in a
+    * seeded random sequence, each move visible to later nodes in the
+    * same sweep — inherently serial). The distributed analogue from the
+    * parallel-Louvain literature is a seeded random SCHEDULE: per sweep
+    * t only the nodes whose md5("42:node:t") is even are ACTIVE and may
+    * take their argmax move (up OR down — no symmetry constraint
+    * needed, the inactive half breaks the synchronous oscillation the
+    * down-only rule exists to prevent); the rest hold. Fixed
+    * [[LvSweeps]] sweeps, NO early exit: a zero-move sweep is not a
+    * fixed point here (the next sweep activates a different half), and
+    * the oracle unrolls the identical schedule. Same exact-BIGINT gain
+    * and argmax row as [[louvainSweepLoop]].
+    */
+  private def louvainSeededSweeps(u: DataFrame, deg: DataFrame,
+      lbl0: DataFrame, w2df: DataFrame, bcast: Boolean, sweeps: Int): DataFrame = {
+    val s = u.sparkSession
+    import s.implicits._
+    var lbl = lbl0
+    for (i <- 1 to sweeps) {
+      val ctot = lbl.join(deg, "node")
+        .groupBy($"community").agg(sum($"wdegree").as("wtot"))
+      val cand = u
+        .filter($"node" =!= $"nb")
+        .join(stateJoin(lbl.select($"node".as("nb2"), $"community".as("c")), bcast), $"nb" === $"nb2")
+        .select($"node", $"c", $"weight".as("wnc"))
+        .union(lbl.select($"node", $"community".as("c"), lit(0L).as("wnc")))
+        .groupBy($"node", $"c").agg(sum($"wnc").as("wnc"))
+      val active = P.hexToLong(
+        md5(concat(lit("42:"), $"node".cast("string"), lit(s":$i"))), 1, 15) % 2 === 0
+      lbl = cand
+        .join(stateJoin(lbl.select($"node".as("n0"), $"community".as("a")), bcast), $"node" === $"n0")
+        .join(stateJoin(ctot.select($"community".as("c"), $"wtot"), bcast), "c")
+        .join(stateJoin(deg.select($"node".as("n1"), $"wdegree".as("dn")), bcast), $"node" === $"n1")
+        .crossJoin(broadcast(w2df))
+        .select($"node", $"a", $"c",
+          ($"w2" * $"wnc" - $"dn" *
+            ($"wtot" - when($"c" === $"a", $"dn").otherwise(lit(0L)))).as("score"))
+        .groupBy($"node", $"a")
+        .agg(min(struct((-$"score").as("ns"),
+          when($"c" === $"a", 0).otherwise(1).as("t"), $"c".as("l"))).as("m"))
+        .select($"node", when(active, $"m.l").otherwise($"a").as("community"))
+        .ckpt
+      // one action per sweep: materializes the checkpoint so six sweeps
+      // never stack into one deep lazy plan (the pagerank discipline)
+      lbl.count()
+    }
+    lbl
+  }
+
+  /** sdv0..sdvN CTE chain — the SQL twin of [[louvainSeededSweeps]]:
+    * [[lvChainOver]]'s recurrence with the argmax UNCLAMPED and the
+    * move gated on the seeded per-sweep schedule.
+    */
+  private def lvSeedChain(sweeps: Int): String = {
+    val base = s"sdv0 AS MATERIALIZED (SELECT node, lbl AS c FROM lp$LpIters)"
+    val steps = (1 to sweeps).map { i =>
+      val act = PS.hexToLong(s"md5('42:' || CAST(node AS VARCHAR) || ':$i')", 1, 15)
+      s"""sdct$i AS MATERIALIZED (SELECT l.c AS community, CAST(SUM(d.wdegree) AS BIGINT) AS wtot
+         |  FROM sdv${i - 1} l JOIN deg d USING (node) GROUP BY l.c),
+         |sdcd$i AS MATERIALIZED (SELECT node, c, CAST(SUM(wnc) AS BIGINT) AS wnc FROM (
+         |    SELECT u.node, lb.c, u.weight AS wnc
+         |    FROM und u JOIN sdv${i - 1} lb ON u.nb = lb.node WHERE u.node <> u.nb
+         |    UNION ALL SELECT node, c, 0 AS wnc FROM sdv${i - 1}) t
+         |  GROUP BY node, c),
+         |sdv$i AS MATERIALIZED (SELECT node,
+         |    CASE WHEN ($act) % 2 = 0 THEN c ELSE a END AS c FROM (
+         |    SELECT cd.node, la.c AS a, cd.c,
+         |      row_number() OVER (PARTITION BY cd.node ORDER BY
+         |        (w.w2 * cd.wnc - d.wdegree *
+         |          (ct.wtot - CASE WHEN cd.c = la.c THEN d.wdegree ELSE 0 END)) DESC,
+         |        CASE WHEN cd.c = la.c THEN 0 ELSE 1 END,
+         |        cd.c) AS rn
+         |    FROM sdcd$i cd
+         |    JOIN sdv${i - 1} la ON la.node = cd.node
+         |    JOIN sdct$i ct ON ct.community = cd.c
+         |    JOIN deg d ON d.node = cd.node, tw w) x
+         |  WHERE rn = 1)""".stripMargin
+    }
+    (base +: steps).mkString(",\n")
+  }
+
+  /** Partition agreement between the down-only sweep rule and the
+    * seeded-schedule variant (r15 verdict item 6) — makes the declared
+    * seeded-order divergence DATA instead of a caveat: the reference's
+    * partitions agree with graft's in kind (both resolve the same
+    * planted structure — spec-proved), not label-for-label, and this
+    * query measures how far the two deterministic rules actually land
+    * apart on the corpus. Pair-counting Rand index over the two label
+    * sets via the contingency table: RI·2·C(n,2) = n(n−1) + 2·Σ nij(nij−1)/… —
+    * concretely (n(n−1) + 2·Σnij(nij−1) − Σni(ni−1) − Σnj(nj−1)) /
+    * n(n−1), every term an exact BIGINT until the one final divide.
+    *
+    * Scale shape: both label sets are |V|-row relations (the down-only
+    * side reads the SHARED converged lv1 artifact; the seeded side runs
+    * its fixed six sweeps over the same cached edge relation); the
+    * contingency table is one keyed aggregate at |C1×C2| ≤ community²
+    * cardinality, then three scalar aggregates.
+    */
+  val grLouvainAgree = QueryDef(
+    "gr_louvain_agree",
+    s"""WITH $eNumSql, $undSql, $degSql,
+       |${lpChain(LpIters)},
+       |tw AS MATERIALIZED (SELECT CAST(SUM(weight) AS BIGINT) AS w2 FROM und),
+       |${lvChain(LvSweeps)},
+       |${lvSeedChain(LvSweeps)},
+       |ctab AS MATERIALIZED (SELECT a.c AS c1, b.c AS c2, CAST(COUNT(*) AS BIGINT) AS nij
+       |  FROM lv$LvSweeps a JOIN sdv$LvSweeps b USING (node) GROUP BY a.c, b.c),
+       |tot AS MATERIALIZED (SELECT CAST(SUM(nij) AS BIGINT) AS n,
+       |    CAST(SUM(nij * (nij - 1)) AS BIGINT) AS sij2 FROM ctab),
+       |rsum AS MATERIALIZED (SELECT CAST(SUM(ni * (ni - 1)) AS BIGINT) AS si2 FROM (
+       |  SELECT CAST(SUM(nij) AS BIGINT) AS ni FROM ctab GROUP BY c1)),
+       |csum AS MATERIALIZED (SELECT CAST(SUM(nj * (nj - 1)) AS BIGINT) AS sj2 FROM (
+       |  SELECT CAST(SUM(nij) AS BIGINT) AS nj FROM ctab GROUP BY c2)),
+       |ncd AS MATERIALIZED (SELECT CAST(COUNT(DISTINCT c) AS BIGINT) AS n_comm_down FROM lv$LvSweeps),
+       |ncs AS MATERIALIZED (SELECT CAST(COUNT(DISTINCT c) AS BIGINT) AS n_comm_seed FROM sdv$LvSweeps)
+       |SELECT t.n AS n_nodes, d.n_comm_down, s.n_comm_seed,
+       |  ${PS.prnd("CASE WHEN t.n > 1 THEN CAST(t.n * (t.n - 1) + 2 * t.sij2 - r.si2 - c.sj2 AS DOUBLE) / CAST(t.n * (t.n - 1) AS DOUBLE) ELSE NULL END", 8)} AS rand_index
+       |FROM tot t, rsum r, csum c, ncd d, ncs s""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val u = sharedUnd(s, dir)
+    val deg = degrees(u).ckpt
+    val bcast = stateHint(deg.count())
+    val w2df = u.agg(sum($"weight").as("w2"))
+    val down = lv1M(s, dir, u, deg, bcast, w2df)
+      .select($"node", $"community".as("c1"))
+    // the seeded labels are a train-once artifact like lv1M's: six
+    // deterministic sweeps, memoized per (session, corpus)
+    val seeded = MatStore.of(s, s"gr_lvseed:$dir")(
+        louvainSeededSweeps(u, deg,
+          communities(u, stateBroadcast = bcast), w2df, bcast, LvSweeps))
+      .select($"node", $"community".as("c2"))
+    val ctab = down.join(seeded, "node")
+      .groupBy($"c1", $"c2").agg(P.cnt.as("nij")).ckpt
+    val tot = ctab.agg(sum($"nij").cast("long").as("n"),
+      sum($"nij" * ($"nij" - 1)).cast("long").as("sij2"))
+    val rsum = ctab.groupBy($"c1").agg(sum($"nij").as("ni"))
+      .agg(sum($"ni" * ($"ni" - 1)).cast("long").as("si2"))
+    val csum = ctab.groupBy($"c2").agg(sum($"nij").as("nj"))
+      .agg(sum($"nj" * ($"nj" - 1)).cast("long").as("sj2"))
+    val ncd = down.agg(count_distinct($"c1").as("n_comm_down"))
+    val ncs = seeded.agg(count_distinct($"c2").as("n_comm_seed"))
+    tot.crossJoin(broadcast(rsum)).crossJoin(broadcast(csum))
+      .crossJoin(broadcast(ncd)).crossJoin(broadcast(ncs))
+      .select($"n".as("n_nodes"), $"n_comm_down", $"n_comm_seed",
+        P.prnd(when($"n" > 1,
+          ($"n" * ($"n" - 1) + lit(2L) * $"sij2" - $"si2" - $"sj2").cast("double") /
+            ($"n" * ($"n" - 1)).cast("double"))
+          .otherwise(lit(null).cast("double")), 8).as("rand_index"))
+  }
+
   /** MULTI-LEVEL Louvain (r15) — the aggregation/coarsening phase the
     * r14 verdict flagged as the one §1 panel not reproducible in kind:
     * the reference's `louvain_communities(weight='weight', seed=42)`
@@ -2966,7 +3118,8 @@ object GraphOps {
     grDegreeBuckets, grPagerank, grEigenvector, grComponents, grCloseness,
     grClosenessW, grBetweenness, grBetweennessW, grInfluencers,
     grCommunities, grCommunityStats,
-    grCommunityNames, grModularity, grLouvain, grLouvainMl, grGraphStats, grLinkPredict,
+    grCommunityNames, grModularity, grLouvain, grLouvainMl, grLouvainAgree,
+    grGraphStats, grLinkPredict,
     grTriangles, grKcore, grAssortativity, grRandomWalks, grEgoNet,
     grCentralityErr)
 }
