@@ -44,6 +44,7 @@ object Bench {
     "an_event_gap_dist" -> 0.35,
     "an_explorer" -> 0.05,
     "an_explorer_page" -> 0.12,
+    "an_explorer_page_mc" -> 0.15,
     "an_forecast_naive" -> 0.3,
     "an_gini" -> 0.24,
     "an_hist_quantiles" -> 0.5,

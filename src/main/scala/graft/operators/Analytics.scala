@@ -400,6 +400,71 @@ object Analytics {
       .orderBy($"n_chars".desc, $"doc_id").limit(ExplorerPageSize)
   }
 
+  /** Strictly-after predicate of the COMPOSITE (source ASC, n_chars
+    * DESC, doc_id ASC) explorer order — the general form of the
+    * dashboard's filter+sort explorer (r15 verdict stretch): lexicographic
+    * continuation across a mixed-direction sort, still one pushable
+    * boolean expression.
+    */
+  private def afterKeyMc(src: Column, chars: Column, id: Column,
+      lastSrc: Column, lastChars: Column, lastId: Column): Column =
+    src > lastSrc ||
+      (src === lastSrc &&
+        (chars < lastChars || (chars === lastChars && id > lastId)))
+
+  /** Keyset continuation of the MULTI-COLUMN explorer with a LITERAL
+    * cursor — [[explorerPage]]'s composite twin: ordered (source ASC,
+    * n_chars DESC, doc_id ASC), cursor = the full last row of the
+    * previous page. With literal bounds the whole Or-of-Ands predicate
+    * reaches the parquet scan (source AND n_chars in PushedFilters), so
+    * on a source/n_chars-sorted curated layout later pages skip the
+    * files earlier pages came from — proved in SourcesSpec.
+    */
+  def explorerPageMc(docs: DataFrame, lastSrc: String, lastChars: Long,
+      lastId: Long, pageSize: Int = ExplorerPageSize): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    docs
+      .filter($"lang" === "en" && $"n_chars" > 200 &&
+        afterKeyMc($"source", $"n_chars", $"doc_id",
+          lit(lastSrc), lit(lastChars), lit(lastId)))
+      .select($"doc_id", $"source", $"lang", $"n_chars")
+      .orderBy($"source", $"n_chars".desc, $"doc_id").limit(pageSize)
+  }
+
+  /** PAGE 2 of the multi-column explorer through the composite keyset
+    * cursor (r15 verdict stretch). Same shape as [[explorerPage2]]: the
+    * oracled form derives the cursor — the last row of page 1 under
+    * (source ASC, n_chars DESC, doc_id ASC) — inside the query as a
+    * 1-row broadcast; production passes it as literals
+    * ([[explorerPageMc]]) and pays ONE top-k scan per page, never an
+    * OFFSET.
+    */
+  val explorerPageMc2 = QueryDef(
+    "an_explorer_page_mc",
+    s"""WITH p1 AS MATERIALIZED (SELECT source, n_chars, doc_id FROM documents
+       |  WHERE lang = 'en' AND n_chars > 200
+       |  ORDER BY source, n_chars DESC, doc_id LIMIT $ExplorerPageSize),
+       |lastk AS MATERIALIZED (SELECT source AS lsrc, n_chars AS lc, doc_id AS li FROM p1
+       |  ORDER BY source DESC, n_chars, doc_id DESC LIMIT 1)
+       |SELECT doc_id, source, lang, n_chars FROM documents, lastk
+       |WHERE lang = 'en' AND n_chars > 200
+       |  AND (source > lsrc OR (source = lsrc
+       |    AND (n_chars < lc OR (n_chars = lc AND doc_id > li))))
+       |ORDER BY source, n_chars DESC, doc_id LIMIT $ExplorerPageSize""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val base = Tables.documents(s, dir)
+      .filter($"lang" === "en" && $"n_chars" > 200)
+    val lastk = base.select($"source", $"n_chars", $"doc_id")
+      .orderBy($"source", $"n_chars".desc, $"doc_id").limit(ExplorerPageSize)
+      .orderBy($"source".desc, $"n_chars", $"doc_id".desc).limit(1)
+      .select($"source".as("lsrc"), $"n_chars".as("lc"), $"doc_id".as("li"))
+    base.crossJoin(broadcast(lastk))
+      .filter(afterKeyMc($"source", $"n_chars", $"doc_id", $"lsrc", $"lc", $"li"))
+      .select($"doc_id", $"source", $"lang", $"n_chars")
+      .orderBy($"source", $"n_chars".desc, $"doc_id").limit(ExplorerPageSize)
+  }
+
   /** Per-user activity stats (network_analysis.py:256-292 analog). */
   val userActivity = QueryDef(
     "an_user_activity",
@@ -1499,7 +1564,8 @@ object Analytics {
   }
 
   val defs: Seq[QueryDef] = Seq(timeline, timelineDense, newVsReturning, topGroups, dowActivity, hourlyHeatmap, valueBuckets,
-    commentBuckets, quantiles, keywordMentions, explorer, explorerPage2, userActivity,
+    commentBuckets, quantiles, keywordMentions, explorer, explorerPage2,
+    explorerPageMc2, userActivity,
     rollingActive, retention, spikeDays, conversion, sessionStats, eventGapDist, activeStreaks, gini, paretoShare,
     hllUsers, cmTopk, trend, histQuantiles, concurrency, abTest, sessionPaths,
     pivotDaily, kmvOverlap, forecastNaive, dowAnomaly)

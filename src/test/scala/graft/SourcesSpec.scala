@@ -490,6 +490,46 @@ class SourcesSpec extends GraftSuite {
       s"page 2 should skip the top-of-range files (cursor $lastChars): " +
         perFile.map(r => s"[${r.getAs[Long]("lo")},${r.getAs[Long]("hi")}]").mkString(" "))
     assert(p1.nonEmpty)
+
+    // r15 verdict stretch — the MULTI-COLUMN keyset cursor (source ASC,
+    // n_chars DESC, doc_id ASC) on a source-leading curated layout: the
+    // composite Or-of-Ands continuation must (1) equal the oracled
+    // page 2, (2) reach the scan with BOTH cursor columns pushed, and
+    // (3) leave the files wholly before the cursor's source skippable.
+    val dirMc = tmp("graft_explorer_mc")
+    docs.repartitionByRange(16, $"source", $"n_chars")
+      .sortWithinPartitions($"source", $"n_chars")
+      .write.mode("overwrite").partitionBy("lang").parquet(dirMc)
+    val cursorRow = Tables.documents(spark, sfDir)
+      .filter($"lang" === "en" && $"n_chars" > 200)
+      .orderBy($"source", $"n_chars".desc, $"doc_id")
+      .limit(operators.Analytics.ExplorerPageSize)
+      .orderBy($"source".desc, $"n_chars", $"doc_id".desc).limit(1)
+      .collect()(0)
+    val (lSrc, lCh, lId) = (cursorRow.getAs[String]("source"),
+      cursorRow.getAs[Long]("n_chars"), cursorRow.getAs[Long]("doc_id"))
+    val pageMc = operators.Analytics.explorerPageMc(
+      CorpusIO.readPartitioned(spark, dirMc), lSrc, lCh, lId)
+    val gotMc = pageMc.collect().map(_.toString).toSeq
+    val expectMc = Registry.byName("an_explorer_page_mc").run(spark, sfDir)
+      .collect().map(_.toString).toSeq
+    assert(gotMc === expectMc,
+      "literal-cursor composite keyset page diverged from the oracled page 2")
+    val mcPlan = pageMc.queryExecution.executedPlan.toString
+    val mcPushed = mcPlan.split("PushedFilters:")(1).takeWhile(_ != ']')
+    assert(mcPushed.contains("source") && mcPushed.contains("n_chars"),
+      s"both composite-cursor columns must reach the parquet scan:\n$mcPlan")
+    // file-skipping payoff on the source-leading layout: every file
+    // whose max source sorts strictly before the cursor's source is
+    // untouchable for page 2
+    val perFileMc = spark.read.parquet(s"$dirMc/lang=en")
+      .groupBy(input_file_name().as("f"))
+      .agg(max($"source").as("hiSrc"))
+      .collect()
+    val skippableMc = perFileMc.count(_.getAs[String]("hiSrc") < lSrc)
+    assert(skippableMc >= 1,
+      s"page 2 should skip files wholly before source cursor '$lSrc': " +
+        perFileMc.map(_.getAs[String]("hiSrc")).sorted.mkString(" "))
   }
 
   test("incremental gate: equals full recompute; re-snapshot yields an empty work list") {
