@@ -429,6 +429,14 @@ case class LexiconModel(
     doubtSet: java.util.HashSet[UTF8String]) extends Serializable {
   import LexiconScore._
 
+  /** VADER's negated(): the NEGATE list PLUS any token containing
+    * "n't" (include_nt — "doesn't", "won't" and unlisted contractions
+    * all negate; r16, closing the declared include_nt gap).
+    */
+  private val Nt = UTF8String.fromString("n't")
+  private def isNegator(b: UTF8String): Boolean =
+    negatorSet.contains(b) || b.contains(Nt)
+
   /** The full r16 VADER semantics over one token array — see
     * [[LexiconScore]]'s class doc for the rule inventory.
     */
@@ -508,7 +516,7 @@ case class LexiconModel(
               }
               // _negation_check at this offset
               if (o == 1) {
-                if (negatorSet.contains(b)) vv = vv * NegScalarNum / NegScalarDen
+                if (isNegator(b)) vv = vv * NegScalarNum / NegScalarDen
               } else {
                 val n1 = keyAt(i - 1)
                 val n2 = if (o == 3) keyAt(i - 2) else null
@@ -520,7 +528,7 @@ case class LexiconModel(
                     ((n1 != null && doubtSet.contains(n1)) ||
                       (n2 != null && doubtSet.contains(n2)))) {
                   // "without doubt": negation suppressed, value unchanged
-                } else if (negatorSet.contains(b))
+                } else if (isNegator(b))
                   vv = vv * NegScalarNum / NegScalarDen
               }
             }

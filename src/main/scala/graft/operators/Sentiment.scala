@@ -161,8 +161,10 @@ object Sentiment {
     }
     // _negation_check at offset o over previous column prev: at o ≥ 2
     // the never-so/this idiom scales ×5/4 and without-doubt passes
-    // unmodified; otherwise a negator multiplies ×−74/100 — each offset
-    // SEPARATELY (the cascade), all under the membership gate
+    // unmodified; otherwise a negator — the NEGATE list OR any token
+    // containing "n't" (VADER's include_nt, r16) — multiplies ×−74/100,
+    // each offset SEPARATELY (the cascade), all under the membership
+    // gate
     def negStep(o: Int, prev: String): String = {
       val q = s"$prev[i]"
       val idioms =
@@ -180,7 +182,8 @@ object Sentiment {
       s"""CASE WHEN v[i] = 0 THEN 0
          |           WHEN i <= $o THEN $q
          |           WHEN v[i - $o] <> 0 THEN $q$idioms
-         |           WHEN lower(w[i - $o]) IN ($negL) THEN ($q * $NegNum) // $NegDen
+         |           WHEN lower(w[i - $o]) IN ($negL)
+         |             OR contains(lower(w[i - $o]), 'n''t') THEN ($q * $NegNum) // $NegDen
          |           ELSE $q END""".stripMargin
     }
     def stepCte(name: String, from: String, col: String, body: String): String =

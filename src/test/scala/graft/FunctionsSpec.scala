@@ -40,7 +40,9 @@ class FunctionsSpec extends GraftSuite {
       (23L, "never so good"),                           // never-so idiom: ×5/4 instead of negation (r16)
       (24L, "without doubt good"),                      // without-doubt idiom: negation suppressed (r16)
       (25L, "without day good"),                        // 'without' still negates when no 'doubt' follows
-      (26L, "order agg fast")                           // corpus stand-in idiom: ×5/4 on the synthetic vocabulary
+      (26L, "order agg fast"),                          // corpus stand-in idiom: ×5/4 on the synthetic vocabulary
+      (27L, "isn't good"),                              // include_nt: an unlisted "n't" contraction negates (r16)
+      (28L, "nt good")                                  // no apostrophe-t: NOT a negator
     ).toDF("doc_id", "text")
   }
 
@@ -109,7 +111,8 @@ class FunctionsSpec extends GraftSuite {
             (q * lit(IdiomNum) / lit(IdiomDen)).cast("long"))
           .when(b.isin(VaderLexicon.WithoutWords: _*) && anyIn(VaderLexicon.DoubtWords), q)
       withIdioms
-        .when(b.isin(VaderLexicon.Negators: _*), negd)
+        // VADER negated(): the NEGATE list OR any "n't" contraction
+        .when(b.isin(VaderLexicon.Negators: _*) || b.contains("n't"), negd)
         .otherwise(q)
     }
     val steps: Seq[(String, String, Column => Column)] = Seq(

@@ -117,8 +117,10 @@ class PropertySpec extends AnyFunSuite {
               val cb = if (capDiff && caps(i - o)) CapAtO(o - 1) else 0L
               vv += (if (vv > 0) m + cb else if (vv < 0) -m - cb else m - cb)
             }
+            def isNeg(w: String): Boolean =
+              Negators.contains(w) || w.contains("n't")
             if (o == 1) {
-              if (Negators.contains(b)) vv = vv * NegScalarNum / NegScalarDen
+              if (isNeg(b)) vv = vv * NegScalarNum / NegScalarDen
             } else {
               val n1 = lowAt(i - 1)
               val n2 = if (o == 3) lowAt(i - 2) else null
@@ -127,7 +129,7 @@ class PropertySpec extends AnyFunSuite {
               if (NeverWords.contains(b) && hits(SoThisWords))
                 vv = vv * IdiomNum / IdiomDen
               else if (WithoutWords.contains(b) && hits(DoubtWords)) ()
-              else if (Negators.contains(b)) vv = vv * NegScalarNum / NegScalarDen
+              else if (isNeg(b)) vv = vv * NegScalarNum / NegScalarDen
             }
           }
         }
@@ -153,6 +155,7 @@ class PropertySpec extends AnyFunSuite {
     "not", "never", "very", "so", "really",
     "slightly", "kinda", "of", "sort", "data", "table",
     "this", "without", "doubt", "order", "query", "agg", "join",
+    "don't", "ISN'T", "nt", "can't",
     "but", "group", "day", "xyz", "",
     "GOOD", "BAD", "VERY", "NOT", "Amazing", "SLIGHTLY",
     "NEVER", "SO", "WITHOUT", "Doubt", null)
