@@ -121,7 +121,14 @@ object ScaleTrend {
       // serve lifecycle (file-count-scale maintenance + one bucketed
       // store build per dir), and the single-level sweeps it rides on
       "gr_louvain", "gr_louvain_ml", "an_explorer_page",
-      "ops_store_lifecycle")
+      "ops_store_lifecycle",
+      // r16: the probe-bounded exact-vs-landmark error gate (constant
+      // ProbeN² work — the trend should be FLAT), the seeded-schedule
+      // agreement report (six fixed sweeps + a contingency aggregate),
+      // the appended-edge-store PageRank gate (one bucketed store build
+      // + ten rounds), and the composite keyset page
+      "gr_centrality_err", "gr_louvain_agree", "ops_graph_ingest",
+      "an_explorer_page_mc")
     def time(name: String, dir: String): Double = {
       val fn = SparkEntry.queries(name)
       (1 to 2).map { _ =>
