@@ -326,10 +326,24 @@ object VaderLexicon {
     // corpus stand-in (synthetic vocabulary)
     "join")
 
-  /** The idiom literal [[LexiconScore]] parses: the four lists joined
+  /** The _least_check vocabulary (r16): "least X" dampens X by N_SCALAR
+    * unless preceded by "at"/"very" (vaderSentiment's _least_check,
+    * applied AFTER the lookback loop). The published word plus a corpus
+    * stand-in keeps the MAIN branch oracled on the synthetic corpus;
+    * the at/very exception words are the published pair (no synthetic
+    * "at" analog exists — the exception branch is exercised by the
+    * planted English specs and the fuzz model).
+    */
+  val LeastWords: Seq[String] = Seq("least",
+    // corpus stand-in (synthetic vocabulary)
+    "column")
+  val AtVeryWords: Seq[String] = Seq("at", "very")
+
+  /** The idiom literal [[LexiconScore]] parses: the six lists joined
     * with '|' (space-separated within).
     */
-  def idiomArg: String = Seq(NeverWords, SoThisWords, WithoutWords, DoubtWords)
+  def idiomArg: String = Seq(NeverWords, SoThisWords, WithoutWords,
+    DoubtWords, LeastWords, AtVeryWords)
     .map(_.mkString(" ")).mkString("|")
 
   /** Contrastive-conjunction pivots — VADER's _but_check (r15): token

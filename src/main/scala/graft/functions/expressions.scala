@@ -279,15 +279,15 @@ case class LexiconScore(tokens: Expression, lexArg: Expression,
     m
   }
 
-  /** The four '|'-separated idiom word sets: never, so/this, without,
-    * doubt (see [[VaderLexicon.idiomArg]]).
+  /** The six '|'-separated idiom word sets: never, so/this, without,
+    * doubt, least, at/very (see [[VaderLexicon.idiomArg]]).
     */
   @transient private lazy val idiomSets: IndexedSeq[java.util.HashSet[UTF8String]] = {
     val raw = idiomArg.eval(InternalRow.empty)
     val parts =
       if (raw == null) Array.empty[String]
       else raw.asInstanceOf[UTF8String].toString.split("\\|", -1)
-    (0 until 4).map { k =>
+    (0 until 6).map { k =>
       val s = new java.util.HashSet[UTF8String]()
       if (k < parts.length)
         parts(k).split(" ").filter(_.nonEmpty)
@@ -298,7 +298,8 @@ case class LexiconScore(tokens: Expression, lexArg: Expression,
 
   @transient private lazy val model: LexiconModel = LexiconModel(valence,
     negatorSet, boosterSet, dampSingles, dampBigrams, butSet,
-    idiomSets(0), idiomSets(1), idiomSets(2), idiomSets(3))
+    idiomSets(0), idiomSets(1), idiomSets(2), idiomSets(3),
+    idiomSets(4), idiomSets(5))
 
   override def eval(input: InternalRow): Any = {
     val arr = tokens.eval(input)
@@ -426,7 +427,9 @@ case class LexiconModel(
     neverSet: java.util.HashSet[UTF8String],
     soThisSet: java.util.HashSet[UTF8String],
     withoutSet: java.util.HashSet[UTF8String],
-    doubtSet: java.util.HashSet[UTF8String]) extends Serializable {
+    doubtSet: java.util.HashSet[UTF8String],
+    leastSet: java.util.HashSet[UTF8String],
+    atVerySet: java.util.HashSet[UTF8String]) extends Serializable {
   import LexiconScore._
 
   /** VADER's negated(): the NEGATE list PLUS any token containing
@@ -533,6 +536,21 @@ case class LexiconModel(
               }
             }
             o += 1
+          }
+          // _least_check (r16): "least X" (but not "at least"/"very
+          // least") dampens X by N_SCALAR — VADER applies it AFTER the
+          // lookback loop, under the same membership gate on "least"
+          // itself. At most one extra ×−74/100 can chain here: "least"
+          // occupies the offset-1 slot and is not a negator, so the
+          // worst multiply chain stays within the 1e11 exactness budget
+          // (see MagBase).
+          if (i - 1 >= 0) {
+            val b1 = keyAt(i - 1)
+            if (b1 != null && valence.get(b1) == null && leastSet.contains(b1)) {
+              val b2 = if (i - 2 >= 0) keyAt(i - 2) else null
+              if (i - 2 < 0 || b2 == null || !atVerySet.contains(b2))
+                vv = vv * NegScalarNum / NegScalarDen
+            }
           }
           if (butIdx >= 0) {
             if (i < butIdx) vv = vv / 2

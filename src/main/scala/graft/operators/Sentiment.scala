@@ -116,9 +116,18 @@ object Sentiment {
   }
 
   private def labeledSql(entries: Seq[(String, Int)], alias: String): String = {
-    val vCase = entries
-      .map { case (w, v) => s"WHEN '$w' THEN ${v * graft.functions.LexiconScore.TenthScale}" }
-      .mkString(" ")
+    // the valence lookup as a VALUES relation hash-JOINED against the
+    // unnested tokens (r16) — the previous ~420-branch per-token CASE
+    // cascade walked up to the whole lexicon per token and was ~95% of
+    // the oracle's sentiment cost (4.5s of 4.6s at sf0.1; the join form
+    // measures 0.3s). First occurrence wins on a duplicate word,
+    // matching the CASE's first-match semantics.
+    val lexRows = entries
+      .foldLeft(Vector.empty[(String, Int)]) { (acc, e) =>
+        if (acc.exists(_._1 == e._1)) acc else acc :+ e
+      }
+      .map { case (w, v) => s"('$w', ${v * graft.functions.LexiconScore.TenthScale})" }
+      .mkString(", ")
     // r16: the PER-POSITION cascade (VADER's sentiment_valence loop,
     // closing the r15-declared negation-cascade and dampener-caps-flip
     // approximations) as CHAINED list_transform steps — one scalar step
@@ -191,27 +200,48 @@ object Sentiment {
          |  SELECT *, list_transform(generate_series(1, len(w)), i ->
          |         $body) AS $col
          |  FROM $from)""".stripMargin
+    // _least_check (r16): one more chained step after the lookback
+    // offsets — "least X" (not "at least"/"very least") multiplies by
+    // N_SCALAR, under the membership gate on "least" itself; i = 2
+    // (one token before X) multiplies unconditionally (VADER's elif)
+    val leastL = inList(VaderLexicon.LeastWords)
+    val atVeryL = inList(VaderLexicon.AtVeryWords)
+    val leastStep =
+      s"""CASE WHEN v[i] = 0 THEN 0
+         |           WHEN i > 1 AND v[i - 1] = 0 AND lower(w[i - 1]) IN ($leastL)
+         |             AND (i <= 2 OR lower(w[i - 2]) NOT IN ($atVeryL))
+         |             THEN (x3[i] * $NegNum) // $NegDen
+         |           ELSE x3[i] END""".stripMargin
     val steps = Seq(
       stepCte(s"${alias}s1", s"${alias}c", "y1", scalarStep(1, "x0")),
       stepCte(s"${alias}n1", s"${alias}s1", "x1", negStep(1, "y1")),
       stepCte(s"${alias}s2", s"${alias}n1", "y2", scalarStep(2, "x1")),
       stepCte(s"${alias}n2", s"${alias}s2", "x2", negStep(2, "y2")),
       stepCte(s"${alias}s3", s"${alias}n2", "y3", scalarStep(3, "x2")),
-      stepCte(s"${alias}n3", s"${alias}s3", "x3", negStep(3, "y3"))
+      stepCte(s"${alias}n3", s"${alias}s3", "x3", negStep(3, "y3")),
+      stepCte(s"${alias}lc", s"${alias}n3", "x4", leastStep)
     ).mkString(",\n|")
     val butList = VaderLexicon.ButWords.map(w => s"'$w'").mkString(", ")
-    // the valence lambda is CAST to BIGINT: DuckDB types the integer
+    // the valence column is CAST to BIGINT: DuckDB types the integer
     // literals INT32 where they fit, and a BIGINT-scale multiply on an
     // INT32 lane would overflow and crash the oracle (r15 review)
-    s"""${alias}w AS MATERIALIZED (
-       |  SELECT doc_id, w,
-       |    list_transform(w, x -> CAST(CASE lower(x) $vCase ELSE 0 END AS BIGINT)) AS v,
+    s"""${alias}lex(word, lv) AS (VALUES $lexRows),
+       |${alias}tk AS (SELECT doc_id, unnest(w) AS t,
+       |    unnest(generate_series(1, len(w))) AS i
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
+       |${alias}vl AS (SELECT tk.doc_id,
+       |    list(CAST(COALESCE(l.lv, 0) AS BIGINT) ORDER BY tk.i) AS v
+       |  FROM ${alias}tk tk LEFT JOIN ${alias}lex l ON lower(tk.t) = l.word
+       |  GROUP BY tk.doc_id),
+       |${alias}w AS MATERIALIZED (
+       |  SELECT d.doc_id, d.w, vl.v,
        |    list_transform(w, x -> CASE WHEN x = upper(x) AND x <> lower(x) THEN 1 ELSE 0 END) AS cp,
        |    COALESCE((list_filter(generate_series(1, len(w)),
        |      i -> lower(w[i]) IN ($butList)))[1], 0) AS bi,
        |    CAST(len(text) - len(replace(text, '!', '')) AS BIGINT) AS ep_n,
        |    CAST(len(text) - len(replace(text, '?', '')) AS BIGINT) AS qm_n
-       |  FROM (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents)),
+       |  FROM (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents) d
+       |  JOIN ${alias}vl vl ON vl.doc_id = d.doc_id),
        |${alias}c AS (
        |  SELECT *, list_transform(generate_series(1, len(w)), i ->
        |         CASE WHEN v[i] = 0 THEN 0
@@ -229,12 +259,12 @@ object Sentiment {
        |    CAST(len(list_filter(v, x -> x < 0)) AS BIGINT) AS neg_n,
        |    CAST(len(w) AS BIGINT) AS wc,
        |    CAST(list_sum(list_transform(generate_series(1, len(w)), i ->
-       |      CASE WHEN bi > 0 AND i < bi THEN x3[i] // 2
-       |           WHEN bi > 0 AND i > bi THEN (x3[i] * 3) // 2
-       |           ELSE x3[i] END)) AS BIGINT) AS sc0,
+       |      CASE WHEN bi > 0 AND i < bi THEN x4[i] // 2
+       |           WHEN bi > 0 AND i > bi THEN (x4[i] * 3) // 2
+       |           ELSE x4[i] END)) AS BIGINT) AS sc0,
        |    LEAST(ep_n, 4) * $ExclIncr +
        |      (CASE WHEN qm_n > 3 THEN $QmCap WHEN qm_n > 1 THEN qm_n * $QmStep ELSE 0 END) AS emph
-       |  FROM ${alias}n3)),
+       |  FROM ${alias}lc)),
        |${alias}l AS MATERIALIZED (
        |  SELECT doc_id, pos_n, neg_n, wc, compound,
        |    CASE WHEN compound > 0.05 THEN 'positive'

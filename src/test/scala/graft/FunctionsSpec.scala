@@ -42,7 +42,12 @@ class FunctionsSpec extends GraftSuite {
       (25L, "without day good"),                        // 'without' still negates when no 'doubt' follows
       (26L, "order agg fast"),                          // corpus stand-in idiom: ×5/4 on the synthetic vocabulary
       (27L, "isn't good"),                              // include_nt: an unlisted "n't" contraction negates (r16)
-      (28L, "nt good")                                  // no apostrophe-t: NOT a negator
+      (28L, "nt good"),                                 // no apostrophe-t: NOT a negator
+      (29L, "least good"),                              // _least_check: dampens by N_SCALAR (r16)
+      (30L, "at least good"),                           // "at least": the exception, no multiply
+      (31L, "very least good"),                         // "very least": exception (booster still applies at o=2)
+      (32L, "day least good"),                          // non-exception prefix: multiplies
+      (33L, "column fast")                              // corpus stand-in least word
     ).toDF("doc_id", "text")
   }
 
@@ -115,10 +120,22 @@ class FunctionsSpec extends GraftSuite {
         .when(b.isin(VaderLexicon.Negators: _*) || b.contains("n't"), negd)
         .otherwise(q)
     }
+    // _least_check: "least X" (not "at least"/"very least") multiplies
+    // by N_SCALAR after the lookback loop, gated on "least" ∉ lexicon
+    def leastStep(prev: String): Column => Column = { i =>
+      val q = element_at(col(prev), i)
+      when(element_at(vl, i) === 0, lit(0L))
+        .when(i > 1 && element_at(vl, i - 1) === 0 &&
+          lowAt(i - 1).isin(VaderLexicon.LeastWords: _*) &&
+          (i <= 2 || not(lowAt(i - 2).isin(VaderLexicon.AtVeryWords: _*))),
+          (q * lit(NegScalarNum) / lit(NegScalarDen)).cast("long"))
+        .otherwise(q)
+    }
     val steps: Seq[(String, String, Column => Column)] = Seq(
       ("_y1", "_x0", scalarStep(1, "_x0")), ("_x1", "_y1", negStep(1, "_y1")),
       ("_y2", "_x1", scalarStep(2, "_x1")), ("_x2", "_y2", negStep(2, "_y2")),
-      ("_y3", "_x2", scalarStep(3, "_x2")), ("_x3", "_y3", negStep(3, "_y3")))
+      ("_y3", "_x2", scalarStep(3, "_x2")), ("_x3", "_y3", negStep(3, "_y3")),
+      ("_x4", "_x3", leastStep("_x3")))
     val base = df0
       .withColumn("_tk", split(col("text"), " "))
       .withColumn("_vl", transform(col("_tk"), w =>
@@ -140,13 +157,13 @@ class FunctionsSpec extends GraftSuite {
     }
     chained.withColumn(out, aggregate(
       transform(idxSeq, i => {
-        val x = element_at(col("_x3"), i)
+        val x = element_at(col("_x4"), i)
         when(col("_bi") > 0 && i < col("_bi"), (x / lit(2)).cast("long"))
           .when(col("_bi") > 0 && i > col("_bi"), (x * lit(3) / lit(2)).cast("long"))
           .otherwise(x)
       }), lit(0L), (acc, v) => acc + v))
       .drop("_tk", "_vl", "_ncaps", "_capdiff", "_bi",
-        "_x0", "_y1", "_x1", "_y2", "_x2", "_y3", "_x3")
+        "_x0", "_y1", "_x1", "_y2", "_x2", "_y3", "_x3", "_x4")
   }
 
   private def lexCall(toks: Column, entries: Seq[(String, Int)]): Column =

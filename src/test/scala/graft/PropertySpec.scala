@@ -133,6 +133,17 @@ class PropertySpec extends AnyFunSuite {
             }
           }
         }
+        // _least_check: "least X" (not "at least"/"very least"), after
+        // the lookback loop, gated on "least" not being a lexicon entry
+        if (i - 1 >= 0) {
+          val b1 = lowAt(i - 1)
+          if (b1 != null && Valence.getOrElse(b1, 0L) == 0L &&
+              LeastWords.contains(b1)) {
+            val b2 = if (i - 2 >= 0) lowAt(i - 2) else null
+            if (i - 2 < 0 || b2 == null || !AtVeryWords.contains(b2))
+              vv = vv * NegScalarNum / NegScalarDen
+          }
+        }
         if (butIdx >= 0) {
           if (i < butIdx) vv = vv / 2
           else if (i > butIdx) vv = vv * 3 / 2
@@ -156,6 +167,7 @@ class PropertySpec extends AnyFunSuite {
     "slightly", "kinda", "of", "sort", "data", "table",
     "this", "without", "doubt", "order", "query", "agg", "join",
     "don't", "ISN'T", "nt", "can't",
+    "least", "at", "LEAST", "column",
     "but", "group", "day", "xyz", "",
     "GOOD", "BAD", "VERY", "NOT", "Amazing", "SLIGHTLY",
     "NEVER", "SO", "WITHOUT", "Doubt", null)

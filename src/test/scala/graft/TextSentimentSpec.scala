@@ -158,7 +158,15 @@ class TextSentimentSpec extends GraftSuite {
       (8L, "never so day good"),
       // cascade at caps: negate at o=1, CAPS booster at o=2 on the now
       // NEGATIVE value subtracts (B+C)·0.95: 19e10·−0.74 − 9.747e10
-      (9L, "VERY not good news")
+      (9L, "VERY not good news"),
+      // _least_check (r16): "least X" dampens by N_SCALAR...
+      (10L, "least good"),
+      // ...unless preceded by "at"
+      (11L, "at least good"),
+      // ...or "very" (whose booster still applies at offset 2)
+      (12L, "very least good"),
+      // corpus stand-in least word (the branch the oracle exercises)
+      (13L, "column fast")
     ).map { case (id, t) => (id, t, "en", "plant", t.length.toLong) }
       .toDF("doc_id", "text", "lang", "source", "n_chars")
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
@@ -173,7 +181,11 @@ class TextSentimentSpec extends GraftSuite {
       6L -> -140600000000L,
       7L -> 237500000000L,  // fast 19e10·5/4 (agg: no scalar, order: idiom)
       8L -> 272293750000L,  // (19e10 + 27835000000) = 217835000000 ·5/4
-      9L -> -238070000000L) // −140600000000 − 97470000000
+      9L -> -238070000000L, // −140600000000 − 97470000000
+      10L -> -140600000000L, // 19e10 · −74/100
+      11L -> 190000000000L,
+      12L -> 217835000000L,  // 19e10 + 2.7835e10 (booster at o=2), no multiply
+      13L -> -140600000000L) // fast 19e10 · −74/100 via the stand-in
     def compound(sc: Long): Double = {
       val sv = sc / 1e11
       val c = sv / math.sqrt(sv * sv + 15.0)
