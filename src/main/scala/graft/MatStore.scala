@@ -24,20 +24,25 @@ object MatStore {
   private val cache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]
 
-  /** Memo keys whose PLAN reads the durable store's files — the served
+  /** Memo keys whose PLAN reads a durable store's files — the served
     * scans themselves plus any memo whose build consumed one (the file
     * index is captured at plan construction, so a post-compact swap
-    * leaves those plans pointing at deleted files). Tracked so
-    * [[graft.sources.IndexStore.compact]] can invalidate exactly these
-    * instead of dropping the whole session store (r15 ADVICE: the
-    * lifecycle gate runs compact inside a normal query pass, and a
-    * blanket clear discarded every unrelated warm shared build
-    * mid-bench). Conservative in the safe direction: a key is tainted
-    * when ANY tryServe succeeded while its build was on this thread's
-    * stack, even if the serve's rows never reached the returned plan.
+    * leaves those plans pointing at deleted files). Tracked PER STORE
+    * DIRECTORY so [[graft.sources.IndexStore.compact]] can invalidate
+    * exactly the memos reading the store it is swapping — not the whole
+    * session store (r15 ADVICE: the lifecycle gate runs compact inside a
+    * normal query pass, and a blanket clear discarded every unrelated
+    * warm shared build mid-bench), and not memos served from a
+    * DIFFERENT store (r16 review: the graph-ingest and lifecycle gates
+    * each maintain their own store dir — compacting one must not cost
+    * the other its published artifacts). Conservative in the safe
+    * direction: a key is tainted when ANY tryServe succeeded while its
+    * build was on this thread's stack, even if the serve's rows never
+    * reached the returned plan.
     */
   private val storeTainted =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[(SparkSession, String)]()
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String),
+      java.util.Set[String]]()
   private val buildStack = new ThreadLocal[List[(SparkSession, String)]] {
     override def initialValue: List[(SparkSession, String)] = Nil
   }
@@ -46,27 +51,35 @@ object MatStore {
     * serve: taints every memo currently BUILDING on this thread (builds
     * are constructed synchronously on the caller's thread, so the stack
     * covers nested derivations like the lifecycle gate's post-compact
-    * serve).
+    * serve) with the serving store's directory.
     */
-  private[graft] def noteStoreServed(s: SparkSession): Unit =
+  private[graft] def noteStoreServed(s: SparkSession, storeDir: String): Unit =
     buildStack.get().foreach { case k @ (ks, _) =>
-      if (ks eq s) storeTainted.add(k)
+      if (ks eq s)
+        storeTainted.computeIfAbsent(k, _ =>
+          java.util.concurrent.ConcurrentHashMap.newKeySet[String]())
+          .add(storeDir)
     }
 
-  /** Drop only the memos whose plans read the durable store ([[noteStoreServed]]
+  /** Drop only the memos whose plans read `storeDir` ([[noteStoreServed]]
     * taint) — compact's scoped invalidation. Unrelated warm builds
-    * (tokenized corpora, edge relations built in-session) survive the
-    * maintenance action.
+    * (tokenized corpora, in-session edge relations, memos served from
+    * OTHER stores) survive the maintenance action. A tainted key whose
+    * build is still IN FLIGHT (taint recorded, memo not yet cached)
+    * keeps its taint: the plan cached after this swap must stay
+    * invalidatable by the next clear (r16 review).
     */
-  def clearStoreDerived(s: SparkSession): Unit = {
-    val it = storeTainted.iterator()
+  def clearStoreDerived(s: SparkSession, storeDir: String): Unit = {
+    val it = storeTainted.entrySet().iterator()
     while (it.hasNext) {
-      val k = it.next()
-      if (k._1 eq s) {
+      val e = it.next()
+      val k = e.getKey
+      if ((k._1 eq s) && e.getValue.contains(storeDir)) {
         val df = cache.remove(k)
-        if (df != null)
+        if (df != null) {
           try df.unpersist(blocking = false) catch { case _: Throwable => () }
-        it.remove()
+          it.remove()
+        }
       }
     }
   }

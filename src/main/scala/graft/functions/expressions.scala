@@ -228,7 +228,7 @@ case class LexiconScore(tokens: Expression, lexArg: Expression,
     else TypeCheckResult.TypeCheckSuccess
   }
 
-  /** word → valence ×1e7, parsed once from the literal. Zero-valence
+  /** word → valence ×1e11, parsed once from the literal. Zero-valence
     * entries are DROPPED: the SQL twin's per-position CASE short-circuits
     * `v[i] = 0` to 0 before any modifier, so a 0-valence word must score
     * 0 here too — treating it as a map hit would boost/negate it to
@@ -517,15 +517,26 @@ case class LexiconModel(
                 val cb = if (capDiff && caps(i - o)) CapAtO(o - 1) else 0L
                 vv += (if (vv > 0) m + cb else if (vv < 0) -m - cb else m - cb)
               }
-              // _negation_check at this offset
+              // _negation_check at this offset. The o == 3 never-so
+              // condition reproduces vaderSentiment's ACTUAL precedence:
+              // `never@i-3 and (so/this@i-2) or (so/this@i-1)` parses as
+              // (never AND so/this@i-2) OR so/this@i-1 — so/this
+              // directly before the word fires ×1.25 REGARDLESS of the
+              // i-3 token (a quirk of the released analyzer, reproduced
+              // faithfully — r16 review); o == 2's condition is properly
+              // parenthesized and requires never
               if (o == 1) {
                 if (isNegator(b)) vv = vv * NegScalarNum / NegScalarDen
               } else {
                 val n1 = keyAt(i - 1)
                 val n2 = if (o == 3) keyAt(i - 2) else null
-                if (neverSet.contains(b) &&
-                    ((n1 != null && soThisSet.contains(n1)) ||
-                      (n2 != null && soThisSet.contains(n2))))
+                val neverIdiom =
+                  if (o == 2)
+                    neverSet.contains(b) && n1 != null && soThisSet.contains(n1)
+                  else
+                    (neverSet.contains(b) && n2 != null && soThisSet.contains(n2)) ||
+                      (n1 != null && soThisSet.contains(n1))
+                if (neverIdiom)
                   vv = vv * IdiomNum / IdiomDen
                 else if (withoutSet.contains(b) &&
                     ((n1 != null && doubtSet.contains(n1)) ||

@@ -2923,6 +2923,19 @@ object GraphOps {
     ((base +: fwd) ++ Seq(dag, bwdBase) ++ bwd :+ fin).mkString(",\n")
   }
 
+  /** One metric's report SELECT over a rank relation (re, ra, ve, va) —
+    * shared by both metrics so the rounding/overlap rules cannot
+    * desynchronize between them (the Scala side factors the same way).
+    */
+  private def ceReportSql(metric: String, rel: String): String =
+    s"""SELECT '$metric' AS metric, * FROM (
+       |    SELECT CAST(COUNT(*) AS BIGINT) AS n_probe,
+       |      ${PS.prnd("CASE WHEN COUNT(*) > 1 THEN 1.0 - (6.0 * CAST(SUM((re - ra) * (re - ra)) AS DOUBLE)) / (CAST(COUNT(*) AS DOUBLE) * (CAST(COUNT(*) AS DOUBLE) * CAST(COUNT(*) AS DOUBLE) - 1.0)) ELSE NULL END", 6)} AS spearman,
+       |      CAST(SUM(CASE WHEN re <= 10 AND ra <= 10 THEN 1 ELSE 0 END) AS DOUBLE) / 10.0 AS top10_overlap,
+       |      ${PS.prnd(PS.dsum(PS.prnd("abs(va - ve)", 9), 9) + " / COUNT(*)", 6)} AS mean_abs_err,
+       |      ${PS.prnd("MAX(" + PS.prnd("abs(va - ve)", 9) + ")", 6)} AS max_abs_err
+       |    FROM $rel)""".stripMargin
+
   /** Landmark-centrality ERROR gate (r15 verdict item 3) — the graph
     * family's `dd_recall`/`sim_recall` twin: the landmark estimators
     * ([[closeness]], [[betweenness]]) are spec-verified on toy graphs,
@@ -2985,21 +2998,9 @@ object GraphOps {
        |    CAST(l.ib AS DOUBLE) / 1e9 / CAST($ClLandmarks AS DOUBLE) AS va
        |  FROM bexi e JOIN beli l ON e.node = l.node),
        |rep AS MATERIALIZED (
-       |  SELECT 'closeness' AS metric, * FROM (
-       |    SELECT CAST(COUNT(*) AS BIGINT) AS n_probe,
-       |      ${PS.prnd("CASE WHEN COUNT(*) > 1 THEN 1.0 - (6.0 * CAST(SUM((re - ra) * (re - ra)) AS DOUBLE)) / (CAST(COUNT(*) AS DOUBLE) * (CAST(COUNT(*) AS DOUBLE) * CAST(COUNT(*) AS DOUBLE) - 1.0)) ELSE NULL END", 6)} AS spearman,
-       |      CAST(SUM(CASE WHEN re <= 10 AND ra <= 10 THEN 1 ELSE 0 END) AS DOUBLE) / 10.0 AS top10_overlap,
-       |      ${PS.prnd(PS.dsum(PS.prnd("abs(va - ve)", 9), 9) + " / COUNT(*)", 6)} AS mean_abs_err,
-       |      ${PS.prnd("MAX(" + PS.prnd("abs(va - ve)", 9) + ")", 6)} AS max_abs_err
-       |    FROM crank)
+       |  ${ceReportSql("closeness", "crank")}
        |  UNION ALL
-       |  SELECT 'betweenness' AS metric, * FROM (
-       |    SELECT CAST(COUNT(*) AS BIGINT) AS n_probe,
-       |      ${PS.prnd("CASE WHEN COUNT(*) > 1 THEN 1.0 - (6.0 * CAST(SUM((re - ra) * (re - ra)) AS DOUBLE)) / (CAST(COUNT(*) AS DOUBLE) * (CAST(COUNT(*) AS DOUBLE) * CAST(COUNT(*) AS DOUBLE) - 1.0)) ELSE NULL END", 6)} AS spearman,
-       |      CAST(SUM(CASE WHEN re <= 10 AND ra <= 10 THEN 1 ELSE 0 END) AS DOUBLE) / 10.0 AS top10_overlap,
-       |      ${PS.prnd(PS.dsum(PS.prnd("abs(va - ve)", 9), 9) + " / COUNT(*)", 6)} AS mean_abs_err,
-       |      ${PS.prnd("MAX(" + PS.prnd("abs(va - ve)", 9) + ")", 6)} AS max_abs_err
-       |    FROM brank))
+       |  ${ceReportSql("betweenness", "brank")})
        |SELECT metric, n_probe, spearman, top10_overlap, mean_abs_err, max_abs_err
        |FROM rep ORDER BY metric""".stripMargin) { (s, dir) =>
     import s.implicits._

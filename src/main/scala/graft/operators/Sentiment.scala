@@ -69,7 +69,7 @@ object Sentiment {
       lit(VaderLexicon.ButWords.mkString(" ")),
       lit(VaderLexicon.idiomArg))
 
-  /** Append compound + label to a frame carrying the 1e7-scaled integer
+  /** Append compound + label to a frame carrying the 1e11-scaled integer
     * token-sum `sc` and the punctuation-emphasis amount `emph` — the ONE
     * place the punctuation amplification, normalization and thresholds
     * live (labeledDf and sent_examples both route through it, so the
@@ -88,7 +88,7 @@ object Sentiment {
           .when(col("compound") < -0.05, "negative")
           .otherwise("neutral"))
 
-  /** 1e7-scaled punctuation emphasis of a text Column: 0.292 per '!'
+  /** 1e11-scaled punctuation emphasis of a text Column: 0.292 per '!'
     * capped at four; 0.18 per '?' for two-or-three, flat 0.96 beyond
     * (VADER's published ep/qm rules). Exact long integer.
     */
@@ -179,14 +179,22 @@ object Sentiment {
       val idioms =
         if (o == 1) ""
         else {
-          val near =
-            if (o == 2) s"lower(w[i - 1]) IN (%s)"
-            else s"(lower(w[i - 2]) IN (%s) OR lower(w[i - 1]) IN (%s))"
-          def fill(l: String) =
-            if (o == 2) near.format(l) else near.format(l, l)
+          // the o = 3 never-so condition reproduces vaderSentiment's
+          // ACTUAL precedence — (never@i-3 AND so/this@i-2) OR
+          // so/this@i-1: the i-1 alternative fires regardless of the
+          // i-3 word (released-analyzer quirk, matched exactly by the
+          // Scala model, the HOF twin and the fuzz model — r16 review)
+          val neverCond =
+            if (o == 2)
+              s"lower(w[i - 2]) IN ($neverL) AND lower(w[i - 1]) IN ($soThisL)"
+            else
+              s"(lower(w[i - 3]) IN ($neverL) AND lower(w[i - 2]) IN ($soThisL)) OR lower(w[i - 1]) IN ($soThisL)"
+          val doubtCond =
+            if (o == 2) s"lower(w[i - 1]) IN ($doubtL)"
+            else s"(lower(w[i - 2]) IN ($doubtL) OR lower(w[i - 1]) IN ($doubtL))"
           s"""
-             |           WHEN lower(w[i - $o]) IN ($neverL) AND ${fill(soThisL)} THEN ($q * $IdiomNum) // $IdiomDen
-             |           WHEN lower(w[i - $o]) IN ($withoutL) AND ${fill(doubtL)} THEN $q""".stripMargin
+             |           WHEN $neverCond THEN ($q * $IdiomNum) // $IdiomDen
+             |           WHEN lower(w[i - $o]) IN ($withoutL) AND $doubtCond THEN $q""".stripMargin
         }
       s"""CASE WHEN v[i] = 0 THEN 0
          |           WHEN i <= $o THEN $q

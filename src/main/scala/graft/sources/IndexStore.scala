@@ -247,7 +247,7 @@ object IndexStore {
           // taint any MatStore memo currently building on this thread:
           // its plan reads this store's files, so a later compact's swap
           // must invalidate it (scoped invalidation, r15 ADVICE)
-          graft.MatStore.noteStoreServed(s)
+          graft.MatStore.noteStoreServed(s, base)
           Some(s.table(name))
         }
       }
@@ -329,6 +329,18 @@ object IndexStore {
               if batchRels.exists(r => rel == r || rel.startsWith(r + "/")) =>
             line
         }
+        // every batch rel must resolve to ≥1 VISIBLE file: a typo'd or
+        // never-written sourceFiles entry would otherwise pass the
+        // non-empty check above and land the batch with zero staleness
+        // coverage — the silent no-op this parameter exists to prevent
+        // (r16 review)
+        val uncovered = batchRels.filterNot(r =>
+          byRel.exists { case (rel, _) => rel == r || rel.startsWith(r + "/") })
+        if (uncovered.nonEmpty)
+          throw new IllegalStateException(
+            s"append to '$key': sourceFiles entr${if (uncovered.size == 1) "y" else "ies"} " +
+              s"${uncovered.sorted.mkString(", ")} match NO visible parquet file under $d — " +
+              "the staleness snapshot would not cover the appended batch")
         val sp = new org.apache.hadoop.fs.Path(s"$path/$SrcMeta")
         val recorded =
           if (!fs.exists(sp)) Vector.empty[String]
@@ -485,7 +497,7 @@ object IndexStore {
     // index by the next tryServe. Plans already handed out to external
     // callers cannot be repaired from here — run compaction from a
     // maintenance session, not mid-serve.
-    graft.MatStore.clearStoreDerived(s)
+    graft.MatStore.clearStoreDerived(s, base)
     (before, dataFiles(path))
   }
 

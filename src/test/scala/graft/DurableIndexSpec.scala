@@ -338,6 +338,14 @@ class DurableIndexSpec extends GraftSuite {
         sources.IndexStore.append(spark, key, batch)
       }
       assert(e.getMessage.contains("sourceFiles"))
+      // a TYPO'D sourceFiles entry (resolves under the sourceDir but
+      // matches no visible file) must also refuse — it would land the
+      // batch with zero staleness coverage (r16 review)
+      val e2 = intercept[IllegalStateException] {
+        sources.IndexStore.append(spark, key, batch,
+          sourceFiles = Seq("day1.parqet"))
+      }
+      assert(e2.getMessage.contains("NO visible parquet file"))
       // with the batch's source paths passed explicitly, the append
       // lands AND the snapshot covers the new day
       sources.IndexStore.append(spark, key, batch,
@@ -379,6 +387,24 @@ class DurableIndexSpec extends GraftSuite {
       }
       unrelated.count(); derived.count()
       assert(unrelatedBuilds === 1 && derivedBuilds === 1)
+      // a memo derived from a DIFFERENT store directory must also
+      // survive this store's compact (r16 review: the taint is keyed
+      // per store dir — the graph-ingest and lifecycle gates each
+      // maintain their own store, and compacting one must not cost the
+      // other its served artifacts)
+      val store2 = java.nio.file.Files.createTempDirectory("graft_idx_scope2").toString
+      val key2 = s"scope_toy2:$store2"
+      var otherStoreBuilds = 0
+      spark.conf.set(sources.IndexStore.DirConf, store2)
+      sources.IndexStore.publish(spark, key2,
+        Seq((7L, 70L)).toDF("id", "v"), "id")
+      def otherStore = MatStore.of(spark, "scope_other_store") {
+        otherStoreBuilds += 1
+        sources.IndexStore.tryServe(spark, key2).get.filter(col("id") > 0)
+      }
+      otherStore.count()
+      assert(otherStoreBuilds === 1)
+      spark.conf.set(sources.IndexStore.DirConf, store)
       // compact runs mid-session (the lifecycle gate's shape): scoped
       // invalidation (r15 ADVICE) must drop ONLY the derived memo
       sources.IndexStore.compact(spark, key)
@@ -387,6 +413,11 @@ class DurableIndexSpec extends GraftSuite {
         "compact must not discard unrelated warm builds")
       assert(derivedBuilds === 2,
         "compact must invalidate memos whose plans read the swapped store files")
+      spark.conf.set(sources.IndexStore.DirConf, store2)
+      otherStore.count()
+      assert(otherStoreBuilds === 1,
+        "compacting one store must not invalidate memos served from another")
+      spark.sql(s"DROP TABLE IF EXISTS ${sources.IndexStore.tableName(key2)}")
     } finally {
       MatStore.clear(spark)
       spark.conf.unset(sources.IndexStore.DirConf)

@@ -106,14 +106,23 @@ class FunctionsSpec extends GraftSuite {
         .when(i <= o, q)
         .when(element_at(vl, i - o) =!= 0, q) // membership gate
       val b = lowAt(i - o)
+      // o = 3 never-so reproduces vaderSentiment's actual precedence:
+      // (never@i-3 AND so/this@i-2) OR so/this@i-1 (r16 review)
+      val neverIdiom =
+        if (o == 2)
+          b.isin(VaderLexicon.NeverWords: _*) &&
+            lowAt(i - 1).isin(VaderLexicon.SoThisWords: _*)
+        else
+          (b.isin(VaderLexicon.NeverWords: _*) &&
+            lowAt(i - 2).isin(VaderLexicon.SoThisWords: _*)) ||
+            lowAt(i - 1).isin(VaderLexicon.SoThisWords: _*)
       def anyIn(words: Seq[String]): Column =
         if (o == 2) lowAt(i - 1).isin(words: _*)
         else lowAt(i - 1).isin(words: _*) || lowAt(i - 2).isin(words: _*)
       val withIdioms =
         if (o == 1) base
         else base
-          .when(b.isin(VaderLexicon.NeverWords: _*) && anyIn(VaderLexicon.SoThisWords),
-            (q * lit(IdiomNum) / lit(IdiomDen)).cast("long"))
+          .when(neverIdiom, (q * lit(IdiomNum) / lit(IdiomDen)).cast("long"))
           .when(b.isin(VaderLexicon.WithoutWords: _*) && anyIn(VaderLexicon.DoubtWords), q)
       withIdioms
         // VADER negated(): the NEGATE list OR any "n't" contraction

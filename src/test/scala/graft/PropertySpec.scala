@@ -126,7 +126,13 @@ class PropertySpec extends AnyFunSuite {
               val n2 = if (o == 3) lowAt(i - 2) else null
               def hits(ws: Seq[String]): Boolean =
                 (n1 != null && ws.contains(n1)) || (n2 != null && ws.contains(n2))
-              if (NeverWords.contains(b) && hits(SoThisWords))
+              // o = 3 never-so: vaderSentiment's actual precedence —
+              // (never AND so/this@i-2) OR so/this@i-1
+              val neverIdiom =
+                if (o == 2) NeverWords.contains(b) && n1 != null && SoThisWords.contains(n1)
+                else (NeverWords.contains(b) && n2 != null && SoThisWords.contains(n2)) ||
+                  (n1 != null && SoThisWords.contains(n1))
+              if (neverIdiom)
                 vv = vv * IdiomNum / IdiomDen
               else if (WithoutWords.contains(b) && hits(DoubtWords)) ()
               else if (isNeg(b)) vv = vv * NegScalarNum / NegScalarDen

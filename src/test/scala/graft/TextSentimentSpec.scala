@@ -166,7 +166,13 @@ class TextSentimentSpec extends GraftSuite {
       // ...or "very" (whose booster still applies at offset 2)
       (12L, "very least good"),
       // corpus stand-in least word (the branch the oracle exercises)
-      (13L, "column fast")
+      (13L, "column fast"),
+      // vaderSentiment's o=3 precedence QUIRK (r16 review): the actual
+      // analyzer parses `never@i-3 and so/this@i-2 or so/this@i-1` as
+      // (A and B) or C — "so" directly before the word fires ×1.25 and
+      // SKIPS the negation even though i-3 is "not": boosters at o=1/o=2
+      // then ×5/4, never ×−0.74
+      (14L, "not very so good")
     ).map { case (id, t) => (id, t, "en", "plant", t.length.toLong) }
       .toDF("doc_id", "text", "lang", "source", "n_chars")
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
@@ -185,7 +191,8 @@ class TextSentimentSpec extends GraftSuite {
       10L -> -140600000000L, // 19e10 · −74/100
       11L -> 190000000000L,
       12L -> 217835000000L,  // 19e10 + 2.7835e10 (booster at o=2), no multiply
-      13L -> -140600000000L) // fast 19e10 · −74/100 via the stand-in
+      13L -> -140600000000L, // fast 19e10 · −74/100 via the stand-in
+      14L -> 308918750000L)  // (19e10 + 2.93e10 + 2.7835e10) · 5/4
     def compound(sc: Long): Double = {
       val sv = sc / 1e11
       val c = sv / math.sqrt(sv * sv + 15.0)
