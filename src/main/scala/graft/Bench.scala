@@ -107,7 +107,9 @@ object Bench {
     "gr_betweenness_w" -> 4.5,
     "gr_closeness" -> 1.07,
     "gr_closeness_w" -> 2.0,
+    "gr_centrality_tuning" -> 1.6,
     "gr_communities" -> 0.77,
+    "gr_community_quality" -> 1.7,
     "gr_community_names" -> 0.87,
     "gr_community_stats" -> 0.91,
     "gr_components" -> 0.88,
@@ -157,6 +159,8 @@ object Bench {
     "sent_emoji" -> 0.1,
     "sent_examples" -> 1.34,
     "sent_lexicon" -> 0.16,
+    "sent_lexicon_sens" -> 0.8,
+    "sent_nb_eval" -> 0.9,
     "sim_bruteforce_topk" -> 0.27,
     "sim_centroid_drift" -> 2.38,
     "sim_filtered_recall" -> 2.37,

@@ -9,48 +9,67 @@ import graft.functions.{CosineSimilarity, CountTokensIn, HammingBits, LexiconSco
   * Column API and `spark.sql("... graft_cosine(a,b) ...")` can use them.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  /** Wraps a builder with an arity check so a SQL caller passing the
+    * wrong number of arguments gets Spark's standard WRONG_NUM_ARGS
+    * analysis error (naming the function and the expected count) rather
+    * than an IndexOutOfBoundsException out of `children(i)` — r16
+    * ADVICE, surfaced when graft_lexicon_score grew a 7th argument.
+    */
+  private def arity(name: String, n: Int)(
+      build: Seq[Expression] => Expression): Seq[Expression] => Expression =
+    children =>
+      if (children.length == n) build(children)
+      else throw new org.apache.spark.sql.AnalysisException(
+        "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+        Map(
+          "functionName" -> s"`$name`",
+          "expectedNum" -> n.toString,
+          "actualNum" -> children.length.toString,
+          "docroot" -> "https://spark.apache.org/docs/latest"),
+        None)
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       FunctionIdentifier("graft_cosine"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "graft_cosine"),
-      (children: Seq[Expression]) => CosineSimilarity(children(0), children(1))))
+      arity("graft_cosine", 2)(c => CosineSimilarity(c(0), c(1)))))
     ext.injectFunction((
       FunctionIdentifier("graft_hamming"),
       new ExpressionInfo(classOf[HammingBits].getName, "graft_hamming"),
-      (children: Seq[Expression]) => HammingBits(children(0), children(1))))
+      arity("graft_hamming", 2)(c => HammingBits(c(0), c(1)))))
     ext.injectFunction((
       FunctionIdentifier("graft_lexicon_score"),
       new ExpressionInfo(classOf[LexiconScore].getName, "graft_lexicon_score"),
-      (children: Seq[Expression]) => LexiconScore(
-        children(0), children(1), children(2), children(3),
-        children(4), children(5), children(6))))
+      arity("graft_lexicon_score", 7)(c => LexiconScore(
+        c(0), c(1), c(2), c(3), c(4), c(5), c(6)))))
     ext.injectFunction((
       FunctionIdentifier("graft_shingles"),
       new ExpressionInfo(classOf[ShingleJoin].getName, "graft_shingles"),
-      (children: Seq[Expression]) => ShingleJoin(children(0), children(1))))
+      arity("graft_shingles", 2)(c => ShingleJoin(c(0), c(1)))))
     ext.injectFunction((
       FunctionIdentifier("graft_simhash"),
       new ExpressionInfo(classOf[SimHashSig].getName, "graft_simhash"),
-      (children: Seq[Expression]) => SimHashSig(children(0))))
+      arity("graft_simhash", 1)(c => SimHashSig(c(0)))))
     ext.injectFunction((
       FunctionIdentifier("graft_count_in"),
       new ExpressionInfo(classOf[CountTokensIn].getName, "graft_count_in"),
-      (children: Seq[Expression]) => CountTokensIn(children(0), children(1))))
+      arity("graft_count_in", 2)(c => CountTokensIn(c(0), c(1)))))
     ext.injectFunction((
       FunctionIdentifier("graft_min_md5"),
       new ExpressionInfo(classOf[MinMd5].getName, "graft_min_md5"),
-      (children: Seq[Expression]) => MinMd5(children(0))))
+      arity("graft_min_md5", 1)(c => MinMd5(c(0)))))
     ext.injectFunction((
       FunctionIdentifier("graft_sdot"),
       new ExpressionInfo(classOf[ScaledDot].getName, "graft_sdot"),
-      (children: Seq[Expression]) => ScaledDot(children(0), children(1), children(2))))
+      arity("graft_sdot", 3)(c => ScaledDot(c(0), c(1), c(2)))))
     ext.injectFunction((
       FunctionIdentifier("graft_topk"),
       new ExpressionInfo(classOf[TopKStruct].getName, "graft_topk"),
-      (children: Seq[Expression]) => TopKStruct(children(0), children(1))))
+      arity("graft_topk", 2)(c => TopKStruct(c(0), c(1)))))
     ext.injectFunction((
       FunctionIdentifier("graft_zorder"),
       new ExpressionInfo(classOf[ZOrderBits].getName, "graft_zorder"),
-      (children: Seq[Expression]) => ZOrderBits(children(0), children(1))))
+      arity("graft_zorder", 2)(c => ZOrderBits(c(0), c(1)))))
   }
 }

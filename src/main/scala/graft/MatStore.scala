@@ -107,12 +107,33 @@ object MatStore {
     * holds. The benign race (two threads building the same lazy plan,
     * loser discarded un-materialized) costs nothing.
     */
+  /** Union `from`'s store-taint set into every memo currently building on
+    * this thread — taint propagation through memo COMPOSITION. A memo
+    * built from an already-cached store-served memo never fires its own
+    * tryServe (the serve happened in the original build), so without this
+    * hop the derived memo's plan would survive [[clearStoreDerived]] and
+    * dangle over the files compact just deleted (r16 ADVICE).
+    */
+  private def propagateTaint(s: SparkSession, from: (SparkSession, String)): Unit = {
+    val stack = buildStack.get()
+    if (stack.nonEmpty) {
+      val taints = storeTainted.get(from)
+      if (taints != null && !taints.isEmpty)
+        stack.foreach { case sk @ (ks, _) =>
+          if (ks eq s)
+            storeTainted.computeIfAbsent(sk, _ =>
+              java.util.concurrent.ConcurrentHashMap.newKeySet[String]())
+              .addAll(taints)
+        }
+    }
+  }
+
   private def lookup(s: SparkSession, key: String)(build: => DataFrame): DataFrame = {
     if (!cache.isEmpty)
       cache.keySet.removeIf(k => k._1.sparkContext.isStopped)
     val k = (s, key)
     val existing = cache.get(k)
-    if (existing != null) existing
+    if (existing != null) { propagateTaint(s, k); existing }
     else {
       buildStack.set(k :: buildStack.get())
       val built = try build finally buildStack.set(buildStack.get().tail)
@@ -123,6 +144,8 @@ object MatStore {
         // loser has already registered a CacheManager entry that would
         // otherwise leak until the next clearCache.
         try built.unpersist(blocking = false) catch { case _: Throwable => () }
+        // the winner's build may carry taints ours did not re-fire
+        propagateTaint(s, k)
         prev
       } else built
     }

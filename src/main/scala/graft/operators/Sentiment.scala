@@ -249,7 +249,7 @@ object Sentiment {
        |    CAST(len(text) - len(replace(text, '!', '')) AS BIGINT) AS ep_n,
        |    CAST(len(text) - len(replace(text, '?', '')) AS BIGINT) AS qm_n
        |  FROM (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents) d
-       |  JOIN ${alias}vl vl ON vl.doc_id = d.doc_id),
+       |  LEFT JOIN ${alias}vl vl ON vl.doc_id = d.doc_id),
        |${alias}c AS (
        |  SELECT *, list_transform(generate_series(1, len(w)), i ->
        |         CASE WHEN v[i] = 0 THEN 0
@@ -477,6 +477,225 @@ object Sentiment {
       .orderBy($"label")
   }
 
+  // ------------------------------------------------- ML model gate (r17)
+
+  /** Integer "nanolog" units: li(x) = floor(ln(x)·1e9 + 0.5) as BIGINT.
+    * All of [[nbPredict]]'s ln arguments are INTEGERS (smoothed counts,
+    * class totals + vocabulary, doc counts), and floor(ln(k)·1e9 + 0.5)
+    * was measured bit-identical between the JVM's Math.log and DuckDB's
+    * ln for every integer k ≤ 2,000,000 (raw ln differs by 1 ulp on
+    * 54 of 2M — the half-up nanolog rounding absorbs all of them), so
+    * every downstream score is exact BIGINT arithmetic both engines
+    * reproduce. Magnitudes: li ≤ ~15e9, per-doc sums ≤ wc·15e9 — long
+    * territory at any corpus scale.
+    */
+  private def li(c: Column): Column =
+    floor(log(c.cast("double")) * 1e9 + 0.5).cast("long")
+  private def liSql(e: String): String =
+    s"CAST(floor(ln(CAST(($e) AS DOUBLE)) * 1e9 + 0.5) AS BIGINT)"
+
+  private val Labels = Seq("negative", "neutral", "positive")
+
+  /** Add-one-smoothed multinomial Naive Bayes in exact nanolog units —
+    * the oracled twin of the reference's MLlib NaiveBayes(smoothing=1)
+    * leg (spark-ml-sentiment/spark_ml_sentiment.py:283-296): train
+    * per-class token counts on `train` (columns doc_id, text, label),
+    * classify `vald` by argmax_c [ li(n_c+1) + Σ_t n_t·li(cnt_c(t)+1)
+    * − N_d·li(tot_c+V) ] with ties broken negative ≥ neutral ≥
+    * positive — the same CASE both engines evaluate. Returns (doc_id,
+    * true_label, pred_label).
+    *
+    * Scale shape: one (label×token) count aggregation pivoted to 3
+    * columns (vocabulary-sized, shuffled on token), one token-keyed
+    * left join of the val tokens against it, one per-doc aggregation,
+    * one 1-row constants broadcast. The tx_lm_score class of plan.
+    */
+  private[graft] def nbPredict(train: DataFrame, vald: DataFrame): DataFrame = {
+    val s = train.sparkSession
+    import s.implicits._
+    val ttok = train.select($"label", explode(split($"text", " ")).as("tok"))
+    val cw = ttok.groupBy($"tok").agg(
+      count(when($"label" === "negative", 1)).as("c_neg"),
+      count(when($"label" === "neutral", 1)).as("c_neu"),
+      count(when($"label" === "positive", 1)).as("c_pos"))
+    val const = ttok.agg(
+        count(when($"label" === "negative", 1)).as("t_neg"),
+        count(when($"label" === "neutral", 1)).as("t_neu"),
+        count(when($"label" === "positive", 1)).as("t_pos"),
+        countDistinct($"tok").as("v"))
+      .crossJoin(train.agg(
+        count(when($"label" === "negative", 1)).as("n_neg"),
+        count(when($"label" === "neutral", 1)).as("n_neu"),
+        count(when($"label" === "positive", 1)).as("n_pos")))
+    val vtok = vald.select($"doc_id", $"label",
+        explode(split($"text", " ")).as("tok"))
+      .groupBy($"doc_id", $"label", $"tok").agg(P.cnt.as("n_t"))
+    val scored = vtok.join(cw, Seq("tok"), "left")
+      .groupBy($"doc_id", $"label")
+      .agg(sum($"n_t").as("nd"),
+        sum($"n_t" * li(coalesce($"c_neg", lit(0L)) + 1)).as("a_neg"),
+        sum($"n_t" * li(coalesce($"c_neu", lit(0L)) + 1)).as("a_neu"),
+        sum($"n_t" * li(coalesce($"c_pos", lit(0L)) + 1)).as("a_pos"))
+      .crossJoin(broadcast(const))
+      .select($"doc_id", $"label",
+        ($"a_neg" - $"nd" * li($"t_neg" + $"v") + li($"n_neg" + 1)).as("s_neg"),
+        ($"a_neu" - $"nd" * li($"t_neu" + $"v") + li($"n_neu" + 1)).as("s_neu"),
+        ($"a_pos" - $"nd" * li($"t_pos" + $"v") + li($"n_pos" + 1)).as("s_pos"))
+    scored.select($"doc_id", $"label".as("true_label"),
+      when($"s_neg" >= $"s_neu" && $"s_neg" >= $"s_pos", "negative")
+        .when($"s_neu" >= $"s_pos", "neutral")
+        .otherwise("positive").as("pred_label"))
+  }
+
+  /** The oracled ML-model quality gate (r16 verdict item 5, closing the
+    * last rows-only §1 panel): train [[nbPredict]]'s NB on the
+    * deterministic md5 80/20 split of the VADER-labeled corpus, score
+    * the val split, and emit the confusion matrix (exact integer
+    * counts) plus the global accuracy — the engine-portable twin of the
+    * reference's three-classifier accuracy comparison
+    * (spark-ml-sentiment/spark_ml_sentiment.py:180-296; NB is the leg
+    * whose arithmetic both engines can reproduce exactly — see [[li]]).
+    * MlMultimodalSpec asserts MLlib's NaiveBayes(smoothing=1) agrees
+    * with this scorer on a planted separable corpus.
+    */
+  val nbEval = QueryDef(
+    "sent_nb_eval", {
+      def fsum(cond: String) =
+        s"CAST(COUNT(*) FILTER (WHERE $cond) AS BIGINT)"
+      s"""WITH ${labeledSqlFull("nb")},
+         |nbb AS MATERIALIZED (SELECT d.doc_id, d.text, l.label,
+         |    ${PS.hexToLong("md5(CAST(d.doc_id AS VARCHAR))", 1, 8)} % 100 AS bucket
+         |  FROM documents d JOIN nbl l ON l.doc_id = d.doc_id),
+         |nbtr AS MATERIALIZED (SELECT * FROM nbb WHERE bucket < 80),
+         |nbva AS MATERIALIZED (SELECT * FROM nbb WHERE bucket >= 80),
+         |nbtt AS MATERIALIZED (SELECT label, unnest(string_split(text, ' ')) AS tok FROM nbtr),
+         |nbcw AS MATERIALIZED (SELECT tok,
+         |    ${fsum("label = 'negative'")} AS c_neg,
+         |    ${fsum("label = 'neutral'")} AS c_neu,
+         |    ${fsum("label = 'positive'")} AS c_pos
+         |  FROM nbtt GROUP BY tok),
+         |nbct AS MATERIALIZED (SELECT
+         |    ${fsum("label = 'negative'")} AS t_neg,
+         |    ${fsum("label = 'neutral'")} AS t_neu,
+         |    ${fsum("label = 'positive'")} AS t_pos,
+         |    CAST(COUNT(DISTINCT tok) AS BIGINT) AS v FROM nbtt),
+         |nbdt AS MATERIALIZED (SELECT
+         |    ${fsum("label = 'negative'")} AS n_neg,
+         |    ${fsum("label = 'neutral'")} AS n_neu,
+         |    ${fsum("label = 'positive'")} AS n_pos FROM nbtr),
+         |nbvt AS MATERIALIZED (SELECT doc_id, label, tok, CAST(COUNT(*) AS BIGINT) AS n_t
+         |  FROM (SELECT doc_id, label, unnest(string_split(text, ' ')) AS tok FROM nbva)
+         |  GROUP BY 1, 2, 3),
+         |nbsc AS MATERIALIZED (SELECT t.doc_id, t.label,
+         |    CAST(SUM(t.n_t) AS BIGINT) AS nd,
+         |    CAST(SUM(t.n_t * ${liSql("COALESCE(c.c_neg, 0) + 1")}) AS BIGINT) AS a_neg,
+         |    CAST(SUM(t.n_t * ${liSql("COALESCE(c.c_neu, 0) + 1")}) AS BIGINT) AS a_neu,
+         |    CAST(SUM(t.n_t * ${liSql("COALESCE(c.c_pos, 0) + 1")}) AS BIGINT) AS a_pos
+         |  FROM nbvt t LEFT JOIN nbcw c USING (tok) GROUP BY 1, 2),
+         |nbpr AS MATERIALIZED (SELECT doc_id, label AS true_label,
+         |    CASE WHEN s_neg >= s_neu AND s_neg >= s_pos THEN 'negative'
+         |         WHEN s_neu >= s_pos THEN 'neutral'
+         |         ELSE 'positive' END AS pred_label
+         |  FROM (SELECT doc_id, label,
+         |      a_neg - nd * ${liSql("t_neg + v")} + ${liSql("n_neg + 1")} AS s_neg,
+         |      a_neu - nd * ${liSql("t_neu + v")} + ${liSql("n_neu + 1")} AS s_neu,
+         |      a_pos - nd * ${liSql("t_pos + v")} + ${liSql("n_pos + 1")} AS s_pos
+         |    FROM nbsc CROSS JOIN nbct CROSS JOIN nbdt)),
+         |nbac AS MATERIALIZED (SELECT
+         |    ${PS.prnd("CAST(SUM(CASE WHEN true_label = pred_label THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)", 6)} AS accuracy
+         |  FROM nbpr)
+         |SELECT true_label, pred_label, CAST(COUNT(*) AS BIGINT) AS n_docs, accuracy
+         |FROM nbpr CROSS JOIN nbac
+         |GROUP BY 1, 2, accuracy ORDER BY 1, 2""".stripMargin
+    }) { (s, dir) =>
+    import s.implicits._
+    val base = Tables.documents(s, dir).select($"doc_id", $"text")
+      .join(labeledShared(s, dir).select($"doc_id", $"label"), "doc_id")
+      .select($"doc_id", $"text", $"label",
+        (P.hexToLong(md5($"doc_id".cast("string")), 1, 8) % 100).as("bucket"))
+      .ckpt
+    val pred = nbPredict(base.filter($"bucket" < 80),
+      base.filter($"bucket" >= 80)).ckpt
+    val acc = pred.agg(P.prnd(
+      sum(when($"true_label" === $"pred_label", 1).otherwise(0)).cast("double")
+        / count(lit(1)), 6).as("accuracy"))
+    pred.groupBy($"true_label", $"pred_label").agg(P.cnt.as("n_docs"))
+      .crossJoin(broadcast(acc))
+      .orderBy($"true_label", $"pred_label")
+  }
+
+  // ------------------------------------- lexicon sensitivity gate (r17)
+
+  /** [[graft.functions.VaderLexicon.Entries]] with every tier-2 valence
+    * shifted by `deltaTenths` (the declared-approximate entries — their
+    * tenths are within a few tenths of the published means). An entry
+    * shifted to exactly 0 drops out (the scorer treats v=0 as a
+    * non-entry on both engines).
+    */
+  private def perturbedEntries(deltaTenths: Int): Seq[(String, Int)] = {
+    val t2 = VaderLexicon.RealTier2.map(_._1).toSet
+    VaderLexicon.Entries
+      .map { case (w, v) => if (t2(w)) (w, v + deltaTenths) else (w, v) }
+      .filter(_._2 != 0)
+  }
+
+  /** Tier-2 lexicon sensitivity gate (r16 verdict item 6 — turn the
+    * declared approximation into data, the gr_centrality_err move): the
+    * ~230 tier-2 valences are approximate at tenth granularity, so
+    * rescore the corpus with ALL of them perturbed by ±0.1 (one tenth —
+    * the lexicon's own quantum, the declared uncertainty unit) and
+    * report the label transition matrix per direction. Off-diagonal
+    * rows are the labels the approximation could plausibly be getting
+    * wrong; diagonal rows show the stable mass. The `n_t2_hits` column
+    * reports how many corpus token occurrences the perturbation touched
+    * at all — on THIS synthetic corpus it is 0 (the tier-2 English
+    * vocabulary never occurs; labels ride the exact Real + StandIns
+    * entries), so the all-diagonal matrix is a measured property of the
+    * corpus, not a silent no-op: the spec plants tier-2-bearing docs at
+    * the ±0.05 compound threshold and asserts the gate counts their
+    * flips in the right cells. Three shared-labeler passes + two 9-cell
+    * joins — the sent_drift cost class.
+    */
+  val lexiconSens = QueryDef(
+    "sent_lexicon_sens", {
+      val t2l = inList(VaderLexicon.RealTier2.map(_._1))
+      s"""WITH ${labeledSqlFull("sb")},
+         |${labeledSql(perturbedEntries(-1), "spd")},
+         |${labeledSql(perturbedEntries(1), "spu")},
+         |t2h AS MATERIALIZED (SELECT CAST(COUNT(*) AS BIGINT) AS n_t2_hits FROM (
+         |    SELECT unnest(string_split(lower(text), ' ')) AS t FROM documents)
+         |  WHERE t IN ($t2l)),
+         |cells AS MATERIALIZED (
+         |  SELECT 'down_0.1' AS direction, b.label AS base_label, p.label AS new_label,
+         |    CAST(COUNT(*) AS BIGINT) AS n_docs
+         |  FROM sbl b JOIN spdl p USING (doc_id) GROUP BY 1, 2, 3
+         |  UNION ALL
+         |  SELECT 'up_0.1', b.label, p.label, CAST(COUNT(*) AS BIGINT)
+         |  FROM sbl b JOIN spul p USING (doc_id) GROUP BY 1, 2, 3)
+         |SELECT direction, base_label, new_label, n_docs, n_t2_hits
+         |FROM cells CROSS JOIN t2h
+         |ORDER BY direction, base_label, new_label""".stripMargin
+    }) { (s, dir) =>
+    import s.implicits._
+    val base = labeledShared(s, dir).select($"doc_id", $"label".as("base_label"))
+    val t2h = Tables.documents(s, dir)
+      .agg(sum(nIn(split(lower($"text"), " "), VaderLexicon.RealTier2.map(_._1)))
+        .cast("long").as("n_t2_hits"))
+    def cellsFor(direction: String, deltaTenths: Int): DataFrame = {
+      val ents = perturbedEntries(deltaTenths)
+      val pos = ents.collect { case (w, v) if v > 0 => w }
+      val neg = ents.collect { case (w, v) if v < 0 => w }
+      base.join(labeledDf(s, dir, ents, pos, neg)
+          .select($"doc_id", $"label".as("new_label")), "doc_id")
+        .groupBy($"base_label", $"new_label").agg(P.cnt.as("n_docs"))
+        .select(lit(direction).as("direction"), $"base_label", $"new_label",
+          $"n_docs")
+    }
+    cellsFor("down_0.1", -1).union(cellsFor("up_0.1", 1))
+      .crossJoin(broadcast(t2h))
+      .orderBy($"direction", $"base_label", $"new_label")
+  }
+
   val defs: Seq[QueryDef] = Seq(lexicon, distribution, agreement, emoji, examples,
-    drift)
+    drift, nbEval, lexiconSens)
 }

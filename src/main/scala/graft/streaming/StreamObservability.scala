@@ -8,12 +8,24 @@ import org.apache.spark.sql.streaming.StreamingQueryListener
 /** Per-leg streaming observability (r15 verdict item 7) — the queryable
   * twin of the reference consumer's self-logged counters
   * (consumer/kafka_consumer.py:125-155 prints processed/error counts per
-  * poll loop): a [[StreamingQueryListener]] accumulates, per query NAME,
-  * the batch count, input rows, rows DROPPED BY WATERMARK (the late-data
-  * loss every watermarked leg silently pays — the number an operator
-  * needs when a producer starts lagging), the current watermark and the
-  * max event time seen, surfaced as a one-row-per-leg [[panel]] next to
-  * `ops_freshness`.
+  * poll loop): a [[StreamingQueryListener]] accumulates, per (SESSION,
+  * query name, runId), the batch count, input rows, rows DROPPED BY
+  * WATERMARK (the late-data loss every watermarked leg silently pays —
+  * the number an operator needs when a producer starts lagging), the
+  * current watermark and the max event time seen, PLUS the state-store
+  * dimension (r16 verdict item 7): total rows held in state across the
+  * leg's stateful operators and cumulative state updates — the growth
+  * curve that decides whether a RocksDB-backed 100 TB deployment is
+  * keeping state bounded. Surfaced as a one-row-per-leg [[panel]] next
+  * to `ops_freshness`.
+  *
+  * Scoping (r16 ADVICE): stats are keyed by SparkSession — each session
+  * gets its own listener instance writing its own map, so two sessions
+  * running same-named legs never merge counters, [[panel]] only reports
+  * the given session's legs, and [[reset]] only clears that session.
+  * A RESTARTED query reusing a name starts a new runId; the listener
+  * restarts that leg's counters (a fresh run is a fresh lifecycle, not
+  * a continuation — merging across restarts was the misleading part).
   *
   * Lag is measured as max-seen-event-time − watermark — inside the
   * data, never wall-clock `now()`, the same determinism discipline as
@@ -30,30 +42,31 @@ import org.apache.spark.sql.streaming.StreamingQueryListener
 object StreamObservability {
 
   /** Accumulated per-leg counters (micros for the time fields; -1 =
-    * not yet observed).
+    * not yet observed). `stateRows` is the LATEST total rows across the
+    * leg's stateful operators (a level, not a counter);
+    * `stateRowsUpdated` is cumulative updates over the run (a rate
+    * numerator). `runId` scopes the record: a restart resets it.
     */
   final case class LegStats(
       leg: String,
+      runId: String,
       nBatches: Long,
       inputRows: Long,
       droppedLate: Long,
       watermarkUs: Long,
-      maxEventUs: Long) {
+      maxEventUs: Long,
+      stateRows: Long,
+      stateRowsUpdated: Long) {
     def lagUs: Long =
       if (watermarkUs >= 0 && maxEventUs >= 0) maxEventUs - watermarkUs else -1L
   }
 
-  private val stats = new ConcurrentHashMap[String, LegStats]()
-  private val attached =
-    java.util.Collections.synchronizedSet(
-      java.util.Collections.newSetFromMap(
-        new java.util.WeakHashMap[SparkSession, java.lang.Boolean]()))
-
-  private def parseUs(iso: String): Long =
-    try java.time.Instant.parse(iso).toEpochMilli * 1000L
-    catch { case _: Throwable => -1L }
-
-  private object Listener extends StreamingQueryListener {
+  /** Per-session listener + stats map. Held in a WeakHashMap so a
+    * dropped session releases its records; synchronized because attach
+    * and the GC-driven expunge race.
+    */
+  private final class SessionObs extends StreamingQueryListener {
+    val stats = new ConcurrentHashMap[String, LegStats]()
     override def onQueryStarted(
         e: StreamingQueryListener.QueryStartedEvent): Unit = ()
     override def onQueryTerminated(
@@ -62,46 +75,72 @@ object StreamObservability {
         e: StreamingQueryListener.QueryProgressEvent): Unit = {
       val p = e.progress
       val name = Option(p.name).filter(_.nonEmpty).getOrElse(p.id.toString)
+      val run = p.runId.toString
       val dropped = p.stateOperators.map(_.numRowsDroppedByWatermark).sum
+      val stRows = p.stateOperators.map(_.numRowsTotal).sum
+      val stUpd = p.stateOperators.map(_.numRowsUpdated).sum
       val wm = Option(p.eventTime.get("watermark")).map(parseUs).getOrElse(-1L)
       val mx = Option(p.eventTime.get("max")).map(parseUs).getOrElse(-1L)
       stats.compute(name, (_, prev0) => {
-        val prev = Option(prev0).getOrElse(LegStats(name, 0L, 0L, 0L, -1L, -1L))
-        LegStats(name,
+        // a new runId = a restarted query: fresh counters, not a merge
+        val prev = Option(prev0).filter(_.runId == run)
+          .getOrElse(LegStats(name, run, 0L, 0L, 0L, -1L, -1L, 0L, 0L))
+        LegStats(name, run,
           prev.nBatches + 1,
           prev.inputRows + p.numInputRows,
           prev.droppedLate + dropped,
           math.max(prev.watermarkUs, wm),
-          math.max(prev.maxEventUs, mx))
+          math.max(prev.maxEventUs, mx),
+          stRows,
+          prev.stateRowsUpdated + stUpd)
       })
     }
   }
 
-  /** Register the listener on `s` (idempotent per session). Call once
-    * before starting the legs to observe.
-    */
-  def attach(s: SparkSession): Unit =
-    if (attached.add(s)) s.streams.addListener(Listener)
+  private val sessions = new java.util.WeakHashMap[SparkSession, SessionObs]()
 
-  /** Point-in-time per-leg panel: leg, n_batches, input_rows,
-    * dropped_late, watermark_us, max_event_us, lag_us. Built from the
-    * listener's per-QUERY records (driver-side, bounded by the leg
-    * count — the ops_freshness class of relation).
+  private def parseUs(iso: String): Long =
+    try java.time.Instant.parse(iso).toEpochMilli * 1000L
+    catch { case _: Throwable => -1L }
+
+  /** Register this session's listener (idempotent per session). Call
+    * once before starting the legs to observe.
+    */
+  def attach(s: SparkSession): Unit = sessions.synchronized {
+    if (!sessions.containsKey(s)) {
+      val obs = new SessionObs
+      sessions.put(s, obs)
+      s.streams.addListener(obs)
+    }
+  }
+
+  private def obsOf(s: SparkSession): Option[SessionObs] =
+    sessions.synchronized(Option(sessions.get(s)))
+
+  /** Point-in-time per-leg panel for `s`'s legs only: leg, n_batches,
+    * input_rows, dropped_late, watermark_us, max_event_us, lag_us,
+    * state_rows, state_rows_updated. Built from the listener's
+    * per-QUERY records (driver-side, bounded by the leg count — the
+    * ops_freshness class of relation).
     */
   def panel(s: SparkSession): DataFrame = {
     import s.implicits._
     import scala.jdk.CollectionConverters._
-    stats.values.asScala.toSeq
+    obsOf(s).map(_.stats.values.asScala.toSeq).getOrElse(Seq.empty)
       .map(x => (x.leg, x.nBatches, x.inputRows, x.droppedLate,
-        x.watermarkUs, x.maxEventUs, x.lagUs))
+        x.watermarkUs, x.maxEventUs, x.lagUs, x.stateRows, x.stateRowsUpdated))
       .toDF("leg", "n_batches", "input_rows", "dropped_late",
-        "watermark_us", "max_event_us", "lag_us")
+        "watermark_us", "max_event_us", "lag_us",
+        "state_rows", "state_rows_updated")
       .orderBy($"leg")
   }
 
-  /** Current stats for one leg, if observed. */
-  def legStats(name: String): Option[LegStats] = Option(stats.get(name))
+  /** Current stats for one of `s`'s legs, if observed. */
+  def legStats(s: SparkSession, name: String): Option[LegStats] =
+    obsOf(s).flatMap(o => Option(o.stats.get(name)))
 
-  /** Drop all accumulated records (spec isolation). */
-  def reset(): Unit = stats.clear()
+  /** Drop `s`'s accumulated records only (spec isolation; other
+    * sessions' panels are untouched — r16 ADVICE).
+    */
+  def reset(s: SparkSession): Unit = obsOf(s).foreach(_.stats.clear())
 }

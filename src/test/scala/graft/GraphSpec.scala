@@ -231,7 +231,9 @@ class GraphSpec extends GraftSuite {
       }
       dist.toMap
     }
-    val pivots = Seq(1L, 2L, 3L) // landmarkSeed = k smallest node ids
+    // landmarkSeed (r17) = k highest-degree nodes, ties by smallest id:
+    // deg(2)=deg(4)=4, deg(1)=3 on this toy graph
+    val pivots = Seq(2L, 4L, 1L)
     // closeness_w(v) = k / Σ_l min(dist_w(v, l), 100): exact integer sum,
     // one double division — the Spark result must match bit-for-bit
     val dists = pivots.map(dijkstra)
@@ -243,7 +245,7 @@ class GraphSpec extends GraftSuite {
     }
     // the weighted paths genuinely differ from hops: d_w(1,4) = 3 via the
     // light chain, not the direct w10 edge (hop distance is 1)
-    assert(dists(0)(4L) === 3L)
+    assert(dijkstra(1L)(4L) === 3L)
     // betweenness_w: brute-force Brandes from the same pivots (weighted
     // Dijkstra, σ path counts, δ accumulation in decreasing-distance
     // order), score = Σ_l δ_l(v ≠ l) / k
@@ -563,7 +565,10 @@ class GraphSpec extends GraftSuite {
       tot.toMap
     }
     val totE = bfsTot(pn)
-    val lmk = pn.take(8)
+    // the production landmark rule (r17): top-24 by probe degree
+    // (degree DESC, node ASC)
+    val deg = pn.map(v => v -> adj.getOrElse(v, Array.empty[Long]).length).toMap
+    val lmk = pn.sortBy(v => (-deg(v), v)).take(24)
     val totL = bfsTot(lmk)
     def ranks(tot: Map[Long, Long]): Map[Long, Int] =
       pn.sortBy(v => (tot(v), v)).zipWithIndex.map { case (v, i) => v -> (i + 1) }.toMap
@@ -573,7 +578,7 @@ class GraphSpec extends GraftSuite {
     def prnd(x: Double, dg: Int): Double = { val f = math.pow(10, dg); math.floor(x * f + 0.5) / f }
     val spearman = prnd(1.0 - 6.0 * sd2 / (n.toDouble * (n.toDouble * n - 1.0)), 6)
     val overlap = pn.count(v => re(v) <= 10 && ra(v) <= 10) / 10.0
-    val errs = pn.map(v => prnd(math.abs(8.0 / totL(v) - n.toDouble / totE(v)), 9))
+    val errs = pn.map(v => prnd(math.abs(24.0 / totL(v) - n.toDouble / totE(v)), 9))
     val meanErr = prnd(errs.map(x => math.floor(x * 1e9 + 0.5).toLong).sum / 1e9 / n, 6)
     val maxErr = prnd(errs.max, 6)
     val c = rows("closeness")
@@ -582,6 +587,13 @@ class GraphSpec extends GraftSuite {
     assert(c.getAs[Double]("top10_overlap") === overlap)
     assert(c.getAs[Double]("mean_abs_err") === meanErr)
     assert(c.getAs[Double]("max_abs_err") === maxErr)
+    // the r16 verdict's DONE criterion: the production landmark rule
+    // (max-degree seed, K=24) must rank closeness at ρ ≥ 0.8 vs exact
+    // on the probe subgraph (measured 0.988 here at sf0.001, 0.904 at
+    // the sf0.01 correctness gate — the old smallest-id/K=8 rule read
+    // 0.46)
+    assert(c.getAs[Double]("spearman") >= 0.8,
+      s"production landmark rule must rank closeness at rho >= 0.8: $c")
     // betweenness row: bounded-sanity (its δ quantization discipline is
     // oracle-verified; a rational-exact spec model would diverge in the
     // low decimals by design)

@@ -94,6 +94,53 @@ class MlMultimodalSpec extends GraftSuite {
     assert(ranked.forall { case (_, a) => a >= 0.0 && a <= 1.0 })
   }
 
+  test("sent_nb_eval's portable NB agrees with MLlib NaiveBayes on a planted separable corpus") {
+    // r16 verdict item 5: the oracled model gate scores with an exact
+    // integer-nanolog multinomial NB (Sentiment.nbPredict). Same model
+    // as MLlib's NaiveBayes(smoothing=1) over raw token counts — this
+    // plants a separable corpus and asserts both produce the identical
+    // prediction per val doc (prior smoothing differs by the +1 doc,
+    // invisible on separable data).
+    import spark.implicits._
+    val train = Seq(
+      (1L, "bug crash fail sad", "negative"),
+      (2L, "crash fail bug broken", "negative"),
+      (3L, "meeting agenda notes plan", "neutral"),
+      (4L, "notes plan meeting list", "neutral"),
+      (5L, "great win success happy", "positive"),
+      (6L, "win success great joy", "positive")
+    ).toDF("doc_id", "text", "label")
+    val vald = Seq(
+      (11L, "bug crash broken", "negative"),
+      (12L, "fail sad crash", "negative"),
+      (13L, "agenda plan notes", "neutral"),
+      (14L, "great success win", "positive"),
+      (15L, "joy happy win", "positive")
+    ).toDF("doc_id", "text", "label")
+    val mine = operators.Sentiment.nbPredict(train, vald).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("pred_label")).toMap
+    // MLlib twin: raw token counts (CountVectorizer, no IDF, no side
+    // features) into NaiveBayes(smoothing = 1) — the same multinomial
+    // add-one model nbPredict computes in exact integer nanologs
+    val li = when($"label" === "negative", 0.0)
+      .when($"label" === "neutral", 1.0).otherwise(2.0)
+    val trainW = train.withColumn("words", split($"text", " ")).withColumn("li", li)
+    val valdW = vald.withColumn("words", split($"text", " "))
+    val cv = new org.apache.spark.ml.feature.CountVectorizer()
+      .setInputCol("words").setOutputCol("features").fit(trainW)
+    val nb = new org.apache.spark.ml.classification.NaiveBayes()
+      .setSmoothing(1.0).setFeaturesCol("features").setLabelCol("li")
+      .fit(cv.transform(trainW))
+    val back = Map(0.0 -> "negative", 1.0 -> "neutral", 2.0 -> "positive")
+    val mllib = nb.transform(cv.transform(valdW))
+      .select($"doc_id", $"prediction").collect()
+      .map(r => r.getLong(0) -> back(r.getDouble(1))).toMap
+    assert(mine === mllib, s"portable NB and MLlib NB diverged: $mine vs $mllib")
+    // and both are simply right on the separable plant
+    assert(mine === Map(11L -> "negative", 12L -> "negative",
+      13L -> "neutral", 14L -> "positive", 15L -> "positive"))
+  }
+
   test("media pipeline: GRF1 encode/decode round-trips dims and features exactly") {
     val docs = Tables.documents(spark, sfDir)
     val decoded = MediaPipeline.decode(MediaPipeline.withPayload(docs))

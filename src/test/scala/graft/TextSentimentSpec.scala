@@ -442,6 +442,42 @@ class TextSentimentSpec extends GraftSuite {
     }
   }
 
+  test("sent_lexicon_sens: planted tier-2 docs at the compound threshold flip in the right cells") {
+    // The corpus gate reports 0 tier-2 hits (the tier-2 English
+    // vocabulary never occurs in the synthetic corpus — n_t2_hits makes
+    // that measured, not silent). This plants docs whose compound sits
+    // exactly at the ±0.05 threshold so a ±0.1 tier-2 perturbation
+    // ('active' = 1.4) flips them: Σtenths = 2 → compound 0.0516
+    // (positive) vs Σ = 1 → 0.0258 (neutral).
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ssens").toString
+    Seq(
+      // Σ = 14 − 11 − 21 + 8 + 12 = 2 → positive; down (active→1.3):
+      // Σ = 1 → neutral; up: Σ = 3 → positive
+      (1L, "active big dup key small"),
+      // Σ = 14 − 21 + 8 = 1 → neutral; down: Σ = 0 → neutral;
+      // up: Σ = 2 → positive
+      (2L, "active dup key"),
+      // no tier-2 token: stable positive in both directions
+      (3L, "fast fast")
+    ).map { case (id, t) => (id, t, "en", "plant", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = Registry.byName("sent_lexicon_sens").run(spark, tmp).collect()
+      .map(r => (r.getAs[String]("direction"), r.getAs[String]("base_label"),
+        r.getAs[String]("new_label")) -> r.getAs[Long]("n_docs")).toMap
+    assert(got === Map(
+      ("down_0.1", "neutral", "neutral") -> 1L,
+      ("down_0.1", "positive", "neutral") -> 1L,
+      ("down_0.1", "positive", "positive") -> 1L,
+      ("up_0.1", "neutral", "positive") -> 1L,
+      ("up_0.1", "positive", "positive") -> 2L), s"cells: $got")
+    // occupancy: one 'active' in each of the two tier-2 docs
+    val hits = Registry.byName("sent_lexicon_sens").run(spark, tmp)
+      .select("n_t2_hits").head().getLong(0)
+    assert(hits === 2L)
+  }
+
   test("sent drift: a planted batch share-swing is measured exactly") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("graft_sdrift").toString
