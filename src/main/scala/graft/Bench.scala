@@ -385,7 +385,14 @@ object Bench {
         // headroom over a full sweep, so the extra samples are free).
         val maxSamples = first match {
           case Some(t) if t > 1.5 => 5
-          case Some(t) if t > 1.0 => 3
+          // the 0.6-1.5s band is the weak-rule boundary class: a query
+          // whose clean-window floor is ~0.7s reads >1s inside one
+          // throttle spike, and with only two samples both can land in
+          // the same window (r16: q5_region_revenue recorded 1.05s in
+          // the driver sweep vs 0.62s committed, same code). Three
+          // samples span windows; min-of-3 approaches the floor. Costs
+          // ≤ ~0.7s × the handful of band members per sweep.
+          case Some(t) if t > 0.6 => 3
           case _ => 2
         }
         val extra = scala.collection.mutable.ArrayBuffer.empty[Double]

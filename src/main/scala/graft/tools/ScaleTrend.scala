@@ -128,7 +128,14 @@ object ScaleTrend {
       // the appended-edge-store PageRank gate (one bucketed store build
       // + ten rounds), and the composite keyset page
       "gr_centrality_err", "gr_louvain_agree", "ops_graph_ingest",
-      "an_explorer_page_mc")
+      "an_explorer_page_mc",
+      // r17: the tuning panel (shares the probe BFS detail — flat like
+      // the error gate), the four-partition quality panel (|E|-stream
+      // joins + community-cardinality aggregates per method), the
+      // token-count NB train/score pass, and the triple-labeler
+      // sensitivity pass
+      "gr_centrality_tuning", "gr_community_quality", "sent_nb_eval",
+      "sent_lexicon_sens")
     def time(name: String, dir: String): Double = {
       val fn = SparkEntry.queries(name)
       (1 to 2).map { _ =>

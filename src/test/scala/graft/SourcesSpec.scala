@@ -532,6 +532,65 @@ class SourcesSpec extends GraftSuite {
         perFileMc.map(_.getAs[String]("hiSrc")).sorted.mkString(" "))
   }
 
+  test("z-ordered corpus + deep multi-column keyset cursor: two-dimensional file skipping") {
+    // r16 verdict stretch — the last unmade 2l×2b connection: the
+    // multi-column keyset explorer over a (n_chars, doc_id) Z-ORDERED
+    // corpus layout. A DEEP cursor (last source, low n_chars — the
+    // explorer pages n_chars DESC, so late pages live at the bottom of
+    // the range) reduces the continuation predicate to
+    //   n_chars > 200 AND (n_chars < lc OR (n_chars = lc AND doc_id > li))
+    // which prunes in BOTH dimensions under parquet footer stats: a file
+    // is touchable only if its n_chars range dips into (200, lc] — and
+    // on the lc boundary slice only if its doc_id range passes li. The
+    // Morton tiling confines that to a corner of the file grid, while a
+    // doc_id-linear layout (every file spans the full n_chars range)
+    // can skip nothing.
+    import spark.implicits._
+    // comparable bit widths for the two interleaved dims (doc_id 14
+    // bits; n_chars quantized to 16s over 0..16368) — Morton order
+    // degrades to the wider dim's linear order when one dim's high bits
+    // dominate
+    val rng = new scala.util.Random(7)
+    val docs = (1 to 16384).map { i =>
+      (i.toLong, s"t$i", "en", "web", rng.nextInt(1024).toLong * 16L)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+    val files = 16
+    val zTmp = tmp("graft_zmc"); val linTmp = tmp("graft_zmc_lin")
+    CorpusIO.writeZOrdered(docs, s"$zTmp/documents.parquet", "n_chars", "doc_id", files)
+    docs.repartitionByRange(files, $"doc_id").sortWithinPartitions("doc_id")
+      .write.mode("overwrite").parquet(s"$linTmp/documents.parquet")
+    val (lc, li) = (2048L, 8192L) // deep page: ~11% of the n_chars range left
+    // layout invariance: the page is identical from either layout
+    val zPage = operators.Analytics.explorerPageMc(
+      spark.read.parquet(s"$zTmp/documents.parquet"), "web", lc, li)
+    val lPage = operators.Analytics.explorerPageMc(
+      spark.read.parquet(s"$linTmp/documents.parquet"), "web", lc, li)
+    val zRows = zPage.collect().map(_.toString).toSeq
+    assert(zRows === lPage.collect().map(_.toString).toSeq)
+    assert(zRows.nonEmpty)
+    // both cursor dimensions reach the scan
+    val zPlan = zPage.queryExecution.executedPlan.toString
+    val zPushed = zPlan.split("PushedFilters:")(1).takeWhile(_ != ']')
+    assert(zPushed.contains("n_chars") && zPushed.contains("doc_id"),
+      s"both cursor columns must reach the z-ordered scan:\n$zPlan")
+    // footer-stats touchability: ranges admit a qualifying row iff they
+    // intersect (200, lc) on n_chars, or straddle lc with doc_id past li
+    def touched(dir: String): Long =
+      spark.read.parquet(dir)
+        .groupBy(input_file_name().as("f"))
+        .agg(min($"n_chars").as("nlo"), max($"n_chars").as("nhi"),
+          max($"doc_id").as("dhi"))
+        .filter(($"nlo" < lc && $"nhi" > 200L) ||
+          ($"nlo" <= lc && $"nhi" >= lc && $"dhi" > li))
+        .count()
+    val zTouched = touched(s"$zTmp/documents.parquet")
+    val linTouched = touched(s"$linTmp/documents.parquet")
+    assert(linTouched === files.toLong,
+      s"doc_id-linear layout cannot skip the deep page (got $linTouched)")
+    assert(zTouched <= files / 2,
+      s"z-order should confine the deep page to a tile corner, touched $zTouched of $files")
+  }
+
   test("incremental gate: equals full recompute; re-snapshot yields an empty work list") {
     // The r13-verdict end-to-end story: ops_incremental_gate writes a
     // day-0 corpus, appends a day-1 batch, processes ONLY the
