@@ -654,7 +654,7 @@ object GraphOps {
   /** Landmark-based closeness centrality — the scalable stand-in for the
     * reference's exact NetworkX closeness (network_analysis.py:123-178),
     * whose all-pairs BFS cannot survive 100 TB. K landmark sources (the K
-    * smallest node ids — deterministic), synchronous BFS distance
+    * highest-degree nodes — see [[landmarkSeed]]), synchronous BFS distance
     * relaxation for a fixed number of rounds via [[landmarkBfs]], then
     * closeness(v) = K / Σ_l min(dist(v,l), rounds+1). Published pattern:
     * landmark/pivot centrality estimation (Brandes & Pich 2007). State is
@@ -1868,11 +1868,21 @@ object GraphOps {
     * sweep telemetry (total moves, moving sweeps) rides the relation as
     * two constant columns so the memo stays a single DataFrame.
     */
+  /** Session-shared LPA labels (node, community) — consumed by the lv1
+    * sweep seed, the seeded-schedule seed, and the quality panel's lpa
+    * row: one LpIters run per (session, corpus), not one per consumer
+    * (r17 review: the panel's cold path otherwise ran LPA twice
+    * back-to-back — once for its own row, once inside lvSeedM's build).
+    */
+  private def lpaM(s: SparkSession, dir: String, u: DataFrame,
+      bcast: Boolean): DataFrame =
+    MatStore.of(s, s"gr_lpa:$dir")(communities(u, stateBroadcast = bcast))
+
   private def lv1M(s: SparkSession, dir: String, u: DataFrame,
       deg: DataFrame, bcast: Boolean, w2df: DataFrame): DataFrame = {
     import s.implicits._
     MatStore.of(s, s"gr_lv1:$dir") {
-      val lbl0 = communities(u, stateBroadcast = bcast)
+      val lbl0 = lpaM(s, dir, u, bcast)
       val (lbl, moved, sweeps) =
         louvainSweepLoop(u, deg, lbl0, w2df, bcast, LvSweeps)
       lbl.select($"node", $"community",
@@ -2306,7 +2316,7 @@ object GraphOps {
     import s.implicits._
     MatStore.of(s, s"gr_lvseed:$dir")(
       louvainSeededSweeps(u, deg,
-        communities(u, stateBroadcast = bcast), w2df, bcast, LvSweeps))
+        lpaM(s, dir, u, bcast), w2df, bcast, LvSweeps))
   }
 
   /** One-row modularity report (n_communities, modularity) of a label
@@ -2397,7 +2407,7 @@ object GraphOps {
     def row(method: String, lbl: DataFrame): DataFrame =
       modularityOf(u, deg, lbl, w2df, bcast)
         .select(lit(method).as("method"), $"n_communities", $"modularity")
-    row("lpa", communities(u, stateBroadcast = bcast)
+    row("lpa", lpaM(s, dir, u, bcast)
         .select($"node", $"community"))
       .union(row("louvain_down", lv1M(s, dir, u, deg, bcast, w2df)
         .select($"node", $"community")))
@@ -3103,8 +3113,14 @@ object GraphOps {
        |  SELECT DISTINCT node FROM und ORDER BY node LIMIT $ProbeN)),
        |pnn AS MATERIALIZED (SELECT CAST(COUNT(*) AS BIGINT) AS np FROM pn),
        |pu AS MATERIALIZED (SELECT u.node, u.nb FROM und u
-       |  JOIN pn a ON u.node = a.node JOIN pn b ON u.nb = b.node),
-       |plmkc AS MATERIALIZED (SELECT node FROM ${lmkSeedSql("pu", ClLandmarks)}),
+       |  JOIN pn a ON u.node = a.node JOIN pn b ON u.nb = b.node)""".stripMargin
+
+  /** The production landmark rule applied to the probe, at the
+    * closeness and betweenness K — appended by the error gate only (the
+    * tuning panel derives its own per-config seeds).
+    */
+  private def ceSeedSql: String =
+    s"""plmkc AS MATERIALIZED (SELECT node FROM ${lmkSeedSql("pu", ClLandmarks)}),
        |plmkb AS MATERIALIZED (SELECT node FROM ${lmkSeedSql("pu", BwLandmarks)})""".stripMargin
 
   /** Capped-distance closeness total over a SUBSET of the probe BFS
@@ -3131,11 +3147,11 @@ object GraphOps {
     */
   private def probeRel(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     import s.implicits._
-    val pn = MatStore.of(s, "ce_probe_nodes") {
+    val pn = MatStore.of(s, s"ce_probe_nodes:$dir") {
       sharedUnd(s, dir).select($"node").distinct()
         .orderBy($"node").limit(ProbeN)
     }
-    val pu = MatStore.of(s, "ce_probe_edges") {
+    val pu = MatStore.of(s, s"ce_probe_edges:$dir") {
       sharedUnd(s, dir)
         .join(broadcast(pn.select($"node".as("pa"))), $"node" === $"pa")
         .join(broadcast(pn.select($"node".as("pb"))), $"nb" === $"pb")
@@ -3163,7 +3179,7 @@ object GraphOps {
     * this one relation).
     */
   private def probeBfsDetail(s: SparkSession, dir: String): DataFrame =
-    MatStore.of(s, "ce_probe_bfs") {
+    MatStore.of(s, s"ce_probe_bfs:$dir") {
       import s.implicits._
       val (pn, pu) = probeRel(s, dir)
       var d = pn.select($"node".as("src"), $"node", lit(0).as("d")).ckpt
@@ -3183,7 +3199,7 @@ object GraphOps {
     * src-membership filters of this one relation.
     */
   private def probeBrandesDetail(s: SparkSession, dir: String): DataFrame =
-    MatStore.of(s, "ce_probe_brandes") {
+    MatStore.of(s, s"ce_probe_brandes:$dir") {
       import s.implicits._
       val (pn, pu) = probeRel(s, dir)
       val rounds = BwRounds
@@ -3296,6 +3312,7 @@ object GraphOps {
     "gr_centrality_err",
     s"""WITH $eNumSql, $undSql,
        |$ceProbeSql,
+       |$ceSeedSql,
        |${ceBfsChain("cex", "pn", ClRounds)},
        |cet AS MATERIALIZED (${ceClosTotSql("cex", None, s"(SELECT np FROM pnn) * ${ClRounds + 1}", ClRounds)}),
        |clt AS MATERIALIZED (${ceClosTotSql("cex", Some("plmkc"), s"${ClLandmarks * (ClRounds + 1)}", ClRounds)}),

@@ -130,8 +130,12 @@ object Relational {
     // overhead, 0.145s lineitem decode + broadcast builds + ~0.13s AQE
     // re-planning rounds, so every removed stage counts).
     val rk = Tables.region(s, dir).filter($"r_name" === "ASIA")
-      .select($"r_regionkey".cast("long")).as[Long].head()
-    val n = Tables.nation(s, dir).filter($"n_regionkey" === rk)
+      .select($"r_regionkey".cast("long")).as[Long].collect().headOption
+    // missing region → empty result with the right schema (the old
+    // join-based plan's behavior on degenerate inputs), never a
+    // driver-side NoSuchElementException mid-sweep (r17 review)
+    val n = rk.map(k => Tables.nation(s, dir).filter($"n_regionkey" === k))
+      .getOrElse(Tables.nation(s, dir).filter(lit(false)))
     val c = Tables.customer(s, dir)
     val o = Tables.orders(s, dir)
       .filter($"o_orderdate" >= lit("1997-01-01").cast("timestamp") &&

@@ -500,10 +500,17 @@ object Sentiment {
     * the oracled twin of the reference's MLlib NaiveBayes(smoothing=1)
     * leg (spark-ml-sentiment/spark_ml_sentiment.py:283-296): train
     * per-class token counts on `train` (columns doc_id, text, label),
-    * classify `vald` by argmax_c [ li(n_c+1) + Σ_t n_t·li(cnt_c(t)+1)
-    * − N_d·li(tot_c+V) ] with ties broken negative ≥ neutral ≥
-    * positive — the same CASE both engines evaluate. Returns (doc_id,
-    * true_label, pred_label).
+    * classify `vald` by argmax_c [ li(n_c+1) + Σ_{t∈vocab} n_t·li(cnt_c(t)+1)
+    * − N_v·li(tot_c+V) ] with ties broken negative ≥ neutral ≥
+    * positive — the same CASE both engines evaluate. N_v counts only
+    * the doc's IN-VOCABULARY tokens: an out-of-vocabulary val token
+    * contributes NOTHING to any class, exactly MLlib's semantics
+    * (CountVectorizer projects val docs onto the train vocabulary, so
+    * OOV tokens never reach the model) — counting OOV tokens in N_d
+    * would instead charge −li(tot_c+V) per occurrence, a CLASS-DEPENDENT
+    * penalty that can flip near-ties away from MLlib (r17 review
+    * catch; the agreement spec plants an OOV val token). Returns
+    * (doc_id, true_label, pred_label).
     *
     * Scale shape: one (label×token) count aggregation pivoted to 3
     * columns (vocabulary-sized, shuffled on token), one token-keyed
@@ -532,7 +539,9 @@ object Sentiment {
       .groupBy($"doc_id", $"label", $"tok").agg(P.cnt.as("n_t"))
     val scored = vtok.join(cw, Seq("tok"), "left")
       .groupBy($"doc_id", $"label")
-      .agg(sum($"n_t").as("nd"),
+      // nd counts IN-VOCAB tokens only (cw row present): OOV tokens are
+      // invisible to the model, as in MLlib (see scaladoc)
+      .agg(sum(when($"c_neg".isNotNull, $"n_t").otherwise(0L)).as("nd"),
         sum($"n_t" * li(coalesce($"c_neg", lit(0L)) + 1)).as("a_neg"),
         sum($"n_t" * li(coalesce($"c_neu", lit(0L)) + 1)).as("a_neu"),
         sum($"n_t" * li(coalesce($"c_pos", lit(0L)) + 1)).as("a_pos"))
@@ -587,7 +596,7 @@ object Sentiment {
          |  FROM (SELECT doc_id, label, unnest(string_split(text, ' ')) AS tok FROM nbva)
          |  GROUP BY 1, 2, 3),
          |nbsc AS MATERIALIZED (SELECT t.doc_id, t.label,
-         |    CAST(SUM(t.n_t) AS BIGINT) AS nd,
+         |    CAST(SUM(CASE WHEN c.c_neg IS NOT NULL THEN t.n_t ELSE 0 END) AS BIGINT) AS nd,
          |    CAST(SUM(t.n_t * ${liSql("COALESCE(c.c_neg, 0) + 1")}) AS BIGINT) AS a_neg,
          |    CAST(SUM(t.n_t * ${liSql("COALESCE(c.c_neu, 0) + 1")}) AS BIGINT) AS a_neu,
          |    CAST(SUM(t.n_t * ${liSql("COALESCE(c.c_pos, 0) + 1")}) AS BIGINT) AS a_pos

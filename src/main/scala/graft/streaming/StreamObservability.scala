@@ -143,4 +143,18 @@ object StreamObservability {
     * sessions' panels are untouched — r16 ADVICE).
     */
   def reset(s: SparkSession): Unit = obsOf(s).foreach(_.stats.clear())
+
+  /** Unregister `s`'s listener from its streaming bus and drop its
+    * records. [[attach]] leaves the listener registered for the
+    * session's lifetime; a long-lived JVM cycling many short-lived
+    * sessions should detach each before dropping it, or the bus-held
+    * listener keeps processing progress events for a session nobody
+    * reads (the WeakHashMap entry alone cannot clear while the bus
+    * still references the listener).
+    */
+  def detach(s: SparkSession): Unit = sessions.synchronized {
+    Option(sessions.remove(s)).foreach { obs =>
+      try s.streams.removeListener(obs) catch { case _: Throwable => () }
+    }
+  }
 }

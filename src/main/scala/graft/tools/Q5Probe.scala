@@ -31,10 +31,13 @@ object Q5Probe {
         $"o_orderdate" < lit("1999-01-01").cast("timestamp"))
       .select($"o_orderkey", $"o_custkey")))
     t("q5 current")(noop(graft.Registry.byName("q5_region_revenue").run(spark, dir)))
-    // literal-regionkey variant: region is the TPC-H constant 5-row dim
+    // literal-regionkey variant — this is what Relational.q5 now SHIPS;
+    // the probe keeps its own copy only to time it against the old
+    // region-join form above, and must mirror the production expression
+    // (including the long cast) or it measures a different plan
     def q5lit(): org.apache.spark.sql.DataFrame = {
       val rk = Tables.region(spark, dir).filter($"r_name" === "ASIA")
-        .select($"r_regionkey").as[Long].head()
+        .select($"r_regionkey".cast("long")).as[Long].head()
       val n = Tables.nation(spark, dir).filter($"n_regionkey" === rk)
       val c = Tables.customer(spark, dir)
       val o = Tables.orders(spark, dir)

@@ -566,9 +566,12 @@ class GraphSpec extends GraftSuite {
     }
     val totE = bfsTot(pn)
     // the production landmark rule (r17): top-24 by probe degree
-    // (degree DESC, node ASC)
+    // (degree DESC, node ASC) — over NON-ISOLATED nodes only, exactly
+    // like probeLmk/lmkSeedSql which aggregate over the edge relation
+    // (an isolated probe node never appears there; including it here
+    // would diverge whenever fewer than 24 probe nodes have edges)
     val deg = pn.map(v => v -> adj.getOrElse(v, Array.empty[Long]).length).toMap
-    val lmk = pn.sortBy(v => (-deg(v), v)).take(24)
+    val lmk = pn.filter(v => deg(v) > 0).sortBy(v => (-deg(v), v)).take(24)
     val totL = bfsTot(lmk)
     def ranks(tot: Map[Long, Long]): Map[Long, Int] =
       pn.sortBy(v => (tot(v), v)).zipWithIndex.map { case (v, i) => v -> (i + 1) }.toMap

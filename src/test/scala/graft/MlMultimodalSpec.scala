@@ -113,9 +113,13 @@ class MlMultimodalSpec extends GraftSuite {
     val vald = Seq(
       (11L, "bug crash broken", "negative"),
       (12L, "fail sad crash", "negative"),
-      (13L, "agenda plan notes", "neutral"),
+      // 'zzznovel' is OUT OF the train vocabulary: CountVectorizer
+      // projects it away, and nbPredict must likewise give it zero
+      // weight in every class (an OOV charge against tot_c+V would be
+      // class-dependent and could flip near-ties — r17 review catch)
+      (13L, "agenda plan notes zzznovel", "neutral"),
       (14L, "great success win", "positive"),
-      (15L, "joy happy win", "positive")
+      (15L, "joy happy win zzznovel zzznovel", "positive")
     ).toDF("doc_id", "text", "label")
     val mine = operators.Sentiment.nbPredict(train, vald).collect()
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("pred_label")).toMap

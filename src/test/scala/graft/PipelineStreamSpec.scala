@@ -171,6 +171,11 @@ class PipelineStreamSpec extends GraftSuite {
       StreamObservability.reset(other)
       assert(StreamObservability.legStats(spark, "obs_leg").nonEmpty,
         "resetting another session must not clear this session's stats")
+      // detach unregisters the listener and drops the records — the
+      // lifecycle a session-cycling JVM needs (r17 review)
+      StreamObservability.detach(other)
+      assert(StreamObservability.panel(other).count() === 0L)
+      assert(StreamObservability.legStats(spark, "obs_leg").nonEmpty)
     } finally q.stop()
   }
 
