@@ -1179,11 +1179,19 @@ object GraphOps {
       s"""clnodes AS MATERIALIZED (SELECT DISTINCT node FROM und),
          |lmk AS MATERIALIZED (SELECT node AS lmk FROM ${lmkSeedSql("und", k)}),
          |cld0 AS MATERIALIZED (SELECT lmk AS node, lmk, 0 AS d FROM lmk)""".stripMargin
+    // candidate expansion joins ONLY the previous round's frontier
+    // (p.d = i-1): a BFS distance is final the round it is first set,
+    // so a non-frontier row p would contribute d = p.d + 1 ≤ i-1, a
+    // value already present from an earlier round and absorbed by the
+    // MIN — provably redundant join input. Keeps the oracle an honest
+    // baseline at K=24 (the full re-expansion form read 7.4s at sf0.1,
+    // ~3x this one, all of it re-deriving distances it already had).
     val steps = (1 to rounds).map { i =>
       s"""cld$i AS MATERIALIZED (SELECT x.node, x.lmk, MIN(x.d) AS d FROM (
          |    SELECT node, lmk, d FROM cld${i - 1}
          |    UNION ALL
-         |    SELECT u.node, p.lmk, p.d + 1 FROM und u JOIN cld${i - 1} p ON u.nb = p.node) x
+         |    SELECT u.node, p.lmk, p.d + 1 FROM und u
+         |    JOIN cld${i - 1} p ON u.nb = p.node AND p.d = ${i - 1}) x
          |  GROUP BY x.node, x.lmk)""".stripMargin
     }
     (base +: steps).mkString(",\n")
