@@ -483,11 +483,16 @@ object Sentiment {
     * All of [[nbPredict]]'s ln arguments are INTEGERS (smoothed counts,
     * class totals + vocabulary, doc counts), and floor(ln(k)·1e9 + 0.5)
     * was measured bit-identical between the JVM's Math.log and DuckDB's
-    * ln for every integer k ≤ 2,000,000 (raw ln differs by 1 ulp on
-    * 54 of 2M — the half-up nanolog rounding absorbs all of them), so
-    * every downstream score is exact BIGINT arithmetic both engines
-    * reproduce. Magnitudes: li ≤ ~15e9, per-doc sums ≤ wc·15e9 — long
-    * territory at any corpus scale.
+    * ln for EVERY integer k ≤ 100,000,000 (exhaustive CRC comparison of
+    * all 1e8 values; raw ln differs by ~1 ulp on ~27/1M of them and the
+    * half-up nanolog rounding absorbs every one — a flip needs the true
+    * value within ~1 ulp of a 0.5e-9 rounding boundary, ~1e-10 per
+    * integer and shrinking as ln flattens), so every downstream score
+    * is exact BIGINT arithmetic both engines reproduce for class
+    * token-totals up to 1e8; beyond that the same ulp argument holds
+    * but is declared extrapolated, not measured. Magnitudes: li ≤
+    * ~18e9, per-doc sums ≤ wc·18e9 — long territory at any corpus
+    * scale.
     */
   private def li(c: Column): Column =
     floor(log(c.cast("double")) * 1e9 + 0.5).cast("long")
