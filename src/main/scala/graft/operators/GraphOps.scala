@@ -1867,15 +1867,6 @@ object GraphOps {
     (lbl, movedTotal, sweepsWithMoves)
   }
 
-  /** Session-shared LEVEL-1 sweep result — the LPA-seeded constrained
-    * sweep chain to convergence, consumed by BOTH [[grLouvain]] (which
-    * reports it) and [[grLouvainMl]] (which coarsens from it): one
-    * train-once artifact, two consumers, the MatStore discipline every
-    * other shared build follows (re-running ~3s of identical sweeps per
-    * consumer would double the family's bench cost for nothing). The
-    * sweep telemetry (total moves, moving sweeps) rides the relation as
-    * two constant columns so the memo stays a single DataFrame.
-    */
   /** Session-shared LPA labels (node, community) — consumed by the lv1
     * sweep seed, the seeded-schedule seed, and the quality panel's lpa
     * row: one LpIters run per (session, corpus), not one per consumer
@@ -1886,6 +1877,15 @@ object GraphOps {
       bcast: Boolean): DataFrame =
     MatStore.of(s, s"gr_lpa:$dir")(communities(u, stateBroadcast = bcast))
 
+  /** Session-shared LEVEL-1 sweep result — the LPA-seeded constrained
+    * sweep chain to convergence, consumed by BOTH [[grLouvain]] (which
+    * reports it) and [[grLouvainMl]] (which coarsens from it): one
+    * train-once artifact, two consumers, the MatStore discipline every
+    * other shared build follows (re-running ~3s of identical sweeps per
+    * consumer would double the family's bench cost for nothing). The
+    * sweep telemetry (total moves, moving sweeps) rides the relation as
+    * two constant columns so the memo stays a single DataFrame.
+    */
   private def lv1M(s: SparkSession, dir: String, u: DataFrame,
       deg: DataFrame, bcast: Boolean, w2df: DataFrame): DataFrame = {
     import s.implicits._
@@ -3112,9 +3112,9 @@ object GraphOps {
   }
 
   /** Probe prelude CTEs shared by the error gate and the tuning panel:
-    * pn (the ProbeN smallest ids), pnn, pu (induced undirected edges),
-    * plmkc / plmkb (the PRODUCTION max-degree landmark rule applied to
-    * the probe subgraph at the closeness / betweenness K).
+    * pn (the ProbeN smallest ids), pnn, pu (induced undirected edges).
+    * The production landmark seeds live in [[ceSeedSql]] (error gate
+    * only — the tuning panel derives its own per-config seeds).
     */
   private def ceProbeSql: String =
     s"""pn AS MATERIALIZED (SELECT node FROM (

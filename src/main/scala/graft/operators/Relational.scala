@@ -124,13 +124,13 @@ object Relational {
     import s.implicits._
     // region is the TPC-H CONSTANT 5-row dim (fixed at every SF), so the
     // r_name filter folds to a literal regionkey pushed into nation's
-    // scan — one driver head() on a 5-row relation replaces a whole
-    // broadcast-exchange stage (r16 verdict item 3; probed at sf0.1:
-    // 0.725s → 0.694s min-of-4 warm — this query's wall is fixed
+    // scan — one driver limit-1 collect on a 5-row relation replaces a
+    // whole broadcast-exchange stage (r16 verdict item 3; probed at
+    // sf0.1: 0.725s → 0.694s min-of-4 warm — this query's wall is fixed
     // overhead, 0.145s lineitem decode + broadcast builds + ~0.13s AQE
     // re-planning rounds, so every removed stage counts).
     val rk = Tables.region(s, dir).filter($"r_name" === "ASIA")
-      .select($"r_regionkey".cast("long")).as[Long].collect().headOption
+      .select($"r_regionkey".cast("long")).limit(1).as[Long].collect().headOption
     // missing region → empty result with the right schema (the old
     // join-based plan's behavior on degenerate inputs), never a
     // driver-side NoSuchElementException mid-sweep (r17 review)

@@ -154,7 +154,11 @@ object StreamObservability {
     */
   def detach(s: SparkSession): Unit = sessions.synchronized {
     Option(sessions.remove(s)).foreach { obs =>
-      try s.streams.removeListener(obs) catch { case _: Throwable => () }
+      // NonFatal only: a stopped session's bus may throw IllegalState —
+      // fine to ignore — but interrupts/fatal errors must propagate
+      // (swallowing InterruptedException would eat a shutdown signal)
+      try s.streams.removeListener(obs)
+      catch { case scala.util.control.NonFatal(_) => () }
     }
   }
 }

@@ -1,15 +1,16 @@
 package graft.tools
 
 import graft.{GraftSession, Tables}
-import graft.functions.{Portable => P}
 import org.apache.spark.sql.functions._
 
 /** Breaks q5_region_revenue's wall time into its floor components at a
   * given SF (default sf0.1): the bare 4-column lineitem decode (one
   * task — the testdata writes lineitem as a single row group, so the
-  * scan cannot parallelize), the filtered orders scan, the current q5
-  * plan, and a literal-regionkey variant that folds the constant
-  * region dim into a pushed filter on nation. min-of-4 warm samples.
+  * scan cannot parallelize), the filtered orders scan, the shipped q5
+  * plan (which since r17 IS the literal-regionkey form), and the same
+  * plan with AQE off to expose the re-planning overhead. min-of-4 warm
+  * samples. Historical r17 readings that drove the design: the old
+  * region-join form 0.725s vs the literal form 0.694s; AQE off 0.59s.
   */
 object Q5Probe {
   def main(args: Array[String]): Unit = {
@@ -30,34 +31,9 @@ object Q5Probe {
       .filter($"o_orderdate" >= lit("1997-01-01").cast("timestamp") &&
         $"o_orderdate" < lit("1999-01-01").cast("timestamp"))
       .select($"o_orderkey", $"o_custkey")))
-    t("q5 current")(noop(graft.Registry.byName("q5_region_revenue").run(spark, dir)))
-    // literal-regionkey variant — this is what Relational.q5 now SHIPS;
-    // the probe keeps its own copy only to time it against the old
-    // region-join form above, and must mirror the production expression
-    // (including the long cast) or it measures a different plan
-    def q5lit(): org.apache.spark.sql.DataFrame = {
-      val rk = Tables.region(spark, dir).filter($"r_name" === "ASIA")
-        .select($"r_regionkey".cast("long")).as[Long].head()
-      val n = Tables.nation(spark, dir).filter($"n_regionkey" === rk)
-      val c = Tables.customer(spark, dir)
-      val o = Tables.orders(spark, dir)
-        .filter($"o_orderdate" >= lit("1997-01-01").cast("timestamp") &&
-          $"o_orderdate" < lit("1999-01-01").cast("timestamp"))
-      val l = Tables.lineitem(spark, dir)
-      val sup = Tables.supplier(spark, dir)
-      o.join(c.join(broadcast(n), $"c_nationkey" === $"n_nationkey"),
-          $"o_custkey" === $"c_custkey")
-        .join(l, $"l_orderkey" === $"o_orderkey")
-        .join(sup, $"l_suppkey" === $"s_suppkey" && $"s_nationkey" === $"c_nationkey")
-        .groupBy($"n_name")
-        .agg(P.dsum($"l_extendedprice" * (lit(1) - $"l_discount"), 4).as("revenue"))
-        .orderBy($"revenue".desc, $"n_name")
-    }
-    t("q5 literal regionkey")(noop(q5lit()))
-    // AQE off comparison for the same two
+    t("q5 shipped plan")(noop(graft.Registry.byName("q5_region_revenue").run(spark, dir)))
     spark.conf.set("spark.sql.adaptive.enabled", "false")
-    t("q5 current (AQE off)")(noop(graft.Registry.byName("q5_region_revenue").run(spark, dir)))
-    t("q5 literal rk (AQE off)")(noop(q5lit()))
+    t("q5 shipped (AQE off)")(noop(graft.Registry.byName("q5_region_revenue").run(spark, dir)))
     spark.stop()
   }
 }

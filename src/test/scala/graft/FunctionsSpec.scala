@@ -287,6 +287,21 @@ class FunctionsSpec extends GraftSuite {
     }
   }
 
+  test("nanolog portability pin: the JVM's floor(ln(k)*1e9+0.5) stream matches the recorded CRC") {
+    // The exact-integer NB scoring (sent_nb_eval) rests on
+    // floor(ln(k)*1e9+0.5) being bit-identical between JVM Math.log and
+    // DuckDB ln for every integer k <= 1e8 — measured once and pinned
+    // as per-range CRCs in NanologPortability. This recomputes the JVM
+    // side of the first range on every run, so a JDK whose Math.log
+    // rounds differently FAILS the build instead of silently
+    // desynchronizing the oracle (tools/nanolog_check.py pins the
+    // DuckDB side against the same constants).
+    val (lo, hi, want) = functions.NanologPortability.Ranges.head
+    assert(functions.NanologPortability.jvmCrc(lo, hi) === want,
+      "JVM Math.log nanolog stream changed — re-measure both engines " +
+        "(tools/nanolog_check.py) before trusting sent_nb_eval's oracle")
+  }
+
   test("graft_min_md5 edge cases: empty array, null elements, null array") {
     import spark.implicits._
     val df = Seq(

@@ -568,11 +568,16 @@ class GraphSpec extends GraftSuite {
     // the production landmark rule (r17): top-24 by probe degree
     // (degree DESC, node ASC) — over NON-ISOLATED nodes only, exactly
     // like probeLmk/lmkSeedSql which aggregate over the edge relation
-    // (an isolated probe node never appears there; including it here
-    // would diverge whenever fewer than 24 probe nodes have edges)
+    // (an isolated probe node never appears there). When fewer than 24
+    // probe nodes have edges, production's total still uses the
+    // CONSTANT base 24·(R+1) (ceClosTotSql), i.e. every missing
+    // landmark contributes an unreached R+1 to every node — the
+    // phantom term below mirrors that, so the model matches production
+    // at ANY probe sparsity, not just when all 24 seeds exist.
     val deg = pn.map(v => v -> adj.getOrElse(v, Array.empty[Long]).length).toMap
     val lmk = pn.filter(v => deg(v) > 0).sortBy(v => (-deg(v), v)).take(24)
-    val totL = bfsTot(lmk)
+    val phantom = (24 - lmk.length).toLong * (R + 1)
+    val totL = bfsTot(lmk).map { case (v, t) => v -> (t + phantom) }
     def ranks(tot: Map[Long, Long]): Map[Long, Int] =
       pn.sortBy(v => (tot(v), v)).zipWithIndex.map { case (v, i) => v -> (i + 1) }.toMap
     val re = ranks(totE); val ra = ranks(totL)
