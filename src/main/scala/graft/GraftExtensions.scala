@@ -11,23 +11,21 @@ import graft.functions.{CosineSimilarity, CountTokensIn, HammingBits, LexiconSco
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   /** Wraps a builder with an arity check so a SQL caller passing the
-    * wrong number of arguments gets Spark's standard WRONG_NUM_ARGS
-    * analysis error (naming the function and the expected count) rather
-    * than an IndexOutOfBoundsException out of `children(i)` — r16
-    * ADVICE, surfaced when graft_lexicon_score grew a 7th argument.
+    * wrong number of arguments gets an analysis-time error naming the
+    * function and the expected count rather than an
+    * IndexOutOfBoundsException out of `children(i)` — r16 ADVICE,
+    * surfaced when graft_lexicon_score grew a 7th argument. Thrown as a
+    * plain IllegalArgumentException (r17 ADVICE): the error-class
+    * AnalysisException constructor and its parameter map are not a
+    * stable public API across Spark versions, and function-builder
+    * exceptions surface at analysis time either way.
     */
   private def arity(name: String, n: Int)(
       build: Seq[Expression] => Expression): Seq[Expression] => Expression =
     children =>
       if (children.length == n) build(children)
-      else throw new org.apache.spark.sql.AnalysisException(
-        "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
-        Map(
-          "functionName" -> s"`$name`",
-          "expectedNum" -> n.toString,
-          "actualNum" -> children.length.toString,
-          "docroot" -> "https://spark.apache.org/docs/latest"),
-        None)
+      else throw new IllegalArgumentException(
+        s"Function `$name` requires $n argument(s) but got ${children.length}.")
 
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((

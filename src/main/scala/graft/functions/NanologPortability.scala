@@ -21,6 +21,14 @@ package graft.functions
   */
 object NanologPortability {
 
+  /** Largest integer ln argument the cross-engine bit-identity is
+    * MEASURED for (= max hi of [[Ranges]]). Beyond it the ulp argument
+    * still holds but is extrapolated; [[graft.operators.Sentiment]]'s
+    * scorer raises at runtime rather than risk a silent oracle desync
+    * (r17 ADVICE).
+    */
+  val MeasuredMax: Long = 100000000L
+
   /** (lo, hi, CRC32 of big-endian longs floor(ln(k)·1e9+0.5), k = lo..hi). */
   val Ranges: Seq[(Long, Long, Long)] = Seq(
     (1L, 2000000L, 1743986948L),

@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.Ckpt._
 import graft.{QueryDef, Tables}
-import graft.functions.{TextFns, VaderLexicon, Portable => P, PortableSql => PS}
+import graft.functions.{NanologPortability, TextFns, VaderLexicon, Portable => P, PortableSql => PS}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -494,8 +494,20 @@ object Sentiment {
     * ~18e9, per-doc sums ≤ wc·18e9 — long territory at any corpus
     * scale.
     */
-  private def li(c: Column): Column =
-    floor(log(c.cast("double")) * 1e9 + 0.5).cast("long")
+  private[graft] def li(c: Column): Column = {
+    // Runtime envelope guard (r17 ADVICE): the JVM↔DuckDB bit-identity
+    // of nanolog is MEASURED only for integer k ≤ 1e8
+    // (NanologPortability.MeasuredMax). At larger corpora t_c+V or a
+    // smoothed count can leave that envelope, where agreement is
+    // extrapolated — raise an explicit error instead of risking a
+    // silent oracle hash desync that would read as a data bug.
+    val max = NanologPortability.MeasuredMax
+    when(c <= max, floor(log(c.cast("double")) * 1e9 + 0.5).cast("long"))
+      .otherwise(raise_error(format_string(
+        "nanolog argument %s exceeds the measured cross-engine envelope " +
+          s"$max (NanologPortability); re-measure before trusting the oracle",
+        c.cast("string"))).cast("long"))
+  }
   private def liSql(e: String): String =
     s"CAST(floor(ln(CAST(($e) AS DOUBLE)) * 1e9 + 0.5) AS BIGINT)"
 

@@ -302,6 +302,24 @@ class FunctionsSpec extends GraftSuite {
         "(tools/nanolog_check.py) before trusting sent_nb_eval's oracle")
   }
 
+  test("nanolog envelope guard: li raises past the measured 1e8, exact inside it") {
+    // r17 ADVICE: beyond MeasuredMax the cross-engine agreement is
+    // extrapolated, not pinned — leaving the envelope must surface as
+    // an explicit error, never a possible oracle hash mismatch.
+    import spark.implicits._
+    val max = functions.NanologPortability.MeasuredMax
+    val ok = Seq(1L, 7L, max).toDF("k")
+      .select(operators.Sentiment.li(col("k")).as("li")).collect()
+    assert(ok.map(_.getLong(0)) ===
+      Seq(1L, 7L, max).map(k => math.floor(math.log(k.toDouble) * 1e9 + 0.5).toLong))
+    val e = intercept[Exception] {
+      Seq(max + 1).toDF("k").select(operators.Sentiment.li(col("k"))).collect()
+    }
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .flatMap(t => Option(t.getMessage)).mkString(" | ")
+    assert(msgs.contains("measured cross-engine envelope"), msgs)
+  }
+
   test("graft_min_md5 edge cases: empty array, null elements, null array") {
     import spark.implicits._
     val df = Seq(
@@ -512,5 +530,25 @@ class FunctionsSpec extends GraftSuite {
         |FROM tk_in GROUP BY g""".stripMargin)
       .collect()(0).getSeq[org.apache.spark.sql.Row](0).map(_.getLong(0))
     assert(out == Seq(2L, 5L))
+  }
+
+  test("SQL builders reject wrong arity with a named analysis-time error") {
+    // r17 ADVICE: the guard must not rely on Spark's internal
+    // error-class AnalysisException constructor; assert the plain
+    // message names the function and both counts, and that no
+    // IndexOutOfBoundsException escapes the builder.
+    import spark.implicits._
+    Seq(Tuple1(Seq(1.0f))).toDF("v").createOrReplaceTempView("arity_in")
+    for ((sqlCall, fn, want) <- Seq(
+        ("graft_cosine(v)", "graft_cosine", 2),
+        ("graft_hamming(1, 2, 3)", "graft_hamming", 2),
+        ("graft_simhash()", "graft_simhash", 1))) {
+      val e = intercept[Exception] { spark.sql(s"SELECT $sqlCall FROM arity_in").collect() }
+      val msgs = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+        .map(t => Option(t.getMessage).getOrElse("") + " " + t.getClass.getName).toSeq
+      assert(msgs.exists(m => m.contains(fn) && m.contains(s"requires $want argument")),
+        s"$sqlCall: ${msgs.mkString(" | ")}")
+      assert(!msgs.exists(_.contains("IndexOutOfBounds")), s"$sqlCall leaked IOOBE")
+    }
   }
 }
