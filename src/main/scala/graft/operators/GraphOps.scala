@@ -3120,7 +3120,7 @@ object GraphOps {
     s"""pn AS MATERIALIZED (SELECT node FROM (
        |  SELECT DISTINCT node FROM und ORDER BY node LIMIT $ProbeN)),
        |pnn AS MATERIALIZED (SELECT CAST(COUNT(*) AS BIGINT) AS np FROM pn),
-       |pu AS MATERIALIZED (SELECT u.node, u.nb FROM und u
+       |pu AS MATERIALIZED (SELECT u.node, u.nb, u.weight FROM und u
        |  JOIN pn a ON u.node = a.node JOIN pn b ON u.nb = b.node)""".stripMargin
 
   /** The production landmark rule applied to the probe, at the
@@ -3149,6 +3149,98 @@ object GraphOps {
        |  GROUP BY n.node""".stripMargin
   }
 
+  /** Unrolled row-based WEIGHTED-distance chain from the sources CTE
+    * `srcCte` (column `node`) over the induced probe edges `pu`, CTE
+    * names `<pfx>0..<pfx>R` with rows (src, node, d) where d is the
+    * exact BIGINT sum of edge weights along the lightest ≤R-relaxation
+    * path — the probe twin of [[cwChain]]'s recurrence, parameterized
+    * on the source set (r18: the weighted fidelity gate).
+    */
+  private def ceWdChain(pfx: String, srcCte: String, rounds: Int): String = {
+    val base = s"${pfx}0 AS (SELECT node AS src, node, CAST(0 AS BIGINT) AS d FROM $srcCte)"
+    val steps = (1 to rounds).map { i =>
+      s"""$pfx$i AS (SELECT x.src, x.node, MIN(x.d) AS d FROM (
+         |    SELECT src, node, d FROM $pfx${i - 1}
+         |    UNION ALL
+         |    SELECT p.src, u.node, p.d + u.weight FROM pu u JOIN $pfx${i - 1} p ON u.nb = p.node) x
+         |  GROUP BY x.src, x.node)""".stripMargin
+    }
+    (base +: steps).mkString(",\n")
+  }
+
+  /** Capped WEIGHTED closeness total over a SUBSET of the probe
+    * weighted-distance detail `<pfx><rounds>` (rows (src, node, d)):
+    * per node, baseExpr − Σ over reached pairs with d < [[ClWCap]] of
+    * (ClWCap − d) — i.e. Σ_src min(d, cap) with unreached → cap,
+    * exactly [[closenessW]]'s `when(d.isNull || d > cap, cap)` rule.
+    * Same membership-filter design as [[ceClosTotSql]]: the landmark
+    * side reads the SAME detail, never a second chain.
+    */
+  private def ceWClosTotSql(pfx: String, srcCte: Option[String],
+      baseExpr: String, rounds: Int): String = {
+    val filt = srcCte.map(c => s" JOIN $c l ON x.src = l.node").getOrElse("")
+    s"""SELECT n.node,
+       |    $baseExpr - CAST(COALESCE(SUM(CASE WHEN d.d < $ClWCap THEN $ClWCap - d.d ELSE 0 END), 0) AS BIGINT) AS tot
+       |  FROM pn n LEFT JOIN (SELECT x.node, x.d FROM $pfx$rounds x$filt) d
+       |    ON d.node = n.node
+       |  GROUP BY n.node""".stripMargin
+  }
+
+  /** Unrolled row-based WEIGHTED Brandes chain from the sources CTE
+    * over `pu` — the probe twin of [[bwwChain]]'s three passes
+    * (weighted relax rounds, σ forward relaxations over the weighted
+    * DAG, δ backward relaxations), parameterized on the source set.
+    * Emits `<pfx>dl` rows (node, src, di = floor(δ·1e9 + 0.5) BIGINT,
+    * node ≠ src) — per-src deltas are independent, so the exact and
+    * landmark accumulations are src-membership filters of this ONE
+    * relation ([[ceBwAggSql]]), exactly like the unweighted gate.
+    */
+  private def ceBwwChain(pfx: String, srcCte: String, rounds: Int,
+      dagIters: Int): String = {
+    val wd = ceWdChain(s"${pfx}w", srcCte, rounds)
+    // DAG edge v→w for source s iff d(w) = d(v) + weight(v,w); positive
+    // weights mean no DAG edge enters the source, so the pinned
+    // σ(src)=1 base row never collides with an aggregated row
+    val dag =
+      s"""${pfx}dag AS (SELECT v.src, v.node AS v, w.node AS w
+         |  FROM pu u
+         |  JOIN ${pfx}w$rounds v ON u.node = v.node
+         |  JOIN ${pfx}w$rounds w ON u.nb = w.node AND w.src = v.src AND w.d = v.d + u.weight)""".stripMargin
+    val sigBase =
+      s"""${pfx}s0 AS (SELECT node AS src, node, CAST(1 AS BIGINT) AS sig FROM $srcCte)""".stripMargin
+    val sig = (1 to dagIters).map { t =>
+      s"""${pfx}s$t AS (
+         |  SELECT node AS src, node, CAST(1 AS BIGINT) AS sig FROM $srcCte
+         |  UNION ALL
+         |  SELECT g.src, g.w AS node, CAST(SUM(p.sig) AS BIGINT) AS sig
+         |  FROM ${pfx}dag g JOIN ${pfx}s${t - 1} p ON g.v = p.node AND g.src = p.src
+         |  GROUP BY g.src, g.w)""".stripMargin
+    }
+    val dagR =
+      s"""${pfx}dag2 AS (SELECT g.src, g.v, g.w,
+         |    CAST(sv.sig AS DOUBLE) / CAST(sw.sig AS DOUBLE) AS rt
+         |  FROM ${pfx}dag g
+         |  JOIN ${pfx}s$dagIters sv ON g.v = sv.node AND g.src = sv.src
+         |  JOIN ${pfx}s$dagIters sw ON g.w = sw.node AND g.src = sw.src)""".stripMargin
+    val dltBase =
+      s"""${pfx}d0 AS (SELECT n.node, l.node AS src, CAST(0.0 AS DOUBLE) AS delta
+         |  FROM pn n CROSS JOIN $srcCte l)""".stripMargin
+    val dlt = (1 to dagIters).map { t =>
+      s"""${pfx}d$t AS (SELECT n.node, l.node AS src, COALESCE(a.delta, CAST(0.0 AS DOUBLE)) AS delta
+         |  FROM pn n CROSS JOIN $srcCte l
+         |  LEFT JOIN (
+         |    SELECT g.v AS node, g.src,
+         |      ${PS.dsum(PS.prnd("g.rt * (CAST(1.0 AS DOUBLE) + d.delta)", 9), 9)} AS delta
+         |    FROM ${pfx}dag2 g JOIN ${pfx}d${t - 1} d ON g.w = d.node AND g.src = d.src
+         |    GROUP BY g.v, g.src) a ON a.node = n.node AND a.src = l.node)""".stripMargin
+    }
+    val fin =
+      s"""${pfx}dl AS (SELECT node, src, CAST(floor(delta * 1e9 + 0.5) AS BIGINT) AS di
+         |  FROM ${pfx}d$dagIters WHERE node <> src)""".stripMargin
+    ((wd +: Seq(dag, sigBase)) ++ sig ++ Seq(dagR, dltBase) ++ dlt :+ fin)
+      .mkString(",\n")
+  }
+
   /** Probe slice (pn, pu) — MatStore-memoized so the error gate and the
     * tuning panel share ONE materialization of the slice (and of the
     * BFS / Brandes details below) per session.
@@ -3163,7 +3255,7 @@ object GraphOps {
       sharedUnd(s, dir)
         .join(broadcast(pn.select($"node".as("pa"))), $"node" === $"pa")
         .join(broadcast(pn.select($"node".as("pb"))), $"nb" === $"pb")
-        .select($"node", $"nb")
+        .select($"node", $"nb", $"weight")
     }
     (pn, pu)
   }
@@ -3247,6 +3339,96 @@ object GraphOps {
           floor($"delta" * 1e9 + 0.5).cast("long").as("di"))
     }
 
+  /** Row-based WEIGHTED-distance detail (src, node, d) from ALL probe
+    * nodes over the induced weighted probe edges, `rounds` synchronous
+    * Bellman-Ford relaxations — [[ceWdChain]]'s recurrence, memoized
+    * per round count (closeness_w reads [[ClWRounds]], betweenness_w
+    * [[BwWRounds]]). Exact BIGINT distances; bounded by ProbeN² rows.
+    */
+  private def probeWdDetail(s: SparkSession, dir: String, rounds: Int): DataFrame =
+    MatStore.of(s, s"ce_probe_wd$rounds:$dir") {
+      import s.implicits._
+      val (pn, pu) = probeRel(s, dir)
+      var d = pn.select($"node".as("src"), $"node", lit(0L).as("d")).ckpt
+      for (_ <- 1 to rounds) {
+        d = d.union(
+            pu.join(d.select($"src", $"node".as("pn2"), $"d"), $"nb" === $"pn2")
+              .select($"src", $"node", ($"d" + $"weight").as("d")))
+          .groupBy($"src", $"node").agg(min($"d").as("d"))
+          .ckpt
+      }
+      d
+    }
+
+  /** Row-based WEIGHTED Brandes detail (node, src, di = floor(δ·1e9+0.5))
+    * from ALL probe nodes — [[ceBwwChain]]'s three passes ([[BwWRounds]]
+    * weighted relax rounds, [[BwWDagIters]] σ forward and δ backward
+    * relaxations over the weighted shortest-path DAG), memoized once per
+    * session; exact and landmark accumulations are src-membership
+    * filters of this one relation ([[ceBwAgg]]).
+    */
+  private def probeBrandesWDetail(s: SparkSession, dir: String): DataFrame =
+    MatStore.of(s, s"ce_probe_brandes_w:$dir") {
+      import s.implicits._
+      val (pn, pu) = probeRel(s, dir)
+      val dW = probeWdDetail(s, dir, BwWRounds)
+      val sv = dW.select($"src", $"node".as("v"), $"d".as("dv"))
+      val sw = dW.select($"src".as("src2"), $"node".as("w"), $"d".as("dw"))
+      val dag = pu.join(sv, $"node" === $"v")
+        .join(sw, $"nb" === $"w" && $"src" === $"src2" && $"dw" === $"dv" + $"weight")
+        .select($"src", $"v", $"w").ckpt
+      val pinned = pn.select($"node".as("src"), $"node", lit(1L).as("sig"))
+      var sig = pinned.ckpt
+      for (_ <- 1 to BwWDagIters) {
+        sig = pinned.union(
+            dag.join(sig.select($"src".as("src3"), $"node".as("v2"), $"sig"),
+                $"src" === $"src3" && $"v" === $"v2")
+              .groupBy($"src", $"w").agg(sum($"sig").cast("long").as("sig"))
+              .select($"src", $"w".as("node"), $"sig"))
+          .ckpt
+      }
+      val sv2 = sig.select($"src".as("sa"), $"node".as("v2"), $"sig".as("sv"))
+      val sw2 = sig.select($"src".as("sb"), $"node".as("w2"), $"sig".as("sw"))
+      val dagR = dag.join(sv2, $"src" === $"sa" && $"v" === $"v2")
+        .join(sw2, $"src" === $"sb" && $"w" === $"w2")
+        .select($"src", $"v", $"w",
+          ($"sv".cast("double") / $"sw".cast("double")).as("rt"))
+        .ckpt
+      val dense = pn.select($"node").crossJoin(pn.select($"node".as("src2")))
+      var dlt = dense.select($"node", $"src2".as("src"), lit(0.0).as("delta")).ckpt
+      for (_ <- 1 to BwWDagIters) {
+        val agg = dagR.join(dlt.select($"node".as("w3"), $"src".as("src4"), $"delta"),
+            $"w" === $"w3" && $"src" === $"src4")
+          .groupBy($"v", $"src")
+          .agg(P.dsum(P.prnd($"rt" * (lit(1.0) + $"delta"), 9), 9).as("adelta"))
+          .select($"v".as("n2"), $"src".as("s2"), $"adelta")
+        dlt = dense.join(agg, $"node" === $"n2" && $"src2" === $"s2", "left")
+          .select($"node", $"src2".as("src"),
+            coalesce($"adelta", lit(0.0)).as("delta"))
+          .ckpt
+      }
+      dlt.filter($"node" =!= $"src")
+        .select($"node", $"src",
+          floor($"delta" * 1e9 + 0.5).cast("long").as("di"))
+    }
+
+  /** [[ceWClosTotSql]]'s Spark twin over the memoized weighted detail:
+    * per node, base − Σ over reached pairs with d < cap of (cap − d).
+    */
+  private def ceWClosTot(pn: DataFrame, d: DataFrame, srcs: Option[DataFrame],
+      base: Long): DataFrame = {
+    val s = pn.sparkSession
+    import s.implicits._
+    val det = srcs.map(l =>
+        d.join(broadcast(l.select($"node".as("lsrc"))), $"src" === $"lsrc"))
+      .getOrElse(d)
+    pn.join(det.select($"node", $"d"), Seq("node"), "left")
+      .groupBy($"node")
+      .agg((lit(base) - coalesce(
+        sum(when($"d" < ClWCap, lit(ClWCap) - $"d").otherwise(0L)),
+        lit(0L)).cast("long")).as("tot"))
+  }
+
   /** [[ceClosTotSql]]'s Spark twin over the memoized BFS detail. */
   private def ceClosTot(pn: DataFrame, d: DataFrame, srcs: Option[DataFrame],
       base: Long, rounds: Int): DataFrame = {
@@ -3310,6 +3492,16 @@ object GraphOps {
     *    one final divide), top-10 overlap, and mean/max absolute error
     *    between the comparable per-source-averaged values.
     *
+    * r18 adds the WEIGHTED rows (`closeness_w`, `betweenness_w`) — the
+    * reference's `distance='weight'` semantics
+    * (network_analysis.py:145-155), the last unmeasured estimators in
+    * the family: exact is all probe sources through [[probeWdDetail]] /
+    * [[probeBrandesWDetail]] (the production Bellman-Ford round caps
+    * and σ/δ DAG iteration bounds, so the gap isolates the K-source
+    * sampling error exactly as the unweighted rows do), landmark is the
+    * production max-degree K=[[ClLandmarks]]/[[BwLandmarks]] rule as a
+    * src-membership filter of the SAME weighted details.
+    *
     * Scale shape: every relation after the probe slice is bounded by
     * the CONSTANT ProbeN (≤ ProbeN² BFS pairs), so the gate costs the
     * same at any corpus scale; the slice itself is one top-K over the
@@ -3327,6 +3519,12 @@ object GraphOps {
        |${ceBwChain("bex", "pn", BwRounds)},
        |${ceBwAggSql("bibe", "bexdl", None)},
        |${ceBwAggSql("bibl", "bexdl", Some("plmkb"))},
+       |${ceWdChain("cwx", "pn", ClWRounds)},
+       |cwt AS MATERIALIZED (${ceWClosTotSql("cwx", None, s"(SELECT np FROM pnn) * $ClWCap", ClWRounds)}),
+       |cwl AS MATERIALIZED (${ceWClosTotSql("cwx", Some("plmkc"), s"${ClLandmarks * ClWCap}", ClWRounds)}),
+       |${ceBwwChain("bwx", "pn", BwWRounds, BwWDagIters)},
+       |${ceBwAggSql("bwbe", "bwxdl", None)},
+       |${ceBwAggSql("bwbl", "bwxdl", Some("plmkb"))},
        |crank AS MATERIALIZED (SELECT e.node,
        |    ROW_NUMBER() OVER (ORDER BY e.tot ASC, e.node ASC) AS re,
        |    ROW_NUMBER() OVER (ORDER BY l.tot ASC, l.node ASC) AS ra,
@@ -3339,10 +3537,26 @@ object GraphOps {
        |    CAST(e.ib AS DOUBLE) / 1e9 / CAST((SELECT np FROM pnn) AS DOUBLE) AS ve,
        |    CAST(l.ib AS DOUBLE) / 1e9 / CAST($BwLandmarks AS DOUBLE) AS va
        |  FROM bibe e JOIN bibl l ON e.node = l.node),
+       |cwrank AS MATERIALIZED (SELECT e.node,
+       |    ROW_NUMBER() OVER (ORDER BY e.tot ASC, e.node ASC) AS re,
+       |    ROW_NUMBER() OVER (ORDER BY l.tot ASC, l.node ASC) AS ra,
+       |    CAST((SELECT np FROM pnn) AS DOUBLE) / CAST(e.tot AS DOUBLE) AS ve,
+       |    CAST($ClLandmarks AS DOUBLE) / CAST(l.tot AS DOUBLE) AS va
+       |  FROM cwt e JOIN cwl l ON e.node = l.node),
+       |bwrank AS MATERIALIZED (SELECT e.node,
+       |    ROW_NUMBER() OVER (ORDER BY e.ib DESC, e.node ASC) AS re,
+       |    ROW_NUMBER() OVER (ORDER BY l.ib DESC, l.node ASC) AS ra,
+       |    CAST(e.ib AS DOUBLE) / 1e9 / CAST((SELECT np FROM pnn) AS DOUBLE) AS ve,
+       |    CAST(l.ib AS DOUBLE) / 1e9 / CAST($BwLandmarks AS DOUBLE) AS va
+       |  FROM bwbe e JOIN bwbl l ON e.node = l.node),
        |rep AS MATERIALIZED (
        |  ${ceReportSql("closeness", "crank")}
        |  UNION ALL
-       |  ${ceReportSql("betweenness", "brank")})
+       |  ${ceReportSql("betweenness", "brank")}
+       |  UNION ALL
+       |  ${ceReportSql("closeness_w", "cwrank")}
+       |  UNION ALL
+       |  ${ceReportSql("betweenness_w", "bwrank")})
        |SELECT metric, n_probe, spearman, top10_overlap, mean_abs_err, max_abs_err
        |FROM rep ORDER BY metric""".stripMargin) { (s, dir) =>
     import s.implicits._
@@ -3395,7 +3609,34 @@ object GraphOps {
         ($"ib_e".cast("double") / 1e9 / lit(np).cast("double")).as("ve"),
         ($"ib_l".cast("double") / 1e9 / lit(BwLandmarks).cast("double")).as("va"))
       .ckpt
+    // r18: the WEIGHTED legs (the reference's distance='weight'
+    // semantics) — same one-detail/membership-filter design; exact is
+    // all probe sources through the production round caps, landmark is
+    // the production max-degree K rule on the same detail
+    val dw = probeWdDetail(s, dir, ClWRounds)
+    val cwe = ceWClosTot(pn, dw, None, np * ClWCap)
+      .select($"node", $"tot".as("tot_e"))
+    val cwl = ceWClosTot(pn, dw, Some(lmkC), ClLandmarks.toLong * ClWCap)
+      .select($"node".as("node2"), $"tot".as("tot_l"))
+    val cwrank = cwe.join(cwl, $"node" === $"node2")
+      .select($"node",
+        row_number().over(Window.orderBy($"tot_e".asc, $"node".asc)).as("re"),
+        row_number().over(Window.orderBy($"tot_l".asc, $"node2".asc)).as("ra"),
+        (lit(np).cast("double") / $"tot_e".cast("double")).as("ve"),
+        (lit(ClLandmarks).cast("double") / $"tot_l".cast("double")).as("va"))
+      .ckpt
+    val dlw = probeBrandesWDetail(s, dir)
+    val bwe = ceBwAgg(pn, dlw, None).select($"node", $"ib".as("ib_e"))
+    val bwl = ceBwAgg(pn, dlw, Some(lmkB)).select($"node".as("node2"), $"ib".as("ib_l"))
+    val bwrank = bwe.join(bwl, $"node" === $"node2")
+      .select($"node",
+        row_number().over(Window.orderBy($"ib_e".desc, $"node".asc)).as("re"),
+        row_number().over(Window.orderBy($"ib_l".desc, $"node2".asc)).as("ra"),
+        ($"ib_e".cast("double") / 1e9 / lit(np).cast("double")).as("ve"),
+        ($"ib_l".cast("double") / 1e9 / lit(BwLandmarks).cast("double")).as("va"))
+      .ckpt
     report("closeness", crank).union(report("betweenness", brank))
+      .union(report("closeness_w", cwrank)).union(report("betweenness_w", bwrank))
       .orderBy($"metric")
   }
 
