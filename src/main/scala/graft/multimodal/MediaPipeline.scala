@@ -178,6 +178,77 @@ object MediaPipeline {
       .toDF("doc_id", "payload")
   }
 
+  /** Perceptual-hash grid geometry: [[DhashRows]]×[[DhashCols]] samples,
+    * ([[DhashCols]]−1) gradient bits per row → 4 rows × 15 bits = a
+    * 60-bit dHash. 60 bits (not the textbook 64) is deliberate: the
+    * signature stays positive in a signed BIGINT in both engines, and
+    * the 4×15 layout reuses `dd_simhash`'s pigeonhole banding verbatim
+    * (one band per grid row, Hamming ≤ 3 flips leave ≥ 1 band intact,
+    * 32,768 keys per band).
+    */
+  val DhashRows = 4
+  val DhashCols = 16
+
+  /** Integer dHash (difference hash) of one GRF1 payload: sample a
+    * [[DhashRows]]×[[DhashCols]] luminance grid from the decoded raster
+    * (nearest-neighbor at floor-mapped coordinates sy = r·h/4,
+    * sx = x·w/16 — the integer twin of [[resizeOne]]'s mapping; luma is
+    * the UNSCALED channel sum, gradient comparisons are scale-free), and
+    * set bit r·15+x iff grid(r, x+1) > grid(r, x). Pure integer
+    * arithmetic over the actual payload bytes — engine-portable by
+    * construction, and invariant to re-encoding and (approximately) to
+    * nearest-neighbor resize, which is exactly what the md5 frame
+    * detector (`mm_dup_frames`) cannot see. Malformed payloads hash to
+    * None (quarantine posture, as [[decodeOne]]).
+    */
+  private[graft] def dhashOne(payload: Array[Byte]): Option[Long] = {
+    val meta = decodeOne(0L, payload)
+    if (meta.format.startsWith("corrupt/")) None
+    else {
+      val (w, h, c) = (meta.width, meta.height, meta.channels)
+      def g(r: Int, x: Int): Long = {
+        val sy = r * h / DhashRows
+        val sx = x * w / DhashCols
+        var s = 0L
+        var ch = 0
+        while (ch < c) {
+          s += payload(HeaderBytes + (sy * w + sx) * c + ch) & 0xff
+          ch += 1
+        }
+        s
+      }
+      var hash = 0L
+      var r = 0
+      while (r < DhashRows) {
+        var x = 0
+        while (x < DhashCols - 1) {
+          if (g(r, x + 1) > g(r, x)) hash |= 1L << (r * (DhashCols - 1) + x)
+          x += 1
+        }
+        r += 1
+      }
+      Some(hash)
+    }
+  }
+
+  /** Batched partition-local dHash over (doc_id, payload) — the same
+    * mapPartitions shape as [[decode]]; corrupt payloads drop (their
+    * doc_ids stay visible through the decode/quarantine path).
+    */
+  def dhash(withPayloadDf: DataFrame): DataFrame = {
+    val spark = withPayloadDf.sparkSession
+    import spark.implicits._
+    withPayloadDf
+      .select(col("doc_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.grouped(BatchSize).flatMap { batch =>
+          batch.flatMap { case (id, p) => dhashOne(p).map(hh => (id, hh)) }
+        }
+      }
+      .toDF("doc_id", "phash")
+  }
+
   /** Batched partition-local decode: payloads grouped into fixed-size
     * batches (mirroring a real codec's batch API) and decoded in place.
     */

@@ -1,5 +1,7 @@
 package graft.operators
 
+import graft.Ckpt._
+import graft.multimodal.MediaPipeline
 import graft.{QueryDef, Tables}
 import graft.functions.{Portable => P, PortableSql => PS}
 import org.apache.spark.sql.functions._
@@ -212,5 +214,131 @@ object Multimodal {
       .orderBy($"doc_id")
   }
 
-  val defs: Seq[QueryDef] = Seq(binaryMeta, frameIndex, dupFrames, decodeMeta)
+  /** Banded near-dup pairing over per-payload perceptual hashes
+    * (doc_id, phash): one band per dHash grid row (15 bits, the
+    * `dd_simhash` pigeonhole layout), the shared salted [[Dedup
+    * .MaxBucket]] candidate cap, exact 60-bit Hamming verify ≤
+    * [[Dedup.HammingMax]] on candidates only. Factored so the planted
+    * spec can run it over constructed payloads.
+    */
+  def phashPairs(sig: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val s = sig.sparkSession
+    import s.implicits._
+    val bands = sig.select($"doc_id",
+      explode(array((0 until MediaPipeline.DhashRows).map(b =>
+        struct(lit(b).as("band"),
+          shiftright($"phash", b * (MediaPipeline.DhashCols - 1))
+            .bitwiseAND((1 << (MediaPipeline.DhashCols - 1)) - 1).as("bkey"))): _*)).as("bb"))
+      .select($"doc_id", $"bb.band".as("band"), $"bb.bkey".as("bkey"))
+    Dedup.lshCandidates(bands)
+      .join(sig.select($"doc_id".as("doc_a"), $"phash".as("ha")), "doc_a")
+      .join(sig.select($"doc_id".as("doc_b"), $"phash".as("hb")), "doc_b")
+      .select($"doc_a", $"doc_b", expr("graft_hamming(ha, hb)").as("hamming"))
+      .filter($"hamming" <= Dedup.HammingMax)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Perceptual near-dup frames (r17 verdict item 2) — the detector
+    * `mm_dup_frames`' exact-md5 identity CANNOT be: a re-encoded,
+    * resized, or slightly-perturbed duplicate changes every byte digest
+    * but barely moves the luminance gradients. Each payload is decoded
+    * through the REAL GRF1 codec path and perceptually hashed
+    * ([[MediaPipeline.dhashOne]]: 4×16 nearest-neighbor luma grid,
+    * 60 gradient bits), then paired via the `dd_simhash` machinery —
+    * 4×15-bit pigeonhole bands (Hamming ≤ 3 recall guaranteed), the
+    * shared salted bucket cap, exact Hamming verify on candidates only.
+    * The oracle RE-DERIVES every hash arithmetically (header dims from
+    * the content digest, raster bytes = UTF-8 bytes cycled — integer
+    * gradient comparisons end to end), so the codec-path hash is
+    * hash-checked against an independent formulation, the
+    * `mm_decode_meta` posture.
+    *
+    * Scale shape: hashing is a narrow in-partition map over the payload
+    * bytes (no shuffle); banding explodes 4 constant rows per payload;
+    * the candidate self-join is bucket-bounded exactly like
+    * `dd_simhash` — never quadratic in the corpus.
+    *
+    * The report is PER PAYLOAD (n_near_dup, min partner/Hamming), never
+    * empty — on this corpus the sf0.01 slice has no payload-level
+    * near-dups (dims derive from md5(text), so text near-dups decode to
+    * different rasters; zero exact text dups at sf0.01), and the
+    * all-zero n_near_dup column is a measured property of the corpus,
+    * not a silent no-op: sf0.1's 8 exact-dup text groups pair here with
+    * Hamming 0, and the planted spec proves a re-encoded + resized and
+    * a noise-perturbed duplicate pair perceptually while the md5
+    * detector misses both (the `sent_lexicon_sens` vacuity discipline).
+    */
+  val phashDup = QueryDef(
+    "mm_phash_dup", {
+      val R = MediaPipeline.DhashRows
+      val C = MediaPipeline.DhashCols
+      val bandBits = C - 1
+      def hexByte(pos: String) =
+        s"""(strpos('0123456789abcdef', substr(ph, CAST($pos * 2 + 1 AS BIGINT), 1)) - 1) * 16
+           | + (strpos('0123456789abcdef', substr(ph, CAST($pos * 2 + 2 AS BIGINT), 1)) - 1)""".stripMargin
+      s"""WITH d AS MATERIALIZED (SELECT doc_id, md5(text) AS dg,
+         |    lower(hex(encode(text))) AS ph,
+         |    CAST(octet_length(encode(text)) AS BIGINT) AS len FROM documents),
+         |phdr AS MATERIALIZED (SELECT doc_id, ph, len,
+         |    CAST(16 + ${PS.hexToLong("dg", 1, 2)} % 48 AS BIGINT) AS w,
+         |    CAST(16 + ${PS.hexToLong("dg", 3, 2)} % 48 AS BIGINT) AS h,
+         |    CAST(CASE WHEN ${PS.hexToLong("dg", 5, 2)} % 2 = 0 THEN 1 ELSE 3 END AS BIGINT) AS c
+         |  FROM d),
+         |pgs AS MATERIALIZED (SELECT doc_id, ph, len, c, r, x,
+         |    ((r * h) // $R * w + (x * w) // $C) * c AS base
+         |  FROM phdr, generate_series(0, ${R - 1}) tr(r), generate_series(0, ${C - 1}) tx(x)
+         |  WHERE len > 0),
+         |pgv AS MATERIALIZED (SELECT doc_id, r, x,
+         |    CAST(SUM(${hexByte("((base + ch) % len)")}) AS BIGINT) AS g
+         |  FROM pgs, generate_series(0, 2) tc(ch) WHERE ch < c GROUP BY doc_id, r, x),
+         |pbits AS MATERIALIZED (SELECT a.doc_id, a.r, a.x,
+         |    CASE WHEN b.g > a.g THEN 1 ELSE 0 END AS bit
+         |  FROM pgv a JOIN pgv b ON b.doc_id = a.doc_id AND b.r = a.r AND b.x = a.x + 1
+         |  WHERE a.x < ${bandBits}),
+         |psig AS MATERIALIZED (
+         |  SELECT doc_id,
+         |    CAST(SUM(CAST(bit AS BIGINT) << CAST(r * $bandBits + x AS INT)) AS BIGINT) AS s
+         |  FROM pbits GROUP BY doc_id
+         |  UNION ALL
+         |  SELECT doc_id, CAST(0 AS BIGINT) AS s FROM phdr WHERE len = 0),
+         |pb AS MATERIALIZED (SELECT doc_id, b AS band,
+         |    (s >> CAST(b * $bandBits AS INT)) & ${(1 << bandBits) - 1} AS bkey
+         |  FROM psig, generate_series(0, ${R - 1}) t(b)),
+         |${Dedup.saltedCapSql("pcap", "pb", "doc_id")},
+         |pcand AS MATERIALIZED (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM pcap a JOIN pcap b ON a.band = b.band AND a.bkey = b.bkey
+         |    AND a.salt = b.salt AND a.doc_id < b.doc_id),
+         |ppairs AS MATERIALIZED (
+         |  SELECT c.doc_a, c.doc_b, CAST(bit_count(xor(sa.s, sb2.s)) AS INTEGER) AS hamming
+         |  FROM pcand c
+         |  JOIN psig sa ON sa.doc_id = c.doc_a
+         |  JOIN psig sb2 ON sb2.doc_id = c.doc_b
+         |  WHERE bit_count(xor(sa.s, sb2.s)) <= ${Dedup.HammingMax}),
+         |pboth AS MATERIALIZED (
+         |  SELECT doc_a AS doc_id, doc_b AS partner, hamming FROM ppairs
+         |  UNION ALL
+         |  SELECT doc_b AS doc_id, doc_a AS partner, hamming FROM ppairs)
+         |SELECT d.doc_id, CAST(COUNT(p.partner) AS BIGINT) AS n_near_dup,
+         |  MIN(p.partner) AS min_partner,
+         |  CAST(MIN(p.hamming) AS INTEGER) AS min_hamming
+         |FROM d LEFT JOIN pboth p USING (doc_id)
+         |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin
+    }) { (s, dir) =>
+    import s.implicits._
+    val sig = MediaPipeline.dhash(
+      MediaPipeline.withPayload(Tables.documents(s, dir))).ckpt
+    val pairs = phashPairs(sig).ckpt
+    val both = pairs.select($"doc_a".as("doc_id"), $"doc_b".as("partner"), $"hamming")
+      .union(pairs.select($"doc_b".as("doc_id"), $"doc_a".as("partner"), $"hamming"))
+    Tables.documents(s, dir).select($"doc_id")
+      .join(both, Seq("doc_id"), "left")
+      .groupBy($"doc_id")
+      .agg(count($"partner").as("n_near_dup"),
+        min($"partner").as("min_partner"),
+        min($"hamming").as("min_hamming"))
+      .orderBy($"doc_id")
+  }
+
+  val defs: Seq[QueryDef] = Seq(binaryMeta, frameIndex, dupFrames, decodeMeta,
+    phashDup)
 }

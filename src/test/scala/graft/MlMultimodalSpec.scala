@@ -260,4 +260,68 @@ class MlMultimodalSpec extends GraftSuite {
       }
     }
   }
+
+  test("mm_phash_dup: perceptual dHash pairs resized and perturbed duplicates the md5 detector misses") {
+    import operators.{Dedup, Multimodal}
+    def md5hex(p: Array[Byte]): String = java.security.MessageDigest
+      .getInstance("MD5").digest(p).map("%02x".format(_)).mkString
+    // corpus payloads big enough that resize(32) actually re-encodes
+    val cand = MediaPipeline.withPayload(
+        Tables.documents(spark, sfDir).filter(col("doc_id") < 100))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Array[Byte]]("payload"))
+      .filter { case (_, p) =>
+        val m = MediaPipeline.decode(
+          spark.createDataFrame(Seq((0L, p))).toDF("doc_id", "payload")).head()
+        math.max(m.width, m.height) > 32
+      }.sortBy(_._1)
+    assert(cand.nonEmpty, "corpus must contain payloads above the resize bound")
+    // deterministic plant: the first big payload whose nearest-neighbor
+    // downscale stays within the Hamming radius (resize is APPROXIMATELY
+    // dHash-invariant — the two floor-mapped samplings can disagree on a
+    // few gradient bits, so the detector's contract is existential:
+    // resized duplicates land within radius for real payloads, which the
+    // md5 identity can never do)
+    def dhashOf(p: Array[Byte]): Long = MediaPipeline.dhash(
+      spark.createDataFrame(Seq((0L, p))).toDF("doc_id", "payload"))
+      .head().getLong(1)
+    val planted = cand.iterator.map { case (id, p) =>
+      val rz = MediaPipeline.resize(
+          spark.createDataFrame(Seq((0L, p))).toDF("doc_id", "payload"), 32)
+        .head().getAs[Array[Byte]]("payload")
+      (id, p, rz, java.lang.Long.bitCount(dhashOf(p) ^ dhashOf(rz)))
+    }.find(_._4 <= Dedup.HammingMax)
+    assert(planted.nonEmpty, "no big payload resized within the Hamming radius")
+    val (docId, payload, resized, hamRz) = planted.get
+    assert(resized.length != payload.length, "resize must have re-encoded")
+    // noise plant: bump raster bytes OFF the 4x16 sampled grid — the
+    // perceptual hash is exactly invariant, the md5 changes
+    val meta = MediaPipeline.decode(
+      spark.createDataFrame(Seq((0L, payload))).toDF("doc_id", "payload")).head()
+    val (w, h, c) = (meta.width, meta.height, meta.channels)
+    val sampled = (for {
+      r <- 0 until MediaPipeline.DhashRows; x <- 0 until MediaPipeline.DhashCols
+      ch <- 0 until c
+    } yield ((r * h / MediaPipeline.DhashRows) * w + (x * w / MediaPipeline.DhashCols)) * c + ch).toSet
+    val noisy = payload.clone()
+    val offGrid = (0 until w * h * c).filterNot(sampled).take(3)
+    assert(offGrid.size === 3)
+    offGrid.foreach { i =>
+      noisy(MediaPipeline.HeaderBytes + i) =
+        ((noisy(MediaPipeline.HeaderBytes + i) + 1) & 0xff).toByte
+    }
+    // the exact-identity detector (mm_dup_frames' md5 rule) sees three
+    // DISTINCT payloads — it cannot pair any of them
+    assert(Seq(payload, resized, noisy).map(md5hex).distinct.length === 3)
+    // the perceptual detector pairs both duplicates with the original
+    val df = spark.createDataFrame(Seq((1L, payload), (2L, resized), (3L, noisy)))
+      .toDF("doc_id", "payload")
+    val pairs = Multimodal.phashPairs(MediaPipeline.dhash(df)).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) ->
+        r.getAs[Int]("hamming")).toMap
+    assert(pairs.get((1L, 3L)).contains(0),
+      s"off-grid noise must leave the hash bit-identical (doc $docId): $pairs")
+    assert(pairs.contains((1L, 2L)) && pairs((1L, 2L)) === hamRz &&
+      hamRz <= Dedup.HammingMax,
+      s"resized duplicate must pair within the radius (doc $docId): $pairs")
+  }
 }
