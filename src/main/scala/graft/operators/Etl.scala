@@ -317,10 +317,22 @@ object Etl {
        |FROM a GROUP BY source, seq_id
        |ORDER BY source, seq_id""".stripMargin) { (s, dir) =>
     import s.implicits._
-    import org.apache.spark.sql.expressions.Window
     val t = Tables.documents(s, dir)
       .select($"doc_id", $"source", size(split($"text", " ")).cast("long").as("wc"))
-      .withColumn("bkt", expr(s"doc_id div $PackBucketDocs"))
+    packOver(t)
+  }
+
+  /** The two-level-prefix-sum packing over an arbitrary per-doc token
+    * mass relation t0(doc_id, source, wc) — factored (r18) so the same
+    * packing serves the whitespace mass (`etl_pack_sequences`) and the
+    * corpus-learned BPE subword mass (`etl_pack_bpe`); see
+    * [[packSequences]] for the scale rationale.
+    */
+  private def packOver(t0: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val s = t0.sparkSession
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val t = t0.withColumn("bkt", expr(s"doc_id div $PackBucketDocs"))
     // level 1: exclusive prefix within each bounded (source, bucket)
     val w1 = Window.partitionBy($"source", $"bkt").orderBy($"doc_id")
       .rowsBetween(Window.unboundedPreceding, -1)
@@ -340,6 +352,41 @@ object Etl {
       .agg(P.cnt.as("n_docs"), sum($"wc").as("n_tokens"),
         sum(when($"crossing", 1L).otherwise(0L)).as("n_crossing"))
       .orderBy($"source", $"seq_id")
+  }
+
+  /** [[packSequences]] priced in SUBWORD tokens (r17 verdict item 3
+    * stretch): identical two-level-prefix packing, but each doc's mass
+    * is its BPE subword count under the corpus-learned merges
+    * ([[TextAnalysis.bpeDocMass]] — the session-shared learner) instead
+    * of the whitespace count. This is the form a real pipeline packs
+    * in: window boundaries land on model-token budget, not whitespace
+    * estimate. Same oracle chain with the learner CTEs prepended; the
+    * packing arithmetic stays exact BIGINT.
+    */
+  val packBpe = QueryDef(
+    "etl_pack_bpe",
+    s"""WITH ${graft.operators.TextAnalysis.bpeMassSql},
+       |t AS MATERIALIZED (SELECT d.doc_id, d.source,
+       |    COALESCE(a.n_subwords, CAST(0 AS BIGINT)) AS wc
+       |  FROM documents d LEFT JOIN bag a USING (doc_id)),
+       |o AS MATERIALIZED (SELECT doc_id, source, wc,
+       |    CAST(COALESCE(SUM(wc) OVER (PARTITION BY source ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS off
+       |  FROM t),
+       |a2 AS MATERIALIZED (SELECT source, CAST(off // $PackSeqLen AS BIGINT) AS seq_id, wc,
+       |    ((off + wc - 1) // $PackSeqLen) > (off // $PackSeqLen) AS crossing
+       |  FROM o)
+       |SELECT source, seq_id, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(wc) AS BIGINT) AS n_tokens,
+       |  CAST(SUM(CASE WHEN crossing THEN 1 ELSE 0 END) AS BIGINT) AS n_crossing
+       |FROM a2 GROUP BY source, seq_id
+       |ORDER BY source, seq_id""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val mass = graft.operators.TextAnalysis.bpeDocMass(s, dir)
+      .select($"doc_id", $"n_subwords".as("wc"))
+    val t = Tables.documents(s, dir).select($"doc_id", $"source")
+      .join(mass, Seq("doc_id"))
+    packOver(t)
   }
 
   /** SCD Type-2 history build — the change-tracked dimension a warehouse
@@ -898,5 +945,5 @@ object Etl {
   val defs: Seq[QueryDef] = Seq(cleanText, filterEnrich, dedupIngest, parseJson,
     sessionize, stratifiedSample, corpusPrep, compactLatest, packSequences, scd2,
     weightedSample, chunkOverlap, splitTrainVal, shardShuffle, profileColumns,
-    winsorize, relevanceGate, mixtureSchedule, profileDrift)
+    winsorize, relevanceGate, mixtureSchedule, profileDrift, packBpe)
 }

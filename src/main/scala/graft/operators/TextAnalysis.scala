@@ -974,8 +974,191 @@ object TextAnalysis {
       .orderBy($"doc_id")
   }
 
+  // ------------------------------------------------------------- BPE (r18)
+
+  /** Number of BPE merge rounds — a CONSTANT, so the oracle unrolls the
+    * learner statically (the `gr_louvain_ml` level discipline) and the
+    * Spark side's per-round plans stay fixed-size.
+    */
+  val BpeMerges = 8
+
+  /** One unrolled BPE merge round `bseg<r-1>` → `bseg<r>`: corpus pair
+    * counts (exact BIGINT, every adjacent position counted), the argmax
+    * pair with ties broken lexicographically (cnt DESC, s1, s2 — exact
+    * integer + binary-collation comparisons, so both engines pick the
+    * identical pair), then the standard greedy left-to-right merge
+    * application. Greedy selection is the gaps-and-islands evenness
+    * rule: adjacent match positions only arise when s1 = s2 (a run of
+    * equal symbols), and within each maximal run the 1st, 3rd, …
+    * matches merge while the LAG guard drops the consumed right-hand
+    * positions — exactly the textbook non-overlapping left-to-right
+    * semantics.
+    */
+  private def bpeRoundSql(r: Int): String = {
+    val p = r - 1
+    s"""bpc$r AS MATERIALIZED (SELECT a.sym AS s1, b.sym AS s2, CAST(SUM(v.freq) AS BIGINT) AS cnt
+       |  FROM bseg$p a JOIN bseg$p b ON a.word = b.word AND b.pos = a.pos + 1
+       |  JOIN bvf v ON v.word = a.word
+       |  GROUP BY 1, 2),
+       |bbst$r AS MATERIALIZED (SELECT s1, s2 FROM bpc$r ORDER BY cnt DESC, s1, s2 LIMIT 1),
+       |bmk$r AS (SELECT a.word, a.pos, a.sym, b.sym AS nxt,
+       |    CASE WHEN a.sym = bs.s1 AND b.sym = bs.s2 THEN 1 ELSE 0 END AS m
+       |  FROM bseg$p a
+       |  LEFT JOIN bseg$p b ON a.word = b.word AND b.pos = a.pos + 1
+       |  LEFT JOIN bbst$r bs ON TRUE),
+       |bisl$r AS (SELECT word, pos, sym, nxt, m,
+       |    pos - ROW_NUMBER() OVER (PARTITION BY word, m ORDER BY pos) AS grp
+       |  FROM bmk$r),
+       |bsel$r AS (SELECT word, pos, sym, nxt, m,
+       |    CASE WHEN m = 1 AND ROW_NUMBER() OVER (PARTITION BY word, m, grp ORDER BY pos) % 2 = 1
+       |      THEN 1 ELSE 0 END AS mg
+       |  FROM bisl$r),
+       |blg$r AS (SELECT word, pos, sym, nxt, mg,
+       |    COALESCE(LAG(mg) OVER (PARTITION BY word ORDER BY pos), 0) AS pmg
+       |  FROM bsel$r),
+       |bseg$r AS MATERIALIZED (SELECT word,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY word ORDER BY pos) - 1 AS BIGINT) AS pos,
+       |    CASE WHEN mg = 1 THEN sym || nxt ELSE sym END AS sym
+       |  FROM blg$r WHERE pmg = 0)""".stripMargin
+  }
+
+  /** Learn [[BpeMerges]]-round BPE segmentations over a vocabulary
+    * relation (word, freq) — the Spark twin of the unrolled
+    * [[bpeRoundSql]] chain. State is VOCABULARY-sized ((word, pos, sym)
+    * rows, one per surviving symbol): merges never touch the corpus,
+    * only the vocab, so the learner costs the same whether the corpus
+    * is 1 GB or 100 TB — the corpus pays exactly one token-keyed join
+    * against the final segmentation's per-word symbol counts. The
+    * argmax pair each round is a 1-row relation broadcast into the
+    * match projection (never collected); windows all partition by
+    * `word`, so each round is one pair-count aggregate + one
+    * word-partitioned window chain.
+    */
+  private[graft] def bpeSeg(vf: org.apache.spark.sql.DataFrame,
+      merges: Int): org.apache.spark.sql.DataFrame = {
+    val s = vf.sparkSession
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    var seg = vf.select($"word", explode(sequence(lit(1), length($"word"))).as("i"))
+      .select($"word", ($"i" - 1).cast("long").as("pos"),
+        expr("substring(word, i, 1)").as("sym"))
+      .ckpt
+    for (_ <- 1 to merges) {
+      val nxt = seg.select($"word".as("w2"), $"pos".as("p2"), $"sym".as("nxt"))
+      val pc = seg.join(nxt, $"word" === $"w2" && $"p2" === $"pos" + 1)
+        .join(vf.select($"word".as("w3"), $"freq"), $"word" === $"w3")
+        .groupBy($"sym", $"nxt").agg(sum($"freq").cast("long").as("cnt"))
+        .select($"sym".as("s1"), $"nxt".as("s2"), $"cnt")
+      val best = pc.orderBy($"cnt".desc, $"s1".asc, $"s2".asc).limit(1)
+        .select($"s1".as("bs1"), $"s2".as("bs2"))
+      val mk = seg.join(nxt, $"word" === $"w2" && $"p2" === $"pos" + 1, "left")
+        .join(broadcast(best), lit(true), "left")
+        .select($"word", $"pos", $"sym", $"nxt",
+          when($"sym" === $"bs1" && $"nxt" === $"bs2", 1).otherwise(0).as("m"))
+      val isl = mk.withColumn("grp",
+        $"pos" - row_number().over(Window.partitionBy($"word", $"m").orderBy($"pos")))
+      val sel = isl.withColumn("mg",
+        when($"m" === 1 && row_number()
+          .over(Window.partitionBy($"word", $"m", $"grp").orderBy($"pos")) % 2 === 1, 1)
+          .otherwise(0))
+      val lg = sel.withColumn("pmg",
+        coalesce(lag($"mg", 1).over(Window.partitionBy($"word").orderBy($"pos")), lit(0)))
+      seg = lg.filter($"pmg" === 0)
+        .select($"word", $"pos".as("opos"),
+          when($"mg" === 1, concat($"sym", $"nxt")).otherwise($"sym").as("sym"))
+        .select($"word",
+          (row_number().over(Window.partitionBy($"word").orderBy($"opos")) - 1)
+            .cast("long").as("pos"),
+          $"sym")
+        .ckpt
+    }
+    seg
+  }
+
+  /** Deterministic corpus-learned BPE (r17 verdict item 3): every token
+    * economy in the engine priced sequences in whitespace tokens;
+    * real pipelines pack/mix/sample in SUBWORD tokens. Learn
+    * [[BpeMerges]] merges from corpus pair counts (exact integers, ties
+    * by lexicographic pair — fully deterministic, so the DuckDB oracle
+    * replays the identical merge sequence through [[bpeRoundSql]]'s
+    * statically-unrolled rounds), segment the vocabulary, and report
+    * per doc the whitespace token count, the subword token count under
+    * the learned merges, and their ratio — the corpus-calibrated twin
+    * of `tx_token_count`'s chars/4 `bpe_est`.
+    *
+    * No end-of-word marker: merges act within words (token boundaries
+    * are already whitespace), declared rather than modeled. Pair counts
+    * count every adjacent position (runs of 'aa' in "aaa" count twice)
+    * — the ranking statistic, not the merge result, which applies
+    * greedily left-to-right as in the reference BPE.
+    */
+  /** Oracle CTE chain `bdt`..`bag` — doc tokens, vocab, the
+    * [[BpeMerges]] unrolled merge rounds, per-word subword counts, and
+    * the per-doc mass aggregate bag(doc_id, n_tokens, n_subwords).
+    * Shared by `tx_bpe_encode` and `etl_pack_bpe` so both oracles run
+    * the IDENTICAL learner.
+    */
+  private[operators] val bpeMassSql: String = {
+    val rounds = (1 to BpeMerges).map(bpeRoundSql).mkString(",\n")
+    s"""bdt AS MATERIALIZED (SELECT doc_id, w FROM (
+       |    SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+       |  WHERE w <> ''),
+       |bvf AS MATERIALIZED (SELECT w AS word, CAST(COUNT(*) AS BIGINT) AS freq
+       |  FROM bdt GROUP BY w),
+       |bseg0 AS MATERIALIZED (SELECT word, CAST(i - 1 AS BIGINT) AS pos,
+       |    substr(word, CAST(i AS BIGINT), 1) AS sym
+       |  FROM (SELECT word, unnest(generate_series(1, len(word))) AS i FROM bvf)),
+       |$rounds,
+       |bns AS MATERIALIZED (SELECT word, CAST(COUNT(*) AS BIGINT) AS n_sub
+       |  FROM bseg$BpeMerges GROUP BY word),
+       |bag AS MATERIALIZED (SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       |    CAST(SUM(n.n_sub) AS BIGINT) AS n_subwords
+       |  FROM bdt t JOIN bns n ON n.word = t.w GROUP BY t.doc_id)""".stripMargin
+  }
+
+  /** Per-doc BPE token mass (doc_id, n_tokens, n_subwords; zero for
+    * token-less docs) — MatStore-memoized so `tx_bpe_encode` and
+    * `etl_pack_bpe` share ONE learner run per session (the sharedUnd
+    * discipline).
+    */
+  private[operators] def bpeDocMass(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    graft.MatStore.of(s, s"tx_bpe_mass:$dir") {
+      import s.implicits._
+      val toks = Tables.documents(s, dir)
+        .select($"doc_id", explode(split($"text", " ")).as("w"))
+        .filter($"w" =!= "").ckpt
+      val vf = toks.groupBy($"w").agg(P.cnt.as("freq"))
+        .select($"w".as("word"), $"freq").ckpt
+      val nsub = bpeSeg(vf, BpeMerges).groupBy($"word").agg(P.cnt.as("n_sub"))
+      val agg = toks.join(nsub, $"w" === $"word")
+        .groupBy($"doc_id")
+        .agg(P.cnt.as("n_tokens"), sum($"n_sub").cast("long").as("n_subwords"))
+      Tables.documents(s, dir).select($"doc_id")
+        .join(agg, Seq("doc_id"), "left")
+        .select($"doc_id",
+          coalesce($"n_tokens", lit(0L)).as("n_tokens"),
+          coalesce($"n_subwords", lit(0L)).as("n_subwords"))
+    }
+
+  val bpeEncode = QueryDef(
+    "tx_bpe_encode",
+    s"""WITH $bpeMassSql
+       |SELECT d.doc_id, COALESCE(a.n_tokens, CAST(0 AS BIGINT)) AS n_tokens,
+       |  COALESCE(a.n_subwords, CAST(0 AS BIGINT)) AS n_subwords,
+       |  ${PS.prnd("CASE WHEN a.n_tokens > 0 THEN CAST(a.n_subwords AS DOUBLE) / a.n_tokens END", 6)} AS subword_ratio
+       |FROM documents d LEFT JOIN bag a USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    bpeDocMass(s, dir)
+      .select($"doc_id", $"n_tokens", $"n_subwords",
+        P.prnd(when($"n_tokens" > 0, $"n_subwords".cast("double") / $"n_tokens"), 6)
+          .as("subword_ratio"))
+      .orderBy($"doc_id")
+  }
+
   val defs: Seq[QueryDef] = Seq(langId, quality, tokenCount, fingerprint,
     contamination, ngramStats, keyterms, hashedFeatures, vocabGrowth,
     termDrift, repetition, boilerplate, corpusMixture, piiScrub, lmScore,
-    gopherRules, langidConfusion, charDiversity, ngramNovelty)
+    gopherRules, langidConfusion, charDiversity, ngramNovelty, bpeEncode)
 }

@@ -505,4 +505,45 @@ class TextSentimentSpec extends GraftSuite {
     assert(got.values.map(_.getAs[Double]("share_base")).sum === 1.0)
     assert(got.values.map(_.getAs[Double]("share_batch")).sum === 1.0)
   }
+
+  test("tx_bpe_encode: hand-computed merges — run greedy, multi-site apply, lexicographic ties") {
+    import spark.implicits._
+    // planted vocab: aaaa(2) exercises greedy left-to-right on an equal-
+    // symbol run; banana(2)/bani(1) exercise multi-site application; the
+    // 4th round plants a THREE-way count tie resolved lexicographically
+    val vf = Seq(("aaaa", 2L), ("banana", 2L), ("bani", 1L)).toDF("word", "freq")
+    def segOf(m: Int): Map[String, Seq[String]] =
+      operators.TextAnalysis.bpeSeg(vf, m).collect()
+        .groupBy(_.getAs[String]("word"))
+        .map { case (w, rs) =>
+          w -> rs.sortBy(_.getAs[Long]("pos")).map(_.getAs[String]("sym")).toSeq }
+    // round 1: (a,a) wins (count 6 = 3 adjacent positions x freq 2);
+    // greedy pairs the run left-to-right -> [aa, aa], never [a, aa, a]
+    assert(segOf(1) === Map(
+      "aaaa" -> Seq("aa", "aa"),
+      "banana" -> Seq("b", "a", "n", "a", "n", "a"),
+      "bani" -> Seq("b", "a", "n", "i")))
+    // round 2: (a,n) wins (count 5), applied at BOTH banana sites
+    val s2 = segOf(2)
+    assert(s2("banana") === Seq("b", "an", "an", "a"))
+    assert(s2("bani") === Seq("b", "an", "i"))
+    // round 3: (b,an) wins (count 3)
+    assert(segOf(3)("banana") === Seq("ban", "an", "a"))
+    // round 4: (aa,aa), (an,a), (ban,an) all count 2 — the tie-break
+    // must pick the lexicographically smallest pair (aa,aa)
+    val s4 = segOf(4)
+    assert(s4("aaaa") === Seq("aaaa"))
+    assert(s4("banana") === Seq("ban", "an", "a"))
+    assert(s4("bani") === Seq("ban", "i"))
+    // corpus query invariants: >= 1 subword per whitespace token, and
+    // the ratio column is exactly the half-up-rounded quotient
+    val rows = run("tx_bpe_encode").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (t, sw) = (r.getAs[Long]("n_tokens"), r.getAs[Long]("n_subwords"))
+      assert(sw >= t, s"merges cannot go below one subword per token: $r")
+      if (t > 0) assert(r.getAs[Double]("subword_ratio") ===
+        math.floor(sw.toDouble / t * 1e6 + 0.5) / 1e6)
+    }
+  }
 }
