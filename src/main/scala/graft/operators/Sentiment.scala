@@ -294,7 +294,7 @@ object Sentiment {
     * stage labels (one labeler, never a drifting copy). `def`s so object
     * init order can never null the interpolation.
     */
-  private[operators] def labeledShared(s: SparkSession, dir: String): DataFrame =
+  private[graft] def labeledShared(s: SparkSession, dir: String): DataFrame =
     labeledDf(s, dir, VaderLexicon.Entries,
       VaderLexicon.PosWords, VaderLexicon.NegWords)
   private[operators] def labeledSharedCte(alias: String): String =

@@ -92,6 +92,61 @@ class MlMultimodalSpec extends GraftSuite {
     val ranked = SentimentPipeline.compareClassifiers(Tables.documents(spark, sfDir))
     assert(ranked.map(_._1).toSet === Set("lr", "rf", "nb"))
     assert(ranked.forall { case (_, a) => a >= 0.0 && a <= 1.0 })
+    // r17 verdict item 4: the comparison as DATA, not just "it trains" —
+    // the reference's headline deliverable prints the three accuracies
+    // (spark_ml_sentiment.py:216-296). Deterministic split (seed 42),
+    // floors pinned under the measured values (recorded in SURVEY §2d)
+    // so a feature or labeler regression fails the build.
+    val acc = ranked.toMap
+    assert(acc("lr") >= 0.90, s"lr accuracy regressed: $acc")
+    assert(acc("rf") >= 0.80, s"rf accuracy regressed: $acc")
+    assert(acc("nb") >= 0.55, s"nb accuracy regressed: $acc")
+    info(s"classifier panel (seed 42): $acc")
+  }
+
+  test("sent_nb_eval's exact-NB agrees with MLlib NaiveBayes on the CORPUS split") {
+    // r17 verdict item 4, second half: the planted-corpus agreement spec
+    // proves the model math; this proves it on the REAL corpus and the
+    // REAL md5 80/20 split sent_nb_eval gates on — per-doc prediction
+    // identity, hence identical accuracy.
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir)
+    val base = docs.select($"doc_id", $"text")
+      .join(operators.Sentiment.labeledShared(spark, sfDir)
+        .select($"doc_id", $"label"), "doc_id")
+      .withColumn("bucket",
+        graft.functions.Portable.hexToLong(md5($"doc_id".cast("string")), 1, 8) % 100)
+    val train = base.filter($"bucket" < 80)
+    val vald = base.filter($"bucket" >= 80)
+    val mine = operators.Sentiment.nbPredict(train, vald).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("true_label"), r.getAs[String]("pred_label"))).toMap
+    // MLlib twin on the same split: raw token counts into
+    // NaiveBayes(smoothing = 1) — no IDF, no side features
+    val li = when($"label" === "negative", 0.0)
+      .when($"label" === "neutral", 1.0).otherwise(2.0)
+    val trainW = train.withColumn("words", split($"text", " ")).withColumn("li", li)
+    val valdW = vald.withColumn("words", split($"text", " "))
+    val cv = new org.apache.spark.ml.feature.CountVectorizer()
+      .setInputCol("words").setOutputCol("features").fit(trainW)
+    val nb = new org.apache.spark.ml.classification.NaiveBayes()
+      .setSmoothing(1.0).setFeaturesCol("features").setLabelCol("li")
+      .fit(cv.transform(trainW))
+    val back = Map(0.0 -> "negative", 1.0 -> "neutral", 2.0 -> "positive")
+    val mllib = nb.transform(cv.transform(valdW))
+      .select($"doc_id", $"prediction").collect()
+      .map(r => r.getLong(0) -> back(r.getDouble(1))).toMap
+    assert(mine.keySet === mllib.keySet)
+    val diverged = mine.collect {
+      case (id, (_, p)) if mllib(id) != p => id -> (p, mllib(id)) }
+    assert(diverged.isEmpty, s"predictions diverged on the corpus split: $diverged")
+    // and the accuracy both models share equals sent_nb_eval's oracled
+    // accuracy column exactly
+    val agree = mine.count { case (_, (t, p)) => t == p }
+    val accHere = math.floor(agree.toDouble / mine.size * 1e6 + 0.5) / 1e6
+    val gateAcc = run("sent_nb_eval").collect().head.getAs[Double]("accuracy")
+    assert(accHere === gateAcc,
+      s"spec-side accuracy $accHere != oracled gate accuracy $gateAcc")
   }
 
   test("sent_nb_eval's portable NB agrees with MLlib NaiveBayes on a planted separable corpus") {
