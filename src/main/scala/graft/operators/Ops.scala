@@ -532,6 +532,90 @@ object Ops {
       .orderBy($"node")
   }
 
+  /** Retrain decision thresholds (r17 verdict item 5): a label's batch
+    * centroid must stay within cos ≥ [[RetrainCosMin]] of its base
+    * centroid for the trained k-means/IVF artifacts to keep serving,
+    * and the arriving batch may be at most [[RetrainShareMax]] of the
+    * post-append corpus before cell balance is re-fit regardless of
+    * direction. Declared constants — the decision layer over
+    * `sim_centroid_drift`'s measured numbers.
+    */
+  private val RetrainCosMin = 0.9
+  private val RetrainShareMax = 0.3
+
+  /** The serve-vs-retrain decision over arbitrary drift rows (label,
+    * n_base, n_batch, centroid_cos) — factored so the planted spec can
+    * flip the decision with constructed batches. Reason precedence is
+    * declared: centroid_drift first, then batch_share, else
+    * within_thresholds.
+    */
+  private[graft] def retrainDecision(drift: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val s = drift.sparkSession
+    import s.implicits._
+    val g = drift.select($"label", $"n_base", $"n_batch", $"centroid_cos",
+        P.prnd($"n_batch".cast("double") / ($"n_base" + $"n_batch"), 6)
+          .as("batch_share"))
+      .select($"*",
+        when($"centroid_cos" < RetrainCosMin, "centroid_drift")
+          .when($"batch_share" > RetrainShareMax, "batch_share")
+          .otherwise("within_thresholds").as("reason"))
+      .ckpt
+    val ov = g.agg(
+      when(sum(when($"reason" =!= "within_thresholds", 1).otherwise(0)) > 0,
+        "retrain").otherwise("serve").as("overall_decision"))
+    g.select($"label", $"n_base", $"n_batch", $"centroid_cos", $"batch_share",
+        when($"reason" === "within_thresholds", "serve").otherwise("retrain")
+          .as("decision"),
+        $"reason")
+      .crossJoin(broadcast(ov))
+      .orderBy($"label")
+  }
+
+  /** Index-maintenance decision gate (r17 verdict item 5) — the missing
+    * ops leg of the train-once discipline: [[graft.sources.IndexStore]]
+    * guards staleness/schema/version, but nothing decided WHEN the
+    * trained k-means centroids are stale on DRIFT. This gate composes
+    * `sim_centroid_drift`'s per-label base-vs-batch centroid cosine
+    * (the shared [[Similarity.centroidDriftRows]] — monitor and gate
+    * can never disagree) with the declared thresholds into a per-label
+    * serve/retrain decision plus reason, and an overall decision (any
+    * label retraining ⇒ the artifact set retrains as one — cells are
+    * fit jointly).
+    *
+    * On THIS corpus every label reads `centroid_drift` (measured
+    * centroid_cos ∈ [−0.19, 0.21] across SFs: the synthetic batch is
+    * genuinely uncorrelated with the base, exactly the condition the
+    * gate exists to catch), so the corpus verdict is retrain — the
+    * planted spec flips the decision both ways (an aligned batch
+    * serves, a rotated or oversized batch retrains).
+    *
+    * Scale shape: the drift rows are two (label, dim)-keyed means over
+    * the shared exploded coordinates plus constant-width joins; the
+    * decision layer is a labels-sized projection with one 1-row
+    * overall broadcast.
+    */
+  val retrainGate = QueryDef(
+    "ops_retrain_gate",
+    s"""WITH ${Similarity.centroidDriftSql},
+       |rg AS MATERIALIZED (SELECT label, n_base, n_batch, centroid_cos,
+       |    ${PS.prnd("CAST(n_batch AS DOUBLE) / (n_base + n_batch)", 6)} AS batch_share
+       |  FROM cdr),
+       |rgd AS MATERIALIZED (SELECT *,
+       |    CASE WHEN centroid_cos < $RetrainCosMin THEN 'centroid_drift'
+       |         WHEN batch_share > $RetrainShareMax THEN 'batch_share'
+       |         ELSE 'within_thresholds' END AS reason
+       |  FROM rg),
+       |rgo AS MATERIALIZED (SELECT CASE WHEN SUM(CASE WHEN reason <> 'within_thresholds'
+       |      THEN 1 ELSE 0 END) > 0 THEN 'retrain' ELSE 'serve' END AS overall_decision
+       |  FROM rgd)
+       |SELECT label, n_base, n_batch, centroid_cos, batch_share,
+       |  CASE WHEN reason = 'within_thresholds' THEN 'serve' ELSE 'retrain' END AS decision,
+       |  reason, overall_decision
+       |FROM rgd CROSS JOIN rgo ORDER BY label""".stripMargin) { (s, dir) =>
+    retrainDecision(Similarity.centroidDriftRows(s, dir))
+  }
+
   val defs: Seq[QueryDef] = Seq(pipelineReport, freshness, infraGate,
-    incrementalGate, storeLifecycle, graphIngest)
+    incrementalGate, storeLifecycle, graphIngest, retrainGate)
 }

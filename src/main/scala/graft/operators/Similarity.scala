@@ -667,7 +667,79 @@ object Similarity {
   /** Base/batch split of the embedding-drift monitor (ids ≥ 450 = the
     * arriving batch — the dd_incremental / tx_term_drift convention).
     */
-  private val VecDriftSplit = 450L
+  private[operators] val VecDriftSplit = 450L
+
+  /** Oracle CTE chain ending in cdr(label, n_base, n_batch,
+    * centroid_cos) — the drift computation shared by
+    * `sim_centroid_drift` and `ops_retrain_gate` (r18), so the monitor
+    * and the decision gate can never disagree on what "drift" is.
+    */
+  private[operators] val centroidDriftSql: String =
+    s"""cdexpl AS MATERIALIZED (SELECT vec_id, label,
+       |    generate_subscripts(embedding, 1) AS j,
+       |    CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings),
+       |cdca AS MATERIALIZED (SELECT label, j, ${PS.davg("x", 9)} AS c
+       |  FROM cdexpl WHERE vec_id < $VecDriftSplit GROUP BY label, j),
+       |cdcb AS MATERIALIZED (SELECT label, j, ${PS.davg("x", 9)} AS c
+       |  FROM cdexpl WHERE vec_id >= $VecDriftSplit GROUP BY label, j),
+       |cdd AS MATERIALIZED (SELECT a.label,
+       |    ${PS.dsum("a.c * b.c", 12)} AS dot,
+       |    ${PS.dsum("a.c * a.c", 12)} AS na,
+       |    ${PS.dsum("b.c * b.c", 12)} AS nb
+       |  FROM cdca a JOIN cdcb b ON a.label = b.label AND a.j = b.j
+       |  GROUP BY a.label),
+       |cdn1 AS MATERIALIZED (SELECT label, CAST(COUNT(*) AS BIGINT) AS n_base
+       |  FROM embeddings WHERE vec_id < $VecDriftSplit GROUP BY label),
+       |cdn2 AS MATERIALIZED (SELECT label, CAST(COUNT(*) AS BIGINT) AS n_batch
+       |  FROM embeddings WHERE vec_id >= $VecDriftSplit GROUP BY label),
+       |cdr AS MATERIALIZED (SELECT d.label, cdn1.n_base, cdn2.n_batch,
+       |  ${PS.prnd("dot / sqrt(na * nb)", 6)} AS centroid_cos
+       |FROM cdd d JOIN cdn1 USING (label) JOIN cdn2 USING (label))""".stripMargin
+
+  /** The drift rows over an ARBITRARY exploded-coordinate relation
+    * (vec_id, label, j, x) and its embeddings source — the Spark twin
+    * of [[centroidDriftSql]], factored (r18) so the corpus gate reads
+    * the session-shared [[explM]] while the planted retrain-gate spec
+    * feeds constructed batches through the identical arithmetic.
+    */
+  private[graft] def centroidDriftOver(expl: DataFrame, emb: DataFrame,
+      split: Long): DataFrame = {
+    val s = expl.sparkSession
+    import s.implicits._
+    def cents(pred: org.apache.spark.sql.Column) =
+      expl.filter(pred).groupBy($"label", $"j").agg(P.davg($"x", 9).as("c"))
+    val a = cents($"vec_id" < split).withColumnRenamed("c", "ca")
+    val b = cents($"vec_id" >= split).withColumnRenamed("c", "cb")
+    val d = a.join(b, Seq("label", "j"))
+      .groupBy($"label")
+      .agg(P.dsum($"ca" * $"cb", 12).as("dot"),
+        P.dsum($"ca" * $"ca", 12).as("na"),
+        P.dsum($"cb" * $"cb", 12).as("nb"))
+    val n1 = emb.filter($"vec_id" < split)
+      .groupBy($"label").agg(P.cnt.as("n_base"))
+    val n2 = emb.filter($"vec_id" >= split)
+      .groupBy($"label").agg(P.cnt.as("n_batch"))
+    d.join(n1, "label").join(n2, "label")
+      .select($"label", $"n_base", $"n_batch",
+        P.prnd($"dot" / sqrt($"na" * $"nb"), 6).as("centroid_cos"))
+  }
+
+  /** [[explM]]'s shape over an arbitrary embeddings relation — for
+    * planted-batch specs (1-based j, matching the oracle's
+    * generate_subscripts).
+    */
+  private[graft] def explOf(emb: DataFrame): DataFrame = {
+    val s = emb.sparkSession
+    import s.implicits._
+    emb.select($"vec_id", $"label", posexplode($"embedding").as(Seq("j0", "x0")))
+      .select($"vec_id", $"label", ($"j0" + 1).as("j"), $"x0".cast("double").as("x"))
+  }
+
+  /** Corpus drift rows over the session-shared exploded coordinates —
+    * read by both `sim_centroid_drift` and `ops_retrain_gate`.
+    */
+  private[operators] def centroidDriftRows(s: SparkSession, dir: String): DataFrame =
+    centroidDriftOver(explM(s, dir), Tables.embeddings(s, dir), VecDriftSplit)
 
   /** Embedding drift per label between the base corpus and the arriving
     * batch — tx_term_drift's vector-space twin: if a label's batch
@@ -684,47 +756,11 @@ object Similarity {
     */
   val centroidDrift = QueryDef(
     "sim_centroid_drift",
-    s"""WITH expl AS MATERIALIZED (SELECT vec_id, label,
-       |    generate_subscripts(embedding, 1) AS j,
-       |    CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings),
-       |ca AS MATERIALIZED (SELECT label, j, ${PS.davg("x", 9)} AS c
-       |  FROM expl WHERE vec_id < $VecDriftSplit GROUP BY label, j),
-       |cb AS MATERIALIZED (SELECT label, j, ${PS.davg("x", 9)} AS c
-       |  FROM expl WHERE vec_id >= $VecDriftSplit GROUP BY label, j),
-       |d AS MATERIALIZED (SELECT a.label,
-       |    ${PS.dsum("a.c * b.c", 12)} AS dot,
-       |    ${PS.dsum("a.c * a.c", 12)} AS na,
-       |    ${PS.dsum("b.c * b.c", 12)} AS nb
-       |  FROM ca a JOIN cb b ON a.label = b.label AND a.j = b.j
-       |  GROUP BY a.label),
-       |n1 AS MATERIALIZED (SELECT label, CAST(COUNT(*) AS BIGINT) AS n_base
-       |  FROM embeddings WHERE vec_id < $VecDriftSplit GROUP BY label),
-       |n2 AS MATERIALIZED (SELECT label, CAST(COUNT(*) AS BIGINT) AS n_batch
-       |  FROM embeddings WHERE vec_id >= $VecDriftSplit GROUP BY label)
-       |SELECT d.label, n1.n_base, n2.n_batch,
-       |  ${PS.prnd("dot / sqrt(na * nb)", 6)} AS centroid_cos
-       |FROM d JOIN n1 USING (label) JOIN n2 USING (label)
-       |ORDER BY label""".stripMargin) { (s, dir) =>
+    s"""WITH $centroidDriftSql
+       |SELECT label, n_base, n_batch, centroid_cos
+       |FROM cdr ORDER BY label""".stripMargin) { (s, dir) =>
     import s.implicits._
-    val expl = explM(s, dir)
-    def cents(pred: org.apache.spark.sql.Column) =
-      expl.filter(pred).groupBy($"label", $"j").agg(P.davg($"x", 9).as("c"))
-    val a = cents($"vec_id" < VecDriftSplit).withColumnRenamed("c", "ca")
-    val b = cents($"vec_id" >= VecDriftSplit).withColumnRenamed("c", "cb")
-    val d = a.join(b, Seq("label", "j"))
-      .groupBy($"label")
-      .agg(P.dsum($"ca" * $"cb", 12).as("dot"),
-        P.dsum($"ca" * $"ca", 12).as("na"),
-        P.dsum($"cb" * $"cb", 12).as("nb"))
-    val emb = Tables.embeddings(s, dir)
-    val n1 = emb.filter($"vec_id" < VecDriftSplit)
-      .groupBy($"label").agg(P.cnt.as("n_base"))
-    val n2 = emb.filter($"vec_id" >= VecDriftSplit)
-      .groupBy($"label").agg(P.cnt.as("n_batch"))
-    d.join(n1, "label").join(n2, "label")
-      .select($"label", $"n_base", $"n_batch",
-        P.prnd($"dot" / sqrt($"na" * $"nb"), 6).as("centroid_cos"))
-      .orderBy($"label")
+    centroidDriftRows(s, dir).orderBy($"label")
   }
 
   /** Pairwise-cosine distribution over a bounded deterministic sample —

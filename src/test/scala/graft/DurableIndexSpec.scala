@@ -487,4 +487,47 @@ class DurableIndexSpec extends GraftSuite {
       spark.conf.unset(sources.IndexStore.DirConf)
     }
   }
+
+  test("ops_retrain_gate: a drifted or oversized batch flips the decision; an aligned batch serves") {
+    import spark.implicits._
+    import operators.{Ops, Similarity}
+    // planted embeddings: base (ids < 100) points along +e1 with small
+    // e2 jitter; three batch shapes against it
+    def vec(x: Double, y: Double) = Seq(x.toFloat, y.toFloat, 0.0f, 0.0f)
+    def rows(ids: Range, f: Int => Seq[Float], label: Int) =
+      ids.map(i => (i.toLong, label, f(i)))
+    val base = rows(0 until 100, i => vec(1.0, if (i % 2 == 0) 0.1 else -0.1), 1)
+    def gateOn(batch: Seq[(Long, Int, Seq[Float])]): (String, String) = {
+      val emb = (base ++ batch).toDF("vec_id", "label", "embedding")
+      val drift = Similarity.centroidDriftOver(Similarity.explOf(emb), emb, 100L)
+      val r = Ops.retrainDecision(drift).collect()
+      assert(r.length === 1)
+      (r.head.getAs[String]("reason"), r.head.getAs[String]("overall_decision"))
+    }
+    // aligned small batch: same +e1 direction, 20% share -> serve
+    val aligned = rows(100 until 125, i => vec(1.0, if (i % 2 == 0) 0.1 else -0.1), 1)
+    assert(gateOn(aligned) === (("within_thresholds", "serve")))
+    // drifted batch: rotated to +e2, same size -> centroid_drift retrain
+    val drifted = rows(100 until 125, i => vec(0.1, 1.0), 1)
+    val (rD, oD) = gateOn(drifted)
+    assert(rD === "centroid_drift" && oD === "retrain")
+    // aligned but OVERSIZED batch (> 30% of post-append corpus):
+    // batch_share retrain — the precedence puts centroid_drift first,
+    // so alignment must hold for the share reason to surface
+    val oversized = rows(100 until 200, i => vec(1.0, if (i % 2 == 0) 0.1 else -0.1), 1)
+    val (rS, oS) = gateOn(oversized)
+    assert(rS === "batch_share" && oS === "retrain")
+    // corpus gate: every label drifts on this corpus (measured cos ~ 0,
+    // the synthetic batch is uncorrelated with the base) -> overall
+    // retrain, consistent with sim_centroid_drift's published rows
+    val corpus = run("ops_retrain_gate").collect()
+    assert(corpus.nonEmpty)
+    assert(corpus.forall(_.getAs[String]("overall_decision") === "retrain"))
+    val monitor = run("sim_centroid_drift").collect()
+      .map(r => r.getAs[Int]("label") -> r.getAs[Double]("centroid_cos")).toMap
+    corpus.foreach { r =>
+      assert(r.getAs[Double]("centroid_cos") === monitor(r.getAs[Int]("label")),
+        "gate and monitor must read the same drift")
+    }
+  }
 }
