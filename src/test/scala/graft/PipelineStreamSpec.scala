@@ -305,7 +305,8 @@ class PipelineStreamSpec extends GraftSuite {
     // and the upsert store must be bit-identical to never-crashed runs:
     // offsets + dedup/session/window state all resume from the
     // checkpoint, and the upsert sink's keyed put is idempotent under
-    // any replayed batch.
+    // any replayed batch (planted and proven by the "duplicate
+    // delivery" spec below, which re-drives a committed batchId).
     import spark.implicits._
     implicit val sq = spark.sqlContext
     val ckS = java.nio.file.Files.createTempDirectory("graft_ck_sess").toString
@@ -385,5 +386,51 @@ class PipelineStreamSpec extends GraftSuite {
       val pur10 = snap(("2024-01-01 10:00:00.0", "purchase"))
       assert(pur10 === ((3L, 255.0)))
     } finally { q.stop(); UpsertSink.clear(sid) }
+  }
+
+  test("duplicate delivery: a replayed committed micro-batch leaves the upsert store byte-identical") {
+    // r17 verdict item 6: the "idempotent under any replayed batch"
+    // claim, PLANTED instead of commented. The at-least-once window is
+    // real: offsets for a batch are durable but its commit marker is
+    // lost (crash between sink write and commit) — on restart the
+    // engine RE-DRIVES the same batchId, same data, through
+    // foreachBatch. Simulated exactly that way: delete the final
+    // commits/<id> marker from the checkpoint and restart the query
+    // object; Spark replays the batch from the recorded offsets.
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val ckU = java.nio.file.Files.createTempDirectory("graft_ck_replay").toString
+    val sid = "pipe_replay_store"
+    UpsertSink.clear(sid)
+    val mem = MemoryStream[Array[Byte]]
+    def upsQ() = PipelineStream.upserts(mem.toDF().toDF("value"), sid,
+      "pipe_replay_ups", Wm, checkpoint = Some(ckU))
+    val u1 = upsQ()
+    mem.addData(batchA: _*); u1.processAllAvailable()
+    mem.addData(batchB: _*); u1.processAllAvailable()
+    u1.stop()
+    val before = UpsertSink.snapshot(sid)
+    assert(before.nonEmpty)
+    // lose the last commit marker (the crash-before-commit window)
+    val commitsDir = new java.io.File(ckU, "commits")
+    val commits = commitsDir.listFiles()
+      .filter(_.getName.forall(_.isDigit)).sortBy(_.getName.toInt)
+    assert(commits.length >= 2, "expected one commit per processed batch")
+    val lastId = commits.last.getName.toInt
+    assert(commits.last.delete())
+    // the local-fs checksum sidecar must go with its marker, or the
+    // replayed commit's rename fails on the stale .crc
+    val crc = new java.io.File(commitsDir, s".$lastId.crc")
+    if (crc.exists()) assert(crc.delete())
+    val u2 = upsQ()
+    try { u2.processAllAvailable() } finally { u2.stop() }
+    // the replay really happened at the engine level: the lost marker
+    // was re-written by re-executing that batchId through the sink
+    assert(new java.io.File(commitsDir, lastId.toString).exists,
+      "the uncommitted batch was not replayed")
+    val after = UpsertSink.snapshot(sid)
+    assert(after === before,
+      s"replayed batch must leave the store byte-identical: $before vs $after")
+    UpsertSink.clear(sid)
   }
 }
