@@ -281,7 +281,7 @@ object Dedup {
        |  FROM shh GROUP BY doc_id)""".stripMargin
   }
 
-  private val lshSql = {
+  private[operators] val lshSql = {
     val bandSelects = (0 until NumBands).map { b =>
       val key = (0 until RowsPerBand).map(r => s"CAST(mh${b * RowsPerBand + r} AS VARCHAR)")
         .mkString(" || ',' || ")

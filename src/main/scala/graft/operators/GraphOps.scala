@@ -1524,6 +1524,14 @@ object GraphOps {
       .orderBy($"bucket")
   }
 
+  /** Oracle CTE chain for the full PageRank build (e, und, pr0..prN) and
+    * its final CTE name — exposed (r18) so the composed `ops_day` oracle
+    * can pin the served-graph PageRank against the full rebuild.
+    */
+  private[operators] def pagerankSqlChain: String =
+    s"$eNumSql, $undSql,\n${prChain(PrIters)}"
+  private[operators] def pagerankFinalCte: String = s"pr$PrIters"
+
   val grPagerank = QueryDef(
     "gr_pagerank",
     s"""WITH $eNumSql, $undSql,

@@ -595,10 +595,11 @@ object Ops {
     * decision layer is a labels-sized projection with one 1-row
     * overall broadcast.
     */
-  val retrainGate = QueryDef(
-    "ops_retrain_gate",
-    s"""WITH ${Similarity.centroidDriftSql},
-       |rg AS MATERIALIZED (SELECT label, n_base, n_batch, centroid_cos,
+  /** Oracle CTE fragment rg/rgd/rgo (the decision layer over `cdr`) —
+    * shared by `ops_retrain_gate` and `ops_day` (r18).
+    */
+  private def retrainSql: String =
+    s"""rg AS MATERIALIZED (SELECT label, n_base, n_batch, centroid_cos,
        |    ${PS.prnd("CAST(n_batch AS DOUBLE) / (n_base + n_batch)", 6)} AS batch_share
        |  FROM cdr),
        |rgd AS MATERIALIZED (SELECT *,
@@ -608,7 +609,12 @@ object Ops {
        |  FROM rg),
        |rgo AS MATERIALIZED (SELECT CASE WHEN SUM(CASE WHEN reason <> 'within_thresholds'
        |      THEN 1 ELSE 0 END) > 0 THEN 'retrain' ELSE 'serve' END AS overall_decision
-       |  FROM rgd)
+       |  FROM rgd)""".stripMargin
+
+  val retrainGate = QueryDef(
+    "ops_retrain_gate",
+    s"""WITH ${Similarity.centroidDriftSql},
+       |$retrainSql
        |SELECT label, n_base, n_batch, centroid_cos, batch_share,
        |  CASE WHEN reason = 'within_thresholds' THEN 'serve' ELSE 'retrain' END AS decision,
        |  reason, overall_decision
@@ -616,6 +622,228 @@ object Ops {
     retrainDecision(Similarity.centroidDriftRows(s, dir))
   }
 
+  /** Engine-portable relation digest: row count + a bounded integer
+    * checksum (Σ of 32-bit md5 prefixes of a per-row key string, summed
+    * exactly in DECIMAL(38,0), folded mod 1e9+7 to a BIGINT). Order-
+    * independent, overflow-free in both engines — the equality primitive
+    * `ops_day` pins each composed component with.
+    */
+  private def dig(df: org.apache.spark.sql.DataFrame,
+      key: org.apache.spark.sql.Column, tag: String): org.apache.spark.sql.DataFrame = {
+    val s = df.sparkSession
+    import s.implicits._
+    import org.apache.spark.sql.types.DecimalType
+    df.agg(P.cnt.as("n_rows"),
+        (coalesce(sum(P.hexToLong(md5(key), 1, 8).cast(DecimalType(38, 0))),
+          lit(0).cast(DecimalType(38, 0))) % lit(1000000007L)).cast("long")
+          .as("checksum"))
+      .select(lit(tag).as("component"), $"n_rows", $"checksum")
+  }
+
+  /** [[dig]]'s SQL twin over a relation text (CTE name or subquery). */
+  private def digSql(tag: String, rel: String, keyExpr: String): String =
+    s"""SELECT '$tag' AS component, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       |  CAST(COALESCE(SUM(CAST(${PS.hexToLong(s"md5($keyExpr)", 1, 8)} AS DECIMAL(38,0))), 0) % 1000000007 AS BIGINT) AS checksum
+       |FROM $rel t""".stripMargin
+
+  private[graft] def opsDayRootDir(s: org.apache.spark.sql.SparkSession,
+      dir: String): String = sessionCorpusTmpDir(s, dir, "graft_ops_day", "day")
+
+  private[graft] def opsDayStoreDir(s: org.apache.spark.sql.SparkSession,
+      dir: String): String = sessionCorpusTmpDir(s, dir, "graft_ops_day", "store")
+
+  /** ONE ingest day across ALL THREE durable stores (r17 verdict item 8,
+    * the stretch) — the composed version of [[incrementalGate]] /
+    * [[storeLifecycle]] / [[graphIngest]] and the closest in-sandbox
+    * analog of the reference's full DAG run
+    * (airflow/dags/reddit_can_complete_pipeline.py:310-487):
+    *
+    *  1. day 0: the base slices of documents, embeddings and edges land
+    *     as parquet files in one day tree; each input's manifest is
+    *     snapshotted; the signature store (base LSH bands, bucketed on
+    *     bkey), the graph store (base edges, bucketed on src) and the
+    *     day-0 k-means centroids are PUBLISHED;
+    *  2. day 1: the batch files land (docs ≥ IncSplit, vectors ≥ the
+    *     drift split, the src%8 customer-edge slice);
+    *  3. ONE manifestDiff work list across the three inputs (a driver
+    *     action of manifest scale), with the incremental-gate guards:
+    *     schema evolution checked, no base file rescheduled, no empty
+    *     batch;
+    *  4. each store ingests ONLY its work-list files: bands of the batch
+    *     docs APPEND into the signature store (then compact, then
+    *     serve), the batch edges APPEND into the graph store, and the
+    *     arriving vectors run the [[retrainGate]] decision — on this
+    *     corpus the gate measures centroid_drift for every label at
+    *     every SF, so the day's k-means action is the commanded full
+    *     REFIT (from the day tree's files), published and served;
+    *  5. the report digests every composed output — the served-store
+    *     candidate pairs, the served-graph PageRank, the served
+    *     centroids, the decision rows, and the three work-list reads —
+    *     and the ORACLE computes the same digests from the FULL-REBUILD
+    *     semantics (`dd_minhash_lsh`'s, `gr_pagerank`'s and
+    *     `sim_kmeans_train`'s own chains over the raw tables), so the
+    *     hash match IS the proof that the one-work-list day loses and
+    *     invents nothing in any of the three stores.
+    *
+    * Store/conf handling and the once-per-(session, corpus) MatStore
+    * discipline follow [[storeLifecycle]]; the decision read is a 1-row
+    * driver action (the `gr_louvain` meta-read class). Bench COLD mode
+    * re-runs the whole day per sample — the structurally-high cold
+    * ratio posture shared by all the lifecycle gates.
+    */
+  val dayReport = QueryDef(
+    "ops_day", {
+      val decRel = "(SELECT label, reason, overall_decision FROM rgd CROSS JOIN rgo)"
+      s"""WITH ${Dedup.lshSql},
+         |${GraphOps.pagerankSqlChain},
+         |${Similarity.kmSql},
+         |kcx AS MATERIALIZED (SELECT cell, generate_subscripts(c, 1) AS j, unnest(c) AS x
+         |  FROM kc${Similarity.KmIters}),
+         |${Similarity.centroidDriftSql},
+         |$retrainSql,
+         |dayrep AS MATERIALIZED (
+         |  ${digSql("dedup_pairs", "lsh_cand",
+              "CAST(doc_a AS VARCHAR) || ':' || CAST(doc_b AS VARCHAR)")}
+         |  UNION ALL
+         |  ${digSql("kmeans_centroids", "kcx",
+              "CAST(cell AS VARCHAR) || ':' || CAST(j AS VARCHAR) || ':' || CAST(CAST(floor(x * 1e9 + 0.5) AS BIGINT) AS VARCHAR)")}
+         |  UNION ALL
+         |  ${digSql("pagerank", GraphOps.pagerankFinalCte,
+              "CAST(node AS VARCHAR) || ':' || CAST(CAST(floor(r * 1e8 + 0.5) AS BIGINT) AS VARCHAR)")}
+         |  UNION ALL
+         |  ${digSql("retrain_decision", decRel,
+              "CAST(label AS VARCHAR) || ':' || reason || ':' || overall_decision")}
+         |  UNION ALL
+         |  ${digSql("work_docs", s"(SELECT * FROM documents WHERE doc_id >= ${Dedup.IncSplit})",
+              "CAST(doc_id AS VARCHAR) || ':' || md5(text)")}
+         |  UNION ALL
+         |  ${digSql("work_edges", "(SELECT * FROM e WHERE src % 8 = 0)",
+              "CAST(src AS VARCHAR) || ':' || CAST(dst AS VARCHAR) || ':' || CAST(weight AS VARCHAR)")}
+         |  UNION ALL
+         |  ${digSql("work_embeddings",
+              s"(SELECT * FROM cdexpl WHERE vec_id >= ${Similarity.VecDriftSplit})",
+              "CAST(vec_id AS VARCHAR) || ':' || CAST(j AS VARCHAR) || ':' || CAST(CAST(floor(x * 1e9 + 0.5) AS BIGINT) AS VARCHAR)")})
+         |SELECT component, n_rows, checksum FROM dayrep ORDER BY component""".stripMargin
+    }) { (s, dir) =>
+    import s.implicits._
+    graft.MatStore.of(s, s"ops_day:$dir") {
+      val root = opsDayRootDir(s, dir)
+      val rootPath = new org.apache.hadoop.fs.Path(
+        new java.io.File(root).getParent)
+      val hfs = rootPath.getFileSystem(s.sessionState.newHadoopConf())
+      if (hfs.exists(rootPath)) hfs.delete(rootPath, true)
+      val (docsDir, embDir, edgeDir) =
+        (s"$root/documents", s"$root/embeddings", s"$root/edges")
+      val docs = Tables.documents(s, dir)
+      val emb = Tables.embeddings(s, dir)
+      val e = GraphOps.edgesNum(s, dir)
+      val edgeBatch = $"src" % 8 === 0
+      // ---- day 0: base slices land as files; manifests snapshot them
+      docs.filter($"doc_id" < Dedup.IncSplit).coalesce(4)
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(docsDir)
+      emb.filter($"vec_id" < Similarity.VecDriftSplit).coalesce(2)
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(embDir)
+      e.filter(!edgeBatch).coalesce(2)
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(edgeDir)
+      val dirs = Seq("documents" -> docsDir, "embeddings" -> embDir,
+        "edges" -> edgeDir)
+      val m0 = dirs.map { case (n, d) =>
+        n -> graft.sources.CorpusIO.manifest(s, d) }.toMap
+      // ---- day 1: the batch files land
+      docs.filter($"doc_id" >= Dedup.IncSplit).coalesce(2)
+        .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(docsDir)
+      emb.filter($"vec_id" >= Similarity.VecDriftSplit).coalesce(1)
+        .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(embDir)
+      e.filter(edgeBatch).coalesce(1)
+        .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(edgeDir)
+      // ---- ONE work list across the three inputs (driver action of
+      // manifest scale), incremental-gate guards per input
+      val work = dirs.map { case (n, d) =>
+        val diff = graft.sources.CorpusIO.manifestDiff(m0(n),
+          graft.sources.CorpusIO.manifest(s, d)).collect()
+        graft.sources.CorpusIO.schemaGuard(diff.toIndexedSeq)
+        require(!diff.exists(r => Set("changed", "removed", "schema_changed",
+            "schema_added_col").contains(r.getAs[String]("status"))),
+          s"$n: manifestDiff scheduled a base file for reprocessing")
+        val files = diff.filter(r => Set("added", "changed")
+            .contains(r.getAs[String]("status")))
+          .map(r => s"$d/${r.getAs[String]("file")}").sorted.toIndexedSeq
+        require(files.nonEmpty, s"$n: batch day produced no work-list files")
+        n -> files
+      }.toMap
+      val workDocs = s.read.parquet(work("documents"): _*).ckpt
+      val workEmb = s.read.parquet(work("embeddings"): _*).ckpt
+      val workEdges = s.read.parquet(work("edges"): _*).ckpt
+      // ---- publish day 0, ingest day 1 from the work list only, serve
+      val store = opsDayStoreDir(s, dir)
+      val prevConf = s.conf.get(graft.sources.IndexStore.DirConf, null)
+      s.conf.set(graft.sources.IndexStore.DirConf, store)
+      try {
+        val bands = graft.MatStore.of(s, s"dd_bands:$dir")(
+          Dedup.minhashBands(s, dir))
+        val kB = s"day_bands:$dir"
+        graft.sources.IndexStore.publish(s, kB,
+          bands.filter($"doc_id" < Dedup.IncSplit), "bkey")
+        graft.sources.IndexStore.append(s, kB, Dedup.bandsOfDocs(workDocs))
+        val (fb, fa) = graft.sources.IndexStore.compact(s, kB)
+        require(fa <= fb, s"compaction must not grow the file count ($fb -> $fa)")
+        val servedBands = graft.sources.IndexStore.tryServe(s, kB).getOrElse(
+          throw new IllegalStateException("day signature store refused to serve"))
+        val kG = s"day_edges:$dir"
+        graft.sources.IndexStore.publish(s, kG, e.filter(!edgeBatch), "src")
+        graft.sources.IndexStore.append(s, kG, workEdges)
+        val servedEdges = graft.sources.IndexStore.tryServe(s, kG).getOrElse(
+          throw new IllegalStateException("day graph store refused to serve"))
+        // k-means with the retrain gate in the loop: day-0 centroids are
+        // the base-only fit; the arriving batch decides the day's action
+        val dayEmb = s.read.parquet(embDir)
+        val k0 = s"day_km0:$dir"
+        graft.sources.IndexStore.publish(s, k0,
+          Similarity.kmeansFitOver(
+            dayEmb.filter($"vec_id" < Similarity.VecDriftSplit)), "cell")
+        val decision = retrainDecision(Similarity.centroidDriftOver(
+          Similarity.explOf(dayEmb), dayEmb, Similarity.VecDriftSplit)).ckpt
+        val retrain = decision.select($"overall_decision").head()
+          .getString(0) == "retrain" // 1-row driver read (gr_louvain class)
+        val kServe = s"day_km:$dir"
+        graft.sources.IndexStore.publish(s, kServe,
+          if (retrain) Similarity.kmeansFitOver(dayEmb)
+          else graft.sources.IndexStore.tryServe(s, k0).getOrElse(
+            throw new IllegalStateException("day-0 centroid store refused to serve")),
+          "cell")
+        val servedCents = graft.sources.IndexStore.tryServe(s, kServe).getOrElse(
+          throw new IllegalStateException("day k-means store refused to serve"))
+        // ---- the composed day report
+        val pr = GraphOps.pagerank(
+          GraphOps.iterRelation(GraphOps.undirected(servedEdges)))
+        val pairs = Dedup.lshCandidates(servedBands)
+        dig(pairs, concat($"doc_a".cast("string"), lit(":"),
+            $"doc_b".cast("string")), "dedup_pairs")
+          .union(dig(servedCents.select($"cell", posexplode($"c").as(Seq("j0", "x"))),
+            concat($"cell".cast("string"), lit(":"), ($"j0" + 1).cast("string"),
+              lit(":"), floor($"x" * 1e9 + 0.5).cast("long").cast("string")),
+            "kmeans_centroids"))
+          .union(dig(pr, concat($"node".cast("string"), lit(":"),
+            floor($"r" * 1e8 + 0.5).cast("long").cast("string")), "pagerank"))
+          .union(dig(decision, concat($"label".cast("string"), lit(":"),
+            $"reason", lit(":"), $"overall_decision"), "retrain_decision"))
+          .union(dig(workDocs, concat($"doc_id".cast("string"), lit(":"),
+            md5($"text")), "work_docs"))
+          .union(dig(workEdges, concat($"src".cast("string"), lit(":"),
+            $"dst".cast("string"), lit(":"), $"weight".cast("string")),
+            "work_edges"))
+          .union(dig(Similarity.explOf(workEmb),
+            concat($"vec_id".cast("string"), lit(":"), $"j".cast("string"),
+              lit(":"), floor($"x" * 1e9 + 0.5).cast("long").cast("string")),
+            "work_embeddings"))
+          .orderBy($"component")
+      } finally {
+        if (prevConf == null) s.conf.unset(graft.sources.IndexStore.DirConf)
+        else s.conf.set(graft.sources.IndexStore.DirConf, prevConf)
+      }
+    }
+  }
+
   val defs: Seq[QueryDef] = Seq(pipelineReport, freshness, infraGate,
-    incrementalGate, storeLifecycle, graphIngest, retrainGate)
+    incrementalGate, storeLifecycle, graphIngest, retrainGate, dayReport)
 }

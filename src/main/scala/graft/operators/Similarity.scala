@@ -410,7 +410,7 @@ object Similarity {
     * tiebreak) and an exact-decimal mean update; kaf is the final
     * assignment with its cosine kept.
     */
-  private val kmSql: String = {
+  private[operators] val kmSql: String = {
     def assignSql(name: String, src: String, cols: String, rnPred: String): String =
       s"""$name AS MATERIALIZED (SELECT $cols FROM (
          |    SELECT e.vec_id, ct.cell,
@@ -495,6 +495,36 @@ object Similarity {
       .select($"vec_id".as("cell"), $"embedding".cast("array<double>").as("c"))
     for (_ <- 1 to KmIters)
       cents = update(kmAssignOver(s, dir, cents, keepCos = false))
+    cents
+  }
+
+  /** [[kmeansFit]] over an ARBITRARY embeddings relation (vec_id, label,
+    * embedding) — identical seed/assignment/update arithmetic, factored
+    * (r18) so `ops_day`'s retrain action can refit from the day's corpus
+    * FILES; the composed oracle pins its output against [[kmSql]]'s kc
+    * chain, so the two fit paths cannot silently diverge.
+    */
+  private[graft] def kmeansFitOver(emb0: DataFrame): DataFrame = {
+    val s = emb0.sparkSession
+    import s.implicits._
+    val emb = emb0.select($"vec_id", $"label", $"embedding")
+    val expl = explOf(emb).select($"vec_id", $"j", $"x")
+    def assign(cents: DataFrame): DataFrame =
+      emb.crossJoin(broadcast(cents))
+        .select($"vec_id", $"cell", expr("graft_cosine(embedding, c)").as("cos"))
+        .groupBy($"vec_id")
+        .agg(min(struct((-P.prnd($"cos", 6)).as("nc"), $"cell".as("l"))).as("m"))
+        .select($"vec_id", $"m.l".as("cell"))
+    def update(a: DataFrame): DataFrame =
+      expl.join(a.hint("shuffle_hash"), "vec_id")
+        .groupBy($"cell", $"j")
+        .agg((P.davg($"x", 9)).as("c"))
+        .groupBy($"cell")
+        .agg(transform(array_sort(collect_list(struct($"j", $"c"))),
+          x => x.getField("c")).as("c"))
+    var cents = emb.filter($"vec_id" < KmCells)
+      .select($"vec_id".as("cell"), $"embedding".cast("array<double>").as("c"))
+    for (_ <- 1 to KmIters) cents = update(assign(cents))
     cents
   }
 

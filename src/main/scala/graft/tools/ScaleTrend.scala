@@ -135,7 +135,14 @@ object ScaleTrend {
       // token-count NB train/score pass, and the triple-labeler
       // sensitivity pass
       "gr_centrality_tuning", "gr_community_quality", "sent_nb_eval",
-      "sent_lexicon_sens")
+      "sent_lexicon_sens",
+      // r18: the weighted probe details ride gr_centrality_err (flat by
+      // construction); new surfaces are the banded perceptual-hash
+      // pairing (bucket-capped like dd_simhash), the vocab-sized BPE
+      // learner + its corpus token join (twice: the encode report and
+      // the subword-priced packing), and the labels-sized retrain gate
+      // over the shared drift means
+      "mm_phash_dup", "tx_bpe_encode", "etl_pack_bpe", "ops_retrain_gate")
     def time(name: String, dir: String): Double = {
       val fn = SparkEntry.queries(name)
       (1 to 2).map { _ =>
