@@ -89,6 +89,7 @@ object Bench {
     "etl_dedup_ingest" -> 0.09,
     "etl_filter_enrich" -> 0.35,
     "etl_pack_sequences" -> 0.32,
+    "etl_pack_bpe" -> 0.6,
     "etl_parse_json" -> 0.55,
     "etl_profile_drift" -> 0.4,
     "etl_profile_columns" -> 0.25,
@@ -133,11 +134,14 @@ object Bench {
     "mm_binary_meta" -> 0.07,
     "mm_dup_frames" -> 0.33,
     "mm_frame_index" -> 0.06,
+    "mm_phash_dup" -> 0.6,
     "ops_freshness" -> 0.2,
     "ops_incremental_gate" -> 2.0,
     "ops_infra_gate" -> 0.3,
     "ops_store_lifecycle" -> 1.9,
     "ops_graph_ingest" -> 1.3,
+    "ops_retrain_gate" -> 0.5,
+    "ops_day" -> 4.0,
     "mm_decode_meta" -> 0.4,
     "dd_split_leakage" -> 0.3,
     "etl_split_by_cluster" -> 0.4,
@@ -199,6 +203,7 @@ object Bench {
     "tx_repetition" -> 0.14,
     "tx_term_drift" -> 0.39,
     "tx_token_count" -> 0.1,
+    "tx_bpe_encode" -> 1.5,
     "tx_vocab_growth" -> 0.35)
 
   def main(args: Array[String]): Unit = {

@@ -3375,7 +3375,7 @@ object GraphOps {
     * session; exact and landmark accumulations are src-membership
     * filters of this one relation ([[ceBwAgg]]).
     */
-  private def probeBrandesWDetail(s: SparkSession, dir: String): DataFrame =
+  private[graft] def probeBrandesWDetail(s: SparkSession, dir: String): DataFrame =
     MatStore.of(s, s"ce_probe_brandes_w:$dir") {
       import s.implicits._
       val (pn, pu) = probeRel(s, dir)

@@ -546,8 +546,11 @@ object Ops {
   /** The serve-vs-retrain decision over arbitrary drift rows (label,
     * n_base, n_batch, centroid_cos) — factored so the planted spec can
     * flip the decision with constructed batches. Reason precedence is
-    * declared: centroid_drift first, then batch_share, else
-    * within_thresholds.
+    * declared: new_label first (a batch-only label has NO base centroid
+    * to compare — the trained artifacts have never seen its region, the
+    * r18-review blind spot), then centroid_drift, then batch_share,
+    * else within_thresholds (a base-only label with an empty batch has
+    * nothing arriving to retrain on and keeps serving).
     */
   private[graft] def retrainDecision(drift: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
@@ -557,7 +560,8 @@ object Ops {
         P.prnd($"n_batch".cast("double") / ($"n_base" + $"n_batch"), 6)
           .as("batch_share"))
       .select($"*",
-        when($"centroid_cos" < RetrainCosMin, "centroid_drift")
+        when($"n_base" === 0, "new_label")
+          .when($"centroid_cos" < RetrainCosMin, "centroid_drift")
           .when($"batch_share" > RetrainShareMax, "batch_share")
           .otherwise("within_thresholds").as("reason"))
       .ckpt
@@ -603,7 +607,8 @@ object Ops {
        |    ${PS.prnd("CAST(n_batch AS DOUBLE) / (n_base + n_batch)", 6)} AS batch_share
        |  FROM cdr),
        |rgd AS MATERIALIZED (SELECT *,
-       |    CASE WHEN centroid_cos < $RetrainCosMin THEN 'centroid_drift'
+       |    CASE WHEN n_base = 0 THEN 'new_label'
+       |         WHEN centroid_cos < $RetrainCosMin THEN 'centroid_drift'
        |         WHEN batch_share > $RetrainShareMax THEN 'batch_share'
        |         ELSE 'within_thresholds' END AS reason
        |  FROM rg),

@@ -446,7 +446,7 @@ object Similarity {
   /** Final assignment (vec_id, cell, cos) over [[kmCents]]. */
   private[graft] def kmAssign(s: SparkSession, dir: String): DataFrame =
     graft.MatStore.of(s, s"sim_km_af:$dir")(
-      kmAssignOver(s, dir, kmCents(s, dir), keepCos = true))
+      kmAssignOver(s, dir, kmCents(s, dir)))
 
   /** One spherical assignment round: every vector assigned the argmax
     * of portable-rounded cosine against the K broadcast centroids
@@ -457,25 +457,35 @@ object Similarity {
     * oracle keeps the equivalent window formulation.
     */
   private def kmAssignOver(s: SparkSession, dir: String,
-      cents: DataFrame, keepCos: Boolean): DataFrame = {
+      cents: DataFrame): DataFrame = {
     import s.implicits._
-    val best = Tables.embeddings(s, dir).crossJoin(broadcast(cents))
+    Tables.embeddings(s, dir).crossJoin(broadcast(cents))
       .select($"vec_id", $"cell", expr("graft_cosine(embedding, c)").as("cos"))
       .groupBy($"vec_id")
       .agg(min(struct((-P.prnd($"cos", 6)).as("nc"), $"cell".as("l"), $"cos".as("cs"))).as("m"))
-    if (keepCos) best.select($"vec_id", $"m.l".as("cell"), $"m.cs".as("cos"))
-    else best.select($"vec_id", $"m.l".as("cell"))
+      .select($"vec_id", $"m.l".as("cell"), $"m.cs".as("cos"))
   }
 
-  /** [[KmIters]] Lloyd rounds from the deterministic seed; returns the
+  /** [[KmIters]] Lloyd rounds from the deterministic seed over an
+    * arbitrary (embeddings, exploded-coordinates) pair; returns the
     * final (cell, c: array<double>) centroid relation. Each update is an
     * exact-decimal per-(cell, dim) mean — identical doubles on both
-    * engines — reassembled into an ordered coordinate array.
+    * engines — reassembled into an ordered coordinate array. ONE core
+    * (r18 review): [[kmeansFit]] feeds it the session-shared corpus
+    * relations, [[kmeansFitOver]] an arbitrary relation (`ops_day`'s
+    * refit from the day's files) — a scale or tiebreak change cannot
+    * fork the two fit paths.
     */
-  private[graft] def kmeansFit(s: SparkSession, dir: String): DataFrame = {
+  private def kmeansFitCore(emb: DataFrame, expl0: DataFrame): DataFrame = {
+    val s = emb.sparkSession
     import s.implicits._
-    val emb = Tables.embeddings(s, dir)
-    val expl = explM(s, dir).select($"vec_id", $"j", $"x")
+    val expl = expl0.select($"vec_id", $"j", $"x")
+    def assign(cents: DataFrame): DataFrame =
+      emb.crossJoin(broadcast(cents))
+        .select($"vec_id", $"cell", expr("graft_cosine(embedding, c)").as("cos"))
+        .groupBy($"vec_id")
+        .agg(min(struct((-P.prnd($"cos", 6)).as("nc"), $"cell".as("l"))).as("m"))
+        .select($"vec_id", $"m.l".as("cell"))
     // the per-vector assignment `a` scales LINEARLY with the corpus —
     // broadcasting it (the r9 defect class, reintroduced in r10 and
     // flagged by the r10 verdict) is a driver OOM at fit time on a
@@ -493,39 +503,24 @@ object Similarity {
           e => e.getField("c")).as("c"))
     var cents = emb.filter($"vec_id" < KmCells)
       .select($"vec_id".as("cell"), $"embedding".cast("array<double>").as("c"))
-    for (_ <- 1 to KmIters)
-      cents = update(kmAssignOver(s, dir, cents, keepCos = false))
+    for (_ <- 1 to KmIters) cents = update(assign(cents))
     cents
   }
 
-  /** [[kmeansFit]] over an ARBITRARY embeddings relation (vec_id, label,
-    * embedding) — identical seed/assignment/update arithmetic, factored
-    * (r18) so `ops_day`'s retrain action can refit from the day's corpus
-    * FILES; the composed oracle pins its output against [[kmSql]]'s kc
-    * chain, so the two fit paths cannot silently diverge.
+  /** [[kmeansFitCore]] over the session-shared corpus relations. */
+  private[graft] def kmeansFit(s: SparkSession, dir: String): DataFrame =
+    kmeansFitCore(Tables.embeddings(s, dir), explM(s, dir))
+
+  /** [[kmeansFitCore]] over an ARBITRARY embeddings relation (vec_id,
+    * label, embedding) — `ops_day`'s retrain action refits from the
+    * day's corpus FILES; the composed oracle pins its output against
+    * [[kmSql]]'s kc chain.
     */
   private[graft] def kmeansFitOver(emb0: DataFrame): DataFrame = {
     val s = emb0.sparkSession
     import s.implicits._
     val emb = emb0.select($"vec_id", $"label", $"embedding")
-    val expl = explOf(emb).select($"vec_id", $"j", $"x")
-    def assign(cents: DataFrame): DataFrame =
-      emb.crossJoin(broadcast(cents))
-        .select($"vec_id", $"cell", expr("graft_cosine(embedding, c)").as("cos"))
-        .groupBy($"vec_id")
-        .agg(min(struct((-P.prnd($"cos", 6)).as("nc"), $"cell".as("l"))).as("m"))
-        .select($"vec_id", $"m.l".as("cell"))
-    def update(a: DataFrame): DataFrame =
-      expl.join(a.hint("shuffle_hash"), "vec_id")
-        .groupBy($"cell", $"j")
-        .agg((P.davg($"x", 9)).as("c"))
-        .groupBy($"cell")
-        .agg(transform(array_sort(collect_list(struct($"j", $"c"))),
-          x => x.getField("c")).as("c"))
-    var cents = emb.filter($"vec_id" < KmCells)
-      .select($"vec_id".as("cell"), $"embedding".cast("array<double>").as("c"))
-    for (_ <- 1 to KmIters) cents = update(assign(cents))
-    cents
+    kmeansFitCore(emb, explOf(emb))
   }
 
   /** kqc/kcand/krk CTE text — the trained-quantizer probe pipeline
@@ -722,15 +717,23 @@ object Similarity {
        |  FROM embeddings WHERE vec_id < $VecDriftSplit GROUP BY label),
        |cdn2 AS MATERIALIZED (SELECT label, CAST(COUNT(*) AS BIGINT) AS n_batch
        |  FROM embeddings WHERE vec_id >= $VecDriftSplit GROUP BY label),
-       |cdr AS MATERIALIZED (SELECT d.label, cdn1.n_base, cdn2.n_batch,
+       |cdr AS MATERIALIZED (SELECT label,
+       |  COALESCE(n_base, CAST(0 AS BIGINT)) AS n_base,
+       |  COALESCE(n_batch, CAST(0 AS BIGINT)) AS n_batch,
        |  ${PS.prnd("dot / sqrt(na * nb)", 6)} AS centroid_cos
-       |FROM cdd d JOIN cdn1 USING (label) JOIN cdn2 USING (label))""".stripMargin
+       |FROM cdn1 FULL OUTER JOIN cdn2 USING (label)
+       |LEFT JOIN cdd USING (label))""".stripMargin
 
   /** The drift rows over an ARBITRARY exploded-coordinate relation
     * (vec_id, label, j, x) and its embeddings source — the Spark twin
     * of [[centroidDriftSql]], factored (r18) so the corpus gate reads
     * the session-shared [[explM]] while the planted retrain-gate spec
     * feeds constructed batches through the identical arithmetic.
+    * The label frame is a FULL OUTER join of the base and batch count
+    * relations (r18 review): a label that exists on only ONE side still
+    * gets a row (counts coalesced to 0, centroid_cos NULL — there is no
+    * pair of centroids to compare), so the retrain gate can see a
+    * batch-only label instead of silently serving past it.
     */
   private[graft] def centroidDriftOver(expl: DataFrame, emb: DataFrame,
       split: Long): DataFrame = {
@@ -749,8 +752,11 @@ object Similarity {
       .groupBy($"label").agg(P.cnt.as("n_base"))
     val n2 = emb.filter($"vec_id" >= split)
       .groupBy($"label").agg(P.cnt.as("n_batch"))
-    d.join(n1, "label").join(n2, "label")
-      .select($"label", $"n_base", $"n_batch",
+    n1.join(n2, Seq("label"), "full_outer")
+      .join(d, Seq("label"), "left")
+      .select($"label",
+        coalesce($"n_base", lit(0L)).as("n_base"),
+        coalesce($"n_batch", lit(0L)).as("n_batch"),
         P.prnd($"dot" / sqrt($"na" * $"nb"), 6).as("centroid_cos"))
   }
 

@@ -13,11 +13,13 @@ object ClProbe {
     val ks = if (args.nonEmpty) args.map(_.toInt).toSeq else Seq(8, 12, 16, 20, 24)
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
     val spark = GraftSession.get(8)
-    // CLPROBE_CONF="k1=v1,k2=v2" — comma-separated conf pairs; a
-    // malformed entry aborts with a clear message (r17 ADVICE: the old
-    // single-pair `val Array(k,v)=…` threw a bare MatchError).
+    // CLPROBE_CONF="k1=v1;k2=v2" — ';'-separated conf pairs (';' rather
+    // than ',' so list-valued confs like extraJavaOptions keep their
+    // commas); a malformed entry aborts with a clear message (r17
+    // ADVICE: the old single-pair `val Array(k,v)=…` threw a bare
+    // MatchError).
     sys.env.get("CLPROBE_CONF").foreach { confs =>
-      confs.split(',').map(_.trim).filter(_.nonEmpty).foreach { kv =>
+      confs.split(';').map(_.trim).filter(_.nonEmpty).foreach { kv =>
         kv.split("=", 2) match {
           case Array(k, v) => spark.conf.set(k, v)
           case _ => sys.error(s"CLPROBE_CONF entry '$kv' is not key=value")

@@ -142,7 +142,10 @@ object ScaleTrend {
       // learner + its corpus token join (twice: the encode report and
       // the subword-priced packing), and the labels-sized retrain gate
       // over the shared drift means
-      "mm_phash_dup", "tx_bpe_encode", "etl_pack_bpe", "ops_retrain_gate")
+      "mm_phash_dup", "tx_bpe_encode", "etl_pack_bpe", "ops_retrain_gate",
+      // the composed day gate: fixed maintenance latency + the three
+      // ingest paths — the trend must show fixed-cost, not data-scaling
+      "ops_day")
     def time(name: String, dir: String): Double = {
       val fn = SparkEntry.queries(name)
       (1 to 2).map { _ =>

@@ -497,26 +497,34 @@ class DurableIndexSpec extends GraftSuite {
     def rows(ids: Range, f: Int => Seq[Float], label: Int) =
       ids.map(i => (i.toLong, label, f(i)))
     val base = rows(0 until 100, i => vec(1.0, if (i % 2 == 0) 0.1 else -0.1), 1)
-    def gateOn(batch: Seq[(Long, Int, Seq[Float])]): (String, String) = {
+    def gateOn(batch: Seq[(Long, Int, Seq[Float])]): (Map[Int, String], String) = {
       val emb = (base ++ batch).toDF("vec_id", "label", "embedding")
       val drift = Similarity.centroidDriftOver(Similarity.explOf(emb), emb, 100L)
       val r = Ops.retrainDecision(drift).collect()
-      assert(r.length === 1)
-      (r.head.getAs[String]("reason"), r.head.getAs[String]("overall_decision"))
+      (r.map(x => x.getAs[Int]("label") -> x.getAs[String]("reason")).toMap,
+        r.head.getAs[String]("overall_decision"))
     }
     // aligned small batch: same +e1 direction, 20% share -> serve
     val aligned = rows(100 until 125, i => vec(1.0, if (i % 2 == 0) 0.1 else -0.1), 1)
-    assert(gateOn(aligned) === (("within_thresholds", "serve")))
+    assert(gateOn(aligned) === ((Map(1 -> "within_thresholds"), "serve")))
     // drifted batch: rotated to +e2, same size -> centroid_drift retrain
     val drifted = rows(100 until 125, i => vec(0.1, 1.0), 1)
     val (rD, oD) = gateOn(drifted)
-    assert(rD === "centroid_drift" && oD === "retrain")
+    assert(rD(1) === "centroid_drift" && oD === "retrain")
     // aligned but OVERSIZED batch (> 30% of post-append corpus):
     // batch_share retrain — the precedence puts centroid_drift first,
     // so alignment must hold for the share reason to surface
     val oversized = rows(100 until 200, i => vec(1.0, if (i % 2 == 0) 0.1 else -0.1), 1)
     val (rS, oS) = gateOn(oversized)
-    assert(rS === "batch_share" && oS === "retrain")
+    assert(rS(1) === "batch_share" && oS === "retrain")
+    // batch introducing a label the base has NEVER seen (the r18-review
+    // blind spot: an inner label join would silently drop it and serve)
+    // -> its row survives the outer label frame with no centroid pair,
+    // reason new_label, overall retrain — while label 1 still serves
+    val withNew = aligned ++ rows(200 until 215, i => vec(0.5, 0.5), 2)
+    val (rN, oN) = gateOn(withNew)
+    assert(rN === Map(1 -> "within_thresholds", 2 -> "new_label") &&
+      oN === "retrain", s"batch-only label must force retrain: $rN")
     // corpus gate: every label drifts on this corpus (measured cos ~ 0,
     // the synthetic batch is uncorrelated with the base) -> overall
     // retrain, consistent with sim_centroid_drift's published rows

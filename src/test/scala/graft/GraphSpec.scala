@@ -669,6 +669,59 @@ class GraphSpec extends GraftSuite {
       bw.getAs[Double]("top10_overlap") <= 1.0)
     assert(bw.getAs[Double]("mean_abs_err") >= 0.0)
     assert(bw.getAs[Double]("max_abs_err") >= bw.getAs[Double]("mean_abs_err"))
+    // independent weighted-Brandes model (r18 review: the SQL and Spark
+    // sides of the sigma/delta recurrence are twins of ONE formulation,
+    // so the oracle compare cannot catch a shared conceptual error).
+    // Plain-Scala per-src recompute of the exact bounded recurrence:
+    // 5 synchronous weighted relax rounds, DAG edges d(w)=d(v)+weight,
+    // 5 sigma forward relaxations (pinned sigma(src)=1), 5 delta
+    // backward re-derivations — double arithmetic, so compared to the
+    // engine's decimal-quantized nanounits within a tolerance that any
+    // wrong recurrence blows through.
+    val detail = operators.GraphOps.probeBrandesWDetail(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("node"), r.getAs[Long]("src")) -> r.getAs[Long]("di"))
+      .toMap
+    val RWB = 5
+    val modelDi = scala.collection.mutable.Map[(Long, Long), Long]()
+    for (src <- pn) {
+      val dist = scala.collection.mutable.Map[Long, Long](src -> 0L)
+      for (_ <- 1 to RWB) {
+        val snap = dist.toMap
+        for ((v, d0) <- snap; (nb, w) <- wadj.getOrElse(v, Array.empty[(Long, Long)])) {
+          val nd = d0 + w
+          if (dist.get(nb).forall(_ > nd)) dist(nb) = nd
+        }
+      }
+      val dag = (for {
+        (v, d0) <- dist.toSeq; (nb, w) <- wadj.getOrElse(v, Array.empty[(Long, Long)])
+        if dist.get(nb).contains(d0 + w)
+      } yield (v, nb))
+      var sig = Map[Long, Long](src -> 1L)
+      for (_ <- 1 to RWB) {
+        val agg = dag.flatMap { case (v, w2) => sig.get(v).map(w2 -> _) }
+          .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+        sig = agg + (src -> 1L)
+      }
+      val dagR = dag.collect { case (v, w2) if sig.contains(v) && sig.contains(w2) =>
+        (v, w2, sig(v).toDouble / sig(w2)) }
+      var dlt = Map[Long, Double]().withDefaultValue(0.0)
+      def prnd9(x: Double) = math.floor(x * 1e9 + 0.5) / 1e9
+      for (_ <- 1 to RWB) {
+        dlt = dagR.groupBy(_._1).view.mapValues(_.map { case (_, w2, rt) =>
+          prnd9(rt * (1.0 + dlt(w2))) }.sum).toMap.withDefaultValue(0.0)
+      }
+      for (v <- pn; if v != src)
+        modelDi((v, src)) = math.floor(dlt(v) * 1e9 + 0.5).toLong
+    }
+    // the engine's delta relation is dense over (node, src), node != src
+    assert(detail.keySet === modelDi.keySet)
+    modelDi.foreach { case (k, m) =>
+      val got = detail(k)
+      // 1e-5 in delta units: double-vs-decimal summation slack only — a
+      // wrong recurrence lands orders of magnitude outside it
+      assert(math.abs(got - m) <= 10000L,
+        s"weighted Brandes recurrence diverged at $k: engine $got vs model $m")
+    }
   }
 
   test("random walks: every step follows a real edge and the corpus is reproducible") {
