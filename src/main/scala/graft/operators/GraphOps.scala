@@ -3099,7 +3099,7 @@ object GraphOps {
     }
     val unionDl = (0 to rounds).map(r => s"SELECT node, src, delta FROM ${pfx}d$r").mkString(" UNION ALL ")
     val fin =
-      s"""${pfx}dl AS (SELECT node, src, CAST(floor(delta * 1e9 + 0.5) AS BIGINT) AS di
+      s"""${pfx}dl AS MATERIALIZED (SELECT node, src, CAST(floor(delta * 1e9 + 0.5) AS BIGINT) AS di
          |  FROM ($unionDl) WHERE node <> src)""".stripMargin
     ((base +: fwd) ++ Seq(dag, bwdBase) ++ bwd :+ fin).mkString(",\n")
   }
@@ -3165,9 +3165,9 @@ object GraphOps {
     * on the source set (r18: the weighted fidelity gate).
     */
   private def ceWdChain(pfx: String, srcCte: String, rounds: Int): String = {
-    val base = s"${pfx}0 AS (SELECT node AS src, node, CAST(0 AS BIGINT) AS d FROM $srcCte)"
+    val base = s"${pfx}0 AS MATERIALIZED (SELECT node AS src, node, CAST(0 AS BIGINT) AS d FROM $srcCte)"
     val steps = (1 to rounds).map { i =>
-      s"""$pfx$i AS (SELECT x.src, x.node, MIN(x.d) AS d FROM (
+      s"""$pfx$i AS MATERIALIZED (SELECT x.src, x.node, MIN(x.d) AS d FROM (
          |    SELECT src, node, d FROM $pfx${i - 1}
          |    UNION ALL
          |    SELECT p.src, u.node, p.d + u.weight FROM pu u JOIN $pfx${i - 1} p ON u.nb = p.node) x
@@ -3210,14 +3210,14 @@ object GraphOps {
     // weights mean no DAG edge enters the source, so the pinned
     // σ(src)=1 base row never collides with an aggregated row
     val dag =
-      s"""${pfx}dag AS (SELECT v.src, v.node AS v, w.node AS w
+      s"""${pfx}dag AS MATERIALIZED (SELECT v.src, v.node AS v, w.node AS w
          |  FROM pu u
          |  JOIN ${pfx}w$rounds v ON u.node = v.node
          |  JOIN ${pfx}w$rounds w ON u.nb = w.node AND w.src = v.src AND w.d = v.d + u.weight)""".stripMargin
     val sigBase =
-      s"""${pfx}s0 AS (SELECT node AS src, node, CAST(1 AS BIGINT) AS sig FROM $srcCte)""".stripMargin
+      s"""${pfx}s0 AS MATERIALIZED (SELECT node AS src, node, CAST(1 AS BIGINT) AS sig FROM $srcCte)""".stripMargin
     val sig = (1 to dagIters).map { t =>
-      s"""${pfx}s$t AS (
+      s"""${pfx}s$t AS MATERIALIZED (
          |  SELECT node AS src, node, CAST(1 AS BIGINT) AS sig FROM $srcCte
          |  UNION ALL
          |  SELECT g.src, g.w AS node, CAST(SUM(p.sig) AS BIGINT) AS sig
@@ -3225,16 +3225,16 @@ object GraphOps {
          |  GROUP BY g.src, g.w)""".stripMargin
     }
     val dagR =
-      s"""${pfx}dag2 AS (SELECT g.src, g.v, g.w,
+      s"""${pfx}dag2 AS MATERIALIZED (SELECT g.src, g.v, g.w,
          |    CAST(sv.sig AS DOUBLE) / CAST(sw.sig AS DOUBLE) AS rt
          |  FROM ${pfx}dag g
          |  JOIN ${pfx}s$dagIters sv ON g.v = sv.node AND g.src = sv.src
          |  JOIN ${pfx}s$dagIters sw ON g.w = sw.node AND g.src = sw.src)""".stripMargin
     val dltBase =
-      s"""${pfx}d0 AS (SELECT n.node, l.node AS src, CAST(0.0 AS DOUBLE) AS delta
+      s"""${pfx}d0 AS MATERIALIZED (SELECT n.node, l.node AS src, CAST(0.0 AS DOUBLE) AS delta
          |  FROM pn n CROSS JOIN $srcCte l)""".stripMargin
     val dlt = (1 to dagIters).map { t =>
-      s"""${pfx}d$t AS (SELECT n.node, l.node AS src, COALESCE(a.delta, CAST(0.0 AS DOUBLE)) AS delta
+      s"""${pfx}d$t AS MATERIALIZED (SELECT n.node, l.node AS src, COALESCE(a.delta, CAST(0.0 AS DOUBLE)) AS delta
          |  FROM pn n CROSS JOIN $srcCte l
          |  LEFT JOIN (
          |    SELECT g.v AS node, g.src,
@@ -3243,7 +3243,7 @@ object GraphOps {
          |    GROUP BY g.v, g.src) a ON a.node = n.node AND a.src = l.node)""".stripMargin
     }
     val fin =
-      s"""${pfx}dl AS (SELECT node, src, CAST(floor(delta * 1e9 + 0.5) AS BIGINT) AS di
+      s"""${pfx}dl AS MATERIALIZED (SELECT node, src, CAST(floor(delta * 1e9 + 0.5) AS BIGINT) AS di
          |  FROM ${pfx}d$dagIters WHERE node <> src)""".stripMargin
     ((wd +: Seq(dag, sigBase)) ++ sig ++ Seq(dagR, dltBase) ++ dlt :+ fin)
       .mkString(",\n")
