@@ -100,7 +100,12 @@ class ScalePlanSpec extends GraftSuite {
         "gr_betweenness_w" -> 0,
         // r15 additions
         "gr_louvain_ml" -> 1, // w2 (1 row); contraction + coarse sweeps ride stateJoin
-        "an_explorer_page" -> 1 // the 1-row page-1 cursor
+        "an_explorer_page" -> 1, // the 1-row page-1 cursor
+        // r18 additions
+        "mm_phash_dup" -> 0, // banded candidate + signature joins, all size-driven
+        "tx_bpe_encode" -> 8, // one 1-row argmax-pair broadcast per merge round
+        "etl_pack_bpe" -> 8, // same learner rounds; pack joins size-driven
+        "ops_retrain_gate" -> 1 // the 1-row overall-decision broadcast
       )
       allowed.foreach { case (name, maxB) =>
         val df = run(name)
