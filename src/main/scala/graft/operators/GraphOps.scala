@@ -3650,66 +3650,111 @@ object GraphOps {
 
   /** Landmark-seed tuning curve (r16 verdict item 1, the `dd_lsh_tuning`
     * posture): closeness Spearman ρ + top-10 overlap vs exact on the
-    * probe subgraph, per (seed strategy × K) — the measurement that
-    * CHOSE the production max-degree/K=[[ClLandmarks]] rule and keeps
-    * the decision data, not lore. Both strategies and every K read the
-    * ONE memoized all-sources BFS detail (a landmark total is a
-    * src-membership filter), so the whole 8-config panel costs one
-    * bounded ProbeN² BFS plus 8 constant-size aggregations.
+    * probe subgraph, per (metric × seed strategy × K) — the measurement
+    * that CHOSE the production max-degree/K=[[ClLandmarks]] rule and
+    * keeps the decision data, not lore. r18 extends the panel with the
+    * WEIGHTED closeness metric and a `max_wdegree` strategy (top-K by
+    * summed edge weight — Brandes & Pich 2007's question whether the
+    * weighted estimator wants a distance-weighted pivot), so the
+    * weighted seed choice is measured ACROSS strategies, not just at
+    * the production rule. Measured: max_wdegree edges max_degree by
+    * < 0.01 ρ at the production K=24 on sf0.01 (0.942 vs 0.934
+    * weighted; 0.913 vs 0.904 hop) but collapses at small K (0.41–0.62
+    * vs 0.54–0.77) and loses at sf0.001 (hop 0.894 vs 0.988; weighted
+    * 0.982 vs 0.987) — the production max-degree rule keeps the
+    * K- and corpus-robust seed, now on data for both distance
+    * semantics. Every config reads the ONE memoized all-sources detail
+    * of its metric (a landmark total is a src-membership filter), so
+    * the 24-config panel costs one bounded ProbeN² BFS + one weighted
+    * Bellman-Ford detail plus 24 constant-size aggregations.
     */
   private val TuneKs = Seq(4, 8, 16, 24)
+  private val TuneStrategies = Seq("max_degree", "max_wdegree", "smallest_id")
+
+  /** Top-K probe nodes by summed edge weight (weight DESC, node ASC) —
+    * the distance-weighted pivot candidate of the tuning panel.
+    */
+  private def probeLmkW(pu: DataFrame, k: Int): DataFrame = {
+    val s = pu.sparkSession
+    import s.implicits._
+    pu.groupBy($"node").agg(sum($"weight").as("wd"))
+      .orderBy($"wd".desc, $"node".asc).limit(k).select($"node")
+  }
+
+  private def lmkSeedWSql(undCte: String, k: Int): String =
+    s"""(SELECT node FROM (SELECT node, SUM(weight) AS wd FROM $undCte
+       |  GROUP BY node ORDER BY wd DESC, node LIMIT $k))""".stripMargin
 
   val grCentralityTuning = QueryDef(
     "gr_centrality_tuning", {
       val cfgs = for {
-        st <- Seq("max_degree", "smallest_id"); k <- TuneKs
-      } yield (st, k)
+        m <- Seq("closeness", "closeness_w"); st <- TuneStrategies; k <- TuneKs
+      } yield (m, st, k)
       def seedSql(st: String, k: Int) = st match {
         case "smallest_id" => s"(SELECT node FROM pn ORDER BY node LIMIT $k)"
         case "max_degree"  => lmkSeedSql("pu", k)
+        case "max_wdegree" => lmkSeedWSql("pu", k)
       }
-      val cfgCtes = cfgs.map { case (st, k) =>
-        val a = s"tl_${st}_$k"
+      val cfgCtes = cfgs.map { case (m, st, k) =>
+        val a = s"tl_${m}_${st}_$k"
+        val tot = m match {
+          case "closeness" =>
+            ceClosTotSql("cex", Some(s"${a}s"), s"${k * (ClRounds + 1)}", ClRounds)
+          case "closeness_w" =>
+            ceWClosTotSql("cwx", Some(s"${a}s"), s"${k * ClWCap}", ClWRounds)
+        }
+        val exact = if (m == "closeness") "cet" else "cwt"
         s"""${a}s AS MATERIALIZED (SELECT node FROM ${seedSql(st, k)}),
-           |${a}t AS MATERIALIZED (${ceClosTotSql("cex", Some(s"${a}s"), s"${k * (ClRounds + 1)}", ClRounds)}),
+           |${a}t AS MATERIALIZED ($tot),
            |${a}r AS MATERIALIZED (SELECT e.node,
            |    ROW_NUMBER() OVER (ORDER BY e.tot ASC, e.node ASC) AS re,
            |    ROW_NUMBER() OVER (ORDER BY l.tot ASC, l.node ASC) AS ra
-           |  FROM cet e JOIN ${a}t l ON e.node = l.node)""".stripMargin
+           |  FROM $exact e JOIN ${a}t l ON e.node = l.node)""".stripMargin
       }.mkString(",\n")
-      val reports = cfgs.map { case (st, k) =>
-        s"""SELECT '$st' AS strategy, CAST($k AS BIGINT) AS k, * FROM (
+      val reports = cfgs.map { case (m, st, k) =>
+        s"""SELECT '$m' AS metric, '$st' AS strategy, CAST($k AS BIGINT) AS k, * FROM (
            |  SELECT ${PS.prnd("CASE WHEN COUNT(*) > 1 THEN 1.0 - (6.0 * CAST(SUM((re - ra) * (re - ra)) AS DOUBLE)) / (CAST(COUNT(*) AS DOUBLE) * (CAST(COUNT(*) AS DOUBLE) * CAST(COUNT(*) AS DOUBLE) - 1.0)) ELSE NULL END", 6)} AS spearman,
            |    CAST(SUM(CASE WHEN re <= 10 AND ra <= 10 THEN 1 ELSE 0 END) AS DOUBLE) / 10.0 AS top10_overlap
-           |  FROM tl_${st}_${k}r)""".stripMargin
+           |  FROM tl_${m}_${st}_${k}r)""".stripMargin
       }.mkString("\nUNION ALL\n")
       s"""WITH $eNumSql, $undSql,
          |$ceProbeSql,
          |${ceBfsChain("cex", "pn", ClRounds)},
          |cet AS MATERIALIZED (${ceClosTotSql("cex", None, s"(SELECT np FROM pnn) * ${ClRounds + 1}", ClRounds)}),
+         |${ceWdChain("cwx", "pn", ClWRounds)},
+         |cwt AS MATERIALIZED (${ceWClosTotSql("cwx", None, s"(SELECT np FROM pnn) * $ClWCap", ClWRounds)}),
          |$cfgCtes
-         |SELECT strategy, k, spearman, top10_overlap FROM (
+         |SELECT metric, strategy, k, spearman, top10_overlap FROM (
          |$reports
-         |) ORDER BY strategy, k""".stripMargin
+         |) ORDER BY metric, strategy, k""".stripMargin
     }) { (s, dir) =>
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
     val (pn, pu) = probeRel(s, dir)
-    val d = probeBfsDetail(s, dir)
     val np = pn.count() // bounded by the constant ProbeN
-    val ce = ceClosTot(pn, d, None, np * (ClRounds + 1), ClRounds)
+    val dHop = probeBfsDetail(s, dir)
+    val dW = probeWdDetail(s, dir, ClWRounds)
+    val ceHop = ceClosTot(pn, dHop, None, np * (ClRounds + 1), ClRounds)
+      .select($"node", $"tot".as("tot_e"))
+    val ceW = ceWClosTot(pn, dW, None, np * ClWCap)
       .select($"node", $"tot".as("tot_e"))
     val cfgs = for {
-      st <- Seq("max_degree", "smallest_id"); k <- TuneKs
-    } yield (st, k)
-    val reports = cfgs.map { case (st, k) =>
+      m <- Seq("closeness", "closeness_w"); st <- TuneStrategies; k <- TuneKs
+    } yield (m, st, k)
+    val reports = cfgs.map { case (m, st, k) =>
       val seed = st match {
         case "smallest_id" => pn.orderBy($"node").limit(k)
         case "max_degree"  => probeLmk(pu, k)
+        case "max_wdegree" => probeLmkW(pu, k)
       }
-      val tl = ceClosTot(pn, d, Some(seed), k.toLong * (ClRounds + 1), ClRounds)
-        .select($"node".as("node2"), $"tot".as("tot_l"))
-      val ranked = ce.join(tl, $"node" === $"node2")
+      val (exact, tl) = m match {
+        case "closeness" => (ceHop,
+          ceClosTot(pn, dHop, Some(seed), k.toLong * (ClRounds + 1), ClRounds))
+        case "closeness_w" => (ceW,
+          ceWClosTot(pn, dW, Some(seed), k.toLong * ClWCap))
+      }
+      val ranked = exact.join(
+          tl.select($"node".as("node2"), $"tot".as("tot_l")), $"node" === $"node2")
         .select(
           row_number().over(Window.orderBy($"tot_e".asc, $"node".asc)).as("re"),
           row_number().over(Window.orderBy($"tot_l".asc, $"node2".asc)).as("ra"))
@@ -3718,13 +3763,13 @@ object GraphOps {
         .agg(sum(($"re" - $"ra") * ($"re" - $"ra")).as("sd2"),
           sum(when($"re" <= 10 && $"ra" <= 10, 1).otherwise(0)).as("ov"),
           P.cnt.as("n"))
-        .select(lit(st).as("strategy"), lit(k.toLong).as("k"),
+        .select(lit(m).as("metric"), lit(st).as("strategy"), lit(k.toLong).as("k"),
           P.prnd(when(n > 1,
             lit(1.0) - (lit(6.0) * $"sd2".cast("double")) / (n * (n * n - 1.0)))
             .otherwise(lit(null).cast("double")), 6).as("spearman"),
           ($"ov".cast("double") / 10.0).as("top10_overlap"))
     }
-    reports.reduce(_ union _).orderBy($"strategy", $"k")
+    reports.reduce(_ union _).orderBy($"metric", $"strategy", $"k")
   }
 
   val defs: Seq[QueryDef] = Seq(grEdges, grDegree, grDegreeDirected,
