@@ -651,6 +651,26 @@ object Ops {
        |  CAST(COALESCE(SUM(CAST(${PS.hexToLong(s"md5($keyExpr)", 1, 8)} AS DECIMAL(38,0))), 0) % 1000000007 AS BIGINT) AS checksum
        |FROM $rel t""".stripMargin
 
+  /** The day's k-means ACTION under the gate's verdict: retrain → full
+    * refit from the day corpus, published and served; serve → the day-0
+    * artifact republished under the serving key. Factored (r18) so the
+    * spec can drive BOTH branches — the serve branch is dead on this
+    * corpus (the gate always measures drift), and an untested dead
+    * branch in a composed gate is exactly where a latent wiring bug
+    * hides.
+    */
+  private[graft] def dayKmAction(s: org.apache.spark.sql.SparkSession,
+      retrain: Boolean, dayEmb: org.apache.spark.sql.DataFrame,
+      k0: String, kServe: String): org.apache.spark.sql.DataFrame = {
+    graft.sources.IndexStore.publish(s, kServe,
+      if (retrain) Similarity.kmeansFitOver(dayEmb)
+      else graft.sources.IndexStore.tryServe(s, k0).getOrElse(
+        throw new IllegalStateException("day-0 centroid store refused to serve")),
+      "cell")
+    graft.sources.IndexStore.tryServe(s, kServe).getOrElse(
+      throw new IllegalStateException("day k-means store refused to serve"))
+  }
+
   private[graft] def opsDayRootDir(s: org.apache.spark.sql.SparkSession,
       dir: String): String = sessionCorpusTmpDir(s, dir, "graft_ops_day", "day")
 
@@ -810,14 +830,7 @@ object Ops {
           Similarity.explOf(dayEmb), dayEmb, Similarity.VecDriftSplit)).ckpt
         val retrain = decision.select($"overall_decision").head()
           .getString(0) == "retrain" // 1-row driver read (gr_louvain class)
-        val kServe = s"day_km:$dir"
-        graft.sources.IndexStore.publish(s, kServe,
-          if (retrain) Similarity.kmeansFitOver(dayEmb)
-          else graft.sources.IndexStore.tryServe(s, k0).getOrElse(
-            throw new IllegalStateException("day-0 centroid store refused to serve")),
-          "cell")
-        val servedCents = graft.sources.IndexStore.tryServe(s, kServe).getOrElse(
-          throw new IllegalStateException("day k-means store refused to serve"))
+        val servedCents = dayKmAction(s, retrain, dayEmb, k0, s"day_km:$dir")
         // ---- the composed day report
         val pr = GraphOps.pagerank(
           GraphOps.iterRelation(GraphOps.undirected(servedEdges)))

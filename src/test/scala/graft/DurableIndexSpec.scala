@@ -525,6 +525,43 @@ class DurableIndexSpec extends GraftSuite {
     val (rN, oN) = gateOn(withNew)
     assert(rN === Map(1 -> "within_thresholds", 2 -> "new_label") &&
       oN === "retrain", s"batch-only label must force retrain: $rN")
+    // both branches of the composed day's k-means ACTION (the serve
+    // branch is dead on this corpus — the gate always measures drift —
+    // and an untested dead branch in a composed gate is where a latent
+    // wiring bug hides): serve republishes the day-0 artifact under the
+    // serving key byte-equal; retrain serves the full refit
+    locally {
+      val store = java.nio.file.Files.createTempDirectory("graft_daykm").toString
+      val prevConf = spark.conf.get(sources.IndexStore.DirConf, null)
+      spark.conf.set(sources.IndexStore.DirConf, store)
+      val keys = Seq("spec_day_km0", "spec_day_km_serve", "spec_day_km_rt")
+      try {
+        val emb = (rows(0 until 40, i => vec(1.0 + i % 3, 0.1 * (i % 5)), 1) ++
+          rows(40 until 60, i => vec(0.2, 1.0 + i % 2), 1))
+          .toDF("vec_id", "label", "embedding")
+        val base = emb.filter($"vec_id" < 40)
+        sources.IndexStore.publish(spark, "spec_day_km0",
+          Similarity.kmeansFitOver(base), "cell")
+        def cents(df: org.apache.spark.sql.DataFrame) = df.collect()
+          .map(r => r.getAs[Long]("cell") -> r.getAs[Seq[Double]]("c"))
+          .sortBy(_._1).toSeq
+        val served0 = Ops.dayKmAction(spark, retrain = false, emb,
+          "spec_day_km0", "spec_day_km_serve")
+        assert(cents(served0) === cents(Similarity.kmeansFitOver(base)),
+          "serve must republish the day-0 centroids unchanged")
+        val served1 = Ops.dayKmAction(spark, retrain = true, emb,
+          "spec_day_km0", "spec_day_km_rt")
+        assert(cents(served1) === cents(Similarity.kmeansFitOver(emb)),
+          "retrain must serve the full refit")
+        assert(cents(served1) != cents(served0),
+          "the planted batch must move the centroids")
+      } finally {
+        keys.foreach(k =>
+          spark.sql(s"DROP TABLE IF EXISTS ${sources.IndexStore.tableName(k)}"))
+        if (prevConf == null) spark.conf.unset(sources.IndexStore.DirConf)
+        else spark.conf.set(sources.IndexStore.DirConf, prevConf)
+      }
+    }
     // corpus gate: every label drifts on this corpus (measured cos ~ 0,
     // the synthetic batch is uncorrelated with the base) -> overall
     // retrain, consistent with sim_centroid_drift's published rows
