@@ -31,6 +31,14 @@ object Bench {
     * was one first-consumer-cold sample paying the session-shared
     * MatStore builds (sim_filtered_recall: 2.4s recorded vs 0.29s
     * isolated). A complete map is the fix that lasts.
+    *
+    * The r18 variant of the same failure: [[lifecycleBuilds]] queries
+    * sort to the tail BY COST, and when the extra-sample window closes
+    * there, min-of-1 records their multi-second store-maintenance
+    * build as the warm number (driver r18: ops_day 8.33 s). Listing a
+    * query here orders the sweep; only the lifecycle guarantee (a
+    * second sample past the cutoff) makes its recorded number
+    * sampling-invariant.
     */
   val priorCost: Map[String, Double] = Map(
     "an_ab_test" -> 0.2,
@@ -206,6 +214,37 @@ object Bench {
     "tx_bpe_encode" -> 1.5,
     "tx_vocab_growth" -> 0.35)
 
+  /** Lifecycle gates: queries whose FIRST sample in a warm sweep pays a
+    * one-time multi-second store-maintenance arc (parquet day-tree
+    * writes, store publish/append/compact, a model refit) and whose
+    * later samples serve the MatStore memo in milliseconds. Mapped to
+    * the gate's own memo-key prefixes so the measurement tools can
+    * clear exactly that gate's memo per sample ([[MatStore
+    * .clearPrefix]]). Consequences (r18 verdict item 1):
+    *
+    *  - Bench GUARANTEES these queries a second sample even past the
+    *    budget×0.7 extra-sample cutoff — a min-of-1 on a throttled host
+    *    otherwise records the build as the query's warm cost (driver
+    *    r18: ops_day 8.33 s = 6.0× its paired oracle) while a clean
+    *    min-of-5 records the 8 ms serve; neither alone is honest.
+    *  - The build cost is reported as its OWN bench fact (the `builds`
+    *    dict of the full JSON line and the committed sidecar): the
+    *    query row carries the warm SERVE cost — the deployed posture
+    *    every other MatStore consumer is measured in — and the
+    *    once-per-day build cost stays a declared, driver-visible
+    *    number instead of sampling noise.
+    *  - ScaleTrend/IterProbe clear these prefixes before each sample,
+    *    so trend rows and scheduler counters measure the maintenance
+    *    ARC, not the memo read.
+    */
+  val lifecycleBuilds: Map[String, Seq[String]] = Map(
+    "ops_incremental_gate" -> Seq("ops_inc_batch:", "ops_inc_bands:"),
+    "ops_store_lifecycle" -> Seq("ops_store_lc:"),
+    "ops_graph_ingest" -> Seq("ops_graph_und:"),
+    "ops_day" -> Seq("ops_day:"),
+    "ops_week" -> Seq("ops_week:"),
+    "sim_ivf_append" -> Seq("sim_ivf_append:"))
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
@@ -235,6 +274,7 @@ object Bench {
     // hook snapshots them while the main thread may still be mutating
     val lock = new Object
     val timings = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    val builds = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val oracleT = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val skipped = scala.collection.mutable.ArrayBuffer.empty[String]
@@ -248,15 +288,21 @@ object Bench {
     // (metric/value/unit/queries/sf); the oracle timings stay in the
     // full first print and the committed BENCH_SELF.json sidecar.
     def buildJson(partial: Boolean, slim: Boolean = false): String = {
-      val (ts, os, es, sk) = lock.synchronized {
-        (timings.toSeq, oracleT.toSeq, errors.toSeq, skipped.toSeq)
+      val (ts, bs, os, es, sk) = lock.synchronized {
+        (timings.toSeq, builds.toSeq, oracleT.toSeq, errors.toSeq, skipped.toSeq)
       }
       val qs = ts.map { case (k, v) => "\"" + esc(k) + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
+      val bj = bs.map { case (k, v) => "\"" + esc(k) + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
       val or = os.map { case (k, v) => "\"" + esc(k) + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
       val er = es.map { case (k, v) => "\"" + esc(k) + "\":\"" + esc(v) + "\"" }.mkString("{", ",", "}")
       val skj = sk.map("\"" + esc(_) + "\"").mkString("[", ",", "]")
       val total = ts.map(_._2).sum
-      val oracleField = if (slim) "" else s""""oracle":$or,"""
+      // `builds` is the declared sidecar fact for the lifecycle gates
+      // (see lifecycleBuilds): first-build seconds of the one-per-day
+      // maintenance arc, reported separately from the warm serve cost
+      // the query row records. Full line + sidecar only — the slim line
+      // must stay inside the driver's stdout-tail window.
+      val oracleField = if (slim) "" else s""""oracle":$or,"builds":$bj,"""
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,$oracleField"errors":$er,"skipped":$skj,"partial":$partial,"sf":"${esc(sfDir)}"}"""
     }
     def emit(partial: Boolean): Unit = if (printed.compareAndSet(false, true)) {
@@ -402,11 +448,18 @@ object Bench {
         }
         val extra = scala.collection.mutable.ArrayBuffer.empty[Double]
         var more = first.isDefined
+        val isLifecycle = lifecycleBuilds.contains(name) && !coldStore
         // 0.7 (was 0.5): a full warm sweep's wall lands at 400-500s of
         // the 900s budget, so the half-budget cutoff silently downgraded
         // the ENTIRE sweep tail to single cold samples — exactly the
-        // expensive queries min-of-N exists for
-        while (more && (1 + extra.length) < maxSamples && elapsed < budgetSec * 0.7) {
+        // expensive queries min-of-N exists for. Lifecycle gates are
+        // GUARANTEED a second sample past that cutoff (budget guard
+        // only): their first sample is the one-time store-maintenance
+        // build, and min-of-1 would record it as the warm cost (r18
+        // verdict item 1 — the one weak row of that round's sweep).
+        while (more && (1 + extra.length) < maxSamples &&
+            (elapsed < budgetSec * 0.7 ||
+              (isLifecycle && extra.isEmpty && remaining > 25))) {
           runOne(name, fn, perQueryCap) match {
             case Some(t) => extra += t
             case None => more = false
@@ -415,6 +468,12 @@ object Bench {
         val runs = first.toSeq ++ extra
         if (runs.nonEmpty) lock.synchronized {
           timings(name) = runs.min
+          // the lifecycle gate's first (build) sample is its own bench
+          // fact; the query row records the warm serve the later
+          // samples measure. Cold mode pays the build EVERY sample by
+          // design, so there the min already is the honest build number
+          // and no separate fact is recorded.
+          if (isLifecycle && runs.length >= 2) builds(name) = runs.head
           // a successful sample supersedes its own watchdog cancellation,
           // but a genuine intermittent failure stays visible
           if (errors.get(name).exists(_.contains("SPARK_JOB_CANCELLED"))) errors.remove(name)

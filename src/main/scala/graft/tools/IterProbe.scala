@@ -50,6 +50,11 @@ object IterProbe {
       var counters = (0, 0, 0, 0L)
       val ts = (1 to reps).map { i =>
         spark.catalog.clearCache()
+        // lifecycle gates: clear the gate's own memo so every sample's
+        // counters cover the real maintenance arc, not the memo read
+        // (same discipline as ScaleTrend.time — r18 verdict item 1)
+        Bench.lifecycleBuilds.get(name)
+          .foreach(p => MatStore.clearPrefix(spark, p))
         System.gc()
         Thread.sleep(200) // let listener events drain so counters are per-sample
         jobs.set(0); stages.set(0); tasks.set(0); shufW.set(0L)
