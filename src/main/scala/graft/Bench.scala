@@ -143,6 +143,7 @@ object Bench {
     "mm_dup_frames" -> 0.33,
     "mm_frame_index" -> 0.06,
     "mm_phash_dup" -> 0.6,
+    "mm_phash_clusters" -> 0.9,
     "ops_freshness" -> 0.2,
     "ops_incremental_gate" -> 2.0,
     "ops_infra_gate" -> 0.3,
@@ -212,6 +213,7 @@ object Bench {
     "tx_term_drift" -> 0.39,
     "tx_token_count" -> 0.1,
     "tx_bpe_encode" -> 1.5,
+    "tx_bpe_tuning" -> 4.0,
     "tx_vocab_growth" -> 0.35)
 
   /** Lifecycle gates: queries whose FIRST sample in a warm sweep pays a

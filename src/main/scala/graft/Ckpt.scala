@@ -37,9 +37,18 @@ object Ckpt {
   implicit class CkptOps(private val df: DataFrame) extends AnyVal {
     /** Truncate lineage here: lazy local checkpoint, or lazy reliable
       * checkpoint under the [[Ckpt.Conf]] knob.
+      *
+      * The checkpoint forwards the origin plan's Statistics; a round
+      * plan that references the previous round's checkpoint ≥ 2 times
+      * SQUARES that sizeInBytes per round, and past ~20 rounds the
+      * planner is doing million-digit BigInteger arithmetic (measured:
+      * 0.4 s → 90 s per fixed-shape round). The barrier clamps the
+      * inherited stats on their first implausible crossing — see
+      * [[org.apache.spark.sql.GraftStatsBarrier]].
       */
     def ckpt: DataFrame =
-      if (reliable(df.sparkSession)) df.checkpoint(false)
-      else df.localCheckpoint(false)
+      org.apache.spark.sql.GraftStatsBarrier.clampOriginStats(
+        if (reliable(df.sparkSession)) df.checkpoint(false)
+        else df.localCheckpoint(false))
   }
 }

@@ -268,15 +268,22 @@ object Multimodal {
     * a noise-perturbed duplicate pair perceptually while the md5
     * detector misses both (the `sent_lexicon_sens` vacuity discipline).
     */
-  val phashDup = QueryDef(
-    "mm_phash_dup", {
+  /** Oracle CTE chain `d` → `ppairs` — the arithmetic re-derivation of
+    * the codec-path perceptual hashing and banded pairing (header dims
+    * from the content digest, raster bytes = UTF-8 bytes cycled,
+    * integer gradients, pigeonhole bands, the shared salted cap, exact
+    * Hamming verify). Shared by `mm_phash_dup` and `mm_phash_clusters`
+    * so the detector and the cluster funnel pin the IDENTICAL pair
+    * relation.
+    */
+  private val phashPairsSql: String = {
       val R = MediaPipeline.DhashRows
       val C = MediaPipeline.DhashCols
       val bandBits = C - 1
       def hexByte(pos: String) =
         s"""(strpos('0123456789abcdef', substr(ph, CAST($pos * 2 + 1 AS BIGINT), 1)) - 1) * 16
            | + (strpos('0123456789abcdef', substr(ph, CAST($pos * 2 + 2 AS BIGINT), 1)) - 1)""".stripMargin
-      s"""WITH d AS MATERIALIZED (SELECT doc_id, md5(text) AS dg,
+      s"""d AS MATERIALIZED (SELECT doc_id, md5(text) AS dg,
          |    lower(hex(encode(text))) AS ph,
          |    CAST(octet_length(encode(text)) AS BIGINT) AS len FROM documents),
          |phdr AS MATERIALIZED (SELECT doc_id, ph, len,
@@ -313,7 +320,12 @@ object Multimodal {
          |  FROM pcand c
          |  JOIN psig sa ON sa.doc_id = c.doc_a
          |  JOIN psig sb2 ON sb2.doc_id = c.doc_b
-         |  WHERE bit_count(xor(sa.s, sb2.s)) <= ${Dedup.HammingMax}),
+         |  WHERE bit_count(xor(sa.s, sb2.s)) <= ${Dedup.HammingMax})""".stripMargin
+  }
+
+  val phashDup = QueryDef(
+    "mm_phash_dup",
+    s"""WITH $phashPairsSql,
          |pboth AS MATERIALIZED (
          |  SELECT doc_a AS doc_id, doc_b AS partner, hamming FROM ppairs
          |  UNION ALL
@@ -322,12 +334,9 @@ object Multimodal {
          |  MIN(p.partner) AS min_partner,
          |  CAST(MIN(p.hamming) AS INTEGER) AS min_hamming
          |FROM d LEFT JOIN pboth p USING (doc_id)
-         |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin
-    }) { (s, dir) =>
+         |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
     import s.implicits._
-    val sig = MediaPipeline.dhash(
-      MediaPipeline.withPayload(Tables.documents(s, dir))).ckpt
-    val pairs = phashPairs(sig).ckpt
+    val pairs = phashPairsM(s, dir)
     val both = pairs.select($"doc_a".as("doc_id"), $"doc_b".as("partner"), $"hamming")
       .union(pairs.select($"doc_b".as("doc_id"), $"doc_a".as("partner"), $"hamming"))
     Tables.documents(s, dir).select($"doc_id")
@@ -339,6 +348,135 @@ object Multimodal {
       .orderBy($"doc_id")
   }
 
+  /** MatStore-shared verified perceptual pairs of the corpus — the
+    * detector (`mm_phash_dup`) and the cluster funnel
+    * (`mm_phash_clusters`) read the SAME hashed/banded/verified
+    * relation, the `jaccardPairs` discipline of the text family.
+    */
+  private def phashPairsM(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    graft.MatStore.of(s, s"mm_phash_pairs:$dir")(
+      phashPairs(MediaPipeline.dhash(
+        MediaPipeline.withPayload(Tables.documents(s, dir))).ckpt))
+
+  /** Cluster/canonical/split panel over an arbitrary (ids, verified
+    * pairs, per-member pixels) triple — factored so the planted spec
+    * drives it with constructed payloads while the corpus query feeds
+    * the shared relations. Per id: its near-dup cluster (min-label
+    * components over the pair graph; own id when unclustered), the
+    * RESOLUTION-canonical member (max width×height, doc_id tie-break —
+    * the perceptual twin of `dd_cluster_canonical`'s quality argmax:
+    * a curator keeps the highest-resolution copy of a re-encoded
+    * frame), the cluster-rep-keyed train/val/test split (every member
+    * of a perceptual cluster lands in ONE split — `etl_split_by_cluster`
+    * for payloads), and the measured cross-split pair count (0 by
+    * construction, carried as data).
+    */
+  private[graft] def phashClusterPanelOf(ids: org.apache.spark.sql.DataFrame,
+      pairs0: org.apache.spark.sql.DataFrame,
+      pix: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val s = ids.sparkSession
+    import s.implicits._
+    val pairs = pairs0.select($"doc_a", $"doc_b").ckpt
+    val und = pairs.select($"doc_a".as("node"), $"doc_b".as("nb"), lit(1L).as("weight"))
+      .union(pairs.select($"doc_b".as("node"), $"doc_a".as("nb"), lit(1L).as("weight")))
+    // perceptual clusters are small cliques/chains — the dd_clusters
+    // convergence posture (2 unchecked rounds, then check)
+    val cl = GraphOps.components(GraphOps.iterRelation(und), uncheckedRounds = 2)
+      .select($"node".as("doc_id"), $"comp".as("cluster"))
+    val qd = ids.select($"doc_id")
+      .join(cl, Seq("doc_id"), "left")
+      .select($"doc_id", $"cluster".isNotNull.as("clustered"),
+        coalesce($"cluster", $"doc_id").as("rep"))
+      .ckpt
+    // resolution argmax per cluster — members only (dup-rate-sized), a
+    // map-side max-struct, never a window sort
+    val can = cl.join(pix, "doc_id")
+      .groupBy($"cluster")
+      .agg(max(struct($"pixels".as("p"), (-$"doc_id").as("nd"))).as("b"))
+      .select($"cluster".as("rep"), (-$"b.nd").as("canonical_doc"))
+    val b = P.hexToLong(md5($"rep".cast("string")), 1, 2)
+    // consumed by the final projection AND twice by the leak audit
+    val spl = qd.select($"doc_id", $"clustered", $"rep",
+        when(b < Etl.SplitTrainMax, "train")
+          .when(b < Etl.SplitValMax, "val").otherwise("test").as("split"))
+      .ckpt
+    val lk = pairs
+      .join(spl.select($"doc_id".as("doc_a"), $"split".as("s_a")), "doc_a")
+      .join(spl.select($"doc_id".as("doc_b"), $"split".as("s_b")), "doc_b")
+      .agg(coalesce(sum(when($"s_a" =!= $"s_b", 1L).otherwise(0L)), lit(0L))
+        .as("leaked_pairs"))
+    spl.join(broadcast(can), Seq("rep"), "left")
+      .crossJoin(broadcast(lk))
+      .select($"doc_id", $"clustered", $"rep".as("cluster"),
+        coalesce($"canonical_doc", $"doc_id").as("canonical_doc"),
+        $"split", $"leaked_pairs")
+      .orderBy($"doc_id")
+  }
+
+  /** Perceptual-dedup funnel closure (r19 verdict item 2) — clusters →
+    * canonical → leakage-proof split, the multimodal twins of
+    * `dd_clusters` / `dd_cluster_canonical` / `etl_split_by_cluster`
+    * over the `mm_phash_dup` pair relation: per payload, its perceptual
+    * cluster, the resolution-canonical member, and the cluster-keyed
+    * split that lands every perceptual near-dup in ONE split (the md5
+    * detector would scatter re-encoded copies across splits — the
+    * planted spec proves the divergence). The oracle re-derives the
+    * hash/pair chain arithmetically ([[phashPairsSql]]), label-
+    * propagates clusters recursively, and picks the canonical by the
+    * digest-derived header dims — fully independent of the codec path.
+    *
+    * Scale shape: hashing/banding as `mm_phash_dup`; the cluster
+    * relation is dup-rate-sized components over verified pairs; decode
+    * for the resolution argmax touches MEMBER payloads only (left-semi
+    * prune before the codec); the split map is a narrow projection and
+    * the leak audit a size-driven pair join into a 1-row broadcast.
+    */
+  val phashClusters = QueryDef(
+    "mm_phash_clusters",
+    s"""WITH RECURSIVE $phashPairsSql,
+       |qund AS MATERIALIZED (SELECT doc_a AS a, doc_b AS b FROM ppairs
+       |  UNION ALL SELECT doc_b, doc_a FROM ppairs),
+       |qcc AS (SELECT a AS doc_id, a AS lbl FROM qund
+       |  UNION
+       |  SELECT u.b, c.lbl FROM qcc c JOIN qund u ON c.doc_id = u.a),
+       |qcl AS MATERIALIZED (SELECT doc_id, MIN(lbl) AS cluster FROM qcc GROUP BY doc_id),
+       |qd AS MATERIALIZED (SELECT d.doc_id, qcl.cluster IS NOT NULL AS clustered,
+       |    COALESCE(qcl.cluster, d.doc_id) AS rep
+       |  FROM d LEFT JOIN qcl USING (doc_id)),
+       |qcan AS MATERIALIZED (SELECT q.rep AS cluster, p.doc_id AS canonical_doc,
+       |    row_number() OVER (PARTITION BY q.rep
+       |      ORDER BY p.w * p.h DESC, p.doc_id) AS rn
+       |  FROM qd q JOIN phdr p USING (doc_id) WHERE q.clustered),
+       |qspl AS MATERIALIZED (SELECT doc_id, clustered, rep,
+       |    CASE WHEN ${PS.hexToLong("md5(CAST(rep AS VARCHAR))", 1, 2)} < ${Etl.SplitTrainMax} THEN 'train'
+       |         WHEN ${PS.hexToLong("md5(CAST(rep AS VARCHAR))", 1, 2)} < ${Etl.SplitValMax} THEN 'val'
+       |         ELSE 'test' END AS split
+       |  FROM qd),
+       |qlk AS MATERIALIZED (SELECT CAST(COALESCE(SUM(
+       |      CASE WHEN sa.split <> sb.split THEN 1 ELSE 0 END), 0) AS BIGINT) AS leaked_pairs
+       |  FROM ppairs p
+       |  JOIN qspl sa ON sa.doc_id = p.doc_a
+       |  JOIN qspl sb ON sb.doc_id = p.doc_b)
+       |SELECT s.doc_id, s.clustered, s.rep AS cluster,
+       |  COALESCE(c.canonical_doc, s.doc_id) AS canonical_doc, s.split, lk.leaked_pairs
+       |FROM qspl s
+       |LEFT JOIN (SELECT cluster, canonical_doc FROM qcan WHERE rn = 1) c
+       |  ON c.cluster = s.rep
+       |CROSS JOIN qlk lk
+       |ORDER BY s.doc_id""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    val pairs = phashPairsM(s, dir)
+    val members = pairs.select($"doc_a".as("doc_id"))
+      .union(pairs.select($"doc_b".as("doc_id"))).distinct()
+    val pix = MediaPipeline.decode(MediaPipeline.withPayload(
+        docs.join(members, Seq("doc_id"), "left_semi")))
+      .toDF()
+      .select($"doc_id", ($"width".cast("long") * $"height").as("pixels"))
+    phashClusterPanelOf(docs.select($"doc_id"), pairs, pix)
+  }
+
   val defs: Seq[QueryDef] = Seq(binaryMeta, frameIndex, dupFrames, decodeMeta,
-    phashDup)
+    phashDup, phashClusters)
 }

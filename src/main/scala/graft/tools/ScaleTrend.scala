@@ -145,7 +145,12 @@ object ScaleTrend {
       "mm_phash_dup", "tx_bpe_encode", "etl_pack_bpe", "ops_retrain_gate",
       // the composed day gate: fixed maintenance latency + the three
       // ingest paths — the trend must show fixed-cost, not data-scaling
-      "ops_day")
+      "ops_day",
+      // r19: the 32-round shared-prefix BPE depth panel (vocab-sized
+      // rounds — the trend measures vocab growth, not corpus growth),
+      // and the perceptual cluster/canonical/split funnel (components
+      // over the banded pair relation + member-only decode)
+      "tx_bpe_tuning", "mm_phash_clusters")
     def time(name: String, dir: String): Double = {
       val fn = SparkEntry.queries(name)
       (1 to 2).map { _ =>

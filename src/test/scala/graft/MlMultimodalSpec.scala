@@ -379,4 +379,69 @@ class MlMultimodalSpec extends GraftSuite {
       hamRz <= Dedup.HammingMax,
       s"resized duplicate must pair within the radius (doc $docId): $pairs")
   }
+
+  test("mm_phash_clusters: a perceptual-dup pair lands in ONE split where the md5 detector would scatter it") {
+    import operators.{Dedup, Etl, Multimodal}
+    import graft.functions.{Portable => P}
+    // own-id split bucket (etl_split_train_val's key — what a dedup
+    // pipeline using ONLY the md5 identity would split by, since a
+    // re-encoded copy shares no md5 with its original and thus never
+    // clusters)
+    def ownBucket(id: Long): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 2), 16)
+    }
+    def splitOf(b: Long): String =
+      if (b < Etl.SplitTrainMax) "train" else if (b < Etl.SplitValMax) "val" else "test"
+    // two ids whose OWN-id buckets land in different splits; the smaller
+    // id is the cluster rep, so the pair's cluster split = splitOf(idA)
+    val idA = 1L // bucket 196 -> train
+    val idB = (2L to 400L).find(b => splitOf(ownBucket(b)) != splitOf(ownBucket(idA))).get
+    // planted payloads: B is A's payload with off-grid raster noise —
+    // every byte digest differs (md5 detector: two unrelated payloads),
+    // the perceptual hash is bit-identical (Hamming 0)
+    val base = MediaPipeline.withPayload(
+        Tables.documents(spark, sfDir).filter(col("doc_id") === 0L))
+      .head().getAs[Array[Byte]]("payload")
+    val meta = MediaPipeline.decode(
+      spark.createDataFrame(Seq((0L, base))).toDF("doc_id", "payload")).head()
+    val (w, h, c) = (meta.width, meta.height, meta.channels)
+    val sampled = (for {
+      r <- 0 until MediaPipeline.DhashRows; x <- 0 until MediaPipeline.DhashCols
+      ch <- 0 until c
+    } yield ((r * h / MediaPipeline.DhashRows) * w + (x * w / MediaPipeline.DhashCols)) * c + ch).toSet
+    val noisy = base.clone()
+    (0 until w * h * c).filterNot(sampled).take(4).foreach { i =>
+      noisy(MediaPipeline.HeaderBytes + i) =
+        ((noisy(MediaPipeline.HeaderBytes + i) + 7) & 0xff).toByte
+    }
+    def md5hex(p: Array[Byte]) = java.security.MessageDigest.getInstance("MD5")
+      .digest(p).map("%02x".format(_)).mkString
+    assert(md5hex(base) != md5hex(noisy), "the plant must defeat the md5 identity")
+    val payloads = spark.createDataFrame(Seq((idA, base), (idB, noisy)))
+      .toDF("doc_id", "payload")
+    val pairs = Multimodal.phashPairs(MediaPipeline.dhash(payloads))
+    val pix = MediaPipeline.decode(payloads).toDF()
+      .select(col("doc_id"), (col("width").cast("long") * col("height")).as("pixels"))
+    val panel = Multimodal.phashClusterPanelOf(
+        payloads.select(col("doc_id")), pairs, pix)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    // the md5-only pipeline would have scattered the pair across splits
+    assert(splitOf(ownBucket(idA)) != splitOf(ownBucket(idB)),
+      s"plant ids must diverge under own-id split keys ($idA, $idB)")
+    // the perceptual cluster keys BOTH members by the rep -> one split
+    assert(panel(idA).getAs[Long]("cluster") === idA)
+    assert(panel(idB).getAs[Long]("cluster") === idA,
+      "the noisy copy must join its original's cluster")
+    assert(panel(idA).getAs[String]("split") === panel(idB).getAs[String]("split"),
+      "a perceptual-dup pair must land in ONE split")
+    assert(panel(idA).getAs[String]("split") === splitOf(ownBucket(idA)),
+      "the cluster split key is the rep's bucket")
+    assert(panel.values.forall(_.getAs[Long]("leaked_pairs") === 0L),
+      "the leak audit must measure zero cross-split pairs")
+    // resolution canonical: same dims here, so doc_id tiebreak -> idA;
+    // and a cluster member never outranks a higher-resolution member
+    assert(panel(idB).getAs[Long]("canonical_doc") === idA)
+  }
 }
