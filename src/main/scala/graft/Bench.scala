@@ -178,6 +178,7 @@ object Bench {
     "sim_centroid_drift" -> 2.38,
     "sim_filtered_recall" -> 2.37,
     "sim_filtered_topk" -> 0.06,
+    "sim_ivf_append" -> 1.2,
     "sim_ivf_kmeans_topk" -> 0.09,
     "sim_ivf_topk" -> 0.41,
     "sim_ivfpq_topk" -> 0.73,
@@ -245,7 +246,8 @@ object Bench {
     "ops_graph_ingest" -> Seq("ops_graph_und:"),
     "ops_day" -> Seq("ops_day:"),
     "ops_week" -> Seq("ops_week:"),
-    "sim_ivf_append" -> Seq("sim_ivf_append:"))
+    // bare prefix: covers the store arc AND the frozen-fit memo
+    "sim_ivf_append" -> Seq("sim_ivf_append"))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -258,7 +258,7 @@ object Ops {
     * working state — shared by [[incGateCorpusDir]] and
     * [[lifecycleStoreDir]] so the keying scheme cannot drift apart.
     */
-  private def sessionCorpusTmpDir(s: org.apache.spark.sql.SparkSession,
+  private[operators] def sessionCorpusTmpDir(s: org.apache.spark.sql.SparkSession,
       dir: String, prefix: String, leaf: String): String = {
     val digest = java.security.MessageDigest.getInstance("MD5")
       .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
@@ -652,23 +652,53 @@ object Ops {
        |FROM $rel t""".stripMargin
 
   /** The day's k-means ACTION under the gate's verdict: retrain → full
-    * refit from the day corpus, published and served; serve → the day-0
-    * artifact republished under the serving key. Factored (r18) so the
-    * spec can drive BOTH branches — the serve branch is dead on this
-    * corpus (the gate always measures drift), and an untested dead
-    * branch in a composed gate is exactly where a latent wiring bug
-    * hides.
+    * refit from the day corpus, published and served, with the FULL
+    * reassignment published fresh; serve → the day-0 centroids
+    * republished under the serving key AND the day's arriving vectors
+    * assigned to those frozen centroids and APPENDED into the
+    * cell-bucketed assignment store (`sim_ivf_append`'s machinery —
+    * before r19 the serve branch republished day-0 and silently DROPPED
+    * the day's vectors from the index). Returns (served centroids,
+    * served assignment). Factored (r18) so the spec can drive BOTH
+    * branches — the serve branch is dead on this corpus (the gate
+    * always measures drift), and an untested dead branch in a composed
+    * gate is exactly where a latent wiring bug hides; the spec proves
+    * serve-branch probe results equal a full rebuild with frozen
+    * centroids.
     */
   private[graft] def dayKmAction(s: org.apache.spark.sql.SparkSession,
       retrain: Boolean, dayEmb: org.apache.spark.sql.DataFrame,
-      k0: String, kServe: String): org.apache.spark.sql.DataFrame = {
+      arrivals: org.apache.spark.sql.DataFrame,
+      k0: String, kServe: String, kAf0: String, kAfRt: String)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
     graft.sources.IndexStore.publish(s, kServe,
       if (retrain) Similarity.kmeansFitOver(dayEmb)
       else graft.sources.IndexStore.tryServe(s, k0).getOrElse(
         throw new IllegalStateException("day-0 centroid store refused to serve")),
       "cell")
-    graft.sources.IndexStore.tryServe(s, kServe).getOrElse(
+    val cents = graft.sources.IndexStore.tryServe(s, kServe).getOrElse(
       throw new IllegalStateException("day k-means store refused to serve"))
+    val assign =
+      if (retrain) {
+        // refit: the whole day corpus is reassigned to the NEW centroids
+        // and published fresh (blue/green — the day-0 assignment store
+        // stays intact for rollback)
+        graft.sources.IndexStore.publish(s, kAfRt,
+          Similarity.kmAssignRowsOf(dayEmb, cents), "cell")
+        graft.sources.IndexStore.tryServe(s, kAfRt).getOrElse(
+          throw new IllegalStateException(
+            "refit assignment store refused to serve"))
+      } else {
+        // serve: arrivals enter the index under the FROZEN centroids —
+        // the incremental append path, batch rows pay the bucket
+        // shuffle only
+        graft.sources.IndexStore.append(s, kAf0,
+          Similarity.kmAssignRowsOf(arrivals, cents))
+        graft.sources.IndexStore.tryServe(s, kAf0).getOrElse(
+          throw new IllegalStateException(
+            "appended assignment store refused to serve"))
+      }
+    (cents, assign)
   }
 
   private[graft] def opsDayRootDir(s: org.apache.spark.sql.SparkSession,
@@ -732,6 +762,10 @@ object Ops {
          |  UNION ALL
          |  ${digSql("kmeans_centroids", "kcx",
               "CAST(cell AS VARCHAR) || ':' || CAST(j AS VARCHAR) || ':' || CAST(CAST(floor(x * 1e9 + 0.5) AS BIGINT) AS VARCHAR)")}
+         |  UNION ALL
+         |  ${digSql("kmeans_assign", "kaf",
+              "CAST(vec_id AS VARCHAR) || ':' || CAST(cell AS VARCHAR) || ':' || " +
+                "CASE WHEN isnan(cos) THEN 'nan' ELSE CAST(CAST(floor(cos * 1e6 + 0.5) AS BIGINT) AS VARCHAR) END")}
          |  UNION ALL
          |  ${digSql("pagerank", GraphOps.pagerankFinalCte,
               "CAST(node AS VARCHAR) || ':' || CAST(CAST(floor(r * 1e8 + 0.5) AS BIGINT) AS VARCHAR)")}
@@ -826,11 +860,22 @@ object Ops {
         graft.sources.IndexStore.publish(s, k0,
           Similarity.kmeansFitOver(
             dayEmb.filter($"vec_id" < Similarity.VecDriftSplit)), "cell")
+        // day-0 assignment store: base vectors under the day-0 centroids
+        // — the index the serve branch APPENDS arrivals into
+        val kAf0 = s"day_kmaf:$dir"
+        graft.sources.IndexStore.publish(s, kAf0,
+          Similarity.kmAssignRowsOf(
+            dayEmb.filter($"vec_id" < Similarity.VecDriftSplit),
+            graft.sources.IndexStore.tryServe(s, k0).getOrElse(
+              throw new IllegalStateException(
+                "day-0 centroid store refused to serve"))), "cell")
         val decision = retrainDecision(Similarity.centroidDriftOver(
           Similarity.explOf(dayEmb), dayEmb, Similarity.VecDriftSplit)).ckpt
         val retrain = decision.select($"overall_decision").head()
           .getString(0) == "retrain" // 1-row driver read (gr_louvain class)
-        val servedCents = dayKmAction(s, retrain, dayEmb, k0, s"day_km:$dir")
+        val (servedCents, servedAssign) = dayKmAction(s, retrain, dayEmb,
+          dayEmb.filter($"vec_id" >= Similarity.VecDriftSplit),
+          k0, s"day_km:$dir", kAf0, s"day_kmrt:$dir")
         // ---- the composed day report
         val pr = GraphOps.pagerank(
           GraphOps.iterRelation(GraphOps.undirected(servedEdges)))
@@ -841,6 +886,16 @@ object Ops {
             concat($"cell".cast("string"), lit(":"), ($"j0" + 1).cast("string"),
               lit(":"), floor($"x" * 1e9 + 0.5).cast("long").cast("string")),
             "kmeans_centroids"))
+          // the served ASSIGNMENT store vs the oracle's full-corpus kaf:
+          // on this corpus the gate retrains, so the store holds the
+          // refit reassignment — digest-equal to the fresh chain (the
+          // serve-branch append twin is spec-driven and oracled through
+          // sim_ivf_append / ops_week)
+          .union(dig(servedAssign,
+            concat($"vec_id".cast("string"), lit(":"), $"cell".cast("string"),
+              lit(":"), when(isnan($"cos"), lit("nan"))
+                .otherwise(floor($"cos" * 1e6 + 0.5).cast("long").cast("string"))),
+            "kmeans_assign"))
           .union(dig(pr, concat($"node".cast("string"), lit(":"),
             floor($"r" * 1e8 + 0.5).cast("long").cast("string")), "pagerank"))
           .union(dig(decision, concat($"label".cast("string"), lit(":"),

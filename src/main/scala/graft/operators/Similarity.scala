@@ -457,9 +457,18 @@ object Similarity {
     * oracle keeps the equivalent window formulation.
     */
   private def kmAssignOver(s: SparkSession, dir: String,
+      cents: DataFrame): DataFrame =
+    kmAssignRowsOf(Tables.embeddings(s, dir), cents)
+
+  /** The same spherical argmax assignment over an ARBITRARY embeddings
+    * relation — the piece the append path and the composed day gates
+    * reuse to assign an arriving batch to FROZEN (served) centroids.
+    */
+  private[graft] def kmAssignRowsOf(emb: DataFrame,
       cents: DataFrame): DataFrame = {
+    val s = emb.sparkSession
     import s.implicits._
-    Tables.embeddings(s, dir).crossJoin(broadcast(cents))
+    emb.crossJoin(broadcast(cents))
       .select($"vec_id", $"cell", expr("graft_cosine(embedding, c)").as("cos"))
       .groupBy($"vec_id")
       .agg(min(struct((-P.prnd($"cos", 6)).as("nc"), $"cell".as("l"), $"cos".as("cs"))).as("m"))
@@ -1501,8 +1510,183 @@ object Similarity {
       .orderBy($"q_id", $"mmr_rank")
   }
 
+  // ------------------------------------------- incremental vector append
+
+  /** Oracle chain `${p}expl / ${p}c0..${p}c[[KmIters]] / ${p}af`: the
+    * [[kmSql]] Lloyd fit restricted to rows satisfying `fitPred`
+    * (seeds included), with the FINAL assignment over rows satisfying
+    * `allPred` — the frozen-centroid semantics of the append path (fit
+    * on the base, assign base AND batch to the frozen result). `src` is
+    * the embeddings relation name, so a composed oracle (`ops_week`)
+    * can point it at a shadowing CTE. Prefixed to coexist with the
+    * full-corpus [[kmSql]] chain in one WITH.
+    */
+  private[operators] def kmFrozenSql(p: String, fitPred: String,
+      src: String = "embeddings", allPred: String = "TRUE"): String = {
+    def assignSql(name: String, cs: String, cols: String, where: String,
+        rnPred: String): String =
+      s"""$name AS MATERIALIZED (SELECT $cols FROM (
+         |    SELECT e.vec_id, ct.cell,
+         |      list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), ct.c) AS cos,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${PS.prnd("list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), ct.c)", 6)} DESC, ct.cell) AS rn
+         |    FROM $src e CROSS JOIN $cs ct WHERE $where) t
+         |  WHERE $rnPred)""".stripMargin
+    val steps = (1 to KmIters).map { i =>
+      s"""${assignSql(s"${p}a$i", s"${p}c${i - 1}", "vec_id, cell", fitPred, "rn = 1")},
+         |${p}km$i AS MATERIALIZED (SELECT a.cell, x.j,
+         |    ${PS.davg("x.x", 9)} AS c
+         |  FROM ${p}a$i a JOIN ${p}expl x USING (vec_id) GROUP BY a.cell, x.j),
+         |${p}c$i AS MATERIALIZED (SELECT cell, list(c ORDER BY j) AS c FROM ${p}km$i GROUP BY cell)""".stripMargin
+    }
+    (Seq(
+      s"""${p}expl AS MATERIALIZED (SELECT vec_id, generate_subscripts(embedding, 1) AS j,
+         |    CAST(unnest(embedding) AS DOUBLE) AS x FROM $src e WHERE $fitPred)""".stripMargin,
+      s"""${p}c0 AS MATERIALIZED (SELECT vec_id AS cell, CAST(embedding AS DOUBLE[]) AS c
+         |  FROM $src e WHERE e.vec_id < $KmCells AND ($fitPred))""".stripMargin)
+      ++ steps
+      :+ assignSql(s"${p}af", s"${p}c$KmIters", "vec_id, cell, cos", allPred, "rn = 1")
+      ).mkString(",\n")
+  }
+
+  /** Oracle probe tail over a frozen chain: rank cells per query
+    * against `${p}c[[KmIters]]`, probe [[IvfProbes]], exact cosine +
+    * rank over the `${p}af` members — the [[kmProbeSql]] shape with
+    * the frozen relations.
+    */
+  private[operators] def frozenProbeSql(p: String,
+      src: String = "embeddings"): String =
+    s"""${p}qc AS MATERIALIZED (SELECT q_id, cell FROM (
+       |    SELECT q.vec_id AS q_id, ct.cell,
+       |      row_number() OVER (PARTITION BY q.vec_id
+       |        ORDER BY ${PS.prnd("list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), ct.c)", 6)} DESC, ct.cell) AS rn
+       |    FROM $src q CROSS JOIN ${p}c$KmIters ct
+       |    WHERE q.vec_id < $NumQueries
+       |      AND NOT isnan(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), ct.c))) t
+       |  WHERE rn <= $IvfProbes),
+       |${p}cand AS MATERIALIZED (SELECT qc.q_id, a.vec_id,
+       |    list_cosine_similarity(CAST(qe.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])) AS cos
+       |  FROM ${p}qc qc
+       |  JOIN ${p}af a ON a.cell = qc.cell AND a.vec_id <> qc.q_id
+       |  JOIN $src e ON e.vec_id = a.vec_id
+       |  JOIN $src qe ON qe.vec_id = qc.q_id),
+       |${p}rk AS MATERIALIZED (SELECT q_id, vec_id, ${PS.prnd("cos", 6)} AS cosine,
+       |    CAST(row_number() OVER (PARTITION BY q_id
+       |      ORDER BY ${PS.prnd("cos", 6)} DESC, vec_id) AS BIGINT) AS rank
+       |  FROM ${p}cand WHERE NOT isnan(cos))""".stripMargin
+
+  private[operators] def ivfAppendStoreDir(s: SparkSession,
+      dir: String): String =
+    Ops.sessionCorpusTmpDir(s, dir, "graft_ivf_app", "store")
+
+  /** Frozen (base-fit) centroids — memoized under the lifecycle prefix
+    * so the measurement tools clear them with the store arc.
+    */
+  private[operators] def ivfAppendCents(s: SparkSession,
+      dir: String): DataFrame = {
+    import s.implicits._
+    graft.MatStore.of(s, s"sim_ivf_append_c:$dir")(
+      kmeansFitOver(Tables.embeddings(s, dir)
+        .filter($"vec_id" < VecDriftSplit)))
+  }
+
+  /** Probe of an arbitrary (assignment, centroids) pair over `emb`
+    * queries: top-[[IvfProbes]] cells per query against the frozen
+    * centroids (K-row broadcast), probed members streamed through one
+    * broadcast join against the cell-keyed assignment, exact cosine,
+    * bounded top-[[LshTopK]] aggregate — shared by `sim_ivf_append`
+    * and the probe-equality specs so the store path and the rebuild
+    * path are measured by the SAME probe.
+    */
+  private[graft] def ivfProbeOver(emb: DataFrame, assign: DataFrame,
+      cents: DataFrame): DataFrame = {
+    val s = emb.sparkSession
+    import s.implicits._
+    val q = emb.filter($"vec_id" < NumQueries)
+      .select($"vec_id".as("q_id"), $"embedding".as("qe"))
+    val qcells = q.crossJoin(broadcast(cents))
+      .select($"q_id", $"cell", expr("graft_cosine(qe, c)").as("cos"))
+      .filter(!isnan($"cos"))
+      .groupBy($"q_id")
+      .agg(slice(array_sort(collect_list(struct((-P.prnd($"cos", 6)).as("nc"),
+        $"cell".as("l")))), 1, IvfProbes).as("top"))
+      .select($"q_id", explode($"top.l").as("cell"))
+    assign.select($"vec_id", $"cell")
+      .join(broadcast(qcells), "cell")
+      .filter($"vec_id" =!= $"q_id")
+      .join(emb.select($"vec_id", $"embedding"), "vec_id")
+      .join(broadcast(q), "q_id")
+      .select($"q_id", $"vec_id", expr("graft_cosine(qe, embedding)").as("cos"))
+      .filter(!isnan($"cos"))
+      .groupBy($"q_id")
+      .agg(call_function("graft_topk",
+        struct((-P.prnd($"cos", 6)).as("nc"), $"vec_id", $"cos"),
+        lit(LshTopK)).as("top"))
+      .select($"q_id", posexplode($"top"))
+      .select($"q_id", $"col.vec_id".as("vec_id"),
+        P.prnd($"col.cos", 6).as("cosine"),
+        ($"pos" + 1).cast("long").as("rank"))
+      .orderBy($"q_id", $"rank")
+  }
+
+  /** Incremental vector append (r19 verdict item 3) — the serve-branch
+    * reality of the retrain gate: when the gate says SERVE, the day's
+    * arriving vectors must still enter the index. The base vectors'
+    * assignment under the BASE-fit (frozen) centroids is PUBLISHED to a
+    * cell-bucketed store, the arriving batch (vec_id ≥
+    * [[VecDriftSplit]]) is assigned to the SAME frozen centroids and
+    * APPENDED ([[graft.sources.IndexStore.append]] — the bands/edges
+    * maintenance path, now proven for vectors), and the ANN probe runs
+    * against the SERVED base+batch assignment. The ORACLE is the full
+    * rebuild with frozen centroids ([[kmFrozenSql]]: fit on base,
+    * assign everything, probe), so the hash match IS the probe-equality
+    * proof that publish→append→serve loses and invents no vectors.
+    * `ops_week` drives the same machinery inside the composed
+    * multi-day arc; the planted spec flips the gate and proves the
+    * serve branch appends.
+    *
+    * Scale shape: the fit is the [[kmeansFitCore]] dataflow on the
+    * base; batch assignment touches batch rows only (K-row centroid
+    * broadcast); the store join is cell-bucketed (no exchange on
+    * serve); the probe is the bounded top-k aggregate shape of
+    * `sim_ivf_kmeans_topk`.
+    */
+  val ivfAppend = QueryDef(
+    "sim_ivf_append",
+    s"""WITH ${kmFrozenSql("fz", s"e.vec_id < $VecDriftSplit")},
+       |${frozenProbeSql("fz")}
+       |SELECT q_id, vec_id, cosine, rank FROM fzrk WHERE rank <= $LshTopK
+       |ORDER BY q_id, rank""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val emb = Tables.embeddings(s, dir)
+    val cents = ivfAppendCents(s, dir)
+    val served = graft.MatStore.of(s, s"sim_ivf_append:$dir") {
+      val store = ivfAppendStoreDir(s, dir)
+      val root = new org.apache.hadoop.fs.Path(
+        new java.io.File(store).getParent)
+      val hfs = root.getFileSystem(s.sessionState.newHadoopConf())
+      if (hfs.exists(root)) hfs.delete(root, true)
+      val prev = s.conf.get(graft.sources.IndexStore.DirConf, null)
+      s.conf.set(graft.sources.IndexStore.DirConf, store)
+      try {
+        val key = s"ivf_af:$dir"
+        graft.sources.IndexStore.publish(s, key,
+          kmAssignRowsOf(emb.filter($"vec_id" < VecDriftSplit), cents), "cell")
+        graft.sources.IndexStore.append(s, key,
+          kmAssignRowsOf(emb.filter($"vec_id" >= VecDriftSplit), cents))
+        graft.sources.IndexStore.tryServe(s, key).getOrElse(
+          throw new IllegalStateException(
+            "appended vector store refused to serve"))
+      } finally {
+        if (prev == null) s.conf.unset(graft.sources.IndexStore.DirConf)
+        else s.conf.set(graft.sources.IndexStore.DirConf, prev)
+      }
+    }
+    ivfProbeOver(emb, served, cents)
+  }
+
   val defs: Seq[QueryDef] = Seq(bruteforce, lshTopk, pairStats, pairHist,
     centroidDrift, recall, ivfTopk, kmTrain, ivfKmeansTopk, kmRecall,
     filteredTopk, filteredRecall, pqTopk, pqRecall, ivfpqTopk, mmrTopk,
-    normAudit)
+    normAudit, ivfAppend)
 }

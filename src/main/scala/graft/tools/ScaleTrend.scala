@@ -150,7 +150,10 @@ object ScaleTrend {
       // rounds — the trend measures vocab growth, not corpus growth),
       // and the perceptual cluster/canonical/split funnel (components
       // over the banded pair relation + member-only decode)
-      "tx_bpe_tuning", "mm_phash_clusters")
+      "tx_bpe_tuning", "mm_phash_clusters",
+      // the appended-vector-store probe gate (frozen fit + publish/
+      // append/serve + the bounded top-k probe)
+      "sim_ivf_append")
     def time(name: String, dir: String): Double = {
       val fn = SparkEntry.queries(name)
       (1 to 2).map { _ =>

@@ -534,27 +534,61 @@ class DurableIndexSpec extends GraftSuite {
       val store = java.nio.file.Files.createTempDirectory("graft_daykm").toString
       val prevConf = spark.conf.get(sources.IndexStore.DirConf, null)
       spark.conf.set(sources.IndexStore.DirConf, store)
-      val keys = Seq("spec_day_km0", "spec_day_km_serve", "spec_day_km_rt")
+      val keys = Seq("spec_day_km0", "spec_day_kmaf0", "spec_day_km_serve",
+        "spec_day_km_rt", "spec_day_kmaf_rt")
       try {
         val emb = (rows(0 until 40, i => vec(1.0 + i % 3, 0.1 * (i % 5)), 1) ++
           rows(40 until 60, i => vec(0.2, 1.0 + i % 2), 1))
           .toDF("vec_id", "label", "embedding")
         val base = emb.filter($"vec_id" < 40)
+        val arrivals = emb.filter($"vec_id" >= 40)
         sources.IndexStore.publish(spark, "spec_day_km0",
           Similarity.kmeansFitOver(base), "cell")
+        val cents0 = sources.IndexStore.tryServe(spark, "spec_day_km0").get
+        sources.IndexStore.publish(spark, "spec_day_kmaf0",
+          Similarity.kmAssignRowsOf(base, cents0), "cell")
         def cents(df: org.apache.spark.sql.DataFrame) = df.collect()
           .map(r => r.getAs[Long]("cell") -> r.getAs[Seq[Double]]("c"))
           .sortBy(_._1).toSeq
-        val served0 = Ops.dayKmAction(spark, retrain = false, emb,
-          "spec_day_km0", "spec_day_km_serve")
+        def assignOf(df: org.apache.spark.sql.DataFrame) = df.collect()
+          .map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("cell"))
+          .sortBy(_._1).toSeq
+        def probeOf(assign: org.apache.spark.sql.DataFrame,
+            cs: org.apache.spark.sql.DataFrame) =
+          Similarity.ivfProbeOver(emb, assign, cs).collect()
+            .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("rank"),
+              r.getAs[Long]("vec_id"), r.getAs[Double]("cosine"))).toSeq
+        val (served0, assign0) = Ops.dayKmAction(spark, retrain = false,
+          emb, arrivals, "spec_day_km0", "spec_day_km_serve",
+          "spec_day_kmaf0", "spec_day_kmaf_rt")
         assert(cents(served0) === cents(Similarity.kmeansFitOver(base)),
           "serve must republish the day-0 centroids unchanged")
-        val served1 = Ops.dayKmAction(spark, retrain = true, emb,
-          "spec_day_km0", "spec_day_km_rt")
+        // the serve branch must APPEND the arrivals under the frozen
+        // centroids (pre-r19 it dropped the day's vectors): the served
+        // assignment equals a full rebuild with frozen centroids...
+        assert(assignOf(assign0) ===
+          assignOf(Similarity.kmAssignRowsOf(emb, served0)),
+          "serve must land base + arrivals in the assignment store")
+        // ...and the ANN probe over the appended store is row-identical
+        // to the probe over that rebuild (the sim_ivf_append equality,
+        // driven through the composed day action)
+        assert(probeOf(assign0, served0) ===
+          probeOf(Similarity.kmAssignRowsOf(emb, served0), served0),
+          "appended-store probe must equal the frozen-centroid rebuild")
+        val (served1, assign1) = Ops.dayKmAction(spark, retrain = true,
+          emb, arrivals, "spec_day_km0", "spec_day_km_rt",
+          "spec_day_kmaf0", "spec_day_kmaf_rt")
         assert(cents(served1) === cents(Similarity.kmeansFitOver(emb)),
           "retrain must serve the full refit")
         assert(cents(served1) != cents(served0),
           "the planted batch must move the centroids")
+        assert(assignOf(assign1) ===
+          assignOf(Similarity.kmAssignRowsOf(emb, served1)),
+          "retrain must publish the full reassignment")
+        // blue/green: the retrain wrote its OWN assignment table; the
+        // day-0+append store is intact for rollback
+        assert(assignOf(sources.IndexStore.tryServe(spark, "spec_day_kmaf0").get)
+          === assignOf(assign0))
       } finally {
         keys.foreach(k =>
           spark.sql(s"DROP TABLE IF EXISTS ${sources.IndexStore.tableName(k)}"))
