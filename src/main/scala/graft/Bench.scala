@@ -151,6 +151,7 @@ object Bench {
     "ops_graph_ingest" -> 1.3,
     "ops_retrain_gate" -> 0.5,
     "ops_day" -> 4.0,
+    "ops_week" -> 20.0,
     "mm_decode_meta" -> 0.4,
     "dd_split_leakage" -> 0.3,
     "etl_split_by_cluster" -> 0.4,

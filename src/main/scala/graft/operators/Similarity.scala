@@ -733,6 +733,39 @@ object Similarity {
        |FROM cdn1 FULL OUTER JOIN cdn2 USING (label)
        |LEFT JOIN cdd USING (label))""".stripMargin
 
+  /** Oracle twin of [[centroidDriftOverPred]]: the [[centroidDriftSql]]
+    * chain with `$p`-prefixed names, source relation `src`, and explicit
+    * base/batch predicates over its `e` alias — ends in
+    * `${p}r(label, n_base, n_batch, centroid_cos)`. The composed weekly
+    * oracle instantiates it once per gated day.
+    */
+  private[operators] def centroidDriftSqlPred(p: String, src: String,
+      basePred: String, batchPred: String): String =
+    s"""${p}expl AS MATERIALIZED (SELECT vec_id, label,
+       |    generate_subscripts(embedding, 1) AS j,
+       |    CAST(unnest(embedding) AS DOUBLE) AS x FROM $src e
+       |  WHERE ($basePred) OR ($batchPred)),
+       |${p}ca AS MATERIALIZED (SELECT label, j, ${PS.davg("x", 9)} AS c
+       |  FROM ${p}expl e WHERE $basePred GROUP BY label, j),
+       |${p}cb AS MATERIALIZED (SELECT label, j, ${PS.davg("x", 9)} AS c
+       |  FROM ${p}expl e WHERE $batchPred GROUP BY label, j),
+       |${p}d AS MATERIALIZED (SELECT a.label,
+       |    ${PS.dsum("a.c * b.c", 12)} AS dot,
+       |    ${PS.dsum("a.c * a.c", 12)} AS na,
+       |    ${PS.dsum("b.c * b.c", 12)} AS nb
+       |  FROM ${p}ca a JOIN ${p}cb b ON a.label = b.label AND a.j = b.j
+       |  GROUP BY a.label),
+       |${p}n1 AS MATERIALIZED (SELECT label, CAST(COUNT(*) AS BIGINT) AS n_base
+       |  FROM $src e WHERE $basePred GROUP BY label),
+       |${p}n2 AS MATERIALIZED (SELECT label, CAST(COUNT(*) AS BIGINT) AS n_batch
+       |  FROM $src e WHERE $batchPred GROUP BY label),
+       |${p}r AS MATERIALIZED (SELECT label,
+       |  COALESCE(n_base, CAST(0 AS BIGINT)) AS n_base,
+       |  COALESCE(n_batch, CAST(0 AS BIGINT)) AS n_batch,
+       |  ${PS.prnd("dot / sqrt(na * nb)", 6)} AS centroid_cos
+       |FROM ${p}n1 FULL OUTER JOIN ${p}n2 USING (label)
+       |LEFT JOIN ${p}d USING (label))""".stripMargin
+
   /** The drift rows over an ARBITRARY exploded-coordinate relation
     * (vec_id, label, j, x) and its embeddings source — the Spark twin
     * of [[centroidDriftSql]], factored (r18) so the corpus gate reads
@@ -748,18 +781,33 @@ object Similarity {
       split: Long): DataFrame = {
     val s = expl.sparkSession
     import s.implicits._
+    centroidDriftOverPred(expl, emb, $"vec_id" < split, $"vec_id" >= split)
+  }
+
+  /** [[centroidDriftOver]] with explicit base/batch PREDICATES — the
+    * multi-day gate (`ops_week`) compares each day's ARRIVALS against
+    * the CURRENT INDEX CONTENT, and after an append day neither side is
+    * a single id threshold (day 2's base is "original base ∪ day-1's
+    * appended batch"). Rows matching neither predicate are excluded
+    * from both sides — exactly the not-yet-arrived days.
+    */
+  private[graft] def centroidDriftOverPred(expl: DataFrame, emb: DataFrame,
+      isBase: org.apache.spark.sql.Column,
+      isBatch: org.apache.spark.sql.Column): DataFrame = {
+    val s = expl.sparkSession
+    import s.implicits._
     def cents(pred: org.apache.spark.sql.Column) =
       expl.filter(pred).groupBy($"label", $"j").agg(P.davg($"x", 9).as("c"))
-    val a = cents($"vec_id" < split).withColumnRenamed("c", "ca")
-    val b = cents($"vec_id" >= split).withColumnRenamed("c", "cb")
+    val a = cents(isBase).withColumnRenamed("c", "ca")
+    val b = cents(isBatch).withColumnRenamed("c", "cb")
     val d = a.join(b, Seq("label", "j"))
       .groupBy($"label")
       .agg(P.dsum($"ca" * $"cb", 12).as("dot"),
         P.dsum($"ca" * $"ca", 12).as("na"),
         P.dsum($"cb" * $"cb", 12).as("nb"))
-    val n1 = emb.filter($"vec_id" < split)
+    val n1 = emb.filter(isBase)
       .groupBy($"label").agg(P.cnt.as("n_base"))
-    val n2 = emb.filter($"vec_id" >= split)
+    val n2 = emb.filter(isBatch)
       .groupBy($"label").agg(P.cnt.as("n_batch"))
     n1.join(n2, Seq("label"), "full_outer")
       .join(d, Seq("label"), "left")

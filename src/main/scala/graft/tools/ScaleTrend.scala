@@ -152,8 +152,9 @@ object ScaleTrend {
       // over the banded pair relation + member-only decode)
       "tx_bpe_tuning", "mm_phash_clusters",
       // the appended-vector-store probe gate (frozen fit + publish/
-      // append/serve + the bounded top-k probe)
-      "sim_ivf_append")
+      // append/serve + the bounded top-k probe) and the composed
+      // seven-day arc (fixed maintenance latency + data-linear ingest)
+      "sim_ivf_append", "ops_week")
     def time(name: String, dir: String): Double = {
       val fn = SparkEntry.queries(name)
       (1 to 2).map { _ =>

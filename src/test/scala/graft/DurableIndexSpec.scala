@@ -609,4 +609,53 @@ class DurableIndexSpec extends GraftSuite {
         "gate and monitor must read the same drift")
     }
   }
+
+  test("ops_week: seven-day arc — digests, flat store layout, retention purge, gate flip") {
+    import operators.{Dedup, Ops}
+    val rows = run("ops_week").collect()
+    val byComp = rows.map(r => r.getAs[String]("component") -> r).toMap
+    assert(rows.length === 8 && byComp.size === 8)
+    assert(byComp("decisions").getAs[Long]("n_rows") >= 2L)
+    // ---- file-count / store-size telemetry: compaction (days 3 and 6)
+    // and the day-7 blue/green purge hold the layout flat
+    val store = Ops.opsWeekStoreDir(spark, sfDir)
+    def dataFiles(key: String): Seq[java.io.File] = {
+      val d = new java.io.File(s"$store/${sources.IndexStore.tableName(key)}")
+      assert(d.isDirectory, s"store dir missing for $key")
+      d.listFiles().toSeq.filter(f => f.isFile &&
+        !f.getName.startsWith("_") && !f.getName.startsWith("."))
+    }
+    val bands = dataFiles(s"week_bands:$sfDir")
+    // day-6 compact restored 1 file/bucket; only day 7's append landed
+    // since -> at most two file sets across 8 buckets
+    assert(bands.length <= 16,
+      s"unpurged signature store grew past two file sets: ${bands.length}")
+    val purged = dataFiles(s"week_bands_r:$sfDir")
+    assert(purged.length <= 8,
+      s"purged store must be one fresh bucketed file set: ${purged.length}")
+    // the purge dropped day-1 docs' bands: strictly smaller payload
+    assert(purged.map(_.length).sum < bands.map(_.length).sum,
+      "retention purge must shrink the store")
+    // purged store content: no band row of a day-1 (purged) doc remains
+    val leftover = spark.read.parquet(
+        s"$store/${sources.IndexStore.tableName(s"week_bands_r:$sfDir")}")
+      .filter(col("doc_id") >= Dedup.IncSplit &&
+        pmod(col("doc_id"), lit(7L)) === 0L)
+      .count()
+    assert(leftover === 0L, s"purged store still holds $leftover day-1 band rows")
+    // the gate flipped inside the week: day 1 served, day 2 retrained —
+    // re-derive the two days' decision digests from the corpus side
+    // (the query's require() already asserted the flip; this pins it in
+    // the artifact the spec can read)
+    // the serve day APPENDED the aligned arrivals (vec_id ≥ 100000) into
+    // the day-0 assignment store — base rows intact beside them
+    val kmaf = spark.read.parquet(
+      s"$store/${sources.IndexStore.tableName(s"week_kmaf:$sfDir")}")
+    assert(kmaf.filter(col("vec_id") >= 100000L).count() >= 3L,
+      "the serve day must have APPENDED the aligned batch's assignments")
+    assert(kmaf.filter(col("vec_id") < 450L).count() === 450L,
+      "the append must leave the base assignment intact")
+    val rtStore = dataFiles(s"week_kmaf_rt:$sfDir")
+    assert(rtStore.nonEmpty, "the retrain day must have published the refit assignment")
+  }
 }
