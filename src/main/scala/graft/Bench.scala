@@ -248,7 +248,15 @@ object Bench {
     "ops_day" -> Seq("ops_day:"),
     "ops_week" -> Seq("ops_week:"),
     // bare prefix: covers the store arc AND the frozen-fit memo
-    "sim_ivf_append" -> Seq("sim_ivf_append"))
+    "sim_ivf_append" -> Seq("sim_ivf_append"),
+    // the BPE tokenizer-learner panels are the same train-once class (a
+    // model fit memoized per session): the 32-round depth sweep and the
+    // 8-round learner+mass build are their one-time arcs; the shared
+    // corpus tokenize ("tx_bpe_toks:"/"tx_bpe_vf:") stays warm, like an
+    // unchanged base store (r19: tx_bpe_tuning read 10.0 s = 5.3× its
+    // oracle as a min-of-1 sweep-tail row — the r18 ops_day pathology)
+    "tx_bpe_tuning" -> Seq("tx_bpe_tuning:"),
+    "etl_pack_bpe" -> Seq("tx_bpe_mass:"))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -1038,56 +1038,106 @@ object TextAnalysis {
       merges: Int): org.apache.spark.sql.DataFrame =
     bpeSegTaps(vf, Seq(merges))(merges)
 
+  /** The textbook greedy left-to-right merge application as ONE
+    * higher-order fold over a word's symbol array: walk the symbols
+    * carrying (result-so-far, pending symbol); a (pending, current) hit
+    * on the best pair emits the merged symbol and consumes BOTH
+    * positions (pending resets, so an overlapping next match cannot
+    * fire — the non-overlap rule the row formulation encoded as
+    * odd-position-in-run + LAG guard), any other current symbol flushes
+    * the pending one. A null best pair (no adjacent pair left anywhere)
+    * makes the hit predicate null, so every round is a no-op flush —
+    * the same trailing-round behavior as the oracle's LEFT JOIN of an
+    * empty `bbst`.
+    */
+  private def bpeFold(syms: org.apache.spark.sql.Column,
+      bs1: org.apache.spark.sql.Column, bs2: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = {
+    def st(res: org.apache.spark.sql.Column, pend: org.apache.spark.sql.Column) =
+      struct(res.as("res"), pend.as("pend"))
+    aggregate(syms,
+      st(array().cast("array<string>"), lit(null).cast("string")),
+      (acc, x) => {
+        val res = acc.getField("res")
+        val pend = acc.getField("pend")
+        when(pend.isNull, st(res, x))
+          .when(pend === bs1 && x === bs2,
+            st(array_append(res, concat(pend, x)), lit(null).cast("string")))
+          .otherwise(st(array_append(res, pend), x))
+      },
+      acc => when(acc.getField("pend").isNull, acc.getField("res"))
+        .otherwise(array_append(acc.getField("res"), acc.getField("pend"))))
+  }
+
+  /** The merge chain on ARRAY state: one row per vocabulary word,
+    * (word, freq, syms array), `taps.max` rounds, returning the state at
+    * each requested tap. Each round is (a) the pair-count aggregate —
+    * adjacent pairs read directly off the array (zip of the array with
+    * its own tail, so every adjacent position is counted exactly as the
+    * row formulation's pos+1 self-join did), one explode + one hash
+    * aggregate; (b) the 1-row argmax (cnt DESC, s1, s2 — unchanged);
+    * (c) the greedy merge as a per-row [[bpeFold]] under a broadcast
+    * left join of the argmax row. The r18 row formulation carried
+    * (word, pos, sym) state and paid 2 SortMergeJoins + 8 Windows + 14
+    * Exchanges PER ROUND (plans/r19/tx_bpe_round_before.txt) purely to
+    * re-derive adjacency and renumber positions — adjacency is free in
+    * the array, so the round collapses to one exchange pair for the
+    * pair counts and a narrow map for the merge (guide §2.4: remove
+    * shuffles outright; §1.2: fix the algorithm before the code).
+    * 32-round chain measured 17.9 s → 4.7 s warm at sf0.1 (326 → 76
+    * jobs). State stays vocabulary-sized; merges never touch the
+    * corpus.
+    */
+  private[operators] def bpeSegArrTaps(vf: org.apache.spark.sql.DataFrame,
+      taps: Seq[Int],
+      onRound: (Int, org.apache.spark.sql.DataFrame) => Unit = (_, _) => ())
+      : Map[Int, org.apache.spark.sql.DataFrame] = {
+    val s = vf.sparkSession
+    import s.implicits._
+    val tapSet = taps.toSet
+    val out = scala.collection.mutable.Map.empty[Int, org.apache.spark.sql.DataFrame]
+    var seg = vf.select($"word", $"freq",
+      transform(sequence(lit(1), length($"word")),
+        i => $"word".substr(i, lit(1))).as("syms"))
+      .ckpt
+    for (r <- 1 to taps.max) {
+      val pc = seg.select($"freq", explode(zip_with(
+          slice($"syms", lit(1), size($"syms") - 1),
+          slice($"syms", lit(2), size($"syms") - 1),
+          (a, b) => struct(a.as("s1"), b.as("s2")))).as("p"))
+        .groupBy($"p.s1".as("s1"), $"p.s2".as("s2"))
+        .agg(sum($"freq").cast("long").as("cnt"))
+      val best = pc.orderBy($"cnt".desc, $"s1".asc, $"s2".asc).limit(1)
+        .select($"s1".as("bs1"), $"s2".as("bs2"))
+      val pre = seg.join(broadcast(best), lit(true), "left")
+        .select($"word", $"freq", bpeFold($"syms", $"bs1", $"bs2").as("syms"))
+      onRound(r, pre)
+      seg = pre.ckpt
+      if (tapSet(r)) out(r) = seg
+    }
+    out.toMap
+  }
+
   /** [[bpeSeg]] with TAPS: run ONE merge chain to `taps.max` and return
     * the segmentation at each requested round — the shared-learner-
     * prefix form the depth-sensitivity panel reads (merges are strictly
     * incremental, so round 2's segmentation is a prefix state of round
     * 32's chain; refitting per depth would re-pay every shared round).
     * Each round's state is checkpointed, so a tap holds O(vocab) blocks,
-    * not a 32-round lineage.
+    * not a 32-round lineage. The (word, pos, sym) row view is derived
+    * from the ARRAY state ([[bpeSegArrTaps]]) by one posexplode — array
+    * order IS the position order.
     */
   private[graft] def bpeSegTaps(vf: org.apache.spark.sql.DataFrame,
-      taps: Seq[Int]): Map[Int, org.apache.spark.sql.DataFrame] = {
+      taps: Seq[Int],
+      onRound: (Int, org.apache.spark.sql.DataFrame) => Unit = (_, _) => ())
+      : Map[Int, org.apache.spark.sql.DataFrame] = {
     val s = vf.sparkSession
     import s.implicits._
-    import org.apache.spark.sql.expressions.Window
-    val tapSet = taps.toSet
-    val out = scala.collection.mutable.Map.empty[Int, org.apache.spark.sql.DataFrame]
-    var seg = vf.select($"word", explode(sequence(lit(1), length($"word"))).as("i"))
-      .select($"word", ($"i" - 1).cast("long").as("pos"),
-        expr("substring(word, i, 1)").as("sym"))
-      .ckpt
-    for (r <- 1 to taps.max) {
-      val nxt = seg.select($"word".as("w2"), $"pos".as("p2"), $"sym".as("nxt"))
-      val pc = seg.join(nxt, $"word" === $"w2" && $"p2" === $"pos" + 1)
-        .join(vf.select($"word".as("w3"), $"freq"), $"word" === $"w3")
-        .groupBy($"sym", $"nxt").agg(sum($"freq").cast("long").as("cnt"))
-        .select($"sym".as("s1"), $"nxt".as("s2"), $"cnt")
-      val best = pc.orderBy($"cnt".desc, $"s1".asc, $"s2".asc).limit(1)
-        .select($"s1".as("bs1"), $"s2".as("bs2"))
-      val mk = seg.join(nxt, $"word" === $"w2" && $"p2" === $"pos" + 1, "left")
-        .join(broadcast(best), lit(true), "left")
-        .select($"word", $"pos", $"sym", $"nxt",
-          when($"sym" === $"bs1" && $"nxt" === $"bs2", 1).otherwise(0).as("m"))
-      val isl = mk.withColumn("grp",
-        $"pos" - row_number().over(Window.partitionBy($"word", $"m").orderBy($"pos")))
-      val sel = isl.withColumn("mg",
-        when($"m" === 1 && row_number()
-          .over(Window.partitionBy($"word", $"m", $"grp").orderBy($"pos")) % 2 === 1, 1)
-          .otherwise(0))
-      val lg = sel.withColumn("pmg",
-        coalesce(lag($"mg", 1).over(Window.partitionBy($"word").orderBy($"pos")), lit(0)))
-      seg = lg.filter($"pmg" === 0)
-        .select($"word", $"pos".as("opos"),
-          when($"mg" === 1, concat($"sym", $"nxt")).otherwise($"sym").as("sym"))
-        .select($"word",
-          (row_number().over(Window.partitionBy($"word").orderBy($"opos")) - 1)
-            .cast("long").as("pos"),
-          $"sym")
-        .ckpt
-      if (tapSet(r)) out(r) = seg
+    bpeSegArrTaps(vf, taps, onRound).map { case (r, df) =>
+      r -> df.select($"word", posexplode($"syms").as(Seq("pos", "sym")))
+        .select($"word", $"pos".cast("long").as("pos"), $"sym")
     }
-    out.toMap
   }
 
   /** Deterministic corpus-learned BPE (r17 verdict item 3): every token
@@ -1162,8 +1212,11 @@ object TextAnalysis {
     graft.MatStore.of(s, s"tx_bpe_mass:$dir") {
       import s.implicits._
       val toks = bpeToks(s, dir)
-      val nsub = bpeSeg(bpeVf(s, dir), BpeMerges)
-        .groupBy($"word").agg(P.cnt.as("n_sub"))
+      // n_sub per word reads straight off the array state: size(syms) is
+      // the row formulation's per-word COUNT(*) without the explode +
+      // re-aggregate exchange it paid
+      val nsub = bpeSegArrTaps(bpeVf(s, dir), Seq(BpeMerges))(BpeMerges)
+        .select($"word", size($"syms").cast("long").as("n_sub"))
       val agg = toks.join(nsub, $"w" === $"word")
         .groupBy($"doc_id")
         .agg(P.cnt.as("n_tokens"), sum($"n_sub").cast("long").as("n_subwords"))
@@ -1255,16 +1308,19 @@ object TextAnalysis {
     }) { (s, dir) =>
     import s.implicits._
     graft.MatStore.of(s, s"tx_bpe_tuning:$dir") {
-      val vf = bpeVf(s, dir)
-      val segs = bpeSegTaps(vf, BpeTaps)
+      // each tap is ONE aggregate over the posexploded array state: a
+      // word contributes freq once at pos 0 (n_tokens), freq per symbol
+      // row (n_subwords = Σ freq·n_sub), and its symbols to the distinct
+      // count — no per-tap vf join, no nsym crossJoin/broadcast (the r18
+      // row form paid 3 jobs per tap; this is one)
+      val segs = bpeSegArrTaps(bpeVf(s, dir), BpeTaps)
       BpeTaps.map { r =>
-        val nsub = segs(r).groupBy($"word").agg(P.cnt.as("n_sub"))
-        val nsym = segs(r).agg(count_distinct($"sym").as("n_symbols"))
-        vf.join(nsub, "word")
-          .agg(sum($"freq").cast("long").as("n_tokens"),
-            sum($"freq" * $"n_sub").cast("long").as("n_subwords"))
-          .select(lit(r.toLong).as("merges"), $"n_tokens", $"n_subwords")
-          .crossJoin(broadcast(nsym))
+        segs(r).select($"freq", posexplode($"syms").as(Seq("pos", "sym")))
+          .agg(sum(when($"pos" === 0, $"freq")).cast("long").as("n_tokens"),
+            sum($"freq").cast("long").as("n_subwords"),
+            count_distinct($"sym").as("n_symbols"))
+          .select(lit(r.toLong).as("merges"), $"n_tokens", $"n_subwords",
+            $"n_symbols")
       }.reduce(_ unionAll _)
     }
       .select($"merges", $"n_tokens", $"n_subwords", $"n_symbols",
