@@ -1446,10 +1446,17 @@ object Analytics {
         P.hexToLong(md5($"user_id".cast("string")), 1, 15).as("h"))
       .distinct()
       .ckpt
+    // each sketch's bounded top-k is CONSUMED four times (its own pair
+    // join, the other pair's join, and two broadcast stat reads per
+    // reference) and a broadcast plan re-executes per action —
+    // unmaterialized, the TakeOrdered over u ran ~4x per type (r19
+    // IterProbe: 12 jobs). ckpt each k-row sketch once; every later
+    // broadcast build is a k-row checkpoint scan.
     def kmv(t: String): DataFrame =
       u.filter($"event_type" === t).select($"h").orderBy($"h").limit(KmvK)
+    val kmvs: Map[String, DataFrame] = types.map(t => t -> kmv(t).ckpt).toMap
     def sk(t: String): DataFrame =
-      kmv(t).agg(P.cnt.as("n"), max($"h").as("theta"))
+      kmvs(t).agg(P.cnt.as("n"), max($"h").as("theta"))
     def est(n: Column, th: Column): Column =
       when(n < KmvK, n.cast("double"))
         .otherwise(lit((KmvK - 1).toDouble) * d / th.cast("double"))
@@ -1458,16 +1465,21 @@ object Analytics {
     }
     val ex = u.groupBy($"h").agg(flagCols.head, flagCols.tail: _*)
     val pairs = for { i <- types.indices; j <- i + 1 until types.size } yield (i, j)
+    // all three exact intersections in ONE pass over the flag relation
+    // (three passes before — one hash aggregate per pair)
+    val exCols = pairs.map { case (i, j) =>
+      sum(col(s"f$i") * col(s"f$j")).cast("long").as(s"ex_${i}_$j")
+    }
+    val exAll = ex.agg(exCols.head, exCols.tail: _*).ckpt
     pairs.map { case (i, j) =>
       val sa = sk(types(i)).select($"n".as("na"), $"theta".as("ta"))
       val sb = sk(types(j)).select($"n".as("nb"), $"theta".as("tb"))
-      val exi = ex.agg(sum(col(s"f$i") * col(s"f$j")).cast("long").as("exact_intersection"))
-      val common = kmv(types(i)).join(kmv(types(j)), "h")
+      val common = kmvs(types(i)).join(kmvs(types(j)), "h")
         .crossJoin(broadcast(sa)).crossJoin(broadcast(sb))
         .filter($"h" < least($"ta", $"tb"))
         .agg(P.cnt.as("c"))
       common.crossJoin(broadcast(sa)).crossJoin(broadcast(sb))
-        .crossJoin(broadcast(exi))
+        .crossJoin(broadcast(exAll.select(col(s"ex_${i}_$j").as("exact_intersection"))))
         .select(
           lit(types(i)).as("type_a"), lit(types(j)).as("type_b"),
           P.prnd(est($"na", $"ta"), 4).as("est_a"),
