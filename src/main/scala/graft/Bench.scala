@@ -23,14 +23,21 @@ import java.util.concurrent.atomic.{AtomicBoolean, AtomicInteger}
   */
 object Bench {
 
-  /** Previous-round measured cost (sec at sf0.1, round-12 full warm
-    * sweep) for EVERY query — only the ORDER matters (cheapest first
-    * guarantees full sweeps), but r11 left ~30 later-added queries
-    * unlisted at the 5.0 default: they all sorted to the sweep tail,
-    * where the extra-sample window had closed, so their recorded time
-    * was one first-consumer-cold sample paying the session-shared
-    * MatStore builds (sim_filtered_recall: 2.4s recorded vs 0.29s
-    * isolated). A complete map is the fix that lasts.
+  /** Previous-round measured cost (sec at sf0.1; refreshed r19 from
+    * that round's full warm sweep — lifecycle gates carry build+serve,
+    * the wall their first sample actually consumes) for EVERY query —
+    * only the ORDER matters (cheapest first guarantees full sweeps),
+    * but r11 left ~30 later-added queries unlisted at the 5.0 default:
+    * they all sorted to the sweep tail, where the extra-sample window
+    * had closed, so their recorded time was one first-consumer-cold
+    * sample paying the session-shared MatStore builds
+    * (sim_filtered_recall: 2.4s recorded vs 0.29s isolated). A complete
+    * map is the fix that lasts. The r19 variant: STALE entries (r12
+    * numbers 2-6× above the true warm cost: q_skew_audit 1.73 vs 0.62,
+    * sim_filtered_recall 2.37 vs 0.26, gr_louvain 3.43 vs 0.36) sorted
+    * cheap queries into the tail where a throttle window plus min-of-1
+    * reads a 0.6s row as >1s — the r19 refresh re-measures every entry
+    * so the sampling protection lands where the cost actually is.
     *
     * The r18 variant of the same failure: [[lifecycleBuilds]] queries
     * sort to the tail BY COST, and when the extra-sample window closes
@@ -41,182 +48,185 @@ object Bench {
     * sampling-invariant.
     */
   val priorCost: Map[String, Double] = Map(
-    "an_ab_test" -> 0.2,
+    "an_ab_test" -> 0.27,
     "an_active_streaks" -> 0.24,
-    "an_cm_topk" -> 1.21,
-    "an_comment_buckets" -> 0.16,
-    "an_concurrency" -> 0.68,
-    "an_conversion" -> 0.27,
-    "an_dow_activity" -> 0.16,
-    "an_dow_anomaly" -> 0.3,
-    "an_event_gap_dist" -> 0.35,
-    "an_explorer" -> 0.05,
-    "an_explorer_page" -> 0.12,
+    "an_cm_topk" -> 0.21,
+    "an_comment_buckets" -> 0.23,
+    "an_concurrency" -> 0.75,
+    "an_conversion" -> 0.34,
+    "an_dow_activity" -> 0.18,
+    "an_dow_anomaly" -> 0.16,
+    "an_event_gap_dist" -> 0.30,
+    "an_explorer" -> 0.11,
+    "an_explorer_page" -> 0.19,
     "an_explorer_page_mc" -> 0.15,
-    "an_forecast_naive" -> 0.3,
-    "an_gini" -> 0.24,
-    "an_hist_quantiles" -> 0.5,
-    "an_hll_users" -> 0.61,
-    "an_hourly_heatmap" -> 0.2,
-    "an_keyword_mentions" -> 0.17,
-    "an_kmv_overlap" -> 0.61,
-    "an_new_vs_returning" -> 0.24,
-    "an_pareto_share" -> 0.18,
-    "an_pivot_daily" -> 0.2,
-    "an_quantiles" -> 0.29,
-    "an_retention" -> 0.33,
+    "an_forecast_naive" -> 0.24,
+    "an_gini" -> 0.29,
+    "an_hist_quantiles" -> 0.35,
+    "an_hll_users" -> 0.57,
+    "an_hourly_heatmap" -> 0.22,
+    "an_keyword_mentions" -> 0.19,
+    "an_kmv_overlap" -> 0.54,
+    "an_new_vs_returning" -> 0.30,
+    "an_pareto_share" -> 0.26,
+    "an_pivot_daily" -> 0.30,
+    "an_quantiles" -> 0.30,
+    "an_retention" -> 0.30,
     "an_rolling_active" -> 0.37,
-    "an_session_paths" -> 0.61,
-    "an_session_stats" -> 0.3,
-    "an_spike_days" -> 0.2,
-    "an_timeline" -> 0.15,
-    "an_timeline_dense" -> 0.15,
-    "an_top_groups" -> 0.11,
-    "an_trend" -> 0.21,
-    "an_user_activity" -> 0.24,
-    "an_value_buckets" -> 0.15,
-    "dd_cluster_canonical" -> 0.55,
-    "dd_clusters" -> 0.31,
-    "dd_cross_source" -> 0.17,
-    "dd_embedding" -> 0.62,
-    "dd_embedding_sweep" -> 0.5,
-    "dd_est_quality" -> 0.4,
-    "dd_exact" -> 0.17,
-    "dd_impact" -> 0.46,
-    "dd_incremental" -> 0.56,
-    "dd_lsh_tuning" -> 0.45,
-    "dd_minhash_lsh" -> 0.1,
-    "dd_ngram_jaccard" -> 0.11,
-    "dd_recall" -> 0.42,
-    "dd_simhash" -> 0.79,
-    "dd_span_coverage" -> 0.68,
-    "etl_chunk_overlap" -> 0.1,
-    "etl_clean_text" -> 0.21,
-    "etl_compact_latest" -> 0.18,
-    "etl_corpus_prep" -> 0.26,
-    "etl_dedup_ingest" -> 0.09,
-    "etl_filter_enrich" -> 0.35,
-    "etl_pack_sequences" -> 0.32,
-    "etl_pack_bpe" -> 0.6,
-    "etl_parse_json" -> 0.55,
-    "etl_profile_drift" -> 0.4,
-    "etl_profile_columns" -> 0.25,
-    "etl_scd2" -> 0.15,
-    "etl_sessionize" -> 0.31,
-    "etl_shard_shuffle" -> 0.07,
-    "etl_split_train_val" -> 0.32,
-    "etl_stratified_sample" -> 0.07,
-    "etl_weighted_sample" -> 0.19,
-    "etl_mixture_schedule" -> 0.3,
-    "etl_relevance_gate" -> 0.15,
-    "etl_winsorize" -> 0.18,
-    "gr_assortativity" -> 0.29,
-    "gr_centrality_err" -> 1.5,
-    "gr_betweenness_approx" -> 2.93,
-    "gr_betweenness_w" -> 4.5,
-    "gr_closeness" -> 1.07,
-    "gr_closeness_w" -> 2.0,
-    "gr_centrality_tuning" -> 1.6,
+    "an_session_paths" -> 0.41,
+    "an_session_stats" -> 0.33,
+    "an_spike_days" -> 0.18,
+    "an_timeline" -> 0.22,
+    "an_timeline_dense" -> 0.25,
+    "an_top_groups" -> 0.13,
+    "an_trend" -> 0.29,
+    "an_user_activity" -> 0.30,
+    "an_value_buckets" -> 0.29,
+    "dd_cluster_canonical" -> 0.43,
+    "dd_clusters" -> 0.32,
+    "dd_cross_source" -> 0.27,
+    "dd_embedding" -> 0.14,
+    "dd_embedding_sweep" -> 0.12,
+    "dd_est_quality" -> 0.18,
+    "dd_exact" -> 0.18,
+    "dd_impact" -> 0.43,
+    "dd_incremental" -> 0.59,
+    "dd_lsh_tuning" -> 0.60,
+    "dd_minhash_lsh" -> 0.08,
+    "dd_ngram_jaccard" -> 0.12,
+    "dd_recall" -> 0.39,
+    "dd_simhash" -> 0.89,
+    "dd_span_coverage" -> 0.65,
+    "dd_split_leakage" -> 0.23,
+    "etl_chunk_overlap" -> 0.16,
+    "etl_clean_text" -> 0.24,
+    "etl_compact_latest" -> 0.16,
+    "etl_corpus_prep" -> 0.27,
+    "etl_dedup_ingest" -> 0.15,
+    "etl_filter_enrich" -> 0.32,
+    "etl_mixture_schedule" -> 0.18,
+    "etl_pack_bpe" -> 2.66,
+    "etl_pack_sequences" -> 0.27,
+    "etl_parse_json" -> 0.30,
+    "etl_profile_columns" -> 0.29,
+    "etl_profile_drift" -> 0.69,
+    "etl_relevance_gate" -> 0.06,
+    "etl_scd2" -> 0.24,
+    "etl_sessionize" -> 0.29,
+    "etl_shard_shuffle" -> 0.18,
+    "etl_split_by_cluster" -> 0.57,
+    "etl_split_train_val" -> 0.39,
+    "etl_stratified_sample" -> 0.09,
+    "etl_weighted_sample" -> 0.28,
+    "etl_winsorize" -> 0.24,
+    "gr_assortativity" -> 0.25,
+    "gr_betweenness_approx" -> 2.22,
+    "gr_betweenness_w" -> 6.67,
+    "gr_centrality_err" -> 0.98,
+    "gr_centrality_tuning" -> 2.87,
+    "gr_closeness" -> 1.56,
+    "gr_closeness_w" -> 2.08,
     "gr_communities" -> 0.77,
-    "gr_community_quality" -> 1.7,
-    "gr_community_names" -> 0.87,
-    "gr_community_stats" -> 0.91,
-    "gr_components" -> 0.88,
+    "gr_community_names" -> 0.84,
+    "gr_community_quality" -> 0.83,
+    "gr_community_stats" -> 0.89,
+    "gr_components" -> 0.78,
     "gr_degree" -> 0.28,
-    "gr_degree_buckets" -> 0.23,
-    "gr_degree_directed" -> 0.36,
-    "gr_edges" -> 0.48,
-    "gr_ego_net" -> 0.65,
-    "gr_eigenvector" -> 1.18,
-    "gr_graph_stats" -> 0.11,
-    "gr_influencers" -> 1.02,
-    "gr_kcore" -> 1.03,
-    "gr_link_predict" -> 0.33,
-    "gr_louvain" -> 3.43,
-    "gr_louvain_agree" -> 2.5,
-    "gr_louvain_ml" -> 2.2,
-    "gr_modularity" -> 1.08,
-    "gr_pagerank" -> 1.03,
-    "gr_random_walks" -> 3.61,
-    "gr_triangles" -> 3.86,
+    "gr_degree_buckets" -> 0.30,
+    "gr_degree_directed" -> 0.31,
+    "gr_edges" -> 0.36,
+    "gr_ego_net" -> 0.78,
+    "gr_eigenvector" -> 1.56,
+    "gr_graph_stats" -> 0.16,
+    "gr_influencers" -> 1.40,
+    "gr_kcore" -> 0.65,
+    "gr_link_predict" -> 0.29,
+    "gr_louvain" -> 0.36,
+    "gr_louvain_agree" -> 0.48,
+    "gr_louvain_ml" -> 0.47,
+    "gr_modularity" -> 1.03,
+    "gr_pagerank" -> 1.20,
+    "gr_random_walks" -> 4.04,
+    "gr_triangles" -> 4.10,
     "mm_binary_meta" -> 0.07,
-    "mm_dup_frames" -> 0.33,
-    "mm_frame_index" -> 0.06,
-    "mm_phash_dup" -> 0.6,
-    "mm_phash_clusters" -> 0.9,
-    "ops_freshness" -> 0.2,
-    "ops_incremental_gate" -> 2.0,
-    "ops_infra_gate" -> 0.3,
-    "ops_store_lifecycle" -> 1.9,
-    "ops_graph_ingest" -> 1.3,
-    "ops_retrain_gate" -> 0.5,
-    "ops_day" -> 4.0,
-    "ops_week" -> 20.0,
-    "mm_decode_meta" -> 0.4,
-    "dd_split_leakage" -> 0.3,
-    "etl_split_by_cluster" -> 0.4,
-    "ops_pipeline_report" -> 0.5,
-    "q1_pricing_summary" -> 0.3,
-    "q3_top_orders" -> 0.51,
-    "q5_region_revenue" -> 0.72,
-    "q_anti_join" -> 0.2,
-    "q_asof_join" -> 0.32,
-    "q_bloom_prune" -> 0.3,
-    "q_point_in_time" -> 0.24,
-    "q_range_join" -> 0.68,
-    "q_rollup" -> 0.29,
-    "q_skew_audit" -> 1.73,
-    "q_window_rank" -> 0.24,
-    "sent_agreement" -> 0.37,
-    "sent_distribution" -> 0.17,
-    "sent_drift" -> 0.3,
-    "sent_emoji" -> 0.1,
-    "sent_examples" -> 1.34,
-    "sent_lexicon" -> 0.16,
-    "sent_lexicon_sens" -> 0.8,
-    "sent_nb_eval" -> 0.9,
-    "sim_bruteforce_topk" -> 0.27,
-    "sim_centroid_drift" -> 2.38,
-    "sim_filtered_recall" -> 2.37,
-    "sim_filtered_topk" -> 0.06,
-    "sim_ivf_append" -> 1.2,
-    "sim_ivf_kmeans_topk" -> 0.09,
-    "sim_ivf_topk" -> 0.41,
-    "sim_ivfpq_topk" -> 0.73,
-    "sim_kmeans_recall" -> 0.23,
-    "sim_kmeans_train" -> 0.12,
-    "sim_lsh_topk" -> 0.27,
-    "sim_mmr_topk" -> 0.53,
-    "sim_norm_audit" -> 0.3,
-    "sim_pair_hist" -> 0.3,
-    "sim_pair_stats" -> 0.38,
-    "sim_pq_recall" -> 0.74,
-    "sim_pq_topk" -> 0.84,
+    "mm_decode_meta" -> 0.27,
+    "mm_dup_frames" -> 0.34,
+    "mm_frame_index" -> 0.20,
+    "mm_phash_clusters" -> 0.63,
+    "mm_phash_dup" -> 0.14,
+    "ops_day" -> 10.68,
+    "ops_freshness" -> 0.24,
+    "ops_graph_ingest" -> 5.13,
+    "ops_incremental_gate" -> 3.69,
+    "ops_infra_gate" -> 0.29,
+    "ops_pipeline_report" -> 0.28,
+    "ops_retrain_gate" -> 0.38,
+    "ops_store_lifecycle" -> 3.64,
+    "ops_week" -> 26.85,
+    "q1_pricing_summary" -> 0.30,
+    "q3_top_orders" -> 0.45,
+    "q5_region_revenue" -> 0.79,
+    "q_anti_join" -> 0.34,
+    "q_asof_join" -> 0.23,
+    "q_bloom_prune" -> 0.39,
+    "q_point_in_time" -> 0.29,
+    "q_range_join" -> 0.45,
+    "q_rollup" -> 0.28,
+    // 0.62 = the round's baseline sweep; the refresh sweep caught this
+    // row inside a throttle window (1.11) and ordering on that reading
+    // would re-create the very tail exposure the refresh fixes
+    "q_skew_audit" -> 0.62,
+    "q_window_rank" -> 0.30,
+    "sent_agreement" -> 0.69,
+    "sent_distribution" -> 0.43,
+    "sent_drift" -> 0.35,
+    "sent_emoji" -> 0.12,
+    "sent_examples" -> 0.36,
+    "sent_lexicon" -> 0.37,
+    "sent_lexicon_sens" -> 0.79,
+    "sent_nb_eval" -> 0.78,
+    "sim_bruteforce_topk" -> 0.28,
+    "sim_centroid_drift" -> 0.35,
+    "sim_filtered_recall" -> 0.26,
+    "sim_filtered_topk" -> 0.10,
+    "sim_ivf_append" -> 2.99,
+    "sim_ivf_kmeans_topk" -> 0.16,
+    "sim_ivf_topk" -> 0.52,
+    "sim_ivfpq_topk" -> 0.70,
+    "sim_kmeans_recall" -> 0.32,
+    "sim_kmeans_train" -> 0.14,
+    "sim_lsh_topk" -> 0.28,
+    "sim_mmr_topk" -> 0.24,
+    "sim_norm_audit" -> 0.13,
+    "sim_pair_hist" -> 0.19,
+    "sim_pair_stats" -> 0.30,
+    "sim_pq_recall" -> 0.70,
+    "sim_pq_topk" -> 0.73,
     "sim_recall" -> 0.42,
-    "st_enrich_agg" -> 0.31,
-    "st_funnel_join" -> 0.21,
-    "st_window_agg" -> 0.23,
-    "tx_boilerplate" -> 0.54,
-    "tx_contamination" -> 0.35,
-    "tx_char_diversity" -> 0.6,
-    "tx_corpus_mixture" -> 0.28,
-    "tx_fingerprint" -> 0.16,
-    "tx_gopher_rules" -> 0.29,
-    "tx_hashed_features" -> 1.8,
-    "tx_keyterms" -> 0.63,
-    "tx_lang_id" -> 0.22,
-    "tx_langid_confusion" -> 0.57,
-    "tx_lm_score" -> 0.93,
-    "tx_ngram_novelty" -> 0.4,
-    "tx_ngram_stats" -> 0.16,
-    "tx_pii_scrub" -> 0.5,
-    "tx_quality" -> 0.1,
-    "tx_repetition" -> 0.14,
-    "tx_term_drift" -> 0.39,
-    "tx_token_count" -> 0.1,
-    "tx_bpe_encode" -> 1.5,
-    "tx_bpe_tuning" -> 4.0,
-    "tx_vocab_growth" -> 0.35)
+    "st_enrich_agg" -> 0.33,
+    "st_funnel_join" -> 0.23,
+    "st_window_agg" -> 0.32,
+    "tx_boilerplate" -> 0.51,
+    "tx_bpe_encode" -> 0.11,
+    "tx_bpe_tuning" -> 3.42,
+    "tx_char_diversity" -> 0.55,
+    "tx_contamination" -> 0.44,
+    "tx_corpus_mixture" -> 0.27,
+    "tx_fingerprint" -> 0.17,
+    "tx_gopher_rules" -> 0.20,
+    "tx_hashed_features" -> 0.52,
+    "tx_keyterms" -> 0.47,
+    "tx_lang_id" -> 0.34,
+    "tx_langid_confusion" -> 0.39,
+    "tx_lm_score" -> 0.60,
+    "tx_ngram_novelty" -> 0.51,
+    "tx_ngram_stats" -> 0.18,
+    "tx_pii_scrub" -> 0.54,
+    "tx_quality" -> 0.14,
+    "tx_repetition" -> 0.20,
+    "tx_term_drift" -> 0.29,
+    "tx_token_count" -> 0.17,
+    "tx_vocab_growth" -> 0.25)
 
   /** Lifecycle gates: queries whose FIRST sample in a warm sweep pays a
     * one-time multi-second store-maintenance arc (parquet day-tree
