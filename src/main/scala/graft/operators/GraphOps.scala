@@ -843,7 +843,14 @@ object GraphOps {
             ks.map(i => col(s"c$i").isNotNull &&
               (d(i).isNull || col(s"c$i") < d(i))).reduce(_ || _).as("ga")): _*)
         .ckpt
-      active = state.filter($"ga").count()
+      // the frontier count is the convergence short-circuit AND the
+      // round's materializing action — but at round == rounds the loop
+      // exits regardless, so that last count was a pure job barrier
+      // (r19 verdict item 3): skip it and let the final state's lazy
+      // checkpoint materialize inside the first downstream consumer's
+      // job (closeness_w's output scan / betweenness_w's sv broadcast
+      // build — later consumers read the same blocks).
+      active = if (round < rounds) state.filter($"ga").count() else 0L
     }
     probe(round)
     state.select($"node" +: ks.map(i => d(i)): _*)
@@ -990,10 +997,24 @@ object GraphOps {
         .select($"node" +: ks.map(i =>
           when($"node" === lmkIds(i), 1L).otherwise(col(s"cs$i")).as(s"s$i")): _*)
         .ckpt
-      val (m, nonNeg) = sigMetric(sig)
-      if (!nonNeg || ks.exists(i => m(i).compareTo(sigPrev(i)) < 0))
-        sigSound = false
-      if (sigSound && m == sigPrev) sigFixed = true else sigPrev = m
+      // fixpoint/wrap metric at every round EXCEPT the bound (r19
+      // verdict item 3): at sigIt == dagIters the loop exits regardless
+      // and nothing after it reads the metric, so that round's action
+      // was a pure job barrier — skipping it folds the final σ
+      // materialization into the first downstream broadcast build
+      // (sv2's), which reads the lazy checkpoint once and leaves blocks
+      // for sw2. Per-round guard granularity on every exit-RELEVANT
+      // round is unchanged. (A gap-2 batching of the metric — the
+      // pagerank pattern — was A/B-measured a wash here: when the
+      // fixpoint lands on an unchecked round the loop runs one extra
+      // full round, 62→62 jobs with tasks 287→307 and +5 MB shuffle;
+      // rejected, r20.)
+      if (sigIt < dagIters) {
+        val (m, nonNeg) = sigMetric(sig)
+        if (!nonNeg || ks.exists(i => m(i).compareTo(sigPrev(i)) < 0))
+          sigSound = false
+        if (sigSound && m == sigPrev) sigFixed = true else sigPrev = m
+      }
     }
     probe("sigma", sigIt)
     // per-edge dependency ratio σv/σw per landmark (null when the edge is
@@ -1045,9 +1066,17 @@ object GraphOps {
         .groupBy($"v").agg(aggs.head, aggs.tail: _*)
         .select($"v".as("node") +: ks.map(i => col(s"cd$i").as(s"p$i")): _*)
         .ckpt
-      val m = dltMetric(dlt)
-      if (ks.exists(i => m(i).compareTo(dltPrev(i)) < 0)) dltSound = false
-      if (dltSound && m == dltPrev) dltFixed = true else dltPrev = m
+      // bound-round metric skip, same argument as the σ loop above: the
+      // dagIters-th check can never trigger an exit and is read by
+      // nothing afterwards, so the final δ state materializes inside
+      // the output join's broadcast build instead of paying its own
+      // job barrier. Every exit-relevant round keeps its per-round
+      // decrease guard.
+      if (dltIt < dagIters) {
+        val m = dltMetric(dlt)
+        if (ks.exists(i => m(i).compareTo(dltPrev(i)) < 0)) dltSound = false
+        if (dltSound && m == dltPrev) dltFixed = true else dltPrev = m
+      }
     }
     probe("delta", dltIt)
     // score: Σ over landmarks of δ through the exact floor(·1e9) integer
@@ -2692,12 +2721,39 @@ object GraphOps {
     // path. Forcing shuffle_hash unconditionally (r12) paid that
     // exchange at every scale.
     val closing = oe.select($"u".as("x"), $"v".as("y"))
+    val nOe = oe.count()
+    val closeBcast = stateHint(nOe) && stateBroadcastAllowed(s)
     val close =
-      if (stateHint(oe.count()) && stateBroadcastAllowed(s)) broadcast(closing)
-      else closing.hint("shuffle_hash")
-    val tri = oe.select($"u", $"v".as("x"), $"dv".as("dx"))
+      if (closeBcast) broadcast(closing) else closing.hint("shuffle_hash")
+    val wedges = oe.select($"u", $"v".as("x"), $"dv".as("dx"))
       .join(oe.select($"u", $"v".as("y"), $"dv".as("dy")).hint("shuffle_hash"), "u")
       .filter($"dx" < $"dy" || ($"dx" === $"dy" && $"x" < $"y"))
+    // Bloom pre-filter on the closing-edge key (guide §3.2, r19 verdict
+    // item 4), on the NON-broadcast path only: the wedge relation is
+    // the dominant intermediate (Σd_out² rows — ~10M at sf0.1 vs ~0.2M
+    // oriented edges) and most wedges do NOT close into a triangle, so
+    // past the broadcast threshold — where the close join shuffles the
+    // wedges on (x, y) — a broadcast Bloom over xxhash64(u→v) of the
+    // oriented edge set drops them BEFORE that exchange. On the
+    // broadcast path the wedges never cross a shuffle, and the probe is
+    // pure per-row overhead (A/B-measured: applying it there cost
+    // 3.08 → 4.51 s min-of-3 at sf0.1 for zero exchange saved —
+    // rejected, r20), so the filter follows the SAME size-driven switch
+    // as the close side itself. The filter is built in one pass over
+    // the already-checkpointed oe blocks, sized by the exact nOe the
+    // stateHint count returns; false positives only ride through to
+    // the exact equi-join and there are no false negatives (the probe
+    // applies the same xxhash64 to the same pair), so the result — and
+    // the oracle SQL — are unchanged on both paths.
+    val preFiltered =
+      if (closeBcast) wedges
+      else {
+        val bfB = s.sparkContext.broadcast(
+          oe.stat.bloomFilter(xxhash64($"u", $"v"), math.max(nOe, 1L), 0.01))
+        val mightClose = udf((h: Long) => bfB.value.mightContainLong(h))
+        wedges.filter(mightClose(xxhash64($"x", $"y")))
+      }
+    val tri = preFiltered
       .join(close, Seq("x", "y"))
       .select($"u", $"x", $"y")
     // ONE pass over the wedge-close join: the 3-way union of corner
