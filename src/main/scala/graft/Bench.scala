@@ -23,8 +23,8 @@ import java.util.concurrent.atomic.{AtomicBoolean, AtomicInteger}
   */
 object Bench {
 
-  /** Previous-round measured cost (sec at sf0.1; refreshed r19 from
-    * that round's full warm sweep — lifecycle gates carry build+serve,
+  /** Previous-round measured cost (sec at sf0.1; refreshed r20 from
+    * that round's clean zero-weak baseline sweep — lifecycle gates carry build+serve,
     * the wall their first sample actually consumes) for EVERY query —
     * only the ORDER matters (cheapest first guarantees full sweeps),
     * but r11 left ~30 later-added queries unlisted at the 5.0 default:
@@ -48,185 +48,182 @@ object Bench {
     * sampling-invariant.
     */
   val priorCost: Map[String, Double] = Map(
-    "an_ab_test" -> 0.27,
-    "an_active_streaks" -> 0.24,
-    "an_cm_topk" -> 0.21,
-    "an_comment_buckets" -> 0.23,
-    "an_concurrency" -> 0.75,
-    "an_conversion" -> 0.34,
+    "an_ab_test" -> 0.26,
+    "an_active_streaks" -> 0.36,
+    "an_cm_topk" -> 0.30,
+    "an_comment_buckets" -> 0.24,
+    "an_concurrency" -> 0.81,
+    "an_conversion" -> 0.43,
     "an_dow_activity" -> 0.18,
-    "an_dow_anomaly" -> 0.16,
-    "an_event_gap_dist" -> 0.30,
-    "an_explorer" -> 0.11,
+    "an_dow_anomaly" -> 0.22,
+    "an_event_gap_dist" -> 0.32,
+    "an_explorer" -> 0.07,
     "an_explorer_page" -> 0.19,
     "an_explorer_page_mc" -> 0.15,
-    "an_forecast_naive" -> 0.24,
-    "an_gini" -> 0.29,
-    "an_hist_quantiles" -> 0.35,
-    "an_hll_users" -> 0.57,
+    "an_forecast_naive" -> 0.29,
+    "an_gini" -> 0.27,
+    "an_hist_quantiles" -> 0.38,
+    "an_hll_users" -> 0.47,
     "an_hourly_heatmap" -> 0.22,
-    "an_keyword_mentions" -> 0.19,
-    "an_kmv_overlap" -> 0.54,
-    "an_new_vs_returning" -> 0.30,
-    "an_pareto_share" -> 0.26,
-    "an_pivot_daily" -> 0.30,
-    "an_quantiles" -> 0.30,
-    "an_retention" -> 0.30,
-    "an_rolling_active" -> 0.37,
-    "an_session_paths" -> 0.41,
-    "an_session_stats" -> 0.33,
+    "an_keyword_mentions" -> 0.18,
+    "an_kmv_overlap" -> 0.48,
+    "an_new_vs_returning" -> 0.33,
+    "an_pareto_share" -> 0.27,
+    "an_pivot_daily" -> 0.24,
+    "an_quantiles" -> 0.36,
+    "an_retention" -> 0.35,
+    "an_rolling_active" -> 0.42,
+    "an_session_paths" -> 0.50,
+    "an_session_stats" -> 0.41,
     "an_spike_days" -> 0.18,
-    "an_timeline" -> 0.22,
-    "an_timeline_dense" -> 0.25,
-    "an_top_groups" -> 0.13,
-    "an_trend" -> 0.29,
-    "an_user_activity" -> 0.30,
-    "an_value_buckets" -> 0.29,
-    "dd_cluster_canonical" -> 0.43,
-    "dd_clusters" -> 0.32,
-    "dd_cross_source" -> 0.27,
-    "dd_embedding" -> 0.14,
-    "dd_embedding_sweep" -> 0.12,
-    "dd_est_quality" -> 0.18,
+    "an_timeline" -> 0.18,
+    "an_timeline_dense" -> 0.21,
+    "an_top_groups" -> 0.08,
+    "an_trend" -> 0.22,
+    "an_user_activity" -> 0.28,
+    "an_value_buckets" -> 0.17,
+    "dd_cluster_canonical" -> 0.47,
+    "dd_clusters" -> 0.33,
+    "dd_cross_source" -> 0.23,
+    "dd_embedding" -> 0.09,
+    "dd_embedding_sweep" -> 0.17,
+    "dd_est_quality" -> 0.24,
     "dd_exact" -> 0.18,
-    "dd_impact" -> 0.43,
-    "dd_incremental" -> 0.59,
-    "dd_lsh_tuning" -> 0.60,
-    "dd_minhash_lsh" -> 0.08,
-    "dd_ngram_jaccard" -> 0.12,
-    "dd_recall" -> 0.39,
-    "dd_simhash" -> 0.89,
-    "dd_span_coverage" -> 0.65,
-    "dd_split_leakage" -> 0.23,
-    "etl_chunk_overlap" -> 0.16,
-    "etl_clean_text" -> 0.24,
+    "dd_impact" -> 0.54,
+    "dd_incremental" -> 0.58,
+    "dd_lsh_tuning" -> 0.43,
+    "dd_minhash_lsh" -> 0.09,
+    "dd_ngram_jaccard" -> 0.09,
+    "dd_recall" -> 0.52,
+    "dd_simhash" -> 0.86,
+    "dd_span_coverage" -> 0.83,
+    "dd_split_leakage" -> 0.26,
+    "etl_chunk_overlap" -> 0.12,
+    "etl_clean_text" -> 0.33,
     "etl_compact_latest" -> 0.16,
-    "etl_corpus_prep" -> 0.27,
-    "etl_dedup_ingest" -> 0.15,
-    "etl_filter_enrich" -> 0.32,
-    "etl_mixture_schedule" -> 0.18,
-    "etl_pack_bpe" -> 2.66,
-    "etl_pack_sequences" -> 0.27,
-    "etl_parse_json" -> 0.30,
-    "etl_profile_columns" -> 0.29,
-    "etl_profile_drift" -> 0.69,
-    "etl_relevance_gate" -> 0.06,
-    "etl_scd2" -> 0.24,
-    "etl_sessionize" -> 0.29,
-    "etl_shard_shuffle" -> 0.18,
-    "etl_split_by_cluster" -> 0.57,
-    "etl_split_train_val" -> 0.39,
+    "etl_corpus_prep" -> 0.26,
+    "etl_dedup_ingest" -> 0.11,
+    "etl_filter_enrich" -> 0.39,
+    "etl_mixture_schedule" -> 0.26,
+    "etl_pack_bpe" -> 0.81,
+    "etl_pack_sequences" -> 0.32,
+    "etl_parse_json" -> 0.32,
+    "etl_profile_columns" -> 0.34,
+    "etl_profile_drift" -> 0.53,
+    "etl_relevance_gate" -> 0.10,
+    "etl_scd2" -> 0.21,
+    "etl_sessionize" -> 0.33,
+    "etl_shard_shuffle" -> 0.12,
+    "etl_split_by_cluster" -> 0.49,
+    "etl_split_train_val" -> 0.31,
     "etl_stratified_sample" -> 0.09,
-    "etl_weighted_sample" -> 0.28,
-    "etl_winsorize" -> 0.24,
-    "gr_assortativity" -> 0.25,
-    "gr_betweenness_approx" -> 2.22,
-    "gr_betweenness_w" -> 6.67,
-    "gr_centrality_err" -> 0.98,
-    "gr_centrality_tuning" -> 2.87,
-    "gr_closeness" -> 1.56,
-    "gr_closeness_w" -> 2.08,
-    "gr_communities" -> 0.77,
-    "gr_community_names" -> 0.84,
-    "gr_community_quality" -> 0.83,
-    "gr_community_stats" -> 0.89,
-    "gr_components" -> 0.78,
-    "gr_degree" -> 0.28,
-    "gr_degree_buckets" -> 0.30,
-    "gr_degree_directed" -> 0.31,
-    "gr_edges" -> 0.36,
-    "gr_ego_net" -> 0.78,
-    "gr_eigenvector" -> 1.56,
-    "gr_graph_stats" -> 0.16,
-    "gr_influencers" -> 1.40,
-    "gr_kcore" -> 0.65,
-    "gr_link_predict" -> 0.29,
-    "gr_louvain" -> 0.36,
-    "gr_louvain_agree" -> 0.48,
-    "gr_louvain_ml" -> 0.47,
-    "gr_modularity" -> 1.03,
-    "gr_pagerank" -> 1.20,
-    "gr_random_walks" -> 4.04,
-    "gr_triangles" -> 4.10,
-    "mm_binary_meta" -> 0.07,
-    "mm_decode_meta" -> 0.27,
-    "mm_dup_frames" -> 0.34,
-    "mm_frame_index" -> 0.20,
-    "mm_phash_clusters" -> 0.63,
-    "mm_phash_dup" -> 0.14,
-    "ops_day" -> 10.68,
-    "ops_freshness" -> 0.24,
-    "ops_graph_ingest" -> 5.13,
-    "ops_incremental_gate" -> 3.69,
-    "ops_infra_gate" -> 0.29,
-    "ops_pipeline_report" -> 0.28,
-    "ops_retrain_gate" -> 0.38,
-    "ops_store_lifecycle" -> 3.64,
-    "ops_week" -> 26.85,
-    "q1_pricing_summary" -> 0.30,
-    "q3_top_orders" -> 0.45,
-    "q5_region_revenue" -> 0.79,
-    "q_anti_join" -> 0.34,
-    "q_asof_join" -> 0.23,
-    "q_bloom_prune" -> 0.39,
-    "q_point_in_time" -> 0.29,
-    "q_range_join" -> 0.45,
-    "q_rollup" -> 0.28,
-    // 0.62 = the round's baseline sweep; the refresh sweep caught this
-    // row inside a throttle window (1.11) and ordering on that reading
-    // would re-create the very tail exposure the refresh fixes
-    "q_skew_audit" -> 0.62,
-    "q_window_rank" -> 0.30,
-    "sent_agreement" -> 0.69,
-    "sent_distribution" -> 0.43,
-    "sent_drift" -> 0.35,
-    "sent_emoji" -> 0.12,
-    "sent_examples" -> 0.36,
-    "sent_lexicon" -> 0.37,
-    "sent_lexicon_sens" -> 0.79,
-    "sent_nb_eval" -> 0.78,
-    "sim_bruteforce_topk" -> 0.28,
-    "sim_centroid_drift" -> 0.35,
-    "sim_filtered_recall" -> 0.26,
-    "sim_filtered_topk" -> 0.10,
-    "sim_ivf_append" -> 2.99,
-    "sim_ivf_kmeans_topk" -> 0.16,
-    "sim_ivf_topk" -> 0.52,
-    "sim_ivfpq_topk" -> 0.70,
-    "sim_kmeans_recall" -> 0.32,
-    "sim_kmeans_train" -> 0.14,
-    "sim_lsh_topk" -> 0.28,
-    "sim_mmr_topk" -> 0.24,
-    "sim_norm_audit" -> 0.13,
-    "sim_pair_hist" -> 0.19,
-    "sim_pair_stats" -> 0.30,
-    "sim_pq_recall" -> 0.70,
-    "sim_pq_topk" -> 0.73,
-    "sim_recall" -> 0.42,
-    "st_enrich_agg" -> 0.33,
-    "st_funnel_join" -> 0.23,
-    "st_window_agg" -> 0.32,
-    "tx_boilerplate" -> 0.51,
+    "etl_weighted_sample" -> 0.23,
+    "etl_winsorize" -> 0.28,
+    "gr_assortativity" -> 0.27,
+    "gr_betweenness_approx" -> 2.01,
+    "gr_betweenness_w" -> 6.32,
+    "gr_centrality_err" -> 6.50,
+    "gr_centrality_tuning" -> 3.00,
+    "gr_closeness" -> 1.44,
+    "gr_closeness_w" -> 2.38,
+    "gr_communities" -> 1.26,
+    "gr_community_names" -> 0.94,
+    "gr_community_quality" -> 0.89,
+    "gr_community_stats" -> 0.93,
+    "gr_components" -> 0.90,
+    "gr_degree" -> 0.30,
+    "gr_degree_buckets" -> 0.23,
+    "gr_degree_directed" -> 0.34,
+    "gr_edges" -> 0.41,
+    "gr_ego_net" -> 0.96,
+    "gr_eigenvector" -> 1.36,
+    "gr_graph_stats" -> 0.17,
+    "gr_influencers" -> 1.50,
+    "gr_kcore" -> 0.75,
+    "gr_link_predict" -> 0.39,
+    "gr_louvain" -> 0.45,
+    "gr_louvain_agree" -> 0.38,
+    "gr_louvain_ml" -> 0.37,
+    "gr_modularity" -> 1.24,
+    "gr_pagerank" -> 1.50,
+    "gr_random_walks" -> 3.99,
+    "gr_triangles" -> 3.00,
+    "mm_binary_meta" -> 0.11,
+    "mm_decode_meta" -> 0.29,
+    "mm_dup_frames" -> 0.39,
+    "mm_frame_index" -> 0.12,
+    "mm_phash_clusters" -> 0.65,
+    "mm_phash_dup" -> 0.22,
+    "ops_day" -> 11.11,
+    "ops_freshness" -> 0.30,
+    "ops_graph_ingest" -> 4.85,
+    "ops_incremental_gate" -> 3.94,
+    "ops_infra_gate" -> 0.32,
+    "ops_pipeline_report" -> 0.34,
+    "ops_retrain_gate" -> 0.42,
+    "ops_store_lifecycle" -> 2.37,
+    "ops_week" -> 24.61,
+    "q1_pricing_summary" -> 0.36,
+    "q3_top_orders" -> 0.50,
+    "q5_region_revenue" -> 0.90,
+    "q_anti_join" -> 0.31,
+    "q_asof_join" -> 0.29,
+    "q_bloom_prune" -> 0.46,
+    "q_point_in_time" -> 0.31,
+    "q_range_join" -> 0.40,
+    "q_rollup" -> 0.32,
+    "q_skew_audit" -> 0.65,
+    "q_window_rank" -> 0.34,
+    "sent_agreement" -> 0.71,
+    "sent_distribution" -> 0.47,
+    "sent_drift" -> 0.44,
+    "sent_emoji" -> 0.09,
+    "sent_examples" -> 0.39,
+    "sent_lexicon" -> 0.31,
+    "sent_lexicon_sens" -> 1.05,
+    "sent_nb_eval" -> 1.05,
+    "sim_bruteforce_topk" -> 0.32,
+    "sim_centroid_drift" -> 0.37,
+    "sim_filtered_recall" -> 0.30,
+    "sim_filtered_topk" -> 0.09,
+    "sim_ivf_append" -> 2.97,
+    "sim_ivf_kmeans_topk" -> 0.07,
+    "sim_ivf_topk" -> 0.43,
+    "sim_ivfpq_topk" -> 0.81,
+    "sim_kmeans_recall" -> 0.29,
+    "sim_kmeans_train" -> 0.15,
+    "sim_lsh_topk" -> 0.27,
+    "sim_mmr_topk" -> 0.30,
+    "sim_norm_audit" -> 0.18,
+    "sim_pair_hist" -> 0.25,
+    "sim_pair_stats" -> 0.34,
+    "sim_pq_recall" -> 1.14,
+    "sim_pq_topk" -> 1.03,
+    "sim_recall" -> 0.39,
+    "st_enrich_agg" -> 0.34,
+    "st_funnel_join" -> 0.25,
+    "st_window_agg" -> 0.24,
+    "tx_boilerplate" -> 0.45,
     "tx_bpe_encode" -> 0.11,
-    "tx_bpe_tuning" -> 3.42,
-    "tx_char_diversity" -> 0.55,
-    "tx_contamination" -> 0.44,
+    "tx_bpe_tuning" -> 3.88,
+    "tx_char_diversity" -> 0.79,
+    "tx_contamination" -> 0.35,
     "tx_corpus_mixture" -> 0.27,
-    "tx_fingerprint" -> 0.17,
-    "tx_gopher_rules" -> 0.20,
-    "tx_hashed_features" -> 0.52,
-    "tx_keyterms" -> 0.47,
-    "tx_lang_id" -> 0.34,
-    "tx_langid_confusion" -> 0.39,
-    "tx_lm_score" -> 0.60,
-    "tx_ngram_novelty" -> 0.51,
-    "tx_ngram_stats" -> 0.18,
-    "tx_pii_scrub" -> 0.54,
-    "tx_quality" -> 0.14,
-    "tx_repetition" -> 0.20,
+    "tx_fingerprint" -> 0.16,
+    "tx_gopher_rules" -> 0.26,
+    "tx_hashed_features" -> 0.28,
+    "tx_keyterms" -> 0.61,
+    "tx_lang_id" -> 0.25,
+    "tx_langid_confusion" -> 0.36,
+    "tx_lm_score" -> 0.79,
+    "tx_ngram_novelty" -> 0.43,
+    "tx_ngram_stats" -> 0.21,
+    "tx_pii_scrub" -> 0.51,
+    "tx_quality" -> 0.11,
+    "tx_repetition" -> 0.19,
     "tx_term_drift" -> 0.29,
-    "tx_token_count" -> 0.17,
-    "tx_vocab_growth" -> 0.25)
+    "tx_token_count" -> 0.15,
+    "tx_vocab_growth" -> 0.29)
 
   /** Lifecycle gates: queries whose FIRST sample in a warm sweep pays a
     * one-time multi-second store-maintenance arc (parquet day-tree
@@ -475,7 +472,20 @@ object Bench {
         // throttle window, while five span sub-windows of the sweep and
         // the min approaches the clean-window floor (the budget has 3-4x
         // headroom over a full sweep, so the extra samples are free).
-        val maxSamples = first match {
+        // COLD mode is min-of-1 BY DESIGN (r20): the honest cold number
+        // is the full arc (every query pays its own builds, shared ones
+        // included — what the per-sample oracle re-executes), and the
+        // two alternatives were both measured broken this round:
+        // clearing the store only between queries let extra samples
+        // ride the first sample's memos (min-of-N recorded 8 ms memo
+        // reads — ops_day 0.01 s against a 10 s arc), while clearing
+        // before every extra sample re-paid every shared build
+        // per sample and blew the budget (8 most expensive queries
+        // SKIPPED, partial=true). One arc sample per query completes
+        // the sweep inside the budget with every row honest; window
+        // noise on a single sample is the documented trade of the
+        // cold sidecar (a decomposition aid, not the graded bench).
+        val maxSamples = if (coldStore) 1 else first match {
           case Some(t) if t > 1.5 => 5
           // the 0.6-1.5s band is the weak-rule boundary class: a query
           // whose clean-window floor is ~0.7s reads >1s inside one
@@ -500,7 +510,12 @@ object Bench {
         // code). Any query whose prior cost is above 1.5 s now gets a
         // second sample past the cutoff (budget-guarded), the lifecycle
         // mechanism verbatim.
-        val guaranteedSecond = isLifecycle || priorCost.getOrElse(name, 5.0) > 1.5
+        // 1.2 rather than a sharp 1.5: the 1.2-1.5 s rows (pagerank,
+        // influencers, eigenvector, closeness) pair with ~1x oracles, so
+        // ONE 2x throttle window on a min-of-1 sample is all it takes to
+        // print a weak-class row; their guaranteed second sample costs
+        // ~1.4 s each, budget-guarded.
+        val guaranteedSecond = isLifecycle || priorCost.getOrElse(name, 5.0) > 1.2
         // 0.7 (was 0.5): a full warm sweep's wall lands at 400-500s of
         // the 900s budget, so the half-budget cutoff silently downgraded
         // the ENTIRE sweep tail to single cold samples — exactly the
@@ -512,6 +527,17 @@ object Bench {
         while (more && (1 + extra.length) < maxSamples &&
             (elapsed < budgetSec * 0.7 ||
               (guaranteedSecond && extra.isEmpty && remaining > 25))) {
+          // cold mode drops the store before EVERY sample, not just
+          // between queries: an extra sample would otherwise ride the
+          // memo the first sample built, and min-of-N would record an
+          // 8 ms memo read as the query's "cold" cost (r20: the
+          // generalized second-sample guarantee surfaced exactly this —
+          // ops_day read 0.01 s in a cold sweep whose first sample paid
+          // the full 10 s arc; r19's cold rows only stayed honest where
+          // the budget cutoff happened to force min-of-1). Per-sample
+          // clearing makes "cold pays its own builds every sample"
+          // mechanically true for min-of-N too.
+          if (coldStore) { spark.catalog.clearCache(); MatStore.clear(spark) }
           runOne(name, fn, perQueryCap) match {
             case Some(t) => extra += t
             case None => more = false
@@ -544,6 +570,7 @@ object Bench {
       val cancelled = lock.synchronized(
         !timings.contains(name) && errors.get(name).exists(_.contains("SPARK_JOB_CANCELLED")))
       if (cancelled && remaining > 20) {
+        if (coldStore) { spark.catalog.clearCache(); MatStore.clear(spark) }
         runOne(name, fn, perQueryCap).foreach { sec =>
           lock.synchronized {
             timings(name) = sec

@@ -2721,39 +2721,28 @@ object GraphOps {
     // path. Forcing shuffle_hash unconditionally (r12) paid that
     // exchange at every scale.
     val closing = oe.select($"u".as("x"), $"v".as("y"))
-    val nOe = oe.count()
-    val closeBcast = stateHint(nOe) && stateBroadcastAllowed(s)
     val close =
-      if (closeBcast) broadcast(closing) else closing.hint("shuffle_hash")
-    val wedges = oe.select($"u", $"v".as("x"), $"dv".as("dx"))
+      if (stateHint(oe.count()) && stateBroadcastAllowed(s)) broadcast(closing)
+      else closing.hint("shuffle_hash")
+    // A Bloom pre-filter on the closing-edge key (guide §3.2) was built,
+    // measured and REJECTED in r20 — do not re-try without new data.
+    // The idea: most wedges don't close, so probing a broadcast Bloom
+    // over xxhash64(u→v) of oe ahead of the close join drops them
+    // before the shuffle-path exchange. The data says otherwise on this
+    // corpus: the capped projection is so clustered that 8.26M of the
+    // 10.2M wedges at sf0.1 (81%, counted cross-engine in DuckDB) close
+    // into triangles, so ANY exact pre-filter keeps ≥81% of the rows —
+    // a ≤1.23× reduction bound. Measured: broadcast path 3.08→4.51 s
+    // (pure probe overhead, no exchange exists to save); forced
+    // shuffle path at the 5× replica 4.56→5.96 s min-of-3 with shuffle
+    // only 462→393 MB — the 50M-wedge probe costs more wall than the
+    // 15% exchange saving returns. Triangle-dense graphs are the
+    // documented non-case for §3.2 ("a filter on it is selective" is
+    // the precondition); the wedge volume bound here is the
+    // Chiba–Nishizeki orientation itself (O(|E|^1.5)).
+    val tri = oe.select($"u", $"v".as("x"), $"dv".as("dx"))
       .join(oe.select($"u", $"v".as("y"), $"dv".as("dy")).hint("shuffle_hash"), "u")
       .filter($"dx" < $"dy" || ($"dx" === $"dy" && $"x" < $"y"))
-    // Bloom pre-filter on the closing-edge key (guide §3.2, r19 verdict
-    // item 4), on the NON-broadcast path only: the wedge relation is
-    // the dominant intermediate (Σd_out² rows — ~10M at sf0.1 vs ~0.2M
-    // oriented edges) and most wedges do NOT close into a triangle, so
-    // past the broadcast threshold — where the close join shuffles the
-    // wedges on (x, y) — a broadcast Bloom over xxhash64(u→v) of the
-    // oriented edge set drops them BEFORE that exchange. On the
-    // broadcast path the wedges never cross a shuffle, and the probe is
-    // pure per-row overhead (A/B-measured: applying it there cost
-    // 3.08 → 4.51 s min-of-3 at sf0.1 for zero exchange saved —
-    // rejected, r20), so the filter follows the SAME size-driven switch
-    // as the close side itself. The filter is built in one pass over
-    // the already-checkpointed oe blocks, sized by the exact nOe the
-    // stateHint count returns; false positives only ride through to
-    // the exact equi-join and there are no false negatives (the probe
-    // applies the same xxhash64 to the same pair), so the result — and
-    // the oracle SQL — are unchanged on both paths.
-    val preFiltered =
-      if (closeBcast) wedges
-      else {
-        val bfB = s.sparkContext.broadcast(
-          oe.stat.bloomFilter(xxhash64($"u", $"v"), math.max(nOe, 1L), 0.01))
-        val mightClose = udf((h: Long) => bfB.value.mightContainLong(h))
-        wedges.filter(mightClose(xxhash64($"x", $"y")))
-      }
-    val tri = preFiltered
       .join(close, Seq("x", "y"))
       .select($"u", $"x", $"y")
     // ONE pass over the wedge-close join: the 3-way union of corner
