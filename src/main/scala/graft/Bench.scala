@@ -312,12 +312,15 @@ object Bench {
     val printed = new AtomicBoolean(false)
     val lastJson = new java.util.concurrent.atomic.AtomicReference[String]("")
 
-    // `slim` drops the paired-oracle dict: the driver parses the LAST
-    // stdout line through a 2000-char tail window, and the full line
-    // (2986 chars in r7) never fit — six rounds of "parsed": null. The
-    // slim line (~1.6k chars) carries the whole driver contract
-    // (metric/value/unit/queries/sf); the oracle timings stay in the
-    // full first print and the committed BENCH_SELF.json sidecar.
+    // `slim` drops the paired-oracle and per-gate builds dicts: the
+    // driver parses the LAST stdout line, and the full line overflowed
+    // its capture for six rounds ("parsed": null until r19; the r19
+    // slim line parsed cleanly). The slim line carries the whole driver
+    // contract (metric/value/unit/queries/builds_total/sf); the oracle
+    // timings and the per-gate builds dict stay in the full first print
+    // and the committed BENCH_SELF.json sidecar. builds_total (r19
+    // verdict item 3) adds 22 bytes so the ~60 s of declared
+    // once-per-day maintenance stays in the driver-visible record.
     def buildJson(partial: Boolean, slim: Boolean = false): String = {
       val (ts, bs, os, es, sk) = lock.synchronized {
         (timings.toSeq, builds.toSeq, oracleT.toSeq, errors.toSeq, skipped.toSeq)
